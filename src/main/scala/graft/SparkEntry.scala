@@ -1,13 +1,324 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with an equivalent DuckDB oracle in [[oracleSql]].
+  *
+  * Oracle-parity design notes (why results hash-match bit-for-bit):
+  *   - value columns are chosen/cast so sums are *exact* (integral doubles
+  *     like l_quantity, or decimal(18,2) casts of 2-decimal prices), making
+  *     results independent of partial-aggregation order;
+  *   - finalize arithmetic (mean/var/std) is written as the identical IEEE
+  *     expression on both sides (flox's own chunk/combine/finalize
+  *     decomposition, reference aggregations.py:311-388);
+  *   - positional ops use an explicit total-order `pos` column and
+  *     deterministic first-wins tie-breaks (reference core.py:1057-1059);
+  *   - interpolating ops (median/quantile) round to a grid far coarser than
+  *     any cross-engine FP drift but finer than the data's resolution.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** lineitem + explicit position (arrays are ordered; DataFrames need the
+    * order spelled out — SURVEY §7.4) + a NaN-injected value column so the
+    * nan* variants actually exercise NaN-skipping on clean TPC-H data. */
+  private def li(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .withColumn("pos", col("l_orderkey") * 8 + col("l_linenumber"))
+      .withColumn("valn", when(col("l_tax") === 0.0, lit(Double.NaN)).otherwise(col("l_quantity")))
+
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    val raw = T(s, dir, "events")
+    // events.ts is parquet timestamp[ns]; with
+    // spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos —
+    // convert to a microsecond timestamp (the data is micro-precision).
+    val fixed = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
+    fixed.withColumn("valn",
+      when(col("event_type") === "error", lit(Double.NaN)).otherwise(col("value")))
+  }
+
+  // oracle-side equivalents of the injected columns (NaN already
+  // normalized to NULL where the query consumes valid values only)
+  private val POS   = "l_orderkey * 8 + l_linenumber"
+  private val VALID = "CASE WHEN l_tax = 0.0 THEN NULL ELSE l_quantity END" // valn, NaN->NULL
+  private val EVAL  = "CASE WHEN event_type = 'error' THEN NULL ELSE value END"
+
+  private def reduceRF(s: SparkSession, dir: String, aggs: Agg*): DataFrame =
+    GroupByReduce.reduce(li(s, dir), Seq("l_returnflag"), aggs, pos = Some(col("pos")))
+
+  private def reduceOK(s: SparkSession, dir: String, aggs: Agg*): DataFrame =
+    GroupByReduce.reduce(li(s, dir), Seq("l_orderkey"), aggs, pos = Some(col("pos")))
+
+  private def scanEv(s: SparkSession, dir: String, value: String, func: String,
+      as: String, exactScale: Option[Int] = None): DataFrame =
+    GroupByScan.scan(ev(s, dir), value, Seq("user_id"), func,
+        Seq(col("ts"), col("event_id")), as, exactScale)
+      .select("event_id", "user_id", as).orderBy("event_id")
+
+  /** Flagship query (driver smoke-checks rows>0 on sf0.001): TPC-H-Q1-shaped
+    * multi-aggregation grouped reduction through the engine. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    GroupByReduce.reduce(
+      li(spark, "/root/testdata/sf0.001"),
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(
+        Agg("sum", "l_quantity", "sum_qty"),
+        Agg("sum", "l_extendedprice", "sum_price", exactScale = Some(2)),
+        Agg("mean", "l_quantity", "avg_qty"),
+        Agg("count", "l_quantity", "n")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1 grouped reductions (reference aggregations.py:740-776) ----
+    "q_count" -> ((s, d) => reduceRF(s, d, Agg("count", "valn", "n_valid"))),
+    "q_sum" -> ((s, d) => reduceRF(s, d, Agg("sum", "l_quantity", "sum_qty"))),
+    "q_nansum" -> ((s, d) => reduceRF(s, d, Agg("nansum", "valn", "sum_valid"))),
+    "q_prod" -> ((s, d) => reduceOK(s, d, Agg("prod", "l_quantity", "prod_qty"))),
+    "q_nanprod" -> ((s, d) => reduceOK(s, d, Agg("nanprod", "valn", "prod_valid"))),
+    "q_mean" -> ((s, d) => reduceRF(s, d, Agg("mean", "l_quantity", "mean_qty"))),
+    "q_nanmean" -> ((s, d) => reduceRF(s, d, Agg("nanmean", "valn", "mean_valid"))),
+    "q_var" -> ((s, d) => reduceRF(s, d, Agg("var", "l_quantity", "var_qty"))),
+    "q_nanvar" -> ((s, d) => reduceRF(s, d, Agg("nanvar", "valn", "var_valid", ddof = 1))),
+    "q_std" -> ((s, d) => reduceRF(s, d, Agg("std", "l_quantity", "std_qty"))),
+    "q_nanstd" -> ((s, d) => reduceRF(s, d, Agg("nanstd", "valn", "std_valid", ddof = 1))),
+    "q_min_max" -> ((s, d) => reduceRF(s, d,
+      Agg("min", "l_extendedprice", "min_price"), Agg("max", "l_extendedprice", "max_price"))),
+    "q_nanmin_nanmax" -> ((s, d) => reduceRF(s, d,
+      Agg("nanmin", "valn", "min_valid"), Agg("nanmax", "valn", "max_valid"))),
+    "q_any_all" -> ((s, d) => GroupByReduce.reduce(
+      li(s, d).withColumn("disc_gt", col("l_discount") > 0.05),
+      Seq("l_returnflag"),
+      Seq(Agg("any", "disc_gt", "any_disc"), Agg("all", "disc_gt", "all_disc")))),
+    "q_first_last" -> ((s, d) => reduceRF(s, d,
+      Agg("first", "l_extendedprice", "first_price"), Agg("last", "l_extendedprice", "last_price"))),
+    "q_nanfirst_nanlast" -> ((s, d) => reduceRF(s, d,
+      Agg("nanfirst", "valn", "first_valid"), Agg("nanlast", "valn", "last_valid"))),
+    "q_argminmax" -> ((s, d) => reduceRF(s, d,
+      Agg("argmin", "l_extendedprice", "argmin_pos"), Agg("argmax", "l_extendedprice", "argmax_pos"))),
+    "q_nanargminmax" -> ((s, d) => reduceRF(s, d,
+      Agg("nanargmin", "valn", "argmin_pos"), Agg("nanargmax", "valn", "argmax_pos"))),
+    "q_median" -> ((s, d) => reduceRF(s, d, Agg("nanmedian", "l_extendedprice", "med0"))
+      .withColumn("med_price", round(col("med0"), 4)).drop("med0")),
+    "q_quantile" -> ((s, d) => {
+      val r = GroupByReduce.reduce(li(s, d), Seq("l_returnflag"),
+        Seq(Agg("nanquantile", "l_extendedprice", "qs", q = Seq(0.25, 0.5, 0.75, 0.9))))
+      r.select(col("l_returnflag"),
+        round(element_at(col("qs"), 1), 6).as("q25"),
+        round(element_at(col("qs"), 2), 6).as("q50"),
+        round(element_at(col("qs"), 3), 6).as("q75"),
+        round(element_at(col("qs"), 4), 6).as("q90"))
+    }),
+    "q_mode" -> ((s, d) => reduceRF(s, d, Agg("mode", "l_quantity", "mode_qty"))),
+    "q_nanmode" -> ((s, d) => reduceRF(s, d, Agg("nanmode", "valn", "mode_valid"))),
+    // multi-key grouping = the reference's raveled multi-index (core.py:842-851)
+    "q_multikey" -> ((s, d) => GroupByReduce.reduce(li(s, d),
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(Agg("count", "l_quantity", "n"), Agg("sum", "l_quantity", "sum_qty"),
+          Agg("mean", "l_quantity", "mean_qty")))),
+    // high-cardinality grouping (≈ RandomBigArray workload, BASELINE.md)
+    "q_highcard" -> ((s, d) => GroupByReduce.reduce(T(s, d, "orders"),
+      Seq("o_custkey"),
+      Seq(Agg("count", "o_totalprice", "n_orders"),
+          Agg("sum", "o_totalprice", "sum_total", exactScale = Some(2))))),
+    // expected-groups reindex + fill_value (reference core.py:667-712)
+    "q_expected_fill" -> ((s, d) => GroupByReduce.reduce(T(s, d, "customer"),
+      Seq("c_mktsegment"),
+      Seq(Agg("count", "c_acctbal", "n_cust", fill = Some(0L)),
+          Agg("sum", "c_acctbal", "sum_bal", exactScale = Some(2), fill = Some(0.0))),
+      expected = Some(GroupByReduce.expectedDf(s, "c_mktsegment",
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY", "SPACECRAFT"))))),
+    // min_count masking (reference core.py:2539-2557)
+    "q_mincount" -> ((s, d) => reduceOK(s, d,
+      Agg("count", "valn", "n_valid"), Agg("nansum", "valn", "sum_valid", minCount = 4))),
+    // ---- binning (reference core.py:803-823; empty bins kept+filled) ----
+    "q_bins" -> ((s, d) => {
+      val edges  = Seq(0.0, 10.0, 25.0, 40.0, 50.0, 100.0)
+      val binned = li(s, d).withColumn("qbin", Binning.binIndex(col("l_quantity"), edges))
+      GroupByReduce.reduce(binned, Seq("qbin"),
+        Seq(Agg("count", "l_quantity", "n", fill = Some(0L)),
+            Agg("sum", "l_quantity", "sum_qty", fill = Some(0.0))),
+        expected = Some(Binning.binsDf(s, "qbin", edges)))
+    }),
+    "q_bins_datetime" -> ((s, d) => {
+      val e = Seq("1995-01-01 00:00:00", "1997-01-01 00:00:00", "1999-01-01 00:00:00",
+        "2001-01-01 00:00:00").map(java.sql.Timestamp.valueOf)
+      val binned = T(s, d, "orders")
+        .withColumn("dbin", Binning.binIndex(col("o_orderdate"), e, closedRight = false))
+      GroupByReduce.reduce(binned, Seq("dbin"),
+        Seq(Agg("count", "o_totalprice", "n"),
+            Agg("sum", "o_totalprice", "sum_total", exactScale = Some(2))))
+    }),
+    // time-resampling (≈ ERA5/PerfectMonthly workloads, BASELINE.md)
+    "q_resample_day" -> ((s, d) => GroupByReduce.reduce(
+      ev(s, d).withColumn("day", date_trunc("day", col("ts"))),
+      Seq("day"),
+      Seq(Agg("count", "value", "n"), Agg("sum", "value", "sum_value", exactScale = Some(2))))),
+    "q_window_hourly" -> ((s, d) => {
+      val w = ev(s, d).groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      w.select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_start", "event_type")
+    }),
+    // ---- §2.2 grouped scans (reference aggregations.py:709-737) ----
+    "q_cumsum" -> ((s, d) => scanEv(s, d, "value", "cumsum", "cum_value", exactScale = Some(2))),
+    "q_nancumsum" -> ((s, d) => scanEv(s, d, "valn", "nancumsum", "cum_valid", exactScale = Some(2))),
+    "q_cumprod" -> ((s, d) => {
+      val df = ev(s, d).withColumn("v2", (col("event_id") % 2 + 1).cast("double"))
+      GroupByScan.scan(df, "v2", Seq("user_id"), "cumprod", Seq(col("ts"), col("event_id")), "cum_prod")
+        .select("event_id", "user_id", "cum_prod").orderBy("event_id")
+    }),
+    "q_ffill" -> ((s, d) => scanEv(s, d, "valn", "ffill", "filled")),
+    "q_bfill" -> ((s, d) => scanEv(s, d, "valn", "bfill", "filled")),
+    "q_cumcount" -> ((s, d) => scanEv(s, d, "valn", "cumcount", "n_valid_so_far")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_count" ->
+      s"SELECT l_returnflag, count($VALID) AS n_valid FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q_sum" ->
+      "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q_nansum" ->
+      s"SELECT l_returnflag, coalesce(sum($VALID), 0.0) AS sum_valid FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q_prod" ->
+      "SELECT l_orderkey, product(l_quantity) AS prod_qty FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q_nanprod" ->
+      s"SELECT l_orderkey, coalesce(product($VALID), 1.0) AS prod_valid FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q_mean" ->
+      "SELECT l_returnflag, sum(l_quantity) / count(l_quantity) AS mean_qty FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q_nanmean" ->
+      s"SELECT l_returnflag, sum($VALID) / count($VALID) AS mean_valid FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q_var" ->
+      ("SELECT l_returnflag, (sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity)/CAST(count(l_quantity) AS DOUBLE))"
+        + " / (CAST(count(l_quantity) AS DOUBLE) - 0) AS var_qty FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_nanvar" ->
+      (s"SELECT l_returnflag, (sum(($VALID)*($VALID)) - sum($VALID)*sum($VALID)/CAST(count($VALID) AS DOUBLE))"
+        + s" / (CAST(count($VALID) AS DOUBLE) - 1) AS var_valid FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_std" ->
+      ("SELECT l_returnflag, sqrt((sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity)/CAST(count(l_quantity) AS DOUBLE))"
+        + " / (CAST(count(l_quantity) AS DOUBLE) - 0)) AS std_qty FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_nanstd" ->
+      (s"SELECT l_returnflag, sqrt((sum(($VALID)*($VALID)) - sum($VALID)*sum($VALID)/CAST(count($VALID) AS DOUBLE))"
+        + s" / (CAST(count($VALID) AS DOUBLE) - 1)) AS std_valid FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_min_max" ->
+      "SELECT l_returnflag, min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q_nanmin_nanmax" ->
+      s"SELECT l_returnflag, min($VALID) AS min_valid, max($VALID) AS max_valid FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q_any_all" ->
+      ("SELECT l_returnflag, bool_or(l_discount > 0.05) AS any_disc, bool_and(l_discount > 0.05) AS all_disc"
+        + " FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_first_last" ->
+      (s"SELECT l_returnflag, arg_min(l_extendedprice, $POS) AS first_price, arg_max(l_extendedprice, $POS) AS last_price"
+        + " FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_nanfirst_nanlast" ->
+      (s"SELECT l_returnflag, arg_min(l_quantity, $POS) FILTER (WHERE l_tax != 0.0) AS first_valid,"
+        + s" arg_max(l_quantity, $POS) FILTER (WHERE l_tax != 0.0) AS last_valid"
+        + " FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_argminmax" ->
+      (s"SELECT l_returnflag, min(CASE WHEN l_extendedprice = mn THEN pos END) AS argmin_pos,"
+        + " min(CASE WHEN l_extendedprice = mx THEN pos END) AS argmax_pos FROM ("
+        + s"SELECT l_returnflag, $POS AS pos, l_extendedprice,"
+        + " min(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mn,"
+        + " max(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mx FROM lineitem)"
+        + " GROUP BY 1 ORDER BY 1"),
+    "q_nanargminmax" ->
+      (s"SELECT l_returnflag, min(CASE WHEN v = mn THEN pos END) AS argmin_pos,"
+        + " min(CASE WHEN v = mx THEN pos END) AS argmax_pos FROM ("
+        + s"SELECT l_returnflag, $POS AS pos, $VALID AS v,"
+        + s" min($VALID) OVER (PARTITION BY l_returnflag) AS mn,"
+        + s" max($VALID) OVER (PARTITION BY l_returnflag) AS mx FROM lineitem)"
+        + " GROUP BY 1 ORDER BY 1"),
+    "q_median" ->
+      "SELECT l_returnflag, round(median(l_extendedprice), 4) AS med_price FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q_quantile" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,"
+        + " round(quantile_cont(l_extendedprice, 0.5), 6) AS q50,"
+        + " round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,"
+        + " round(quantile_cont(l_extendedprice, 0.9), 6) AS q90 FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_mode" ->
+      ("SELECT l_returnflag, min(v) AS mode_qty FROM ("
+        + "SELECT l_returnflag, v, c, max(c) OVER (PARTITION BY l_returnflag) AS mx FROM ("
+        + "SELECT l_returnflag, l_quantity AS v, count(*) AS c FROM lineitem GROUP BY 1, 2))"
+        + " WHERE c = mx GROUP BY 1 ORDER BY 1"),
+    "q_nanmode" ->
+      ("SELECT l_returnflag, min(v) AS mode_valid FROM ("
+        + "SELECT l_returnflag, v, c, max(c) OVER (PARTITION BY l_returnflag) AS mx FROM ("
+        + s"SELECT l_returnflag, $VALID AS v, count(*) AS c FROM lineitem WHERE l_tax != 0.0 GROUP BY 1, 2))"
+        + " WHERE c = mx GROUP BY 1 ORDER BY 1"),
+    "q_multikey" ->
+      ("SELECT l_returnflag, l_linestatus, count(l_quantity) AS n, sum(l_quantity) AS sum_qty,"
+        + " sum(l_quantity) / count(l_quantity) AS mean_qty FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_highcard" ->
+      ("SELECT o_custkey, count(o_totalprice) AS n_orders,"
+        + " CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total"
+        + " FROM orders GROUP BY 1 ORDER BY 1"),
+    "q_expected_fill" ->
+      ("SELECT s.c_mktsegment, coalesce(n_cust, 0) AS n_cust, coalesce(sum_bal, 0.0) AS sum_bal FROM"
+        + " (VALUES ('AUTOMOBILE'),('BUILDING'),('FURNITURE'),('HOUSEHOLD'),('MACHINERY'),('SPACECRAFT')) s(c_mktsegment)"
+        + " LEFT JOIN (SELECT c_mktsegment, count(*) AS n_cust,"
+        + " CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal FROM customer GROUP BY 1) r"
+        + " USING (c_mktsegment) ORDER BY 1"),
+    "q_mincount" ->
+      (s"SELECT l_orderkey, count($VALID) AS n_valid,"
+        + s" CASE WHEN count($VALID) >= 4 THEN coalesce(sum($VALID), 0.0) END AS sum_valid"
+        + " FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_bins" -> {
+      val bin = ("CASE WHEN l_quantity > 0 AND l_quantity <= 10 THEN 0"
+        + " WHEN l_quantity > 10 AND l_quantity <= 25 THEN 1"
+        + " WHEN l_quantity > 25 AND l_quantity <= 40 THEN 2"
+        + " WHEN l_quantity > 40 AND l_quantity <= 50 THEN 3"
+        + " WHEN l_quantity > 50 AND l_quantity <= 100 THEN 4 END")
+      ("SELECT b.qbin, b.qbin_lo, b.qbin_hi, coalesce(n, 0) AS n, coalesce(sum_qty, 0.0) AS sum_qty FROM"
+        + " (VALUES (0, 0.0, 10.0), (1, 10.0, 25.0), (2, 25.0, 40.0), (3, 40.0, 50.0), (4, 50.0, 100.0)) b(qbin, qbin_lo, qbin_hi)"
+        + s" LEFT JOIN (SELECT $bin AS qbin, count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1) r"
+        + " USING (qbin) ORDER BY 1")
+    },
+    "q_bins_datetime" ->
+      ("SELECT CASE WHEN o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01' THEN 0"
+        + " WHEN o_orderdate >= '1997-01-01' AND o_orderdate < '1999-01-01' THEN 1"
+        + " WHEN o_orderdate >= '1999-01-01' AND o_orderdate < '2001-01-01' THEN 2 END AS dbin,"
+        + " count(o_totalprice) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total"
+        + " FROM orders WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '2001-01-01'"
+        + " GROUP BY 1 ORDER BY 1"),
+    "q_resample_day" ->
+      ("SELECT date_trunc('day', ts) AS day, count(value) AS n,"
+        + " CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
+        + " FROM events GROUP BY 1 ORDER BY 1"),
+    "q_window_hourly" ->
+      ("SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n,"
+        + " CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
+        + " FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_cumsum" ->
+      ("SELECT event_id, user_id, CAST(sum(CAST(value AS DECIMAL(18,2)))"
+        + " OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        + " AS DOUBLE) AS cum_value FROM events ORDER BY event_id"),
+    "q_nancumsum" ->
+      (s"SELECT event_id, user_id, coalesce(CAST(sum(CAST($EVAL AS DECIMAL(18,2)))"
+        + " OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        + " AS DOUBLE), 0.0) AS cum_valid FROM events ORDER BY event_id"),
+    "q_cumprod" ->
+      ("SELECT event_id, user_id, product(CAST(event_id % 2 + 1 AS DOUBLE))"
+        + " OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        + " AS cum_prod FROM events ORDER BY event_id"),
+    "q_ffill" ->
+      (s"SELECT event_id, user_id, last_value($EVAL IGNORE NULLS)"
+        + " OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        + " AS filled FROM events ORDER BY event_id"),
+    "q_bfill" ->
+      (s"SELECT event_id, user_id, first_value($EVAL IGNORE NULLS)"
+        + " OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+        + " AS filled FROM events ORDER BY event_id"),
+    "q_cumcount" ->
+      (s"SELECT event_id, user_id, count($EVAL)"
+        + " OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        + " AS n_valid_so_far FROM events ORDER BY event_id"),
+  )
 }

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.NanOps._
+
+/** One requested grouped aggregation: `func` over column `value`, emitted as
+  * output column `as`.
+  *
+  * Mirror of the reference's `Aggregation` blueprint (reference
+  * aggregations.py:149-289): there the blueprint carries explicit
+  * chunk/combine/finalize kernels plus fill values and dtypes; here the
+  * blueprint is compiled to a single Catalyst aggregate expression and
+  * Catalyst derives the partial (chunk), merge (combine) and result
+  * (finalize) stages automatically — that decomposition is exactly Spark's
+  * built-in two-phase hash aggregation, so nothing is hand-scheduled.
+  *
+  * @param func       aggregation name from the registry below (reference
+  *                   AGGREGATIONS registry, aggregations.py:740-776)
+  * @param value      input column name
+  * @param as         output column name
+  * @param ddof       delta degrees of freedom for var/std (reference
+  *                   aggregations.py:337-388)
+  * @param q          quantile(s) for func=quantile (reference
+  *                   aggregations.py:550-572); several q values yield an
+  *                   array column, like flox's extra leading dimension
+  * @param minCount   result is NULL unless the group has >= minCount valid
+  *                   values (reference core.py:2539-2557, masking via the
+  *                   appended nanlen intermediate aggregations.py:860-869)
+  * @param fill       fill value applied after expected-groups reindexing
+  *                   for groups never observed (reference core.py:667-712)
+  * @param exactScale when set, sums run over `decimal(18,exactScale)` casts
+  *                   of the input and the finalized value is cast back to
+  *                   double. Decimal aggregation is exact and therefore
+  *                   independent of partial-aggregation order — this is the
+  *                   bit-reproducible "engine" (the analog of flox's engine
+  *                   selection, reference aggregations.py:57-121): use it
+  *                   when results must be identical run-to-run / across
+  *                   engines; leave unset for raw double speed.
+  */
+case class Agg(
+    func: String,
+    value: String,
+    as: String,
+    ddof: Int = 0,
+    q: Seq[Double] = Nil,
+    minCount: Int = 0,
+    fill: Option[Any] = None,
+    exactScale: Option[Int] = None)
+
+/** Compiles registry aggregation names to Catalyst aggregate expressions.
+  *
+  * Registry parity with reference aggregations.py:740-776:
+  * count, sum/nansum, prod/nanprod, mean/nanmean, var/nanvar, std/nanstd,
+  * min/nanmin, max/nanmax, first/last, nanfirst/nanlast,
+  * argmin/argmax/nanargmin/nanargmax, any/all, median/nanmedian,
+  * quantile/nanquantile, mode/nanmode (mode is compiled by
+  * [[GroupByReduce]] as a two-stage plan), plus cumulative ops in
+  * [[GroupByScan]].
+  */
+object Aggregations {
+
+  val reductionNames: Seq[String] = Seq(
+    "count", "sum", "nansum", "prod", "nanprod", "mean", "nanmean",
+    "var", "nanvar", "std", "nanstd", "min", "nanmin", "max", "nanmax",
+    "first", "last", "nanfirst", "nanlast",
+    "argmin", "argmax", "nanargmin", "nanargmax",
+    "any", "all", "median", "nanmedian", "quantile", "nanquantile",
+    "mode", "nanmode")
+
+  /** Funcs that need a caller-supplied total-order position column.
+    * DataFrames have no intrinsic order (arrays do), so positional
+    * semantics are an explicit API contract — see SURVEY §7.4. */
+  val positional: Set[String] = Set(
+    "first", "last", "nanfirst", "nanlast",
+    "argmin", "argmax", "nanargmin", "nanargmax")
+
+  /** Compile one aggregation to its (unaliased) Catalyst expression.
+    *
+    * @param pos total-order position column for positional funcs
+    */
+  def compile(a: Agg, dt: DataType, pos: Option[Column]): Column = {
+    val v     = col(a.value)
+    val vn    = nanToNull(v, dt)                      // NaN -> NULL
+    val valid = isValid(v, dt)
+    def p: Column = pos.getOrElse(throw new IllegalArgumentException(
+      s"func=${a.func} requires a position column (arrays are ordered, DataFrames are not)"))
+
+    // Exact-decimal "engine": sums over decimal are order-independent.
+    def sumE(c: Column): Column = a.exactScale match {
+      case Some(s) => sum(c.cast(DecimalType(18, s))).cast(DoubleType)
+      case None    => sum(c)
+    }
+    def sumSqE(c: Column): Column = a.exactScale match {
+      case Some(s) =>
+        val d = c.cast(DecimalType(18, s))
+        sum(d * d).cast(DoubleType)
+      case None => sum(c * c)
+    }
+
+    // flox variance decomposition (reference aggregations.py:337-368):
+    // chunk = (sum_of_squares, sum, nanlen); finalize =
+    // (sumsq - sum^2/n) / (n - ddof), NA when n <= ddof.
+    def variance: Column = {
+      val n = count(vn).cast(DoubleType)
+      when(count(vn) > a.ddof,
+        (sumSqE(vn) - sumE(vn) * sumE(vn) / n) / (n - a.ddof))
+    }
+
+    def meanExpr: Column = sumE(vn).cast(DoubleType) / count(vn)
+
+    def zero: Column = lit(0).cast(if (isFloaty(dt)) DoubleType else LongType)
+    def one: Column  = lit(1).cast(if (isFloaty(dt)) DoubleType else LongType)
+
+    a.func match {
+      // count of non-missing values (reference aggregations.py:292-301)
+      case "count"   => count(vn)
+      case "sum"     => propagateNaN(sumE(vn), v, dt)
+      case "nansum"  => coalesce(sumE(vn), zero)              // all-NaN -> 0 (np.nansum)
+      case "prod"    => propagateNaN(product(vn), v, dt)
+      case "nanprod" => coalesce(product(vn), one.cast(DoubleType)) // all-NaN -> 1 (np.nanprod)
+      case "mean"    => propagateNaN(meanExpr, v, dt)
+      case "nanmean" => meanExpr
+      case "var"     => propagateNaN(variance, v, dt)
+      case "nanvar"  => variance
+      case "std"     => propagateNaN(sqrt(variance), v, dt)
+      case "nanstd"  => sqrt(variance)
+      // min/max aggregate the NaN-normalized column so Spark's
+      // NaN-sorts-above-infinity rule can never leak into the result;
+      // plain variants then re-poison the group (numpy semantics).
+      case "min"     => propagateNaN(min(vn), v, dt)
+      case "nanmin"  => min(vn)
+      case "max"     => propagateNaN(max(vn), v, dt)
+      case "nanmax"  => max(vn)
+      // Deterministic positional picks via min_by/max_by on the position
+      // column — unlike F.first/F.last these are well-defined under
+      // shuffles (reference first/last are blockwise-only for the same
+      // reason, aggregations.py:496-511).
+      case "first"    => min_by(v, p)
+      case "last"     => max_by(v, p)
+      case "nanfirst" => min_by(vn, when(valid, p))
+      case "nanlast"  => max_by(vn, when(valid, p))
+      // arg-extrema: first-wins tie-break (reference core.py:1057-1059).
+      // argmin: row minimizing (value, pos) lexicographically;
+      // argmax: row maximizing (value, -pos).
+      case "argmin"    => min_by(p, struct(v, p))
+      case "argmax"    => max_by(p, struct(v, p * lit(-1)))
+      case "nanargmin" => min_by(p, when(valid, struct(v, p)))
+      case "nanargmax" => max_by(p, when(valid, struct(v, p * lit(-1))))
+      case "any" => bool_or(if (dt == BooleanType) v else v.cast(BooleanType))
+      case "all" => bool_and(if (dt == BooleanType) v else v.cast(BooleanType))
+      // Exact median/quantile: the reference cannot parallelize these
+      // (blockwise-only, aggregations.py:532-547); Spark's builtin is
+      // distributed *and* exact. Linear interpolation matches
+      // aggregate_flox.py:80-83. For 100 TB use func=approxquantile.
+      case "median"      => propagateNaN(median(vn), v, dt)
+      case "nanmedian"   => median(vn)
+      case "quantile"    => propagateNaN(quantileExpr(vn, a.q), v, dt)
+      case "nanquantile" => quantileExpr(vn, a.q)
+      // Scale path beyond the reference: sketch-based quantile.
+      case "approxquantile" =>
+        approx_percentile(vn, typedLit(a.q.head), lit(10000))
+      case "mode" | "nanmode" =>
+        throw new IllegalArgumentException(
+          s"${a.func} is a two-stage plan; use GroupByReduce.reduce")
+      case other =>
+        throw new IllegalArgumentException(s"unknown aggregation: $other")
+    }
+  }
+
+  private def quantileExpr(vn: Column, q: Seq[Double]): Column = {
+    require(q.nonEmpty, "quantile requires q")
+    if (q.size == 1) percentile(vn, lit(q.head))
+    else percentile(vn, array(q.map(lit): _*)) // array column = flox's new leading dim
+  }
+
+  /** minCount masking: NULL unless >= minCount valid values (reference
+    * core.py:1145-1168 via the appended nanlen intermediate). */
+  def withMinCount(compiled: Column, a: Agg, dt: DataType): Column =
+    if (a.minCount <= 0) compiled
+    else when(count(nanToNull(col(a.value), dt)) >= a.minCount, compiled)
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.NanOps._
+
+/** The engine's flagship entry point — the Spark-native `groupby_reduce`
+  * (reference core.py:2269-2715).
+  *
+  * Where the reference factorizes labels to integer codes, picks a
+  * distributed topology (map-reduce / blockwise / cohorts) and hand-builds
+  * a dask graph of chunk/combine/finalize tasks, this implementation simply
+  * declares `df.groupBy(by).agg(...)` and lets Catalyst plan it: hash
+  * partial aggregation per input partition (= chunk), a single shuffle on
+  * the group keys (= the tree combine, reference dask_array_ops.py:19-111)
+  * and a final merge — the same topology, chosen adaptively by AQE, with
+  * whole-stage codegen instead of numpy kernels.
+  *
+  * Semantics carried over from the reference:
+  *   - rows whose group label is missing (NULL, or NaN for float labels)
+  *     are dropped from every result (reference core.py:2691-2702);
+  *   - `expected` densifies the output domain and `fill` values patch
+  *     never-observed groups (reference reindex_, core.py:667-712);
+  *   - `minCount` masks under-populated groups (reference core.py:2539-2557);
+  *   - `sort` orders the output by group labels (reference core.py:2680-2686).
+  */
+object GroupByReduce {
+
+  /** Grouped reduction of one or more aggregations in a single pass.
+    *
+    * @param df       input
+    * @param by       one or more grouping columns (multi-key grouping ==
+    *                  the reference's raveled multi-index, core.py:842-851 —
+    *                  Spark hash-aggregates composite keys natively)
+    * @param aggs     aggregations to compute
+    * @param pos      total-order position column, required by positional
+    *                  funcs (first/last/arg*): the explicit stand-in for the
+    *                  array order the reference gets for free
+    * @param expected optional dense output domain: a small DataFrame of the
+    *                  expected group-key combinations (build per-key lists
+    *                  with [[expectedDf]] and cross-join for multi-key)
+    * @param keepNullKeys keep rows with missing labels as their own group
+    *                  (the reference always drops them; escape hatch)
+    * @param sort     sort result by group labels (reference default)
+    */
+  def reduce(
+      df: DataFrame,
+      by: Seq[String],
+      aggs: Seq[Agg],
+      pos: Option[Column] = None,
+      expected: Option[DataFrame] = None,
+      keepNullKeys: Boolean = false,
+      sort: Boolean = true): DataFrame = {
+    require(by.nonEmpty, "need at least one grouping column")
+    val keyCols = by.map(col)
+
+    // Drop missing labels (factorize_'s -1 code, reference core.py:800-801).
+    val base =
+      if (keepNullKeys) df
+      else by.foldLeft(df)((d, k) => d.filter(isValid(col(k), d.schema(k).dataType)))
+
+    val (modeAggs, exprAggs) = aggs.partition(a => a.func == "mode" || a.func == "nanmode")
+
+    val exprDf: Option[DataFrame] =
+      if (exprAggs.isEmpty) None
+      else {
+        val cols = exprAggs.map { a =>
+          val dt       = base.schema(a.value).dataType
+          val compiled = Aggregations.compile(a, dt, pos)
+          Aggregations.withMinCount(compiled, a, dt).as(a.as)
+        }
+        Some(base.groupBy(keyCols: _*).agg(cols.head, cols.tail: _*))
+      }
+
+    val modeDfs = modeAggs.map(modePlan(base, by, _))
+
+    // Aggregated outputs are tiny relative to the input; joining them (and
+    // the expected-groups reindex below) broadcasts under AQE.
+    val joined = (exprDf.toSeq ++ modeDfs).reduce((l, r) => l.join(r, by))
+
+    val reindexed = expected match {
+      case None => joined
+      case Some(e) =>
+        // reindex_ (reference core.py:667-712): right-align the result to
+        // the declared domain, then fill never-observed groups.
+        val dense = broadcast(e).join(joined, by, "left")
+        aggs.foldLeft(dense) { (d, a) =>
+          a.fill match {
+            case Some(f) => d.withColumn(a.as, coalesce(col(a.as), lit(f)))
+            case None    => d
+          }
+        }
+    }
+
+    if (sort) reindexed.orderBy(keyCols: _*) else reindexed
+  }
+
+  /** mode/nanmode (reference aggregations.py:573-574, kernel
+    * aggregate_npg.py:185-215): most frequent value, smallest-value
+    * tie-break (scipy.stats.mode convention). Two-stage plan:
+    * value-counts, then keep the smallest value among max-count rows.
+    * Both stages are ordinary hash aggregations; the per-(key,value)
+    * pre-aggregation also acts as a map-side combine, so the shuffle
+    * carries distinct values only — this scales to 100 TB as long as the
+    * per-group distinct-value count does. */
+  def modePlan(df: DataFrame, by: Seq[String], a: Agg): DataFrame = {
+    val dt      = df.schema(a.value).dataType
+    val v       = col(a.value)
+    val keyCols = by.map(col)
+    val base    = if (a.func == "nanmode") df.filter(isValid(v, dt)) else df
+    val counts = base
+      .groupBy(keyCols :+ nanToNull(v, dt).as(a.value): _*)
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(keyCols: _*)
+    counts
+      .withColumn("__mx", max(col("__n")).over(w))
+      .where(col("__n") === col("__mx"))
+      .groupBy(keyCols: _*)
+      .agg(min(v).as(a.as))
+  }
+
+  /** Build a 1-column expected-groups DataFrame from literal labels
+    * (reference expected_groups list form, core.py:2087-2107). */
+  def expectedDf(spark: org.apache.spark.sql.SparkSession, name: String, values: Seq[Any]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = values.map(v => org.apache.spark.sql.Row(v)).asJava
+    val dt = values.head match {
+      case _: String                => org.apache.spark.sql.types.StringType
+      case _: Int                   => org.apache.spark.sql.types.IntegerType
+      case _: Long                  => org.apache.spark.sql.types.LongType
+      case _: Double                => org.apache.spark.sql.types.DoubleType
+      case _: java.sql.Timestamp    => org.apache.spark.sql.types.TimestampType
+      case other => throw new IllegalArgumentException(s"unsupported label type: $other")
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField(name, dt))))
+  }
+}

@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+Usage: python3 tools/check_oracle.py <sf_dir> <verify_out_dir>
+
+Loads each <verify_out_dir>/<name> parquet (Spark result), runs the matching
+oracle SQL from oracle_sql.json in DuckDB against the sf_dir tables, sorts
+columns by name and rows by all columns, and compares cell-by-cell. Reports
+exact matches, near matches (max abs diff), and hard mismatches. Dev tool
+only — the real gate is driver-side.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True, 0.0
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True, 0.0
+        if a == b:
+            return True, 0.0
+        return False, abs(a - b)
+    if a == b:
+        return True, 0.0
+    try:
+        fa, fb = float(a), float(b)
+        return False, abs(fa - fb)
+    except (TypeError, ValueError):
+        return False, float("inf")
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_path = Path(out_dir) / name
+        if not spark_path.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'").df()
+            want = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        got, want = norm(got), norm(want)
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        max_diff, bad = 0.0, 0
+        first_bad = None
+        for i in range(len(got)):
+            for c in got.columns:
+                ok, diff = cells_equal(got.at[i, c], want.at[i, c])
+                if not ok:
+                    bad += 1
+                    max_diff = max(max_diff, diff)
+                    if first_bad is None:
+                        first_bad = (i, c, got.at[i, c], want.at[i, c])
+        if bad == 0:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: {bad} bad cells, max_diff={max_diff:.3e}, first={first_bad}")
+            n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
