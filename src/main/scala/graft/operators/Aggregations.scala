@@ -38,6 +38,20 @@ import graft.functions.NanOps._
   *                   selection, reference aggregations.py:57-121): use it
   *                   when results must be identical run-to-run / across
   *                   engines; leave unset for raw double speed.
+  * @param custom     user-defined aggregation (func = "custom"): builds the
+  *                   aggregate Column from the value column. The analog of
+  *                   the reference accepting `Aggregation` *instances*, not
+  *                   just registry names (reference core.py:2560, exercised
+  *                   by tests/test_core.py:1462-1500). Any aggregate
+  *                   expression works — compositions of builtins keep
+  *                   whole-stage codegen; a typed
+  *                   `Aggregator[IN,BUF,OUT]` wrapped with
+  *                   `functions.udaf(...)` is accepted the same way when
+  *                   imperative per-group state is genuinely needed (the
+  *                   chunk/combine/finalize trinity maps to the
+  *                   Aggregator's reduce/merge/finish). minCount masking
+  *                   and expected-groups fill compose with customs like
+  *                   with any registry func.
   */
 case class Agg(
     func: String,
@@ -47,7 +61,14 @@ case class Agg(
     q: Seq[Double] = Nil,
     minCount: Int = 0,
     fill: Option[Any] = None,
-    exactScale: Option[Int] = None)
+    exactScale: Option[Int] = None,
+    custom: Option[Column => Column] = None)
+
+object Agg {
+  /** Custom-aggregation constructor: `Agg.custom("sumsq", "x")(v => sum(v*v))`. */
+  def custom(as: String, value: String)(build: Column => Column): Agg =
+    Agg("custom", value, as, custom = Some(build))
+}
 
 /** Compiles registry aggregation names to Catalyst aggregate expressions.
   *
@@ -114,6 +135,9 @@ object Aggregations {
     def one: Column  = lit(1).cast(if (isFloaty(dt)) DoubleType else LongType)
 
     a.func match {
+      // user-defined aggregation (reference core.py:2560)
+      case "custom" => a.custom.getOrElse(throw new IllegalArgumentException(
+        "func=custom requires a `custom` Column builder"))(v)
       // count of non-missing values (reference aggregations.py:292-301)
       case "count"   => count(vn)
       case "sum"     => propagateNaN(sumE(vn), v, dt)
@@ -144,8 +168,18 @@ object Aggregations {
       // arg-extrema: first-wins tie-break (reference core.py:1057-1059).
       // argmin: row minimizing (value, pos) lexicographically;
       // argmax: row maximizing (value, -pos).
-      case "argmin"    => min_by(p, struct(v, p))
-      case "argmax"    => max_by(p, struct(v, p * lit(-1)))
+      // Plain variants follow numpy: with any NaN in the group, BOTH
+      // argmin and argmax return the first NaN's position (np.argmin docs;
+      // the reference's own tests exclude this case,
+      // tests/test_properties.py:80, so this pins the numpy contract).
+      // The extremum branch runs over the NaN-normalized ordering key so
+      // Spark's NaN-sorts-above-+Inf rule can never leak in.
+      case "argmin" =>
+        if (isFloaty(dt)) coalesce(min(when(isnan(v), p)), min_by(p, when(valid, struct(v, p))))
+        else min_by(p, struct(v, p))
+      case "argmax" =>
+        if (isFloaty(dt)) coalesce(min(when(isnan(v), p)), max_by(p, when(valid, struct(v, p * lit(-1)))))
+        else max_by(p, struct(v, p * lit(-1)))
       case "nanargmin" => min_by(p, when(valid, struct(v, p)))
       case "nanargmax" => max_by(p, when(valid, struct(v, p * lit(-1))))
       case "any" => bool_or(if (dt == BooleanType) v else v.cast(BooleanType))

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-training-data pipelines — additions
+  * beyond the reference's own surface (BASELINE.json north_star; the
+  * reference, flox, has no dedup operators — see SURVEY §2.8).
+  *
+  * Everything is expression-level (whole-stage codegen, no UDFs), and every
+  * near-duplicate path is *bucketed*: candidate pairs are generated only
+  * within LSH buckets, never by an all-pairs join, so the plans survive a
+  * 100 TB corpus. The only quadratic work is the exact-Jaccard verification
+  * of LSH candidates, whose size is controlled by the band/row parameters.
+  *
+  * Scale design notes (100 TB):
+  *   - exact dedup shuffles 16-byte content fingerprints, never the text;
+  *   - MinHash shuffles (band, bucket, id) rows: `bands` rows per doc of
+  *     ~24 bytes — independent of document length;
+  *   - candidate verification re-joins the shingle-set table by id (two
+  *     hash joins on a compact key);
+  *   - skew: a degenerate bucket (e.g. boilerplate shared by millions of
+  *     docs) would produce a quadratic bucket — mitigate upstream by
+  *     raising `rows` (sharper bucketing); AQE skew-join handles moderate
+  *     cases.
+  */
+object Dedup {
+
+  /** Whitespace tokens. Documents are single-space separated; for general
+    * text use [[TextAnalysis.tokensRegex]]. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles. Docs shorter than n words fall back to
+    * a single whole-document shingle. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    val grams = transform(
+      sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*))
+    when(size(w) >= n, array_distinct(grams))
+      .otherwise(array(concat_ws(" ", w)))
+  }
+
+  /** 128-bit content fingerprint as two independently-salted 64-bit hashes.
+    * One 64-bit hash has ~0.5 expected collisions on a 10^11-doc corpus;
+    * 128 bits make collisions negligible (~3e-17), so grouping by the
+    * fingerprint is equivalent to grouping by the full content while
+    * shuffling 16 bytes instead of whole documents. */
+  def contentKey(content: Column): (Column, Column) =
+    (xxhash64(content), xxhash64(lit("graft-dedup-salt"), content))
+
+  /** Exact deduplication, keep-first: one row per distinct content with the
+    * smallest id (the "survivor") and the duplicate count. */
+  def exactDedup(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val (h1, h2) = contentKey(col(contentCol))
+    df.groupBy(h1.as("__h1"), h2.as("__h2"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+  }
+
+  /** MinHash signature: k independent min-hashes over a shingle array.
+    * Seeding follows the standard one-hash-function-per-row construction:
+    * h_s(x) = xxhash64(s, x), signature[s] = min over shingles. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { s =>
+      array_min(transform(shingleCol, x => xxhash64(lit(s), x)))
+    }: _*)
+
+  /** LSH banding: hash each of `bands` disjoint length-`rows` slices of the
+    * signature to a bucket id. Two docs are candidates iff they share a
+    * bucket in at least one band. P(candidate | Jaccard=j) = 1-(1-j^rows)^bands:
+    * with bands=16, rows=4 a j>=0.9 pair is missed with p<4e-8 while a
+    * j<=0.2 pair is admitted with p<2.6e-2. */
+  def lshBands(sigCol: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64((1 to rows).map(r => element_at(sigCol, b * rows + r)): _*).as("bucket"))
+    }: _*)
+
+  /** Near-duplicate pairs by MinHash-LSH + exact-Jaccard verification.
+    *
+    * Returns (id_a, id_b, jaccard) for every pair with
+    * shingle-Jaccard >= threshold that collides in at least one band —
+    * with sensible (bands, rows) for the threshold, recall is ~1 by the
+    * banding bound above, and precision is exact (candidates are verified
+    * with the true Jaccard, computed once per *distinct* candidate pair).
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      bands: Int = 16,
+      rows: Int = 4): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val buckets = sh
+      .withColumn("sig", minhashSignature(col("sh"), bands * rows))
+      .select(col("id"), explode(lshBands(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    // candidate ids only through the self-join; shingles re-join below
+    // keeps the shuffled band table narrow.
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+      size(array_union(col("sa.sh"), col("sb.sh")))
+    cand
+      .join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over a token array: bit i of the result is set iff the
+    * population of tokens whose xxhash64 has bit i set outnumbers those
+    * without. Duplicate tokens count with multiplicity (standard SimHash
+    * term weighting by frequency). */
+  def simhash(tokensCol: Column): Column = {
+    val hashes = transform(tokensCol, t => xxhash64(t))
+    // per-bit signed vote via single-bit mask literals (Spark's shift
+    // builtins take constant offsets only); adding the distinct powers of
+    // two reassembles the word (the two's-complement add of the 2^63
+    // literal sets the sign bit).
+    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
+    val votes = transform(
+      powers,
+      m =>
+        aggregate(hashes, lit(0L),
+          (acc, h) => acc + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, powers, (s, p) => when(s > 0, p).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs with hamming distance <= maxDist.
+    * Pigeonhole banding: the 64 bits are cut into `maxDist`+1 chunks, and
+    * any pair within maxDist must agree exactly on at least one chunk —
+    * candidates come from equality joins on (chunk index, chunk value),
+    * never an all-pairs scan, so this is 100 TB-safe. */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val nChunks = maxDist + 1
+    val chunkBits = 64 / nChunks
+    val sim = df.select(col(idCol).as("id"), simhash(tokens(col(textCol))).as("sim"))
+    val chunks = sim.select(
+      col("id"), col("sim"),
+      explode(array((0 until nChunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sim"), c * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1)).as("v"))
+      }: _*)).as("ck"))
+      .select(col("id"), col("sim"), col("ck.chunk"), col("ck.v"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sim"), col("b.sim")).as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+  }
+}

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.NanOps._
 
@@ -53,6 +52,7 @@ object GroupByReduce {
       keepNullKeys: Boolean = false,
       sort: Boolean = true): DataFrame = {
     require(by.nonEmpty, "need at least one grouping column")
+    require(aggs.nonEmpty, "need at least one aggregation")
     val keyCols = by.map(col)
 
     // Drop missing labels (factorize_'s -1 code, reference core.py:800-801).
@@ -76,8 +76,15 @@ object GroupByReduce {
     val modeDfs = modeAggs.map(modePlan(base, by, _))
 
     // Aggregated outputs are tiny relative to the input; joining them (and
-    // the expected-groups reindex below) broadcasts under AQE.
-    val joined = (exprDf.toSeq ++ modeDfs).reduce((l, r) => l.join(r, by))
+    // the expected-groups reindex below) broadcasts under AQE. Mode branches
+    // join *left* from the expression result: nanmode filters its input, so
+    // an all-invalid group exists in exprDf but not in the mode branch — a
+    // left join keeps the group with a NULL mode (flox fills, never drops;
+    // reference core.py:1156-1168). With no exprDf the mode branches are
+    // stitched with full outer joins for the same reason.
+    val parts  = exprDf.toSeq ++ modeDfs
+    val how    = if (exprDf.isDefined) "left" else "full_outer"
+    val joined = parts.reduce((l, r) => l.join(r, by, how))
 
     val reindexed = expected match {
       case None => joined
@@ -99,31 +106,31 @@ object GroupByReduce {
   /** mode/nanmode (reference aggregations.py:573-574, kernel
     * aggregate_npg.py:185-215): most frequent value, smallest-value
     * tie-break (scipy.stats.mode convention). Two-stage plan:
-    * value-counts, then keep the smallest value among max-count rows.
-    * Both stages are ordinary hash aggregations; the per-(key,value)
-    * pre-aggregation also acts as a map-side combine, so the shuffle
-    * carries distinct values only — this scales to 100 TB as long as the
-    * per-group distinct-value count does. */
+    * per-(key,value) counts, then one more aggregate picking the value
+    * minimizing (-count, value) lexicographically — max count, smallest
+    * value on ties. Both stages are ordinary hash aggregations (the first
+    * doubles as a map-side combine, so the shuffle carries distinct values
+    * only); no window, no extra sort — this scales to 100 TB as long as
+    * the per-group distinct-value count does. */
   def modePlan(df: DataFrame, by: Seq[String], a: Agg): DataFrame = {
     val dt      = df.schema(a.value).dataType
     val v       = col(a.value)
     val keyCols = by.map(col)
     val base    = if (a.func == "nanmode") df.filter(isValid(v, dt)) else df
-    val counts = base
+    base
       .groupBy(keyCols :+ nanToNull(v, dt).as(a.value): _*)
       .agg(count(lit(1)).as("__n"))
-    val w = Window.partitionBy(keyCols: _*)
-    counts
-      .withColumn("__mx", max(col("__n")).over(w))
-      .where(col("__n") === col("__mx"))
       .groupBy(keyCols: _*)
-      .agg(min(v).as(a.as))
+      .agg(min_by(v, struct(col("__n") * lit(-1L), v)).as(a.as))
   }
 
   /** Build a 1-column expected-groups DataFrame from literal labels
     * (reference expected_groups list form, core.py:2087-2107). */
   def expectedDf(spark: org.apache.spark.sql.SparkSession, name: String, values: Seq[Any]): DataFrame = {
     import scala.jdk.CollectionConverters._
+    require(values.nonEmpty, "expected-groups labels must be non-empty")
+    require(values.forall(_.getClass == values.head.getClass),
+      "expected-groups labels must all have the same type")
     val rows = values.map(v => org.apache.spark.sql.Row(v)).asJava
     val dt = values.head match {
       case _: String                => org.apache.spark.sql.types.StringType

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators: embeddings as `array<float>` and opaque
+  * media as `binary` with typed metadata — LLM-pipeline additions beyond
+  * the reference (BASELINE.json north_star; SURVEY §2.8).
+  *
+  * Embedding reductions ride the same grouped-reduction machinery as the
+  * scalar engine: vectors are exploded to (group, dim, value) rows, reduced
+  * with ordinary hash aggregation, and the quantization trick from
+  * [[Similarity]] keeps the sums exact. At 100 TB the explode multiplies
+  * rows by dim — still shuffle-bounded by (groups x dim) after the map-side
+  * combine; a TypedImperativeAggregate vector-sum buffer is the documented
+  * upgrade path if the dim factor ever dominates (it shrinks the *map-side*
+  * row count, the shuffled bytes are the same).
+  *
+  * Media decode (image/audio codecs) does NOT belong in this layer: the
+  * container has no codec libraries, so [[fakeDecodeBrightness]] is a
+  * clearly-marked deterministic stand-in. What IS real: the binary payload
+  * schema, expression-level header parsing (substring on binary + cast),
+  * frame sampling, and the partitioning/aggregation plumbing around them —
+  * swap the stub for a real codec UDF without touching the plan shape.
+  */
+object MultiModal {
+
+  /** Per-group elementwise mean of an embedding column, long format:
+    * (group..., pos, emb_mean). Exact: quantized longs are summed (exact,
+    * order-free) and divided once. */
+  def embedMean(df: DataFrame, by: Seq[String], embCol: String): DataFrame = {
+    val keyCols = by.map(col)
+    df.select(keyCols :+ posexplode(Similarity.quantize(col(embCol))).as(Seq("pos", "vq")): _*)
+      .groupBy(keyCols :+ col("pos"): _*)
+      .agg((sum(col("vq")).cast("double") / (lit(Similarity.Quant) * count(lit(1))))
+        .as("emb_mean"))
+  }
+
+  /** Per-group L2-norm statistics from exact integer squared norms:
+    * count, RMS norm (sqrt of mean squared norm) and max norm. */
+  def embedNormStats(df: DataFrame, by: Seq[String], embCol: String): DataFrame = {
+    val keyCols = by.map(col)
+    df.select(keyCols :+ Similarity.dotQ(
+        Similarity.quantize(col(embCol)), Similarity.quantize(col(embCol))).as("nsq"): _*)
+      .groupBy(keyCols: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        (sqrt(sum(col("nsq")).cast("double") / count(lit(1))) / Similarity.Quant).as("rms_norm"),
+        (sqrt(max(col("nsq")).cast("double")) / Similarity.Quant).as("max_norm"))
+  }
+
+  // ---- opaque-binary media plumbing ------------------------------------
+
+  /** Deterministic fake media payload: 'IMG1' magic + zero-padded 4-char
+    * decimal width and height + the body bytes. Stands in for real image
+    * bytes so the parse/aggregate plumbing is exercised end to end. */
+  def fakePayload(id: Column, body: Column): Column =
+    encode(concat(
+      lit("IMG1"),
+      lpad((pmod(id, lit(64)) * 16 + 8).cast("string"), 4, "0"),
+      lpad((pmod(id, lit(48)) * 16 + 8).cast("string"), 4, "0"),
+      body), "UTF-8")
+
+  /** Parse the typed metadata out of a binary payload — expression-level
+    * (substring works on binary; decode turns header slices into strings).
+    * Real formats swap the offsets/casts, not the plan. */
+  def parseMeta(bin: Column): Column = struct(
+    decode(substring(bin, 1, 4), "UTF-8").as("magic"),
+    decode(substring(bin, 5, 4), "UTF-8").cast("int").as("width"),
+    decode(substring(bin, 9, 4), "UTF-8").cast("int").as("height"),
+    (octet_length(bin) - 12).as("body_bytes"))
+
+  /** Sampled frame indices 0, stride, 2*stride, ... < nFrames — the
+    * video-frame-sampling shape as a pure expression. */
+  def frameSample(nFrames: Column, stride: Int): Column =
+    sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))
+
+  /** STUB: media decode. The real implementation would decode the payload
+    * with a codec library (not present in this container) and return e.g.
+    * mean luma. This deterministic stand-in keeps the column types and
+    * plan shape identical: brightness = (width * height) mod 256. */
+  def fakeDecodeBrightness(meta: Column): Column =
+    pmod(meta.getField("width") * meta.getField("height"), lit(256))
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`) — an
+  * LLM-pipeline addition beyond the reference's surface (BASELINE.json
+  * north_star; SURVEY §2.8).
+  *
+  * Numeric design: embeddings are quantized to 64-bit integers at 1e-6
+  * resolution before any arithmetic. Dot products and squared norms of
+  * quantized vectors stay far below 2^53, so they are *exact* in both
+  * integer and double arithmetic, independent of summation order —
+  * results are bit-identical across engines and across partitionings
+  * (the same trick as the decimal-exact sums in [[Agg.exactScale]]).
+  *
+  * Scale design (100 TB):
+  *   - [[bruteForcePairs]] / [[topK]] are the *baselines*: exact, simple,
+  *     and quadratic — right for reranking a candidate set or joining a
+  *     small query set (which Catalyst broadcasts), wrong for
+  *     corpus x corpus. Documented as such.
+  *   - [[lshNeighbors]] is the scale path: random-hyperplane LSH buckets
+  *     candidates with an equality join on (table, bucket); the only
+  *     quadratic term is within-bucket, controlled by `planes` (bucket
+  *     count 2^planes) and `tables` (recall).
+  */
+object Similarity {
+
+  val Quant = 1e6
+
+  /** array<float> -> array<long> fixed-point at 1e-6. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * Quant, 0).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors (fits long:
+    * 64 dims x (4e6)^2 ~ 1e15 << 2^63). */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine from quantized vectors + precomputed squared norms: the
+    * quantization scale cancels. Exact ints through the division — the
+    * result is deterministic to the last bit. */
+  def cosineQ(dot: Column, nsqA: Column, nsqB: Column): Column =
+    dot.cast("double") / (sqrt(nsqA.cast("double")) * sqrt(nsqB.cast("double")))
+
+  /** (id, quantized vector, squared norm) side table. */
+  def prepared(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+      .withColumn("nsq", dotQ(col("q"), col("q")))
+
+  /** All pairs with cosine >= threshold, by exact brute force.
+    * BASELINE ONLY: O(n^2) pairs — use for <=10^5 vectors or as the
+    * verifier behind [[lshNeighbors]] candidates; never corpus x corpus
+    * at scale. */
+  def bruteForcePairs(df: DataFrame, idCol: String, embCol: String, threshold: Double): DataFrame = {
+    val p = prepared(df, idCol, embCol)
+    p.as("a").join(p.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineQ(dotQ(col("a.q"), col("b.q")), col("a.nsq"), col("b.nsq")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Exact top-k neighbors for each query row (excluding self), ties
+    * broken by neighbor id. The query side is expected to be small
+    * (Catalyst broadcasts it); the corpus side streams — this is the
+    * batch-scoring shape, linear in corpus size. */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+    val c = prepared(corpus, idCol, embCol)
+    val q = prepared(queries, idCol, embCol)
+    val scored = broadcast(q.as("a")).join(c.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("neighbor_id"),
+        cosineQ(dotQ(col("a.q"), col("b.q")), col("a.nsq"), col("b.nsq")).as("cos"))
+    val w = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes: `tables` tables of
+    * `planes` hyperplanes over `dim` dims, as literal arrays baked into the
+    * plan (a tiny constant: tables x planes x dim doubles). Components are
+    * derived from a splitmix64-style integer mix — reproducible across
+    * runs and engines, no RNG state. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def hyperplane(table: Int, plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      val h = mix(table.toLong * 1000003L + plane.toLong * 10007L + j)
+      (h.toDouble / Long.MaxValue.toDouble) // roughly uniform in [-1, 1]
+    }
+
+  /** Sign-bucket of one LSH table: planes-bit integer of hyperplane signs. */
+  def lshBucket(emb: Column, table: Int, planes: Int, dim: Int): Column =
+    (0 until planes).map { p =>
+      val plane = array(hyperplane(table, p, dim).map(lit): _*)
+      when(aggregate(zip_with(emb.cast("array<double>"), plane, (x, w) => x * w),
+        lit(0d), (acc, x) => acc + x) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate near-neighbor pairs: candidates share a bucket in at
+    * least one of `tables` hyperplane tables, then are exactly verified
+    * (cosine >= threshold). Recall < 1 by LSH nature — tune `tables` up /
+    * `planes` down to raise it (measured by the recall spec against
+    * [[bruteForcePairs]]). */
+  def lshNeighbors(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      planes: Int = 8,
+      tables: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val p = prepared(df, idCol, embCol)
+    val buckets = df.select(
+      col(idCol).as("id"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"), lshBucket(col(embCol), t, planes, dim).as("bucket"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.t"), col("bk.bucket"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(p.as("pa"), col("id_a") === col("pa.id"))
+      .join(p.as("pb"), col("id_b") === col("pb.id"))
+      .select(col("id_a"), col("id_b"),
+        cosineQ(dotQ(col("pa.q"), col("pb.q")), col("pa.nsq"), col("pb.nsq")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-training-data pipelines — additions
+  * beyond the reference's surface (BASELINE.json north_star; SURVEY §2.8).
+  *
+  * All operators are pure Column expressions (whole-stage codegen, no
+  * UDFs), embarrassingly parallel per document — the only shuffles are the
+  * final grouped aggregations, which reduce to a handful of rows. Per-doc
+  * metrics are kept *integer-valued* and only divided once after the
+  * grouped sums: integer sums are exact and order-independent, so results
+  * are bit-identical across partitionings and engines (cf. the
+  * decimal-exact engine in [[Agg.exactScale]]).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (single-space-separated corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Tokens by regex pattern match (a BPE-ish "word pieces or single
+    * symbol" default): letter runs, digit runs, or any single
+    * non-alphanumeric non-space symbol. */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def tokensRegex(text: Column, pattern: String = BpeishPattern): Column =
+    regexp_extract_all(text, lit(pattern), lit(0))
+
+  /** Small function-word list present in the corpus vocabulary; used for
+    * stopword ratios and quality scoring. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  def stopwordHits(toks: Column): Column =
+    size(filter(toks, t => t.isin(Stopwords: _*)))
+
+  /** Sum of token lengths (chars in tokens, excluding separators). */
+  def tokenChars(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+
+  /** Language-ID marker words: tiny per-language function-word lists (the
+    * classic stopword-profile heuristic; an n-gram profile is the same
+    * plan shape with [[tokensRegex]] n-grams as features). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "que"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo"))
+
+  /** Predicted language: arg-max of marker-word hit counts, ties broken by
+    * alphabetical language order, all-zero scores -> "und" (undetermined).
+    * Deterministic by construction so an oracle can replay it. */
+  def langId(toks: Column): Column = {
+    val scores = LangMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (lang, s)) =>
+      acc.when(s === best, lit(lang))
+    }
+  }
+
+  /** Integer quality score in [0, 1000]: 600 points for a healthy
+    * stopword ratio (clipped at 20%, scaled x5 up to full marks) plus 400
+    * points for length (clipped at 400 chars). Integer arithmetic end to
+    * end -> exact, engine-independent. A real pipeline swaps in its own
+    * weights; the *shape* (score -> uniform bins -> grouped counts) is
+    * what matters at scale. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val swPart  = least(floor(lit(600L) * stopwordHits(toks) * 5 / size(toks)), lit(600L))
+    val lenPart = least(length(text).cast("long"), lit(400L))
+    (swPart + lenPart).cast("long")
+  }
+
+  /** Rolling polynomial fingerprint over characters:
+    * h = fold(h * 31 + ascii(c)) mod 1e9+7. Every intermediate stays below
+    * 2^35, so the fold is exact; unlike xxhash64 this is replayable in any
+    * SQL engine (the oracle recomputes it), and it is the standard
+    * rolling-hash building block for content-defined chunking. */
+  def fingerprint(text: Column): Column =
+    // filter: Spark's split keeps a trailing empty string (Java split
+    // semantics) which would add a spurious *31 fold step
+    aggregate(filter(split(text, ""), c => length(c) > 0), lit(0L),
+      (acc, c) => (acc * 31L + ascii(c)) % 1000000007L)
+}
