@@ -60,11 +60,32 @@ object Dedup {
 
   /** MinHash signature: k independent min-hashes over a shingle array.
     * Seeding follows the standard one-hash-function-per-row construction:
-    * h_s(x) = xxhash64(s, x), signature[s] = min over shingles. */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
+    * h_s(x) = xxhash64(s, x), signature[s] = min over shingles.
+    *
+    * Per-row expression form — fine for small arrays and for pinning
+    * semantics in tests, but the array lambdas fall out of whole-stage
+    * codegen and re-hash the shingle *string* k times. The scalable path
+    * is [[minhashSigCols]] (hash each shingle once, explode, k `min`
+    * aggregates in one codegen'd hash aggregation) — [[nearDupPairs]]
+    * uses that; the two produce identical signatures by construction. */
+  def minhashSignature(shingleCol: Column, k: Int): Column = {
+    val bases = transform(shingleCol, x => xxhash64(x))
     array((0 until k).map { s =>
-      array_min(transform(shingleCol, x => xxhash64(lit(s), x)))
+      array_min(transform(bases, h => xxhash64(lit(s), h)))
     }: _*)
+  }
+
+  /** Columnar MinHash: from exploded (id, shingle-hash) rows, one hash
+    * aggregation computing the k signature columns h0..h{k-1} as
+    * min(xxhash64(seed_i, base_hash)). Each shingle string is hashed once;
+    * the k derived hashes are cheap fixed-width re-hashes; the k `min`s
+    * ride Spark's partial/final hash aggregation (map-side combined,
+    * whole-stage codegen) — the same two-phase topology as every reduction
+    * in this engine, so it scales like any groupBy at 100 TB. */
+  def minhashSigCols(exploded: DataFrame, idCol: String, hashCol: String, k: Int): DataFrame = {
+    val aggs = (0 until k).map(s => min(xxhash64(lit(s), col(hashCol))).as(s"h$s"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** LSH banding: hash each of `bands` disjoint length-`rows` slices of the
     * signature to a bucket id. Two docs are candidates iff they share a
@@ -93,13 +114,32 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       bands: Int = 16,
-      rows: Int = 4): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-    val buckets = sh
-      .withColumn("sig", minhashSignature(col("sh"), bands * rows))
-      .select(col("id"), explode(lshBands(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bucket"))
+      rows: Int = 4,
+      cache: Boolean = true): DataFrame = {
+    // The shingle table feeds three plan branches (signature build and the
+    // two sides of the verification join) and the bucket table two (the
+    // candidate self-join): without persisting, Spark re-runs the
+    // shingling/minhash subtree once per branch. Both intermediates are
+    // compact relative to the corpus (arrays of distinct shingles; 16
+    // bytes x bands+rows signatures); MEMORY_AND_DISK spills cleanly at
+    // scale. Pass cache=false to trade CPU for memory.
+    def maybeCache(d: DataFrame): DataFrame =
+      if (cache) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else d
+    val sh = maybeCache(df
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
+    // columnar signature: hash each shingle string once, explode, one
+    // codegen'd hash aggregation for all bands*rows mins (see
+    // [[minhashSigCols]]) — identical values to the expression form
+    val exploded = sh
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val sig = minhashSigCols(exploded, "id", "h", bands * rows)
+    val buckets = maybeCache(sig
+      .select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("bucket"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket")))
     // candidate ids only through the self-join; shingles re-join below
     // keeps the shuffled band table narrow.
     val cand = buckets.as("a")
@@ -141,6 +181,22 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Columnar SimHash: from exploded (id, token-hash) rows, one hash
+    * aggregation of 64 signed bit votes, then a pack expression — the
+    * scalable twin of the [[simhash]] expression (identical results; same
+    * rationale as [[minhashSigCols]]). */
+  def simhashCols(exploded: DataFrame, idCol: String, hashCol: String): DataFrame = {
+    val votes = (0 until 64).map { i =>
+      sum(when(col(hashCol).bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L)).as(s"v$i")
+    }
+    val packed = (0 until 64)
+      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    exploded.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as("sim"))
+  }
+
   /** SimHash near-duplicate pairs with hamming distance <= maxDist.
     * Pigeonhole banding: the 64 bits are cut into `maxDist`+1 chunks, and
     * any pair within maxDist must agree exactly on at least one chunk —
@@ -153,7 +209,10 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     val nChunks = maxDist + 1
     val chunkBits = 64 / nChunks
-    val sim = df.select(col(idCol).as("id"), simhash(tokens(col(textCol))).as("sim"))
+    val sim = simhashCols(
+      df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+        .select(col("id"), xxhash64(col("t")).as("h")),
+      "id", "h")
     val chunks = sim.select(
       col("id"), col("sim"),
       explode(array((0 until nChunks).map { c =>

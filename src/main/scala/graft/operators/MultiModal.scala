@@ -39,6 +39,7 @@ object MultiModal {
   /** Per-group L2-norm statistics from exact integer squared norms:
     * count, RMS norm (sqrt of mean squared norm) and max norm. */
   def embedNormStats(df: DataFrame, by: Seq[String], embCol: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val keyCols = by.map(col)
     df.select(keyCols :+ Similarity.dotQ(
         Similarity.quantize(col(embCol)), Similarity.quantize(col(embCol))).as("nsq"): _*)

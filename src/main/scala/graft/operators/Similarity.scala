@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.expressions.GraftFunctions
 
 /** Similarity search over embedding columns (`array<float>`) — an
   * LLM-pipeline addition beyond the reference's surface (BASELINE.json
@@ -34,9 +35,12 @@ object Similarity {
     transform(emb, x => round(x.cast("double") * Quant, 0).cast("long"))
 
   /** Exact integer dot product of two quantized vectors (fits long:
-    * 64 dims x (4e6)^2 ~ 1e15 << 2^63). */
+    * 64 dims x (4e6)^2 ~ 1e15 << 2^63). Compiles to the native
+    * [[graft.expressions.LongDotProduct]] codegen loop — call
+    * [[graft.expressions.GraftFunctions.register]] on the session first
+    * (every operator entry point here does). */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    call_function(GraftFunctions.DotQ, a, b)
 
   /** Cosine from quantized vectors + precomputed squared norms: the
     * quantization scale cancels. Exact ints through the division — the
@@ -45,9 +49,11 @@ object Similarity {
     dot.cast("double") / (sqrt(nsqA.cast("double")) * sqrt(nsqB.cast("double")))
 
   /** (id, quantized vector, squared norm) side table. */
-  def prepared(df: DataFrame, idCol: String, embCol: String): DataFrame =
+  def prepared(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
       .withColumn("nsq", dotQ(col("q"), col("q")))
+  }
 
   /** All pairs with cosine >= threshold, by exact brute force.
     * BASELINE ONLY: O(n^2) pairs — use for <=10^5 vectors or as the
@@ -96,12 +102,17 @@ object Similarity {
       (h.toDouble / Long.MaxValue.toDouble) // roughly uniform in [-1, 1]
     }
 
-  /** Sign-bucket of one LSH table: planes-bit integer of hyperplane signs. */
-  def lshBucket(emb: Column, table: Int, planes: Int, dim: Int): Column =
+  /** Sign-bucket of one LSH table from a *quantized* vector: planes-bit
+    * integer of hyperplane signs. The plane weights are quantized to the
+    * same 1e-6 fixed-point grid, so each projection is one
+    * [[graft.expressions.LongDotProduct]] against a literal array —
+    * sign(long dot) = sign(real dot) up to quantization, which merely
+    * picks an equally-random hyperplane. */
+  def lshBucket(embQ: Column, table: Int, planes: Int, dim: Int): Column =
     (0 until planes).map { p =>
-      val plane = array(hyperplane(table, p, dim).map(lit): _*)
-      when(aggregate(zip_with(emb.cast("array<double>"), plane, (x, w) => x * w),
-        lit(0d), (acc, x) => acc + x) > 0, lit(1L << p)).otherwise(lit(0L))
+      val w = hyperplane(table, p, dim).map(x => math.round(x * Quant))
+      val proj = dotQ(embQ, typedlit(w.toSeq))
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Approximate near-neighbor pairs: candidates share a bucket in at
@@ -118,10 +129,10 @@ object Similarity {
       tables: Int = 8,
       dim: Int = 64): DataFrame = {
     val p = prepared(df, idCol, embCol)
-    val buckets = df.select(
-      col(idCol).as("id"),
+    val buckets = p.select(
+      col("id"),
       explode(array((0 until tables).map { t =>
-        struct(lit(t).as("t"), lshBucket(col(embCol), t, planes, dim).as("bucket"))
+        struct(lit(t).as("t"), lshBucket(col("q"), t, planes, dim).as("bucket"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.t"), col("bk.bucket"))
     val cand = buckets.as("a")
