@@ -55,9 +55,13 @@ object LlmQueries {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id", "rank")
     }),
+    // planes/tables tuned for the *low* threshold regime (collision prob
+    // per table ~0.14 at cos 0.35 -> ~0.7 recall over 8 tables); a
+    // near-dup threshold (cos>=0.9) would take planes=8+ for sharper
+    // buckets at ~0.95 recall. See SimilaritySpec's recall pin.
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshNeighbors(T(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35, planes = 8, tables = 8)
+        threshold = 0.35, planes = 4, tables = 8)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")),
     // ---- text analysis ----

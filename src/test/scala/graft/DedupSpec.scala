@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // 30-token base doc; nearDup differs in one token (trigram J ~ 0.9);
+  // unrelated shares no trigrams
+  private val base = (1 to 30).map(i => s"w$i").mkString(" ")
+  private val nearDup = ((1 to 15).map(i => s"w$i") ++ Seq("CHANGED") ++ (17 to 30).map(i => s"w$i")).mkString(" ")
+  private val unrelated = (1 to 30).map(i => s"u$i").mkString(" ")
+
+  private def docs = Seq(
+    (1L, base), (2L, base), (3L, nearDup), (4L, unrelated), (5L, base)
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps the smallest id per distinct content with duplicate counts") {
+    val r = Dedup.exactDedup(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 3L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("shingles produce size-n word windows, distinct, with short-doc fallback") {
+    val d = Seq("a b c d", "a b").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(d(0) == Seq("a b c", "b c d"))
+    assert(d(1) == Seq("a b")) // shorter than n -> whole doc
+  }
+
+  test("nearDupPairs finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(p => (p._1, p._2))
+    val ids = pairs.map(p => (p._1, p._2))
+    assert(ids.contains((1L, 2L)) && ids.contains((1L, 5L)) && ids.contains((2L, 5L)),
+      s"exact-dup pairs missing: $ids")
+    assert(ids.contains((1L, 3L)), s"near-dup pair missing: $ids")
+    assert(!ids.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: $ids")
+    val exact = pairs.find(p => (p._1, p._2) == (1L, 2L)).get
+    assert(exact._3 == 1.0)
+    val near = pairs.find(p => (p._1, p._2) == (1L, 3L)).get
+    assert(near._3 > 0.8 && near._3 < 1.0)
+  }
+
+  test("columnar minhash signature equals the expression form") {
+    val k = 8
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val exprSig = sh.select(col("doc_id"), Dedup.minhashSignature(col("sh"), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val colSig = Dedup.minhashSigCols(
+      sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h")),
+      "doc_id", "h", k)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(i => r.getLong(i))).toMap
+    assert(exprSig == colSig)
+  }
+
+  test("columnar simhash equals the expression form and is 0-distance for identical docs") {
+    val exprSim = docs.select(col("doc_id"), Dedup.simhash(Dedup.tokens(col("text"))).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val colSim = Dedup.simhashCols(
+      docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), xxhash64(col("t")).as("h")),
+      "doc_id", "h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exprSim == colSim)
+    assert(exprSim(1L) == exprSim(2L)) // identical docs -> identical fingerprint
+    assert(java.lang.Long.bitCount(exprSim(1L) ^ exprSim(4L)) > 3,
+      "unrelated docs should be far in hamming space")
+  }
+
+  test("simhashPairs returns identical docs at distance 0 and excludes far docs") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val ids = pairs.map(p => (p._1, p._2))
+    assert(ids.contains((1L, 2L)) && ids.contains((1L, 5L)))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 0)
+    assert(!ids.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("hamming is bit_count of xor") {
+    val r = Seq((0L, 0L), (0L, 7L), (-1L, 0L)).toDF("a", "b")
+      .select(Dedup.hamming(col("a"), col("b"))).collect().map(_.getInt(0)).toSeq
+    assert(r == Seq(0, 3, 64))
+  }
+
+  test("contentKey: different salts give independent hashes") {
+    val (h1, h2) = Dedup.contentKey(col("text"))
+    val r = Seq("x", "y").toDF("text").select(h1.as("a"), h2.as("b")).collect()
+    assert(r.forall(x => x.getLong(0) != x.getLong(1)))
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Agg, Binning, GroupByReduce}
+
+/** Edge cases the reference pins explicitly: all-NaN groups
+  * (tests/test_core.py:819-844), empty expected bins (:1191), NaN/NULL
+  * group labels dropped (core.py:2691-2702), min_count boundaries
+  * (core.py:2539-2557), plus engine-specific regressions (mode-join group
+  * drop, empty-aggs validation, uniform-bin edges).
+  */
+class EdgeCasesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("all-NaN group: nan* reductions yield NULL, count yields 0") {
+    val d = Seq((0, Double.NaN), (0, Double.NaN), (1, 2.0), (1, 4.0))
+      .toDF("label", "v")
+    val r = GroupByReduce.reduce(d, Seq("label"),
+      Seq(Agg("nanmean", "v", "m"), Agg("count", "v", "c"), Agg("nanmin", "v", "mn")))
+      .collect().map(x => x.getInt(0) -> (x.get(1), x.get(2), x.get(3))).toMap
+    assert(r(0) == ((null, 0L, null)))
+    assert(r(1) == ((3.0, 2L, 2.0)))
+  }
+
+  test("NaN group label is dropped (factorize -1 code, core.py:800-801)") {
+    val d = Seq((1.0, 10.0), (Double.NaN, 20.0), (2.0, 30.0), (Double.NaN, 40.0))
+      .toDF("key", "v")
+    val r = GroupByReduce.reduce(d, Seq("key"), Seq(Agg("nansum", "v", "s")))
+    assert(r.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 2.0))
+  }
+
+  test("NULL group label is dropped; keepNullKeys retains it") {
+    val d = Seq((Some("a"), 1.0), (None, 2.0), (Some("b"), 3.0), (None, 4.0))
+      .toDF("key", "v")
+    val dropped = GroupByReduce.reduce(d, Seq("key"), Seq(Agg("nansum", "v", "s")))
+    assert(dropped.collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    val kept = GroupByReduce.reduce(d, Seq("key"), Seq(Agg("nansum", "v", "s")),
+      keepNullKeys = true)
+    assert(kept.count() == 3)
+    assert(kept.filter(col("key").isNull).head().getDouble(1) == 6.0)
+  }
+
+  test("expected groups: never-observed group appears with fill_value; without fill stays NULL") {
+    val d = Seq(("a", 1.0), ("a", 2.0), ("c", 5.0)).toDF("key", "v")
+    val expected = GroupByReduce.expectedDf(spark, "key", Seq("a", "b", "c"))
+    val r = GroupByReduce.reduce(d, Seq("key"),
+      Seq(Agg("nansum", "v", "s", fill = Some(0.0)), Agg("count", "v", "c")),
+      expected = Some(expected))
+      .collect().map(x => x.getString(0) -> (x.get(1), x.get(2))).toMap
+    assert(r("a") == ((3.0, 2L)))
+    assert(r("b") == ((0.0, null))) // filled vs unfilled side by side
+    assert(r("c") == ((5.0, 1L)))
+  }
+
+  test("min_count: exactly k valid passes, k-1 masks to NULL") {
+    val d = Seq((0, 1.0), (0, 2.0), (0, Double.NaN), (1, 5.0)).toDF("label", "v")
+    val r = GroupByReduce.reduce(d, Seq("label"),
+      Seq(Agg("nansum", "v", "s", minCount = 2)))
+      .collect().map(x => x.getInt(0) -> x.get(1)).toMap
+    assert(r(0) == 3.0) // 2 valid >= 2
+    assert(r(1) == null) // 1 valid < 2
+  }
+
+  test("nanmode alongside another agg keeps all-invalid groups (left-join regression)") {
+    val d = Seq((0, Double.NaN), (0, Double.NaN), (1, 7.0), (1, 7.0), (1, 3.0))
+      .toDF("label", "v")
+    val r = GroupByReduce.reduce(d, Seq("label"),
+      Seq(Agg("count", "v", "c"), Agg("nanmode", "v", "m")))
+      .collect().map(x => x.getInt(0) -> (x.get(1), x.get(2))).toMap
+    assert(r(0) == ((0L, null)), "all-NaN group must survive with NULL mode")
+    assert(r(1) == ((3L, 7.0)))
+  }
+
+  test("empty aggs / empty expected labels fail fast with clear messages") {
+    val d = Seq((0, 1.0)).toDF("label", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      GroupByReduce.reduce(d, Seq("label"), Nil)
+    }
+    assert(e1.getMessage.contains("at least one aggregation"))
+    val e2 = intercept[IllegalArgumentException] {
+      GroupByReduce.expectedDf(spark, "k", Nil)
+    }
+    assert(e2.getMessage.contains("non-empty"))
+  }
+
+  test("positional func without pos column fails fast") {
+    val d = Seq((0, 1.0)).toDF("label", "v")
+    val e = intercept[Exception] {
+      GroupByReduce.reduce(d, Seq("label"), Seq(Agg("first", "v", "f"))).collect()
+    }
+    assert(e.getMessage.contains("position column"))
+  }
+
+  test("binIndex: interior-edge values honor closedness; out-of-range drops to NULL") {
+    val edges = Seq(0.0, 10.0, 20.0)
+    val d = Seq(0.0, 5.0, 10.0, 15.0, 20.0, 25.0).toDF("v")
+    val right = d.select(Binning.binIndex(col("v"), edges, closedRight = true).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0)).toSeq
+    assert(right == Seq(null, 0, 0, 1, 1, null)) // (0,10], (10,20]
+    val left = d.select(Binning.binIndex(col("v"), edges, closedRight = false).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0)).toSeq
+    assert(left == Seq(0, 0, 1, 1, null, null)) // [0,10), [10,20)
+  }
+
+  test("binIndexUniform agrees with binIndex on every edge and interior value") {
+    val edges = (0 to 10).map(_ * 7.0)
+    val vals = (0 to 70).map(_.toDouble) ++ Seq(-1.0, 70.5, 3.5, 6.999, 7.0001)
+    val d = vals.toDF("v")
+    for (closedRight <- Seq(true, false)) {
+      val both = d.select(
+        Binning.binIndex(col("v"), edges, closedRight).as("a"),
+        Binning.binIndexUniform(col("v"), 0.0, 70.0, 10, closedRight).as("b"))
+        .collect()
+      for (r <- both)
+        assert(r.get(0) == r.get(1), s"closedRight=$closedRight: ${r.get(0)} vs ${r.get(1)}")
+    }
+  }
+
+  test("datetime binning drops out-of-range and respects left-closed edges") {
+    val ts = Seq("2000-01-01 00:00:00", "2000-06-15 12:00:00", "2001-01-01 00:00:00",
+      "2001-12-31 23:59:59", "2002-01-01 00:00:00")
+      .map(java.sql.Timestamp.valueOf)
+    val edges = Seq("2000-01-01 00:00:00", "2001-01-01 00:00:00", "2002-01-01 00:00:00")
+      .map(java.sql.Timestamp.valueOf)
+    val d = ts.toDF("t")
+    val b = d.select(Binning.binIndex(col("t"), edges, closedRight = false).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0)).toSeq
+    assert(b == Seq(0, 0, 1, 1, null))
+  }
+
+  test("reindex join stays a broadcast join (no shuffle of the expected side)") {
+    val d = Seq(("a", 1.0), ("b", 2.0)).toDF("key", "v")
+    val expected = GroupByReduce.expectedDf(spark, "key", Seq("a", "b", "c"))
+    val plan = GroupByReduce.reduce(d, Seq("key"),
+      Seq(Agg("nansum", "v", "s", fill = Some(0.0))), expected = Some(expected))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast reindex join in plan:\n$plan")
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.operators.{Agg, GroupByReduce, GroupByScan}
+
+/** The reference's numpy-vs-dask equivalence invariant
+  * (tests/test_properties.py:150-180) in Spark terms: for random data,
+  * every registry reduction/scan must produce IDENTICAL results on a
+  * 1-partition and an 8-partition DataFrame. Values are integral doubles
+  * (plus NaN) so sums are FP-exact and equality can be bitwise — any
+  * partial-aggregation order dependence fails loudly.
+  */
+object PartitionInvarianceProps extends Properties("PartitionInvariance") {
+  import TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private val genRow: Gen[(Int, Double)] = for {
+    label <- Gen.choose(0, 4)
+    v <- Gen.frequency(
+      (8, Gen.choose(-50, 50).map(_.toDouble)),
+      (2, Gen.const(Double.NaN)))
+  } yield (label, v)
+
+  private val genData: Gen[List[(Int, Double)]] =
+    Gen.nonEmptyListOf(genRow)
+
+  private val reductionAggs = Seq(
+    Agg("count", "v", "a1"), Agg("sum", "v", "a2"), Agg("nansum", "v", "a3"),
+    Agg("mean", "v", "a4"), Agg("nanmean", "v", "a5"),
+    Agg("var", "v", "a6"), Agg("nanvar", "v", "a7", ddof = 1),
+    Agg("std", "v", "a8"), Agg("nanstd", "v", "a9"),
+    Agg("min", "v", "a10"), Agg("nanmin", "v", "a11"),
+    Agg("max", "v", "a12"), Agg("nanmax", "v", "a13"),
+    Agg("first", "v", "a14"), Agg("last", "v", "a15"),
+    Agg("nanfirst", "v", "a16"), Agg("nanlast", "v", "a17"),
+    Agg("argmin", "v", "a18"), Agg("argmax", "v", "a19"),
+    Agg("nanargmin", "v", "a20"), Agg("nanargmax", "v", "a21"),
+    Agg("median", "v", "a22"), Agg("nanmedian", "v", "a23"),
+    Agg("nanquantile", "v", "a24", q = Seq(0.25, 0.9)),
+    Agg("mode", "v", "a25"), Agg("nanmode", "v", "a26"),
+    Agg("nansum", "v", "a27", minCount = 3))
+
+  private def toDf(data: List[(Int, Double)]) =
+    data.zipWithIndex.map { case ((l, v), i) => (l, v, i.toLong) }
+      .toDF("label", "v", "pos")
+
+  private def rows(df: org.apache.spark.sql.DataFrame, aggs: Seq[Agg]) =
+    GroupByReduce.reduce(df, Seq("label"), aggs, pos = Some(col("pos")))
+      .collect().map(_.toSeq.map {
+        case d: Double if d.isNaN => "NaN" // NaN != NaN; normalize for comparison
+        case x => x
+      }).toSeq
+
+  property("every reduction: 1 partition == 8 partitions") = forAll(genData) { data =>
+    val df = toDf(data)
+    rows(df.coalesce(1), reductionAggs) == rows(df.repartition(8), reductionAggs)
+  }
+
+  property("every scan: 1 partition == 8 partitions") = forAll(genData) { data =>
+    val df = toDf(data)
+    GroupByScan.scanNames.forall { func =>
+      def run(d: org.apache.spark.sql.DataFrame) =
+        GroupByScan.scan(d, "v", Seq("label"), func, Seq(col("pos")), "r")
+          .select("pos", "r").collect()
+          .map(r => r.getLong(0) -> (r.get(1) match {
+            case d: Double if d.isNaN => "NaN"
+            case x => x
+          })).toMap
+      run(df.coalesce(1)) == run(df.repartition(8))
+    }
+  }
+
+  property("exactScale sums are identical under any partitioning") = forAll(genData) { data =>
+    // fractional values whose double sums WOULD be order-dependent
+    val df = toDf(data.map { case (l, v) => (l, if (v.isNaN) 0.01 else v + 0.01) })
+    val aggs = Seq(Agg("nansum", "v", "s", exactScale = Some(2)),
+      Agg("mean", "v", "m", exactScale = Some(2)))
+    rows(df.coalesce(1), aggs) == rows(df.repartition(8), aggs)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("quantize is 1e-6 fixed point; dotQ is the exact integer dot product") {
+    val d = vecs((1L, Seq(1.0f, -2.0f, 0.5f)))
+    val q = Similarity.prepared(d, "vec_id", "embedding")
+      .select("q").head().getSeq[Long](0)
+    assert(q == Seq(1000000L, -2000000L, 500000L))
+    val dot = Similarity.prepared(d, "vec_id", "embedding")
+      .select(Similarity.dotQ(col("q"), col("q"))).head().getLong(0)
+    assert(dot == 1000000L * 1000000L + 2000000L * 2000000L + 500000L * 500000L)
+  }
+
+  test("bruteForcePairs: cosine 1 for parallel, 0 for orthogonal, threshold filters") {
+    val d = vecs(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)),  // parallel: cos 1
+      (3L, Seq(0.0f, 1.0f)),                          // orthogonal to 1,2
+      (4L, Seq(1.0f, 1.0f)))                          // cos ~0.7071 with 1,2
+    val pairs = Similarity.bruteForcePairs(d, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-9)
+    assert(math.abs(pairs((1L, 4L)) - math.sqrt(0.5)) < 1e-6)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("topK: excludes self, orders by cosine desc with id tie-break, caps at k") {
+    val d = vecs(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)),
+      (4L, Seq(0.9f, 0.1f)), (5L, Seq(0.0f, 1.0f)))
+    val r = Similarity.topK(d, d.filter(col("vec_id") === 1L), "vec_id", "embedding", k = 3)
+      .collect().map(x => (x.getInt(1), x.getLong(2))).toSeq.sortBy(_._1)
+    // cos(1,2)=cos(1,3)=1 -> ranks 1,2 by id; then 4
+    assert(r == Seq((1, 2L), (2, 3L), (3, 4L)))
+  }
+
+  test("lshNeighbors on real embeddings: exact precision, high recall vs brute force") {
+    val e = TestSpark.table("0.01", "embeddings")
+    val brute = Similarity.bruteForcePairs(e, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNeighbors(e, "vec_id", "embedding", 0.35, planes = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "LSH emitted a pair failing exact verification")
+    assert(brute.nonEmpty)
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low (|brute|=${brute.size}, |lsh|=${lsh.size})")
+  }
+
+  test("hyperplanes are deterministic across calls") {
+    assert(Similarity.hyperplane(1, 2, 8).toSeq == Similarity.hyperplane(1, 2, 8).toSeq)
+    assert(Similarity.hyperplane(1, 2, 8).toSeq != Similarity.hyperplane(2, 1, 8).toSeq)
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{MultiModal, TextAnalysis}
+
+class TextMultiModalSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("tokensRegex splits letter runs, digit runs, single symbols") {
+    val r = Seq("abc12 de,f").toDF("text")
+      .select(TextAnalysis.tokensRegex(col("text"))).head().getSeq[String](0)
+    assert(r == Seq("abc", "12", "de", ",", "f"))
+  }
+
+  test("stopwordHits and tokenChars") {
+    val d = Seq("the cat of a hat").toDF("text")
+      .select(TextAnalysis.tokens(col("text")).as("w"))
+    assert(d.select(TextAnalysis.stopwordHits(col("w"))).head().getInt(0) == 3) // the, of, a
+    assert(d.select(TextAnalysis.tokenChars(col("w"))).head().getLong(0) == 12L)
+  }
+
+  test("langId: marker majority wins, alphabetical tie-break, und for no markers") {
+    val d = Seq(
+      "the cat and the dog",   // en markers
+      "der hund und die katze",// de markers
+      "xyz qqq zzz",           // no markers -> und
+      "the le"                 // en 1 vs fr 1 -> tie -> de? no: alphabetical first *winner* is de(0)... en and fr tie at 1 -> en (alphabetically before fr)
+    ).toDF("text")
+    val r = d.select(TextAnalysis.langId(TextAnalysis.tokens(col("text")))).collect().map(_.getString(0)).toSeq
+    assert(r == Seq("en", "de", "und", "en"))
+  }
+
+  test("fingerprint is the exact rolling polynomial hash, ignoring split artifacts") {
+    def scalaFp(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31L + c.toLong) % 1000000007L)
+    val inputs = Seq("ab", "hello world", "key agg row")
+    val got = inputs.toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getLong(0)).toSeq
+    assert(got == inputs.map(scalaFp))
+  }
+
+  test("qualityScore: integer formula with clipped parts") {
+    // "the a x": 2 stopword hits of 3 tokens -> floor(600*2*5/3)=2000 -> clip 600; len 7
+    val r = Seq("the a x").toDF("text")
+      .select(TextAnalysis.qualityScore(col("text"))).head().getLong(0)
+    assert(r == 600L + 7L)
+  }
+
+  test("embedMean: exact per-dim means in long format") {
+    val d = Seq(
+      (0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(2.0f, 2.0f))
+    ).toDF("label", "embedding")
+    val r = MultiModal.embedMean(d, Seq("label"), "embedding")
+      .collect().map(x => (x.getInt(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    assert(r == Map((0, 0) -> 2.0, (0, 1) -> 4.0, (1, 0) -> 2.0, (1, 1) -> 2.0))
+  }
+
+  test("embedNormStats: rms and max norms from exact integer squared norms") {
+    val d = Seq(
+      (0, Seq(3.0f, 4.0f)),  // norm 5
+      (0, Seq(0.0f, 5.0f)),  // norm 5
+      (1, Seq(1.0f, 0.0f))
+    ).toDF("label", "embedding")
+    val r = MultiModal.embedNormStats(d, Seq("label"), "embedding")
+      .collect().map(x => x.getInt(0) -> (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(0)._1 == 2L)
+    assert(math.abs(r(0)._2 - 5.0) < 1e-9)
+    assert(math.abs(r(0)._3 - 5.0) < 1e-9)
+    assert(math.abs(r(1)._2 - 1.0) < 1e-9)
+  }
+
+  test("fakePayload/parseMeta round-trip recovers typed metadata from binary") {
+    val d = Seq((5L, "hello")).toDF("doc_id", "text")
+      .withColumn("media", MultiModal.fakePayload(col("doc_id"), col("text")))
+      .withColumn("meta", MultiModal.parseMeta(col("media")))
+    val m = d.select("meta.magic", "meta.width", "meta.height", "meta.body_bytes").head()
+    assert(m.getString(0) == "IMG1")
+    assert(m.getInt(1) == 5 * 16 + 8)   // doc_id%64 * 16 + 8
+    assert(m.getInt(2) == 5 * 16 + 8)   // doc_id%48 * 16 + 8
+    assert(m.getInt(3) == 5)            // "hello"
+    val b = d.select(MultiModal.fakeDecodeBrightness(col("meta"))).head().getInt(0)
+    assert(b == (88 * 88) % 256)
+  }
+
+  test("frameSample yields stride-spaced indices capped below nFrames") {
+    val r = Seq(10, 1, 4).toDF("n")
+      .select(MultiModal.frameSample(col("n"), stride = 4)).collect().map(_.getSeq[Int](0))
+    assert(r(0) == Seq(0, 4, 8))
+    assert(r(1) == Seq(0))
+    assert(r(2) == Seq(0))
+  }
+}
