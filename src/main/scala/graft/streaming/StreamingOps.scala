@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.{Agg, Aggregations}
+
+/** Structured Streaming surface: the engine's grouped-reduction registry
+  * over unbounded inputs, plus the streaming-native forms of dedup and
+  * scans. The reference is batch-only (SURVEY §2.8: "no
+  * streaming/watermarks/state"); these are Spark-first extensions riding
+  * the same `Agg` registry, so a batch pipeline's aggregation specs move
+  * to `readStream` unchanged.
+  *
+  * Scale notes: windowed aggregation state is bounded by
+  * (groups x open windows) and evicted by the watermark;
+  * `dedupExact` state is bounded by the watermark horizon too (that is
+  * the point of dropDuplicatesWithinWatermark); `runningNanSum` keeps one
+  * number per key — the smallest possible per-group state.
+  */
+object StreamingOps {
+
+  /** Event-time-windowed grouped reduction: the streaming form of
+    * `groupby_reduce` with a datetime binning key (SURVEY §2.3). Registry
+    * funcs compile exactly as in batch; positional funcs (first/last/arg*)
+    * need a position column and are meaningless on unbounded input — use
+    * the event-time window instead. `watermark` bounds state and enables
+    * append-mode emission of closed windows; None = complete/update modes.
+    */
+  def windowedReduce(
+      stream: DataFrame,
+      tsCol: String,
+      windowDuration: String,
+      by: Seq[String],
+      aggs: Seq[Agg],
+      watermark: Option[String] = None,
+      slideDuration: Option[String] = None): DataFrame = {
+    require(aggs.nonEmpty, "need at least one aggregation")
+    val in = watermark.fold(stream)(w => stream.withWatermark(tsCol, w))
+    val win = slideDuration.fold(window(col(tsCol), windowDuration))(
+      s => window(col(tsCol), windowDuration, s))
+    val cols = aggs.map { a =>
+      val dt = stream.schema(a.value).dataType
+      Aggregations.withMinCount(Aggregations.compile(a, dt, None), a, dt).as(a.as)
+    }
+    in.groupBy(win.as("w") +: by.map(col): _*)
+      .agg(cols.head, cols.tail: _*)
+      .select(col("w.start").as("window_start") +: col("w.end").as("window_end")
+        +: (by.map(col) ++ aggs.map(a => col(a.as))): _*)
+  }
+
+  /** Streaming exact dedup for ingest pipelines: emit only the first
+    * occurrence of each content fingerprint, with state evicted at the
+    * watermark horizon (duplicates arriving within the horizon are
+    * dropped; the 128-bit salted fingerprint is the same key as the batch
+    * [[graft.operators.Dedup.exactDedup]], so batch + streaming layers
+    * agree on identity). */
+  def dedupExact(
+      stream: DataFrame,
+      contentCol: String,
+      tsCol: String,
+      watermark: String): DataFrame = {
+    val (h1, h2) = graft.operators.Dedup.contentKey(col(contentCol))
+    stream
+      .withColumn("__h1", h1).withColumn("__h2", h2)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h1", "__h2")
+      .drop("__h1", "__h2")
+  }
+
+  /** Streaming per-key running sum (NaN-skipping): the streaming analog of
+    * `groupby_scan`'s nancumsum (SURVEY §2.2), as explicit keyed state via
+    * flatMapGroupsWithState — one double per key, the chunk-carry of the
+    * reference's Blelloch scan (core.py:2948-2992) turned into
+    * micro-batch state. Rows are emitted in arrival order within a
+    * micro-batch (streaming has no global event-time order without a
+    * sort; pair with a watermark + event-time sort downstream if needed).
+    */
+  def runningNanSum(stream: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[Double]) => {
+          var acc = state.getOption.getOrElse(0.0)
+          val out = rows.map { case (_, v) =>
+            if (!v.isNaN) acc += v
+            (key, v, acc)
+          }.toList // drain before the state update below
+          state.update(acc)
+          out.iterator
+        })
+      .toDF(keyCol, valueCol, "running_sum")
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Agg, GroupByReduce}
+import graft.streaming.StreamingOps
+
+/** Streaming == batch equivalence (the flox numpy-vs-dask invariant,
+  * lifted to streams): the same Agg specs over readStream must reproduce
+  * the batch results on identical data.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  /** Batch df -> parquet dir -> readStream over it. */
+  private def asStream(df: DataFrame): DataFrame = {
+    val dir = tmpDir("graft-stream-in")
+    df.write.mode("overwrite").parquet(dir)
+    spark.readStream.schema(df.schema).parquet(dir)
+  }
+
+  private def runToMemory(out: DataFrame, name: String, mode: String): DataFrame = {
+    val q = out.writeStream.queryName(name).format("memory")
+      .outputMode(mode).trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def events = {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    (0 until 400).map { i =>
+      (new java.sql.Timestamp(base + i * 97000L), s"u${i % 5}",
+        if (i % 11 == 0) Double.NaN else (i % 7).toDouble)
+    }.toDF("ts", "user_id", "value")
+  }
+
+  test("windowedReduce equals the batch datetime-binned reduction") {
+    val streamed = runToMemory(
+      StreamingOps.windowedReduce(asStream(events), "ts", "1 hour",
+        Seq("user_id"),
+        Seq(Agg("count", "value", "n"), Agg("nansum", "value", "s"),
+          Agg("nanmean", "value", "m"))),
+      "win_agg", "complete")
+      .collect().map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+
+    val batch = GroupByReduce.reduce(
+      events.withColumn("hour", date_trunc("hour", col("ts"))),
+      Seq("hour", "user_id"),
+      Seq(Agg("count", "value", "n"), Agg("nansum", "value", "s"),
+        Agg("nanmean", "value", "m")))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+
+    assert(streamed == batch)
+  }
+
+  test("streaming dedupExact emits one row per distinct content") {
+    val docs = Seq(
+      ("2024-01-01 00:00:01", "aaa"), ("2024-01-01 00:00:02", "bbb"),
+      ("2024-01-01 00:00:03", "aaa"), ("2024-01-01 00:00:04", "ccc"),
+      ("2024-01-01 00:00:05", "bbb"), ("2024-01-01 00:00:06", "aaa")
+    ).map { case (t, x) => (java.sql.Timestamp.valueOf(t), x) }.toDF("ts", "text")
+    val out = runToMemory(
+      StreamingOps.dedupExact(asStream(docs), "text", "ts", "10 minutes"),
+      "dedup_stream", "append")
+    assert(out.count() == 3)
+    assert(out.select("text").collect().map(_.getString(0)).sorted.toSeq == Seq("aaa", "bbb", "ccc"))
+  }
+
+  test("runningNanSum's final value per key equals the batch nansum") {
+    val out = runToMemory(
+      StreamingOps.runningNanSum(asStream(events), "user_id", "value"),
+      "scan_stream", "update")
+    // last emitted running_sum per key == total
+    val finals = out.groupBy("user_id").agg(max("running_sum").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = GroupByReduce.reduce(events, Seq("user_id"),
+      Seq(Agg("nansum", "value", "s")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(finals == batch)
+  }
+
+  test("GraftExtensions injects graft_dotq for SQL use") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext) // constructs without error; SQL path via register:
+    graft.expressions.GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_dotq(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .head().getLong(0)
+    assert(r == 4 + 10 + 18)
+  }
+}
