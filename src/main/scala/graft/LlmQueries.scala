@@ -156,6 +156,14 @@ object LlmQueries {
       GroupByReduce.reduce(df, Seq("flag_n"),
         Seq(Agg("count", "l_quantity", "n"), Agg("sum", "l_quantity", "sum_qty")))
     }),
+    // Skew-safe Blelloch chunk-carry scan (reference core.py:2948-2992):
+    // same semantics as q_nancumsum but scanning within per-day chunks and
+    // folding carries, so one huge group parallelizes across its chunks.
+    "q_cumsum_chunked" -> ((s, d) =>
+      GroupByScan.scanChunked(SparkEntry.ev(s, d), "valn", Seq("user_id"),
+        "nancumsum", Seq(col("ts"), col("event_id")),
+        date_trunc("day", col("ts")), "cum_valid", exactScale = Some(2))
+        .select("event_id", "user_id", "cum_valid").orderBy("event_id")),
     // The 100 TB quantile path (VERDICT r1 item 8): sketch-based, bounded
     // memory per group. accuracy=100000 > rows-per-group at sf0.01, so the
     // sketch is exact here and hash-matches a rank-based oracle; at real
@@ -287,6 +295,10 @@ object LlmQueries {
       "q_nullkey" ->
         ("SELECT l_returnflag AS flag_n, count(l_quantity) AS n, sum(l_quantity) AS sum_qty"
           + " FROM lineitem WHERE l_tax <> 0.0 GROUP BY 1 ORDER BY 1"),
+      "q_cumsum_chunked" ->
+        ("SELECT event_id, user_id, coalesce(CAST(sum(CAST(CASE WHEN event_type = 'error' THEN NULL ELSE value END AS DECIMAL(18,2)))"
+          + " OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+          + " AS DOUBLE), 0.0) AS cum_valid FROM events ORDER BY event_id"),
       "q_approxquantile" ->
         ("SELECT l_returnflag, quantile_disc(l_quantity, 0.1) AS q10,"
           + " quantile_disc(l_quantity, 0.5) AS q50, quantile_disc(l_quantity, 0.9) AS q90"

@@ -32,7 +32,7 @@ object SparkEntry {
       .withColumn("pos", col("l_orderkey") * 8 + col("l_linenumber"))
       .withColumn("valn", when(col("l_tax") === 0.0, lit(Double.NaN)).otherwise(col("l_quantity")))
 
-  private def ev(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ev(s: SparkSession, dir: String): DataFrame = {
     val raw = T(s, dir, "events")
     // events.ts is parquet timestamp[ns]; with
     // spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos —

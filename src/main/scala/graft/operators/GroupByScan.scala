@@ -62,7 +62,18 @@ object GroupByScan {
       case None => sum(c).over(w)
     }
 
-    val expr = func match {
+    val expr = scanExpr(func, v, vn, fwd, bwd, sumE)
+    df.withColumn(as, expr)
+  }
+
+  private def scanExpr(
+      func: String,
+      v: Column,
+      vn: Column,
+      fwd: WindowSpec,
+      bwd: WindowSpec,
+      sumE: (Column, WindowSpec) => Column): Column = {
+    func match {
       // nancumsum: NaN contributes 0 but the scan keeps running
       // (reference aggregations.py:711; np.nancumsum semantics).
       case "nancumsum"  => coalesce(sumE(vn, fwd), lit(0).cast("double"))
@@ -83,6 +94,107 @@ object GroupByScan {
       case "cummin"   => min(vn).over(fwd)
       case other => throw new IllegalArgumentException(s"unknown scan: $other")
     }
-    df.withColumn(as, expr)
+  }
+
+  /** Skew-safe two-phase scan — the reference's Blelloch chunk-carry
+    * topology (dask_groupby_scan, core.py:2948-2992; scan_binary_op,
+    * aggregations.py:653-706) as Spark plans.
+    *
+    * [[scan]] shuffles each whole group to one task; a pathological group
+    * (one key with 10^10 rows) serializes on it. Here the caller names a
+    * `chunk` column that is NON-DECREASING along `orderBy` within each
+    * group (e.g. `date_trunc("day", ts)` when ordering by ts): phase 1
+    * scans within (group, chunk) — parallel across chunks of the same
+    * group; phase 2 reduces one carry row per chunk (the per-chunk
+    * total/last), prefix-combines carries over the tiny per-group chunk
+    * sequence, and folds the preceding-chunks carry into every row with a
+    * broadcast-sized join. Identical results to [[scan]] for every scan
+    * func (pinned by ScanChunkedSpec); use it when groups are huge or
+    * heavily skewed.
+    */
+  def scanChunked(
+      df: DataFrame,
+      value: String,
+      by: Seq[String],
+      func: String,
+      orderBy: Seq[Column],
+      chunk: Column,
+      as: String,
+      exactScale: Option[Int] = None): DataFrame = {
+    val dt = df.schema(value).dataType
+    val in = df.withColumn("__chunk", chunk)
+    val keyCols  = by.map(col)
+    val chunkKey = keyCols :+ col("__chunk")
+
+    val v  = col(value)
+    val vn = nanToNull(v, dt)
+
+    // Exact-decimal sums must stay decimal through the carry addition and
+    // cast to double exactly once at the end — casting the local scan and
+    // the carry separately would round twice and lose the bitwise
+    // equality with the single-window scan.
+    val exactSum = exactScale.isDefined && (func == "cumsum" || func == "nancumsum")
+    val local =
+      if (exactSum) {
+        val decT = org.apache.spark.sql.types.DecimalType(18, exactScale.get)
+        val fwd = Window.partitionBy(chunkKey: _*).orderBy(orderBy: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val src = if (func == "nancumsum") vn else v
+        in.withColumn(as, sum(src.cast(decT)).over(fwd)) // decimal until phase 3
+      } else scan(in, value, by :+ "__chunk", func, orderBy, as, exactScale)
+
+    def sumC(c: Column): Column = exactScale match {
+      case Some(s) => sum(c.cast(org.apache.spark.sql.types.DecimalType(18, s)))
+      case None    => sum(c)
+    }
+    // per-chunk carry reduction (the reference's `preop=grouped_reduce`)
+    val carry: Column = func match {
+      case "cumsum"                  => sumC(v)
+      case "nancumsum" if exactSum   => sumC(vn)
+      case "nancumsum"               => coalesce(sumC(vn), lit(0).cast("double"))
+      case "cumprod"                 => product(v)
+      case "nancumprod"              => coalesce(product(vn), lit(1).cast("double"))
+      case "cumcount"                => count(vn)
+      case "cummax"                  => max(vn)
+      case "cummin"                  => min(vn)
+      case "ffill"                   => max_by(vn, when(isValid(v, dt), struct(orderBy: _*)))
+      case other => throw new IllegalArgumentException(s"scanChunked does not support: $other")
+    }
+    // exclusive prefix of carries over the (tiny) per-group chunk sequence
+    val prevWin = Window.partitionBy(keyCols: _*).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prev: Column = func match {
+      case "cumsum" | "nancumsum"  => sum(col("__carry")).over(prevWin)
+      case "cumprod" | "nancumprod" => product(col("__carry")).over(prevWin)
+      case "cumcount"              => sum(col("__carry")).over(prevWin)
+      case "cummax"                => max(col("__carry")).over(prevWin)
+      case "cummin"                => min(col("__carry")).over(prevWin)
+      case "ffill"                 => last(col("__carry"), ignoreNulls = true).over(prevWin)
+    }
+    val carries = in.groupBy(chunkKey: _*).agg(carry.as("__carry"))
+      .withColumn("__prev", prev)
+      .select(chunkKey :+ col("__prev"): _*)
+
+    // phase 3: fold the preceding-chunks carry into each row
+    // (scan_binary_op's apply_binary_op / concat_then_scan). No broadcast
+    // hint: the carry table has one row per (group, chunk) — AQE
+    // broadcasts it when small, and at the billions-of-chunks extreme the
+    // equi-join on the keys phase 1 already partitioned by stays local.
+    val joined = local.join(carries, by :+ "__chunk")
+    val combined: Column = func match {
+      case "cumsum" if exactSum =>
+        (col(as) + coalesce(col("__prev"), lit(0))).cast("double")
+      case "nancumsum" if exactSum =>
+        (coalesce(col(as), lit(0)) + coalesce(col("__prev"), lit(0))).cast("double")
+      case "cumsum"     => col(as) + coalesce(col("__prev"), lit(0.0))
+      case "nancumsum"  => col(as) + coalesce(col("__prev"), lit(0.0))
+      case "cumprod"    => col(as) * coalesce(col("__prev"), lit(1.0))
+      case "nancumprod" => col(as) * coalesce(col("__prev"), lit(1.0))
+      case "cumcount"   => col(as) + coalesce(col("__prev"), lit(0L))
+      case "cummax"     => greatest(col(as), col("__prev"))
+      case "cummin"     => least(col(as), col("__prev"))
+      case "ffill"      => coalesce(col(as), col("__prev"))
+    }
+    joined.withColumn(as, combined).drop("__chunk", "__prev")
   }
 }
