@@ -64,6 +64,11 @@ object LlmQueries {
         threshold = 0.35, planes = 4, tables = 8)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")),
+    "q_ann_ivf" -> ((s, d) =>
+      Similarity.ivfNeighbors(T(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, cells = 16, nprobe = 2)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b")),
     // ---- text analysis ----
     "q_text_stats" -> ((s, d) => {
       val toks = TextAnalysis.tokens(col("text"))

@@ -120,6 +120,64 @@ object Similarity {
     * (cosine >= threshold). Recall < 1 by LSH nature — tune `tables` up /
     * `planes` down to raise it (measured by the recall spec against
     * [[bruteForcePairs]]). */
+  /** IVF (inverted-file) approximate neighbor pairs — the
+    * cluster-then-search alternative to [[lshNeighbors]].
+    *
+    * A coarse quantizer (spark.ml KMeans, trained on a driver-side sample
+    * of `trainSample` rows — the model is a handful of centroids, not
+    * data-scale state) partitions the corpus into `cells`; each vector is
+    * assigned its `nprobe` nearest cells *by expression* (distances via
+    * the native integer dot against literal quantized centroids — no UDF,
+    * no ml transform on the hot path), and candidates are pairs sharing a
+    * cell. Exact verification as always. Raising nprobe trades compute
+    * for recall exactly like probing neighboring IVF lists in FAISS-style
+    * indexes.
+    */
+  def ivfNeighbors(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      cells: Int = 16,
+      nprobe: Int = 2,
+      trainSample: Int = 10000,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+
+    val train = df.select(array_to_vector(col(embCol).cast("array<double>")).as("features"))
+      .limit(trainSample)
+    // coarse cells only need rough centroids — few Lloyd iterations
+    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(8)
+      .setFeaturesCol("features").fit(train)
+    val centroidsQ: Array[Seq[Long]] = model.clusterCenters.map(c =>
+      c.toArray.toSeq.map(x => math.round(x * Quant)))
+
+    val p = prepared(df, idCol, embCol)
+    // nearest cells by ||x-c||^2 = nsq - 2 x.c + c.c: rank by (c.c - 2 x.c)
+    val cellScores = array(centroidsQ.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x * x).sum
+      struct((lit(cc) - lit(2L) * dotQ(col("q"), typedlit(c))).as("d"), lit(i).as("cell"))
+    }: _*)
+    val assigned = p.withColumn("__cells",
+      slice(array_sort(cellScores), 1, nprobe))
+      .select(col("id"), explode(col("__cells.cell")).as("cell"))
+
+    val cand = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(p.as("pa"), col("id_a") === col("pa.id"))
+      .join(p.as("pb"), col("id_b") === col("pb.id"))
+      .select(col("id_a"), col("id_b"),
+        cosineQ(dotQ(col("pa.q"), col("pb.q")), col("pa.nsq"), col("pb.nsq")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   def lshNeighbors(
       df: DataFrame,
       idCol: String,

@@ -55,6 +55,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low (|brute|=${brute.size}, |lsh|=${lsh.size})")
   }
 
+  test("ivfNeighbors on real embeddings: exact precision, useful recall, recall rises with nprobe") {
+    val e = TestSpark.table("0.01", "embeddings")
+    val brute = Similarity.bruteForcePairs(e, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf1 = Similarity.ivfNeighbors(e, "vec_id", "embedding", 0.35, cells = 16, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf3 = Similarity.ivfNeighbors(e, "vec_id", "embedding", 0.35, cells = 16, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf1.subsetOf(brute) && ivf3.subsetOf(brute), "IVF emitted an unverified pair")
+    assert(ivf3.size >= ivf1.size, "recall must not drop as nprobe rises")
+    assert(ivf3.size.toDouble / brute.size >= 0.5,
+      s"nprobe=3 recall ${ivf3.size.toDouble / brute.size} too low")
+  }
+
   test("hyperplanes are deterministic across calls") {
     assert(Similarity.hyperplane(1, 2, 8).toSeq == Similarity.hyperplane(1, 2, 8).toSeq)
     assert(Similarity.hyperplane(1, 2, 8).toSeq != Similarity.hyperplane(2, 1, 8).toSeq)
