@@ -182,6 +182,10 @@ object LlmQueries {
         element_at(col("qs"), 2).as("q50"),
         element_at(col("qs"), 3).as("q90"))
     }),
+    "q_countdistinct" -> ((s, d) =>
+      GroupByReduce.reduce(T(s, d, "lineitem"), Seq("l_returnflag"), Seq(
+        Agg("countdistinct", "l_quantity", "nd_qty"),
+        Agg("countdistinct", "l_suppkey", "nd_supp")))),
     "q_bins_uniform" -> ((s, d) => {
       val binned = T(s, d, "lineitem")
         .withColumn("qbin", Binning.binIndexUniform(col("l_quantity"), 0.0, 50.0, 10))
@@ -308,6 +312,9 @@ object LlmQueries {
         ("SELECT l_returnflag, quantile_disc(l_quantity, 0.1) AS q10,"
           + " quantile_disc(l_quantity, 0.5) AS q50, quantile_disc(l_quantity, 0.9) AS q90"
           + " FROM lineitem GROUP BY 1 ORDER BY 1"),
+      "q_countdistinct" ->
+        ("SELECT l_returnflag, count(DISTINCT l_quantity) AS nd_qty,"
+          + " count(DISTINCT l_suppkey) AS nd_supp FROM lineitem GROUP BY 1 ORDER BY 1"),
       "q_bins_uniform" ->
         ("SELECT b.qbin, b.qbin_lo, b.qbin_hi, coalesce(n, 0) AS n, coalesce(sum_qty, 0.0) AS sum_qty FROM"
           + " (VALUES " + (0 to 9).map(i => s"($i, ${i * 5}.0, ${(i + 1) * 5}.0)").mkString(", ")

@@ -93,7 +93,7 @@ object Aggregations {
     "first", "last", "nanfirst", "nanlast",
     "argmin", "argmax", "nanargmin", "nanargmax",
     "any", "all", "median", "nanmedian", "quantile", "nanquantile",
-    "mode", "nanmode")
+    "mode", "nanmode", "approxquantile", "countdistinct", "approxcountdistinct")
 
   /** Funcs that need a caller-supplied total-order position column.
     * DataFrames have no intrinsic order (arrays do), so positional
@@ -214,6 +214,13 @@ object Aggregations {
         require(a.q.nonEmpty, "approxquantile requires q")
         if (a.q.size == 1) approx_percentile(vn, lit(a.q.head), lit(a.accuracy))
         else approx_percentile(vn, array(a.q.map(lit): _*), lit(a.accuracy))
+      // Distinct counting (beyond the reference's registry — a staple of
+      // data-pipeline QA). Exact form shuffles the distinct values;
+      // the sketch form (HLL++, relativeSD 1/sqrt(accuracy)) is the
+      // 100 TB path and is exact while the per-group distinct count stays
+      // within the sketch's dense threshold.
+      case "countdistinct"       => count_distinct(vn)
+      case "approxcountdistinct" => approx_count_distinct(vn, 1.0 / math.sqrt(a.accuracy))
       case "mode" | "nanmode" =>
         throw new IllegalArgumentException(
           s"${a.func} is a two-stage plan; use GroupByReduce.reduce")

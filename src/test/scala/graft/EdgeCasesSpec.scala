@@ -130,6 +130,24 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(b == Seq(0, 0, 1, 1, null))
   }
 
+  test("countdistinct is exact; approxcountdistinct agrees at low cardinality") {
+    val d = (0 until 500).map(i => (i % 3, (i % 40).toDouble)).toDF("label", "v")
+    val r = GroupByReduce.reduce(d, Seq("label"),
+      Seq(Agg("countdistinct", "v", "nd"), Agg("approxcountdistinct", "v", "nda")))
+      .collect().map(x => x.getInt(0) -> (x.getLong(1), x.getLong(2))).toMap
+    for (l <- 0 until 3) {
+      assert(r(l)._1 == 40L)
+      assert(r(l)._2 == 40L, "HLL++ should be exact below its dense threshold")
+    }
+  }
+
+  test("countdistinct skips NaN like other nan-aware reductions") {
+    val d = Seq((0, 1.0), (0, 1.0), (0, Double.NaN), (0, 2.0)).toDF("label", "v")
+    val r = GroupByReduce.reduce(d, Seq("label"), Seq(Agg("countdistinct", "v", "nd")))
+      .head().getLong(1)
+    assert(r == 2L)
+  }
+
   test("reindex join stays a broadcast join (no shuffle of the expected side)") {
     val d = Seq(("a", 1.0), ("b", 2.0)).toDF("key", "v")
     val expected = GroupByReduce.expectedDf(spark, "key", Seq("a", "b", "c"))
