@@ -139,6 +139,16 @@ object LlmQueries {
           sum("n_sampled").as("sum_sampled"))
         .orderBy("source")
     }),
+    // As-of join: each event matched with the user's most recent strictly
+    // prior error event (oracle: DuckDB's native ASOF LEFT JOIN).
+    "q_asof" -> ((s, d) => {
+      val e = SparkEntry.ev(s, d)
+      val errors = e.filter(col("event_type") === "error")
+      AsOfJoin.asofJoin(e, errors, Seq("user_id"), "ts", "ts",
+        Seq("event_id", "value"), rightPrefix = "prev_", strict = true)
+        .select("event_id", "user_id", "prev_event_id", "prev_value")
+        .orderBy("event_id")
+    }),
     // ---- custom aggregation surface (reference core.py:2560) ----
     "q_custom_agg" -> ((s, d) => {
       val li = T(s, d, "lineitem")
@@ -289,6 +299,11 @@ object LlmQueries {
           + " sum((width // 8 - 1) // 4 + 1)::BIGINT AS sum_sampled FROM ("
           + " SELECT source, text, (doc_id % 64) * 16 + 8 AS width, (doc_id % 48) * 16 + 8 AS height"
           + " FROM documents) GROUP BY 1 ORDER BY 1"),
+      "q_asof" ->
+        ("SELECT l.event_id, l.user_id, r.eid AS prev_event_id, r.v AS prev_value"
+          + " FROM events l ASOF LEFT JOIN"
+          + " (SELECT user_id u, ts rts, event_id eid, value v FROM events WHERE event_type = 'error') r"
+          + " ON l.user_id = r.u AND l.ts > r.rts ORDER BY l.event_id"),
       "q_custom_agg" ->
         ("SELECT l_returnflag, sum(l_quantity * l_quantity) AS sumsq_qty, count(l_quantity) AS n"
           + " FROM lineitem GROUP BY 1 ORDER BY 1"),

@@ -124,6 +124,24 @@ object GroupByReduce {
       .agg(min_by(v, struct(col("__n") * lit(-1L), v)).as(a.as))
   }
 
+  /** Reduce EVERY value column with the same func — the analog of the
+    * reference's xarray layer looping one reduction over all
+    * `data_vars` of a Dataset (xarray_reduce, xarray.py:410-440). Value
+    * columns default to every column that is not a grouping key (pass
+    * `values` to restrict). Output columns keep their input names. */
+  def reduceAll(
+      df: DataFrame,
+      by: Seq[String],
+      func: String,
+      values: Seq[String] = Nil,
+      pos: Option[Column] = None,
+      sort: Boolean = true): DataFrame = {
+    val vals =
+      if (values.nonEmpty) values
+      else df.columns.toSeq.filterNot(by.contains)
+    reduce(df, by, vals.map(c => Agg(func, c, c)), pos = pos, sort = sort)
+  }
+
   /** Build a 1-column expected-groups DataFrame from literal labels
     * (reference expected_groups list form, core.py:2087-2107). */
   def expectedDf(spark: org.apache.spark.sql.SparkSession, name: String, values: Seq[Any]): DataFrame = {

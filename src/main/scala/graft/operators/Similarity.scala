@@ -133,6 +133,25 @@ object Similarity {
     * for recall exactly like probing neighboring IVF lists in FAISS-style
     * indexes.
     */
+  /** Train the IVF coarse quantizer: `cells` centroids, quantized to the
+    * fixed-point grid. The index-build step — train once, reuse across
+    * queries (the returned array is tiny and serializable). */
+  def ivfTrain(
+      df: DataFrame,
+      embCol: String,
+      cells: Int = 16,
+      trainSample: Int = 10000,
+      seed: Long = 42L): Array[Seq[Long]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = df.select(array_to_vector(col(embCol).cast("array<double>")).as("features"))
+      .limit(trainSample)
+    // coarse cells only need rough centroids — few Lloyd iterations
+    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(8)
+      .setFeaturesCol("features").fit(train)
+    model.clusterCenters.map(c => c.toArray.toSeq.map(x => math.round(x * Quant)))
+  }
+
   def ivfNeighbors(
       df: DataFrame,
       idCol: String,
@@ -141,19 +160,11 @@ object Similarity {
       cells: Int = 16,
       nprobe: Int = 2,
       trainSample: Int = 10000,
-      seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      seed: Long = 42L,
+      centroids: Option[Array[Seq[Long]]] = None): DataFrame = {
     val spark = df.sparkSession
     GraftFunctions.register(spark)
-
-    val train = df.select(array_to_vector(col(embCol).cast("array<double>")).as("features"))
-      .limit(trainSample)
-    // coarse cells only need rough centroids — few Lloyd iterations
-    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(8)
-      .setFeaturesCol("features").fit(train)
-    val centroidsQ: Array[Seq[Long]] = model.clusterCenters.map(c =>
-      c.toArray.toSeq.map(x => math.round(x * Quant)))
+    val centroidsQ = centroids.getOrElse(ivfTrain(df, embCol, cells, trainSample, seed))
 
     val p = prepared(df, idCol, embCol)
     // nearest cells by ||x-c||^2 = nsq - 2 x.c + c.c: rank by (c.c - 2 x.c)

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // left: (key, t, tag) / right: (key, t, price, qty)
+  private def left = Seq(
+    ("a", 10L, "l1"), ("a", 20L, "l2"), ("a", 30L, "l3"),
+    ("b", 15L, "l4"), ("c", 5L, "l5")
+  ).toDF("k", "t", "tag")
+
+  private def right = Seq(
+    ("a", 10L, 1.0, 100L), ("a", 25L, 2.0, 200L),
+    ("b", 15L, 3.0, 300L), ("b", 14L, 4.0, 400L)
+  ).toDF("k", "rt", "price", "qty")
+
+  private def run(strict: Boolean, tol: Option[Long] = None) =
+    AsOfJoin.asofJoin(left, right, Seq("k"), "t", "rt",
+      Seq("price", "qty"), strict = strict, tolerance = tol.map(lit(_)))
+      .collect().map(r => r.getString(2) -> (r.get(3), r.get(4))).toMap
+
+  test("non-strict matches at-or-before; payload fields stay atomic") {
+    val r = run(strict = false)
+    assert(r("l1") == ((1.0, 100L)))   // equal time matches
+    assert(r("l2") == ((1.0, 100L)))   // 25 is in the future
+    assert(r("l3") == ((2.0, 200L)))   // latest of {10, 25}
+    assert(r("l4") == ((3.0, 300L)))   // 15 beats 14; price+qty from same row
+    assert(r("l5") == ((null, null)))  // key with no right rows
+  }
+
+  test("strict excludes equal-time right rows") {
+    val r = run(strict = true)
+    assert(r("l1") == ((null, null))) // only candidate was at t=10, equal
+    assert(r("l4") == ((4.0, 400L)))  // 15 excluded, falls back to 14
+  }
+
+  test("tolerance nulls out stale matches") {
+    val r = run(strict = false, tol = Some(6L))
+    assert(r("l2") == ((null, null))) // age 20-10=10 exceeds 6
+    assert(r("l1") == ((1.0, 100L)))  // age 0
+  }
+
+  test("tolerance boundary: age == tolerance is kept") {
+    val r = run(strict = false, tol = Some(10L))
+    assert(r("l2") == ((1.0, 100L)))  // age exactly 10
+    assert(r("l3") == ((2.0, 200L)))  // age 5
+  }
+}
