@@ -100,7 +100,13 @@ object GroupByReduce {
         }
     }
 
-    if (sort) reindexed.orderBy(keyCols: _*) else reindexed
+    // output columns in declared order: keys, expected-side extras
+    // (e.g. bin bounds), then aggs as requested (mode branches joined
+    // last above, so reorder explicitly)
+    val extras  = expected.map(_.columns.toSeq.filterNot(by.contains)).getOrElse(Nil)
+    val ordered = reindexed.select((by ++ extras ++ aggs.map(_.as)).map(col): _*)
+
+    if (sort) ordered.orderBy(keyCols: _*) else ordered
   }
 
   /** mode/nanmode (reference aggregations.py:573-574, kernel

@@ -25,7 +25,8 @@ object GroupByScan {
 
   val scanNames: Seq[String] = Seq(
     "cumsum", "nancumsum", "cumprod", "nancumprod",
-    "ffill", "bfill", "cumcount", "cummax", "cummin")
+    "ffill", "bfill", "cumcount",
+    "cummax", "cummin", "nancummax", "nancummin")
 
   /** Appends output column `as` = scan of `value` within each `by` group
     * ordered by `orderBy`. All other columns pass through (a scan is
@@ -62,7 +63,7 @@ object GroupByScan {
       case None => sum(c).over(w)
     }
 
-    val expr = scanExpr(func, v, vn, fwd, bwd, sumE)
+    val expr = scanExpr(func, v, vn, dt, fwd, bwd, sumE)
     df.withColumn(as, expr)
   }
 
@@ -70,6 +71,7 @@ object GroupByScan {
       func: String,
       v: Column,
       vn: Column,
+      dt: org.apache.spark.sql.types.DataType,
       fwd: WindowSpec,
       bwd: WindowSpec,
       sumE: (Column, WindowSpec) => Column): Column = {
@@ -90,8 +92,18 @@ object GroupByScan {
       case "bfill" => first(vn, ignoreNulls = true).over(bwd)
       // extras beyond the reference registry:
       case "cumcount" => count(vn).over(fwd)
-      case "cummax"   => max(vn).over(fwd)
-      case "cummin"   => min(vn).over(fwd)
+      // plain cummax/cummin propagate NaN from first occurrence (numpy
+      // semantics): running max over the raw column is exactly that,
+      // because Spark orders NaN above +Inf; cummin needs the explicit
+      // poison patch (NaN would never win a min).
+      case "cummax" => max(v).over(fwd)
+      case "cummin" =>
+        if (graft.functions.NanOps.isFloaty(dt))
+          when(max(isnan(v).cast("int")).over(fwd) === 1, lit(Double.NaN))
+            .otherwise(min(v).over(fwd))
+        else min(v).over(fwd)
+      case "nancummax" => max(vn).over(fwd)
+      case "nancummin" => min(vn).over(fwd)
       case other => throw new IllegalArgumentException(s"unknown scan: $other")
     }
   }
@@ -155,8 +167,13 @@ object GroupByScan {
       case "cumprod"                 => product(v)
       case "nancumprod"              => coalesce(product(vn), lit(1).cast("double"))
       case "cumcount"                => count(vn)
-      case "cummax"                  => max(vn)
-      case "cummin"                  => min(vn)
+      case "cummax"                  => max(v)
+      case "cummin" =>
+        if (graft.functions.NanOps.isFloaty(dt))
+          when(max(isnan(v).cast("int")) === 1, lit(Double.NaN)).otherwise(min(v))
+        else min(v)
+      case "nancummax"               => max(vn)
+      case "nancummin"               => min(vn)
       case "ffill"                   => max_by(vn, when(isValid(v, dt), struct(orderBy: _*)))
       case other => throw new IllegalArgumentException(s"scanChunked does not support: $other")
     }
@@ -167,8 +184,15 @@ object GroupByScan {
       case "cumsum" | "nancumsum"  => sum(col("__carry")).over(prevWin)
       case "cumprod" | "nancumprod" => product(col("__carry")).over(prevWin)
       case "cumcount"              => sum(col("__carry")).over(prevWin)
+      // max over raw carries: NaN sorts above +Inf, so a NaN carry
+      // dominates all later chunks — exactly the propagation we want
       case "cummax"                => max(col("__carry")).over(prevWin)
+      case "cummin" if isFloaty(dt) =>
+        when(max(isnan(col("__carry")).cast("int")).over(prevWin) === 1, lit(Double.NaN))
+          .otherwise(min(col("__carry")).over(prevWin))
       case "cummin"                => min(col("__carry")).over(prevWin)
+      case "nancummax"             => max(col("__carry")).over(prevWin)
+      case "nancummin"             => min(col("__carry")).over(prevWin)
       case "ffill"                 => last(col("__carry"), ignoreNulls = true).over(prevWin)
     }
     val carries = in.groupBy(chunkKey: _*).agg(carry.as("__carry"))
@@ -191,8 +215,15 @@ object GroupByScan {
       case "cumprod"    => col(as) * coalesce(col("__prev"), lit(1.0))
       case "nancumprod" => col(as) * coalesce(col("__prev"), lit(1.0))
       case "cumcount"   => col(as) + coalesce(col("__prev"), lit(0L))
+      // greatest: NaN wins (numpy propagation carries over chunks);
+      // least would wrongly discard NaN, so poison explicitly
       case "cummax"     => greatest(col(as), col("__prev"))
+      case "cummin" if isFloaty(dt) =>
+        when(isnan(col(as)) || coalesce(isnan(col("__prev")), lit(false)), lit(Double.NaN))
+          .otherwise(least(col(as), col("__prev")))
       case "cummin"     => least(col(as), col("__prev"))
+      case "nancummax"  => greatest(col(as), col("__prev"))
+      case "nancummin"  => least(col(as), col("__prev"))
       case "ffill"      => coalesce(col(as), col("__prev"))
     }
     joined.withColumn(as, combined).drop("__chunk", "__prev")

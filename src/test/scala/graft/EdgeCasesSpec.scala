@@ -130,6 +130,32 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(b == Seq(0, 0, 1, 1, null))
   }
 
+  test("string values: count/first/last/mode/countdistinct work dtype-preserving") {
+    val d = Seq((0, "b", 1L), (0, "a", 2L), (0, "a", 3L), (1, "z", 4L), (1, "y", 5L))
+      .toDF("label", "v", "pos")
+    val r = GroupByReduce.reduce(d, Seq("label"),
+      Seq(Agg("count", "v", "c"), Agg("first", "v", "f"), Agg("last", "v", "l"),
+        Agg("mode", "v", "m"), Agg("countdistinct", "v", "nd")),
+      pos = Some(col("pos")))
+      .collect().map(x => x.getInt(0) -> (x.getLong(1), x.getString(2), x.getString(3), x.getString(4), x.getLong(5))).toMap
+    assert(r(0) == ((3L, "b", "a", "a", 2L)))
+    assert(r(1) == ((2L, "z", "y", "y", 2L))) // mode tie -> smallest ("y" < "z")
+  }
+
+  test("timestamp values: min/max/first/last work natively") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val d = Seq((0, ts("2024-01-02 00:00:00"), 1L), (0, ts("2024-01-01 00:00:00"), 2L))
+      .toDF("label", "v", "pos")
+    val r = GroupByReduce.reduce(d, Seq("label"),
+      Seq(Agg("nanmin", "v", "mn"), Agg("nanmax", "v", "mx"),
+        Agg("first", "v", "f"), Agg("last", "v", "l")),
+      pos = Some(col("pos"))).head()
+    assert(r.getTimestamp(1) == ts("2024-01-01 00:00:00"))
+    assert(r.getTimestamp(2) == ts("2024-01-02 00:00:00"))
+    assert(r.getTimestamp(3) == ts("2024-01-02 00:00:00")) // first by pos
+    assert(r.getTimestamp(4) == ts("2024-01-01 00:00:00"))
+  }
+
   test("countdistinct is exact; approxcountdistinct agrees at low cardinality") {
     val d = (0 until 500).map(i => (i % 3, (i % 40).toDouble)).toDF("label", "v")
     val r = GroupByReduce.reduce(d, Seq("label"),

@@ -13,7 +13,7 @@ class ScanChunkedSpec extends AnyFunSuite {
   import spark.implicits._
 
   private val funcs = Seq("cumsum", "nancumsum", "cumprod", "nancumprod",
-    "cumcount", "cummax", "cummin", "ffill")
+    "cumcount", "cummax", "cummin", "nancummax", "nancummin", "ffill")
 
   // skewed: key 0 holds 80% of rows; NaNs sprinkled; whole chunks of
   // NaN-only data exercise the null-carry path

@@ -78,19 +78,35 @@ class ScanSpec extends AnyFunSuite {
     for ((p, w) <- want) assert(sameNum(got(p), w), s"pos=$p got ${got(p)} want $w")
   }
 
-  test("cummax/cummin track running extrema over valid values") {
+  test("nancummax/nancummin track running extrema over valid values") {
     val wantMax = perGroup { g =>
       var m: Option[Double] = None
       g.map { case (v, p) => if (!v.isNaN) m = Some(m.fold(v)(math.max(_, v))); p -> m }
     }
-    val got = run("cummax")
-    for ((p, w) <- wantMax) assert(sameNum(got(p), w), s"cummax pos=$p")
+    val got = run("nancummax")
+    for ((p, w) <- wantMax) assert(sameNum(got(p), w), s"nancummax pos=$p")
     val wantMin = perGroup { g =>
       var m: Option[Double] = None
       g.map { case (v, p) => if (!v.isNaN) m = Some(m.fold(v)(math.min(_, v))); p -> m }
     }
-    val gotMin = run("cummin")
-    for ((p, w) <- wantMin) assert(sameNum(gotMin(p), w), s"cummin pos=$p")
+    val gotMin = run("nancummin")
+    for ((p, w) <- wantMin) assert(sameNum(gotMin(p), w), s"nancummin pos=$p")
+  }
+
+  test("plain cummax/cummin propagate NaN from first occurrence (numpy)") {
+    for (func <- Seq("cummax", "cummin")) {
+      val want = perGroup { g =>
+        var m: Option[Double] = None
+        var poisoned = false
+        g.map { case (v, p) =>
+          if (v.isNaN) poisoned = true
+          else m = Some(m.fold(v)(x => if (func == "cummax") math.max(x, v) else math.min(x, v)))
+          p -> (if (poisoned) Some(Double.NaN) else m)
+        }
+      }
+      val got = run(func)
+      for ((p, w) <- want) assert(sameNum(got(p), w), s"$func pos=$p got ${got(p)} want $w")
+    }
   }
 
   test("nancumprod multiplies valid values, identity 1 before first valid") {
