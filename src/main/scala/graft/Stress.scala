@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Dev tool: scale-stress the bucketed operators on an N-fold expansion
+  * of the provided tables (ids offset per replica so replicas are exact
+  * duplicates of each other — a worst-ish case for dedup: every content
+  * key collides N ways). Prints wall-clock per operator; the check is
+  * that times grow ~linearly with N, i.e. no all-pairs blowup.
+  *
+  * Usage: runMain graft.Stress [sfDir] [replicas]
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val n = if (args.length > 1) args(1).toInt else 8
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def expand(t: String, idCol: String): DataFrame = {
+      val base = spark.read.parquet(s"$sfDir/$t.parquet")
+      (0 until n).map(i => base.withColumn(idCol, col(idCol) + lit(i.toLong * 10000000L)))
+        .reduce(_ unionByName _)
+    }
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[stress] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$rows")
+    }
+
+    val docs = expand("documents", "doc_id").persist()
+    val embs = expand("embeddings", "vec_id").persist()
+    println(s"[stress] ${docs.count()} docs, ${embs.count()} vectors (x$n of $sfDir)")
+
+    time("exactDedup")(Dedup.exactDedup(docs, "doc_id", "text").count())
+    time("nearDupPairs")(Dedup.nearDupPairs(docs, "doc_id", "text").count())
+    time("simhashPairs")(Dedup.simhashPairs(docs, "doc_id", "text").count())
+    time("lshNeighbors")(Similarity.lshNeighbors(embs, "vec_id", "embedding", 0.35, planes = 8).count())
+    time("ivfNeighbors")(Similarity.ivfNeighbors(embs, "vec_id", "embedding", 0.35, cells = 64).count())
+    spark.stop()
+  }
+}
