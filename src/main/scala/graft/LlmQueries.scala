@@ -149,6 +149,31 @@ object LlmQueries {
         .select("event_id", "user_id", "prev_event_id", "prev_value")
         .orderBy("event_id")
     }),
+    // Gap-based sessionization (30-min gaps) - events stitched into
+    // conversation-shaped sessions, then per-session stats.
+    "q_sessionize" -> ((s, d) =>
+      Sessionize.sessions(SparkEntry.ev(s, d), Seq("user_id"), "ts",
+        gapSeconds = 1800, valueCol = "value")
+        .orderBy("user_id", "session")),
+    // Dense multi-key output domain: returnflag x linestatus cross
+    // product incl. never-observed combos, filled (the reference's
+    // grp_shape hyper-rectangle, tests/test_core.py:1336-1384).
+    "q_multikey_dense" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val expected = GroupByReduce.expectedCross(
+        GroupByReduce.expectedDf(s, "l_returnflag", Seq("A", "N", "R", "X")),
+        GroupByReduce.expectedDf(s, "l_linestatus", Seq("F", "O")))
+      GroupByReduce.reduce(li, Seq("l_returnflag", "l_linestatus"),
+        Seq(Agg("count", "l_quantity", "n", fill = Some(0L)),
+          Agg("nansum", "l_quantity", "sum_qty", fill = Some(0.0))),
+        expected = Some(expected))
+    }),
+    // reduceAll: one func over several value columns in one pass (the
+    // xarray multi-variable layer, reference xarray.py:410-440).
+    "q_reduce_all" -> ((s, d) =>
+      GroupByReduce.reduceAll(T(s, d, "lineitem"), Seq("l_returnflag"),
+        "nanmean", values = Seq("l_quantity", "l_discount", "l_tax"),
+        exactScale = Some(2))),
     // ---- custom aggregation surface (reference core.py:2560) ----
     "q_custom_agg" -> ((s, d) => {
       val li = T(s, d, "lineitem")
@@ -299,6 +324,28 @@ object LlmQueries {
           + " sum((width // 8 - 1) // 4 + 1)::BIGINT AS sum_sampled FROM ("
           + " SELECT source, text, (doc_id % 64) * 16 + 8 AS width, (doc_id % 48) * 16 + 8 AS height"
           + " FROM documents) GROUP BY 1 ORDER BY 1"),
+      "q_sessionize" ->
+        ("WITH s AS (SELECT user_id, ts, value,"
+          + " CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000"
+          + " THEN 1 ELSE 0 END AS isnew FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),"
+          + " t AS (SELECT user_id, ts, value, CAST(sum(isnew) OVER (PARTITION BY user_id ORDER BY ts"
+          + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session FROM s)"
+          + " SELECT user_id, session, min(ts) AS session_start, max(ts) AS session_end,"
+          + " count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
+          + " FROM t GROUP BY 1, 2 ORDER BY 1, 2"),
+      "q_multikey_dense" ->
+        ("SELECT f.l_returnflag, s.l_linestatus, coalesce(n, 0) AS n, coalesce(sum_qty, 0.0) AS sum_qty"
+          + " FROM (VALUES ('A'), ('N'), ('R'), ('X')) f(l_returnflag)"
+          + " CROSS JOIN (VALUES ('F'), ('O')) s(l_linestatus)"
+          + " LEFT JOIN (SELECT l_returnflag, l_linestatus, count(l_quantity) AS n,"
+          + " sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1, 2) r"
+          + " USING (l_returnflag, l_linestatus) ORDER BY 1, 2"),
+      "q_reduce_all" ->
+        ("SELECT l_returnflag,"
+          + " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS l_quantity,"
+          + " CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount) AS l_discount,"
+          + " CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) / count(l_tax) AS l_tax"
+          + " FROM lineitem GROUP BY 1 ORDER BY 1"),
       "q_asof" ->
         ("SELECT l.event_id, l.user_id, r.eid AS prev_event_id, r.v AS prev_value"
           + " FROM events l ASOF LEFT JOIN"

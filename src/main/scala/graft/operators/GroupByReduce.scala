@@ -141,11 +141,23 @@ object GroupByReduce {
       func: String,
       values: Seq[String] = Nil,
       pos: Option[Column] = None,
+      exactScale: Option[Int] = None,
       sort: Boolean = true): DataFrame = {
     val vals =
       if (values.nonEmpty) values
       else df.columns.toSeq.filterNot(by.contains)
-    reduce(df, by, vals.map(c => Agg(func, c, c)), pos = pos, sort = sort)
+    reduce(df, by, vals.map(c => Agg(func, c, c, exactScale = exactScale)),
+      pos = pos, sort = sort)
+  }
+
+  /** Dense multi-key output domain: cross-product of per-key expected
+    * DataFrames — the reference's hyper-rectangular `grp_shape` output
+    * (core.py:842-851, reshape core.py:2698-2702; tested at
+    * tests/test_core.py:1336-1384). Tiny dimension tables: the cross
+    * join stays broadcast-sized. */
+  def expectedCross(dfs: DataFrame*): DataFrame = {
+    require(dfs.nonEmpty, "need at least one expected-groups frame")
+    dfs.reduce(_ crossJoin _)
   }
 
   /** Build a 1-column expected-groups DataFrame from literal labels
