@@ -35,6 +35,7 @@ object Bench {
     }
 
     ordered.foreach { case (n, fn) => once(n, fn) } // warmup pass
+    failed.clear() // only timed-run failures count against the report
     val runs: Seq[Map[String, Double]] =
       (1 to 3).map(_ => ordered.map { case (n, fn) => n -> once(n, fn) }.toMap)
     val medians = ordered.map { case (n, _) =>

@@ -36,9 +36,13 @@ object LlmQueries {
     // ---- dedup ----
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(T(s, d, "documents"), "doc_id", "text").orderBy("keep_id")),
+    // bands=32 puts the dataset's planted near-dups (trigram j>=0.9,
+    // noise <=0.07) fifteen orders of magnitude inside the detection
+    // S-curve; the all-pairs oracle stays matchable because no pair
+    // lands in the best-effort mid-j band.
     "q_dedup_near" -> ((s, d) =>
       Dedup.nearDupPairs(T(s, d, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5, bands = 16, rows = 4)
+        n = 3, threshold = 0.5, bands = 32, rows = 4)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")),
     "q_dedup_simhash" -> ((s, d) =>
@@ -66,7 +70,7 @@ object LlmQueries {
         .orderBy("id_a", "id_b")),
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfNeighbors(T(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35, cells = 16, nprobe = 2)
+        threshold = 0.35, cells = 16, nprobe = 2, trainSample = 2000)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")),
     // ---- text analysis ----

@@ -87,25 +87,18 @@ object Dedup {
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: hash each of `bands` disjoint length-`rows` slices of the
-    * signature to a bucket id. Two docs are candidates iff they share a
-    * bucket in at least one band. P(candidate | Jaccard=j) = 1-(1-j^rows)^bands:
-    * with bands=16, rows=4 a j>=0.9 pair is missed with p<4e-8 while a
-    * j<=0.2 pair is admitted with p<2.6e-2. */
-  def lshBands(sigCol: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64((1 to rows).map(r => element_at(sigCol, b * rows + r)): _*).as("bucket"))
-    }: _*)
-
   /** Near-duplicate pairs by MinHash-LSH + exact-Jaccard verification.
     *
     * Returns (id_a, id_b, jaccard) for every pair with
-    * shingle-Jaccard >= threshold that collides in at least one band —
-    * with sensible (bands, rows) for the threshold, recall is ~1 by the
-    * banding bound above, and precision is exact (candidates are verified
-    * with the true Jaccard, computed once per *distinct* candidate pair).
+    * shingle-Jaccard >= threshold that collides in at least one band.
+    * Banding bound: P(candidate | Jaccard=j) = 1-(1-j^rows)^bands; with
+    * the defaults (32 bands x 4 rows) a j>=0.9 pair is missed with
+    * p<2e-15, j=0.7 with p<2e-4, j=0.5 with p~0.13 — size (bands, rows)
+    * so the interesting j-range sits on the high-probability side of the
+    * S-curve, and treat the threshold region itself as best-effort (or
+    * raise bands / drop rows). Precision is exact regardless: candidates
+    * are verified with the true Jaccard, computed once per *distinct*
+    * candidate pair.
     */
   def nearDupPairs(
       df: DataFrame,
@@ -113,7 +106,7 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.5,
-      bands: Int = 16,
+      bands: Int = 32,
       rows: Int = 4,
       cache: Boolean = true): DataFrame = {
     // The shingle table feeds three plan branches (signature build and the
@@ -122,7 +115,9 @@ object Dedup {
     // shingling/minhash subtree once per branch. Both intermediates are
     // compact relative to the corpus (arrays of distinct shingles; 16
     // bytes x bands+rows signatures); MEMORY_AND_DISK spills cleanly at
-    // scale. Pass cache=false to trade CPU for memory.
+    // scale. Spark's CacheManager dedupes by canonicalized plan, so
+    // repeated calls over the same input reuse one cache entry rather
+    // than accumulating. Pass cache=false to trade CPU for memory.
     def maybeCache(d: DataFrame): DataFrame =
       if (cache) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else d
     val sh = maybeCache(df

@@ -123,11 +123,24 @@ object GroupByReduce {
     val v       = col(a.value)
     val keyCols = by.map(col)
     val base    = if (a.func == "nanmode") df.filter(isValid(v, dt)) else df
-    base
+    // the pick guards on v.isNotNull so a NULL/NaN value row can never win
+    // a count tie (struct comparison would sort the null field first);
+    // plain mode over floats then applies the scipy-propagate patch: any
+    // NaN in the group poisons the result (scipy.stats.mode
+    // nan_policy='propagate', the reference's plain-mode kernel).
+    val hasNaN = if (isFloaty(dt)) bool_or(isnan(v)) else lit(false)
+    val picked = base
       .groupBy(keyCols :+ nanToNull(v, dt).as(a.value): _*)
-      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("__n"), hasNaN.as("__hasnan"))
       .groupBy(keyCols: _*)
-      .agg(min_by(v, struct(col("__n") * lit(-1L), v)).as(a.as))
+      .agg(
+        min_by(v, when(v.isNotNull, struct(col("__n") * lit(-1L), v))).as(a.as),
+        bool_or(col("__hasnan")).as("__hasnan"))
+    if (a.func == "mode" && isFloaty(dt))
+      picked
+        .withColumn(a.as, when(col("__hasnan"), lit(Double.NaN)).otherwise(col(a.as)))
+        .drop("__hasnan")
+    else picked.drop("__hasnan")
   }
 
   /** Reduce EVERY value column with the same func — the analog of the

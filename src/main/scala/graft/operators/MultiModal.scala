@@ -46,7 +46,11 @@ object MultiModal {
       .groupBy(keyCols: _*)
       .agg(
         count(lit(1)).as("n"),
-        (sqrt(sum(col("nsq")).cast("double") / count(lit(1))) / Similarity.Quant).as("rms_norm"),
+        // nsq itself fits a long, but a group's SUM of ~1e15 squared norms
+        // wraps past 2^63 around 10^4-10^7 rows — sum in decimal(38,0)
+        // (exact, order-free) and cast once
+        (sqrt(sum(col("nsq").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / count(lit(1))) / Similarity.Quant).as("rms_norm"),
         (sqrt(max(col("nsq")).cast("double")) / Similarity.Quant).as("max_norm"))
   }
 

@@ -115,35 +115,11 @@ object Similarity {
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Approximate near-neighbor pairs: candidates share a bucket in at
-    * least one of `tables` hyperplane tables, then are exactly verified
-    * (cosine >= threshold). Recall < 1 by LSH nature — tune `tables` up /
-    * `planes` down to raise it (measured by the recall spec against
-    * [[bruteForcePairs]]).
-    *
-    * SIZE `planes` WITH THE CORPUS: expected bucket occupancy is
-    * n / 2^planes per table, and candidate cost is quadratic in it —
-    * pick planes ≈ log2(n / a-few-hundred). Measured (graft.Stress, 16k
-    * vectors): planes=4 (16 buckets) degenerates toward all-pairs at
-    * 67 s; planes=8 (256 buckets) runs in 9 s. At higher similarity
-    * thresholds more planes also keep recall (per-bit collision prob
-    * rises with cosine), which is the regime near-dup detection runs in. */
-  /** IVF (inverted-file) approximate neighbor pairs — the
-    * cluster-then-search alternative to [[lshNeighbors]].
-    *
-    * A coarse quantizer (spark.ml KMeans, trained on a driver-side sample
-    * of `trainSample` rows — the model is a handful of centroids, not
-    * data-scale state) partitions the corpus into `cells`; each vector is
-    * assigned its `nprobe` nearest cells *by expression* (distances via
-    * the native integer dot against literal quantized centroids — no UDF,
-    * no ml transform on the hot path), and candidates are pairs sharing a
-    * cell. Exact verification as always. Raising nprobe trades compute
-    * for recall exactly like probing neighboring IVF lists in FAISS-style
-    * indexes.
-    */
   /** Train the IVF coarse quantizer: `cells` centroids, quantized to the
     * fixed-point grid. The index-build step — train once, reuse across
-    * queries (the returned array is tiny and serializable). */
+    * queries (the returned array is tiny and serializable). Degrades
+    * gracefully on small corpora: k clamps to the sample size; empty
+    * sample -> no centroids. */
   def ivfTrain(
       df: DataFrame,
       embCol: String,
@@ -154,12 +130,26 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val train = df.select(array_to_vector(col(embCol).cast("array<double>")).as("features"))
       .limit(trainSample)
+    val n = train.count()
+    if (n == 0) return Array.empty
     // coarse cells only need rough centroids — few Lloyd iterations
-    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(8)
+    val model = new KMeans().setK(math.min(cells.toLong, n).toInt).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("features").fit(train)
     model.clusterCenters.map(c => c.toArray.toSeq.map(x => math.round(x * Quant)))
   }
 
+  /** IVF (inverted-file) approximate neighbor pairs — the
+    * cluster-then-search alternative to [[lshNeighbors]].
+    *
+    * The coarse quantizer ([[ivfTrain]], or precomputed `centroids`)
+    * partitions the corpus into cells; each vector is assigned its
+    * `nprobe` nearest cells *by expression* (distances via the native
+    * integer dot against literal quantized centroids — no UDF, no ml
+    * transform on the hot path), and candidates are pairs sharing a
+    * cell. Exact verification as always. Raising nprobe trades compute
+    * for recall exactly like probing neighboring IVF lists in FAISS-style
+    * indexes.
+    */
   def ivfNeighbors(
       df: DataFrame,
       idCol: String,
@@ -173,8 +163,10 @@ object Similarity {
     val spark = df.sparkSession
     GraftFunctions.register(spark)
     val centroidsQ = centroids.getOrElse(ivfTrain(df, embCol, cells, trainSample, seed))
-
     val p = prepared(df, idCol, embCol)
+    if (centroidsQ.isEmpty) // empty corpus: empty result, right schema
+      return p.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cos")).where(lit(false))
     // nearest cells by ||x-c||^2 = nsq - 2 x.c + c.c: rank by (c.c - 2 x.c)
     val cellScores = array(centroidsQ.zipWithIndex.map { case (c, i) =>
       val cc = c.map(x => x * x).sum
@@ -197,6 +189,23 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Approximate near-neighbor pairs: candidates share a bucket in at
+    * least one of `tables` hyperplane tables, then are exactly verified
+    * (cosine >= threshold). Recall < 1 by LSH nature — tune `tables` up /
+    * `planes` down to raise it (measured by the recall spec against
+    * [[bruteForcePairs]]).
+    *
+    * SIZE `planes` WITH THE CORPUS: expected bucket occupancy is
+    * n / 2^planes per table, and candidate cost is quadratic in it —
+    * pick planes ≈ log2(n / a-few-hundred). Measured (graft.Stress, 16k
+    * vectors): planes=4 (16 buckets) degenerates toward all-pairs at
+    * 67 s; planes=8 (256 buckets) runs in 9 s. At higher similarity
+    * thresholds more planes also keep recall (per-bit collision prob
+    * rises with cosine), which is the regime near-dup detection runs in.
+    *
+    * `dim` <= 0 (default) derives the dimension from the first corpus row
+    * — hyperplanes must span the full vector or buckets silently hash a
+    * subspace. */
   def lshNeighbors(
       df: DataFrame,
       idCol: String,
@@ -204,12 +213,18 @@ object Similarity {
       threshold: Double,
       planes: Int = 8,
       tables: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 0): DataFrame = {
     val p = prepared(df, idCol, embCol)
+    val actualDim =
+      if (dim > 0) dim
+      else df.select(size(col(embCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    if (actualDim == 0)
+      return p.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cos")).where(lit(false))
     val buckets = p.select(
       col("id"),
       explode(array((0 until tables).map { t =>
-        struct(lit(t).as("t"), lshBucket(col("q"), t, planes, dim).as("bucket"))
+        struct(lit(t).as("t"), lshBucket(col("q"), t, planes, actualDim).as("bucket"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.t"), col("bk.bucket"))
     val cand = buckets.as("a")

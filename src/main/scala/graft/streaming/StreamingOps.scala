@@ -36,7 +36,11 @@ object StreamingOps {
       watermark: Option[String] = None,
       slideDuration: Option[String] = None): DataFrame = {
     require(aggs.nonEmpty, "need at least one aggregation")
-    val in = watermark.fold(stream)(w => stream.withWatermark(tsCol, w))
+    // batch parity: missing group labels (NULL / float NaN) are dropped,
+    // exactly like GroupByReduce.reduce (reference core.py:2691-2702)
+    val labeled = by.foldLeft(stream)((d, k) =>
+      d.filter(graft.functions.NanOps.isValid(col(k), stream.schema(k).dataType)))
+    val in = watermark.fold(labeled)(w => labeled.withWatermark(tsCol, w))
     val win = slideDuration.fold(window(col(tsCol), windowDuration))(
       s => window(col(tsCol), windowDuration, s))
     val cols = aggs.map { a =>

@@ -79,7 +79,7 @@ object BruteForce {
       case "nanmedian"   => interp(v, 0.5)
       case "quantile"    => poison(interp(v, q))
       case "nanquantile" => interp(v, q)
-      case "mode"    => mode(vs) // callers use NaN-free data for plain mode
+      case "mode"    => poison(mode(v)) // scipy nan_policy='propagate'
       case "nanmode" => mode(v)
       case other     => throw new IllegalArgumentException(other)
     }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Operators must degrade gracefully on empty inputs (empty source
+  * partition, a filter that matched nothing) — no exceptions, sane empty
+  * or fully-filled results. */
+class EmptyInputSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def emptyVals = Seq.empty[(Int, Double, Long)].toDF("label", "v", "pos")
+
+  test("reduce on empty input returns no groups; expected-groups still densify") {
+    assert(GroupByReduce.reduce(emptyVals, Seq("label"),
+      Seq(Agg("nansum", "v", "s"))).count() == 0)
+    val r = GroupByReduce.reduce(emptyVals, Seq("label"),
+      Seq(Agg("count", "v", "n", fill = Some(0L))),
+      expected = Some(GroupByReduce.expectedDf(spark, "label", Seq(1, 2))))
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r == Map(1 -> 0L, 2 -> 0L))
+  }
+
+  test("scans and chunked scans on empty input return empty") {
+    assert(GroupByScan.scan(emptyVals, "v", Seq("label"), "nancumsum",
+      Seq(col("pos")), "r").count() == 0)
+    assert(GroupByScan.scanChunked(emptyVals, "v", Seq("label"), "nancumsum",
+      Seq(col("pos")), floor(col("pos") / 4), "r").count() == 0)
+  }
+
+  test("dedup family on empty input returns empty") {
+    assert(Dedup.exactDedup(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.nearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("similarity on empty input returns empty") {
+    val e = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.bruteForcePairs(e, "vec_id", "embedding", 0.5).count() == 0)
+    assert(Similarity.lshNeighbors(e, "vec_id", "embedding", 0.5).count() == 0)
+    assert(Similarity.ivfNeighbors(e, "vec_id", "embedding", 0.5).count() == 0)
+    assert(Similarity.topK(e, e, "vec_id", "embedding", 3).count() == 0)
+  }
+
+  test("ivfNeighbors on a corpus smaller than `cells` clamps k") {
+    val e = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.ivfNeighbors(e, "vec_id", "embedding", 0.9, cells = 16)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((1L, 2L)))
+  }
+
+  test("mode-only reduce on empty input returns empty (full-outer branch)") {
+    assert(GroupByReduce.reduce(emptyVals, Seq("label"),
+      Seq(Agg("nanmode", "v", "m"))).count() == 0)
+  }
+
+  test("sessionize on empty input returns empty") {
+    val d = Seq.empty[(String, java.sql.Timestamp, Double)].toDF("user_id", "t", "v")
+    assert(Sessionize.sessions(d, Seq("user_id"), "t", 600, "v").count() == 0)
+  }
+}

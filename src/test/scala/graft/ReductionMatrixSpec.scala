@@ -91,6 +91,14 @@ class ReductionMatrixSpec extends AnyFunSuite {
     check(dirty, "nanmode")
   }
 
+  test("plain mode propagates NaN (scipy nan_policy='propagate'); ties never won by NULL") {
+    // group 0 and 1 contain NaN -> NaN; group 2 clean; within group 1 the
+    // NaN count (2) ties the 7.0 count in the nanmode variant
+    val vals = Seq(Double.NaN, 2.0, 3.0, 3.0, 5.0, Double.NaN, 7.0, 3.0, 5.0, 7.0, Double.NaN, 2.0)
+    check(vals, "mode")
+    check(vals, "nanmode")
+  }
+
   test("any/all on a boolean predicate column") {
     val d = labels.zip(clean).toDF("label", "v").withColumn("b", col("v") > 5.0)
     val got = GroupByReduce.reduce(d, Seq("label"),
