@@ -153,6 +153,16 @@ object LlmQueries {
         .select("event_id", "user_id", "prev_event_id", "prev_value")
         .orderBy("event_id")
     }),
+    // Running-extrema scans: plain cummax/cummin propagate NaN (numpy),
+    // nan* variants skip — closing the last untested scan funcs.
+    "q_cummax" -> ((s, d) =>
+      GroupByScan.scan(SparkEntry.ev(s, d), "valn", Seq("user_id"), "cummax",
+        Seq(col("ts"), col("event_id")), "run_max")
+        .select("event_id", "user_id", "run_max").orderBy("event_id")),
+    "q_nancummin" -> ((s, d) =>
+      GroupByScan.scan(SparkEntry.ev(s, d), "valn", Seq("user_id"), "nancummin",
+        Seq(col("ts"), col("event_id")), "run_min")
+        .select("event_id", "user_id", "run_min").orderBy("event_id")),
     // Gap-based sessionization (30-min gaps) - events stitched into
     // conversation-shaped sessions, then per-session stats.
     "q_sessionize" -> ((s, d) =>
@@ -328,6 +338,14 @@ object LlmQueries {
           + " sum((width // 8 - 1) // 4 + 1)::BIGINT AS sum_sampled FROM ("
           + " SELECT source, text, (doc_id % 64) * 16 + 8 AS width, (doc_id % 48) * 16 + 8 AS height"
           + " FROM documents) GROUP BY 1 ORDER BY 1"),
+      "q_cummax" ->
+        ("SELECT event_id, user_id, max(CASE WHEN event_type = 'error' THEN CAST('nan' AS DOUBLE) ELSE value END)"
+          + " OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+          + " AS run_max FROM events ORDER BY event_id"),
+      "q_nancummin" ->
+        ("SELECT event_id, user_id, min(CASE WHEN event_type = 'error' THEN NULL ELSE value END)"
+          + " OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+          + " AS run_min FROM events ORDER BY event_id"),
       "q_sessionize" ->
         ("WITH s AS (SELECT user_id, ts, value,"
           + " CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000"
