@@ -17,7 +17,7 @@ object Stress {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = if (args.length > 1) args(1).toInt else 8
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
