@@ -87,6 +87,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(finals == batch)
   }
 
+  test("dedup state survives a restart: duplicates across micro-batch boundaries drop") {
+    val inDir = tmpDir("graft-stream-in2")
+    val ckpt = tmpDir("graft-ckpt2")
+    def batch(rows: Seq[(String, String)], file: String): Unit =
+      rows.map { case (t, x) => (java.sql.Timestamp.valueOf(t), x) }
+        .toDF("ts", "text").coalesce(1).write.mode("append").parquet(inDir)
+    val schema = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x"))
+      .toDF("ts", "text").schema
+
+    val outDir = tmpDir("graft-stream-out2")
+    def runOnce(): Seq[String] = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val q = StreamingOps.dedupExact(stream, "text", "ts", "10 minutes")
+        .writeStream.format("parquet") // recoverable sink, unlike memory
+        .option("path", outDir)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).select("text").collect().map(_.getString(0)).sorted.toSeq
+    }
+
+    batch(Seq(("2024-01-01 00:00:01", "aaa"), ("2024-01-01 00:00:02", "bbb")), "b1")
+    assert(runOnce() == Seq("aaa", "bbb"))
+    // restart with new files: "aaa" duplicates batch-1 state and must drop
+    batch(Seq(("2024-01-01 00:00:03", "aaa"), ("2024-01-01 00:00:04", "ccc")), "b2")
+    assert(runOnce() == Seq("aaa", "bbb", "ccc"),
+      "checkpointed dedup state must survive the restart: only 'ccc' appended")
+  }
+
   test("GraftExtensions injects graft_dotq for SQL use") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // constructs without error; SQL path via register:
