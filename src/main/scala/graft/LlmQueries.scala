@@ -129,6 +129,21 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"), sum("wst").as("ws_tokens"),
           sum("bpet").as("bpe_tokens"))
         .orderBy("source")),
+    // End-to-end pipeline composition: quality gate -> exact dedup
+    // (keep-first survivors joined back) -> per-language stats. The shape
+    // a production ingest run takes; every stage is one of the operators
+    // above, so the whole chain stays a single Catalyst plan.
+    "q_pipeline" -> ((s, d) => {
+      val filtered = T(s, d, "documents")
+        .where(TextAnalysis.qualityScore(col("text")) >= 600)
+      val survivors = Dedup.exactDedup(filtered, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      filtered.join(survivors, "doc_id")
+        .select(col("lang"), size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("total_tokens"))
+        .orderBy("lang")
+    }),
     // ---- multimodal ----
     "q_embed_mean" -> ((s, d) =>
       MultiModal.embedMean(T(s, d, "embeddings"), Seq("label"), "embedding")
@@ -331,6 +346,14 @@ object LlmQueries {
         ("SELECT source, count(*) AS n_docs, sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,"
           + " sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS bpe_tokens"
           + " FROM documents GROUP BY 1 ORDER BY 1"),
+      "q_pipeline" ->
+        (s"WITH filtered AS (SELECT doc_id, lang, text FROM ("
+          + s" SELECT doc_id, lang, text, $scoreExpr AS score FROM"
+          + " (SELECT doc_id, lang, text, string_split(text, ' ') w FROM documents))"
+          + " WHERE score >= 600),"
+          + " surv AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY text)"
+          + " SELECT lang, count(*) AS n_docs, sum(len(string_split(text, ' ')))::BIGINT AS total_tokens"
+          + " FROM filtered JOIN surv USING (doc_id) GROUP BY 1 ORDER BY 1"),
       "q_embed_mean" ->
         (s"SELECT label, i - 1 AS pos, sum(q[i])::DOUBLE / (1000000.0 * count(*)) AS emb_mean"
           + s" FROM (SELECT label, $QuantSqlDouble q FROM embeddings), (SELECT unnest(range(1, 65)) AS i)"
