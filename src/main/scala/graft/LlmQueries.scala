@@ -74,9 +74,14 @@ object LlmQueries {
     "q_ann_ivf" -> ((s, d) => {
       // IVF index-build-once semantics: centroids train on first use per
       // corpus and are reused (they are a tiny serializable array) — the
-      // query path measures search, not repeated training.
-      val centroids = ivfIndexCache.computeIfAbsent(d, _ =>
-        Similarity.ivfTrain(T(s, d, "embeddings"), "embedding", cells = 16, trainSample = 2000))
+      // query path measures search, not repeated training. Keyed by the
+      // (immutable, driver-generated) data dir; an empty training result
+      // is never cached so late-arriving data retrains.
+      val centroids = Option(ivfIndexCache.get(d)).getOrElse {
+        val c = Similarity.ivfTrain(T(s, d, "embeddings"), "embedding", cells = 16, trainSample = 2000)
+        if (c.nonEmpty) ivfIndexCache.put(d, c)
+        c
+      }
       Similarity.ivfNeighbors(T(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.35, cells = 16, nprobe = 2, centroids = Some(centroids))
         .withColumn("cos", round(col("cos"), 6))
@@ -136,9 +141,9 @@ object LlmQueries {
     "q_pipeline" -> ((s, d) => {
       val filtered = T(s, d, "documents")
         .where(TextAnalysis.qualityScore(col("text")) >= 600)
-      val survivors = Dedup.exactDedup(filtered, "doc_id", "text")
-        .select(col("keep_id").as("doc_id"))
-      filtered.join(survivors, "doc_id")
+      // row-preserving dedup: one window pass, so the quality-scored
+      // subtree is evaluated exactly once (no survivor join-back)
+      Dedup.dropDuplicatesKeepFirst(filtered, "doc_id", "text")
         .select(col("lang"), size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("nt").as("total_tokens"))

@@ -87,6 +87,19 @@ object Dedup {
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact dedup in row-preserving form: keeps each content's
+    * smallest-id row with ALL its columns (exactDedup returns only the
+    * survivor summary). One window over the content fingerprint — a
+    * single shuffle, no join-back, so a pipeline stage consuming the
+    * survivors never re-computes its upstream. */
+  def dropDuplicatesKeepFirst(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val (h1, h2) = contentKey(col(contentCol))
+    df.withColumn("__rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(h1, h2).orderBy(col(idCol))))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
   /** Near-duplicate pairs by MinHash-LSH + exact-Jaccard verification.
     *
     * Returns (id_a, id_b, jaccard) for every pair with

@@ -24,6 +24,12 @@ class DedupSpec extends AnyFunSuite {
     assert(r == Map(1L -> 3L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("dropDuplicatesKeepFirst keeps the smallest-id row with all columns") {
+    val kept = Dedup.dropDuplicatesKeepFirst(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L)) // 2 and 5 are copies of 1
+  }
+
   test("shingles produce size-n word windows, distinct, with short-doc fallback") {
     val d = Seq("a b c d", "a b").toDF("text")
       .select(Dedup.shingles(col("text"), 3).as("sh"))

@@ -90,7 +90,7 @@ class StreamingSpec extends AnyFunSuite {
   test("dedup state survives a restart: duplicates across micro-batch boundaries drop") {
     val inDir = tmpDir("graft-stream-in2")
     val ckpt = tmpDir("graft-ckpt2")
-    def batch(rows: Seq[(String, String)], file: String): Unit =
+    def batch(rows: Seq[(String, String)]): Unit =
       rows.map { case (t, x) => (java.sql.Timestamp.valueOf(t), x) }
         .toDF("ts", "text").coalesce(1).write.mode("append").parquet(inDir)
     val schema = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x"))
@@ -109,10 +109,10 @@ class StreamingSpec extends AnyFunSuite {
       spark.read.parquet(outDir).select("text").collect().map(_.getString(0)).sorted.toSeq
     }
 
-    batch(Seq(("2024-01-01 00:00:01", "aaa"), ("2024-01-01 00:00:02", "bbb")), "b1")
+    batch(Seq(("2024-01-01 00:00:01", "aaa"), ("2024-01-01 00:00:02", "bbb")))
     assert(runOnce() == Seq("aaa", "bbb"))
     // restart with new files: "aaa" duplicates batch-1 state and must drop
-    batch(Seq(("2024-01-01 00:00:03", "aaa"), ("2024-01-01 00:00:04", "ccc")), "b2")
+    batch(Seq(("2024-01-01 00:00:03", "aaa"), ("2024-01-01 00:00:04", "ccc")))
     assert(runOnce() == Seq("aaa", "bbb", "ccc"),
       "checkpointed dedup state must survive the restart: only 'ccc' appended")
   }
