@@ -50,4 +50,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(r("l2") == ((1.0, 100L)))  // age exactly 10
     assert(r("l3") == ((2.0, 200L)))  // age 5
   }
+
+  test("randomized: matches a brute-force scan for both strict modes") {
+    val rnd = new scala.util.Random(20260812L)
+    val keys = Seq("a", "b", "c")
+    // distinct times per (key, side) to satisfy the uniqueness contract
+    val lRows = Seq.tabulate(120)(i => (keys(rnd.nextInt(3)), i * 3L + rnd.nextInt(2), s"L$i"))
+    val rRows = Seq.tabulate(80)(i => (keys(rnd.nextInt(3)), i * 5L + rnd.nextInt(3), i.toDouble))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // dedupe (key, rt)
+    val l = lRows.toDF("k", "t", "tag")
+    val r = rRows.toDF("k", "rt", "price")
+    for (strict <- Seq(true, false)) {
+      val got = AsOfJoin.asofJoin(l, r, Seq("k"), "t", "rt", Seq("price"), strict = strict)
+        .collect().map(x => x.getString(2) -> x.get(3)).toMap
+      val want = lRows.map { case (k, t, tag) =>
+        val cands = rRows.filter(rr => rr._1 == k && (if (strict) rr._2 < t else rr._2 <= t))
+        tag -> (if (cands.isEmpty) null else cands.maxBy(_._2)._3)
+      }.toMap
+      assert(got == want, s"strict=$strict diverges from brute force")
+    }
+  }
 }
