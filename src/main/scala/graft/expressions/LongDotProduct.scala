@@ -67,9 +67,13 @@ case class LongDotProduct(left: Expression, right: Expression)
   * operator entry points call it defensively so any session that runs a
   * graft plan has the functions available. */
 object GraftFunctions {
-  val DotQ = "graft_dotq"
+  val DotQ   = "graft_dotq"
+  val VecSum = "graft_vecsum"
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotQ, exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      VecSum, exprs => VectorSumLong(exprs.head).toAggregateExpression(), "built-in")
+  }
 }

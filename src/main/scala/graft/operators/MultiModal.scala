@@ -36,6 +36,23 @@ object MultiModal {
         .as("emb_mean"))
   }
 
+  /** [[embedMean]] via the [[graft.expressions.VectorSumLong]] typed
+    * imperative aggregate instead of posexplode: one long-array buffer
+    * per group on the map side (input-cardinality rows, not rows x dim),
+    * shuffle carries one buffer per (partition, group). Identical exact
+    * results (pinned by TextMultiModalSpec); prefer it when dim is large
+    * relative to rows-per-partition-per-group. */
+  def embedMeanAgg(df: DataFrame, by: Seq[String], embCol: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val keyCols = by.map(col)
+    df.select(keyCols :+ Similarity.quantize(col(embCol)).as("__q"): _*)
+      .groupBy(keyCols: _*)
+      .agg(call_function(graft.expressions.GraftFunctions.VecSum, col("__q")).as("__vs"),
+        count(lit(1)).as("__n"))
+      .select(keyCols :+ posexplode(transform(col("__vs"),
+        x => x.cast("double") / (lit(Similarity.Quant) * col("__n")))).as(Seq("pos", "emb_mean")): _*)
+  }
+
   /** Per-group L2-norm statistics from exact integer squared norms:
     * count, RMS norm (sqrt of mean squared norm) and max norm. */
   def embedNormStats(df: DataFrame, by: Seq[String], embCol: String): DataFrame = {

@@ -57,6 +57,19 @@ class TextMultiModalSpec extends AnyFunSuite {
     assert(r == Map((0, 0) -> 2.0, (0, 1) -> 4.0, (1, 0) -> 2.0, (1, 1) -> 2.0))
   }
 
+  test("embedMeanAgg (TypedImperativeAggregate) equals the posexplode plan, incl. real data") {
+    val d = Seq(
+      (0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(2.0f, 2.0f))
+    ).toDF("label", "embedding")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getInt(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    assert(collect(MultiModal.embedMeanAgg(d, Seq("label"), "embedding"))
+      == collect(MultiModal.embedMean(d, Seq("label"), "embedding")))
+    val e = TestSpark.table("0.01", "embeddings").repartition(7)
+    assert(collect(MultiModal.embedMeanAgg(e, Seq("label"), "embedding"))
+      == collect(MultiModal.embedMean(e, Seq("label"), "embedding")))
+  }
+
   test("embedNormStats: rms and max norms from exact integer squared norms") {
     val d = Seq(
       (0, Seq(3.0f, 4.0f)),  // norm 5
