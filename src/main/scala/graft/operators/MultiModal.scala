@@ -97,6 +97,21 @@ object MultiModal {
   def frameSample(nFrames: Column, stride: Int): Column =
     sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))
 
+  /** Resize planning as metadata arithmetic: target dimensions that fit
+    * `maxDim` preserving aspect ratio (integer floor; never upscales).
+    * The pixel resampling itself belongs to the stubbed codec layer —
+    * this computes the plan-side contract (output shapes, scale factor)
+    * that the pipeline partitions and budgets by. */
+  def resizeMeta(meta: Column, maxDim: Int): Column = {
+    val w = meta.getField("width")
+    val h = meta.getField("height")
+    val scale = least(lit(1.0), lit(maxDim) / greatest(w, h).cast("double"))
+    struct(
+      floor(w * scale).cast("int").as("width"),
+      floor(h * scale).cast("int").as("height"),
+      scale.as("scale"))
+  }
+
   /** STUB: media decode. The real implementation would decode the payload
     * with a codec library (not present in this container) and return e.g.
     * mean luma. This deterministic stand-in keeps the column types and

@@ -97,6 +97,19 @@ class TextMultiModalSpec extends AnyFunSuite {
     assert(b == (88 * 88) % 256)
   }
 
+  test("resizeMeta fits maxDim preserving aspect, never upscales") {
+    val d = Seq((100L, "x")).toDF("doc_id", "text") // width 8+ (100%64)*16 = 584, height (100%48)*16+8 = 72
+      .withColumn("meta", MultiModal.parseMeta(MultiModal.fakePayload(col("doc_id"), col("text"))))
+      .withColumn("rs", MultiModal.resizeMeta(col("meta"), 256))
+    val r = d.select("rs.width", "rs.height", "rs.scale").head()
+    assert(r.getInt(0) == 256)                       // long side clamps to maxDim
+    assert(r.getInt(1) == (72 * 256.0 / 584).toInt)  // aspect preserved, floor
+    val small = Seq((0L, "x")).toDF("doc_id", "text") // 8x8 -> untouched
+      .withColumn("meta", MultiModal.parseMeta(MultiModal.fakePayload(col("doc_id"), col("text"))))
+      .select(MultiModal.resizeMeta(col("meta"), 256).getField("scale")).head().getDouble(0)
+    assert(small == 1.0)
+  }
+
   test("frameSample yields stride-spaced indices capped below nFrames") {
     val r = Seq(10, 1, 4).toDF("n")
       .select(MultiModal.frameSample(col("n"), stride = 4)).collect().map(_.getSeq[Int](0))
