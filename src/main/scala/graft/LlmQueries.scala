@@ -48,6 +48,18 @@ object LlmQueries {
         n = 3, threshold = 0.5, bands = 32, rows = 4)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")),
+    // Train/test decontamination: "eval" docs (sources src0-src2) that
+    // near-duplicate a "train" doc from any other source.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val evalSrc = Seq("src0", "src1", "src2")
+      Dedup.crossNearDupPairs(
+        docs.where(!col("source").isin(evalSrc: _*)),
+        docs.where(col("source").isin(evalSrc: _*)),
+        "doc_id", "text", threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_l", "id_r")
+    }),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(T(s, d, "documents"), "doc_id", "text", maxDist = 3)
         .orderBy("id_a", "id_b")),
@@ -106,6 +118,11 @@ object LlmQueries {
     "q_langid" -> ((s, d) =>
       T(s, d, "documents")
         .withColumn("pred_lang", TextAnalysis.langId(TextAnalysis.tokens(col("text"))))
+        .groupBy("pred_lang", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("pred_lang", "lang")),
+    "q_langid_ngram" -> ((s, d) =>
+      T(s, d, "documents")
+        .withColumn("pred_lang", TextAnalysis.langIdNgram(col("text")))
         .groupBy("pred_lang", "lang").agg(count(lit(1)).as("n"))
         .orderBy("pred_lang", "lang")),
     "q_quality" -> ((s, d) => {
@@ -304,6 +321,16 @@ object LlmQueries {
           + " round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard"
           + " FROM s a JOIN s b ON a.doc_id < b.doc_id)"
           + " WHERE jaccard >= 0.5 ORDER BY 1, 2"),
+      "q_decontaminate" ->
+        (shingleCte.replace("FROM documents",
+            "FROM documents WHERE source NOT IN ('src0','src1','src2')")
+          + ", sr AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN"
+          + " list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])"
+          + " ELSE [text] END AS sh FROM (SELECT doc_id, text, string_split(text, ' ') w"
+          + " FROM documents WHERE source IN ('src0','src1','src2')))"
+          + " SELECT * FROM (SELECT a.doc_id AS id_l, b.doc_id AS id_r,"
+          + " round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard"
+          + " FROM s a, sr b) WHERE jaccard >= 0.5 ORDER BY 1, 2"),
       // q_dedup_simhash: no SQL oracle (depends on xxhash64); rows-only check
       "q_cosine_pairs" ->
         (s"WITH n AS $qn SELECT * FROM ("
@@ -333,6 +360,21 @@ object LlmQueries {
           + s" SELECT lang, $markerScores, $bestExpr AS best FROM ("
           + s" SELECT lang, string_split(text, ' ') w FROM documents) scored)"
           + " GROUP BY 1, 2 ORDER BY 1, 2"),
+      "q_langid_ngram" -> {
+        val gramsExpr =
+          "list_distinct([substr(text, i, 3) for i in range(1, greatest(len(text) - 2, 1) + 1)])"
+        val scores = TextAnalysis.LangNgramProfiles.map { case (lang, profile) =>
+          s"len(list_intersect(g, [${profile.map("'" + _ + "'").mkString(",")}])) AS s_$lang"
+        }.mkString(", ")
+        val best = TextAnalysis.LangNgramProfiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+        val pred = ("CASE WHEN best <= 0 THEN 'und' "
+          + TextAnalysis.LangNgramProfiles.map { case (lang, _) => s"WHEN s_$lang = best THEN '$lang'" }
+            .mkString(" ") + " END")
+        (s"SELECT $pred AS pred_lang, lang, count(*) AS n FROM ("
+          + s" SELECT lang, $scores, $best AS best FROM ("
+          + s" SELECT lang, $gramsExpr AS g FROM documents) t1) t2"
+          + " GROUP BY 1, 2 ORDER BY 1, 2")
+      },
       "q_quality" ->
         ("SELECT b.qbin, b.qbin_lo, b.qbin_hi, coalesce(n, 0) AS n FROM"
           + " (VALUES " + (0 to 10).map(i => s"($i, ${i * 100}.0, ${(i + 1) * 100}.0)").mkString(", ")

@@ -165,6 +165,56 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus near-duplicate pairs (train/test decontamination): for
+    * each right-corpus ("test") document, find left-corpus ("train")
+    * documents with shingle-Jaccard >= threshold. Same MinHash-LSH
+    * machinery as [[nearDupPairs]], but candidates are constrained to
+    * cross-set collisions — a right document never pairs with another
+    * right document, and the bucketed join shape is unchanged, so
+    * decontaminating a 100 TB train set against a small eval set costs
+    * one pass over train plus a broadcast-sized eval side. */
+  def crossNearDupPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      bands: Int = 32,
+      rows: Int = 4,
+      cache: Boolean = true): DataFrame = {
+    // same multi-branch-consumption caching rationale as [[nearDupPairs]]
+    def maybeCache(d: DataFrame): DataFrame =
+      if (cache) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else d
+    def prep(df: DataFrame) = {
+      val sh = maybeCache(df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
+      val sig = minhashSigCols(
+        sh.select(col("id"), explode(col("sh")).as("s"))
+          .select(col("id"), xxhash64(col("s")).as("h")),
+        "id", "h", bands * rows)
+      val buckets = sig.select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("bucket"))
+      }: _*)).as("bk"))
+        .select(col("id"), col("bk.band"), col("bk.bucket"))
+      (sh, buckets)
+    }
+    val (shL, bL) = prep(left)
+    val (shR, bR) = prep(right)
+    val cand = bL.as("a")
+      .join(bR.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
+      .distinct()
+    val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+      size(array_union(col("sa.sh"), col("sb.sh")))
+    cand
+      .join(shL.as("sa"), col("id_l") === col("sa.id"))
+      .join(shR.as("sb"), col("id_r") === col("sb.id"))
+      .select(col("id_l"), col("id_r"), jac.as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash over a token array: bit i of the result is set iff the
     * population of tokens whose xxhash64 has bit i set outnumbers those
     * without. Duplicate tokens count with multiplicity (standard SimHash

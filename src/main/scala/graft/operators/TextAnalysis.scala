@@ -50,10 +50,37 @@ object TextAnalysis {
   /** Predicted language: arg-max of marker-word hit counts, ties broken by
     * alphabetical language order, all-zero scores -> "und" (undetermined).
     * Deterministic by construction so an oracle can replay it. */
-  def langId(toks: Column): Column = {
-    val scores = LangMarkers.map { case (lang, words) =>
+  def langId(toks: Column): Column =
+    argmaxLang(LangMarkers.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isin(words: _*)))
-    }
+    })
+
+  /** Distinct character n-grams of a string (1-based substr windows). */
+  def charNgrams(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+
+  /** Tiny per-language char-trigram profiles — the classic n-gram-profile
+    * language-ID heuristic (a real system learns these from corpora; the
+    * literals keep the operator deterministic and oracle-replayable). */
+  val LangNgramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("sch", "der", "ein", "ich", "und"),
+    "en" -> Seq("the", "ing", "ion", "and", "ent"),
+    "es" -> Seq("cio", "que", "ado", "los", "nte"),
+    "fr" -> Seq("les", "ent", "que", "ion", "eur"),
+    "zh" -> Seq("zho", "ang", "eng", "ian", "uan"))
+
+  /** Language ID by char-trigram-profile overlap: arg-max of
+    * |doc trigrams ∩ profile|, same tie-break contract as [[langId]]. */
+  def langIdNgram(text: Column): Column = {
+    val grams = charNgrams(text, 3)
+    argmaxLang(LangNgramProfiles.map { case (lang, profile) =>
+      lang -> size(array_intersect(grams, array(profile.map(lit): _*)))
+    })
+  }
+
+  private def argmaxLang(scores: Seq[(String, Column)]): Column = {
     val best = greatest(scores.map(_._2): _*)
     scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (lang, s)) =>
       acc.when(s === best, lit(lang))

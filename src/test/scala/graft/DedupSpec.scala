@@ -52,6 +52,16 @@ class DedupSpec extends AnyFunSuite {
     assert(near._3 > 0.8 && near._3 < 1.0)
   }
 
+  test("crossNearDupPairs finds only cross-set matches (decontamination)") {
+    val train = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val eval_ = Seq((10L, nearDup), (11L, base), (12L, (1 to 30).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.crossNearDupPairs(train, eval_, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L), (1L, 11L)), s"got $pairs")
+    // within-set near-dups (10 vs 11) must NOT appear
+  }
+
   test("columnar minhash signature equals the expression form") {
     val k = 8
     val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
