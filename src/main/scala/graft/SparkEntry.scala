@@ -179,6 +179,20 @@ object SparkEntry {
     "q_ffill" -> ((s, d) => scanEv(s, d, "valn", "ffill", "filled")),
     "q_bfill" -> ((s, d) => scanEv(s, d, "valn", "bfill", "filled")),
     "q_cumcount" -> ((s, d) => scanEv(s, d, "valn", "cumcount", "n_valid_so_far")),
+    // ---- dtype views (reference core.py:2442-2443, 2506-2520) ----
+    // bool flags through arithmetic reductions: sum = count-true, mean =
+    // fraction-true, var over the 0/1 view — the reference's bool->int cast.
+    "q_bool_agg" -> ((s, d) => GroupByReduce.reduce(
+      li(s, d).withColumn("disc_gt", col("l_discount") > 0.05),
+      Seq("l_returnflag"),
+      Seq(Agg("sum", "disc_gt", "n_true"),
+          Agg("mean", "disc_gt", "frac_true"),
+          Agg("var", "disc_gt", "var_flag", ddof = 1)))),
+    // timestamp values through mean/median: computed on the unix_micros
+    // int64 view (exact decimal sums — micros overflow long sums at scale)
+    // and cast back to time points.
+    "q_time_mean" -> ((s, d) => GroupByReduce.reduce(ev(s, d), Seq("user_id"),
+      Seq(Agg("nanmean", "ts", "mean_ts"), Agg("nanmedian", "ts", "med_ts")))),
   )
 
   def oracleSql: Map[String, String] = LlmQueries.oracleSql ++ Map(
@@ -320,5 +334,18 @@ object SparkEntry {
       (s"SELECT event_id, user_id, count($EVAL)"
         + " OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         + " AS n_valid_so_far FROM events ORDER BY event_id"),
+    "q_bool_agg" -> {
+      val f = "CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END"
+      (s"SELECT l_returnflag, sum($f)::BIGINT AS n_true,"
+        + s" sum($f)::DOUBLE / count(*) AS frac_true,"
+        + s" (sum($f * $f)::DOUBLE - sum($f)*sum($f)/CAST(count(*) AS DOUBLE))"
+        + " / (CAST(count(*) AS DOUBLE) - 1) AS var_flag"
+        + " FROM lineitem GROUP BY 1 ORDER BY 1")
+    },
+    "q_time_mean" ->
+      ("SELECT user_id,"
+        + " make_timestamp(CAST(round(sum(epoch_us(ts))::DOUBLE / count(ts)) AS BIGINT)) AS mean_ts,"
+        + " make_timestamp(CAST(round(quantile_cont(epoch_us(ts), 0.5)) AS BIGINT)) AS med_ts"
+        + " FROM events GROUP BY 1 ORDER BY 1"),
   )
 }

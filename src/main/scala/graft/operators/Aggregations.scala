@@ -102,12 +102,57 @@ object Aggregations {
     "first", "last", "nanfirst", "nanlast",
     "argmin", "argmax", "nanargmin", "nanargmax")
 
+  /** Reductions that need numeric values: bool and timestamp inputs are
+    * *viewed* as numbers for these (reference core.py:2442-2443 casts
+    * bool->int; core.py:2506-2520 views datetime64 as int64). */
+  private val numericViewFuncs: Set[String] = Set(
+    "sum", "nansum", "prod", "nanprod", "mean", "nanmean",
+    "var", "nanvar", "std", "nanstd",
+    "median", "nanmedian", "quantile", "nanquantile", "approxquantile")
+
+  /** Timestamp-viewed funcs whose result is itself a time point and is cast
+    * back to TimestampType (reference core.py:2709-2713); var/std stay
+    * numeric (micros^2 / micros — the reference's timedelta results). */
+  private val timeResultFuncs: Set[String] = Set(
+    "mean", "nanmean", "median", "nanmedian",
+    "quantile", "nanquantile", "approxquantile")
+
+  /** Timestamp-viewed funcs (sum/prod of time points stay rejected —
+    * they are meaningless for absolute times, as in numpy). */
+  private val timeViewFuncs: Set[String] = numericViewFuncs -- Set("sum", "nansum", "prod", "nanprod")
+
   /** Compile one aggregation to its (unaliased) Catalyst expression.
+    *
+    * Dtype views (value-type support beyond the physically-numeric):
+    *   - BooleanType + arithmetic reduction: the flag column is cast to
+    *     int (sum = count-true, mean = fraction-true, ... — reference
+    *     core.py:2442-2443). any/all/min/max/first/last/arg* already
+    *     operate on bools natively (Spark orders false < true, which is
+    *     the reference's cast-then-cast-back result).
+    *   - TimestampType + mean/var/std/median/quantile: computed over the
+    *     `unix_micros` int64 view (reference core.py:2506-2520), with
+    *     time-point results cast back to TimestampType via rounded micros
+    *     (reference core.py:2709-2713) and spreads (var/std) left numeric
+    *     in micros units. The view forces the exact decimal engine: micros
+    *     are ~2^50, so a long sum over a big group would overflow and a
+    *     double sum would round — decimal sums are exact and
+    *     order-independent at any group size.
     *
     * @param pos total-order position column for positional funcs
     */
-  def compile(a: Agg, dt: DataType, pos: Option[Column]): Column = {
-    val v     = col(a.value)
+  def compile(a: Agg, dt: DataType, pos: Option[Column]): Column = dt match {
+    case BooleanType if numericViewFuncs(a.func) =>
+      compileOn(a, col(a.value).cast(IntegerType), IntegerType, pos)
+    case TimestampType if timeViewFuncs(a.func) =>
+      val aEff = if (a.exactScale.isEmpty) a.copy(exactScale = Some(0)) else a
+      val r    = compileOn(aEff, unix_micros(col(a.value)), LongType, pos)
+      if (!timeResultFuncs(a.func)) r
+      else if (a.q.size > 1) transform(r, x => timestamp_micros(round(x, 0).cast(LongType)))
+      else timestamp_micros(round(r, 0).cast(LongType))
+    case _ => compileOn(a, col(a.value), dt, pos)
+  }
+
+  private def compileOn(a: Agg, v: Column, dt: DataType, pos: Option[Column]): Column = {
     val vn    = nanToNull(v, dt)                      // NaN -> NULL
     val valid = isValid(v, dt)
     def p: Column = pos.getOrElse(throw new IllegalArgumentException(
@@ -220,7 +265,12 @@ object Aggregations {
       // 100 TB path and is exact while the per-group distinct count stays
       // within the sketch's dense threshold.
       case "countdistinct"       => count_distinct(vn)
-      case "approxcountdistinct" => approx_count_distinct(vn, 1.0 / math.sqrt(a.accuracy))
+      // rsd = 1/sqrt(accuracy), clamped to HLL++'s supported floor — an
+      // enormous accuracy would otherwise push relativeSD below the
+      // implementation minimum and throw a confusing plan-time error
+      // unrelated to the Agg parameter.
+      case "approxcountdistinct" =>
+        approx_count_distinct(vn, math.max(1.0 / math.sqrt(a.accuracy), 2e-5))
       case "mode" | "nanmode" =>
         throw new IllegalArgumentException(
           s"${a.func} is a two-stage plan; use GroupByReduce.reduce")

@@ -52,6 +52,17 @@ object AsOfJoin {
       tolerance: Option[Column] = None): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
     require(rightValues.nonEmpty, "need at least one right payload column")
+    // The plan uses internal working columns and attaches outputs as
+    // rightPrefix+col; a left input already carrying one of those names
+    // would be silently overwritten — corrupt results, not an error. Fail
+    // fast instead.
+    val reserved = Seq("__t", "__isL", "__rv")
+    val outputs  = rightValues.map(rightPrefix + _)
+    val clashes  = left.columns.toSeq.intersect(reserved ++ outputs) ++
+      right.columns.toSeq.intersect(reserved)
+    require(clashes.isEmpty,
+      s"asofJoin reserved/output column name collision: ${clashes.mkString(", ")} " +
+        s"(rename the input columns or pick a different rightPrefix)")
 
     val payload = struct(col(rightTime).as("__rt") +: rightValues.map(col): _*)
     val r = right.select(

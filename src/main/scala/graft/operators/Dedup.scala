@@ -265,6 +265,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxDist: Int = 3): DataFrame = {
+    // chunkBits = 64/(maxDist+1): maxDist >= 15 would give chunks of < 4
+    // bits (16 distinct values), whose buckets degenerate toward all-pairs
+    // — the opposite of the 100 TB-safe claim. Fail fast instead.
+    require(maxDist >= 0 && maxDist <= 15,
+      s"maxDist must be in [0, 15] (got $maxDist): 64/(maxDist+1)-bit chunks below 4 bits degenerate to near-all-pairs buckets")
     val nChunks = maxDist + 1
     val chunkBits = 64 / nChunks
     val sim = simhashCols(

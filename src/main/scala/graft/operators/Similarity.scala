@@ -125,10 +125,20 @@ object Similarity {
       embCol: String,
       cells: Int = 16,
       trainSample: Int = 10000,
-      seed: Long = 42L): Array[Seq[Long]] = {
+      seed: Long = 42L,
+      orderCol: Option[String] = None): Array[Seq[Long]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = df.select(array_to_vector(col(embCol).cast("array<double>")).as("features"))
+    // Deterministic training sample: a bare `limit` has no defined row
+    // order (partition-biased on sorted corpora, and unstable across plan
+    // re-executions), so take the top-N under an explicit total order —
+    // the caller's id column, or a content hash of the vector itself.
+    // orderBy+limit plans as TakeOrdered: no full sort at scale.
+    val ordered = orderCol match {
+      case Some(c) => df.orderBy(col(c))
+      case None    => df.orderBy(xxhash64(col(embCol).cast("string")))
+    }
+    val train = ordered.select(array_to_vector(col(embCol).cast("array<double>")).as("features"))
       .limit(trainSample)
     val n = train.count()
     if (n == 0) return Array.empty
