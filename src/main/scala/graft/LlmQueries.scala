@@ -60,8 +60,15 @@ object LlmQueries {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_l", "id_r")
     }),
+    // SimHash on the SQL-replayable hash family (rolling-fingerprint token
+    // hash + parity-bit extraction): same plan as the xxhash64 production
+    // default (pinned equivalent in DedupSpec), but every arithmetic step
+    // replays in DuckDB — and since pigeonhole banding has recall 1, the
+    // oracle can verify via the all-pairs hamming filter.
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(T(s, d, "documents"), "doc_id", "text", maxDist = 3)
+      Dedup.simhashPairs(T(s, d, "documents"), "doc_id", "text", maxDist = 3,
+        tokenHash = TextAnalysis.fingerprint, bitOf = Dedup.replayableBit)
+        .withColumn("dist", col("dist").cast("long"))
         .orderBy("id_a", "id_b")),
     // ---- similarity search ----
     "q_cosine_pairs" -> ((s, d) =>
@@ -74,28 +81,38 @@ object LlmQueries {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id", "rank")
     }),
-    // planes/tables tuned for the *low* threshold regime (collision prob
-    // per table ~0.14 at cos 0.35 -> ~0.7 recall over 8 tables); a
-    // near-dup threshold (cos>=0.9) would take planes=8+ for sharper
-    // buckets at ~0.95 recall. See SimilaritySpec's recall pin.
+    // planes auto-sized from a cheap corpus count (occupancy-targeted,
+    // Similarity.autoPlanes) so the bucket cost stays bounded as the
+    // corpus grows; dim passed explicitly (no derive-from-first-row job).
+    // The oracle replays the identical deterministic LSH — plane literals,
+    // the same count-based sizing rule, sign buckets, then exact-cosine
+    // verification — so recall does not affect matching.
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshNeighbors(T(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35, planes = 4, tables = 8)
+        threshold = 0.35, tables = 8, dim = 64)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")),
     "q_ann_ivf" -> ((s, d) => {
-      // IVF index-build-once semantics: centroids train on first use per
-      // corpus and are reused (they are a tiny serializable array) — the
-      // query path measures search, not repeated training. Keyed by the
-      // (immutable, driver-generated) data dir; an empty training result
-      // is never cached so late-arriving data retrains.
+      // IVF index-build-once semantics: the coarse quantizer is built on
+      // first use per corpus and reused (a tiny serializable array) — the
+      // query path measures search, not index construction. This query's
+      // quantizer is the *replayable* one: cells = max(16, n/256) centroids
+      // taken from the corpus itself (the first `cells` vectors by id, a
+      // deterministic data-dependent seeding the DuckDB oracle replays
+      // exactly); the KMeans-trained quantizer (ivfTrain) is the API path
+      // and keeps its recall pins in SimilaritySpec. Keyed by the
+      // (immutable, driver-generated) data dir.
       val centroids = Option(ivfIndexCache.get(d)).getOrElse {
-        val c = Similarity.ivfTrain(T(s, d, "embeddings"), "embedding", cells = 16, trainSample = 2000)
+        val e = T(s, d, "embeddings")
+        val cells = math.max(16L, e.count() / 256L).toInt
+        val c = e.where(col("vec_id") < cells).orderBy("vec_id")
+          .select(Similarity.quantize(col("embedding")))
+          .collect().map(_.getSeq[Long](0))
         if (c.nonEmpty) ivfIndexCache.put(d, c)
         c
       }
       Similarity.ivfNeighbors(T(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35, cells = 16, nprobe = 2, centroids = Some(centroids))
+        threshold = 0.35, nprobe = 2, centroids = Some(centroids))
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")
     }),
@@ -331,13 +348,61 @@ object LlmQueries {
           + " SELECT * FROM (SELECT a.doc_id AS id_l, b.doc_id AS id_r,"
           + " round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard"
           + " FROM s a, sr b) WHERE jaccard >= 0.5 ORDER BY 1, 2"),
-      // q_dedup_simhash: no SQL oracle (depends on xxhash64); rows-only check
+      "q_dedup_simhash" -> {
+        // Replays the replayable SimHash end to end: rolling-fingerprint
+        // token hash (same fold as q_fingerprint, but per token), parity
+        // bits ((h*(2i+3)+i*i+1) mod 1e9+7 mod 2), majority votes, 16-bit
+        // chunk packing, then the all-pairs hamming filter (== the banded
+        // result, recall 1 by pigeonhole).
+        def vote(i: Int) = {
+          val (a, c) = Dedup.replayableSalt(i)
+          (s"list_sum(list_transform(hs, h -> CASE WHEN ((h*$a+$c)"
+            + " % 1000000007) % 2 = 1 THEN 1 ELSE -1 END))")
+        }
+        def chunk(k: Int) = (0 until 16)
+          .map(j => s"(CASE WHEN ${vote(16 * k + j)} > 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString("(", " + ", s")::BIGINT AS c$k")
+        ("WITH th AS (SELECT doc_id, list_transform(string_split(text, ' '), t ->"
+          + " list_reduce(list_prepend(0::BIGINT,"
+          + " list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)),"
+          + " (a, b) -> (a * 31 + b) % 1000000007)) AS hs FROM documents),"
+          + s" sims AS (SELECT doc_id, ${(0 until 4).map(chunk).mkString(", ")} FROM th)"
+          + " SELECT id_a, id_b, dist::BIGINT AS dist FROM ("
+          + " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+          + (0 until 4).map(k => s"bit_count(xor(a.c$k, b.c$k))").mkString(" ", " + ", " AS dist")
+          + " FROM sims a JOIN sims b ON a.doc_id < b.doc_id)"
+          + " WHERE dist <= 3 ORDER BY 1, 2")
+      },
       "q_cosine_pairs" ->
         (s"WITH n AS $qn SELECT * FROM ("
           + " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
           + " round(list_dot_product(a.q, b.q) / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE)), 6) AS cos"
           + " FROM n a JOIN n b ON a.vec_id < b.vec_id)"
           + " WHERE cos >= 0.4 ORDER BY 1, 2"),
+      "q_ann_ivf" -> {
+        // Replays the replayable IVF quantizer end to end: centroids = the
+        // first max(16, n/256) corpus vectors by id; every vector assigned
+        // its nprobe=2 nearest cells ranked by the exact integer
+        // ||x-c||^2-equivalent (c.c - 2 x.c), ties toward the smaller cell
+        // (Spark sorts (d, cell) structs; cell index is vec_id-ordered, so
+        // ordering by centroid vec_id is the same tie-break); candidates
+        // share a cell; exact-cosine verification.
+        (s"WITH n AS $qn,"
+          + " nc AS (SELECT greatest(16, (SELECT count(*) FROM embeddings) // 256) AS cells),"
+          + " c AS (SELECT vec_id AS cell, q AS cw, CAST(list_dot_product(q, q) AS BIGINT) AS cc"
+          + " FROM n WHERE vec_id < (SELECT cells FROM nc)),"
+          + " asg AS (SELECT vec_id, cell FROM ("
+          + " SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id"
+          + " ORDER BY c.cc - 2 * list_dot_product(e.q, c.cw), c.cell) AS rk"
+          + " FROM n e CROSS JOIN c) WHERE rk <= 2),"
+          + " cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM asg a JOIN asg b"
+          + " ON a.cell = b.cell AND a.vec_id < b.vec_id)"
+          + " SELECT id_a, id_b,"
+          + " round(list_dot_product(x.q, y.q) / (sqrt(x.nsq::DOUBLE) * sqrt(y.nsq::DOUBLE)), 6) AS cos"
+          + " FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id"
+          + " WHERE list_dot_product(x.q, y.q) / (sqrt(x.nsq::DOUBLE) * sqrt(y.nsq::DOUBLE)) >= 0.35"
+          + " ORDER BY 1, 2")
+      },
       "q_ann_topk" ->
         (s"WITH n AS $qn SELECT id, rank, neighbor_id, cos FROM ("
           + " SELECT a.vec_id AS id, b.vec_id AS neighbor_id,"
@@ -346,7 +411,38 @@ object LlmQueries {
           + " list_dot_product(a.q, b.q) / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE)) DESC, b.vec_id) AS rank"
           + " FROM n a JOIN n b ON a.vec_id != b.vec_id WHERE a.vec_id < 50)"
           + " WHERE rank <= 5 ORDER BY id, rank"),
-      // q_ann_lsh: no SQL oracle (approximate, hash-dependent); recall pinned in DedupSimilaritySpec
+      "q_ann_lsh" -> {
+        // Deterministic replay of lshNeighbors: the splitmix hyperplanes
+        // are fixed literals (quantized to the same 1e-6 grid), the plane
+        // count replays Similarity.autoPlanes' integer rule from
+        // count(embeddings), and candidates verify with the exact cosine.
+        // Planes emitted up to p=10 cover corpora to 65k vectors (any
+        // correctness sf); quantized integer dots are < 2^53, so the sign
+        // test is exact in DuckDB's double list_dot_product.
+        val tables = 8
+        val maxPlanes = 10
+        val planeRows = (for (t <- 0 until tables; p <- 0 until maxPlanes) yield {
+          val w = Similarity.hyperplane(t, p, 64).map(x => math.round(x * Similarity.Quant))
+          s"($t, $p, [${w.mkString(",")}])"
+        }).mkString(", ")
+        val planesCase = ("CASE " + (4 to maxPlanes).map {
+          case p if p == maxPlanes => s"ELSE $maxPlanes END"
+          case p => s"WHEN count(*) <= ${64L * (1L << p)} THEN $p"
+        }.mkString(" "))
+        (s"WITH pl(t, p, w) AS (VALUES $planeRows),"
+          + s" np AS (SELECT $planesCase AS planes FROM embeddings),"
+          + s" n AS $qn,"
+          + " bk AS (SELECT e.vec_id, pl.t,"
+          + " sum(CASE WHEN list_dot_product(e.q, pl.w) > 0 THEN 1 << pl.p ELSE 0 END) AS bucket"
+          + " FROM n e CROSS JOIN pl WHERE pl.p < (SELECT planes FROM np) GROUP BY 1, 2),"
+          + " cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b"
+          + " ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)"
+          + " SELECT id_a, id_b,"
+          + " round(list_dot_product(x.q, y.q) / (sqrt(x.nsq::DOUBLE) * sqrt(y.nsq::DOUBLE)), 6) AS cos"
+          + " FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id"
+          + " WHERE list_dot_product(x.q, y.q) / (sqrt(x.nsq::DOUBLE) * sqrt(y.nsq::DOUBLE)) >= 0.35"
+          + " ORDER BY 1, 2")
+      },
       "q_text_stats" ->
         ("SELECT lang, count(*) AS n_docs, sum(nt)::BIGINT AS total_tokens,"
           + " sum(nt)::DOUBLE / count(*) AS avg_tokens,"

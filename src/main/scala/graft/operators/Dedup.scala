@@ -239,13 +239,53 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Default SimHash bit extractor: bit i of the (64-bit) token hash. */
+  val hashBit: (Column, Int) => Column =
+    (h, i) => h.bitwiseAND(lit(1L << i)) =!= 0L
+
+  /** splitmix64-style integer mix (public-domain finalizer constants) —
+    * used only to derive the fixed salt literals below. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Fixed salt pair for SimHash bit i of the replayable family:
+    * multiplier in [2^27, ~8.7e9) — large enough that any token hash >= 1
+    * wraps the 1e9+7 modulus many times (a small multiplier would leave
+    * short-token hashes unreduced and make the parity bits linear in
+    * parity(h): measured, that degenerates hamming distances corpus-wide) —
+    * and kept small enough that h*A + C stays under 2^63 for h < 1e9+7.
+    * Emitted as literals on both the Spark and the oracle side. */
+  def replayableSalt(i: Int): (Long, Long) =
+    ((mix64(2L * i) & 0x1ffffffffL) + (1L << 27), mix64(2L * i + 1) & 0x3fffffffL)
+
+  /** SQL-replayable bit extractor for token hashes in [0, 1e9+7): bit i is
+    * the parity of (h*A_i + C_i) mod 1e9+7 for the fixed salts above — an
+    * affine universal-hash family whose every intermediate stays below
+    * 2^63, so any SQL engine replays it in exact int64 arithmetic (unlike
+    * xxhash64's avalanche mixing). Pair with
+    * [[graft.operators.TextAnalysis.fingerprint]] as the token hash for a
+    * fully oracle-replayable SimHash. */
+  val replayableBit: (Column, Int) => Column = { (h, i) =>
+    val (a, c) = replayableSalt(i)
+    ((h * lit(a) + lit(c)) % lit(1000000007L)) % lit(2L) === lit(1L)
+  }
+
   /** Columnar SimHash: from exploded (id, token-hash) rows, one hash
     * aggregation of 64 signed bit votes, then a pack expression — the
     * scalable twin of the [[simhash]] expression (identical results; same
-    * rationale as [[minhashSigCols]]). */
-  def simhashCols(exploded: DataFrame, idCol: String, hashCol: String): DataFrame = {
+    * rationale as [[minhashSigCols]]). `bitOf` picks how a token hash maps
+    * to signature bits (default: the hash's own bits). */
+  def simhashCols(
+      exploded: DataFrame,
+      idCol: String,
+      hashCol: String,
+      bitOf: (Column, Int) => Column = hashBit): DataFrame = {
     val votes = (0 until 64).map { i =>
-      sum(when(col(hashCol).bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L)).as(s"v$i")
+      sum(when(bitOf(col(hashCol), i), 1L).otherwise(-1L)).as(s"v$i")
     }
     val packed = (0 until 64)
       .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
@@ -259,12 +299,20 @@ object Dedup {
     * Pigeonhole banding: the 64 bits are cut into `maxDist`+1 chunks, and
     * any pair within maxDist must agree exactly on at least one chunk —
     * candidates come from equality joins on (chunk index, chunk value),
-    * never an all-pairs scan, so this is 100 TB-safe. */
+    * never an all-pairs scan, so this is 100 TB-safe. Banding is *exact*
+    * (recall 1 by pigeonhole), so the result equals the all-pairs filter —
+    * which is what lets an oracle replay it without replaying the banding.
+    *
+    * `tokenHash`/`bitOf` select the hash family: the xxhash64 default is
+    * the production path; `TextAnalysis.fingerprint` + [[replayableBit]]
+    * keeps every step inside exact SQL-replayable int64 arithmetic. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      tokenHash: Column => Column = xxhash64(_),
+      bitOf: (Column, Int) => Column = hashBit): DataFrame = {
     // chunkBits = 64/(maxDist+1): maxDist >= 15 would give chunks of < 4
     // bits (16 distinct values), whose buckets degenerate toward all-pairs
     // — the opposite of the 100 TB-safe claim. Fail fast instead.
@@ -274,8 +322,8 @@ object Dedup {
     val chunkBits = 64 / nChunks
     val sim = simhashCols(
       df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-        .select(col("id"), xxhash64(col("t")).as("h")),
-      "id", "h")
+        .select(col("id"), tokenHash(col("t")).as("h")),
+      "id", "h", bitOf)
     val chunks = sim.select(
       col("id"), col("sim"),
       explode(array((0 until nChunks).map { c =>

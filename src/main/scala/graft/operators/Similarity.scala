@@ -199,29 +199,43 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Corpus-aware plane count: the smallest p >= minPlanes such that
+    * expected bucket occupancy n / 2^p drops to `targetOccupancy` —
+    * candidate cost is quadratic in occupancy, so p must grow with log n
+    * (measured: planes=4 at 16k vectors degenerates 7x vs planes=8,
+    * BENCH_NOTES.md). Pure integer logic so a SQL oracle replays it
+    * exactly (no float log2 boundary surprises). */
+  def autoPlanes(n: Long, targetOccupancy: Long = 64, minPlanes: Int = 4, maxPlanes: Int = 20): Int = {
+    var p = minPlanes
+    while (p < maxPlanes && n > targetOccupancy * (1L << p)) p += 1
+    p
+  }
+
   /** Approximate near-neighbor pairs: candidates share a bucket in at
     * least one of `tables` hyperplane tables, then are exactly verified
     * (cosine >= threshold). Recall < 1 by LSH nature — tune `tables` up /
     * `planes` down to raise it (measured by the recall spec against
     * [[bruteForcePairs]]).
     *
-    * SIZE `planes` WITH THE CORPUS: expected bucket occupancy is
-    * n / 2^planes per table, and candidate cost is quadratic in it —
-    * pick planes ≈ log2(n / a-few-hundred). Measured (graft.Stress, 16k
-    * vectors): planes=4 (16 buckets) degenerates toward all-pairs at
+    * `planes` <= 0 (the default) SIZES WITH THE CORPUS via [[autoPlanes]]
+    * over a cheap count: expected bucket occupancy is n / 2^planes per
+    * table, and candidate cost is quadratic in it. Measured (graft.Stress,
+    * 16k vectors): planes=4 (16 buckets) degenerates toward all-pairs at
     * 67 s; planes=8 (256 buckets) runs in 9 s. At higher similarity
     * thresholds more planes also keep recall (per-bit collision prob
     * rises with cosine), which is the regime near-dup detection runs in.
+    * Explicit `planes` overrides (recall tuning at a known corpus size).
     *
     * `dim` <= 0 (default) derives the dimension from the first corpus row
-    * — hyperplanes must span the full vector or buckets silently hash a
+    * (one extra tiny job — pass it explicitly on a cold source) —
+    * hyperplanes must span the full vector or buckets silently hash a
     * subspace. */
   def lshNeighbors(
       df: DataFrame,
       idCol: String,
       embCol: String,
       threshold: Double,
-      planes: Int = 8,
+      planes: Int = 0,
       tables: Int = 8,
       dim: Int = 0): DataFrame = {
     val p = prepared(df, idCol, embCol)
@@ -231,10 +245,11 @@ object Similarity {
     if (actualDim == 0)
       return p.select(col("id").as("id_a"), col("id").as("id_b"),
         lit(0.0).as("cos")).where(lit(false))
+    val actualPlanes = if (planes > 0) planes else autoPlanes(df.count())
     val buckets = p.select(
       col("id"),
       explode(array((0 until tables).map { t =>
-        struct(lit(t).as("t"), lshBucket(col("q"), t, planes, actualDim).as("bucket"))
+        struct(lit(t).as("t"), lshBucket(col("q"), t, actualPlanes, actualDim).as("bucket"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.t"), col("bk.bucket"))
     val cand = buckets.as("a")
