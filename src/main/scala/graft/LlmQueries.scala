@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
+import graft.streaming.StreamingOps
 
 /** LLM-data-pipeline queries over the `documents` and `embeddings` tables
   * (dedup, similarity search, text analysis, multimodal columns) plus the
@@ -27,6 +28,8 @@ object LlmQueries {
 
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Seq[Long]]]()
+
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val QuantSqlDouble =
     "list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT))"
@@ -232,6 +235,38 @@ object LlmQueries {
       Sessionize.sessions(SparkEntry.ev(s, d), Seq("user_id"), "ts",
         gapSeconds = 1800, valueCol = "value")
         .orderBy("user_id", "session")),
+    // The streaming surface as a driver-checked row: the same Agg registry
+    // specs over readStream (file source replaying the events table,
+    // AvailableNow) must hash-match the batch oracle — StreamingSpec's
+    // streaming==batch invariant promoted to the correctness gate.
+    // Complete output mode: every window emitted once the replay drains
+    // (append mode would withhold windows past the final watermark).
+    "q_stream_window" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = T(s, d, "events").schema
+      // glob form: the file source requires a directory basePath; the
+      // brace-glob makes it resolve the parent dir while matching exactly
+      // the single events file
+      val raw = s.readStream.schema(schema).parquet(s"$d/{events.parquet}")
+      val fixed = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case _ => raw
+      }
+      val out = StreamingOps.windowedReduce(fixed, "ts", "1 hour", Seq("event_type"),
+        Seq(Agg("count", "value", "n"),
+            Agg("nansum", "value", "sum_value", exactScale = Some(2))))
+      val name = s"graft_stream_window_${streamRuns.incrementAndGet()}"
+      val q = out.writeStream.queryName(name).format("memory")
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("window_start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_start", "event_type")
+    }),
     // Dense multi-key output domain: returnflag x linestatus cross
     // product incl. never-observed combos, filled (the reference's
     // grp_shape hyper-rectangle, tests/test_core.py:1336-1384).
@@ -298,6 +333,20 @@ object LlmQueries {
       GroupByReduce.reduce(T(s, d, "lineitem"), Seq("l_returnflag"), Seq(
         Agg("countdistinct", "l_quantity", "nd_qty"),
         Agg("countdistinct", "l_suppkey", "nd_supp")))),
+    // Driver-checked accuracy evidence for the 100 TB distinct-count path:
+    // the HLL++ sketch at rsd=1/sqrt(1600)=2.5% against the exact count on
+    // a genuinely high-cardinality column (~15k distinct orders per
+    // group), asserted within a 4-sigma 10% band as a hash-matchable
+    // boolean. The oracle supplies the exact count and `TRUE` — if the
+    // sketch ever drifts outside the band, the hash comparison fails.
+    "q_approxcd" -> ((s, d) => {
+      val r = GroupByReduce.reduce(T(s, d, "lineitem"), Seq("l_returnflag"), Seq(
+        Agg("countdistinct", "l_orderkey", "exact_nd"),
+        Agg("approxcountdistinct", "l_orderkey", "approx_nd", accuracy = 1600)))
+      r.select(col("l_returnflag"), col("exact_nd"),
+        (abs(col("approx_nd") - col("exact_nd")).cast("double") / col("exact_nd") <= 0.1)
+          .as("approx_ok"))
+    }),
     "q_bins_uniform" -> ((s, d) => {
       val binned = T(s, d, "lineitem")
         .withColumn("qbin", Binning.binIndexUniform(col("l_quantity"), 0.0, 50.0, 10))
@@ -530,6 +579,10 @@ object LlmQueries {
           + " SELECT user_id, session, min(ts) AS session_start, max(ts) AS session_end,"
           + " count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
           + " FROM t GROUP BY 1, 2 ORDER BY 1, 2"),
+      "q_stream_window" ->
+        ("SELECT date_trunc('hour', ts) AS hour_start, event_type, count(value) AS n,"
+          + " CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
+          + " FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
       "q_multikey_dense" ->
         ("SELECT f.l_returnflag, s.l_linestatus, coalesce(n, 0) AS n, coalesce(sum_qty, 0.0) AS sum_qty"
           + " FROM (VALUES ('A'), ('N'), ('R'), ('X')) f(l_returnflag)"
@@ -574,6 +627,9 @@ object LlmQueries {
       "q_countdistinct" ->
         ("SELECT l_returnflag, count(DISTINCT l_quantity) AS nd_qty,"
           + " count(DISTINCT l_suppkey) AS nd_supp FROM lineitem GROUP BY 1 ORDER BY 1"),
+      "q_approxcd" ->
+        ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_nd, TRUE AS approx_ok"
+          + " FROM lineitem GROUP BY 1 ORDER BY 1"),
       "q_bins_uniform" ->
         ("SELECT b.qbin, b.qbin_lo, b.qbin_hi, coalesce(n, 0) AS n, coalesce(sum_qty, 0.0) AS sum_qty FROM"
           + " (VALUES " + (0 to 9).map(i => s"($i, ${i * 5}.0, ${(i + 1) * 5}.0)").mkString(", ")

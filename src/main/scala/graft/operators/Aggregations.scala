@@ -73,6 +73,18 @@ object Agg {
 
 /** Compiles registry aggregation names to Catalyst aggregate expressions.
   *
+  * Value-dtype contract (parity with reference xrdtypes.py:153-209,
+  * core.py:2442-2443/2506-2520; pinned by DtypeParitySpec):
+  *
+  * | input      | sum            | mean      | min/max/first | notes |
+  * |------------|----------------|-----------|---------------|-------|
+  * | byte/short | long (promoted)| double    | kept          | numpy small-int promotion |
+  * | int/long   | long           | double    | kept          | |
+  * | float32    | double         | double    | float32       | DIVERGES: flox keeps float32 sums/means (xrdtypes.py:161-167); Spark computes in double — widening kept as the safer direction |
+  * | float64    | double         | double    | kept          | NaN = missing (NanOps) |
+  * | bool       | long count-true| fraction  | bool (native) | viewed as int for arithmetic |
+  * | timestamp  | rejected       | timestamp | kept          | unix_micros view, exact decimal sums; var/std in micros units |
+  *
   * Registry parity with reference aggregations.py:740-776:
   * count, sum/nansum, prod/nanprod, mean/nanmean, var/nanvar, std/nanstd,
   * min/nanmin, max/nanmax, first/last, nanfirst/nanlast,
@@ -143,6 +155,10 @@ object Aggregations {
   def compile(a: Agg, dt: DataType, pos: Option[Column]): Column = dt match {
     case BooleanType if numericViewFuncs(a.func) =>
       compileOn(a, col(a.value).cast(IntegerType), IntegerType, pos)
+    case TimestampType if numericViewFuncs(a.func) && !timeViewFuncs(a.func) =>
+      throw new IllegalArgumentException(
+        s"${a.func} over TimestampType is not supported: absolute time points sum/multiply " +
+          "meaninglessly (numpy rejects datetime64 sums too); use min/max/first/last/mean/median/quantile")
     case TimestampType if timeViewFuncs(a.func) =>
       val aEff = if (a.exactScale.isEmpty) a.copy(exactScale = Some(0)) else a
       val r    = compileOn(aEff, unix_micros(col(a.value)), LongType, pos)

@@ -87,6 +87,43 @@ object Dedup {
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** (id, distinct-shingle-array) side table shared by the near-dup
+    * operators. */
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+
+  /** (id, band, bucket) LSH table from a shingle table: columnar
+    * signature — hash each shingle string once, explode, one codegen'd
+    * hash aggregation for all bands*rows mins ([[minhashSigCols]]) —
+    * then per-band signature-row hashing into bucket keys. */
+  private def bandedBuckets(sh: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val exploded = sh
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val sig = minhashSigCols(exploded, "id", "h", bands * rows)
+    sig.select(col("id"), explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("bucket"))
+    }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+  }
+
+  /** Audit table for [[nearDupPairs]]'s `maxBucketSize` skew cap: the
+    * (band, bucket) groups the cap would drop, with their sizes — run it
+    * (cheap: one groupBy over the band table) before committing to a cap,
+    * or after a capped sweep to quantify what was excluded. */
+  def oversizedBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 32,
+      rows: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame =
+    bandedBuckets(shingleTable(df, idCol, textCol, n), bands, rows)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > maxBucketSize)
+
   /** Exact dedup in row-preserving form: keeps each content's
     * smallest-id row with ALL its columns (exactDedup returns only the
     * survivor summary). One window over the content fingerprint — a
@@ -121,48 +158,72 @@ object Dedup {
       threshold: Double = 0.5,
       bands: Int = 32,
       rows: Int = 4,
-      cache: Boolean = true): DataFrame = {
+      cache: Boolean = true,
+      maxBucketSize: Int = 0): DataFrame =
+    nearDupPairsManaged(df, idCol, textCol, n, threshold, bands, rows, cache, maxBucketSize)._1
+
+  /** [[nearDupPairs]] plus a release handle that unpersists the two cached
+    * intermediates (shingle and bucket tables). Call it after the
+    * consuming action: Spark's CacheManager dedupes identical plans, so
+    * repeated calls over the *same* input reuse one entry, but a
+    * long-lived session sweeping many distinct corpora would otherwise
+    * accumulate pinned cache entries indefinitely. */
+  def nearDupPairsManaged(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      bands: Int = 32,
+      rows: Int = 4,
+      cache: Boolean = true,
+      maxBucketSize: Int = 0): (DataFrame, () => Unit) = {
     // The shingle table feeds three plan branches (signature build and the
     // two sides of the verification join) and the bucket table two (the
     // candidate self-join): without persisting, Spark re-runs the
     // shingling/minhash subtree once per branch. Both intermediates are
     // compact relative to the corpus (arrays of distinct shingles; 16
     // bytes x bands+rows signatures); MEMORY_AND_DISK spills cleanly at
-    // scale. Spark's CacheManager dedupes by canonicalized plan, so
-    // repeated calls over the same input reuse one cache entry rather
-    // than accumulating. Pass cache=false to trade CPU for memory.
+    // scale. Pass cache=false to trade CPU for memory.
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def maybeCache(d: DataFrame): DataFrame =
-      if (cache) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else d
-    val sh = maybeCache(df
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
-    // columnar signature: hash each shingle string once, explode, one
-    // codegen'd hash aggregation for all bands*rows mins (see
-    // [[minhashSigCols]]) — identical values to the expression form
-    val exploded = sh
-      .select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
-    val sig = minhashSigCols(exploded, "id", "h", bands * rows)
-    val buckets = maybeCache(sig
-      .select(col("id"), explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("bucket"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bucket")))
+      if (cache) {
+        persisted += d
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else d
+    val sh = maybeCache(shingleTable(df, idCol, textCol, n))
+    val buckets = maybeCache(bandedBuckets(sh, bands, rows))
+    // Skew guard (off by default): a degenerate bucket — boilerplate
+    // shared by millions of documents hashing every band identically —
+    // would go quadratic in the candidate self-join. maxBucketSize > 0
+    // drops over-full (band, bucket) groups before the join; a true
+    // near-dup pair usually still collides in one of its other bands, and
+    // the dropped buckets are auditable via [[oversizedBuckets]] (the cap
+    // is deliberately not silent-by-default: 0 = uncapped). The window
+    // count rides the same (band, bucket) shuffle the join needs anyway.
+    val capped =
+      if (maxBucketSize <= 0) buckets
+      else buckets
+        .withColumn("__bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+        .where(col("__bsz") <= maxBucketSize)
+        .drop("__bsz")
     // candidate ids only through the self-join; shingles re-join below
     // keeps the shuffled band table narrow.
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
+    val cand = capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
       size(array_union(col("sa.sh"), col("sb.sh")))
-    cand
+    val result = cand
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
       .join(sh.as("sb"), col("id_b") === col("sb.id"))
       .select(col("id_a"), col("id_b"), jac.as("jaccard"))
       .where(col("jaccard") >= threshold)
+    (result, () => persisted.foreach(_.unpersist(false)))
   }
 
   /** Cross-corpus near-duplicate pairs (train/test decontamination): for
@@ -182,25 +243,43 @@ object Dedup {
       threshold: Double = 0.5,
       bands: Int = 32,
       rows: Int = 4,
-      cache: Boolean = true): DataFrame = {
+      cache: Boolean = true,
+      broadcastRight: Boolean = true): DataFrame =
+    crossNearDupPairsManaged(left, right, idCol, textCol, n, threshold,
+      bands, rows, cache, broadcastRight)._1
+
+  /** [[crossNearDupPairs]] plus a release handle — same cache-lifecycle
+    * contract as [[nearDupPairsManaged]]. */
+  def crossNearDupPairsManaged(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      bands: Int = 32,
+      rows: Int = 4,
+      cache: Boolean = true,
+      broadcastRight: Boolean = true): (DataFrame, () => Unit) = {
     // same multi-branch-consumption caching rationale as [[nearDupPairs]]
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def maybeCache(d: DataFrame): DataFrame =
-      if (cache) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else d
+      if (cache) {
+        persisted += d
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else d
     def prep(df: DataFrame) = {
-      val sh = maybeCache(df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
-      val sig = minhashSigCols(
-        sh.select(col("id"), explode(col("sh")).as("s"))
-          .select(col("id"), xxhash64(col("s")).as("h")),
-        "id", "h", bands * rows)
-      val buckets = sig.select(col("id"), explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("bucket"))
-      }: _*)).as("bk"))
-        .select(col("id"), col("bk.band"), col("bk.bucket"))
-      (sh, buckets)
+      val sh = maybeCache(shingleTable(df, idCol, textCol, n))
+      (sh, bandedBuckets(sh, bands, rows))
     }
     val (shL, bL) = prep(left)
-    val (shR, bR) = prep(right)
+    val (shR0, bR0) = prep(right)
+    // The decontamination shape is a huge train corpus against a small
+    // eval set: pin the broadcast of the eval-side bucket and shingle
+    // tables so the train side is never shuffled (previously an AQE hope,
+    // now the plan — assert via DedupSpec). broadcastRight=false restores
+    // symmetric shuffles for two large corpora.
+    val (shR, bR) = if (broadcastRight) (broadcast(shR0), broadcast(bR0)) else (shR0, bR0)
     val cand = bL.as("a")
       .join(bR.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
@@ -208,11 +287,12 @@ object Dedup {
       .distinct()
     val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
       size(array_union(col("sa.sh"), col("sb.sh")))
-    cand
+    val result = cand
       .join(shL.as("sa"), col("id_l") === col("sa.id"))
       .join(shR.as("sb"), col("id_r") === col("sb.id"))
       .select(col("id_l"), col("id_r"), jac.as("jaccard"))
       .where(col("jaccard") >= threshold)
+    (result, () => persisted.foreach(_.unpersist(false)))
   }
 
   /** 64-bit SimHash over a token array: bit i of the result is set iff the

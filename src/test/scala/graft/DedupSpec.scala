@@ -98,6 +98,72 @@ class DedupSpec extends AnyFunSuite {
     assert(!ids.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("replayable simhash family matches the xxhash64 plan shape and finds the same dup structure") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3,
+      tokenHash = graft.operators.TextAnalysis.fingerprint, bitOf = Dedup.replayableBit)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val ids = pairs.map(p => (p._1, p._2))
+    assert(ids.contains((1L, 2L)) && ids.contains((1L, 5L)) && ids.contains((2L, 5L)))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 0)
+    assert(!ids.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: $ids")
+  }
+
+  test("replayable bit family: unrelated docs stay far apart (salts actually mix)") {
+    // regression for the small-multiplier degeneracy: parity bits from
+    // unreduced products collapse distances corpus-wide
+    val sims = Dedup.simhashCols(
+      docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), graft.operators.TextAnalysis.fingerprint(col("t")).as("h")),
+      "doc_id", "h", Dedup.replayableBit)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(4L)) > 16,
+      s"unrelated docs too close: ${java.lang.Long.bitCount(sims(1L) ^ sims(4L))} bits")
+  }
+
+  test("managed near-dup calls release their cache entries") {
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val (pairs, release) = Dedup.nearDupPairsManaged(docs, "doc_id", "text", threshold = 0.5)
+    assert(pairs.count() > 0)
+    assert(!cm.isEmpty, "expected persisted intermediates during the sweep")
+    release()
+    assert(cm.isEmpty, "release() must unpersist all intermediates")
+    val (xp, xrelease) = Dedup.crossNearDupPairsManaged(
+      docs, Seq((10L, nearDup)).toDF("doc_id", "text"), "doc_id", "text")
+    assert(xp.count() > 0)
+    xrelease()
+    assert(cm.isEmpty, "cross release() must unpersist all intermediates")
+  }
+
+  test("crossNearDupPairs broadcasts the eval side in the static plan") {
+    val train = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val eval_ = Seq((10L, nearDup)).toDF("doc_id", "text")
+    val plan = Dedup.crossNearDupPairs(train, eval_, "doc_id", "text")
+      .queryExecution.sparkPlan.toString
+    // pinned broadcast (not an AQE runtime decision): both the bucket
+    // join and the shingle verify join see a broadcast right side
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2,
+      s"expected >=2 static BroadcastHashJoins, plan:\n$plan")
+  }
+
+  test("maxBucketSize caps degenerate buckets; oversizedBuckets audits them") {
+    // 40 identical boilerplate docs (collide in every band) + one near-dup
+    // pair with unique content
+    val boiler = (1 to 40).map(i => (100L + i, base))
+    val d = (boiler ++ Seq((1L, unrelated), (2L, unrelated.replace("u7", "CHANGED")))).toDF("doc_id", "text")
+    val capped = Dedup.nearDupPairs(d, "doc_id", "text", threshold = 0.5, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)), "healthy-bucket near-dup must survive the cap")
+    assert(!capped.exists(p => p._1 > 100L), "boilerplate bucket pairs must be dropped by the cap")
+    val audit = Dedup.oversizedBuckets(d, "doc_id", "text", maxBucketSize = 10)
+    assert(audit.count() == 32, "all 32 bands of the boilerplate content should be flagged")
+    assert(audit.agg(max("n_docs")).head.getLong(0) == 40L)
+    // uncapped control: the boilerplate clique is present
+    val uncapped = Dedup.nearDupPairs(d, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.exists(p => p._1 > 100L))
+  }
+
   test("hamming is bit_count of xor") {
     val r = Seq((0L, 0L), (0L, 7L), (-1L, 0L)).toDF("a", "b")
       .select(Dedup.hamming(col("a"), col("b"))).collect().map(_.getInt(0)).toSeq

@@ -69,6 +69,40 @@ class SimilaritySpec extends AnyFunSuite {
       s"nprobe=3 recall ${ivf3.size.toDouble / brute.size} too low")
   }
 
+  test("autoPlanes: integer occupancy rule, bounds, monotonicity") {
+    assert(Similarity.autoPlanes(0) == 4 && Similarity.autoPlanes(1024) == 4)
+    assert(Similarity.autoPlanes(1025) == 5 && Similarity.autoPlanes(2048) == 5)
+    assert(Similarity.autoPlanes(16384) == 8)
+    assert(Similarity.autoPlanes(Long.MaxValue) == 20) // capped
+    val ns = Seq(1L, 100L, 1000L, 10000L, 100000L, 1000000L)
+    assert(ns.map(Similarity.autoPlanes(_)) == ns.map(Similarity.autoPlanes(_)).sorted)
+  }
+
+  /** LSH candidate-pair cost with auto-sized planes must grow ~linearly in
+    * the corpus (the whole point of corpus-aware sizing): occupancy
+    * n/2^planes stays ~constant, so sum-over-buckets C(size,2) scales with
+    * bucket count, not n^2. Fixed planes degenerate quadratically — the
+    * measured 7x blowup at 16k vectors (BENCH_NOTES round 2). */
+  test("autoPlanes keeps LSH candidate growth ~linear from 1x to 8x corpus") {
+    def synth(n: Int) = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until 16).map(j =>
+        sin(col("id") * (7919 + j) + lit(j * 104729)).cast("float")): _*).as("embedding"))
+    def candidates(n: Int, planes: Int): Long = {
+      val p = Similarity.prepared(synth(n), "vec_id", "embedding")
+      p.select(explode(array((0 until 8).map { t =>
+          struct(lit(t).as("t"), Similarity.lshBucket(col("q"), t, planes, 16).as("bucket"))
+        }: _*)).as("bk"))
+        .groupBy("bk.t", "bk.bucket").agg(count(lit(1)).as("n"))
+        .agg(sum((col("n") * (col("n") - 1) / 2).cast("long"))).head().getLong(0)
+    }
+    val c1 = candidates(1000, Similarity.autoPlanes(1000))  // planes=4
+    val c8 = candidates(8000, Similarity.autoPlanes(8000))  // planes=7
+    assert(c8 <= 16L * c1, s"auto-sized candidates superlinear: 1x=$c1, 8x=$c8")
+    val c8fixed = candidates(8000, 4)
+    assert(c8fixed > 3L * c8,
+      s"expected fixed-planes degeneracy the sizing rule avoids: fixed=$c8fixed auto=$c8")
+  }
+
   test("hyperplanes are deterministic across calls") {
     assert(Similarity.hyperplane(1, 2, 8).toSeq == Similarity.hyperplane(1, 2, 8).toSeq)
     assert(Similarity.hyperplane(1, 2, 8).toSeq != Similarity.hyperplane(2, 1, 8).toSeq)
