@@ -68,11 +68,13 @@ object LlmQueries {
     // default (pinned equivalent in DedupSpec), but every arithmetic step
     // replays in DuckDB — and since pigeonhole banding has recall 1, the
     // oracle can verify via the all-pairs hamming filter.
-    "q_dedup_simhash" -> ((s, d) =>
+    "q_dedup_simhash" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
       Dedup.simhashPairs(T(s, d, "documents"), "doc_id", "text", maxDist = 3,
-        tokenHash = TextAnalysis.fingerprint, bitOf = Dedup.replayableBit)
+        tokenHash = TextAnalysis.fingerprintFast, bitOf = Dedup.replayableBit)
         .withColumn("dist", col("dist").cast("long"))
-        .orderBy("id_a", "id_b")),
+        .orderBy("id_a", "id_b")
+    }),
     // ---- similarity search ----
     "q_cosine_pairs" -> ((s, d) =>
       Similarity.bruteForcePairs(T(s, d, "embeddings"), "vec_id", "embedding", 0.4)
@@ -155,8 +157,8 @@ object LlmQueries {
         expected = Some(Binning.binsDf(s, "qbin", (0 to 11).map(_ * 100.0))))
     }),
     "q_fingerprint" -> ((s, d) =>
-      T(s, d, "documents")
-        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      { graft.expressions.GraftFunctions.register(s); T(s, d, "documents") }
+        .withColumn("fp", TextAnalysis.fingerprintFast(col("text")))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           count_distinct(col("fp")).as("n_distinct_fp"),

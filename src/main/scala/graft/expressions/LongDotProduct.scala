@@ -67,13 +67,16 @@ case class LongDotProduct(left: Expression, right: Expression)
   * operator entry points call it defensively so any session that runs a
   * graft plan has the functions available. */
 object GraftFunctions {
-  val DotQ   = "graft_dotq"
-  val VecSum = "graft_vecsum"
+  val DotQ      = "graft_dotq"
+  val VecSum    = "graft_vecsum"
+  val RollingFp = "graft_rolling_fp"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotQ, exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       VecSum, exprs => VectorSumLong(exprs.head).toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      RollingFp, exprs => RollingFingerprint(exprs.head), "built-in")
   }
 }

@@ -110,4 +110,13 @@ object TextAnalysis {
     // semantics) which would add a spurious *31 fold step
     aggregate(filter(split(text, ""), c => length(c) > 0), lit(0L),
       (acc, c) => (acc * 31L + ascii(c)) % 1000000007L)
+
+  /** Native codegen twin of [[fingerprint]] (identical values on BMP
+    * text, pinned by TextMultiModalSpec): the HOF fold above interprets
+    * one lambda per character; [[graft.expressions.RollingFingerprint]]
+    * is a tight generated loop — use this form on hot paths that hash
+    * every token (SimHash). Requires
+    * [[graft.expressions.GraftFunctions.register]] on the session. */
+  def fingerprintFast(text: Column): Column =
+    call_function(graft.expressions.GraftFunctions.RollingFp, text)
 }

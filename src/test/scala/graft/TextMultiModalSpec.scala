@@ -41,6 +41,16 @@ class TextMultiModalSpec extends AnyFunSuite {
     assert(got == inputs.map(scalaFp))
   }
 
+  test("fingerprintFast (native codegen loop) equals the HOF fingerprint, incl. empty and BMP unicode") {
+    graft.expressions.GraftFunctions.register(spark)
+    val inputs = Seq("", "ab", "hello world", "café 中文 text", "a" * 500)
+    val rows = inputs.toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("hof"),
+        TextAnalysis.fingerprintFast(col("text")).as("fast"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch on ${r}"))
+  }
+
   test("qualityScore: integer formula with clipped parts") {
     // "the a x": 2 stopword hits of 3 tokens -> floor(600*2*5/3)=2000 -> clip 600; len 7
     val r = Seq("the a x").toDF("text")
