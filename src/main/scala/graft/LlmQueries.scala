@@ -109,7 +109,7 @@ object LlmQueries {
       // (immutable, driver-generated) data dir.
       val centroids = Option(ivfIndexCache.get(d)).getOrElse {
         val e = T(s, d, "embeddings")
-        val cells = math.max(16L, e.count() / 256L).toInt
+        val cells = Similarity.autoCells(e.count())
         val c = e.where(col("vec_id") < cells).orderBy("vec_id")
           .select(Similarity.quantize(col("embedding")))
           .collect().map(_.getSeq[Long](0))

@@ -39,11 +39,15 @@ object Stress {
     val embs = expand("embeddings", "vec_id").persist()
     println(s"[stress] ${docs.count()} docs, ${embs.count()} vectors (x$n of $sfDir)")
 
+    // auto-sized defaults throughout — the point of the probe is that the
+    // corpus-aware sizing rules keep these ~linear as n grows
     time("exactDedup")(Dedup.exactDedup(docs, "doc_id", "text").count())
     time("nearDupPairs")(Dedup.nearDupPairs(docs, "doc_id", "text").count())
+    time("nearDupPairs cap=500")(
+      Dedup.nearDupPairs(docs, "doc_id", "text", maxBucketSize = 500).count())
     time("simhashPairs")(Dedup.simhashPairs(docs, "doc_id", "text").count())
-    time("lshNeighbors")(Similarity.lshNeighbors(embs, "vec_id", "embedding", 0.35, planes = 8).count())
-    time("ivfNeighbors")(Similarity.ivfNeighbors(embs, "vec_id", "embedding", 0.35, cells = 64).count())
+    time("lshNeighbors")(Similarity.lshNeighbors(embs, "vec_id", "embedding", 0.35).count())
+    time("ivfNeighbors")(Similarity.ivfNeighbors(embs, "vec_id", "embedding", 0.35).count())
     spark.stop()
   }
 }

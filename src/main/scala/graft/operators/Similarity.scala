@@ -160,19 +160,31 @@ object Similarity {
     * for recall exactly like probing neighboring IVF lists in FAISS-style
     * indexes.
     */
+  /** Corpus-aware cell count: per-cell candidate cost is quadratic in the
+    * list size n/cells, so cells must grow with the corpus —
+    * max(minCells, n / targetListSize), integer logic (SQL-replayable,
+    * mirrored by the q_ann_ivf oracle). */
+  def autoCells(n: Long, targetListSize: Long = 256, minCells: Int = 16): Int =
+    math.max(minCells.toLong, n / targetListSize).toInt
+
   def ivfNeighbors(
       df: DataFrame,
       idCol: String,
       embCol: String,
       threshold: Double,
-      cells: Int = 16,
+      cells: Int = 0,
       nprobe: Int = 2,
       trainSample: Int = 10000,
       seed: Long = 42L,
       centroids: Option[Array[Seq[Long]]] = None): DataFrame = {
     val spark = df.sparkSession
     GraftFunctions.register(spark)
-    val centroidsQ = centroids.getOrElse(ivfTrain(df, embCol, cells, trainSample, seed))
+    // cells <= 0 sizes with the corpus (one cheap count; skipped when the
+    // caller supplies a prebuilt quantizer)
+    val centroidsQ = centroids.getOrElse {
+      val k = if (cells > 0) cells else autoCells(df.count())
+      ivfTrain(df, embCol, k, trainSample, seed)
+    }
     val p = prepared(df, idCol, embCol)
     if (centroidsQ.isEmpty) // empty corpus: empty result, right schema
       return p.select(col("id").as("id_a"), col("id").as("id_b"),

@@ -75,6 +75,21 @@ object PartitionInvarianceProps extends Properties("PartitionInvariance") {
     }
   }
 
+  // r3 dtype views (bool int-view, timestamp micros-view): the same
+  // invariant must hold through the view + cast-back layers — decimal
+  // sums keep timestamp means order-independent even though raw micros
+  // sums exceed 2^53.
+  property("bool + timestamp views: 1 partition == 8 partitions") = forAll(genData) { data =>
+    val df = data.zipWithIndex.map { case ((l, v), i) =>
+      (l, !v.isNaN && v > 0, new java.sql.Timestamp(1700000000000L + (i.toLong * 997993) % 86400000), i.toLong)
+    }.toDF("label", "b", "ts", "pos")
+    val aggs = Seq(
+      Agg("sum", "b", "a1"), Agg("mean", "b", "a2"), Agg("nanvar", "b", "a3", ddof = 1),
+      Agg("nanmean", "ts", "a4"), Agg("nanmedian", "ts", "a5"),
+      Agg("nanmin", "ts", "a6"), Agg("nanvar", "ts", "a7"))
+    rows(df.coalesce(1), aggs) == rows(df.repartition(8), aggs)
+  }
+
   property("exactScale sums are identical under any partitioning") = forAll(genData) { data =>
     // fractional values whose double sums WOULD be order-dependent
     val df = toDf(data.map { case (l, v) => (l, if (v.isNaN) 0.01 else v + 0.01) })

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Agg, AsOfJoin, GroupByReduce, GroupByScan, Sessionize, Similarity}
+
+/** Plan-shape pins: the properties that make these operators scale are
+  * *plan* properties — filters reaching the parquet scan, column pruning,
+  * map-side partial aggregation, one shuffle for scan-shaped ops,
+  * broadcast where a side is known-small, whole-stage codegen on the hot
+  * path. `.explain` audits found them once; these assertions keep them.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int =
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r.findAllIn(p).length
+
+  test("filter + projection reach the parquet scan (pushdown, column pruning)") {
+    val d = TestSpark.table("0.01", "documents")
+      .where(col("source") === "src0")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val p = plan(d)
+    assert(p.contains("PushedFilters: [IsNotNull(source), EqualTo(source,src0)]"),
+      s"source filter not pushed to scan:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("lang") && !readSchema.contains("text"),
+      s"scan should read lang/source only, got: $readSchema")
+  }
+
+  test("grouped reduction: map-side partial agg, one shuffle, whole-stage codegen") {
+    val df = GroupByReduce.reduce(TestSpark.table("0.01", "lineitem"),
+      Seq("l_returnflag"),
+      Seq(Agg("nansum", "l_quantity", "s"), Agg("count", "l_quantity", "n")),
+      sort = false)
+    val p = plan(df)
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+    assert(exchanges(p) == 1, s"expected exactly one shuffle:\n$p")
+    // codegen stages only materialize in the final AQE plan — execute,
+    // then audit
+    df.collect()
+    val finalP = plan(df)
+    // codegen'd operators render as "*(n) HashAggregate" in the final plan
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(finalP).isDefined,
+      s"aggregation fell out of whole-stage codegen:\n$finalP")
+  }
+
+  test("grouped scan and sessionize are scan-shaped: exactly one shuffle") {
+    val ev = (0 until 100).map(i => (i % 5, i.toDouble, i.toLong)).toDF("k", "v", "pos")
+    val scanP = plan(GroupByScan.scan(ev, "v", Seq("k"), "nancumsum", Seq(col("pos")), "r"))
+    assert(exchanges(scanP) == 1, s"scan should shuffle once:\n$scanP")
+    val ts = (0 until 100).map(i =>
+      (i % 5, new java.sql.Timestamp(1700000000000L + i * 60000L), i.toDouble)).toDF("user_id", "ts", "value")
+    val sessP = plan(Sessionize.sessions(ts, Seq("user_id"), "ts", 1800, "value"))
+    // lag + running sum + per-session rollup ride the same user_id
+    // partitioning; the rollup re-aggregates on (user_id, session) — 2
+    // exchanges total, independent of session count
+    assert(exchanges(sessP) <= 2, s"sessionize should need <=2 shuffles:\n$sessP")
+  }
+
+  test("asofJoin is one shuffle + one sort (no range-join pair blowup)") {
+    val l = (0 until 50).map(i => (i % 3, i.toLong, s"e$i")).toDF("k", "t", "payload")
+    val r = (0 until 20).map(i => (i % 3, i.toLong * 2, i.toDouble)).toDF("k", "t", "v")
+    val p = plan(AsOfJoin.asofJoin(l, r, Seq("k"), "t", "t", Seq("v")))
+    assert(exchanges(p) == 1, s"asof should shuffle once:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"asof must not fall back to a product join:\n$p")
+  }
+
+  test("topK broadcasts the query side; corpus side is never shuffled before scoring") {
+    val e = TestSpark.table("0.01", "embeddings")
+    val p = plan(Similarity.topK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 3))
+    assert(p.contains("Broadcast"), s"query side should broadcast:\n$p")
+  }
+
+  test("expected-groups reindex joins broadcast the expected side") {
+    val expected = GroupByReduce.expectedDf(spark, "l_returnflag", Seq("A", "N", "R", "X"))
+    val p = plan(GroupByReduce.reduce(TestSpark.table("0.01", "lineitem"),
+      Seq("l_returnflag"), Seq(Agg("count", "l_quantity", "n", fill = Some(0L))),
+      expected = Some(expected)))
+    assert(p.contains("BroadcastHashJoin"), s"reindex should broadcast:\n$p")
+  }
+}
