@@ -179,6 +179,17 @@ object SparkEntry {
     "q_ffill" -> ((s, d) => scanEv(s, d, "valn", "ffill", "filled")),
     "q_bfill" -> ((s, d) => scanEv(s, d, "valn", "bfill", "filled")),
     "q_cumcount" -> ((s, d) => scanEv(s, d, "valn", "cumcount", "n_valid_so_far")),
+    // the last three scan funcs without driver rows (were ScalaTest-only)
+    "q_cummin" -> ((s, d) => scanEv(s, d, "valn", "cummin", "run_min")),
+    "q_nancummax" -> ((s, d) => scanEv(s, d, "valn", "nancummax", "run_max")),
+    "q_nancumprod" -> ((s, d) => {
+      val df = ev(s, d).withColumn("v2n",
+        when(col("event_type") === "error", lit(Double.NaN))
+          .otherwise((col("event_id") % 2 + 1).cast("double")))
+      GroupByScan.scan(df, "v2n", Seq("user_id"), "nancumprod",
+        Seq(col("ts"), col("event_id")), "cum_prod")
+        .select("event_id", "user_id", "cum_prod").orderBy("event_id")
+    }),
     // ---- dtype views (reference core.py:2442-2443, 2506-2520) ----
     // bool flags through arithmetic reductions: sum = count-true, mean =
     // fraction-true, var over the 0/1 view — the reference's bool->int cast.
@@ -334,6 +345,23 @@ object SparkEntry {
       (s"SELECT event_id, user_id, count($EVAL)"
         + " OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         + " AS n_valid_so_far FROM events ORDER BY event_id"),
+    // plain cummin propagates NaN from first occurrence (numpy); DuckDB
+    // has no NaN-propagating min, so the oracle states the semantics
+    // directly: any error row so far poisons, else running min
+    "q_cummin" ->
+      ("SELECT event_id, user_id, CASE WHEN count(CASE WHEN event_type = 'error' THEN 1 END)"
+        + " OVER w > 0 THEN CAST('nan' AS DOUBLE) ELSE min(value) OVER w END AS run_min"
+        + " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
+        + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    "q_nancummax" ->
+      (s"SELECT event_id, user_id, max($EVAL)"
+        + " OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        + " AS run_max FROM events ORDER BY event_id"),
+    "q_nancumprod" ->
+      ("SELECT event_id, user_id, coalesce(product(CASE WHEN event_type = 'error' THEN NULL"
+        + " ELSE CAST(event_id % 2 + 1 AS DOUBLE) END)"
+        + " OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),"
+        + " 1.0) AS cum_prod FROM events ORDER BY event_id"),
     "q_bool_agg" -> {
       val f = "CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END"
       (s"SELECT l_returnflag, sum($f)::BIGINT AS n_true,"

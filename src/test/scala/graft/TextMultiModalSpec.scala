@@ -51,6 +51,23 @@ class TextMultiModalSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch on ${r}"))
   }
 
+  test("langIdNgram containment form equals the gram-set intersection form") {
+    val texts = Seq("the singing lion", "schneller under ich", "ab", "", "que los cios nte",
+      "the les ent ion que")
+    val d = texts.toDF("text")
+    // the original formulation: materialize distinct trigrams, intersect
+    val viaSets = d.select(TextAnalysis.LangNgramProfiles.map { case (lang, profile) =>
+      size(array_intersect(TextAnalysis.charNgrams(col("text"), 3),
+        array(profile.map(lit): _*))).as(lang)
+    }: _*).collect().map(_.toSeq)
+    val viaContains = d.select(TextAnalysis.LangNgramProfiles.map { case (lang, profile) =>
+      profile.map(g => when(col("text").contains(lit(g)), 1).otherwise(0)).reduce(_ + _).as(lang)
+    }: _*).collect().map(_.toSeq)
+    assert(viaSets.toSeq == viaContains.toSeq)
+    assert(d.select(TextAnalysis.charNgrams(col("text"), 3)).head().getSeq[String](0)
+      == Seq("the", "he ", "e s", " si", "sin", "ing", "ngi", "gin", "ing", "ng ", "g l", " li", "lio", "ion").distinct)
+  }
+
   test("qualityScore: integer formula with clipped parts") {
     // "the a x": 2 stopword hits of 3 tokens -> floor(600*2*5/3)=2000 -> clip 600; len 7
     val r = Seq("the a x").toDF("text")
