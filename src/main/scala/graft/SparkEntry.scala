@@ -190,6 +190,13 @@ object SparkEntry {
         Seq(col("ts"), col("event_id")), "cum_prod")
         .select("event_id", "user_id", "cum_prod").orderBy("event_id")
     }),
+    // string-valued aggregations (reference supports strings for
+    // count/first/last/mode, aggregate_npg.py:90-105, SURVEY §1.2)
+    "q_string_agg" -> ((s, d) => reduceRF(s, d,
+      Agg("first", "l_linestatus", "first_ls"),
+      Agg("last", "l_linestatus", "last_ls"),
+      Agg("mode", "l_linestatus", "mode_ls"),
+      Agg("countdistinct", "l_linestatus", "nd_ls"))),
     // ---- dtype views (reference core.py:2442-2443, 2506-2520) ----
     // bool flags through arithmetic reductions: sum = count-true, mean =
     // fraction-true, var over the 0/1 view — the reference's bool->int cast.
@@ -345,6 +352,15 @@ object SparkEntry {
       (s"SELECT event_id, user_id, count($EVAL)"
         + " OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         + " AS n_valid_so_far FROM events ORDER BY event_id"),
+    "q_string_agg" ->
+      ("WITH m AS (SELECT l_returnflag, min(v) AS mode_ls FROM ("
+        + " SELECT l_returnflag, v, c, max(c) OVER (PARTITION BY l_returnflag) AS mx FROM ("
+        + " SELECT l_returnflag, l_linestatus AS v, count(*) AS c FROM lineitem GROUP BY 1, 2))"
+        + " WHERE c = mx GROUP BY 1)"
+        + s" SELECT l.l_returnflag, arg_min(l_linestatus, $POS) AS first_ls,"
+        + s" arg_max(l_linestatus, $POS) AS last_ls, m.mode_ls,"
+        + " count(DISTINCT l_linestatus) AS nd_ls"
+        + " FROM lineitem l JOIN m USING (l_returnflag) GROUP BY 1, m.mode_ls ORDER BY 1"),
     // plain cummin propagates NaN from first occurrence (numpy); DuckDB
     // has no NaN-propagating min, so the oracle states the semantics
     // directly: any error row so far poisons, else running min
