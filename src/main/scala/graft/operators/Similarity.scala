@@ -176,7 +176,25 @@ object Similarity {
       nprobe: Int = 2,
       trainSample: Int = 10000,
       seed: Long = 42L,
-      centroids: Option[Array[Seq[Long]]] = None): DataFrame = {
+      centroids: Option[Array[Seq[Long]]] = None,
+      cache: Boolean = true): DataFrame =
+    ivfNeighborsManaged(df, idCol, embCol, threshold, cells, nprobe,
+      trainSample, seed, centroids, cache)._1
+
+  /** [[ivfNeighbors]] plus a release handle for the persisted corpus
+    * projection — same cache-lifecycle contract as
+    * [[graft.operators.Dedup.nearDupPairsManaged]]. */
+  def ivfNeighborsManaged(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      cells: Int = 0,
+      nprobe: Int = 2,
+      trainSample: Int = 10000,
+      seed: Long = 42L,
+      centroids: Option[Array[Seq[Long]]] = None,
+      cache: Boolean = true): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     GraftFunctions.register(spark)
     // cells <= 0 sizes with the corpus (one cheap count; skipped when the
@@ -185,10 +203,17 @@ object Similarity {
       val k = if (cells > 0) cells else autoCells(df.count())
       ivfTrain(df, embCol, k, trainSample, seed)
     }
-    val p = prepared(df, idCol, embCol)
+    // (id, q, nsq) feeds three plan branches (cell assignment + both
+    // verify sides): persist the compact projection so the corpus is
+    // scanned once, not three times (matters when `df` is a 100 TB read;
+    // the projection is ~dim*8 bytes per row). Same rationale/lifecycle
+    // as Dedup's shingle table.
+    val p0 = prepared(df, idCol, embCol)
+    val p = if (cache) p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else p0
+    val release = () => if (cache) { p.unpersist(false); () } else ()
     if (centroidsQ.isEmpty) // empty corpus: empty result, right schema
-      return p.select(col("id").as("id_a"), col("id").as("id_b"),
-        lit(0.0).as("cos")).where(lit(false))
+      return (p.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cos")).where(lit(false)), release)
     // nearest cells by ||x-c||^2 = nsq - 2 x.c + c.c: rank by (c.c - 2 x.c)
     val cellScores = array(centroidsQ.zipWithIndex.map { case (c, i) =>
       val cc = c.map(x => x * x).sum
@@ -203,12 +228,13 @@ object Similarity {
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cand
+    val result = cand
       .join(p.as("pa"), col("id_a") === col("pa.id"))
       .join(p.as("pb"), col("id_b") === col("pb.id"))
       .select(col("id_a"), col("id_b"),
         cosineQ(dotQ(col("pa.q"), col("pb.q")), col("pa.nsq"), col("pb.nsq")).as("cos"))
       .where(col("cos") >= threshold)
+    (result, release)
   }
 
   /** Corpus-aware plane count: the smallest p >= minPlanes such that
@@ -249,32 +275,59 @@ object Similarity {
       threshold: Double,
       planes: Int = 0,
       tables: Int = 8,
-      dim: Int = 0): DataFrame = {
-    val p = prepared(df, idCol, embCol)
+      dim: Int = 0,
+      cache: Boolean = true): DataFrame =
+    lshNeighborsManaged(df, idCol, embCol, threshold, planes, tables, dim, cache)._1
+
+  /** [[lshNeighbors]] plus a release handle for the persisted
+    * intermediates — same cache-lifecycle contract as
+    * [[graft.operators.Dedup.nearDupPairsManaged]]. */
+  def lshNeighborsManaged(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      planes: Int = 0,
+      tables: Int = 8,
+      dim: Int = 0,
+      cache: Boolean = true): (DataFrame, () => Unit) = {
+    // The compact (id, q, nsq) projection feeds three branches (bucket
+    // build + both verify sides) and the bucket table two (the candidate
+    // self-join): persist both so a 100 TB corpus is scanned once. Same
+    // rationale/lifecycle as Dedup's shingle/bucket tables.
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def maybeCache(d: DataFrame): DataFrame =
+      if (cache) {
+        persisted += d
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else d
+    val release = () => persisted.foreach(_.unpersist(false))
+    val p = maybeCache(prepared(df, idCol, embCol))
     val actualDim =
       if (dim > 0) dim
       else df.select(size(col(embCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
     if (actualDim == 0)
-      return p.select(col("id").as("id_a"), col("id").as("id_b"),
-        lit(0.0).as("cos")).where(lit(false))
+      return (p.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cos")).where(lit(false)), release)
     val actualPlanes = if (planes > 0) planes else autoPlanes(df.count())
-    val buckets = p.select(
+    val buckets = maybeCache(p.select(
       col("id"),
       explode(array((0 until tables).map { t =>
         struct(lit(t).as("t"), lshBucket(col("q"), t, actualPlanes, actualDim).as("bucket"))
       }: _*)).as("bk"))
-      .select(col("id"), col("bk.t"), col("bk.bucket"))
+      .select(col("id"), col("bk.t"), col("bk.bucket")))
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cand
+    val result = cand
       .join(p.as("pa"), col("id_a") === col("pa.id"))
       .join(p.as("pb"), col("id_b") === col("pb.id"))
       .select(col("id_a"), col("id_b"),
         cosineQ(dotQ(col("pa.q"), col("pb.q")), col("pa.nsq"), col("pb.nsq")).as("cos"))
       .where(col("cos") >= threshold)
+    (result, release)
   }
 }

@@ -103,6 +103,22 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected fixed-planes degeneracy the sizing rule avoids: fixed=$c8fixed auto=$c8")
   }
 
+  test("managed lsh/ivf calls release their persisted corpus projections") {
+    val cm = TestSpark.spark.sharedState.cacheManager
+    cm.clearCache()
+    val e = TestSpark.table("0.001", "embeddings")
+    val (lsh, lshRelease) = Similarity.lshNeighborsManaged(e, "vec_id", "embedding", 0.35)
+    lsh.count()
+    assert(!cm.isEmpty, "expected persisted intermediates during the LSH sweep")
+    lshRelease()
+    assert(cm.isEmpty, "LSH release() must unpersist all intermediates")
+    val (ivf, ivfRelease) = Similarity.ivfNeighborsManaged(e, "vec_id", "embedding", 0.35)
+    ivf.count()
+    assert(!cm.isEmpty)
+    ivfRelease()
+    assert(cm.isEmpty, "IVF release() must unpersist the corpus projection")
+  }
+
   test("hyperplanes are deterministic across calls") {
     assert(Similarity.hyperplane(1, 2, 8).toSeq == Similarity.hyperplane(1, 2, 8).toSeq)
     assert(Similarity.hyperplane(1, 2, 8).toSeq != Similarity.hyperplane(2, 1, 8).toSeq)
