@@ -76,6 +76,11 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
     // ---- similarity search ----
+    // BASELINE ONLY: bruteForcePairs is the O(n^2) exact verifier that
+    // anchors the bit-exact oracle and the recall pins — it is not the
+    // corpus-scale path. Users run lshNeighbors/ivfNeighbors (q_ann_lsh /
+    // q_ann_ivf) at scale; this query exists to keep the exact reference
+    // measurable.
     "q_cosine_pairs" -> ((s, d) =>
       Similarity.bruteForcePairs(T(s, d, "embeddings"), "vec_id", "embedding", 0.4)
         .withColumn("cos", round(col("cos"), 6))

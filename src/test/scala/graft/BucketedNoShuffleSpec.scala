@@ -19,11 +19,9 @@ class BucketedNoShuffleSpec extends AnyFunSuite {
   test("groupBy on the bucketing key aggregates with zero Exchange") {
     val table = "graft_bucketed_lineitem"
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    TestSpark.table("0.001", "lineitem")
-      .select("l_returnflag", "l_quantity")
-      .write.bucketBy(4, "l_returnflag").sortBy("l_returnflag")
-      .mode("overwrite")
-      .saveAsTable(table)
+    graft.operators.Layout.writeBucketed(
+      TestSpark.table("0.001", "lineitem").select("l_returnflag", "l_quantity"),
+      table, Seq("l_returnflag"), buckets = 4)
 
     val bucketed = spark.table(table)
     val reduced = GroupByReduce.reduce(bucketed, Seq("l_returnflag"),
@@ -42,5 +40,18 @@ class BucketedNoShuffleSpec extends AnyFunSuite {
       sort = false).collect().map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
     assert(viaBuckets == viaShuffle)
     spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("repartitionByKeys: a chain of grouped ops on the same keys shuffles once") {
+    import graft.operators.Layout
+    val pre = Layout.repartitionByKeys(
+      TestSpark.table("0.001", "lineitem").select("l_returnflag", "l_quantity"),
+      Seq("l_returnflag"))
+    val reduced = GroupByReduce.reduce(pre, Seq("l_returnflag"),
+      Seq(Agg("nansum", "l_quantity", "s")), sort = false)
+    val p = reduced.queryExecution.executedPlan.toString
+    // exactly the explicit repartition exchange; the aggregate adds none
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected only the up-front exchange:\n$p")
   }
 }
