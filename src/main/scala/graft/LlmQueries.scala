@@ -226,6 +226,18 @@ object LlmQueries {
         .select("event_id", "user_id", "prev_event_id", "prev_value")
         .orderBy("event_id")
     }),
+    // Same as-of semantics through the skew-safe Blelloch fill (one huge
+    // user parallelizes across its day-chunks) — must hash-match the same
+    // native ASOF oracle as q_asof.
+    "q_asof_chunked" -> ((s, d) => {
+      val e = SparkEntry.ev(s, d)
+      val errors = e.filter(col("event_type") === "error")
+      AsOfJoin.asofJoinChunked(e, errors, Seq("user_id"), "ts", "ts",
+        Seq("event_id", "value"), chunk = t => date_trunc("day", t),
+        rightPrefix = "prev_", strict = true)
+        .select("event_id", "user_id", "prev_event_id", "prev_value")
+        .orderBy("event_id")
+    }),
     // Running-extrema scans: plain cummax/cummin propagate NaN (numpy),
     // nan* variants skip — closing the last untested scan funcs.
     "q_cummax" -> ((s, d) =>
@@ -604,6 +616,11 @@ object LlmQueries {
           + " CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) / count(l_tax) AS l_tax"
           + " FROM lineitem GROUP BY 1 ORDER BY 1"),
       "q_asof" ->
+        ("SELECT l.event_id, l.user_id, r.eid AS prev_event_id, r.v AS prev_value"
+          + " FROM events l ASOF LEFT JOIN"
+          + " (SELECT user_id u, ts rts, event_id eid, value v FROM events WHERE event_type = 'error') r"
+          + " ON l.user_id = r.u AND l.ts > r.rts ORDER BY l.event_id"),
+      "q_asof_chunked" ->
         ("SELECT l.event_id, l.user_id, r.eid AS prev_event_id, r.v AS prev_value"
           + " FROM events l ASOF LEFT JOIN"
           + " (SELECT user_id u, ts rts, event_id eid, value v FROM events WHERE event_type = 'error') r"

@@ -138,6 +138,15 @@ object SparkEntry {
     // min_count masking (reference core.py:2539-2557)
     "q_mincount" -> ((s, d) => reduceOK(s, d,
       Agg("count", "valn", "n_valid"), Agg("nansum", "valn", "sum_valid", minCount = 4))),
+    // min_count *defaulting*: expected+fill promotes min_count to 1, so
+    // an order whose lineitems are all invalid takes the fill instead of
+    // nansum's 0 identity (reference core.py:2539-2557)
+    "q_mincount_fill" -> ((s, d) => {
+      val l = li(s, d)
+      GroupByReduce.reduce(l, Seq("l_orderkey"),
+        Seq(Agg("nansum", "valn", "sum_valid", fill = Some(-1.0))),
+        expected = Some(l.select("l_orderkey").distinct()))
+    }),
     // ---- binning (reference core.py:803-823; empty bins kept+filled) ----
     "q_bins" -> ((s, d) => {
       val edges  = Seq(0.0, 10.0, 25.0, 40.0, 50.0, 100.0)
@@ -301,6 +310,10 @@ object SparkEntry {
     "q_mincount" ->
       (s"SELECT l_orderkey, count($VALID) AS n_valid,"
         + s" CASE WHEN count($VALID) >= 4 THEN coalesce(sum($VALID), 0.0) END AS sum_valid"
+        + " FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_mincount_fill" ->
+      (s"SELECT l_orderkey, coalesce(CASE WHEN count($VALID) >= 1"
+        + s" THEN coalesce(sum($VALID), 0.0) END, -1.0) AS sum_valid"
         + " FROM lineitem GROUP BY 1 ORDER BY 1"),
     "q_bins" -> {
       val bin = ("CASE WHEN l_quantity > 0 AND l_quantity <= 10 THEN 0"

@@ -50,13 +50,59 @@ object AsOfJoin {
       rightPrefix: String = "r_",
       strict: Boolean = false,
       tolerance: Option[Column] = None): DataFrame = {
+    val unioned = taggedUnion(left, right, keys, leftTime, rightTime, rightValues, rightPrefix)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(sideOrder(strict).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned.withColumn("__rvf", last(col("__rv"), ignoreNulls = true).over(w))
+    finish(filled, rightValues, rightPrefix, tolerance)
+  }
+
+  /** Skew-safe as-of join: same semantics as [[asofJoin]], with the
+    * ordered forward fill routed through
+    * [[graft.operators.GroupByScan.scanChunked]]'s Blelloch chunk-carry
+    * topology. [[asofJoin]] shuffles each whole key to one task — a
+    * pathological key (one user with 10^10 events) serializes on it; here
+    * `chunk(timeCol)` (NON-DECREASING in time, e.g.
+    * `t => date_trunc("day", t)`) splits the fill into parallel per-chunk
+    * scans plus a tiny per-key carry pass. Bitwise-identical results
+    * (pinned by AsOfJoinSpec). */
+  def asofJoinChunked(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String],
+      chunk: Column => Column,
+      rightPrefix: String = "r_",
+      strict: Boolean = false,
+      tolerance: Option[Column] = None): DataFrame = {
+    val unioned = taggedUnion(left, right, keys, leftTime, rightTime, rightValues, rightPrefix)
+    val filled = GroupByScan.scanChunked(unioned, "__rv", keys, "ffill",
+      sideOrder(strict), chunk(col("__t")), "__rvf")
+    finish(filled, rightValues, rightPrefix, tolerance)
+  }
+
+  /** Union the two inputs tagged by side, with the right payload packed
+    * into one atomic struct. Ordering by [[sideOrder]] then puts right
+    * rows before (<=) or after (<) left rows at equal times, so the
+    * running fill sees exactly the legal matches. */
+  private def taggedUnion(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String],
+      rightPrefix: String): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
     require(rightValues.nonEmpty, "need at least one right payload column")
     // The plan uses internal working columns and attaches outputs as
     // rightPrefix+col; a left input already carrying one of those names
     // would be silently overwritten — corrupt results, not an error. Fail
     // fast instead.
-    val reserved = Seq("__t", "__isL", "__rv")
+    val reserved = Seq("__t", "__isL", "__rv", "__rvf")
     val outputs  = rightValues.map(rightPrefix + _)
     val clashes  = left.columns.toSeq.intersect(reserved ++ outputs) ++
       right.columns.toSeq.intersect(reserved)
@@ -70,27 +116,31 @@ object AsOfJoin {
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__isL", lit(1))
+    l.unionByName(r, allowMissingColumns = true)
+  }
 
-    // union by name; left-only columns are null on right rows and vice
-    // versa. Ordering puts right rows before (<=) or after (<) left rows
-    // at equal times, so the running fill sees exactly the legal matches.
-    val unioned = l.unionByName(r, allowMissingColumns = true)
-    val sideOrder = if (strict) col("__isL").desc else col("__isL").asc
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, sideOrder)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = last(col("__rv"), ignoreNulls = true).over(w)
+  /** Ordering expressions (all plain ascending columns, so they can live
+    * inside an ordering struct as well as a window ORDER BY): time, then
+    * the side — right-before-left for <= matches, left-before-right for
+    * strict < matches. */
+  private def sideOrder(strict: Boolean): Seq[Column] =
+    Seq(col("__t"), if (strict) lit(1) - col("__isL") else col("__isL"))
 
+  /** Tolerance aging + payload attachment from the filled struct. */
+  private def finish(
+      filled: DataFrame,
+      rightValues: Seq[String],
+      rightPrefix: String,
+      tolerance: Option[Column]): DataFrame = {
     val matched = tolerance match {
-      case None      => filled
-      case Some(tol) => when(col("__t") - filled.getField("__rt") <= tol, filled)
+      case None      => col("__rvf")
+      case Some(tol) => when(col("__t") - col("__rvf").getField("__rt") <= tol, col("__rvf"))
     }
-
-    val out = unioned
-      .withColumn("__rv", matched)
+    val out = filled
+      .withColumn("__rvf", matched)
       .where(col("__isL") === 1)
     val attached = rightValues.foldLeft(out)(
-      (d, c) => d.withColumn(rightPrefix + c, col("__rv").getField(c)))
-    attached.drop("__t", "__isL", "__rv")
+      (d, c) => d.withColumn(rightPrefix + c, col("__rvf").getField(c)))
+    attached.drop("__t", "__isL", "__rv", "__rvf")
   }
 }

@@ -55,12 +55,23 @@ object GroupByReduce {
     require(aggs.nonEmpty, "need at least one aggregation")
     val keyCols = by.map(col)
 
+    // min_count defaulting (reference core.py:2539-2557): declaring an
+    // expected output domain together with a fill value promotes
+    // min_count to 1, so an observed-but-all-missing group (every value
+    // NaN/NULL) takes the fill exactly like a never-observed group —
+    // instead of the func's empty-input identity (nansum -> 0, etc.).
+    // The mask NULLs the aggregate; the same coalesce that fills
+    // reindex-missing groups then applies the fill.
+    val aggsEff = aggs.map(a =>
+      if (a.minCount == 0 && expected.isDefined && a.fill.isDefined) a.copy(minCount = 1)
+      else a)
+
     // Drop missing labels (factorize_'s -1 code, reference core.py:800-801).
     val base =
       if (keepNullKeys) df
       else by.foldLeft(df)((d, k) => d.filter(isValid(col(k), d.schema(k).dataType)))
 
-    val (modeAggs, exprAggs) = aggs.partition(a => a.func == "mode" || a.func == "nanmode")
+    val (modeAggs, exprAggs) = aggsEff.partition(a => a.func == "mode" || a.func == "nanmode")
 
     val exprDf: Option[DataFrame] =
       if (exprAggs.isEmpty) None

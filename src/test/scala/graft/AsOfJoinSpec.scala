@@ -70,4 +70,23 @@ class AsOfJoinSpec extends AnyFunSuite {
       assert(got == want, s"strict=$strict diverges from brute force")
     }
   }
+
+  test("asofJoinChunked equals asofJoin for all modes (Blelloch fill topology)") {
+    val rnd = new scala.util.Random(424242L)
+    val keys = Seq("a", "b")
+    val lRows = Seq.tabulate(150)(i => (keys(rnd.nextInt(2)), i * 3L + rnd.nextInt(2), s"L$i"))
+    val rRows = Seq.tabulate(90)(i => (keys(rnd.nextInt(2)), i * 5L + rnd.nextInt(3), i.toDouble))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val l = lRows.toDF("k", "t", "tag").repartition(7)
+    val r = rRows.toDF("k", "rt", "price").repartition(5)
+    for (strict <- Seq(true, false); tol <- Seq(None, Some(25L))) {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("tag", "r_price").collect().map(x => x.getString(0) -> x.get(1)).toMap
+      val plain = rows(AsOfJoin.asofJoin(l, r, Seq("k"), "t", "rt", Seq("price"),
+        strict = strict, tolerance = tol.map(lit(_))))
+      val chunked = rows(AsOfJoin.asofJoinChunked(l, r, Seq("k"), "t", "rt", Seq("price"),
+        chunk = t => floor(t / 40L), strict = strict, tolerance = tol.map(lit(_))))
+      assert(chunked == plain, s"strict=$strict tol=$tol: chunked fill diverges")
+    }
+  }
 }

@@ -24,6 +24,26 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(r(1) == ((3.0, 2L, 2.0)))
   }
 
+  test("min_count defaults to 1 under expected+fill (ref core.py:2539-2557)") {
+    val d = Seq(("A", Double.NaN), ("A", Double.NaN), ("C", 5.0)).toDF("k", "v")
+    // without a declared domain: numpy identity (nansum of all-NaN -> 0)
+    val plain = GroupByReduce.reduce(d, Seq("k"), Seq(Agg("nansum", "v", "s")))
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(plain("A") == 0.0 && plain("C") == 5.0)
+    // with expected+fill: the all-NaN observed group A fills like the
+    // never-observed B (flox promotes min_count to 1)
+    val expected = GroupByReduce.expectedDf(spark, "k", Seq("A", "B", "C"))
+    val filled = GroupByReduce.reduce(d, Seq("k"),
+      Seq(Agg("nansum", "v", "s", fill = Some(-1.0))), expected = Some(expected))
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(filled == Map("A" -> -1.0, "B" -> -1.0, "C" -> 5.0), s"got $filled")
+    // an explicit minCount still wins over the default
+    val explicit = GroupByReduce.reduce(d, Seq("k"),
+      Seq(Agg("count", "v", "c", minCount = 2, fill = Some(-7L))), expected = Some(expected))
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(explicit == Map("A" -> -7L, "B" -> -7L, "C" -> -7L), s"got $explicit")
+  }
+
   test("NaN group label is dropped (factorize -1 code, core.py:800-801)") {
     val d = Seq((1.0, 10.0), (Double.NaN, 20.0), (2.0, 30.0), (Double.NaN, 40.0))
       .toDF("key", "v")
