@@ -286,6 +286,24 @@ object LlmQueries {
         .select(col("window_start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
         .orderBy("hour_start", "event_type")
     }),
+    // Native session_window rollup — the streaming-capable sessionization
+    // (same expression runs under readStream + watermark). Oracle replays
+    // the inclusive gap boundary (windows merge when next_start <=
+    // prev_end — pinned by SessionWindowSpec) and end = last + gap.
+    "q_session_window" -> ((s, d) =>
+      Sessionize.sessionWindowRollup(SparkEntry.ev(s, d), Seq("user_id"), "ts",
+        "30 minutes", "value")
+        .orderBy("user_id", "session_start")),
+    // The per-partition decode slot (mapPartitions escape hatch) with the
+    // deterministic stub codec: per-row mean body byte. Integer byte sums
+    // stay exact; one division per row — the oracle replays it from the
+    // text bytes.
+    "q_media_decode" -> ((s, d) => {
+      val withMedia = T(s, d, "documents")
+        .withColumn("media", MultiModal.fakePayload(col("doc_id"), col("text")))
+      MultiModal.decodePartitioned(withMedia, "media", "mean_byte")
+        .select("doc_id", "mean_byte").orderBy("doc_id")
+    }),
     // Dense multi-key output domain: returnflag x linestatus cross
     // product incl. never-observed combos, filled (the reference's
     // grp_shape hyper-rectangle, tests/test_core.py:1336-1384).
@@ -598,6 +616,19 @@ object LlmQueries {
           + " SELECT user_id, session, min(ts) AS session_start, max(ts) AS session_end,"
           + " count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
           + " FROM t GROUP BY 1, 2 ORDER BY 1, 2"),
+      "q_session_window" ->
+        ("WITH s AS (SELECT user_id, ts, value,"
+          + " CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000"
+          + " THEN 1 ELSE 0 END AS isnew FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),"
+          + " t AS (SELECT user_id, ts, value, sum(isnew) OVER (PARTITION BY user_id ORDER BY ts"
+          + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM s)"
+          + " SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,"
+          + " count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
+          + " FROM t GROUP BY user_id, sess ORDER BY 1, 2"),
+      "q_media_decode" ->
+        ("SELECT doc_id, CASE WHEN len(text) = 0 THEN 0.0 ELSE"
+          + " list_sum(list_transform(string_split(text, ''), c -> ascii(c)::BIGINT))::DOUBLE / len(text)"
+          + " END AS mean_byte FROM documents ORDER BY 1"),
       "q_stream_window" ->
         ("SELECT date_trunc('hour', ts) AS hour_start, event_type, count(value) AS n,"
           + " CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"

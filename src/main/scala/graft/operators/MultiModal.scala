@@ -118,4 +118,36 @@ object MultiModal {
     * plan shape identical: brightness = (width * height) mod 256. */
   def fakeDecodeBrightness(meta: Column): Column =
     pmod(meta.getField("width") * meta.getField("height"), lit(256))
+
+  /** STUB decode function for [[decodePartitioned]]: deterministic mean
+    * of the body bytes (unsigned). A real pipeline replaces this closure
+    * with the codec call — nothing else changes. */
+  val stubDecode: Array[Byte] => Double = bytes => {
+    val body = bytes.drop(12) // past the IMG1 header
+    if (body.isEmpty) 0.0 else body.map(b => (b & 0xff).toLong).sum.toDouble / body.length
+  }
+
+  /** The per-partition decode slot — the one operator in this engine that
+    * is genuinely imperative (native codec calls on raw bytes), so it uses
+    * the brief's last-resort escape hatch, `mapPartitions`, with the batch
+    * contract made explicit: `decode` may capture per-partition state
+    * (codec context, scratch buffers) initialized once per `Iterator`, the
+    * way a Pandas-UDF `mapInPandas` amortizes per-batch setup. Appends
+    * `outCol: double` to the schema; everything upstream/downstream stays
+    * expression-level, so swapping [[stubDecode]] for a real codec changes
+    * no plan shape. Runs after pruning/filtering (decode last — it is
+    * always the most expensive stage at 100 TB). */
+  def decodePartitioned(
+      df: DataFrame,
+      binCol: String,
+      outCol: String,
+      decode: Array[Byte] => Double = stubDecode): DataFrame = {
+    val schema = df.schema.add(outCol, org.apache.spark.sql.types.DoubleType)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      // per-partition init would go here (codec context); the stub needs none
+      rows.map(r => org.apache.spark.sql.Row.fromSeq(
+        r.toSeq :+ decode(r.getAs[Array[Byte]](idx))))
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
 }

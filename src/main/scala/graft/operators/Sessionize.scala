@@ -43,4 +43,28 @@ object Sessionize {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Session rollup via Spark's native `session_window` — the streaming-
+    * capable form: the identical expression runs under `readStream` with a
+    * watermark (state evicted per closed session), which the lag-based
+    * [[sessions]] cannot. Same inclusive gap boundary as [[sessions]]
+    * (windows merge when next_start <= prev_end, so a gap of exactly the
+    * duration stays one session — pinned by SessionWindowSpec); the one
+    * difference is `session_end` = last-event + gap (the window end), not
+    * the last event time. Output: keys, session_start, session_end,
+    * n_events, sum_value (exact decimal sum). */
+  def sessionWindowRollup(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      gap: String,
+      valueCol: String): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap).as("__sw") +: keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(keys.map(col) ++ Seq(
+        col("__sw.start").as("session_start"),
+        col("__sw.end").as("session_end"),
+        col("n_events"), col("sum_value")): _*)
 }

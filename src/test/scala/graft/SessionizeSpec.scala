@@ -3,6 +3,32 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Sessionize
 
+class SessionWindowSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+
+  test("sessionWindowRollup: inclusive gap boundary like sessions; end = last + gap") {
+    // gaps: 10s (merge), exactly 60s (merges too: next_start <= prev_end),
+    // 61s (splits)
+    val df = Seq(("u", ts(0), 1.0), ("u", ts(10), 2.0), ("u", ts(70), 4.0), ("u", ts(131), 8.0))
+      .toDF("user_id", "ts", "value")
+    val sw = Sessionize.sessionWindowRollup(df, Seq("user_id"), "ts", "60 seconds", "value")
+      .orderBy("session_start").collect()
+    assert(sw.length == 2, s"expected the 61s gap (only) to split: ${sw.mkString(";")}")
+    assert(sw(0).getAs[Long]("n_events") == 3 && sw(0).getAs[Double]("sum_value") == 7.0)
+    assert(sw(0).getAs[java.sql.Timestamp]("session_start") == ts(0))
+    assert(sw(0).getAs[java.sql.Timestamp]("session_end") == ts(130)) // last(70) + 60
+    // boundary parity with the lag-based form (its session_end is the
+    // last event instead)
+    val lagBased = Sessionize.sessions(df, Seq("user_id"), "ts", 60, "value")
+      .orderBy("session").collect()
+    assert(lagBased.length == 2)
+    assert(lagBased(0).getAs[Long]("n_events") == 3)
+  }
+}
+
 class SessionizeSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._

@@ -41,6 +41,21 @@ class TextMultiModalSpec extends AnyFunSuite {
     assert(got == inputs.map(scalaFp))
   }
 
+  test("decodePartitioned: per-partition decode slot appends the decoded column") {
+    import graft.operators.MultiModal
+    val d = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+      .withColumn("media", MultiModal.fakePayload(col("doc_id"), col("text")))
+      .repartition(2)
+    val r = MultiModal.decodePartitioned(d, "media", "mean_byte")
+      .select("doc_id", "mean_byte").collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == ("abc".map(_.toInt).sum.toDouble / 3))
+    assert(r(2L) == 0.0)
+    // custom decode closure slots in without changing anything else
+    val custom = MultiModal.decodePartitioned(d, "media", "n_bytes", b => b.length.toDouble)
+      .select("doc_id", "n_bytes").collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(custom(1L) == 15.0 && custom(2L) == 12.0) // 12-byte header + body
+  }
+
   test("fingerprintFast (native codegen loop) equals the HOF fingerprint, incl. empty and BMP unicode") {
     graft.expressions.GraftFunctions.register(spark)
     val inputs = Seq("", "ab", "hello world", "café 中文 text", "a" * 500)
