@@ -61,6 +61,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("sessionWindowRollup runs unchanged under readStream and equals batch") {
+    import graft.operators.Sessionize
+    def rows(df: DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getTimestamp(2), r.getLong(3), r.get(4))).toMap // sum nullable: all-NaN session
+    val streamed = rows(runToMemory(
+      Sessionize.sessionWindowRollup(
+        asStream(events).withWatermark("ts", "10 minutes"),
+        Seq("user_id"), "ts", "5 minutes", "value"),
+      "sess_win", "complete"))
+    val batch = rows(Sessionize.sessionWindowRollup(
+      events, Seq("user_id"), "ts", "5 minutes", "value"))
+    assert(streamed == batch)
+  }
+
   test("streaming dedupExact emits one row per distinct content") {
     val docs = Seq(
       ("2024-01-01 00:00:01", "aaa"), ("2024-01-01 00:00:02", "bbb"),
