@@ -96,12 +96,18 @@ object LlmQueries {
     // corpus grows; dim passed explicitly (no derive-from-first-row job).
     // The oracle replays the identical deterministic LSH — plane literals,
     // the same count-based sizing rule, sign buckets, then exact-cosine
-    // verification — so recall does not affect matching.
-    "q_ann_lsh" -> ((s, d) =>
-      Similarity.lshNeighbors(T(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35, tables = 8, dim = 64)
+    // verification — so recall does not affect matching. The sizing rule
+    // here caps at maxPlanes=10 to match the plane set the oracle emits
+    // (valid to 64*2^10 = 65,536 vectors; the engine default alone caps
+    // at 20).
+    "q_ann_lsh" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.lshNeighbors(e, "vec_id", "embedding",
+        threshold = 0.35, planes = Similarity.autoPlanes(e.count(), maxPlanes = 10),
+        tables = 8, dim = 64)
         .withColumn("cos", round(col("cos"), 6))
-        .orderBy("id_a", "id_b")),
+        .orderBy("id_a", "id_b")
+    }),
     "q_ann_ivf" -> ((s, d) => {
       // IVF index-build-once semantics: the coarse quantizer is built on
       // first use per corpus and reused (a tiny serializable array) — the
@@ -276,15 +282,26 @@ object LlmQueries {
         Seq(Agg("count", "value", "n"),
             Agg("nansum", "value", "sum_value", exactScale = Some(2))))
       val name = s"graft_stream_window_${streamRuns.incrementAndGet()}"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
       val q = out.writeStream.queryName(name).format("memory")
         .outputMode("complete").trigger(Trigger.AvailableNow())
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        .option("checkpointLocation", ckpt.toString)
         .start()
       q.awaitTermination()
-      s.table(name)
+      // detach the (small) result from the memory sink so the sink table
+      // and checkpoint can be cleaned up immediately — otherwise a driver
+      // sweeping many data dirs accumulates one complete-mode table in
+      // memory and one temp dir on disk per run
+      val sunk = s.table(name)
         .select(col("window_start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
         .orderBy("hour_start", "event_type")
+      val rows   = sunk.collectAsList()
+      val result = s.createDataFrame(rows, sunk.schema)
+      s.catalog.dropTempView(name)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      result
     }),
     // Native session_window rollup — the streaming-capable sessionization
     // (same expression runs under readStream + watermark). Oracle replays
@@ -437,9 +454,10 @@ object LlmQueries {
       "q_dedup_simhash" -> {
         // Replays the replayable SimHash end to end: rolling-fingerprint
         // token hash (same fold as q_fingerprint, but per token), parity
-        // bits ((h*(2i+3)+i*i+1) mod 1e9+7 mod 2), majority votes, 16-bit
-        // chunk packing, then the all-pairs hamming filter (== the banded
-        // result, recall 1 by pigeonhole).
+        // bits ((h*A_i + C_i) mod 1e9+7 mod 2 with the splitmix-derived
+        // Dedup.replayableSalt constants interpolated below), majority
+        // votes, 16-bit chunk packing, then the all-pairs hamming filter
+        // (== the banded result, recall 1 by pigeonhole).
         def vote(i: Int) = {
           val (a, c) = Dedup.replayableSalt(i)
           (s"list_sum(list_transform(hs, h -> CASE WHEN ((h*$a+$c)"
@@ -474,7 +492,7 @@ object LlmQueries {
         // ordering by centroid vec_id is the same tie-break); candidates
         // share a cell; exact-cosine verification.
         (s"WITH n AS $qn,"
-          + " nc AS (SELECT greatest(16, (SELECT count(*) FROM embeddings) // 256) AS cells),"
+          + " nc AS (SELECT least(greatest(16, (SELECT count(*) FROM embeddings) // 256), 1048576) AS cells),"
           + " c AS (SELECT vec_id AS cell, q AS cw, CAST(list_dot_product(q, q) AS BIGINT) AS cc"
           + " FROM n WHERE vec_id < (SELECT cells FROM nc)),"
           + " asg AS (SELECT vec_id, cell FROM ("

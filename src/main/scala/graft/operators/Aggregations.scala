@@ -147,8 +147,14 @@ object Aggregations {
     *     (reference core.py:2709-2713) and spreads (var/std) left numeric
     *     in micros units. The view forces the exact decimal engine: micros
     *     are ~2^50, so a long sum over a big group would overflow and a
-    *     double sum would round — decimal sums are exact and
-    *     order-independent at any group size.
+    *     double sum would round — decimal sums keep mean/median exact and
+    *     order-independent at any realistic group size (the decimal(38)
+    *     sum of micros holds ~10^22 rows). CAVEAT for var/std only: the
+    *     sum of SQUARED micros (~3e30 each) overflows decimal(38) beyond
+    *     ~3*10^7 rows per group and Spark then returns NULL — for spread
+    *     statistics over bigger groups, pre-view the column yourself at a
+    *     coarser resolution (e.g. unix_millis as a long column), where the
+    *     same decomposition holds to ~3*10^13 rows.
     *
     * @param pos total-order position column for positional funcs
     */

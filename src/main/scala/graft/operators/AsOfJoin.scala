@@ -101,8 +101,10 @@ object AsOfJoin {
     // The plan uses internal working columns and attaches outputs as
     // rightPrefix+col; a left input already carrying one of those names
     // would be silently overwritten — corrupt results, not an error. Fail
-    // fast instead.
-    val reserved = Seq("__t", "__isL", "__rv", "__rvf")
+    // fast instead. (__chunk/__carry/__prev belong to scanChunked, which
+    // the chunked variant delegates to — reserved here for both variants
+    // so the contract doesn't depend on which fill topology runs.)
+    val reserved = Seq("__t", "__isL", "__rv", "__rvf", "__chunk", "__carry", "__prev")
     val outputs  = rightValues.map(rightPrefix + _)
     val clashes  = left.columns.toSeq.intersect(reserved ++ outputs) ++
       right.columns.toSeq.intersect(reserved)

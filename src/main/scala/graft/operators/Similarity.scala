@@ -163,9 +163,12 @@ object Similarity {
   /** Corpus-aware cell count: per-cell candidate cost is quadratic in the
     * list size n/cells, so cells must grow with the corpus —
     * max(minCells, n / targetListSize), integer logic (SQL-replayable,
-    * mirrored by the q_ann_ivf oracle). */
+    * mirrored by the q_ann_ivf oracle). Capped at 2^20 cells: beyond that
+    * the literal-centroid assignment expression itself is the bottleneck
+    * (and an unclamped Int cast would wrap negative past ~5*10^11 rows) —
+    * shard the corpus or raise targetListSize instead. */
   def autoCells(n: Long, targetListSize: Long = 256, minCells: Int = 16): Int =
-    math.max(minCells.toLong, n / targetListSize).toInt
+    math.min(math.max(minCells.toLong, n / targetListSize), 1L << 20).toInt
 
   def ivfNeighbors(
       df: DataFrame,
@@ -197,20 +200,21 @@ object Similarity {
       cache: Boolean = true): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     GraftFunctions.register(spark)
-    // cells <= 0 sizes with the corpus (one cheap count; skipped when the
-    // caller supplies a prebuilt quantizer)
-    val centroidsQ = centroids.getOrElse {
-      val k = if (cells > 0) cells else autoCells(df.count())
-      ivfTrain(df, embCol, k, trainSample, seed)
-    }
     // (id, q, nsq) feeds three plan branches (cell assignment + both
     // verify sides): persist the compact projection so the corpus is
     // scanned once, not three times (matters when `df` is a 100 TB read;
     // the projection is ~dim*8 bytes per row). Same rationale/lifecycle
-    // as Dedup's shingle table.
+    // as Dedup's shingle table. The auto-sizing count below runs on the
+    // persisted projection (warming it), not the raw source.
     val p0 = prepared(df, idCol, embCol)
     val p = if (cache) p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else p0
     val release = () => if (cache) { p.unpersist(false); () } else ()
+    // cells <= 0 sizes with the corpus (skipped when the caller supplies
+    // a prebuilt quantizer)
+    val centroidsQ = centroids.getOrElse {
+      val k = if (cells > 0) cells else autoCells(p.count())
+      ivfTrain(df, embCol, k, trainSample, seed)
+    }
     if (centroidsQ.isEmpty) // empty corpus: empty result, right schema
       return (p.select(col("id").as("id_a"), col("id").as("id_b"),
         lit(0.0).as("cos")).where(lit(false)), release)
@@ -303,13 +307,15 @@ object Similarity {
       } else d
     val release = () => persisted.foreach(_.unpersist(false))
     val p = maybeCache(prepared(df, idCol, embCol))
+    // dim derivation and the auto-sizing count both read the persisted
+    // projection (first action warms it) — never a second raw-source scan
     val actualDim =
       if (dim > 0) dim
-      else df.select(size(col(embCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+      else p.select(size(col("q"))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
     if (actualDim == 0)
       return (p.select(col("id").as("id_a"), col("id").as("id_b"),
         lit(0.0).as("cos")).where(lit(false)), release)
-    val actualPlanes = if (planes > 0) planes else autoPlanes(df.count())
+    val actualPlanes = if (planes > 0) planes else autoPlanes(p.count())
     val buckets = maybeCache(p.select(
       col("id"),
       explode(array((0 until tables).map { t =>

@@ -82,9 +82,13 @@ object TextAnalysis {
     * sf0.1 corpus). Identical results, incl. texts shorter than 3 chars
     * (their padded short grams can never equal a 3-char profile gram). */
   def langIdNgram(text: Column): Column =
-    argmaxLang(LangNgramProfiles.map { case (lang, profile) =>
-      lang -> profile.map(g => when(text.contains(lit(g)), 1).otherwise(0)).reduce(_ + _)
-    })
+    // NULL text stays NULL (matching the gram-set form, where a NULL gram
+    // array nulls every score) — without the guard, contains(NULL)->NULL
+    // would fold to all-zero scores and mislabel NULL rows as "und"
+    when(text.isNotNull,
+      argmaxLang(LangNgramProfiles.map { case (lang, profile) =>
+        lang -> profile.map(g => when(text.contains(lit(g)), 1).otherwise(0)).reduce(_ + _)
+      }))
 
   private def argmaxLang(scores: Seq[(String, Column)]): Column = {
     val best = greatest(scores.map(_._2): _*)

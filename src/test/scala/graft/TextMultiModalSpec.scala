@@ -79,6 +79,10 @@ class TextMultiModalSpec extends AnyFunSuite {
       profile.map(g => when(col("text").contains(lit(g)), 1).otherwise(0)).reduce(_ + _).as(lang)
     }: _*).collect().map(_.toSeq)
     assert(viaSets.toSeq == viaContains.toSeq)
+    // NULL text stays NULL (not "und") under the containment form
+    val nullRow = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "text")
+      .select(TextAnalysis.langIdNgram(col("text"))).head()
+    assert(nullRow.isNullAt(0))
     assert(d.select(TextAnalysis.charNgrams(col("text"), 3)).head().getSeq[String](0)
       == Seq("the", "he ", "e s", " si", "sin", "ing", "ngi", "gin", "ing", "ng ", "g l", " li", "lio", "ion").distinct)
   }
