@@ -401,6 +401,20 @@ object LlmQueries {
         (abs(col("approx_nd") - col("exact_nd")).cast("double") / col("exact_nd") <= 0.1)
           .as("approx_ok"))
     }),
+    // bins x categorical multi-key with a dense expected cross — the
+    // reference's combined binning + multi-by shape (tests/test_core.py:
+    // 898-942 with nby>1): every (bin, flag) cell present, empties filled
+    "q_bins_multikey" -> ((s, d) => {
+      val binned = T(s, d, "lineitem")
+        .withColumn("qbin", Binning.binIndexUniform(col("l_quantity"), 0.0, 50.0, 5))
+      val expected = GroupByReduce.expectedCross(
+        Binning.binsDf(s, "qbin", (0 to 5).map(_ * 10.0)),
+        GroupByReduce.expectedDf(s, "l_returnflag", Seq("A", "N", "R", "X")))
+      GroupByReduce.reduce(binned, Seq("qbin", "l_returnflag"),
+        Seq(Agg("count", "l_quantity", "n", fill = Some(0L)),
+          Agg("nansum", "l_quantity", "sum_qty", fill = Some(0.0))),
+        expected = Some(expected))
+    }),
     "q_bins_uniform" -> ((s, d) => {
       val binned = T(s, d, "lineitem")
         .withColumn("qbin", Binning.binIndexUniform(col("l_quantity"), 0.0, 50.0, 10))
@@ -703,6 +717,15 @@ object LlmQueries {
       "q_approxcd" ->
         ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_nd, TRUE AS approx_ok"
           + " FROM lineitem GROUP BY 1 ORDER BY 1"),
+      "q_bins_multikey" ->
+        ("SELECT b.qbin, b.qbin_lo, b.qbin_hi, f.l_returnflag, coalesce(n, 0) AS n,"
+          + " coalesce(sum_qty, 0.0) AS sum_qty FROM"
+          + " (VALUES " + (0 to 4).map(i => s"($i, ${i * 10}.0, ${(i + 1) * 10}.0)").mkString(", ")
+          + ") b(qbin, qbin_lo, qbin_hi)"
+          + " CROSS JOIN (VALUES ('A'), ('N'), ('R'), ('X')) f(l_returnflag)"
+          + " LEFT JOIN (SELECT CAST((CAST(l_quantity AS BIGINT) - 1) // 10 AS INT) AS qbin,"
+          + " l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1, 2) r"
+          + " USING (qbin, l_returnflag) ORDER BY 1, 4"),
       "q_bins_uniform" ->
         ("SELECT b.qbin, b.qbin_lo, b.qbin_hi, coalesce(n, 0) AS n, coalesce(sum_qty, 0.0) AS sum_qty FROM"
           + " (VALUES " + (0 to 9).map(i => s"($i, ${i * 5}.0, ${(i + 1) * 5}.0)").mkString(", ")
