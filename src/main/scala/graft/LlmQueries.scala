@@ -506,7 +506,7 @@ object LlmQueries {
         // ordering by centroid vec_id is the same tie-break); candidates
         // share a cell; exact-cosine verification.
         (s"WITH n AS $qn,"
-          + " nc AS (SELECT least(greatest(16, (SELECT count(*) FROM embeddings) // 256), 1048576) AS cells),"
+          + " nc AS (SELECT least(greatest(16, (SELECT count(*) FROM embeddings) // 128), 1048576) AS cells),"
           + " c AS (SELECT vec_id AS cell, q AS cw, CAST(list_dot_product(q, q) AS BIGINT) AS cc"
           + " FROM n WHERE vec_id < (SELECT cells FROM nc)),"
           + " asg AS (SELECT vec_id, cell FROM ("

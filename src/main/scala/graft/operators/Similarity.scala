@@ -160,14 +160,17 @@ object Similarity {
     * for recall exactly like probing neighboring IVF lists in FAISS-style
     * indexes.
     */
-  /** Corpus-aware cell count: per-cell candidate cost is quadratic in the
-    * list size n/cells, so cells must grow with the corpus —
-    * max(minCells, n / targetListSize), integer logic (SQL-replayable,
-    * mirrored by the q_ann_ivf oracle). Capped at 2^20 cells: beyond that
-    * the literal-centroid assignment expression itself is the bottleneck
+  /** Corpus-aware cell count: total candidate-pair cost is
+    * ~(nprobe * n / cells)^2 * cells — inversely proportional to cells —
+    * so cells must grow with the corpus: max(minCells, n /
+    * targetListSize), integer logic (SQL-replayable, mirrored by the
+    * q_ann_ivf oracle). targetListSize=128 measured vs 256 on the 16x
+    * stress corpus: half the per-cell occupancy, ~2x less verify work,
+    * recall held by nprobe. Capped at 2^20 cells: beyond that the
+    * literal-centroid assignment expression itself is the bottleneck
     * (and an unclamped Int cast would wrap negative past ~5*10^11 rows) —
     * shard the corpus or raise targetListSize instead. */
-  def autoCells(n: Long, targetListSize: Long = 256, minCells: Int = 16): Int =
+  def autoCells(n: Long, targetListSize: Long = 128, minCells: Int = 16): Int =
     math.min(math.max(minCells.toLong, n / targetListSize), 1L << 20).toInt
 
   def ivfNeighbors(
