@@ -112,7 +112,7 @@ object LlmQueries {
       // IVF index-build-once semantics: the coarse quantizer is built on
       // first use per corpus and reused (a tiny serializable array) — the
       // query path measures search, not index construction. This query's
-      // quantizer is the *replayable* one: cells = max(16, n/256) centroids
+      // quantizer is the *replayable* one: Similarity.autoCells(n) centroids
       // taken from the corpus itself (the first `cells` vectors by id, a
       // deterministic data-dependent seeding the DuckDB oracle replays
       // exactly); the KMeans-trained quantizer (ivfTrain) is the API path
@@ -283,25 +283,30 @@ object LlmQueries {
             Agg("nansum", "value", "sum_value", exactScale = Some(2))))
       val name = s"graft_stream_window_${streamRuns.incrementAndGet()}"
       val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
-      val q = out.writeStream.queryName(name).format("memory")
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt.toString)
-        .start()
-      q.awaitTermination()
       // detach the (small) result from the memory sink so the sink table
       // and checkpoint can be cleaned up immediately — otherwise a driver
       // sweeping many data dirs accumulates one complete-mode table in
-      // memory and one temp dir on disk per run
-      val sunk = s.table(name)
-        .select(col("window_start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
-        .orderBy("hour_start", "event_type")
-      val rows   = sunk.collectAsList()
-      val result = s.createDataFrame(rows, sunk.schema)
-      s.catalog.dropTempView(name)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(ckpt).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      result
+      // memory and one temp dir on disk per run; cleanup in finally so a
+      // failed replay doesn't leak either
+      try {
+        val q = out.writeStream.queryName(name).format("memory")
+          .outputMode("complete").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        q.awaitTermination()
+        val sunk = s.table(name)
+          .select(col("window_start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+          .orderBy("hour_start", "event_type")
+        s.createDataFrame(sunk.collectAsList(), sunk.schema)
+      } finally {
+        try s.catalog.dropTempView(name) catch { case _: Exception => }
+        val walk = java.nio.file.Files.walk(ckpt)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } finally walk.close()
+      }
     }),
     // Native session_window rollup — the streaming-capable sessionization
     // (same expression runs under readStream + watermark). Oracle replays
@@ -499,7 +504,8 @@ object LlmQueries {
           + " WHERE cos >= 0.4 ORDER BY 1, 2"),
       "q_ann_ivf" -> {
         // Replays the replayable IVF quantizer end to end: centroids = the
-        // first max(16, n/256) corpus vectors by id; every vector assigned
+        // first autoCells(n) corpus vectors by id (the SQL below mirrors
+        // autoCells' integer rule exactly); every vector assigned
         // its nprobe=2 nearest cells ranked by the exact integer
         // ||x-c||^2-equivalent (c.c - 2 x.c), ties toward the smaller cell
         // (Spark sorts (d, cell) structs; cell index is vec_id-ordered, so

@@ -213,9 +213,11 @@ object Similarity {
     val p = if (cache) p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else p0
     val release = () => if (cache) { p.unpersist(false); () } else ()
     // cells <= 0 sizes with the corpus (skipped when the caller supplies
-    // a prebuilt quantizer)
+    // a prebuilt quantizer). Cached: count the persisted projection
+    // (warming it); uncached: count the raw source (metadata-cheap for
+    // parquet — counting the projection would compute quantization twice)
     val centroidsQ = centroids.getOrElse {
-      val k = if (cells > 0) cells else autoCells(p.count())
+      val k = if (cells > 0) cells else autoCells(if (cache) p.count() else df.count())
       ivfTrain(df, embCol, k, trainSample, seed)
     }
     if (centroidsQ.isEmpty) // empty corpus: empty result, right schema
@@ -318,7 +320,9 @@ object Similarity {
     if (actualDim == 0)
       return (p.select(col("id").as("id_a"), col("id").as("id_b"),
         lit(0.0).as("cos")).where(lit(false)), release)
-    val actualPlanes = if (planes > 0) planes else autoPlanes(p.count())
+    // same cached-vs-raw counting rule as ivfNeighborsManaged
+    val actualPlanes =
+      if (planes > 0) planes else autoPlanes(if (cache) p.count() else df.count())
     val buckets = maybeCache(p.select(
       col("id"),
       explode(array((0 until tables).map { t =>

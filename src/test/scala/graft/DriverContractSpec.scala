@@ -32,15 +32,14 @@ class DriverContractSpec extends AnyFunSuite {
     // crude FROM/JOIN scan — catches typos like 'document' or a temp name
     val ident = """(?i)(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)\b""".r
     SparkEntry.oracleSql.foreach { case (k, sql) =>
-      // strip subquery parens openers so FROM ( doesn't capture
+      // subquery openers (FROM/JOIN followed by a paren) are not captured
       val refs = ident.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      val cteNames = """(?i)(?:WITH|,)\s*([a-z_][a-z0-9_]*)\s+AS\s*\(""".r
+      // CTE names, with or without an explicit column list: "x AS (" and
+      // "x(c1, c2) AS ("
+      val cteNames = """(?i)(?:WITH|,)\s*([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(""".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = refs -- tables -- cteNames
-      // alias-only refs (e.g. "JOIN s b") resolve to earlier CTEs/aliases;
-      // allow single-letter/short alias tokens that appear as "x(" nowhere
-      val hard = unknown.filterNot(_.length <= 2)
-      assert(hard.isEmpty, s"$k references unknown tables: $hard")
+      assert(unknown.isEmpty, s"$k references unknown tables: $unknown")
     }
   }
 }
