@@ -10,6 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class DriverContractSpec extends AnyFunSuite {
 
+  test("flagship entry() runs on sf0.001 and returns rows (driver smoke contract)") {
+    val df = SparkEntry.entry(TestSpark.spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSeq ==
+      Seq("l_returnflag", "l_linestatus", "sum_qty", "sum_price", "avg_qty", "n"))
+  }
+
   test("every query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
