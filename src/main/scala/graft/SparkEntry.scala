@@ -116,6 +116,17 @@ object SparkEntry {
         round(element_at(col("qs"), 3), 6).as("q75"),
         round(element_at(col("qs"), 4), 6).as("q90"))
     }),
+    // memory-safe exact quantiles (Quantiles.scala): same interpolation as
+    // q_quantile but composed hash-agg + spilling window, no per-group map
+    "q_quantile_scalable" -> ((s, d) => {
+      val r = Quantiles.exactQuantile(li(s, d), Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.9), as = "qs")
+      r.select(col("l_returnflag"),
+        round(element_at(col("qs"), 1), 6).as("q25"),
+        round(element_at(col("qs"), 2), 6).as("q50"),
+        round(element_at(col("qs"), 3), 6).as("q75"),
+        round(element_at(col("qs"), 4), 6).as("q90"))
+    }),
     "q_mode" -> ((s, d) => reduceRF(s, d, Agg("mode", "l_quantity", "mode_qty"))),
     "q_nanmode" -> ((s, d) => reduceRF(s, d, Agg("nanmode", "valn", "mode_valid"))),
     // multi-key grouping = the reference's raveled multi-index (core.py:842-851)
@@ -280,6 +291,11 @@ object SparkEntry {
     "q_median" ->
       "SELECT l_returnflag, round(median(l_extendedprice), 4) AS med_price FROM lineitem GROUP BY 1 ORDER BY 1",
     "q_quantile" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,"
+        + " round(quantile_cont(l_extendedprice, 0.5), 6) AS q50,"
+        + " round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,"
+        + " round(quantile_cont(l_extendedprice, 0.9), 6) AS q90 FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_quantile_scalable" ->
       ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,"
         + " round(quantile_cont(l_extendedprice, 0.5), 6) AS q50,"
         + " round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,"

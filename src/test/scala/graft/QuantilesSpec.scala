@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Agg, GroupByReduce, Quantiles}
+
+/** The memory-safe exact quantile must equal the registry's Percentile
+  * form bit-for-bit — same linear interpolation, same NaN skipping — on
+  * data with duplicates, NaN, singleton groups, and q edges, under any
+  * partitioning. */
+class QuantilesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260812L)
+  private def data = (0 until 400).map { i =>
+    val v = rnd.nextInt(4) match {
+      case 0 => Double.NaN
+      case 1 => rnd.nextInt(10).toDouble          // heavy duplicates
+      case _ => rnd.nextDouble() * 100
+    }
+    (i % 5, v)
+  } :+ ((5, 42.0)) // singleton group
+
+  test("equals registry nanquantile bit-for-bit (vector q, NaN, dups, singleton)") {
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val df = data.toDF("k", "v").repartition(7)
+    val scalable = Quantiles.exactQuantile(df, Seq("k"), "v", qs, as = "qs")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val registry = GroupByReduce.reduce(df, Seq("k"),
+      Seq(Agg("nanquantile", "v", "qs", q = qs)))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(scalable.keySet == registry.keySet)
+    for (k <- registry.keySet)
+      assert(scalable(k) == registry(k), s"group $k: ${scalable(k)} != ${registry(k)}")
+  }
+
+  test("single q returns a scalar column; partition-invariant") {
+    val df = data.toDF("k", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Quantiles.exactQuantile(d, Seq("k"), "v", Seq(0.5), as = "med")
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val one = run(df.coalesce(1))
+    assert(one == run(df.repartition(8)))
+    val registry = GroupByReduce.reduce(df, Seq("k"), Seq(Agg("nanmedian", "v", "med")))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(one == registry)
+  }
+
+  test("all-NaN group is absent (compose with expected-groups to fill)") {
+    val df = Seq((0, Double.NaN), (0, Double.NaN), (1, 3.0)).toDF("k", "v")
+    val r = Quantiles.exactQuantile(df, Seq("k"), "v", Seq(0.5), as = "med")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(r == Map(1 -> 3.0))
+  }
+
+  test("plan: no ObjectHashAggregate percentile buffer — hash agg + window only") {
+    val df = data.toDF("k", "v")
+    val p = Quantiles.exactQuantile(df, Seq("k"), "v", Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ObjectHashAggregate"), s"unexpected object agg:\n$p")
+    assert(p.contains("Window"), s"expected the spilling window sort:\n$p")
+  }
+}
