@@ -272,7 +272,14 @@ object Aggregations {
       // anyway whenever accuracy >= rows-per-group).
       case "median"      => propagateNaN(median(vn), v, dt)
       case "nanmedian"   => median(vn)
-      case "quantile"    => propagateNaN(quantileExpr(vn, a.q), v, dt)
+      // vector q yields an array column, so the NaN-propagation branch
+      // must be an all-NaN array (numpy fills the whole result), not the
+      // scalar NaN propagateNaN produces — scalar q keeps the shared path.
+      case "quantile" =>
+        if (a.q.size <= 1) propagateNaN(quantileExpr(vn, a.q), v, dt)
+        else if (!isFloaty(dt)) quantileExpr(vn, a.q)
+        else when(coalesce(bool_or(isnan(v)), lit(false)),
+          array(a.q.map(_ => lit(Double.NaN)): _*)).otherwise(quantileExpr(vn, a.q))
       case "nanquantile" => quantileExpr(vn, a.q)
       // Scale path beyond the reference: sketch-based quantile. Returns a
       // dataset value (no interpolation); vector q -> array column like

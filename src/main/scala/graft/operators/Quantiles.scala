@@ -38,16 +38,23 @@ import graft.functions.NanOps
   */
 object Quantiles {
 
-  /** @param qs  quantiles in [0,1]; one output column per q when a single
-    *            q is given (named `as`), else an array column like the
-    *            registry's vector-q form
+  /** @param qs        quantiles in [0,1]; one output column per q when a
+    *                   single q is given (named `as`), else an array column
+    *                   like the registry's vector-q form
+    * @param propagate  numpy plain-variant semantics: any NaN in a group
+    *                   makes the group's result NaN (matches
+    *                   `Agg("quantile")` bit-for-bit; default matches
+    *                   `Agg("nanquantile")`). Propagating groups — and
+    *                   all-NULL groups — stay present in the output, like
+    *                   the registry's groupBy.
     */
   def exactQuantile(
       df: DataFrame,
       by: Seq[String],
       valueCol: String,
       qs: Seq[Double],
-      as: String = "q"): DataFrame = {
+      as: String = "q",
+      propagate: Boolean = false): DataFrame = {
     require(by.nonEmpty, "need at least one grouping column")
     require(qs.nonEmpty, "need at least one quantile")
     require(qs.forall(q => q >= 0.0 && q <= 1.0), s"quantiles must be in [0,1]: $qs")
@@ -55,9 +62,18 @@ object Quantiles {
     val keyCols = by.map(col)
     val v       = col(valueCol)
 
-    val counts = df.where(NanOps.isValid(v, dt))
-      .groupBy(keyCols :+ v: _*)
-      .agg(count(lit(1)).as("__cnt"))
+    // Propagate keeps one NULL-valued row per group (all its NaN/NULL
+    // originals collapsed, __cnt = 0) so the group survives with its NaN
+    // count; it sorts first in the window and never covers a rank.
+    val counts =
+      if (propagate && NanOps.isFloaty(dt))
+        df.groupBy(keyCols :+ NanOps.nanToNull(v, dt).as(valueCol): _*)
+          .agg(count(when(NanOps.isValid(v, dt), 1)).as("__cnt"),
+               count(when(isnan(v), 1)).as("__nan"))
+      else
+        df.where(NanOps.isValid(v, dt))
+          .groupBy(keyCols :+ v: _*)
+          .agg(count(lit(1)).as("__cnt"), lit(0L).as("__nan"))
     val byVal = Window.partitionBy(keyCols: _*).orderBy(v)
     val total = Window.partitionBy(keyCols: _*)
     val t = counts
@@ -75,7 +91,7 @@ object Quantiles {
       Seq(
         min(when(col("__prev") <= floor(pos) && floor(pos) < col("__cum"), v)).as(s"__vlo$i"),
         min(when(col("__prev") <= ceil(pos) && ceil(pos) < col("__cum"), v)).as(s"__vhi$i"))
-    } :+ max(col("__n")).as("__n")
+    } ++ Seq(max(col("__n")).as("__n"), max(col("__nan")).as("__nan"))
     val picked = t.groupBy(keyCols: _*).agg(aggExprs.head, aggExprs.tail: _*)
 
     // Percentile's exact FP order (Percentile.getPercentile): the weighted
@@ -84,12 +100,18 @@ object Quantiles {
       val pos = (col("__n") - 1).cast("double") * q
       val lo  = col(s"__vlo$i").cast("double")
       val hi  = col(s"__vhi$i").cast("double")
-      when(floor(pos) === ceil(pos), lo)
+      val x = when(floor(pos) === ceil(pos), lo)
         .otherwise((ceil(pos) - pos) * lo + (pos - floor(pos)) * hi)
+      if (propagate) when(col("__nan") > 0, lit(Double.NaN)).otherwise(x) else x
     }
+    // A group with zero valid values and zero NaNs (all-NULL; propagate
+    // mode only) is NULL, matching Percentile-over-empty in the registry.
+    val empty = col("__n") === 0 && col("__nan") === 0
     val result =
-      if (qs.size == 1) interp(0, qs.head).as(as)
-      else array(qs.zipWithIndex.map { case (q, i) => interp(i, q) }: _*).as(as)
+      if (qs.size == 1) when(empty, lit(null).cast("double"))
+        .otherwise(interp(0, qs.head)).as(as)
+      else when(empty, lit(null).cast("array<double>"))
+        .otherwise(array(qs.zipWithIndex.map { case (q, i) => interp(i, q) }: _*)).as(as)
     picked.select(keyCols :+ result: _*)
   }
 }

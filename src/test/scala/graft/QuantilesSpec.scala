@@ -47,6 +47,28 @@ class QuantilesSpec extends AnyFunSuite {
     assert(one == registry)
   }
 
+  test("propagate=true equals registry quantile bit-for-bit (incl. all-NaN / all-NULL groups)") {
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val rows = data.map { case (k, x) => (k, Option(x)) } ++
+      Seq((6, Some(Double.NaN)), (6, Some(Double.NaN)),     // all-NaN group
+          (7, None), (7, None))                             // all-NULL group
+    val df = rows.toDF("k", "v").repartition(7)
+    def grab(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    val scalable = grab(Quantiles.exactQuantile(df, Seq("k"), "v", qs, as = "qs", propagate = true))
+    val registry = grab(GroupByReduce.reduce(df, Seq("k"),
+      Seq(Agg("quantile", "v", "qs", q = qs))))
+    assert(scalable.keySet == registry.keySet)
+    for (k <- registry.keySet) {
+      val (a, b) = (scalable(k), registry(k))
+      val same = (a == null && b == null) ||
+        (a != null && b != null && a.zip(b).forall { case (x, y) =>
+          (x.isNaN && y.isNaN) || x == y })
+      assert(same, s"group $k: $a != $b")
+    }
+  }
+
   test("all-NaN group is absent (compose with expected-groups to fill)") {
     val df = Seq((0, Double.NaN), (0, Double.NaN), (1, 3.0)).toDF("k", "v")
     val r = Quantiles.exactQuantile(df, Seq("k"), "v", Seq(0.5), as = "med")
