@@ -85,6 +85,12 @@ object LlmQueries {
       Similarity.bruteForcePairs(T(s, d, "embeddings"), "vec_id", "embedding", 0.4)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")),
+    // fifth dedup family: embedding-cosine near-dup, keep-smallest-id.
+    // Exact method here (oracle-replayable); method="lsh" is the scale path
+    // with identical verify arithmetic (recall pinned in DedupSpec).
+    "q_dedup_embed" -> ((s, d) =>
+      Dedup.embeddingDedup(T(s, d, "embeddings"), "vec_id", "embedding", 0.4)
+        .select("vec_id").orderBy("vec_id")),
     "q_ann_topk" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       Similarity.topK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
@@ -502,6 +508,11 @@ object LlmQueries {
           + " round(list_dot_product(a.q, b.q) / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE)), 6) AS cos"
           + " FROM n a JOIN n b ON a.vec_id < b.vec_id)"
           + " WHERE cos >= 0.4 ORDER BY 1, 2"),
+      "q_dedup_embed" ->
+        (s"WITH n AS $qn, dup AS (SELECT DISTINCT b.vec_id AS id FROM n a JOIN n b"
+          + " ON a.vec_id < b.vec_id"
+          + " AND list_dot_product(a.q, b.q) / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE)) >= 0.4)"
+          + " SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id FROM dup) ORDER BY 1"),
       "q_ann_ivf" -> {
         // Replays the replayable IVF quantizer end to end: centroids = the
         // first autoCells(n) corpus vectors by id (the SQL below mirrors

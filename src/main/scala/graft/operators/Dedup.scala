@@ -421,4 +421,41 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .distinct()
   }
+
+  /** Embedding-cosine near-duplicate dedup, keep-smallest-id — the fifth
+    * dedup family (exact / MinHash / SimHash / n-gram Jaccard / embedding
+    * cosine). A row is dropped iff it has ANY neighbor with cosine >=
+    * threshold and a smaller id. This one-pass rule is deliberately NOT
+    * sequential-greedy (which would re-admit a doc whose only nearer
+    * neighbor was itself dropped): greedy is an inherently serial chain,
+    * while one pass is a single anti-join — the only formulation that
+    * doesn't iterate at 100 TB. On transitively-closed duplicate clusters
+    * the two agree; in between, one-pass is strictly more aggressive
+    * (safe for training-data cleaning, where over-dropping a borderline
+    * doc is cheap and a missed duplicate is not).
+    *
+    * `method`: "exact" = all-pairs quantized-cosine
+    * ([[Similarity.bruteForcePairs]] — bit-exact and oracle-replayable,
+    * but O(n^2): baseline/verification corpora only); "lsh" = hyperplane
+    * buckets ([[Similarity.lshNeighbors]], auto-sized planes — the scale
+    * path; candidates only from bucket equality joins, verified with the
+    * same exact cosine, so precision is exact and only recall follows the
+    * S-curve).
+    */
+  def embeddingDedup(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      method: String = "exact"): DataFrame = {
+    val pairs = method match {
+      case "exact" => Similarity.bruteForcePairs(df, idCol, embCol, threshold)
+      case "lsh"   => Similarity.lshNeighbors(df, idCol, embCol, threshold)
+      case other   => throw new IllegalArgumentException(
+        s"embeddingDedup method must be exact|lsh (got $other)")
+    }
+    // id_a < id_b by construction, so id_b is always the dropped side
+    val dropped = pairs.select(col("id_b").as("__dup_id")).distinct()
+    df.join(dropped, col(idCol) === col("__dup_id"), "left_anti")
+  }
 }

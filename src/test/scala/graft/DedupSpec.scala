@@ -164,6 +164,28 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.exists(p => p._1 > 100L))
   }
 
+  test("embeddingDedup drops rows with a smaller-id cosine neighbor; lsh never drops more than exact") {
+    // unit vectors at 0/20/40 degrees: cos(1,2)=cos(2,3)=cos20~0.94 >= 0.9
+    // but cos(1,3)=cos40~0.77 < 0.9 — a chain; 4,5 isolated
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9397f, 0.342f, 0.0f)),
+      (3L, Seq(0.766f, 0.6428f, 0.0f)),
+      (4L, Seq(-1.0f, 0.2f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, -1.0f))).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingDedup(d, "vec_id", "embedding", 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    // 2 drops (near 1); 3 drops too (near 2, one-pass rule — NOT greedy,
+    // which would keep 3 because its only nearer neighbor 2 was dropped)
+    assert(exact == Set(1L, 4L, 5L))
+    val lsh = Dedup.embeddingDedup(d, "vec_id", "embedding", 0.9, method = "lsh")
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact.subsetOf(lsh), s"lsh dropped a non-duplicate: $lsh vs $exact")
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingDedup(d, "vec_id", "embedding", 0.9, method = "ivf")
+    }
+  }
+
   test("hamming is bit_count of xor") {
     val r = Seq((0L, 0L), (0L, 7L), (-1L, 0L)).toDF("a", "b")
       .select(Dedup.hamming(col("a"), col("b"))).collect().map(_.getInt(0)).toSeq
