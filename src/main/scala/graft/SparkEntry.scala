@@ -127,6 +127,15 @@ object SparkEntry {
         round(element_at(col("qs"), 3), 6).as("q75"),
         round(element_at(col("qs"), 4), 6).as("q90"))
     }),
+    // bounded grouped top-k (TopKByScore): k-bounded shuffle vs the
+    // row_number window idiom's full shuffle+sort
+    "q_topk" -> ((s, d) =>
+      GroupByReduce.reduce(li(s, d), Seq("l_returnflag"),
+        Seq(Agg("topk", "l_extendedprice", "top", k = 5)), pos = Some(col("pos")))
+        .selectExpr("l_returnflag", "posexplode(top) as (rk0, t)")
+        .select(col("l_returnflag"), (col("rk0") + 1).cast("long").as("rank"),
+          col("t.id").as("pos"), col("t.score").as("price"))
+        .orderBy("l_returnflag", "rank")),
     "q_mode" -> ((s, d) => reduceRF(s, d, Agg("mode", "l_quantity", "mode_qty"))),
     "q_nanmode" -> ((s, d) => reduceRF(s, d, Agg("nanmode", "valn", "mode_valid"))),
     // multi-key grouping = the reference's raveled multi-index (core.py:842-851)
@@ -295,6 +304,12 @@ object SparkEntry {
         + " round(quantile_cont(l_extendedprice, 0.5), 6) AS q50,"
         + " round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,"
         + " round(quantile_cont(l_extendedprice, 0.9), 6) AS q90 FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_topk" ->
+      ("SELECT l_returnflag, rank, pos, price FROM ("
+        + " SELECT l_returnflag, row_number() OVER (PARTITION BY l_returnflag"
+        + " ORDER BY l_extendedprice DESC, l_orderkey * 8 + l_linenumber) AS rank,"
+        + " l_orderkey * 8 + l_linenumber AS pos, l_extendedprice AS price"
+        + " FROM lineitem) WHERE rank <= 5 ORDER BY 1, 2"),
     "q_quantile_scalable" ->
       ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,"
         + " round(quantile_cont(l_extendedprice, 0.5), 6) AS q50,"

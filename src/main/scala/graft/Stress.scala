@@ -48,6 +48,22 @@ object Stress {
     time("simhashPairs")(Dedup.simhashPairs(docs, "doc_id", "text").count())
     time("lshNeighbors")(Similarity.lshNeighbors(embs, "vec_id", "embedding", 0.35).count())
     time("ivfNeighbors")(Similarity.ivfNeighbors(embs, "vec_id", "embedding", 0.35).count())
+
+    // topk agg vs the row_number window idiom: 3 giant groups is the
+    // window's worst case (3 sort partitions carry everything); the agg's
+    // shuffle stays k-bounded per (partition, group)
+    import graft.operators.{Agg, GroupByReduce}
+    val li = expand("lineitem", "l_orderkey")
+      .withColumn("pos", col("l_orderkey") * 8 + col("l_linenumber")).persist()
+    println(s"[stress] ${li.count()} lineitems")
+    time("topk agg k=10")(GroupByReduce.reduce(li, Seq("l_returnflag"),
+      Seq(Agg("topk", "l_extendedprice", "top", k = 10)),
+      pos = Some(col("pos"))).count())
+    time("topk window k=10") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy(col("l_extendedprice").desc, col("pos"))
+      li.withColumn("rk", row_number().over(w)).where(col("rk") <= 10).count()
+    }
     spark.stop()
   }
 }

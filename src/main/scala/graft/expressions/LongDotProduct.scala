@@ -70,6 +70,7 @@ object GraftFunctions {
   val DotQ      = "graft_dotq"
   val VecSum    = "graft_vecsum"
   val RollingFp = "graft_rolling_fp"
+  val TopK      = "graft_topk"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -78,5 +79,9 @@ object GraftFunctions {
       VecSum, exprs => VectorSumLong(exprs.head).toAggregateExpression(), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       RollingFp, exprs => RollingFingerprint(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TopK, exprs => TopKByScore(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "built-in")
   }
 }

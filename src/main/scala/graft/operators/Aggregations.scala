@@ -63,7 +63,8 @@ case class Agg(
     fill: Option[Any] = None,
     exactScale: Option[Int] = None,
     custom: Option[Column => Column] = None,
-    accuracy: Int = Aggregations.SketchAccuracy)
+    accuracy: Int = Aggregations.SketchAccuracy,
+    k: Int = 10)
 
 object Agg {
   /** Custom-aggregation constructor: `Agg.custom("sumsq", "x")(v => sum(v*v))`. */
@@ -105,14 +106,15 @@ object Aggregations {
     "first", "last", "nanfirst", "nanlast",
     "argmin", "argmax", "nanargmin", "nanargmax",
     "any", "all", "median", "nanmedian", "quantile", "nanquantile",
-    "mode", "nanmode", "approxquantile", "countdistinct", "approxcountdistinct")
+    "mode", "nanmode", "approxquantile", "countdistinct", "approxcountdistinct",
+    "topk")
 
   /** Funcs that need a caller-supplied total-order position column.
     * DataFrames have no intrinsic order (arrays do), so positional
     * semantics are an explicit API contract — see SURVEY §7.4. */
   val positional: Set[String] = Set(
     "first", "last", "nanfirst", "nanlast",
-    "argmin", "argmax", "nanargmin", "nanargmax")
+    "argmin", "argmax", "nanargmin", "nanargmax", "topk")
 
   /** Reductions that need numeric values: bool and timestamp inputs are
     * *viewed* as numbers for these (reference core.py:2442-2443 casts
@@ -300,6 +302,16 @@ object Aggregations {
       // unrelated to the Agg parameter.
       case "approxcountdistinct" =>
         approx_count_distinct(vn, math.max(1.0 / math.sqrt(a.accuracy), 2e-5))
+      // Bounded grouped top-k (graft.expressions.TopKByScore): k best
+      // (score, pos) pairs, score DESC / pos ASC, NaN/NULL skipped. The
+      // heap buffer rides partial aggregation, so the shuffle carries at
+      // most k pairs per (partition, group) — vs the row_number window
+      // idiom's full shuffle+sort of every input row. Positional: pos is
+      // the returned row identity. Requires GraftFunctions.register on
+      // the session (GroupByReduce.reduce does it).
+      case "topk" =>
+        call_function(graft.expressions.GraftFunctions.TopK,
+          vn, p.cast(LongType), lit(a.k))
       case "mode" | "nanmode" =>
         throw new IllegalArgumentException(
           s"${a.func} is a two-stage plan; use GroupByReduce.reduce")

@@ -53,6 +53,7 @@ object GroupByReduce {
       sort: Boolean = true): DataFrame = {
     require(by.nonEmpty, "need at least one grouping column")
     require(aggs.nonEmpty, "need at least one aggregation")
+    graft.expressions.GraftFunctions.register(df.sparkSession) // idempotent; topk needs it
     val keyCols = by.map(col)
 
     // min_count defaulting (reference core.py:2539-2557): declaring an

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Agg, GroupByReduce}
+
+/** Bounded grouped top-k (TopKByScore) must equal the row_number-window
+  * idiom it replaces, under any partitioning, while planning as a hash
+  * aggregation (k-bounded shuffle) instead of a window (full shuffle+sort). */
+class TopKSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42L)
+  private def data = (0 until 600).map { i =>
+    val v = rnd.nextInt(6) match {
+      case 0 => Double.NaN
+      case 1 => rnd.nextInt(5).toDouble // score ties across rows
+      case _ => rnd.nextDouble() * 100
+    }
+    (i % 7, v, i.toLong)
+  }
+
+  private def topkAgg(df: DataFrame, k: Int): Map[Int, Seq[(Double, Long)]] =
+    GroupByReduce.reduce(df, Seq("g"), Seq(Agg("topk", "v", "top", k = k)),
+      pos = Some(col("id")))
+      .select(col("g"), col("top"))
+      .collect().map { r =>
+        r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getDouble(0), s.getLong(1)))
+      }.toMap
+
+  private def topkWindow(df: DataFrame, k: Int): Map[Int, Seq[(Double, Long)]] = {
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    df.where(col("v").isNotNull && !isnan(col("v")))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .groupBy("g").agg(collect_list(struct(col("rk"), col("v"), col("id"))).as("t"))
+      .collect().map { r =>
+        r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .sortBy(_.getInt(0)).map(s => (s.getDouble(1), s.getLong(2)))
+      }.toMap
+  }
+
+  test("topk equals the row_number window idiom (ties, NaN, any partitioning)") {
+    val df = data.toDF("g", "v", "id")
+    for (parts <- Seq(1, 8); k <- Seq(1, 5, 23)) {
+      val d = df.repartition(parts)
+      assert(topkAgg(d, k) == topkWindow(d, k), s"parts=$parts k=$k")
+    }
+  }
+
+  test("k larger than the group returns all valid rows, best first") {
+    val df = Seq((0, 3.0, 10L), (0, 7.0, 11L), (0, Double.NaN, 12L)).toDF("g", "v", "id")
+    assert(topkAgg(df, 100) == Map(0 -> Seq((7.0, 11L), (3.0, 10L))))
+  }
+
+  test("all-invalid group yields NULL top array") {
+    val df = Seq((0, Double.NaN, 1L), (1, 2.0, 2L)).toDF("g", "v", "id")
+    val rows = GroupByReduce.reduce(df, Seq("g"),
+      Seq(Agg("topk", "v", "top", k = 3)), pos = Some(col("id")))
+      .collect().map(r => r.getInt(0) -> r.isNullAt(1)).toMap
+    assert(rows == Map(0 -> true, 1 -> false))
+  }
+
+  test("equal scores break ties toward the smaller id deterministically") {
+    val df = (0 until 50).map(i => (0, 5.0, i.toLong)).toDF("g", "v", "id")
+    assert(topkAgg(df.repartition(8), 3) ==
+      Map(0 -> Seq((5.0, 0L), (5.0, 1L), (5.0, 2L))))
+  }
+
+  test("plan: hash aggregation with partial/final split, no Window") {
+    val df = data.toDF("g", "v", "id")
+    val p = GroupByReduce.reduce(df, Seq("g"),
+      Seq(Agg("topk", "v", "top", k = 5)), pos = Some(col("id")), sort = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"window leaked into the top-k plan:\n$p")
+    assert(p.contains("partial_graft_topk") || p.contains("graft_topk"),
+      s"expected the typed aggregate:\n$p")
+  }
+}
