@@ -207,6 +207,11 @@ object SparkEntry {
     }),
     "q_ffill" -> ((s, d) => scanEv(s, d, "valn", "ffill", "filled")),
     "q_bfill" -> ((s, d) => scanEv(s, d, "valn", "bfill", "filled")),
+    // pandas/xarray ffill(limit=): bounded frame, gaps > limit stay missing
+    "q_ffill_limit" -> ((s, d) =>
+      GroupByScan.scan(ev(s, d), "valn", Seq("user_id"), "ffill",
+        Seq(col("ts"), col("event_id")), "filled", limit = 2)
+        .select("event_id", "user_id", "filled").orderBy("event_id")),
     "q_cumcount" -> ((s, d) => scanEv(s, d, "valn", "cumcount", "n_valid_so_far")),
     // the last three scan funcs without driver rows (were ScalaTest-only)
     "q_cummin" -> ((s, d) => scanEv(s, d, "valn", "cummin", "run_min")),
@@ -387,6 +392,10 @@ object SparkEntry {
     "q_ffill" ->
       (s"SELECT event_id, user_id, last_value($EVAL IGNORE NULLS)"
         + " OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        + " AS filled FROM events ORDER BY event_id"),
+    "q_ffill_limit" ->
+      (s"SELECT event_id, user_id, last_value($EVAL IGNORE NULLS)"
+        + " OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
         + " AS filled FROM events ORDER BY event_id"),
     "q_bfill" ->
       (s"SELECT event_id, user_id, first_value($EVAL IGNORE NULLS)"

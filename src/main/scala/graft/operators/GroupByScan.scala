@@ -35,6 +35,11 @@ object GroupByScan {
     * @param exactScale as in [[Agg.exactScale]]: run the running sum over
     *                   decimal(18,scale) for order-independent exactness.
     */
+  /** @param limit ffill/bfill only: fill a gap from at most `limit` rows
+    *              away (pandas/xarray `ffill(limit=)`); 0 = unbounded.
+    *              Maps to a BOUNDED window frame — `last(ignoreNulls)
+    *              over rows [-limit, 0]` — so the fill source must sit
+    *              inside the frame; longer gaps stay missing. */
   def scan(
       df: DataFrame,
       value: String,
@@ -42,19 +47,20 @@ object GroupByScan {
       func: String,
       orderBy: Seq[Column],
       as: String,
-      exactScale: Option[Int] = None): DataFrame = {
+      exactScale: Option[Int] = None,
+      limit: Int = 0): DataFrame = {
+    require(limit >= 0, s"limit must be >= 0 (got $limit)")
+    require(limit == 0 || func == "ffill" || func == "bfill",
+      s"limit only applies to ffill/bfill (got func=$func)")
     val dt = df.schema(value).dataType
     val v  = col(value)
     val vn = nanToNull(v, dt)
 
-    val fwd: WindowSpec = Window
-      .partitionBy(by.map(col): _*)
-      .orderBy(orderBy: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bwd: WindowSpec = Window
-      .partitionBy(by.map(col): _*)
-      .orderBy(orderBy: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val base = Window.partitionBy(by.map(col): _*).orderBy(orderBy: _*)
+    val fwd: WindowSpec = base.rowsBetween(
+      if (limit > 0) -limit.toLong else Window.unboundedPreceding, Window.currentRow)
+    val bwd: WindowSpec = base.rowsBetween(
+      Window.currentRow, if (limit > 0) limit.toLong else Window.unboundedFollowing)
 
     // the cast must wrap the *windowed* expression, not the bare aggregate
     def sumE(c: Column, w: WindowSpec): Column = exactScale match {

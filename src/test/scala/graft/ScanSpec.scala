@@ -78,6 +78,27 @@ class ScanSpec extends AnyFunSuite {
     for ((p, w) <- want) assert(sameNum(got(p), w), s"pos=$p got ${got(p)} want $w")
   }
 
+  test("ffill/bfill limit: fills only gaps within limit rows (pandas limit=)") {
+    // one group, explicit gap lengths: v=[1, N, N, N, 5, N, 7]
+    val d = Seq(1.0, Double.NaN, Double.NaN, Double.NaN, 5.0, Double.NaN, 7.0)
+      .zipWithIndex.map { case (v, i) => (0, v, i.toLong) }
+      .toDF("label", "v", "pos").repartition(2)
+    def run(func: String, limit: Int): Seq[Any] =
+      GroupByScan.scan(d, "v", Seq("label"), func, Seq(col("pos")), "r", limit = limit)
+        .orderBy("pos").collect().map(_.get(3)).toSeq
+    // limit=2: pos1,2 fill from pos0; pos3 is 3 rows past pos0 -> missing
+    assert(run("ffill", 2) == Seq(1.0, 1.0, 1.0, null, 5.0, 5.0, 7.0))
+    // limit=1: only pos1 fills
+    assert(run("ffill", 1) == Seq(1.0, 1.0, null, null, 5.0, 5.0, 7.0))
+    // bfill limit=1: pos3 fills from pos4; pos1,2 are 3,2 rows before pos4
+    assert(run("bfill", 1) == Seq(1.0, null, null, 5.0, 5.0, 7.0, 7.0))
+    // limit=0 = unbounded (existing semantics)
+    assert(run("ffill", 0) == Seq(1.0, 1.0, 1.0, 1.0, 5.0, 5.0, 7.0))
+    intercept[IllegalArgumentException] {
+      GroupByScan.scan(d, "v", Seq("label"), "cumsum", Seq(col("pos")), "r", limit = 2)
+    }
+  }
+
   test("nancummax/nancummin track running extrema over valid values") {
     val wantMax = perGroup { g =>
       var m: Option[Double] = None
