@@ -43,7 +43,8 @@ object PartitionInvarianceProps extends Properties("PartitionInvariance") {
     Agg("median", "v", "a22"), Agg("nanmedian", "v", "a23"),
     Agg("nanquantile", "v", "a24", q = Seq(0.25, 0.9)),
     Agg("mode", "v", "a25"), Agg("nanmode", "v", "a26"),
-    Agg("nansum", "v", "a27", minCount = 3))
+    Agg("nansum", "v", "a27", minCount = 3),
+    Agg("topk", "v", "a28", k = 3))
 
   private def toDf(data: List[(Int, Double)]) =
     data.zipWithIndex.map { case ((l, v), i) => (l, v, i.toLong) }
