@@ -136,6 +136,13 @@ object SparkEntry {
         .select(col("l_returnflag"), (col("rk0") + 1).cast("long").as("rank"),
           col("t.id").as("pos"), col("t.score").as("price"))
         .orderBy("l_returnflag", "rank")),
+    "q_bottomk" -> ((s, d) =>
+      GroupByReduce.reduce(li(s, d), Seq("l_returnflag"),
+        Seq(Agg("bottomk", "l_extendedprice", "bot", k = 5)), pos = Some(col("pos")))
+        .selectExpr("l_returnflag", "posexplode(bot) as (rk0, t)")
+        .select(col("l_returnflag"), (col("rk0") + 1).cast("long").as("rank"),
+          col("t.id").as("pos"), col("t.score").as("price"))
+        .orderBy("l_returnflag", "rank")),
     "q_mode" -> ((s, d) => reduceRF(s, d, Agg("mode", "l_quantity", "mode_qty"))),
     "q_nanmode" -> ((s, d) => reduceRF(s, d, Agg("nanmode", "valn", "mode_valid"))),
     // multi-key grouping = the reference's raveled multi-index (core.py:842-851)
@@ -313,6 +320,12 @@ object SparkEntry {
       ("SELECT l_returnflag, rank, pos, price FROM ("
         + " SELECT l_returnflag, row_number() OVER (PARTITION BY l_returnflag"
         + " ORDER BY l_extendedprice DESC, l_orderkey * 8 + l_linenumber) AS rank,"
+        + " l_orderkey * 8 + l_linenumber AS pos, l_extendedprice AS price"
+        + " FROM lineitem) WHERE rank <= 5 ORDER BY 1, 2"),
+    "q_bottomk" ->
+      ("SELECT l_returnflag, rank, pos, price FROM ("
+        + " SELECT l_returnflag, row_number() OVER (PARTITION BY l_returnflag"
+        + " ORDER BY l_extendedprice ASC, l_orderkey * 8 + l_linenumber) AS rank,"
         + " l_orderkey * 8 + l_linenumber AS pos, l_extendedprice AS price"
         + " FROM lineitem) WHERE rank <= 5 ORDER BY 1, 2"),
     "q_quantile_scalable" ->

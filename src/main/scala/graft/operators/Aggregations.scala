@@ -107,14 +107,14 @@ object Aggregations {
     "argmin", "argmax", "nanargmin", "nanargmax",
     "any", "all", "median", "nanmedian", "quantile", "nanquantile",
     "mode", "nanmode", "approxquantile", "countdistinct", "approxcountdistinct",
-    "topk")
+    "topk", "bottomk")
 
   /** Funcs that need a caller-supplied total-order position column.
     * DataFrames have no intrinsic order (arrays do), so positional
     * semantics are an explicit API contract — see SURVEY §7.4. */
   val positional: Set[String] = Set(
     "first", "last", "nanfirst", "nanlast",
-    "argmin", "argmax", "nanargmin", "nanargmax", "topk")
+    "argmin", "argmax", "nanargmin", "nanargmax", "topk", "bottomk")
 
   /** Reductions that need numeric values: bool and timestamp inputs are
     * *viewed* as numbers for these (reference core.py:2442-2443 casts
@@ -312,6 +312,15 @@ object Aggregations {
       case "topk" =>
         call_function(graft.expressions.GraftFunctions.TopK,
           vn, p.cast(LongType), lit(a.k))
+      // bottomk = topk over the negated score, un-negated on the way out:
+      // order (score ASC, pos ASC), i.e. the k smallest. The double
+      // negation is exact (IEEE sign flip), and -0.0/0.0 order ties are
+      // resolved by pos like any equal scores.
+      case "bottomk" =>
+        transform(
+          call_function(graft.expressions.GraftFunctions.TopK,
+            -vn, p.cast(LongType), lit(a.k)),
+          s => struct((-s.getField("score")).as("score"), s.getField("id").as("id")))
       case "mode" | "nanmode" =>
         throw new IllegalArgumentException(
           s"${a.func} is a two-stage plan; use GroupByReduce.reduce")

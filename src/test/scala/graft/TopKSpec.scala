@@ -70,6 +70,26 @@ class TopKSpec extends AnyFunSuite {
       Map(0 -> Seq((5.0, 0L), (5.0, 1L), (5.0, 2L))))
   }
 
+  test("bottomk equals the ascending window idiom (negation round-trips scores)") {
+    val df = data.toDF("g", "v", "id").repartition(5)
+    val got = GroupByReduce.reduce(df, Seq("g"),
+      Seq(Agg("bottomk", "v", "bot", k = 4)), pos = Some(col("id")))
+      .select(col("g"), col("bot"))
+      .collect().map { r =>
+        r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getDouble(0), s.getLong(1)))
+      }.toMap
+    val w = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+    val want = df.where(col("v").isNotNull && !isnan(col("v")))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 4)
+      .groupBy("g").agg(collect_list(struct(col("rk"), col("v"), col("id"))).as("t"))
+      .collect().map { r =>
+        r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .sortBy(_.getInt(0)).map(s => (s.getDouble(1), s.getLong(2)))
+      }.toMap
+    assert(got == want)
+  }
+
   test("plan: hash aggregation with partial/final split, no Window") {
     val df = data.toDF("g", "v", "id")
     val p = GroupByReduce.reduce(df, Seq("g"),
