@@ -136,6 +136,15 @@ object SparkEntry {
         .select(col("l_returnflag"), (col("rk0") + 1).cast("long").as("rank"),
           col("t.id").as("pos"), col("t.score").as("price"))
         .orderBy("l_returnflag", "rank")),
+    // row-preserving variant (pandas nlargest): broadcast semi join-back.
+    // On orders, whose o_orderkey is an actual unique row identity — the
+    // synthetic lineitem has duplicate (orderkey, linenumber) rows, so
+    // li's pos violates topKRows' unique-pos contract there.
+    "q_topk_rows" -> ((s, d) =>
+      GroupByReduce.topKRows(T(s, d, "orders"), Seq("o_orderpriority"),
+        "o_totalprice", 3, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .orderBy("o_orderkey")),
     "q_bottomk" -> ((s, d) =>
       GroupByReduce.reduce(li(s, d), Seq("l_returnflag"),
         Seq(Agg("bottomk", "l_extendedprice", "bot", k = 5)), pos = Some(col("pos")))
@@ -322,6 +331,12 @@ object SparkEntry {
         + " ORDER BY l_extendedprice DESC, l_orderkey * 8 + l_linenumber) AS rank,"
         + " l_orderkey * 8 + l_linenumber AS pos, l_extendedprice AS price"
         + " FROM lineitem) WHERE rank <= 5 ORDER BY 1, 2"),
+    "q_topk_rows" ->
+      ("SELECT o_orderkey, o_orderpriority, o_totalprice FROM ("
+        + " SELECT o_orderkey, o_orderpriority, o_totalprice,"
+        + " row_number() OVER (PARTITION BY o_orderpriority"
+        + " ORDER BY o_totalprice DESC, o_orderkey) AS rk"
+        + " FROM orders) WHERE rk <= 3 ORDER BY o_orderkey"),
     "q_bottomk" ->
       ("SELECT l_returnflag, rank, pos, price FROM ("
         + " SELECT l_returnflag, row_number() OVER (PARTITION BY l_returnflag"

@@ -185,6 +185,33 @@ object GroupByReduce {
     dfs.reduce(_ crossJoin _)
   }
 
+  /** Row-preserving grouped top-k (pandas `groupby.nlargest`/`nsmallest`
+    * analog): the original rows of the k best (largest=true) or worst
+    * values per group, all columns intact.
+    *
+    * Plan shape for 100 TB: the topk aggregate first reduces to k
+    * positions per group (k-bounded shuffle, see
+    * [[graft.expressions.TopKByScore]]), then the tiny id set —
+    * k * n_groups rows — broadcast left-semi joins back against the
+    * source. The big table is scanned, never shuffled. `pos` must be a
+    * unique total-order row identity (same contract as every positional
+    * func); NaN/NULL-valued rows never qualify.
+    */
+  def topKRows(
+      df: DataFrame,
+      by: Seq[String],
+      value: String,
+      k: Int,
+      pos: Column,
+      largest: Boolean = true): DataFrame = {
+    val agg = reduce(df, by,
+      Seq(Agg(if (largest) "topk" else "bottomk", value, "__top", k = k)),
+      pos = Some(pos), sort = false)
+    // array<struct>.id extracts array<long>; explode -> one row per winner
+    val ids = agg.select(explode(col("__top").getField("id")).as("__sel"))
+    df.join(broadcast(ids), pos.cast("long") === col("__sel"), "left_semi")
+  }
+
   /** Build a 1-column expected-groups DataFrame from literal labels
     * (reference expected_groups list form, core.py:2087-2107). */
   def expectedDf(spark: org.apache.spark.sql.SparkSession, name: String, values: Seq[Any]): DataFrame = {

@@ -90,6 +90,28 @@ class TopKSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("topKRows returns the original top-k rows per group via broadcast semi-join") {
+    val df = data.toDF("g", "v", "id").repartition(6)
+    val got = GroupByReduce.topKRows(df, Seq("g"), "v", 4, col("id"))
+      .select("id").as[Long].collect().toSet
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val want = df.where(col("v").isNotNull && !isnan(col("v")))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 4)
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+    val small = GroupByReduce.topKRows(df, Seq("g"), "v", 2, col("id"), largest = false)
+      .select("id").as[Long].collect().toSet
+    val wantSmall = df.where(col("v").isNotNull && !isnan(col("v")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)))
+      .where(col("rk") <= 2).select("id").as[Long].collect().toSet
+    assert(small == wantSmall)
+    val p = GroupByReduce.topKRows(df, Seq("g"), "v", 4, col("id"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast left-semi join-back:\n$p")
+  }
+
   test("plan: hash aggregation with partial/final split, no Window") {
     val df = data.toDF("g", "v", "id")
     val p = GroupByReduce.reduce(df, Seq("g"),
