@@ -448,6 +448,8 @@ object Dedup {
       embCol: String,
       threshold: Double,
       method: String = "exact"): DataFrame = {
+    require(!df.columns.contains("__dup_id"),
+      "embeddingDedup reserves column name __dup_id; rename it in the input")
     val pairs = method match {
       case "exact" => Similarity.bruteForcePairs(df, idCol, embCol, threshold)
       case "lsh"   => Similarity.lshNeighbors(df, idCol, embCol, threshold)
