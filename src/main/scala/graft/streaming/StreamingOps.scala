@@ -22,10 +22,13 @@ object StreamingOps {
 
   /** Event-time-windowed grouped reduction: the streaming form of
     * `groupby_reduce` with a datetime binning key (SURVEY §2.3). Registry
-    * funcs compile exactly as in batch; positional funcs (first/last/arg*)
-    * need a position column and are meaningless on unbounded input — use
-    * the event-time window instead. `watermark` bounds state and enables
-    * append-mode emission of closed windows; None = complete/update modes.
+    * funcs compile exactly as in batch; positional funcs (first, last,
+    * arg-extrema, topk, bottomk) take `pos` exactly as in batch — with an explicit
+    * pos they are deterministic (value, pos) selections, order-independent
+    * and so incrementally maintainable; without one they throw, as there
+    * is no intrinsic order to fall back to on a stream either. `watermark`
+    * bounds state and enables append-mode emission of closed windows;
+    * None = complete/update modes.
     */
   def windowedReduce(
       stream: DataFrame,
@@ -34,8 +37,10 @@ object StreamingOps {
       by: Seq[String],
       aggs: Seq[Agg],
       watermark: Option[String] = None,
-      slideDuration: Option[String] = None): DataFrame = {
+      slideDuration: Option[String] = None,
+      pos: Option[Column] = None): DataFrame = {
     require(aggs.nonEmpty, "need at least one aggregation")
+    graft.expressions.GraftFunctions.register(stream.sparkSession) // topk
     // batch parity: missing group labels (NULL / float NaN) are dropped,
     // exactly like GroupByReduce.reduce (reference core.py:2691-2702)
     val labeled = by.foldLeft(stream)((d, k) =>
@@ -45,7 +50,7 @@ object StreamingOps {
       s => window(col(tsCol), windowDuration, s))
     val cols = aggs.map { a =>
       val dt = stream.schema(a.value).dataType
-      Aggregations.withMinCount(Aggregations.compile(a, dt, None), a, dt).as(a.as)
+      Aggregations.withMinCount(Aggregations.compile(a, dt, pos), a, dt).as(a.as)
     }
     in.groupBy(win.as("w") +: by.map(col): _*)
       .agg(cols.head, cols.tail: _*)

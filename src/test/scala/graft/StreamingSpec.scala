@@ -61,6 +61,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("windowed topk streams and equals the batch datetime-binned topk") {
+    val ev = events.withColumn("eid", monotonically_increasing_id())
+      .cache() // pin eid: it must be the same identity on both sides
+    ev.count()
+    def asPairs(rows: Array[org.apache.spark.sql.Row], tsAt: Int, keyAt: Int, topAt: Int) =
+      rows.map(r => (r.getTimestamp(tsAt), r.getString(keyAt)) ->
+        r.getSeq[org.apache.spark.sql.Row](topAt).map(s => (s.getDouble(0), s.getLong(1)))).toMap
+    val streamed = asPairs(runToMemory(
+      StreamingOps.windowedReduce(asStream(ev), "ts", "1 hour",
+        Seq("user_id"), Seq(Agg("topk", "value", "top", k = 3)),
+        pos = Some(col("eid"))),
+      "win_topk", "complete").collect(), 0, 2, 3)
+    val batch = asPairs(GroupByReduce.reduce(
+      ev.withColumn("hour", date_trunc("hour", col("ts"))),
+      Seq("hour", "user_id"), Seq(Agg("topk", "value", "top", k = 3)),
+      pos = Some(col("eid"))).collect(), 0, 1, 2)
+    assert(streamed == batch)
+    ev.unpersist()
+  }
+
   test("sessionWindowRollup runs unchanged under readStream and equals batch") {
     import graft.operators.Sessionize
     def rows(df: DataFrame) = df
