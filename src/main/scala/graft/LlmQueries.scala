@@ -194,6 +194,18 @@ object LlmQueries {
     // (keep-first survivors joined back) -> per-language stats. The shape
     // a production ingest run takes; every stage is one of the operators
     // above, so the whole chain stays a single Catalyst plan.
+    // Pipeline variant ending in curation: gate -> dedup -> the 3
+    // highest-quality docs per language, original rows preserved
+    // (topKRows' broadcast semi join-back; doc_id is a real unique key).
+    "q_pipeline_topk" -> ((s, d) => {
+      val filtered = T(s, d, "documents")
+        .where(TextAnalysis.qualityScore(col("text")) >= 600)
+      val deduped = Dedup.dropDuplicatesKeepFirst(filtered, "doc_id", "text")
+        .withColumn("score", TextAnalysis.qualityScore(col("text")).cast("double"))
+      GroupByReduce.topKRows(deduped, Seq("lang"), "score", 3, col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("score").cast("long").as("score"))
+        .orderBy("doc_id")
+    }),
     "q_pipeline" -> ((s, d) => {
       val filtered = T(s, d, "documents")
         .where(TextAnalysis.qualityScore(col("text")) >= 600)
@@ -624,6 +636,19 @@ object LlmQueries {
         ("SELECT source, count(*) AS n_docs, sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,"
           + " sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS bpe_tokens"
           + " FROM documents GROUP BY 1 ORDER BY 1"),
+      "q_pipeline_topk" ->
+        (s"WITH filtered AS (SELECT doc_id, lang, score FROM ("
+          + s" SELECT doc_id, lang, text, $scoreExpr AS score FROM"
+          + " (SELECT doc_id, lang, text, string_split(text, ' ') w FROM documents))"
+          + " WHERE score >= 600),"
+          + " surv AS (SELECT min(doc_id) AS doc_id FROM ("
+          + s" SELECT doc_id, text FROM (SELECT doc_id, text, string_split(text, ' ') w FROM documents)"
+          + s" WHERE $scoreExpr >= 600) GROUP BY text),"
+          + " ranked AS (SELECT doc_id, lang, score,"
+          + " row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rk"
+          + " FROM filtered JOIN surv USING (doc_id))"
+          + " SELECT doc_id, lang, CAST(score AS BIGINT) AS score FROM ranked"
+          + " WHERE rk <= 3 ORDER BY doc_id"),
       "q_pipeline" ->
         (s"WITH filtered AS (SELECT doc_id, lang, text FROM ("
           + s" SELECT doc_id, lang, text, $scoreExpr AS score FROM"
