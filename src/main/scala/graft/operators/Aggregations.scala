@@ -309,9 +309,12 @@ object Aggregations {
       // idiom's full shuffle+sort of every input row. Positional: pos is
       // the returned row identity. Requires GraftFunctions.register on
       // the session (GroupByReduce.reduce does it).
+      // The heap buffer is Double-typed, so the score is cast like every
+      // numeric-view func (int/long/float32 widen exactly; the output
+      // score column is double regardless of input dtype).
       case "topk" =>
         call_function(graft.expressions.GraftFunctions.TopK,
-          vn, p.cast(LongType), lit(a.k))
+          vn.cast(DoubleType), p.cast(LongType), lit(a.k))
       // bottomk = topk over the negated score, un-negated on the way out:
       // order (score ASC, pos ASC), i.e. the k smallest. The double
       // negation is exact (IEEE sign flip), and -0.0/0.0 order ties are
@@ -319,7 +322,7 @@ object Aggregations {
       case "bottomk" =>
         transform(
           call_function(graft.expressions.GraftFunctions.TopK,
-            -vn, p.cast(LongType), lit(a.k)),
+            -(vn.cast(DoubleType)), p.cast(LongType), lit(a.k)),
           s => struct((-s.getField("score")).as("score"), s.getField("id").as("id")))
       case "mode" | "nanmode" =>
         throw new IllegalArgumentException(

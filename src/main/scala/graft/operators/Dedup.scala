@@ -447,17 +447,29 @@ object Dedup {
       idCol: String,
       embCol: String,
       threshold: Double,
-      method: String = "exact"): DataFrame = {
+      method: String = "exact"): DataFrame =
+    embeddingDedupManaged(df, idCol, embCol, threshold, method)._1
+
+  /** [[embeddingDedup]] plus the release handle for the LSH path's
+    * persisted intermediates — same cache-lifecycle contract as the other
+    * `*Managed` variants (call `release()` after the consuming action;
+    * the exact path persists nothing and its handle is a no-op). */
+  def embeddingDedupManaged(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      method: String = "exact"): (DataFrame, () => Unit) = {
     require(!df.columns.contains("__dup_id"),
       "embeddingDedup reserves column name __dup_id; rename it in the input")
-    val pairs = method match {
-      case "exact" => Similarity.bruteForcePairs(df, idCol, embCol, threshold)
-      case "lsh"   => Similarity.lshNeighbors(df, idCol, embCol, threshold)
+    val (pairs, release) = method match {
+      case "exact" => (Similarity.bruteForcePairs(df, idCol, embCol, threshold), () => ())
+      case "lsh"   => Similarity.lshNeighborsManaged(df, idCol, embCol, threshold)
       case other   => throw new IllegalArgumentException(
         s"embeddingDedup method must be exact|lsh (got $other)")
     }
     // id_a < id_b by construction, so id_b is always the dropped side
     val dropped = pairs.select(col("id_b").as("__dup_id")).distinct()
-    df.join(dropped, col(idCol) === col("__dup_id"), "left_anti")
+    (df.join(dropped, col(idCol) === col("__dup_id"), "left_anti"), release)
   }
 }

@@ -204,8 +204,9 @@ object GroupByReduce {
       k: Int,
       pos: Column,
       largest: Boolean = true): DataFrame = {
-    require(!df.columns.contains("__sel"),
-      "topKRows reserves column name __sel; rename it in the input")
+    val clashes = df.columns.toSeq.intersect(Seq("__sel", "__top"))
+    require(clashes.isEmpty,
+      s"topKRows reserves column names __sel/__top; rename ${clashes.mkString(", ")} in the input")
     val agg = reduce(df, by,
       Seq(Agg(if (largest) "topk" else "bottomk", value, "__top", k = k)),
       pos = Some(pos), sort = false)

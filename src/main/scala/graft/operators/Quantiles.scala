@@ -64,12 +64,15 @@ object Quantiles {
 
     // Propagate keeps one NULL-valued row per group (all its NaN/NULL
     // originals collapsed, __cnt = 0) so the group survives with its NaN
-    // count; it sorts first in the window and never covers a rank.
+    // count (0 for non-float dtypes, which cannot hold a NaN — the group
+    // still stays present, with a NULL result); it sorts first in the
+    // window and never covers a rank.
     val counts =
-      if (propagate && NanOps.isFloaty(dt))
+      if (propagate)
         df.groupBy(keyCols :+ NanOps.nanToNull(v, dt).as(valueCol): _*)
           .agg(count(when(NanOps.isValid(v, dt), 1)).as("__cnt"),
-               count(when(isnan(v), 1)).as("__nan"))
+               (if (NanOps.isFloaty(dt)) count(when(isnan(v), 1)) else lit(0L))
+                 .as("__nan"))
       else
         df.where(NanOps.isValid(v, dt))
           .groupBy(keyCols :+ v: _*)

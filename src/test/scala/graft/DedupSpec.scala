@@ -184,6 +184,15 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.embeddingDedup(d, "vec_id", "embedding", 0.9, method = "ivf")
     }
+    // lsh path: the release handle must unpersist lshNeighbors' caches
+    val cm = TestSpark.spark.sharedState.cacheManager
+    cm.clearCache()
+    val (survivors, release) =
+      Dedup.embeddingDedupManaged(d, "vec_id", "embedding", 0.9, method = "lsh")
+    survivors.count()
+    assert(!cm.isEmpty, "expected persisted intermediates during the lsh sweep")
+    release()
+    assert(cm.isEmpty, "release() must unpersist the lsh intermediates")
   }
 
   test("hamming is bit_count of xor") {

@@ -69,6 +69,17 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("propagate=true keeps all-NULL groups on non-float dtypes too (NULL result)") {
+    val df = Seq((0, Some(4L)), (0, Some(8L)), (1, None), (1, None))
+      .toDF("k", "v")
+    val r = Quantiles.exactQuantile(df, Seq("k"), "v", Seq(0.5), as = "med", propagate = true)
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(r == Map(0 -> 6.0, 1 -> null))
+    val registry = GroupByReduce.reduce(df, Seq("k"), Seq(Agg("quantile", "v", "med", q = Seq(0.5))))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(r == registry)
+  }
+
   test("all-NaN group is absent (compose with expected-groups to fill)") {
     val df = Seq((0, Double.NaN), (0, Double.NaN), (1, 3.0)).toDF("k", "v")
     val r = Quantiles.exactQuantile(df, Seq("k"), "v", Seq(0.5), as = "med")

@@ -112,6 +112,19 @@ class TopKSpec extends AnyFunSuite {
       s"expected broadcast left-semi join-back:\n$p")
   }
 
+  test("topk/bottomk accept integer/long/float32 value columns (cast like numeric-view funcs)") {
+    val df = Seq((0, 3, 10L), (0, 9, 11L), (0, 5, 12L)).toDF("g", "v", "id")
+    def ids(func: String) = GroupByReduce.reduce(df, Seq("g"),
+      Seq(Agg(func, "v", "top", k = 2)), pos = Some(col("id")))
+      .select(col("top").getField("id")).as[Seq[Long]].head()
+    assert(ids("topk") == Seq(11L, 12L))
+    assert(ids("bottomk") == Seq(10L, 12L))
+    val f32 = Seq((0, 3.5f, 1L), (0, 9.5f, 2L)).toDF("g", "v", "id")
+    assert(GroupByReduce.reduce(f32, Seq("g"),
+      Seq(Agg("topk", "v", "top", k = 1)), pos = Some(col("id")))
+      .select(col("top").getField("score")).as[Seq[Double]].head() == Seq(9.5))
+  }
+
   test("plan: hash aggregation with partial/final split, no Window") {
     val df = data.toDF("g", "v", "id")
     val p = GroupByReduce.reduce(df, Seq("g"),
