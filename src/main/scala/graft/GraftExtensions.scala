@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{GraftFunctions, LongDotProduct, VectorSumLong}
+import graft.expressions.{GraftFunctions, LongDotProduct, RollingFingerprint, TopKByScore, VectorSumLong}
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
   * available in any session via
@@ -21,5 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.VecSum),
       new ExpressionInfo(classOf[VectorSumLong].getName, GraftFunctions.VecSum),
       (exprs: Seq[Expression]) => VectorSumLong(exprs.head).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.RollingFp),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, GraftFunctions.RollingFp),
+      (exprs: Seq[Expression]) => RollingFingerprint(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.TopK),
+      new ExpressionInfo(classOf[TopKByScore].getName, GraftFunctions.TopK),
+      (exprs: Seq[Expression]) => TopKByScore(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
   }
 }

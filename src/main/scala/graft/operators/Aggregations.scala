@@ -86,6 +86,9 @@ object Agg {
   * | bool       | long count-true| fraction  | bool (native) | viewed as int for arithmetic |
   * | timestamp  | rejected       | timestamp | kept          | unix_micros view, exact decimal sums; var/std in micros units |
   *
+  * topk/bottomk cast the score to double (like the numeric views) and
+  * always emit `array<struct<score:double, id:bigint>>`.
+  *
   * Registry parity with reference aggregations.py:740-776:
   * count, sum/nansum, prod/nanprod, mean/nanmean, var/nanvar, std/nanstd,
   * min/nanmin, max/nanmax, first/last, nanfirst/nanlast,

@@ -159,5 +159,10 @@ class StreamingSpec extends AnyFunSuite {
     val r = spark.sql("SELECT graft_dotq(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
       .head().getLong(0)
     assert(r == 4 + 10 + 18)
+    // the aggregate family works from SQL too (topk here)
+    val top = spark.sql(
+      "SELECT graft_topk(s, i, 2) AS t FROM VALUES (1.0D, 1L), (9.0D, 2L), (5.0D, 3L) AS v(s, i)")
+      .head().getSeq[org.apache.spark.sql.Row](0).map(x => (x.getDouble(0), x.getLong(1)))
+    assert(top == Seq((9.0, 2L), (5.0, 3L)))
   }
 }
