@@ -183,6 +183,17 @@ object SparkEntry {
         Seq(Agg("nansum", "valn", "sum_valid", fill = Some(-1.0))),
         expected = Some(l.select("l_orderkey").distinct()))
     }),
+    // equal-frequency binning (pandas qcut analog): edges from the
+    // memory-safe exact quantile, searchsorted-right bin assignment
+    "q_qcut" -> ((s, d) => {
+      val b = Binning.qcut(T(s, d, "lineitem"), "l_extendedprice", 8, "qbin")
+      b.where(col("qbin").isNotNull)
+        .groupBy(col("qbin").cast("long").as("qbin"))
+        .agg(count(lit(1)).as("n"),
+          round(min("l_extendedprice"), 2).as("lo"),
+          round(max("l_extendedprice"), 2).as("hi"))
+        .orderBy("qbin")
+    }),
     // ---- binning (reference core.py:803-823; empty bins kept+filled) ----
     "q_bins" -> ((s, d) => {
       val edges  = Seq(0.0, 10.0, 25.0, 40.0, 50.0, 100.0)
@@ -379,6 +390,15 @@ object SparkEntry {
       (s"SELECT l_orderkey, coalesce(CASE WHEN count($VALID) >= 1"
         + s" THEN coalesce(sum($VALID), 0.0) END, -1.0) AS sum_valid"
         + " FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_qcut" -> {
+      val es = (1 until 8).map(j =>
+        s"round(quantile_cont(l_extendedprice, ${j / 8.0}), 6)").mkString(", ")
+      (s"WITH e AS (SELECT [$es] AS edges FROM lineitem)"
+        + " SELECT qbin, count(*) AS n, round(min(p), 2) AS lo, round(max(p), 2) AS hi FROM ("
+        + " SELECT l_extendedprice AS p,"
+        + " len(list_filter((SELECT edges FROM e), x -> l_extendedprice >= x)) AS qbin"
+        + " FROM lineitem) GROUP BY 1 ORDER BY 1")
+    },
     "q_bins" -> {
       val bin = ("CASE WHEN l_quantity > 0 AND l_quantity <= 10 THEN 0"
         + " WHEN l_quantity > 10 AND l_quantity <= 25 THEN 1"

@@ -59,4 +59,69 @@ object Binning {
       StructField(s"${name}_lo", DoubleType),
       StructField(s"${name}_hi", DoubleType))))
   }
+
+  /** Equal-frequency binning (pandas `qcut` analog): appends `as` = the
+    * 0-based quantile-bin index of `valueCol`, nBins bins with cut points
+    * at the j/nBins exact quantiles.
+    *
+    * Composition, all plan-side (no driver collect): the interior edges
+    * come from [[Quantiles.exactQuantile]] over a constant group — the
+    * memory-safe exact plan, so deriving edges from a 100 TB column
+    * cannot OOM — broadcast as a 1-row array and applied per row as
+    * bin = #{edges <= v} (left-closed cut points, ties to the upper bin,
+    * matching searchsorted-right). Edges are rounded to `edgeScale`
+    * decimals so the cut points are reproducible across engines (the
+    * coarser-than-FP-drift / finer-than-data-resolution rule from the
+    * oracle-parity notes); rows with NULL/NaN values get a NULL bin
+    * (the missing-label code, dropped by reduce like any bin overflow).
+    *
+    * With heavy duplicate values, bins are as unequal as the data forces
+    * (same as pandas `qcut` with `duplicates="drop"` collapsing): a value
+    * straddling a cut lands wholly in one bin.
+    */
+  /** @param exact edge derivation. true (default): the memory-safe exact
+    *              quantile plan — bit-reproducible and oracle-replayable,
+    *              but the constant group makes its per-key window a
+    *              SINGLE-task sort of the column's distinct values
+    *              (bounded memory via spill, wall-clock-bound at 100 TB).
+    *              false: `approx_percentile` sketch edges — mergeable,
+    *              fully parallel, the 100 TB path; deterministic only up
+    *              to sketch accuracy (cut points can shift by a rank
+    *              error of n/accuracy across runs/partitionings). */
+  def qcut(
+      df: DataFrame,
+      valueCol: String,
+      nBins: Int,
+      as: String,
+      edgeScale: Int = 6,
+      exact: Boolean = true,
+      accuracy: Int = Aggregations.SketchAccuracy): DataFrame = {
+    require(nBins >= 2, s"qcut needs nBins >= 2 (got $nBins)")
+    require(!df.columns.contains("__qcut_edges"),
+      "qcut reserves column name __qcut_edges; rename it in the input")
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val edges =
+      if (exact) {
+        val quantiles = Quantiles.exactQuantile(
+          df.select(col(valueCol)).withColumn("__g", lit(1)),
+          Seq("__g"), valueCol, qs, as = "__qs")
+        val edgeArr = if (qs.size == 1) array(col("__qs")) else col("__qs")
+        quantiles.select(transform(edgeArr, e => round(e, edgeScale)).as("__qcut_edges"))
+      } else {
+        val vn = graft.functions.NanOps.nanToNull(col(valueCol),
+          df.schema(valueCol).dataType)
+        df.agg(approx_percentile(vn.cast("double"),
+            array(qs.map(lit): _*), lit(accuracy)).as("__qs"))
+          .select(transform(col("__qs"), e => round(e, edgeScale)).as("__qcut_edges"))
+      }
+    val v = col(valueCol)
+    val dt = df.schema(valueCol).dataType
+    df.crossJoin(broadcast(edges))
+      .withColumn(as,
+        when(graft.functions.NanOps.isValid(v, dt),
+          aggregate(col("__qcut_edges"), lit(0),
+            (acc, e) => acc + when(v.cast("double") >= e, 1).otherwise(0)))
+          .otherwise(lit(null).cast(IntegerType)))
+      .drop("__qcut_edges")
+  }
 }

@@ -138,6 +138,41 @@ class EdgeCasesSpec extends AnyFunSuite {
     }
   }
 
+  test("qcut: equal-frequency bins, searchsorted-right parity, NaN/NULL -> NULL bin") {
+    val rnd = new scala.util.Random(7L)
+    val vals = (0 until 800).map(_ => rnd.nextDouble() * 1000)
+    val rows = vals.map(Option(_)) ++ Seq(None, Some(Double.NaN))
+    val d = rows.toDF("v").repartition(5)
+    val binned = Binning.qcut(d, "v", 4, "b")
+    val got = binned.groupBy("b").count()
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getInt(0)) -> r.getLong(1)).toMap
+    // brute-force expectation: same interpolated quantile edges, rounded
+    // to 6, searchsorted-right
+    val sorted = vals.sorted
+    def q(p: Double): Double = {
+      val pos = p * (sorted.size - 1)
+      val (lo, hi) = (sorted(pos.floor.toInt), sorted(pos.ceil.toInt))
+      val x = if (pos.floor == pos.ceil) lo
+        else (pos.ceil - pos) * lo + (pos - pos.floor) * hi
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val edges = Seq(q(0.25), q(0.5), q(0.75))
+    val want = vals.groupBy(v => edges.count(v >= _)).map { case (b, vs) => b -> vs.size.toLong }
+    val wantAny: Map[Any, Long] =
+      want.map { case (k, n) => (k: Any) -> n }.toMap + ((null: Any) -> 2L)
+    assert(got == wantAny, s"got $got want $wantAny")
+    // near-equal occupancy on continuous data
+    val occ = want.values.toSeq
+    assert(occ.max - occ.min <= 2, s"bins not equal-frequency: $want")
+    // the sketch-edge scale path: edges are dataset values (exact rank,
+    // no interpolation below accuracy), so occupancy can shift by the
+    // edge row itself — still equal-frequency to within a row per edge
+    val approx = Binning.qcut(d, "v", 4, "b", exact = false).groupBy("b").count()
+      .collect().collect { case r if !r.isNullAt(0) => r.getLong(1) }
+    assert(approx.size == 4 && approx.forall(n => math.abs(n - 200) <= 1),
+      s"sketch-path bins not equal-frequency: ${approx.toSeq}")
+  }
+
   test("datetime binning drops out-of-range and respects left-closed edges") {
     val ts = Seq("2000-01-01 00:00:00", "2000-06-15 12:00:00", "2001-01-01 00:00:00",
       "2001-12-31 23:59:59", "2002-01-01 00:00:00")
