@@ -80,14 +80,21 @@ object Binning {
     * straddling a cut lands wholly in one bin.
     */
   /** @param exact edge derivation. true (default): the memory-safe exact
-    *              quantile plan — bit-reproducible and oracle-replayable,
-    *              but the constant group makes its per-key window a
-    *              SINGLE-task sort of the column's distinct values
-    *              (bounded memory via spill, wall-clock-bound at 100 TB).
-    *              false: `approx_percentile` sketch edges — mergeable,
-    *              fully parallel, the 100 TB path; deterministic only up
-    *              to sketch accuracy (cut points can shift by a rank
-    *              error of n/accuracy across runs/partitionings). */
+    *              quantile plan in its CHUNKED form
+    *              ([[Quantiles.exactQuantileChunked]]) — bit-reproducible,
+    *              oracle-replayable, and the constant group's ranking
+    *              parallelizes across value-range chunks instead of one
+    *              task. false: `approx_percentile` sketch edges —
+    *              mergeable, single-pass; deterministic only up to sketch
+    *              accuracy (cut points can shift by a rank error of
+    *              n/accuracy across runs/partitionings). */
+  /** @param chunks value-range chunks for the exact edge ranking (passed
+    *               to [[Quantiles.exactQuantileChunked]]). The chunked
+    *               topology costs ~3 extra tiny stages — at small scale
+    *               (sf0.1: 3.1 s vs 2.5 s) the plain windowed form is
+    *               cheaper, but its ranking is a single task; chunked is
+    *               the default because qcut's constant group makes that
+    *               single task the whole column's distinct values. */
   def qcut(
       df: DataFrame,
       valueCol: String,
@@ -95,16 +102,17 @@ object Binning {
       as: String,
       edgeScale: Int = 6,
       exact: Boolean = true,
-      accuracy: Int = Aggregations.SketchAccuracy): DataFrame = {
+      accuracy: Int = Aggregations.SketchAccuracy,
+      chunks: Int = 32): DataFrame = {
     require(nBins >= 2, s"qcut needs nBins >= 2 (got $nBins)")
     require(!df.columns.contains("__qcut_edges"),
       "qcut reserves column name __qcut_edges; rename it in the input")
     val qs = (1 until nBins).map(_.toDouble / nBins)
     val edges =
       if (exact) {
-        val quantiles = Quantiles.exactQuantile(
+        val quantiles = Quantiles.exactQuantileChunked(
           df.select(col(valueCol)).withColumn("__g", lit(1)),
-          Seq("__g"), valueCol, qs, as = "__qs")
+          Seq("__g"), valueCol, qs, as = "__qs", chunks = chunks)
         val edgeArr = if (qs.size == 1) array(col("__qs")) else col("__qs")
         quantiles.select(transform(edgeArr, e => round(e, edgeScale)).as("__qcut_edges"))
       } else {

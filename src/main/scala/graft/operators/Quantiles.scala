@@ -19,22 +19,19 @@ import graft.functions.NanOps
   *
   *   1. (keys, value) -> count: ordinary two-phase hash aggregation — the
   *      shuffle carries one row per DISTINCT value per group;
-  *   2. per-key running count over the value-sorted distinct table: a
-  *      window whose sort is a spilling external sort (WindowExec), not a
-  *      map in the agg buffer;
+  *   2. per-key running count over the value-sorted distinct table:
+  *      [[exactQuantile]] uses a window whose sort is a spilling external
+  *      sort (WindowExec) — one task per group; [[exactQuantileChunked]]
+  *      replaces it with the Blelloch chunk-carry topology
+  *      ([[GroupByScan.scanChunked]]) over value-range chunks, so even a
+  *      single giant group's ranking parallelizes;
   *   3. the two covering values per requested q are picked by rank-range
-  *      predicates and one final tiny per-key aggregation applies the
-  *      interpolation lower + (upper-lower)*frac (Percentile's formula).
+  *      predicates and one final tiny per-key aggregation applies
+  *      Percentile's exact interpolation.
   *
-  * Trade-offs, stated plainly: memory is bounded (spill-safe) but a
-  * single group's distinct values still sort within one task — a skewed
-  * continuous column costs wall-clock (not OOM). `approxquantile` remains
-  * the bounded-TIME option; this is the bounded-MEMORY exact one.
-  *
-  * Missing-value semantics: NaN/NULL values are skipped (the nan* form).
-  * Groups with no valid values are absent from the output (compose with
-  * an expected-groups reindex to fill them). Matches
-  * `Agg("nanquantile")` bit-for-bit on every input (QuantilesSpec).
+  * Missing-value semantics: NaN/NULL values are skipped (the nan* form),
+  * or propagated with `propagate = true` (numpy plain-variant). Both match
+  * the registry bit-for-bit on every input (QuantilesSpec).
   */
 object Quantiles {
 
@@ -55,35 +52,100 @@ object Quantiles {
       qs: Seq[Double],
       as: String = "q",
       propagate: Boolean = false): DataFrame = {
-    require(by.nonEmpty, "need at least one grouping column")
-    require(qs.nonEmpty, "need at least one quantile")
-    require(qs.forall(q => q >= 0.0 && q <= 1.0), s"quantiles must be in [0,1]: $qs")
-    val dt      = df.schema(valueCol).dataType
+    validate(by, qs)
+    val c       = counts(df, by, valueCol, propagate)
     val keyCols = by.map(col)
     val v       = col(valueCol)
-
-    // Propagate keeps one NULL-valued row per group (all its NaN/NULL
-    // originals collapsed, __cnt = 0) so the group survives with its NaN
-    // count (0 for non-float dtypes, which cannot hold a NaN — the group
-    // still stays present, with a NULL result); it sorts first in the
-    // window and never covers a rank.
-    val counts =
-      if (propagate)
-        df.groupBy(keyCols :+ NanOps.nanToNull(v, dt).as(valueCol): _*)
-          .agg(count(when(NanOps.isValid(v, dt), 1)).as("__cnt"),
-               (if (NanOps.isFloaty(dt)) count(when(isnan(v), 1)) else lit(0L))
-                 .as("__nan"))
-      else
-        df.where(NanOps.isValid(v, dt))
-          .groupBy(keyCols :+ v: _*)
-          .agg(count(lit(1)).as("__cnt"), lit(0L).as("__nan"))
     val byVal = Window.partitionBy(keyCols: _*).orderBy(v)
     val total = Window.partitionBy(keyCols: _*)
-    val t = counts
+    val t = c
       .withColumn("__cum", sum("__cnt").over(
         byVal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__n", sum("__cnt").over(total))
-      .withColumn("__prev", col("__cum") - col("__cnt"))
+    finish(t, by, valueCol, qs, as, propagate)
+  }
+
+  /** [[exactQuantile]] with the per-key ranking parallelized across
+    * `chunks` value-range chunks (the same Blelloch carry topology as
+    * [[GroupByScan.scanChunked]], which it delegates to): local running
+    * counts per (group, chunk) + an exclusive prefix of per-chunk totals.
+    * Identical results (QuantilesSpec pin); use it when single groups are
+    * huge — the windowed form sorts each group in one task, this form in
+    * up to `chunks` tasks. Chunk boundaries are a uniform split of the
+    * group-wide [min, max] value range (value-derived, so the chunking is
+    * order-congruent and deterministic under any partitioning); heavily
+    * skewed value distributions fill chunks unevenly, which costs balance,
+    * never correctness. Running counts transit as doubles in the carry
+    * fold — exact below 2^53 rows per group.
+    */
+  def exactQuantileChunked(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      qs: Seq[Double],
+      as: String = "q",
+      propagate: Boolean = false,
+      chunks: Int = 32): DataFrame = {
+    validate(by, qs)
+    require(chunks >= 1, s"chunks must be >= 1 (got $chunks)")
+    val c       = counts(df, by, valueCol, propagate)
+    val keyCols = by.map(col)
+    val v       = col(valueCol)
+
+    // group-wide value range -> uniform order-congruent chunk index.
+    // NULL values (propagate's collapsed row) take chunk 0: they sort
+    // below every value, matching the window form's nulls-first order.
+    val rng = c.groupBy(keyCols: _*)
+      .agg(min(v).cast("double").as("__lo"), max(v).cast("double").as("__hi"),
+        sum("__cnt").as("__n"))
+    val withR = c.join(rng, by)
+    val span  = col("__hi") - col("__lo")
+    val chunkCol = when(v.isNull || col("__lo").isNull || span <= 0.0, lit(0))
+      .otherwise(least(lit(chunks - 1), greatest(lit(0),
+        floor((v.cast("double") - col("__lo")) / span * chunks).cast("int"))))
+    val cum = GroupByScan.scanChunked(withR, "__cnt", by, "cumsum",
+        Seq(v.asc_nulls_first), chunkCol, "__cum")
+      .withColumn("__cum", col("__cum").cast("long"))
+      .drop("__lo", "__hi")
+    finish(cum, by, valueCol, qs, as, propagate)
+  }
+
+  private def validate(by: Seq[String], qs: Seq[Double]): Unit = {
+    require(by.nonEmpty, "need at least one grouping column")
+    require(qs.nonEmpty, "need at least one quantile")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0), s"quantiles must be in [0,1]: $qs")
+  }
+
+  /** (keys, distinct value) -> (__cnt valid rows, __nan NaN rows).
+    * Propagate keeps one NULL-valued row per group (all its NaN/NULL
+    * originals collapsed, __cnt = 0) so the group survives with its NaN
+    * count (0 for non-float dtypes, which cannot hold a NaN — the group
+    * still stays present, with a NULL result); it sorts first and never
+    * covers a rank. */
+  private def counts(
+      df: DataFrame, by: Seq[String], valueCol: String, propagate: Boolean): DataFrame = {
+    val dt      = df.schema(valueCol).dataType
+    val keyCols = by.map(col)
+    val v       = col(valueCol)
+    if (propagate)
+      df.groupBy(keyCols :+ NanOps.nanToNull(v, dt).as(valueCol): _*)
+        .agg(count(when(NanOps.isValid(v, dt), 1)).as("__cnt"),
+             (if (NanOps.isFloaty(dt)) count(when(isnan(v), 1)) else lit(0L))
+               .as("__nan"))
+    else
+      df.where(NanOps.isValid(v, dt))
+        .groupBy(keyCols :+ v: _*)
+        .agg(count(lit(1)).as("__cnt"), lit(0L).as("__nan"))
+  }
+
+  /** From the ranked distinct table (columns: keys, value, __cnt, __cum,
+    * __n, __nan) to the final per-key quantile row. */
+  private def finish(
+      t: DataFrame, by: Seq[String], valueCol: String, qs: Seq[Double],
+      as: String, propagate: Boolean): DataFrame = {
+    val keyCols = by.map(col)
+    val v       = col(valueCol)
+    val ranked  = t.withColumn("__prev", col("__cum") - col("__cnt"))
 
     // Percentile's rank: pos = q*(n-1) zero-based; the values covering
     // floor(pos) and ceil(pos) interpolate. A value row covers ranks
@@ -95,7 +157,7 @@ object Quantiles {
         min(when(col("__prev") <= floor(pos) && floor(pos) < col("__cum"), v)).as(s"__vlo$i"),
         min(when(col("__prev") <= ceil(pos) && ceil(pos) < col("__cum"), v)).as(s"__vhi$i"))
     } ++ Seq(max(col("__n")).as("__n"), max(col("__nan")).as("__nan"))
-    val picked = t.groupBy(keyCols: _*).agg(aggExprs.head, aggExprs.tail: _*)
+    val picked = ranked.groupBy(keyCols: _*).agg(aggExprs.head, aggExprs.tail: _*)
 
     // Percentile's exact FP order (Percentile.getPercentile): the weighted
     // two-sided form, NOT lo + (hi-lo)*frac — they differ by an ulp.

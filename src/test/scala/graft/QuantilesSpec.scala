@@ -87,6 +87,24 @@ class QuantilesSpec extends AnyFunSuite {
     assert(r == Map(1 -> 3.0))
   }
 
+  test("chunked ranking equals the windowed form bit-for-bit (skip + propagate, any chunks)") {
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val df = data.toDF("k", "v").repartition(7)
+    def grab(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getInt(0) -> r.getSeq[Double](1).map(x =>
+        if (x.isNaN) "NaN" else x)).toMap
+    val windowed = grab(Quantiles.exactQuantile(df, Seq("k"), "v", qs, as = "qs"))
+    for (chunks <- Seq(1, 7, 32)) {
+      val chunked = grab(Quantiles.exactQuantileChunked(df, Seq("k"), "v", qs,
+        as = "qs", chunks = chunks))
+      assert(chunked == windowed, s"chunks=$chunks diverged")
+    }
+    val wProp = grab(Quantiles.exactQuantile(df, Seq("k"), "v", qs, as = "qs", propagate = true))
+    val cProp = grab(Quantiles.exactQuantileChunked(df, Seq("k"), "v", qs,
+      as = "qs", propagate = true, chunks = 5))
+    assert(cProp == wProp)
+  }
+
   test("plan: no ObjectHashAggregate percentile buffer — hash agg + window only") {
     val df = data.toDF("k", "v")
     val p = Quantiles.exactQuantile(df, Seq("k"), "v", Seq(0.5))
