@@ -395,9 +395,9 @@ object SparkEntry {
         s"round(quantile_cont(l_extendedprice, ${j / 8.0}), 6)").mkString(", ")
       (s"WITH e AS (SELECT [$es] AS edges FROM lineitem)"
         + " SELECT qbin, count(*) AS n, round(min(p), 2) AS lo, round(max(p), 2) AS hi FROM ("
-        + " SELECT l_extendedprice AS p,"
-        + " len(list_filter((SELECT edges FROM e), x -> l_extendedprice >= x)) AS qbin"
-        + " FROM lineitem) GROUP BY 1 ORDER BY 1")
+        + " SELECT l_extendedprice AS p, CASE WHEN l_extendedprice IS NULL THEN NULL ELSE"
+        + " len(list_filter((SELECT edges FROM e), x -> l_extendedprice >= x)) END AS qbin"
+        + " FROM lineitem) WHERE qbin IS NOT NULL GROUP BY 1 ORDER BY 1")
     },
     "q_bins" -> {
       val bin = ("CASE WHEN l_quantity > 0 AND l_quantity <= 10 THEN 0"

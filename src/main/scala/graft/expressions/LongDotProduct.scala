@@ -72,16 +72,33 @@ object GraftFunctions {
   val RollingFp = "graft_rolling_fp"
   val TopK      = "graft_topk"
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      DotQ, exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      VecSum, exprs => VectorSumLong(exprs.head).toAggregateExpression(), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      RollingFp, exprs => RollingFingerprint(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      TopK, exprs => TopKByScore(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
-      "built-in")
-  }
+  private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$name takes $n arguments, got ${exprs.length}")
+
+  /** The single source of builder truth — consumed by both [[register]]
+    * (programmatic) and [[graft.GraftExtensions]] (spark.sql.extensions),
+    * so argument validation can't drift between the two surfaces. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    DotQ -> { exprs =>
+      arity(DotQ, exprs, 2); LongDotProduct(exprs(0), exprs(1))
+    },
+    VecSum -> { exprs =>
+      arity(VecSum, exprs, 1); VectorSumLong(exprs.head).toAggregateExpression()
+    },
+    RollingFp -> { exprs =>
+      arity(RollingFp, exprs, 1); RollingFingerprint(exprs.head)
+    },
+    TopK -> { exprs =>
+      arity(TopK, exprs, 3)
+      if (!exprs(2).foldable) throw new IllegalArgumentException(
+        s"$TopK's third argument (k) must be a literal")
+      TopKByScore(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+    })
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+    }
 }

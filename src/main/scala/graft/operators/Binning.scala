@@ -105,8 +105,10 @@ object Binning {
       accuracy: Int = Aggregations.SketchAccuracy,
       chunks: Int = 32): DataFrame = {
     require(nBins >= 2, s"qcut needs nBins >= 2 (got $nBins)")
-    require(!df.columns.contains("__qcut_edges"),
-      "qcut reserves column name __qcut_edges; rename it in the input")
+    val reserved = Seq("__qcut_edges", "__g", "__qs")
+    val clashes  = (df.columns.toSeq :+ valueCol).intersect(reserved)
+    require(clashes.isEmpty,
+      s"qcut reserves column names ${reserved.mkString("/")}; rename ${clashes.distinct.mkString(", ")} in the input")
     val qs = (1 until nBins).map(_.toDouble / nBins)
     val edges =
       if (exact) {
@@ -124,7 +126,11 @@ object Binning {
       }
     val v = col(valueCol)
     val dt = df.schema(valueCol).dataType
-    df.crossJoin(broadcast(edges))
+    // left join on true = cross join that SURVIVES an empty edge frame
+    // (all values NULL/NaN -> exact path yields no edge row): every input
+    // row is kept, and aggregate(NULL, ...) makes its bin NULL, matching
+    // the documented NULL/NaN-bin semantics and the sketch path.
+    df.join(broadcast(edges), lit(true), "left")
       .withColumn(as,
         when(graft.functions.NanOps.isValid(v, dt),
           aggregate(col("__qcut_edges"), lit(0),

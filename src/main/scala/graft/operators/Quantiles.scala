@@ -88,25 +88,34 @@ object Quantiles {
       chunks: Int = 32): DataFrame = {
     validate(by, qs)
     require(chunks >= 1, s"chunks must be >= 1 (got $chunks)")
+    require(!df.columns.contains("__k"),
+      "exactQuantileChunked reserves column name __k; rename it in the input")
     val c       = counts(df, by, valueCol, propagate)
     val keyCols = by.map(col)
     val v       = col(valueCol)
 
+    // The carry topology joins on the grouping keys; a bare multi-column
+    // equi-join is null-UNSAFE and would silently drop NULL-keyed groups
+    // that the windowed form keeps. Joining/grouping on one struct key
+    // restores null-safe semantics (struct equality treats null fields
+    // as equal — the standard Spark idiom).
+    val ck = c.withColumn("__k", struct(keyCols: _*))
+
     // group-wide value range -> uniform order-congruent chunk index.
     // NULL values (propagate's collapsed row) take chunk 0: they sort
     // below every value, matching the window form's nulls-first order.
-    val rng = c.groupBy(keyCols: _*)
+    val rng = ck.groupBy(col("__k"))
       .agg(min(v).cast("double").as("__lo"), max(v).cast("double").as("__hi"),
         sum("__cnt").as("__n"))
-    val withR = c.join(rng, by)
+    val withR = ck.join(rng, "__k")
     val span  = col("__hi") - col("__lo")
     val chunkCol = when(v.isNull || col("__lo").isNull || span <= 0.0, lit(0))
       .otherwise(least(lit(chunks - 1), greatest(lit(0),
         floor((v.cast("double") - col("__lo")) / span * chunks).cast("int"))))
-    val cum = GroupByScan.scanChunked(withR, "__cnt", by, "cumsum",
+    val cum = GroupByScan.scanChunked(withR, "__cnt", Seq("__k"), "cumsum",
         Seq(v.asc_nulls_first), chunkCol, "__cum")
       .withColumn("__cum", col("__cum").cast("long"))
-      .drop("__lo", "__hi")
+      .drop("__lo", "__hi", "__k")
     finish(cum, by, valueCol, qs, as, propagate)
   }
 

@@ -171,6 +171,18 @@ class EdgeCasesSpec extends AnyFunSuite {
       .collect().collect { case r if !r.isNullAt(0) => r.getLong(1) }
     assert(approx.size == 4 && approx.forall(n => math.abs(n - 200) <= 1),
       s"sketch-path bins not equal-frequency: ${approx.toSeq}")
+    // all-invalid column: every row survives with a NULL bin on BOTH paths
+    // (regression: the exact path's empty edge frame must not annihilate)
+    val allBad = Seq(Option.empty[Double], Some(Double.NaN), None).toDF("v")
+    for (ex <- Seq(true, false)) {
+      val r = Binning.qcut(allBad, "v", 4, "b", exact = ex)
+      assert(r.count() == 3 && r.where(col("b").isNull).count() == 3,
+        s"exact=$ex lost rows on an all-invalid column")
+    }
+    // reserved-name guard covers the internal edge-derivation names too
+    intercept[IllegalArgumentException] {
+      Binning.qcut(allBad.withColumnRenamed("v", "__g"), "__g", 4, "b")
+    }
   }
 
   test("datetime binning drops out-of-range and respects left-closed edges") {

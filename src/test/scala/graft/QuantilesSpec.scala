@@ -105,6 +105,18 @@ class QuantilesSpec extends AnyFunSuite {
     assert(cProp == wProp)
   }
 
+  test("chunked keeps NULL-keyed groups like the windowed form (null-safe struct join)") {
+    val df = Seq((Some("a"), 1.0), (None, 2.0), (None, 6.0), (Some("a"), 3.0))
+      .toDF("k", "v").repartition(3)
+    def grab(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val w = grab(Quantiles.exactQuantile(df, Seq("k"), "v", Seq(0.5), as = "med"))
+    val c = grab(Quantiles.exactQuantileChunked(df, Seq("k"), "v", Seq(0.5),
+      as = "med", chunks = 4))
+    assert(w == Map("a" -> 2.0, (null: String) -> 4.0))
+    assert(c == w, "chunked dropped the NULL-keyed group")
+  }
+
   test("plan: no ObjectHashAggregate percentile buffer — hash agg + window only") {
     val df = data.toDF("k", "v")
     val p = Quantiles.exactQuantile(df, Seq("k"), "v", Seq(0.5))
