@@ -85,4 +85,29 @@ class PlanAuditSpec extends AnyFunSuite {
       expected = Some(expected)))
     assert(p.contains("BroadcastHashJoin"), s"reindex should broadcast:\n$p")
   }
+
+  test("topk: partial heap aggregation runs before the shuffle (k-bounded exchange)") {
+    val df = GroupByReduce.reduce(TestSpark.table("0.01", "lineitem")
+        .withColumn("pos", col("l_orderkey") * 8 + col("l_linenumber")),
+      Seq("l_returnflag"), Seq(Agg("topk", "l_extendedprice", "top", k = 5)),
+      pos = Some(col("pos")), sort = false)
+    val p = plan(df)
+    assert(p.contains("partial_graft_topk"),
+      s"expected map-side partial topk before the exchange:\n$p")
+    assert(exchanges(p) == 1, s"expected exactly one shuffle:\n$p")
+    assert(!p.contains("Window"), s"window leaked into topk:\n$p")
+  }
+
+  test("qcut: edge frame broadcasts; big side is scanned, never shuffled for the join") {
+    val d = TestSpark.table("0.01", "lineitem")
+    val p = plan(graft.operators.Binning.qcut(d, "l_extendedprice", 4, "b"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"edge array should broadcast to the value rows:\n$p")
+  }
+
+  test("embeddingDedup: anti join-back on the dropped-id set, exact verify inside") {
+    val e = TestSpark.table("0.01", "embeddings")
+    val p = plan(graft.operators.Dedup.embeddingDedup(e, "vec_id", "embedding", 0.4))
+    assert(p.contains("LeftAnti"), s"survivors should come from an anti join:\n$p")
+  }
 }
