@@ -194,6 +194,16 @@ object SparkEntry {
           round(max("l_extendedprice"), 2).as("hi"))
         .orderBy("qbin")
     }),
+    // per-group quantile bins (stratification before per-stratum sampling)
+    "q_qcut_by" -> ((s, d) => {
+      val b = Binning.qcutBy(T(s, d, "lineitem"), Seq("l_returnflag"),
+        "l_extendedprice", 4, "qbin")
+      b.groupBy(col("l_returnflag"), col("qbin").cast("long").as("qbin"))
+        .agg(count(lit(1)).as("n"),
+          round(min("l_extendedprice"), 2).as("lo"),
+          round(max("l_extendedprice"), 2).as("hi"))
+        .orderBy("l_returnflag", "qbin")
+    }),
     // ---- binning (reference core.py:803-823; empty bins kept+filled) ----
     "q_bins" -> ((s, d) => {
       val edges  = Seq(0.0, 10.0, 25.0, 40.0, 50.0, 100.0)
@@ -390,6 +400,15 @@ object SparkEntry {
       (s"SELECT l_orderkey, coalesce(CASE WHEN count($VALID) >= 1"
         + s" THEN coalesce(sum($VALID), 0.0) END, -1.0) AS sum_valid"
         + " FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_qcut_by" ->
+      ("WITH e AS (SELECT l_returnflag,"
+        + " list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]), x -> round(x, 6)) AS edges"
+        + " FROM lineitem GROUP BY 1)"
+        + " SELECT l_returnflag, qbin, count(*) AS n, round(min(p), 2) AS lo, round(max(p), 2) AS hi FROM ("
+        + " SELECT l.l_returnflag, l.l_extendedprice AS p,"
+        + " len(list_filter(e.edges, x -> l.l_extendedprice >= x)) AS qbin"
+        + " FROM lineitem l JOIN e USING (l_returnflag))"
+        + " GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_qcut" -> {
       val es = (1 until 8).map(j =>
         s"round(quantile_cont(l_extendedprice, ${j / 8.0}), 6)").mkString(", ")

@@ -131,11 +131,53 @@ object Binning {
     // row is kept, and aggregate(NULL, ...) makes its bin NULL, matching
     // the documented NULL/NaN-bin semantics and the sketch path.
     df.join(broadcast(edges), lit(true), "left")
-      .withColumn(as,
-        when(graft.functions.NanOps.isValid(v, dt),
-          aggregate(col("__qcut_edges"), lit(0),
-            (acc, e) => acc + when(v.cast("double") >= e, 1).otherwise(0)))
-          .otherwise(lit(null).cast(IntegerType)))
+      .withColumn(as, binByEdges(v, dt))
       .drop("__qcut_edges")
   }
+
+  /** Per-GROUP equal-frequency binning: like [[qcut]], but the cut points
+    * are each group's own quantiles — the stratification shape
+    * ("quality quartile within language") a curation pipeline puts before
+    * per-stratum sampling. Edges come from the grouped
+    * [[Quantiles.exactQuantileChunked]] (one row of interior edges per
+    * group, null-safe struct keys) and join back on the grouping columns —
+    * a broadcast-sized table whenever the group count is; rows with
+    * NULL/NaN values, or in groups with no valid values, get a NULL bin.
+    */
+  def qcutBy(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      nBins: Int,
+      as: String,
+      edgeScale: Int = 6,
+      chunks: Int = 32): DataFrame = {
+    require(nBins >= 2, s"qcutBy needs nBins >= 2 (got $nBins)")
+    require(by.nonEmpty, "qcutBy needs at least one grouping column")
+    val reserved = Seq("__qcut_edges", "__qs")
+    val clashes  = (df.columns.toSeq :+ valueCol).intersect(reserved)
+    require(clashes.isEmpty,
+      s"qcutBy reserves column names ${reserved.mkString("/")}; rename ${clashes.distinct.mkString(", ")} in the input")
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val quantiles = Quantiles.exactQuantileChunked(
+      df.select((by :+ valueCol).map(col): _*), by, valueCol, qs,
+      as = "__qs", chunks = chunks)
+    val edgeArr = if (qs.size == 1) array(col("__qs")) else col("__qs")
+    val edges = quantiles.select(
+      by.map(col) :+ transform(edgeArr, e => round(e, edgeScale)).as("__qcut_edges"): _*)
+    val v  = col(valueCol)
+    val dt = df.schema(valueCol).dataType
+    // left join keeps rows of groups absent from the edge table (all-
+    // invalid groups) with a NULL edge array -> NULL bin
+    df.join(edges, by, "left").withColumn(as, binByEdges(v, dt))
+      .drop("__qcut_edges")
+  }
+
+  /** searchsorted-right over the joined `__qcut_edges` array; NULL/NaN
+    * value or NULL edges -> NULL bin. */
+  private def binByEdges(v: Column, dt: DataType): Column =
+    when(graft.functions.NanOps.isValid(v, dt),
+      aggregate(col("__qcut_edges"), lit(0),
+        (acc, e) => acc + when(v.cast("double") >= e, 1).otherwise(0)))
+      .otherwise(lit(null).cast(IntegerType))
 }

@@ -185,6 +185,22 @@ class EdgeCasesSpec extends AnyFunSuite {
     }
   }
 
+  test("qcutBy: per-group quartiles; all-invalid group gets NULL bins") {
+    val rnd = new scala.util.Random(11L)
+    val rows = (0 until 400).map(i => (s"g${i % 2}", Option(rnd.nextDouble() * (i % 2 + 1) * 100))) ++
+      Seq(("g2", None), ("g2", Some(Double.NaN)))
+    val d = rows.toDF("k", "v").repartition(4)
+    val binned = Binning.qcutBy(d, Seq("k"), "v", 4, "b")
+    val occ = binned.where(col("b").isNotNull).groupBy("k", "b").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // per-group quartiles: each group's 200 rows split 50/50/50/50
+    for (g <- Seq("g0", "g1"); b <- 0 until 4)
+      assert(math.abs(occ((g, b)) - 50L) <= 1, s"$g bin $b: ${occ.get((g, b))}")
+    // all-invalid group: rows retained, bins NULL
+    val g2 = binned.where(col("k") === "g2")
+    assert(g2.count() == 2 && g2.where(col("b").isNull).count() == 2)
+  }
+
   test("datetime binning drops out-of-range and respects left-closed edges") {
     val ts = Seq("2000-01-01 00:00:00", "2000-06-15 12:00:00", "2001-01-01 00:00:00",
       "2001-12-31 23:59:59", "2002-01-01 00:00:00")
