@@ -56,10 +56,14 @@ object LlmQueries {
     "q_decontaminate" -> ((s, d) => {
       val docs = T(s, d, "documents")
       val evalSrc = Seq("src0", "src1", "src2")
+      // broadcastRight: this caller KNOWS the right side is the small
+      // eval set (the decontamination shape), so it opts into the pinned
+      // eval-side broadcast — not the default, which would OOM on a large
+      // right corpus (ADVICE r3).
       Dedup.crossNearDupPairs(
         docs.where(!col("source").isin(evalSrc: _*)),
         docs.where(col("source").isin(evalSrc: _*)),
-        "doc_id", "text", threshold = 0.5)
+        "doc_id", "text", threshold = 0.5, broadcastRight = true)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_l", "id_r")
     }),

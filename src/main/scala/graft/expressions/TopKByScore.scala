@@ -27,7 +27,8 @@ import org.apache.spark.sql.types._
   *
   * Buffer: parallel-array binary min-heap keyed by "worseness" (root =
   * current worst kept pair), so a full heap replaces the root in O(log k)
-  * only when the candidate beats it; serialized form is the raw 16k bytes.
+  * only when the candidate beats it; arrays grow geometrically up to k;
+  * serialized form is 16 bytes per kept pair.
   */
 case class TopKByScore(
     score: Expression,
@@ -103,11 +104,23 @@ case class TopKByScore(
 
 /** k-bounded min-heap over (score, id), root = worst kept pair. Pair A is
   * better than B iff A.score > B.score, or scores equal and A.id < B.id
-  * (total order when ids are distinct). */
+  * (total order when ids are distinct).
+  *
+  * Backing arrays grow geometrically up to k, so buffer memory tracks the
+  * data actually seen, not the requested k: a large k (say 10^6) over many
+  * small groups would otherwise eagerly pin k*16 bytes per (partition,
+  * group) in the ObjectHashAggregate map before a single row arrived. */
 final class TopKHeap(val k: Int) {
-  val scores = new Array[Double](k)
-  val ids    = new Array[Long](k)
+  var scores = new Array[Double](math.min(k, 16))
+  var ids    = new Array[Long](math.min(k, 16))
   var size   = 0
+
+  private def ensureRoom(): Unit =
+    if (size == scores.length && size < k) {
+      val cap = math.min(k.toLong, scores.length.toLong * 2).toInt
+      scores = java.util.Arrays.copyOf(scores, cap)
+      ids    = java.util.Arrays.copyOf(ids, cap)
+    }
 
   /** a strictly worse than b (heap property: parent worse than children) */
   @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
@@ -116,6 +129,7 @@ final class TopKHeap(val k: Int) {
   def offer(s: Double, i: Long): Unit = {
     if (size < k) {
       // grow phase: append + sift up toward the worst-at-root invariant
+      ensureRoom()
       var c = size
       scores(c) = s; ids(c) = i
       size += 1

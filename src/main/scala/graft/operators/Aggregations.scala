@@ -153,8 +153,11 @@ object Aggregations {
     *     in micros units. The view forces the exact decimal engine: micros
     *     are ~2^50, so a long sum over a big group would overflow and a
     *     double sum would round — decimal sums keep mean/median exact and
-    *     order-independent at any realistic group size (the decimal(38)
-    *     sum of micros holds ~10^22 rows). CAVEAT for var/std only: the
+    *     order-independent at any realistic group size (the view rides the
+    *     decimal(18,0) engine; Spark's Sum widens it to decimal(28,0),
+    *     which holds epoch-micros sums to ~5*10^12 rows per group — past
+    *     that Spark returns NULL, non-ANSI, so pre-view at unix_millis
+    *     for absurdly larger groups). CAVEAT for var/std only: the
     *     sum of SQUARED micros (~3e30 each) overflows decimal(38) beyond
     *     ~3*10^7 rows per group and Spark then returns NULL — for spread
     *     statistics over bigger groups, pre-view the column yourself at a

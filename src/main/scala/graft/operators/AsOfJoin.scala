@@ -104,7 +104,7 @@ object AsOfJoin {
     // fast instead. (__chunk/__carry/__prev belong to scanChunked, which
     // the chunked variant delegates to — reserved here for both variants
     // so the contract doesn't depend on which fill topology runs.)
-    val reserved = Seq("__t", "__isL", "__rv", "__rvf", "__chunk", "__carry", "__prev")
+    val reserved = Seq("__t", "__isL", "__rv", "__rvf", "__chunk", "__carry", "__prev", "__jk")
     val outputs  = rightValues.map(rightPrefix + _)
     val clashes  = left.columns.toSeq.intersect(reserved ++ outputs) ++
       right.columns.toSeq.intersect(reserved)

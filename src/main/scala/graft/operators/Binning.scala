@@ -154,7 +154,7 @@ object Binning {
       chunks: Int = 32): DataFrame = {
     require(nBins >= 2, s"qcutBy needs nBins >= 2 (got $nBins)")
     require(by.nonEmpty, "qcutBy needs at least one grouping column")
-    val reserved = Seq("__qcut_edges", "__qs")
+    val reserved = Seq("__qcut_edges", "__qs", "__qk")
     val clashes  = (df.columns.toSeq :+ valueCol).intersect(reserved)
     require(clashes.isEmpty,
       s"qcutBy reserves column names ${reserved.mkString("/")}; rename ${clashes.distinct.mkString(", ")} in the input")
@@ -163,14 +163,23 @@ object Binning {
       df.select((by :+ valueCol).map(col): _*), by, valueCol, qs,
       as = "__qs", chunks = chunks)
     val edgeArr = if (qs.size == 1) array(col("__qs")) else col("__qs")
+    // The join-back rides a struct key: a bare multi-column equi-join is
+    // null-UNSAFE on the grouping columns, so NULL-keyed rows would get
+    // NULL bins even though the struct-keyed edge derivation computed
+    // edges for their group. Struct equality treats null fields as equal,
+    // so NULL-keyed groups bin against their own edges — consistent with
+    // the engine's keepNullKeys grouping semantics.
     val edges = quantiles.select(
-      by.map(col) :+ transform(edgeArr, e => round(e, edgeScale)).as("__qcut_edges"): _*)
+      struct(by.map(col): _*).as("__qk") +:
+        transform(edgeArr, e => round(e, edgeScale)).as("__qcut_edges") +: Nil: _*)
     val v  = col(valueCol)
     val dt = df.schema(valueCol).dataType
     // left join keeps rows of groups absent from the edge table (all-
     // invalid groups) with a NULL edge array -> NULL bin
-    df.join(edges, by, "left").withColumn(as, binByEdges(v, dt))
-      .drop("__qcut_edges")
+    df.withColumn("__qk", struct(by.map(col): _*))
+      .join(edges, Seq("__qk"), "left")
+      .withColumn(as, binByEdges(v, dt))
+      .drop("__qcut_edges", "__qk")
   }
 
   /** searchsorted-right over the joined `__qcut_edges` array; NULL/NaN

@@ -244,7 +244,7 @@ object Dedup {
       bands: Int = 32,
       rows: Int = 4,
       cache: Boolean = true,
-      broadcastRight: Boolean = true): DataFrame =
+      broadcastRight: Boolean = false): DataFrame =
     crossNearDupPairsManaged(left, right, idCol, textCol, n, threshold,
       bands, rows, cache, broadcastRight)._1
 
@@ -260,7 +260,7 @@ object Dedup {
       bands: Int = 32,
       rows: Int = 4,
       cache: Boolean = true,
-      broadcastRight: Boolean = true): (DataFrame, () => Unit) = {
+      broadcastRight: Boolean = false): (DataFrame, () => Unit) = {
     // same multi-branch-consumption caching rationale as [[nearDupPairs]]
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def maybeCache(d: DataFrame): DataFrame =
@@ -274,11 +274,14 @@ object Dedup {
     }
     val (shL, bL) = prep(left)
     val (shR0, bR0) = prep(right)
-    // The decontamination shape is a huge train corpus against a small
-    // eval set: pin the broadcast of the eval-side bucket and shingle
-    // tables so the train side is never shuffled (previously an AQE hope,
-    // now the plan — assert via DedupSpec). broadcastRight=false restores
-    // symmetric shuffles for two large corpora.
+    // broadcastRight=true pins the broadcast of the eval-side bucket and
+    // shingle tables so the train side is never shuffled — the right call
+    // for the decontamination shape (huge train corpus, small eval set;
+    // assert via DedupSpec), but an UNCONDITIONAL hint that bypasses AQE's
+    // size checks and OOMs on a large right corpus. So it is opt-in: the
+    // symmetric-shuffle default completes for any corpus pair, and AQE
+    // still auto-broadcasts a small side at runtime; callers that KNOW the
+    // right side is eval-sized (e.g. q_decontaminate) pass true.
     val (shR, bR) = if (broadcastRight) (broadcast(shR0), broadcast(bR0)) else (shR0, bR0)
     val cand = bL.as("a")
       .join(bR.as("b"),

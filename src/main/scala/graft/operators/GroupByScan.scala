@@ -139,6 +139,10 @@ object GroupByScan {
       chunk: Column,
       as: String,
       exactScale: Option[Int] = None): DataFrame = {
+    val reserved = Seq("__chunk", "__carry", "__prev", "__jk")
+    val clashes  = df.columns.toSeq.intersect(reserved)
+    require(clashes.isEmpty,
+      s"scanChunked reserves column names ${reserved.mkString("/")}; rename ${clashes.mkString(", ")} in the input")
     val dt = df.schema(value).dataType
     val in = df.withColumn("__chunk", chunk)
     val keyCols  = by.map(col)
@@ -210,7 +214,16 @@ object GroupByScan {
     // hint: the carry table has one row per (group, chunk) — AQE
     // broadcasts it when small, and at the billions-of-chunks extreme the
     // equi-join on the keys phase 1 already partitioned by stays local.
-    val joined = local.join(carries, by :+ "__chunk")
+    // The join rides ONE struct key: a bare multi-column equi-join is
+    // null-UNSAFE — NULL-keyed groups (or a NULL __chunk from e.g.
+    // chunk(NULL timestamp) in the as-of path) would silently drop rows
+    // the single-window [[scan]] keeps, breaking the bitwise-equality
+    // contract. Struct equality treats null fields as equal (the same
+    // __k idiom as Quantiles.exactQuantileChunked).
+    val jk = struct(chunkKey: _*)
+    val joined = local.withColumn("__jk", jk)
+      .join(carries.select(jk.as("__jk"), col("__prev")), "__jk")
+      .drop("__jk")
     val combined: Column = func match {
       case "cumsum" if exactSum =>
         (col(as) + coalesce(col("__prev"), lit(0))).cast("double")

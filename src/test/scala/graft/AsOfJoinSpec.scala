@@ -89,4 +89,30 @@ class AsOfJoinSpec extends AnyFunSuite {
       assert(chunked == plain, s"strict=$strict tol=$tol: chunked fill diverges")
     }
   }
+
+  test("NULL keys and NULL times survive the chunked fill (ADVICE r4)") {
+    // The chunked fill's carry join was null-unsafe: left rows with a NULL
+    // key, or a NULL time (chunk(NULL) -> NULL __chunk), were silently
+    // dropped while the window form kept them. Pin the equality on both.
+    val l = Seq(
+      (Option("a"), Option(10L), "l1"), (Option("a"), Option(30L), "l2"),
+      (None: Option[String], Option(12L), "l3"),   // NULL key
+      (Option("a"), None: Option[Long], "l4"),     // NULL time
+      (None: Option[String], None: Option[Long], "l5")
+    ).toDF("k", "t", "tag").repartition(3)
+    val r = Seq(
+      (Option("a"), Option(5L), 1.0), (Option("a"), Option(25L), 2.0),
+      (None: Option[String], Option(10L), 9.0)     // NULL-key right row
+    ).toDF("k", "rt", "price").repartition(2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("tag", "r_price").collect().map(x => x.getString(0) -> x.get(1)).toMap
+    val plain = rows(AsOfJoin.asofJoin(l, r, Seq("k"), "t", "rt", Seq("price")))
+    val chunked = rows(AsOfJoin.asofJoinChunked(l, r, Seq("k"), "t", "rt",
+      Seq("price"), chunk = t => floor(t / 20L)))
+    assert(plain.keySet == Set("l1", "l2", "l3", "l4", "l5"),
+      "window form must keep every left row")
+    assert(chunked == plain, "chunked fill diverges on NULL keys/times")
+    // NULL-key group matches its own right rows, like any other group
+    assert(plain("l3") == 9.0)
+  }
 }

@@ -135,10 +135,11 @@ class DedupSpec extends AnyFunSuite {
     assert(cm.isEmpty, "cross release() must unpersist all intermediates")
   }
 
-  test("crossNearDupPairs broadcasts the eval side in the static plan") {
+  test("crossNearDupPairs broadcastRight=true pins the eval-side broadcast") {
     val train = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
     val eval_ = Seq((10L, nearDup)).toDF("doc_id", "text")
-    val plan = Dedup.crossNearDupPairs(train, eval_, "doc_id", "text")
+    val plan = Dedup.crossNearDupPairs(train, eval_, "doc_id", "text",
+        broadcastRight = true)
       .queryExecution.sparkPlan.toString
     // pinned broadcast (not an AQE runtime decision): both the bucket
     // join and the shingle verify join see a broadcast right side

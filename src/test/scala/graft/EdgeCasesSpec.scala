@@ -201,6 +201,27 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(g2.count() == 2 && g2.where(col("b").isNull).count() == 2)
   }
 
+  test("qcutBy: NULL-keyed rows bin against their own group's edges (ADVICE r4)") {
+    // The join-back was null-unsafe on the grouping columns: edges were
+    // computed for the NULL-keyed group (struct-keyed quantiles) but could
+    // never be applied — every NULL-keyed row got a NULL bin. Struct-keyed
+    // join-back makes the NULL key a group like any other.
+    val rows = (0 until 80).map { i =>
+      val k: Option[String] = if (i % 2 == 0) Some("g") else None
+      (k, i.toDouble)
+    }
+    val d = rows.toDF("k", "v").repartition(3)
+    val binned = Binning.qcutBy(d, Seq("k"), "v", 4, "b")
+    val nullKeyed = binned.where(col("k").isNull)
+    assert(nullKeyed.where(col("b").isNull).count() == 0,
+      "NULL-keyed rows must receive bins from their own edges")
+    // the NULL group's 40 odd values split into 4 bins of ~10
+    val occ = nullKeyed.groupBy("b").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    for (b <- 0 until 4)
+      assert(math.abs(occ(b) - 10L) <= 1, s"NULL-group bin $b: ${occ.get(b)}")
+  }
+
   test("datetime binning drops out-of-range and respects left-closed edges") {
     val ts = Seq("2000-01-01 00:00:00", "2000-06-15 12:00:00", "2001-01-01 00:00:00",
       "2001-12-31 23:59:59", "2002-01-01 00:00:00")

@@ -45,6 +45,37 @@ class ScanChunkedSpec extends AnyFunSuite {
         s"$f diverges at pos ${diffs.take(5).toSeq}: ${diffs.take(5).map(k => (plain(k), chunked(k))).toSeq}")
     }
 
+  test("NULL keys and NULL chunks survive the carry join (ADVICE r4)") {
+    // The phase-3 carry join was a bare multi-column equi-join — null-
+    // UNSAFE, silently dropping NULL-keyed groups (and NULL-chunk rows)
+    // that the single-window scan keeps.
+    val d = (0 until 60).map { i =>
+      val key: Option[Int] = if (i % 3 == 0) None else Some(i % 2)
+      (key, (i % 7).toDouble, i.toLong)
+    }.toDF("label", "v", "pos").repartition(4)
+    // chunk NULL for the earliest rows: nulls-first ordering makes a NULL
+    // chunk the leading chunk of each group, as chunk(NULL time) would be
+    val chunk = when(col("pos") < 10, lit(null)).otherwise(floor(col("pos") / 16))
+    for (f <- Seq("cumsum", "ffill", "cummax", "cumcount")) {
+      val plain = GroupByScan.scan(d, "v", Seq("label"), f, Seq(col("pos")), "r")
+        .select("pos", "r").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+      val chunked = GroupByScan.scanChunked(d, "v", Seq("label"), f,
+        Seq(col("pos")), chunk, "r")
+        .select("pos", "r").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+      assert(chunked.size == plain.size, s"$f: chunked dropped rows")
+      assert(chunked == plain, s"$f diverges on NULL keys/chunks")
+    }
+  }
+
+  test("scanChunked rejects reserved working-column names") {
+    val d = Seq((1, 1.0, 0L)).toDF("label", "v", "__chunk")
+    val e = intercept[IllegalArgumentException] {
+      GroupByScan.scanChunked(d, "v", Seq("label"), "cumsum",
+        Seq(col("__chunk")), lit(0), "r")
+    }
+    assert(e.getMessage.contains("__chunk"))
+  }
+
   test("scanChunked honors exactScale on the carry path") {
     val d = (0 until 100).map(i => (i % 2, 0.01 + (i % 7) * 1.1, i.toLong))
       .toDF("label", "v", "pos").repartition(4)

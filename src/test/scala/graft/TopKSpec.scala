@@ -125,6 +125,30 @@ class TopKSpec extends AnyFunSuite {
       .select(col("top").getField("score")).as[Seq[Double]].head() == Seq(9.5))
   }
 
+  test("heap buffers grow with the data, not the requested k (ADVICE r4)") {
+    // A huge k over small groups must not eagerly pin k*16 bytes per
+    // (partition, group) buffer: capacity grows geometrically up to k.
+    val h = new graft.expressions.TopKHeap(1 << 20)
+    assert(h.scores.length == 16, "fresh buffer must start small")
+    (0 until 100).foreach(i => h.offer(i.toDouble, i.toLong))
+    assert(h.size == 100 && h.scores.length < 300,
+      s"capacity ${h.scores.length} should track data (100 rows), not k")
+    val best = h.sortedBestFirst()
+    assert(best.take(3).toSeq == Seq((99.0, 99L), (98.0, 98L), (97.0, 97L)))
+    // growth never exceeds k, and a tiny k still caps correctly
+    val h2 = new graft.expressions.TopKHeap(3)
+    (0 until 50).foreach(i => h2.offer(i.toDouble, i.toLong))
+    assert(h2.size == 3 && h2.scores.length == 3)
+    assert(h2.sortedBestFirst().toSeq == Seq((49.0, 49L), (48.0, 48L), (47.0, 47L)))
+    // end-to-end: a giant k behaves like "all rows, sorted"
+    val df = Seq((0, 1.0, 1L), (0, 5.0, 2L), (1, 2.0, 3L)).toDF("g", "v", "id")
+    val r = GroupByReduce.reduce(df, Seq("g"),
+      Seq(Agg("topk", "v", "top", k = 1 << 20)), pos = Some(col("id")))
+      .select(col("g"), col("top").getField("id").as("ids"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(r(0) == Seq(2L, 1L) && r(1) == Seq(3L))
+  }
+
   test("plan: hash aggregation with partial/final split, no Window") {
     val df = data.toDF("g", "v", "id")
     val p = GroupByReduce.reduce(df, Seq("g"),
