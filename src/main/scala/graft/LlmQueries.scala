@@ -450,6 +450,52 @@ object LlmQueries {
           Agg("sum", "l_quantity", "sum_qty", fill = Some(0.0))),
         expected = Some(Binning.binsDf(s, "qbin", (0 to 10).map(_ * 5.0))))
     }),
+    // ---- deterministic selection (Sampling) + sequence packing (r4) ----
+    // content-keyed Bernoulli sample: pure per-row filter, no rand() —
+    // reproducible across runs/retries/engines (the oracle replays the
+    // fingerprint + quadratic scatter + threshold exactly in int64)
+    "q_sample" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      Sampling.hashSample(T(s, d, "documents"),
+          Sampling.textKey(col("text")), 0.25, salt = 1)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_doc_id"))
+        .orderBy("source")
+    }),
+    // decontamination-safe train/val/test split: identical content always
+    // lands in one split (content-keyed), weights as plan-time thresholds
+    "q_split" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      Sampling.assignSplit(T(s, d, "documents"), Sampling.textKey(col("text")),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 2)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_doc_id"))
+        .orderBy("split")
+    }),
+    // downsample-only mixture balancing: exact integer thresholds from
+    // per-source counts; binding source kept whole
+    "q_mixture" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      Sampling.sampleToMixture(T(s, d, "documents"), "source",
+          Seq("src0" -> 4L, "src1" -> 2L, "src2" -> 1L,
+              "src3" -> 2L, "src4" -> 1L, "src5" -> 3L),
+          Sampling.textKey(col("text")), salt = 3)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_doc_id"))
+        .orderBy("source")
+    }),
+    // GPT-style concat-then-chunk packing into capacity-128 sequences,
+    // rolled up per (source, seq); the skew-safe chunked form is pinned
+    // equal in PackingSpec
+    "q_pack" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      Packing.packSequences(docs, Seq("source"), Seq(col("doc_id")), "toks", 128)
+        .groupBy("source", "seq")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_tokens"),
+          max("seq_offset").as("last_offset"), sum("n_splits").as("n_straddles"))
+        .orderBy("source", "seq")
+    }),
   )
 
   private def withNanVal(li: DataFrame): DataFrame =
@@ -472,8 +518,59 @@ object LlmQueries {
     val swHits = sqlHits(TextAnalysis.Stopwords)
     val scoreExpr =
       s"least(floor(600*$swHits*5 / len(w)), 600) + least(len(text), 400)"
+    // per-doc rolling fingerprint (same fold as q_fingerprint) — the key
+    // the Sampling family scatters; thresholds/salts are interpolated from
+    // the same Scala helpers the Spark plans use, so they cannot drift
+    val docFpCte =
+      ("WITH f AS (SELECT doc_id, source, text, list_reduce(list_prepend(0::BIGINT,"
+        + " list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),"
+        + " (a, b) -> (a * 31 + b) % 1000000007) AS h FROM documents)")
 
     Map(
+      "q_sample" -> {
+        val thr = math.floor(0.25 * Sampling.M).toLong
+        (docFpCte
+          + s", b AS (SELECT doc_id, source, ${Sampling.bucketSql("h", 1)} AS u FROM f)"
+          + s" SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_doc_id"
+          + s" FROM b WHERE u < $thr GROUP BY 1 ORDER BY 1")
+      },
+      "q_split" -> {
+        val edges = Sampling.splitEdges(
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        val cases = edges.map { case (name, hi) => s"WHEN u < $hi THEN '$name'" }
+          .mkString("CASE ", " ", " END")
+        (docFpCte
+          + s", b AS (SELECT doc_id, ${Sampling.bucketSql("h", 2)} AS u FROM f)"
+          + s" SELECT $cases AS split, count(*) AS n_docs,"
+          + s" sum(doc_id)::BIGINT AS sum_doc_id FROM b GROUP BY 1 ORDER BY 1")
+      },
+      "q_mixture" -> {
+        val tgt = Seq("src0" -> 4L, "src1" -> 2L, "src2" -> 1L,
+          "src3" -> 2L, "src4" -> 1L, "src5" -> 3L)
+        val vals = tgt.map { case (s0, w) => s"('$s0', ${w}::BIGINT)" }.mkString(", ")
+        (docFpCte
+          + s", tgt(source, tw) AS (VALUES $vals),"
+          + " cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),"
+          + " rates AS (SELECT t.source, t.tw, coalesce(c.n, 0) AS n"
+          + " FROM tgt t LEFT JOIN cnt c USING (source)),"
+          + " m AS (SELECT tw AS tm, n AS nm FROM rates"
+          + " ORDER BY n::DOUBLE / tw, source LIMIT 1),"
+          + s" sel AS (SELECT f.doc_id, f.source, ${Sampling.bucketSql("f.h", 3)} AS u,"
+          + " r.tw, r.n, m.tm, m.nm FROM f JOIN rates r USING (source) CROSS JOIN m)"
+          + s" SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_doc_id FROM sel"
+          + s" WHERE u::HUGEINT * tm * n < ${Sampling.M}::HUGEINT * tw * nm"
+          + " GROUP BY 1 ORDER BY 1")
+      },
+      "q_pack" ->
+        ("WITH t AS (SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS toks FROM documents),"
+          + " c AS (SELECT source, doc_id, toks, sum(toks) OVER (PARTITION BY source ORDER BY doc_id"
+          + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e FROM t),"
+          + " a AS (SELECT source, toks, ((e - toks) // 128)::BIGINT AS seq,"
+          + " ((e - toks) % 128)::BIGINT AS seq_offset,"
+          + " ((e - 1) // 128 - (e - toks) // 128)::BIGINT AS n_splits FROM c)"
+          + " SELECT source, seq, count(*) AS n_docs, sum(toks)::BIGINT AS sum_tokens,"
+          + " max(seq_offset) AS last_offset, sum(n_splits)::BIGINT AS n_straddles"
+          + " FROM a GROUP BY 1, 2 ORDER BY 1, 2"),
       "q_dedup_exact" ->
         "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY 1",
       "q_dedup_near" ->

@@ -229,10 +229,14 @@ object GroupByScan {
         (col(as) + coalesce(col("__prev"), lit(0))).cast("double")
       case "nancumsum" if exactSum =>
         (coalesce(col(as), lit(0)) + coalesce(col("__prev"), lit(0))).cast("double")
-      case "cumsum"     => col(as) + coalesce(col("__prev"), lit(0.0))
-      case "nancumsum"  => col(as) + coalesce(col("__prev"), lit(0.0))
-      case "cumprod"    => col(as) * coalesce(col("__prev"), lit(1.0))
-      case "nancumprod" => col(as) * coalesce(col("__prev"), lit(1.0))
+      // untyped 0/1 literals: coercion widens them to the local scan's own
+      // sum/product dtype (long for integral values, double for floats), so
+      // an integer-valued chunked scan keeps the integer dtype the
+      // single-window scan produces
+      case "cumsum"     => col(as) + coalesce(col("__prev"), lit(0))
+      case "nancumsum"  => col(as) + coalesce(col("__prev"), lit(0))
+      case "cumprod"    => col(as) * coalesce(col("__prev"), lit(1))
+      case "nancumprod" => col(as) * coalesce(col("__prev"), lit(1))
       case "cumcount"   => col(as) + coalesce(col("__prev"), lit(0L))
       // greatest: NaN wins (numpy propagation carries over chunks);
       // least would wrongly discard NaN, so poison explicitly

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  graft.expressions.GraftFunctions.register(spark)
+
+  private val n = 4000
+  private def docs = (0 until n).map { i =>
+    (i.toLong, s"doc $i body ${(i * 7919) % 1000}", s"s${i % 4}")
+  }.toDF("id", "text", "source")
+
+  test("bucket stays in [0, M) and scatters consecutive ids") {
+    val b = docs.select(Sampling.bucket(Sampling.idKey(col("id")), 0).as("u"))
+    val mm = b.agg(min("u"), max("u")).head()
+    assert(mm.getLong(0) >= 0L && mm.getLong(1) < Sampling.M)
+    // quadratic scatter: consecutive ids must not land in one arithmetic
+    // progression (an affine map would): successive gaps take many values
+    val gaps = b.limit(100).collect().map(_.getLong(0))
+      .sliding(2).map(p => p(1) - p(0)).toSet
+    assert(gaps.size > 50, s"expected scattered gaps, got ${gaps.size} distinct")
+  }
+
+  test("hashSample: deterministic under repartitioning, rate within binomial bounds") {
+    val a = Sampling.hashSample(docs, Sampling.idKey(col("id")), 0.25, salt = 7)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs.repartition(13), Sampling.idKey(col("id")), 0.25, salt = 7)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "sample must be a pure function of (key, rate, salt)")
+    // 5 sigma around n*rate
+    val sd = math.sqrt(n * 0.25 * 0.75)
+    assert(math.abs(a.size - n * 0.25) < 5 * sd, s"kept ${a.size} of $n at rate 0.25")
+    // rate edges
+    assert(Sampling.hashSample(docs, Sampling.idKey(col("id")), 0.0).count() == 0)
+    assert(Sampling.hashSample(docs, Sampling.idKey(col("id")), 1.0).count() == n)
+  }
+
+  test("different salts draw (near-)independent samples") {
+    val a = Sampling.hashSample(docs, Sampling.idKey(col("id")), 0.5, salt = 1)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs, Sampling.idKey(col("id")), 0.5, salt = 2)
+      .select("id").as[Long].collect().toSet
+    val overlap = a.intersect(b).size.toDouble
+    // independent draws overlap at rate^2 = 0.25: allow 5 sigma
+    val exp = n * 0.25
+    assert(math.abs(overlap - exp) < 5 * math.sqrt(n * 0.25 * 0.75),
+      s"overlap $overlap vs expected ~$exp")
+  }
+
+  test("assignSplit: exhaustive + disjoint at total weight 1; proportions hold") {
+    val split = Sampling.assignSplit(docs, Sampling.textKey(col("text")),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 2)
+    assert(split.where(col("split").isNull).count() == 0,
+      "weights summing to 1 must assign every row")
+    val byName = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(math.abs(byName("train") - 0.8 * n) < 5 * math.sqrt(n * 0.8 * 0.2))
+    assert(math.abs(byName("val") - 0.1 * n) < 5 * math.sqrt(n * 0.1 * 0.9))
+    // determinism under repartitioning
+    val again = Sampling.assignSplit(docs.repartition(11), Sampling.textKey(col("text")),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 2)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val first = split.select("id", "split").as[(Long, String)].collect().toMap
+    assert(again == first)
+  }
+
+  test("assignSplit: content-keyed -> duplicate text co-locates; partial weights leave NULL") {
+    val dup = Seq((1L, "same body"), (2L, "same body"), (3L, "other body"))
+      .toDF("id", "text")
+    val s = Sampling.assignSplit(dup, Sampling.textKey(col("text")),
+      Seq("a" -> 0.5, "b" -> 0.5), salt = 5)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(s(1L) == s(2L), "identical content must land in one split")
+    val partial = Sampling.assignSplit(docs, Sampling.idKey(col("id")),
+      Seq("keep" -> 0.3), salt = 0)
+    val kept = partial.where(col("split") === "keep").count()
+    val nulls = partial.where(col("split").isNull).count()
+    assert(kept + nulls == n)
+    assert(math.abs(kept - 0.3 * n) < 5 * math.sqrt(n * 0.3 * 0.7))
+  }
+
+  test("sampleToMixture: binding source kept whole, others downsampled to ratio") {
+    // a: 1000 rows, b: 400, c: 100; target 2:1:1 -> binding is c
+    // (ratios 500/400/100), so keep all of c, a at 2*100/(2*1000)... i.e.
+    // rate_s = t_s*n_m/(t_m*n_s): a -> 200/1000, b -> 100/400
+    val rows = (0 until 1000).map(i => (i.toLong, s"a text $i", "a")) ++
+      (0 until 400).map(i => (2000L + i, s"b text $i", "b")) ++
+      (0 until 100).map(i => (3000L + i, s"c text $i", "c"))
+    val df = rows.toDF("id", "text", "source").repartition(7)
+    val kept = Sampling.sampleToMixture(df, "source",
+      Seq("a" -> 2L, "b" -> 1L, "c" -> 1L), Sampling.idKey(col("id")), salt = 9)
+    val bys = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bys("c") == 100L, "binding source must be kept in full")
+    assert(math.abs(bys("a") - 200.0) < 5 * math.sqrt(200.0 * 0.8), s"a kept ${bys("a")}")
+    assert(math.abs(bys("b") - 100.0) < 5 * math.sqrt(100.0 * 0.75), s"b kept ${bys("b")}")
+    // deterministic under repartitioning
+    val again = Sampling.sampleToMixture(df.repartition(3), "source",
+      Seq("a" -> 2L, "b" -> 1L, "c" -> 1L), Sampling.idKey(col("id")), salt = 9)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+  }
+
+  test("sampleToMixture: untargeted sources drop; missing target source empties the result") {
+    val df = Seq((1L, "x", "a"), (2L, "y", "a"), (3L, "z", "b"))
+      .toDF("id", "text", "source")
+    val kept = Sampling.sampleToMixture(df, "source", Seq("a" -> 1L),
+      Sampling.idKey(col("id")), salt = 0)
+    assert(kept.select("source").distinct().as[String].collect().toSeq == Seq("a"))
+    assert(kept.count() == 2, "sole targeted source is binding -> kept whole")
+    val infeasible = Sampling.sampleToMixture(df, "source",
+      Seq("a" -> 1L, "missing" -> 1L), Sampling.idKey(col("id")), salt = 0)
+    assert(infeasible.count() == 0,
+      "a target source with no rows makes the mixture infeasible (K=0)")
+  }
+}

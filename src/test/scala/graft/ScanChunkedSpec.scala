@@ -67,6 +67,19 @@ class ScanChunkedSpec extends AnyFunSuite {
     }
   }
 
+  test("integer-valued cumsum keeps the integer dtype of the window form") {
+    val d = (0 until 50).map(i => (i % 3, (i % 7).toLong, i.toLong))
+      .toDF("label", "v", "pos").repartition(4)
+    val plain = GroupByScan.scan(d, "v", Seq("label"), "cumsum", Seq(col("pos")), "r")
+    val chunked = GroupByScan.scanChunked(d, "v", Seq("label"), "cumsum",
+      Seq(col("pos")), floor(col("pos") / 16), "r")
+    assert(plain.schema("r").dataType == chunked.schema("r").dataType,
+      s"dtype drift: ${plain.schema("r").dataType} vs ${chunked.schema("r").dataType}")
+    val p = plain.select("pos", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c = chunked.select("pos", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p == c)
+  }
+
   test("scanChunked rejects reserved working-column names") {
     val d = Seq((1, 1.0, 0L)).toDF("label", "v", "__chunk")
     val e = intercept[IllegalArgumentException] {
