@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream the forked process's stdout raw (no [info] log prefix): the bench
+// driver json-parses Bench's single stdout line, and sbt's logger prefix
+// breaks that parse.
+run / outputStrategy := Some(StdoutOutput)
+// No trailing "[success] Total time..." line: Bench's JSON line must be the
+// last thing in the captured output tail.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -43,10 +43,20 @@ object Bench {
       n -> (if (ts.contains(-1.0)) -1.0 else ts(1))
     }
 
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // The driver captures only the last ~2000 chars of output and json-parses
+    // the metric line, so the WHOLE line must survive tail truncation (r1-r3
+    // all failed to parse: sbt's [info] prefix + line length — fixed by
+    // run/outputStrategy=StdoutOutput + showSuccess=false in build.sbt and by
+    // compacting here: per-query integer milliseconds, keys minus the uniform
+    // "q_" prefix). Full-precision per-round numbers live in BENCH_NOTES.md.
+    def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
+    val qs = medians.map { case (k, v) =>
+      "\"" + k.stripPrefix("q_") + "\":" + ms(v)
+    }.mkString("{", ",", "}")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
     val errs  = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","qunit":"ms","queries":$qs,"failed":$errs,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 }
