@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Round-4 curation-pipeline queries: exact n-gram decontamination,
+  * corpus-wide duplicate-gram statistics, repetition quality metrics,
+  * PII detect/redact, stratified exact-k sampling, and time-range rolling
+  * aggregation. Merged into [[SparkEntry.queries]] / [[SparkEntry.oracleSql]].
+  *
+  * Oracle-parity approach (same rules as [[LlmQueries]]): every statistic
+  * is integer-valued or an exact decimal sum; hashes are the replayable
+  * rolling folds (never xxhash64); tie-breaks are total-order
+  * deterministic so DuckDB replays each operator end to end.
+  */
+object CurationQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val EvalSrc = Seq("src0", "src1", "src2")
+
+  /** Deterministic PII-bearing note column synthesized from customer
+    * fields (the synthetic tables carry no free-text PII; the CONSTRUCTION
+    * is replayed identically by the oracle, so the scan/redact operators
+    * are exercised on realistic shapes). Every customer gets a phone;
+    * every third an email. */
+  private def notedCustomers(s: SparkSession, d: String): DataFrame =
+    T(s, d, "customer").withColumn("note",
+      concat(
+        lit("contact "), col("c_name"),
+        lit(" at "),
+        format_string("%02d-%03d-%03d-%04d",
+          col("c_custkey") % 90 + 10, (col("c_custkey") * 7) % 1000,
+          (col("c_custkey") * 13) % 1000, (col("c_custkey") * 31) % 10000),
+        when(col("c_custkey") % 3 === 0,
+          concat(lit(" or user"), col("c_custkey").cast("string"), lit("@example.com")))
+          .otherwise(lit(""))))
+
+  // oracle-side twin of the note construction
+  private val NoteSql =
+    ("'contact ' || c_name || ' at ' || printf('%02d-%03d-%03d-%04d',"
+      + " c_custkey % 90 + 10, (c_custkey * 7) % 1000, (c_custkey * 13) % 1000,"
+      + " (c_custkey * 31) % 10000)"
+      + " || CASE WHEN c_custkey % 3 = 0 THEN ' or user' || c_custkey || '@example.com' ELSE '' END")
+
+  // DuckDB replay of the two rolling char folds (same arithmetic as
+  // TextAnalysis.fingerprint / fingerprint2)
+  private def fpSql(expr: String): String =
+    ("list_reduce(list_prepend(0::BIGINT,"
+      + s" list_transform(string_split($expr, ''), c -> ascii(c)::BIGINT)),"
+      + " (a, b) -> (a * 31 + b) % 1000000007)")
+  private def fp2Sql(expr: String): String =
+    ("list_reduce(list_prepend(0::BIGINT,"
+      + s" list_transform(string_split($expr, ''), c -> ascii(c)::BIGINT)),"
+      + " (a, b) -> (a * 131 + b) % 998244353)")
+
+  /** DuckDB word-5-gram CTE over documents: (doc_id, source, grams) with
+    * the same short-doc whole-text fallback as [[Dedup.shingles]]. */
+  private val Gram5Cte =
+    ("WITH tok AS (SELECT doc_id, source, text, string_split(text, ' ') w FROM documents),"
+      + " g AS (SELECT doc_id, source, CASE WHEN len(w) >= 5 THEN"
+      + " list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)])"
+      + " ELSE [array_to_string(w, ' ')] END AS grams FROM tok)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact 5-gram decontamination (GPT-3 style): train docs sharing any
+    // exact word 5-gram with the eval sources; eval gram set broadcast
+    "q_contaminated" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      NgramOverlap.contaminatedDocs(
+        docs.where(!col("source").isin(EvalSrc: _*)),
+        docs.where(col("source").isin(EvalSrc: _*)),
+        "doc_id", "text", n = 5, broadcastEval = true)
+        .orderBy("doc_id")
+    }),
+    // corpus-wide duplicate-gram profile: only 16-byte fingerprint pairs
+    // shuffle; dup fraction marks boilerplate docs
+    "q_dupgrams" -> ((s, d) =>
+      NgramOverlap.duplicateGramStats(T(s, d, "documents"), "doc_id", "text", n = 5)
+        .withColumn("dup_frac",
+          round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+        .orderBy("doc_id")),
+    // Gopher-style repetition metrics: token profile + top-bigram counts
+    "q_repetition" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val rep = Repetition.repetitionStats(docs, "doc_id", "text")
+      val big = Repetition.topNgramStats(docs, "doc_id", "text", n = 2)
+        .select(col("doc_id"), col("n_grams").as("n_bigrams"),
+          col("top_gram_cnt").as("top_bigram_cnt"))
+      rep.join(big, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("top_cnt"), col("top_token"), col("top_chars"), col("token_chars"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"))
+        .orderBy("doc_id")
+    }),
+    // PII scan + redaction: per-pattern hit counts and a checksum of the
+    // redacted text (exact integer sum of per-row fingerprints)
+    "q_pii" -> ((s, d) => {
+      val scanned = Pii.scan(notedCustomers(s, d), "note")
+      scanned.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("phone_hits").as("phone_hits"),
+          sum("email_hits").as("email_hits"),
+          sum("ip_hits").as("ip_hits"),
+          sum(TextAnalysis.fingerprint(col("redacted"))).as("redacted_fp_sum"))
+        .orderBy("c_mktsegment")
+    }),
+    // stratified deterministic sampling: exactly 20 docs per language,
+    // content-keyed (duplicate texts tie and resolve by doc_id)
+    "q_sample_group" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      Sampling.sampleKPerGroup(T(s, d, "documents"), Seq("lang"), k = 20,
+          Sampling.textKey(col("text")), col("doc_id"), salt = 4)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+    // vocab report: top-5 tokens per language (pandas value_counts head;
+    // ranks only the reduced distinct table, never sorts the corpus)
+    "q_value_counts" -> ((s, d) => {
+      val words = T(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      GroupByReduce.valueCounts(words, Seq("lang"), "w", 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("lang", "rank")
+    }),
+    // trailing 1-hour rolling window per user (range frame, micros-exact)
+    "q_rolling_1h" -> ((s, d) =>
+      Rolling.rollingTime(SparkEntry.ev(s, d), Seq("user_id"), "ts", "1 hour",
+          "valn", Seq("count" -> "n_1h", "sum" -> "sum_1h"))
+        .select("event_id", "user_id", "n_1h", "sum_1h").orderBy("event_id")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_contaminated" ->
+      (Gram5Cte
+        + ", tr AS (SELECT doc_id, unnest(grams) AS gr FROM g"
+        + s" WHERE source NOT IN (${EvalSrc.map("'" + _ + "'").mkString(",")})),"
+        + " ev AS (SELECT DISTINCT unnest(grams) AS gr FROM g"
+        + s" WHERE source IN (${EvalSrc.map("'" + _ + "'").mkString(",")}))"
+        + " SELECT tr.doc_id, count(*) AS n_hit_grams FROM tr JOIN ev USING (gr)"
+        + " GROUP BY 1 ORDER BY 1"),
+    "q_dupgrams" ->
+      (Gram5Cte
+        + ", f AS (SELECT doc_id, "
+        + fpSql("gr") + " AS f1, " + fp2Sql("gr") + " AS f2"
+        + " FROM (SELECT doc_id, unnest(grams) AS gr FROM g)),"
+        + " freq AS (SELECT f1, f2, count(*) AS nd FROM f GROUP BY 1, 2)"
+        + " SELECT doc_id, count(*) AS n_grams,"
+        + " count(CASE WHEN nd > 1 THEN 1 END) AS n_dup_grams,"
+        + " round(count(CASE WHEN nd > 1 THEN 1 END)::DOUBLE / count(*), 6) AS dup_frac"
+        + " FROM f JOIN freq USING (f1, f2) GROUP BY 1 ORDER BY 1"),
+    "q_repetition" ->
+      ("WITH wc AS (SELECT doc_id, w, count(*) AS c FROM"
+        + " (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)"
+        + " GROUP BY 1, 2),"
+        + " rep AS (SELECT doc_id, n_tokens, n_distinct, top_cnt, w AS top_token,"
+        + " top_cnt * len(w) AS top_chars, token_chars FROM ("
+        + " SELECT doc_id, w, sum(c) OVER (PARTITION BY doc_id) AS n_tokens,"
+        + " count(*) OVER (PARTITION BY doc_id) AS n_distinct,"
+        + " max(c) OVER (PARTITION BY doc_id) AS top_cnt,"
+        + " sum(c * len(w)) OVER (PARTITION BY doc_id) AS token_chars,"
+        + " row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w) AS rn"
+        + " FROM wc) WHERE rn = 1),"
+        + " bc AS (SELECT doc_id, g, count(*) AS c FROM ("
+        + " SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g FROM"
+        + " (SELECT doc_id, string_split(text, ' ') w FROM documents))"
+        + " GROUP BY 1, 2),"
+        + " big AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_cnt"
+        + " FROM bc GROUP BY 1)"
+        + " SELECT rep.doc_id, n_tokens::BIGINT AS n_tokens, n_distinct::BIGINT AS n_distinct,"
+        + " top_cnt::BIGINT AS top_cnt, top_token, top_chars::BIGINT AS top_chars,"
+        + " token_chars::BIGINT AS token_chars,"
+        + " coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,"
+        + " coalesce(top_bigram_cnt, 0)::BIGINT AS top_bigram_cnt"
+        + " FROM rep LEFT JOIN big USING (doc_id) ORDER BY 1"),
+    "q_pii" -> {
+      val red = (s"regexp_replace(regexp_replace(regexp_replace(note, '${Pii.Phone}', '[PII]', 'g'),"
+        + s" '${Pii.Email}', '[PII]', 'g'), '${Pii.Ipv4}', '[PII]', 'g')")
+      (s"WITH n AS (SELECT c_mktsegment, $NoteSql AS note FROM customer),"
+        + s" r AS (SELECT c_mktsegment,"
+        + s" len(regexp_extract_all(note, '${Pii.Phone}')) AS ph,"
+        + s" len(regexp_extract_all(note, '${Pii.Email}')) AS em,"
+        + s" len(regexp_extract_all(note, '${Pii.Ipv4}')) AS ip,"
+        + s" $red AS redacted FROM n)"
+        + " SELECT c_mktsegment, count(*) AS n_rows, sum(ph)::BIGINT AS phone_hits,"
+        + " sum(em)::BIGINT AS email_hits, sum(ip)::BIGINT AS ip_hits,"
+        + s" sum(${fpSql("redacted")})::BIGINT AS redacted_fp_sum"
+        + " FROM r GROUP BY 1 ORDER BY 1")
+    },
+    "q_sample_group" ->
+      (s"WITH f AS (SELECT doc_id, lang, ${fpSql("text")} AS h FROM documents),"
+        + s" b AS (SELECT doc_id, lang, ${Sampling.bucketSql("h", 4)} AS u FROM f),"
+        + " rk AS (SELECT doc_id, lang,"
+        + " row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn FROM b)"
+        + " SELECT doc_id, lang FROM rk WHERE rn <= 20 ORDER BY doc_id"),
+    "q_value_counts" ->
+      ("SELECT lang, rank, w, n FROM ("
+        + " SELECT lang, w, count(*) AS n,"
+        + " row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, w) AS rank"
+        + " FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)"
+        + " GROUP BY 1, 2) WHERE rank <= 5 ORDER BY lang, rank"),
+    "q_rolling_1h" ->
+      ("SELECT event_id, user_id, count(v) OVER w AS n_1h,"
+        + " CAST(sum(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h"
+        + " FROM (SELECT event_id, user_id, ts,"
+        + " CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events)"
+        + " WINDOW w AS (PARTITION BY user_id ORDER BY ts"
+        + " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        + " ORDER BY event_id"),
+  )
+}

@@ -76,7 +76,8 @@ object SparkEntry {
         Agg("mean", "l_quantity", "avg_qty"),
         Agg("count", "l_quantity", "n")))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = LlmQueries.queries ++ Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    LlmQueries.queries ++ CurationQueries.queries ++ Map(
     // ---- §2.1 grouped reductions (reference aggregations.py:740-776) ----
     "q_count" -> ((s, d) => reduceRF(s, d, Agg("count", "valn", "n_valid"))),
     "q_sum" -> ((s, d) => reduceRF(s, d, Agg("sum", "l_quantity", "sum_qty"))),
@@ -284,7 +285,8 @@ object SparkEntry {
       Seq(Agg("nanmean", "ts", "mean_ts"), Agg("nanmedian", "ts", "med_ts")))),
   )
 
-  def oracleSql: Map[String, String] = LlmQueries.oracleSql ++ Map(
+  def oracleSql: Map[String, String] =
+    LlmQueries.oracleSql ++ CurationQueries.oracleSql ++ Map(
     "q_count" ->
       s"SELECT l_returnflag, count($VALID) AS n_valid FROM lineitem GROUP BY 1 ORDER BY 1",
     "q_sum" ->

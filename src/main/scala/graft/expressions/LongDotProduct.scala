@@ -67,10 +67,12 @@ case class LongDotProduct(left: Expression, right: Expression)
   * operator entry points call it defensively so any session that runs a
   * graft plan has the functions available. */
 object GraftFunctions {
-  val DotQ      = "graft_dotq"
-  val VecSum    = "graft_vecsum"
-  val RollingFp = "graft_rolling_fp"
-  val TopK      = "graft_topk"
+  val DotQ       = "graft_dotq"
+  val VecSum     = "graft_vecsum"
+  val RollingFp  = "graft_rolling_fp"
+  val RollingFp2 = "graft_rolling_fp2"
+  val TopK       = "graft_topk"
+  val WordNgramsF = "graft_word_ngrams"
 
   private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
     if (exprs.length != n) throw new IllegalArgumentException(
@@ -88,6 +90,21 @@ object GraftFunctions {
     },
     RollingFp -> { exprs =>
       arity(RollingFp, exprs, 1); RollingFingerprint(exprs.head)
+    },
+    // second independent fold (base 131, prime 998244353) — pairs with
+    // RollingFp for a ~2^60 replayable joint key (NgramOverlap)
+    RollingFp2 -> { exprs =>
+      arity(RollingFp2, exprs, 1)
+      RollingFingerprint(exprs.head, base = 131L, mod = 998244353L)
+    },
+    // one-pass word n-grams: (text, n literal, distinct literal)
+    WordNgramsF -> { exprs =>
+      arity(WordNgramsF, exprs, 3)
+      if (!exprs(1).foldable || !exprs(2).foldable) throw new IllegalArgumentException(
+        s"$WordNgramsF's n and distinct arguments must be literals")
+      WordNgrams(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Boolean])
     },
     TopK -> { exprs =>
       arity(TopK, exprs, 3)

@@ -22,8 +22,15 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
   * halves separately while this folds the code point — identical on all
   * BMP text, which the corpora are.)
   */
-case class RollingFingerprint(child: Expression)
+case class RollingFingerprint(
+    child: Expression,
+    base: Long = 31L,
+    mod: Long = 1000000007L)
     extends UnaryExpression with ExpectsInputTypes {
+
+  // exactness bound: acc < mod, so acc*base + cp must stay below 2^63
+  require(mod > 0 && base > 0 && mod - 1 <= (Long.MaxValue - 0x110000) / base,
+    s"base=$base mod=$mod would overflow the fold")
 
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
@@ -35,7 +42,7 @@ case class RollingFingerprint(child: Expression)
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      h = (h * 31L + cp) % 1000000007L
+      h = (h * base + cp) % mod
       i += Character.charCount(cp)
     }
     h
@@ -53,7 +60,7 @@ case class RollingFingerprint(child: Expression)
          |int $i = 0;
          |while ($i < $s.length()) {
          |  int $cp = $s.codePointAt($i);
-         |  $h = ($h * 31L + $cp) % 1000000007L;
+         |  $h = ($h * ${base}L + $cp) % ${mod}L;
          |  $i += Character.charCount($cp);
          |}
          |${ev.value} = $h;

@@ -31,7 +31,13 @@ object Dedup {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct word n-gram shingles. Docs shorter than n words fall back to
-    * a single whole-document shingle. */
+    * a single whole-document shingle.
+    *
+    * Pure-Column HOF form, usable without session registration; the HOT
+    * form is [[shinglesFast]] — the HOF inlines `split(text)` into every
+    * element_at and, being CodegenFallback, re-splits the text per gram
+    * element (O(words x n) splits per row). Identical outputs (CurationSpec
+    * pin). */
   def shingles(text: Column, n: Int): Column = {
     val w = tokens(text)
     val grams = transform(
@@ -40,6 +46,16 @@ object Dedup {
     when(size(w) >= n, array_distinct(grams))
       .otherwise(array(concat_ws(" ", w)))
   }
+
+  /** One-pass native twin of [[shingles]] (graft.expressions.WordNgrams):
+    * O(len + grams) per row instead of the HOF's repeated re-splits.
+    * Requires [[graft.expressions.GraftFunctions.register]] on the
+    * session (every operator here that takes a DataFrame registers
+    * idempotently). `distinct = false` gives the non-distinct gram stream
+    * ([[Repetition.topNgramStats]]'s shape). */
+  def shinglesFast(text: Column, n: Int, distinct: Boolean = true): Column =
+    call_function(graft.expressions.GraftFunctions.WordNgramsF,
+      text, lit(n), lit(distinct))
 
   /** 128-bit content fingerprint as two independently-salted 64-bit hashes.
     * One 64-bit hash has ~0.5 expected collisions on a 10^11-doc corpus;
@@ -89,8 +105,10 @@ object Dedup {
 
   /** (id, distinct-shingle-array) side table shared by the near-dup
     * operators. */
-  private def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), shinglesFast(col(textCol), n).as("sh"))
+  }
 
   /** (id, band, bucket) LSH table from a shingle table: columnar
     * signature — hash each shingle string once, explode, one codegen'd

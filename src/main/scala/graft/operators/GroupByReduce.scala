@@ -215,6 +215,44 @@ object GroupByReduce {
     df.join(broadcast(ids), pos.cast("long") === col("__sel"), "left_semi")
   }
 
+  /** Top-k most frequent values per group with their counts — pandas
+    * `value_counts().head(k)` / the generalization of `mode` to a ranked
+    * list (mode = k=1; same count-desc / value-asc tie-break as
+    * [[reduce]]'s mode, reference aggregate_npg.py:185-215). Output:
+    * by-cols, `rank` (1-based), value column, `n`.
+    *
+    * Plan shape: one (by, value) hash aggregation reduces the input to
+    * its distinct (group, value) pairs; the row_number window then ranks
+    * only that REDUCED table — the corpus itself is shuffled once as
+    * compact partial-count rows and never sorted. For groups whose
+    * distinct-value cardinality is itself huge, the window's per-group
+    * sort is the bound (spilling, one task per group); with an integral
+    * value column the fully-bounded alternative is `Agg("topk")` over the
+    * counts with the value as the id. NULL/NaN values are dropped like
+    * missing labels. */
+  def valueCounts(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      k: Int,
+      as: String = "n"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(!df.columns.contains("rank"),
+      "valueCounts emits a `rank` column; rename the input's")
+    val dt = df.schema(valueCol).dataType
+    val keyCols = by.map(col)
+    val counts = df
+      .where(isValid(col(valueCol), dt))
+      .groupBy(keyCols :+ col(valueCol): _*)
+      .agg(count(lit(1)).as(as))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*)
+      .orderBy(col(as).desc, col(valueCol).asc)
+    counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(keyCols ++ Seq(col("rank"), col(valueCol), col(as)): _*)
+  }
+
   /** Build a 1-column expected-groups DataFrame from literal labels
     * (reference expected_groups list form, core.py:2087-2107). */
   def expectedDf(spark: org.apache.spark.sql.SparkSession, name: String, values: Seq[Any]): DataFrame = {

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Time-range rolling aggregations: for every row, aggregate the rows of
+  * the same group whose timestamp falls in `[t - window, t]` (inclusive
+  * both ends — the trailing-window convention SQL RANGE framing uses).
+  * The pandas/xarray `rolling("1h")` analog, and the batch twin of the
+  * streaming windowed aggregations in [[graft.streaming.StreamingOps]].
+  *
+  * Plan shape: one shuffle by group + one spilling external sort per
+  * partition (WindowExec with a RANGE frame) — the same scan-shaped
+  * topology as [[GroupByScan]]; rows stream through the frame with an
+  * O(window-rows) sliding buffer. Ordering is by the timestamp alone
+  * (RANGE frames require a single ordering expression); rows with EQUAL
+  * timestamps are frame *peers* — every aggregate sees all of them
+  * together, so results are deterministic even when the sort is not
+  * unique. Sums ride the exact decimal engine by default so results are
+  * order-independent (the [[Agg.exactScale]] rationale).
+  */
+object Rolling {
+
+  /** Supported rolling funcs: frame-capable builtins. (Positional and
+    * sketch funcs from the full registry don't support RANGE frames.) */
+  val funcs: Set[String] = Set("count", "sum", "mean", "min", "max")
+
+  /** Appends one rolling-aggregate column per (func, as) pair.
+    *
+    * @param tsCol    TimestampType column; the frame is micros-exact
+    * @param window   trailing window length, e.g. "1 hour" (any Spark
+    *                 CalendarInterval string without months — months have
+    *                 no fixed micros length)
+    * @param valueCol aggregated column; NaN/NULL values are skipped
+    *                 (nan* semantics), like the scan funcs
+    * @param exactScale decimal scale for sum/mean exactness (None = raw
+    *                 double speed)
+    */
+  def rollingTime(
+      df: DataFrame,
+      by: Seq[String],
+      tsCol: String,
+      window: String,
+      valueCol: String,
+      aggs: Seq[(String, String)],
+      exactScale: Option[Int] = Some(2)): DataFrame = {
+    require(aggs.nonEmpty, "need at least one rolling aggregation")
+    val bad = aggs.map(_._1).filterNot(funcs)
+    require(bad.isEmpty,
+      s"unsupported rolling funcs: ${bad.mkString(", ")} (supported: ${funcs.mkString(", ")})")
+    require(!df.columns.contains("__rts"),
+      "rollingTime reserves column name __rts; rename it in the input")
+
+    val micros = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(window))
+    require(micros.months == 0, s"window '$window' has months — no fixed micros length")
+    val span = micros.days * 86400000000L + micros.microseconds
+    require(span > 0, s"window '$window' must be positive")
+
+    val dt = df.schema(valueCol).dataType
+    val vn = graft.functions.NanOps.nanToNull(col(valueCol), dt)
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col("__rts"))
+      .rangeBetween(-span, 0)
+
+    def sumE: Column = exactScale match {
+      case Some(s) => sum(vn.cast(DecimalType(18, s))).over(w).cast(DoubleType)
+      case None    => sum(vn).over(w)
+    }
+    val withTs = df.withColumn("__rts", unix_micros(col(tsCol)))
+    aggs.foldLeft(withTs) { case (d, (f, as)) =>
+      d.withColumn(as, f match {
+        case "count" => count(vn).over(w)
+        case "sum"   => sumE
+        case "mean"  => sumE.cast(DoubleType) / count(vn).over(w)
+        case "min"   => min(vn).over(w)
+        case "max"   => max(vn).over(w)
+      })
+    }.drop("__rts")
+  }
+}

@@ -122,6 +122,39 @@ object Sampling {
     splits.map(_._1).zip(edges)
   }
 
+  /** Deterministic stratified sampling: EXACTLY min(k, group size) rows
+    * per group, the k whose keys scatter lowest — a uniform-without-
+    * replacement sample per stratum under the same keyed-hash regime as
+    * [[hashSample]] (reproducible across runs/partitionings/retries;
+    * content-keyed sampling keeps duplicate documents together).
+    *
+    * Plan shape: the scatter is a per-row expression; the per-group
+    * k-smallest selection is the bounded `bottomk` heap aggregation
+    * ([[graft.expressions.TopKByScore]] — the shuffle carries at most k
+    * (u, pos) pairs per partition per group, never rows), then a
+    * broadcast semi join-back ([[GroupByReduce.topKRows]]). The big table
+    * is scanned twice but never shuffled; ties in the scatter value break
+    * by pos, so the selection is total-order deterministic.
+    *
+    * @param pos unique row identity (the join-back key; same contract as
+    *            [[GroupByReduce.topKRows]])
+    */
+  def sampleKPerGroup(
+      df: DataFrame,
+      by: Seq[String],
+      k: Int,
+      key: Column,
+      pos: Column,
+      salt: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(!df.columns.contains("__u"),
+      "sampleKPerGroup reserves column name __u; rename it in the input")
+    // u < M ~ 2^30 is exactly representable as double (the heap's score type)
+    val withU = df.withColumn("__u", bucket(key, salt).cast("double"))
+    GroupByReduce.topKRows(withU, by, "__u", k, pos, largest = false)
+      .drop("__u")
+  }
+
   /** Downsample to a target source mixture, exactly and deterministically.
     *
     * `target` gives integer mixture weights per source (e.g. web:7,

@@ -121,6 +121,17 @@ object TextAnalysis {
     aggregate(filter(split(text, ""), c => length(c) > 0), lit(0L),
       (acc, c) => (acc * 31L + ascii(c)) % 1000000007L)
 
+  /** Second independent rolling fold — base 131 modulo the prime
+    * 998244353 (~2^30, so acc*131 + 255 < 2^37: exact). Paired with
+    * [[fingerprint]] it forms a ~2^60 joint key space over two
+    * independent moduli; [[NgramOverlap.duplicateGramStats]] shuffles the
+    * pair instead of gram strings, with cross-string collisions
+    * negligible at any corpus size (the [[Dedup.contentKey]] argument) —
+    * and unlike xxhash64 both folds replay exactly in oracle SQL. */
+  def fingerprint2(text: Column): Column =
+    aggregate(filter(split(text, ""), c => length(c) > 0), lit(0L),
+      (acc, c) => (acc * 131L + ascii(c)) % 998244353L)
+
   /** Native codegen twin of [[fingerprint]] (identical values on BMP
     * text, pinned by TextMultiModalSpec): the HOF fold above interprets
     * one lambda per character; [[graft.expressions.RollingFingerprint]]
@@ -129,4 +140,9 @@ object TextAnalysis {
     * [[graft.expressions.GraftFunctions.register]] on the session. */
   def fingerprintFast(text: Column): Column =
     call_function(graft.expressions.GraftFunctions.RollingFp, text)
+
+  /** Native codegen twin of [[fingerprint2]] (same BMP caveat and
+    * registration requirement as [[fingerprintFast]]). */
+  def fingerprint2Fast(text: Column): Column =
+    call_function(graft.expressions.GraftFunctions.RollingFp2, text)
 }

@@ -1,0 +1,231 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Round-4 curation operators: exact n-gram decontamination, duplicate
+  * n-gram statistics, repetition metrics, PII scan/redact, stratified
+  * exact-k sampling, time-range rolling aggregation. Each operator is
+  * pinned against a Scala brute-force oracle on fixtures where every
+  * number is hand-checkable. */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  graft.expressions.GraftFunctions.register(spark)
+
+  // ---- NgramOverlap ----
+
+  private def wordGrams(text: String, n: Int): Set[String] = {
+    val w = text.split(" ")
+    if (w.length >= n) w.sliding(n).map(_.mkString(" ")).toSet
+    else Set(w.mkString(" "))
+  }
+
+  test("contaminatedDocs == brute-force gram intersection; clean docs absent") {
+    val train = Seq(
+      (1L, "a b c d e f g"),        // shares "c d e f g" tail with eval 10
+      (2L, "x y z w v u t"),        // clean
+      (3L, "a b c d e q r"),        // shares "a b c d e"
+      (4L, "tiny doc")              // short-doc fallback, no overlap
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+
+    val got = NgramOverlap.contaminatedDocs(train, eval_, "doc_id", "text",
+        n = 5, broadcastEval = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val evalGrams = wordGrams("a b c d e f g h", 5)
+    val want = Seq(1L -> "a b c d e f g", 2L -> "x y z w v u t",
+        3L -> "a b c d e q r", 4L -> "tiny doc")
+      .map { case (id, t) => id -> wordGrams(t, 5).count(evalGrams) }
+      .filter(_._2 > 0).toMap
+    assert(got == want)
+    assert(want.keySet == Set(1L, 3L)) // fixture sanity
+  }
+
+  test("duplicateGramStats == brute-force corpus gram frequency") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e zz"),  // shares "a b c d e"
+      (3L, "p q r s t u")    // unique grams
+    ).toDF("doc_id", "text")
+    val got = NgramOverlap.duplicateGramStats(docs, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val all = Seq(1L -> "a b c d e f", 2L -> "a b c d e zz", 3L -> "p q r s t u")
+      .map { case (id, t) => id -> wordGrams(t, 5) }
+    val freq = all.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val want = all.map { case (id, gs) =>
+      (id, gs.size.toLong, gs.count(g => freq(g) > 1).toLong)
+    }.toSet
+    assert(got == want)
+    assert(want.exists(_._3 > 0)) // fixture sanity: some dup grams exist
+  }
+
+  test("shinglesFast (native one-pass) == shingles (HOF) incl. empties, multi-space, short docs") {
+    val texts = Seq("a b c d e f g", "a b", "", "x  y z  w q r", "a a a a a a",
+      "single", "trailing space ", " leading", "exact five word doc!")
+    val d = texts.toDF("text")
+    for (n <- Seq(2, 3, 5)) {
+      val rows = d.select(
+        Dedup.shingles(col("text"), n).as("hof"),
+        Dedup.shinglesFast(col("text"), n).as("fast"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"n=$n mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}"))
+    }
+    // non-distinct form keeps every occurrence in order
+    val nd = Seq("a b a b a").toDF("text")
+      .select(Dedup.shinglesFast(col("text"), 2, distinct = false))
+      .head().getSeq[String](0)
+    assert(nd == Seq("a b", "b a", "a b", "b a"))
+  }
+
+  // ---- Repetition ----
+
+  test("repetitionStats: counts, char masses, deterministic tie-break") {
+    val docs = Seq(
+      (1L, "b b a a c"),     // tie at count 2: 'a' wins over 'b' lexicographically
+      (2L, "xx xx xx y")
+    ).toDF("doc_id", "text")
+    val got = Repetition.repetitionStats(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_distinct", "top_cnt", "top_token",
+        "token_chars", "top_chars")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got(1L) == ((5L, 3L, 2L, "a", 5L, 2L)))
+    assert(got(2L) == ((4L, 2L, 3L, "xx", 7L, 6L)))
+  }
+
+  test("topNgramStats: non-distinct bigrams; short docs drop") {
+    val docs = Seq(
+      (1L, "a b a b a"),  // bigrams: ab, ba, ab, ba -> top 2
+      (2L, "solo")        // no bigrams
+    ).toDF("doc_id", "text")
+    val got = Repetition.topNgramStats(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((4L, 2L, 2L))))
+  }
+
+  // ---- Pii ----
+
+  test("Pii counts and redaction; non-matching text untouched") {
+    val rows = Seq(
+      (1L, "call 25-989-741-2988 or mail bob@x.co now"),
+      (2L, "server at 10.0.0.1 and 192.168.1.255"),
+      (3L, "nothing here")
+    ).toDF("id", "text")
+    val got = Pii.scan(rows, "text")
+      .select("id", "phone_hits", "email_hits", "ip_hits", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((1L, 1L, 0L, "call [PII] or mail [PII] now")))
+    assert(got(2L) == ((0L, 0L, 2L, "server at [PII] and [PII]")))
+    assert(got(3L) == ((0L, 0L, 0L, "nothing here")))
+  }
+
+  test("Pii.scan rejects output-column collisions") {
+    val rows = Seq((1L, "x", 9L)).toDF("id", "text", "phone_hits")
+    assertThrows[IllegalArgumentException](Pii.scan(rows, "text"))
+  }
+
+  // ---- GroupByReduce.valueCounts ----
+
+  test("valueCounts: ranked frequencies, mode-compatible tie-break, NULL dropped") {
+    val rows = Seq(
+      ("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "a"), ("g1", "c"),
+      ("g2", "z"), ("g2", null)
+    ).toDF("grp", "v")
+    val got = GroupByReduce.valueCounts(rows, Seq("grp"), "v", 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    // tie at count 2: 'a' before 'b' (count desc, value asc)
+    assert(got == Set(("g1", 1, "a", 2L), ("g1", 2, "b", 2L), ("g2", 1, "z", 1L)))
+    // k=1 equals the registry's mode on every group
+    val k1 = GroupByReduce.valueCounts(rows, Seq("grp"), "v", 1)
+      .select("grp", "v").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val mode = GroupByReduce.reduce(rows, Seq("grp"), Seq(Agg("nanmode", "v", "m")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(k1 == mode)
+  }
+
+  // ---- Sampling.sampleKPerGroup ----
+
+  private val corpus = (0 until 900).map { i =>
+    (i.toLong, s"doc body $i ${(i * 131) % 57}", s"g${i % 3}")
+  }.toDF("id", "text", "grp")
+
+  test("sampleKPerGroup: exactly k per group, deterministic under repartitioning") {
+    val a = Sampling.sampleKPerGroup(corpus, Seq("grp"), 25,
+      Sampling.idKey(col("id")), col("id"), salt = 3)
+    val counts = a.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("g0" -> 25L, "g1" -> 25L, "g2" -> 25L))
+    val b = Sampling.sampleKPerGroup(corpus.repartition(17), Seq("grp"), 25,
+      Sampling.idKey(col("id")), col("id"), salt = 3)
+    assert(a.select("id").as[Long].collect().toSet ==
+      b.select("id").as[Long].collect().toSet)
+  }
+
+  test("sampleKPerGroup: groups smaller than k keep every row; k1 < k2 nests") {
+    val small = Seq((1L, "t", "g"), (2L, "t2", "g")).toDF("id", "text", "grp")
+    assert(Sampling.sampleKPerGroup(small, Seq("grp"), 10,
+      Sampling.idKey(col("id")), col("id")).count() == 2)
+    // nesting: the k-smallest-scatter prefix property
+    val k5 = Sampling.sampleKPerGroup(corpus, Seq("grp"), 5,
+      Sampling.idKey(col("id")), col("id"), salt = 3)
+      .select("id").as[Long].collect().toSet
+    val k25 = Sampling.sampleKPerGroup(corpus, Seq("grp"), 25,
+      Sampling.idKey(col("id")), col("id"), salt = 3)
+      .select("id").as[Long].collect().toSet
+    assert(k5.subsetOf(k25))
+  }
+
+  // ---- Rolling ----
+
+  test("rollingTime == brute-force trailing window; boundary inclusive; NaN skipped") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val rows = Seq(
+      (1L, "u1", at(0), 1.0),
+      (2L, "u1", at(30), 2.0),
+      (3L, "u1", at(60), 4.0),           // exactly 1h after row 1: included
+      (4L, "u1", at(61), Double.NaN),    // NaN skipped from agg, still a row
+      (5L, "u1", at(200), 8.0),          // isolated
+      (6L, "u2", at(10), 16.0)
+    ).toDF("event_id", "user", "ts", "v")
+    val got = Rolling.rollingTime(rows, Seq("user"), "ts", "1 hour", "v",
+        Seq("count" -> "n", "sum" -> "s", "mean" -> "m", "min" -> "lo", "max" -> "hi"))
+      .select("event_id", "n", "s", "lo", "hi")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((1L, 1.0, 1.0, 1.0)))
+    assert(got(2L) == ((2L, 3.0, 1.0, 2.0)))
+    assert(got(3L) == ((3L, 7.0, 1.0, 4.0)))   // rows 1,2,3: [t-1h, t] inclusive
+    assert(got(4L) == ((2L, 6.0, 2.0, 4.0)))   // row 1 aged out; NaN row contributes nothing
+    assert(got(5L) == ((1L, 8.0, 8.0, 8.0)))
+    assert(got(6L) == ((1L, 16.0, 16.0, 16.0)))
+  }
+
+  test("rollingTime: equal timestamps are peers (all aggregated together)") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq((1L, "u", t0, 1.0), (2L, "u", t0, 2.0)).toDF("event_id", "user", "ts", "v")
+    val got = Rolling.rollingTime(rows, Seq("user"), "ts", "1 hour", "v",
+        Seq("sum" -> "s"))
+      .select("event_id", "s").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 3.0, 2L -> 3.0))
+  }
+
+  test("rollingTime rejects unsupported funcs and month windows") {
+    val rows = Seq((1L, "u", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("event_id", "user", "ts", "v")
+    assertThrows[IllegalArgumentException](
+      Rolling.rollingTime(rows, Seq("user"), "ts", "1 hour", "v", Seq("median" -> "x")))
+    assertThrows[IllegalArgumentException](
+      Rolling.rollingTime(rows, Seq("user"), "ts", "1 month", "v", Seq("sum" -> "x")))
+  }
+}

@@ -110,4 +110,48 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(graft.operators.Dedup.embeddingDedup(e, "vec_id", "embedding", 0.4))
     assert(p.contains("LeftAnti"), s"survivors should come from an anti join:\n$p")
   }
+
+  test("contaminatedDocs with broadcastEval: eval grams broadcast, train side probes in place") {
+    val docs = TestSpark.table("0.01", "documents")
+    val p = plan(graft.operators.NgramOverlap.contaminatedDocs(
+      docs.where(col("source") =!= "src0"), docs.where(col("source") === "src0"),
+      "doc_id", "text", n = 5, broadcastEval = true))
+    assert(p.contains("BroadcastHashJoin"), s"eval gram set should broadcast:\n$p")
+    // two exchanges total: the eval side's distinct (inside the broadcast
+    // subtree, small) and the final per-doc count agg — the train side
+    // itself goes scan -> explode -> broadcast probe with no shuffle
+    assert(exchanges(p) <= 2, s"unexpected extra shuffles:\n$p")
+    val broadcastAt = p.indexOf("BroadcastExchange")
+    val trainSide = p.substring(0, broadcastAt)
+    assert("Exchange hashpartitioning".r.findAllIn(trainSide).length <= 1,
+      s"train grams must not shuffle before the probe:\n$p")
+  }
+
+  test("sampleKPerGroup: heap aggregation, no window sort; selection joins back broadcast") {
+    val docs = TestSpark.table("0.01", "documents")
+    val p = plan(graft.operators.Sampling.sampleKPerGroup(
+      docs, Seq("lang"), 10, graft.operators.Sampling.idKey(col("doc_id")), col("doc_id")))
+    assert(p.contains("partial_graft_topk"), s"expected k-bounded heap partials:\n$p")
+    assert(!p.contains("Window"), s"window sort leaked into the sampler:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"winner ids should semi-join back broadcast:\n$p")
+  }
+
+  test("rollingTime is scan-shaped: one shuffle, one RANGE window") {
+    val rows = (0 until 100).map(i =>
+      (i.toLong, s"u${i % 4}", new java.sql.Timestamp(1700000000000L + i * 60000L), i.toDouble))
+      .toDF("event_id", "user", "ts", "v")
+    val p = plan(graft.operators.Rolling.rollingTime(
+      rows, Seq("user"), "ts", "1 hour", "v", Seq("count" -> "n", "sum" -> "s")))
+    assert(exchanges(p) == 1, s"rolling should shuffle once:\n$p")
+    assert(p.contains("RangeFrame") || p.contains("RANGE BETWEEN"),
+      s"expected a RANGE frame:\n$p")
+  }
+
+  test("Pii.scan adds no shuffle or join: pure per-row projection") {
+    val docs = TestSpark.table("0.01", "documents")
+    val p = plan(graft.operators.Pii.scan(docs, "text"))
+    assert(exchanges(p) == 0, s"PII scan must be shuffle-free:\n$p")
+    assert(!p.contains("Join"), s"PII scan must not join:\n$p")
+  }
 }

@@ -66,6 +66,22 @@ class TextMultiModalSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch on ${r}"))
   }
 
+  test("fingerprint2Fast equals the HOF fingerprint2 (second fold family)") {
+    graft.expressions.GraftFunctions.register(spark)
+    val inputs = Seq("", "ab", "hello world", "café 中文 text", "a" * 500)
+    val rows = inputs.toDF("text")
+      .select(TextAnalysis.fingerprint2(col("text")).as("hof"),
+        TextAnalysis.fingerprint2Fast(col("text")).as("fast"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch on ${r}"))
+    // the two families disagree on non-trivial text (independent folds)
+    val both = inputs.filter(_.nonEmpty).toDF("text")
+      .select(TextAnalysis.fingerprintFast(col("text")).as("a"),
+        TextAnalysis.fingerprint2Fast(col("text")).as("b"))
+      .collect()
+    assert(both.exists(r => r.getLong(0) != r.getLong(1)))
+  }
+
   test("langIdNgram containment form equals the gram-set intersection form") {
     val texts = Seq("the singing lion", "schneller under ich", "ab", "", "que los cios nte",
       "the les ent ion que")
