@@ -130,6 +130,12 @@ object CurationQueries {
       Rolling.rollingTime(SparkEntry.ev(s, d), Seq("user_id"), "ts", "1 hour",
           "valn", Seq("count" -> "n_1h", "sum" -> "sum_1h"))
         .select("event_id", "user_id", "n_1h", "sum_1h").orderBy("event_id")),
+    // pandas rolling(5): row-count frame under the (ts, event_id) total order
+    "q_rolling_rows" -> ((s, d) =>
+      Rolling.rollingRows(SparkEntry.ev(s, d), Seq("user_id"),
+          Seq(col("ts"), col("event_id")), 5, "valn",
+          Seq("mean" -> "mean_5", "min" -> "min_5"))
+        .select("event_id", "user_id", "mean_5", "min_5").orderBy("event_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -208,6 +214,15 @@ object CurationQueries {
         + " CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events)"
         + " WINDOW w AS (PARTITION BY user_id ORDER BY ts"
         + " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        + " ORDER BY event_id"),
+    "q_rolling_rows" ->
+      ("SELECT event_id, user_id,"
+        + " CAST(sum(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(v) OVER w AS mean_5,"
+        + " min(v) OVER w AS min_5"
+        + " FROM (SELECT event_id, user_id, ts,"
+        + " CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events)"
+        + " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
+        + " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
         + " ORDER BY event_id"),
   )
 }

@@ -283,6 +283,12 @@ object SparkEntry {
     // and cast back to time points.
     "q_time_mean" -> ((s, d) => GroupByReduce.reduce(ev(s, d), Seq("user_id"),
       Seq(Agg("nanmean", "ts", "mean_ts"), Agg("nanmedian", "ts", "med_ts")))),
+    // higher central moments: population skewness / excess kurtosis from
+    // power sums (exact here: integral l_quantity^4 sums stay below 2^53)
+    "q_skew_kurt" -> ((s, d) => reduceRF(s, d,
+      Agg("nanskew", "l_quantity", "skew_qty"),
+      Agg("nankurt", "l_quantity", "kurt_qty"),
+      Agg("nanskew", "valn", "skew_valid"))),
   )
 
   def oracleSql: Map[String, String] =
@@ -513,5 +519,26 @@ object SparkEntry {
         + " make_timestamp(CAST(round(sum(epoch_us(ts))::DOUBLE / count(ts)) AS BIGINT)) AS mean_ts,"
         + " make_timestamp(CAST(round(quantile_cont(epoch_us(ts), 0.5)) AS BIGINT)) AS med_ts"
         + " FROM events GROUP BY 1 ORDER BY 1"),
+    "q_skew_kurt" -> {
+      // identical IEEE finalize expressions as Aggregations.momentStat
+      def moments(x: String) = (
+        s"count($x)::DOUBLE AS n, sum($x) AS s1, sum(($x)*($x)) AS s2,"
+          + s" sum(($x)*($x)*($x)) AS s3, sum(($x)*($x)*($x)*($x)) AS s4")
+      ("WITH q AS (SELECT l_returnflag, " + moments("l_quantity")
+        + " FROM lineitem GROUP BY 1),"
+        + " v AS (SELECT l_returnflag, " + moments(VALID)
+        + " FROM lineitem GROUP BY 1)"
+        + " SELECT q.l_returnflag,"
+        + " CASE WHEN q.s2/q.n - (q.s1/q.n)*(q.s1/q.n) > 0 THEN"
+        + " (q.s3/q.n - 3*(q.s1/q.n)*(q.s2/q.n) + 2*(q.s1/q.n)*(q.s1/q.n)*(q.s1/q.n))"
+        + " / sqrt((q.s2/q.n - (q.s1/q.n)*(q.s1/q.n))*(q.s2/q.n - (q.s1/q.n)*(q.s1/q.n))*(q.s2/q.n - (q.s1/q.n)*(q.s1/q.n))) END AS skew_qty,"
+        + " CASE WHEN q.s2/q.n - (q.s1/q.n)*(q.s1/q.n) > 0 THEN"
+        + " (q.s4/q.n - 4*(q.s1/q.n)*(q.s3/q.n) + 6*(q.s1/q.n)*(q.s1/q.n)*(q.s2/q.n) - 3*(q.s1/q.n)*(q.s1/q.n)*(q.s1/q.n)*(q.s1/q.n))"
+        + " / ((q.s2/q.n - (q.s1/q.n)*(q.s1/q.n))*(q.s2/q.n - (q.s1/q.n)*(q.s1/q.n))) - 3 END AS kurt_qty,"
+        + " CASE WHEN v.s2/v.n - (v.s1/v.n)*(v.s1/v.n) > 0 THEN"
+        + " (v.s3/v.n - 3*(v.s1/v.n)*(v.s2/v.n) + 2*(v.s1/v.n)*(v.s1/v.n)*(v.s1/v.n))"
+        + " / sqrt((v.s2/v.n - (v.s1/v.n)*(v.s1/v.n))*(v.s2/v.n - (v.s1/v.n)*(v.s1/v.n))*(v.s2/v.n - (v.s1/v.n)*(v.s1/v.n))) END AS skew_valid"
+        + " FROM q JOIN v USING (l_returnflag) ORDER BY 1")
+    },
   )
 }

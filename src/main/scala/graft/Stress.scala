@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, NgramOverlap, Similarity}
 
 /** Dev tool: scale-stress the bucketed operators on an N-fold expansion
   * of the provided tables (ids offset per replica so replicas are exact
@@ -46,6 +46,12 @@ object Stress {
     time("nearDupPairs cap=500")(
       Dedup.nearDupPairs(docs, "doc_id", "text", maxBucketSize = 500).count())
     time("simhashPairs")(Dedup.simhashPairs(docs, "doc_id", "text").count())
+    time("duplicateGramStats")(
+      NgramOverlap.duplicateGramStats(docs, "doc_id", "text").count())
+    time("contaminatedDocs")(NgramOverlap.contaminatedDocs(
+      docs.where(!col("source").isin("src0", "src1", "src2")),
+      docs.where(col("source").isin("src0", "src1", "src2")),
+      "doc_id", "text", broadcastEval = true).count())
     time("lshNeighbors")(Similarity.lshNeighbors(embs, "vec_id", "embedding", 0.35).count())
     time("ivfNeighbors")(Similarity.ivfNeighbors(embs, "vec_id", "embedding", 0.35).count())
 

@@ -110,7 +110,7 @@ object Aggregations {
     "argmin", "argmax", "nanargmin", "nanargmax",
     "any", "all", "median", "nanmedian", "quantile", "nanquantile",
     "mode", "nanmode", "approxquantile", "countdistinct", "approxcountdistinct",
-    "topk", "bottomk")
+    "topk", "bottomk", "skew", "nanskew", "kurt", "nankurt")
 
   /** Funcs that need a caller-supplied total-order position column.
     * DataFrames have no intrinsic order (arrays do), so positional
@@ -124,7 +124,7 @@ object Aggregations {
     * bool->int; core.py:2506-2520 views datetime64 as int64). */
   private val numericViewFuncs: Set[String] = Set(
     "sum", "nansum", "prod", "nanprod", "mean", "nanmean",
-    "var", "nanvar", "std", "nanstd",
+    "var", "nanvar", "std", "nanstd", "skew", "nanskew", "kurt", "nankurt",
     "median", "nanmedian", "quantile", "nanquantile", "approxquantile")
 
   /** Timestamp-viewed funcs whose result is itself a time point and is cast
@@ -211,6 +211,33 @@ object Aggregations {
 
     def meanExpr: Column = sumE(vn).cast(DoubleType) / count(vn)
 
+    // Population (biased, scipy g1/g2 Fisher) skewness / excess kurtosis
+    // from raw double power sums, finalized by one fixed IEEE expression —
+    // the same chunk/combine/finalize shape as variance, one order higher.
+    // Numeric contract: the power sums are plain double sums (no decimal
+    // engine — x^4 casts overflow any fixed decimal scale), so results are
+    // EXACT and order-independent whenever |x|^4 * n < 2^53 (integral or
+    // low-scale values), and conventional-FP otherwise. A constant group
+    // (m2 == 0) yields NULL — guarded explicitly because engines disagree
+    // on 0/0 (Spark NaN, DuckDB NULL).
+    def momentStat(c: Column, kurt: Boolean): Column = {
+      val n  = count(c).cast(DoubleType)
+      val s1 = sum(c); val s2 = sum(c * c)
+      val s3 = sum(c * c * c); val s4 = sum(c * c * c * c)
+      val m  = s1 / n
+      val m2 = s2 / n - m * m
+      val stat =
+        if (!kurt) {
+          val m3 = s3 / n - lit(3) * m * (s2 / n) + lit(2) * m * m * m
+          m3 / sqrt(m2 * m2 * m2)
+        } else {
+          val m4 = s4 / n - lit(4) * m * (s3 / n) + lit(6) * m * m * (s2 / n) -
+            lit(3) * m * m * m * m
+          m4 / (m2 * m2) - lit(3)
+        }
+      when(m2 > 0, stat)
+    }
+
     def zero: Column = lit(0).cast(if (isFloaty(dt)) DoubleType else LongType)
     def one: Column  = lit(1).cast(if (isFloaty(dt)) DoubleType else LongType)
 
@@ -230,6 +257,10 @@ object Aggregations {
       case "nanvar"  => variance
       case "std"     => propagateNaN(sqrt(variance), v, dt)
       case "nanstd"  => sqrt(variance)
+      case "skew"    => propagateNaN(momentStat(vn, kurt = false), v, dt)
+      case "nanskew" => momentStat(vn, kurt = false)
+      case "kurt"    => propagateNaN(momentStat(vn, kurt = true), v, dt)
+      case "nankurt" => momentStat(vn, kurt = true)
       // min/max aggregate the NaN-normalized column so Spark's
       // NaN-sorts-above-infinity rule can never leak into the result;
       // plain variants then re-poison the group (numpy semantics).

@@ -59,17 +59,49 @@ object Rolling {
     val span = micros.days * 86400000000L + micros.microseconds
     require(span > 0, s"window '$window' must be positive")
 
-    val dt = df.schema(valueCol).dataType
-    val vn = graft.functions.NanOps.nanToNull(col(valueCol), dt)
     val w = Window.partitionBy(by.map(col): _*).orderBy(col("__rts"))
       .rangeBetween(-span, 0)
+    val withTs = df.withColumn("__rts", unix_micros(col(tsCol)))
+    applyAggs(withTs, valueCol, aggs, exactScale, w).drop("__rts")
+  }
 
+  /** Row-count rolling window: each row aggregates itself and the
+    * `window - 1` preceding rows under the caller-supplied total order
+    * (pandas `rolling(n)`). Unlike [[rollingTime]]'s RANGE frame, a ROWS
+    * frame is only deterministic when `order` is a total order per group —
+    * same contract as the positional reductions (SURVEY §7.4). */
+  def rollingRows(
+      df: DataFrame,
+      by: Seq[String],
+      order: Seq[Column],
+      window: Int,
+      valueCol: String,
+      aggs: Seq[(String, String)],
+      exactScale: Option[Int] = Some(2)): DataFrame = {
+    require(window >= 1, s"window must be >= 1 rows (got $window)")
+    require(order.nonEmpty, "rollingRows needs an explicit total order")
+    require(aggs.nonEmpty, "need at least one rolling aggregation")
+    val bad = aggs.map(_._1).filterNot(funcs)
+    require(bad.isEmpty,
+      s"unsupported rolling funcs: ${bad.mkString(", ")} (supported: ${funcs.mkString(", ")})")
+    val w = Window.partitionBy(by.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-(window - 1).toLong, 0)
+    applyAggs(df, valueCol, aggs, exactScale, w)
+  }
+
+  private def applyAggs(
+      df: DataFrame,
+      valueCol: String,
+      aggs: Seq[(String, String)],
+      exactScale: Option[Int],
+      w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+    val dt = df.schema(valueCol).dataType
+    val vn = graft.functions.NanOps.nanToNull(col(valueCol), dt)
     def sumE: Column = exactScale match {
       case Some(s) => sum(vn.cast(DecimalType(18, s))).over(w).cast(DoubleType)
       case None    => sum(vn).over(w)
     }
-    val withTs = df.withColumn("__rts", unix_micros(col(tsCol)))
-    aggs.foldLeft(withTs) { case (d, (f, as)) =>
+    aggs.foldLeft(df) { case (d, (f, as)) =>
       d.withColumn(as, f match {
         case "count" => count(vn).over(w)
         case "sum"   => sumE
@@ -77,6 +109,6 @@ object Rolling {
         case "min"   => min(vn).over(w)
         case "max"   => max(vn).over(w)
       })
-    }.drop("__rts")
+    }
   }
 }

@@ -134,6 +134,36 @@ class CurationSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Pii.scan(rows, "text"))
   }
 
+  // ---- registry skew/kurt ----
+
+  test("skew/kurt: population g1/g2 vs brute force; NaN propagate/skip; constant group NULL") {
+    val rows = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 3.0), ("a", 9.0),
+      ("b", 4.0), ("b", 4.0), ("b", 4.0),             // constant -> NULL
+      ("c", 1.0), ("c", Double.NaN), ("c", 5.0), ("c", 6.0)
+    ).toDF("g", "v")
+    def brute(xs: Seq[Double], kurt: Boolean): Double = {
+      val n = xs.size.toDouble
+      val (s1, s2, s3, s4) = (xs.sum, xs.map(x => x * x).sum,
+        xs.map(x => x * x * x).sum, xs.map(x => x * x * x * x).sum)
+      val m = s1 / n; val m2 = s2 / n - m * m
+      if (!kurt) (s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) / math.sqrt(m2 * m2 * m2)
+      else (s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n) - 3 * m * m * m * m) / (m2 * m2) - 3
+    }
+    val got = GroupByReduce.reduce(rows, Seq("g"),
+      Seq(Agg("nanskew", "v", "sk"), Agg("nankurt", "v", "ku"), Agg("skew", "v", "skp")))
+      .collect().map(r => r.getString(0) -> ((
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    val aXs = Seq(1.0, 2.0, 2.0, 3.0, 9.0)
+    assert(got("a") == ((brute(aXs, false), brute(aXs, true), brute(aXs, false))))
+    assert(got("b") == ((null, null, null)))  // constant group: m2 == 0
+    val cXs = Seq(1.0, 5.0, 6.0)              // nan* skip the NaN
+    assert(got("c")._1 == brute(cXs, false) && got("c")._2 == brute(cXs, true))
+    assert(got("c")._3.asInstanceOf[Double].isNaN) // plain skew propagates
+  }
+
   // ---- GroupByReduce.valueCounts ----
 
   test("valueCounts: ranked frequencies, mode-compatible tie-break, NULL dropped") {
@@ -218,6 +248,16 @@ class CurationSpec extends AnyFunSuite {
         Seq("sum" -> "s"))
       .select("event_id", "s").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got == Map(1L -> 3.0, 2L -> 3.0))
+  }
+
+  test("rollingRows: n-row trailing frame under explicit total order") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (1 to 6).map(i => (i.toLong, "u", t0, i.toDouble))
+      .toDF("event_id", "user", "ts", "v") // equal ts: event_id breaks ties
+    val got = Rolling.rollingRows(rows, Seq("user"),
+        Seq(col("ts"), col("event_id")), 3, "v", Seq("sum" -> "s", "count" -> "n"))
+      .select("event_id", "s").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 3.0, 3L -> 6.0, 4L -> 9.0, 5L -> 12.0, 6L -> 15.0))
   }
 
   test("rollingTime rejects unsupported funcs and month windows") {
