@@ -116,6 +116,30 @@ object CurationQueries {
           Sampling.textKey(col("text")), col("doc_id"), salt = 4)
         .select("doc_id", "lang").orderBy("doc_id")
     }),
+    // context-window chunking: 64-token chunks per doc; the rollup checks
+    // the invariants (token totals preserved, chunks capped) plus a
+    // replayable fingerprint checksum of every chunk text
+    "q_chunk" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val c = TextAnalysis.chunkText(T(s, d, "documents"), "text", 64)
+      c.groupBy("source").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(size(split(col("chunk"), " "))).cast("long").as("sum_tokens"),
+        max(size(split(col("chunk"), " "))).cast("long").as("max_chunk_tokens"),
+        sum(TextAnalysis.fingerprintFast(col("chunk"))).as("checksum"))
+        .orderBy("source")
+    }),
+    // quality-weighted sampling: keep each doc w.p. qualityScore/1000 —
+    // per-row threshold, same replayable scatter as q_sample
+    "q_sample_weighted" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val docs = T(s, d, "documents")
+      Sampling.hashSampleWeighted(docs, Sampling.textKey(col("text")),
+          TextAnalysis.qualityScore(col("text")).cast("double") / 1000.0, salt = 5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_doc_id"))
+        .orderBy("source")
+    }),
     // vocab report: top-5 tokens per language (pandas value_counts head;
     // ranks only the reduced distinct table, never sorts the corpus)
     "q_value_counts" -> ((s, d) => {
@@ -201,6 +225,28 @@ object CurationQueries {
         + " rk AS (SELECT doc_id, lang,"
         + " row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn FROM b)"
         + " SELECT doc_id, lang FROM rk WHERE rn <= 20 ORDER BY doc_id"),
+    "q_chunk" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),"
+        + " c AS (SELECT doc_id, source, unnest("
+        + " [array_to_string(w[(i*64+1):((i+1)*64)], ' ')"
+        + " for i in range(0, greatest(CAST(ceil(len(w) / 64.0) AS INT), 1))]) AS ch FROM t)"
+        + " SELECT source, count(*) AS n_chunks,"
+        + " sum(len(string_split(ch, ' ')))::BIGINT AS sum_tokens,"
+        + " max(len(string_split(ch, ' ')))::BIGINT AS max_chunk_tokens,"
+        + s" sum(${fpSql("ch")})::BIGINT AS checksum"
+        + " FROM c GROUP BY 1 ORDER BY 1"),
+    "q_sample_weighted" -> {
+      val swHits = ("len(list_filter(string_split(text, ' '),"
+        + " x -> list_contains(['the','a','of','to','and','in','is'], x)))")
+      val score = (s"least(floor(600 * $swHits * 5 / len(string_split(text, ' '))), 600)"
+        + " + least(len(text), 400)")
+      (s"WITH f AS (SELECT doc_id, source, text, ${fpSql("text")} AS h FROM documents),"
+        + s" b AS (SELECT doc_id, source, ${Sampling.bucketSql("h", 5)} AS u,"
+        + s" ($score)::DOUBLE / 1000.0 AS r FROM f)"
+        + " SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_doc_id"
+        + s" FROM b WHERE u < floor(least(greatest(r, 0.0), 1.0) * ${Sampling.M}.0)"
+        + " GROUP BY 1 ORDER BY 1")
+    },
     "q_value_counts" ->
       ("SELECT lang, rank, w, n FROM ("
         + " SELECT lang, w, count(*) AS n,"

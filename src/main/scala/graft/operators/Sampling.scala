@@ -122,6 +122,16 @@ object Sampling {
     splits.map(_._1).zip(edges)
   }
 
+  /** Importance-weighted deterministic sampling: keeps each row with its
+    * OWN probability `rate` (a per-row Column in [0,1] — e.g. a quality
+    * score), under the same keyed-hash regime as [[hashSample]]:
+    * reproducible, retry-safe, content-keyed co-location. Values outside
+    * [0,1] are clamped. Still a pure per-row filter — zero shuffle. */
+  def hashSampleWeighted(df: DataFrame, key: Column, rate: Column, salt: Int = 0): DataFrame = {
+    val r = least(greatest(rate.cast("double"), lit(0.0)), lit(1.0))
+    df.where(bucket(key, salt) < floor(r * lit(M.toDouble)).cast("long"))
+  }
+
   /** Deterministic stratified sampling: EXACTLY min(k, group size) rows
     * per group, the k whose keys scatter lowest — a uniform-without-
     * replacement sample per stratum under the same keyed-hash regime as

@@ -132,6 +132,38 @@ object TextAnalysis {
     aggregate(filter(split(text, ""), c => length(c) > 0), lit(0L),
       (acc, c) => (acc * 131L + ascii(c)) % 998244353L)
 
+  /** Split documents into fixed-token-budget chunks — the context-window
+    * preparation step of an embedding/indexing pipeline (each chunk goes
+    * to the encoder independently). One output row per chunk:
+    * the input columns (minus the text unless `keepText`) plus
+    * `<as>_idx` (0-based) and `<as>` (the chunk text, `maxTokens`
+    * whitespace tokens except the final remainder).
+    *
+    * Pure expression + posexplode: the chunk array is built from
+    * `slice`s of the token array (O(chunks) slice evaluations per row —
+    * chunks are few, unlike the per-gram case that needed
+    * [[graft.expressions.WordNgrams]]), so the operator is
+    * embarrassingly parallel with zero shuffle. Token boundaries only —
+    * re-joining chunks with single spaces reproduces the document. */
+  def chunkText(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      maxTokens: Int,
+      as: String = "chunk",
+      keepText: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1 (got $maxTokens)")
+    val idxCol = s"${as}_idx"
+    val clashes = df.columns.toSeq.intersect(Seq(as, idxCol))
+    require(clashes.isEmpty,
+      s"chunkText emits $as/$idxCol; rename ${clashes.mkString(", ")} in the input")
+    val w = tokens(col(textCol))
+    val nChunks = ceil(size(w).cast("double") / maxTokens).cast("int")
+    val chunks = transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+      i => array_join(slice(w, i * maxTokens + 1, lit(maxTokens)), " "))
+    val keep = df.columns.toSeq.filterNot(c => !keepText && c == textCol).map(col)
+    df.select(keep :+ posexplode(chunks).as(Seq(idxCol, as)): _*)
+  }
+
   /** Native codegen twin of [[fingerprint]] (identical values on BMP
     * text, pinned by TextMultiModalSpec): the HOF fold above interprets
     * one lambda per character; [[graft.expressions.RollingFingerprint]]

@@ -215,6 +215,52 @@ class CurationSpec extends AnyFunSuite {
     assert(k5.subsetOf(k25))
   }
 
+  // ---- TextAnalysis.chunkText ----
+
+  test("chunkText: token-budget chunks, rejoin reproduces the document, remainder sized") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),   // 7 tokens / max 3 -> 3,3,1
+      (2L, "x y"),             // 2 tokens -> one chunk
+      (3L, "")                 // empty -> one empty chunk
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkText(docs, "text", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got(1L) == Seq("a b c", "d e f", "g"))
+    assert(got(2L) == Seq("x y"))
+    assert(got(3L) == Seq(""))
+    // rejoining with single spaces reproduces each document
+    assert(got.forall { case (id, chunks) =>
+      chunks.mkString(" ") == Seq("a b c d e f g", "x y", "")(id.toInt - 1) })
+    // chunk cap holds
+    val sizes = TextAnalysis.chunkText(docs, "text", 3)
+      .select(size(split(col("chunk"), " "))).collect().map(_.getInt(0))
+    assert(sizes.forall(_ <= 3))
+  }
+
+  // ---- Sampling.hashSampleWeighted ----
+
+  test("hashSampleWeighted: rate-0 drops, rate-1 keeps, per-row rates within binomial bounds") {
+    val n = 4000
+    val d = (0 until n).map(i => (i.toLong, s"doc $i", if (i % 2 == 0) 0.9 else 0.1))
+      .toDF("id", "text", "r")
+    assert(Sampling.hashSampleWeighted(d, Sampling.idKey(col("id")), lit(0.0)).count() == 0)
+    assert(Sampling.hashSampleWeighted(d, Sampling.idKey(col("id")), lit(1.0)).count() == n)
+    val kept = Sampling.hashSampleWeighted(d, Sampling.idKey(col("id")), col("r"), salt = 9)
+      .groupBy("r").count().collect().map(x => x.getDouble(0) -> x.getLong(1)).toMap
+    val half = n / 2
+    assert(math.abs(kept(0.9) - 0.9 * half) < 5 * math.sqrt(half * 0.9 * 0.1),
+      s"rate 0.9 kept ${kept(0.9)} of $half")
+    assert(math.abs(kept(0.1) - 0.1 * half) < 5 * math.sqrt(half * 0.1 * 0.9),
+      s"rate 0.1 kept ${kept(0.1)} of $half")
+    // deterministic under repartitioning
+    val a = Sampling.hashSampleWeighted(d, Sampling.idKey(col("id")), col("r"), salt = 9)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.hashSampleWeighted(d.repartition(13), Sampling.idKey(col("id")), col("r"), salt = 9)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   // ---- Rolling ----
 
   test("rollingTime == brute-force trailing window; boundary inclusive; NaN skipped") {
