@@ -19,7 +19,7 @@ object CurationQueries {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  private val EvalSrc = Seq("src0", "src1", "src2")
+  private val EvalSrc = LlmQueries.EvalSources
 
   /** Deterministic PII-bearing note column synthesized from customer
     * fields (the synthetic tables carry no free-text PII; the CONSTRUCTION
@@ -45,16 +45,10 @@ object CurationQueries {
       + " (c_custkey * 31) % 10000)"
       + " || CASE WHEN c_custkey % 3 = 0 THEN ' or user' || c_custkey || '@example.com' ELSE '' END")
 
-  // DuckDB replay of the two rolling char folds (same arithmetic as
-  // TextAnalysis.fingerprint / fingerprint2)
-  private def fpSql(expr: String): String =
-    ("list_reduce(list_prepend(0::BIGINT,"
-      + s" list_transform(string_split($expr, ''), c -> ascii(c)::BIGINT)),"
-      + " (a, b) -> (a * 31 + b) % 1000000007)")
-  private def fp2Sql(expr: String): String =
-    ("list_reduce(list_prepend(0::BIGINT,"
-      + s" list_transform(string_split($expr, ''), c -> ascii(c)::BIGINT)),"
-      + " (a, b) -> (a * 131 + b) % 998244353)")
+  // DuckDB replay of the two rolling char folds — single-sourced beside
+  // their Column forms (TextAnalysis.fingerprintSql / fingerprint2Sql)
+  private def fpSql(expr: String): String = TextAnalysis.fingerprintSql(expr)
+  private def fp2Sql(expr: String): String = TextAnalysis.fingerprint2Sql(expr)
 
   /** DuckDB word-5-gram CTE over documents: (doc_id, source, grams) with
     * the same short-doc whole-text fallback as [[Dedup.shingles]]. */
@@ -99,13 +93,14 @@ object CurationQueries {
     // PII scan + redaction: per-pattern hit counts and a checksum of the
     // redacted text (exact integer sum of per-row fingerprints)
     "q_pii" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
       val scanned = Pii.scan(notedCustomers(s, d), "note")
       scanned.groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_rows"),
           sum("phone_hits").as("phone_hits"),
           sum("email_hits").as("email_hits"),
           sum("ip_hits").as("ip_hits"),
-          sum(TextAnalysis.fingerprint(col("redacted"))).as("redacted_fp_sum"))
+          sum(TextAnalysis.fingerprintFast(col("redacted"))).as("redacted_fp_sum"))
         .orderBy("c_mktsegment")
     }),
     // stratified deterministic sampling: exactly 20 docs per language,
@@ -206,8 +201,9 @@ object CurationQueries {
         + " coalesce(top_bigram_cnt, 0)::BIGINT AS top_bigram_cnt"
         + " FROM rep LEFT JOIN big USING (doc_id) ORDER BY 1"),
     "q_pii" -> {
-      val red = (s"regexp_replace(regexp_replace(regexp_replace(note, '${Pii.Phone}', '[PII]', 'g'),"
-        + s" '${Pii.Email}', '[PII]', 'g'), '${Pii.Ipv4}', '[PII]', 'g')")
+      // redaction order mirrors Pii.Default: email -> phone -> ip
+      val red = (s"regexp_replace(regexp_replace(regexp_replace(note, '${Pii.Email}', '[PII]', 'g'),"
+        + s" '${Pii.Phone}', '[PII]', 'g'), '${Pii.Ipv4}', '[PII]', 'g')")
       (s"WITH n AS (SELECT c_mktsegment, $NoteSql AS note FROM customer),"
         + s" r AS (SELECT c_mktsegment,"
         + s" len(regexp_extract_all(note, '${Pii.Phone}')) AS ph,"

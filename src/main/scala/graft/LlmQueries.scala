@@ -26,6 +26,13 @@ object LlmQueries {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The "eval set" sources shared by every decontamination query
+    * (q_decontaminate here, q_contaminated in [[CurationQueries]]) —
+    * single-sourced so the Spark filters and oracle SQL cannot drift. */
+  private[graft] val EvalSources = Seq("src0", "src1", "src2")
+  private[graft] def evalSrcSqlList: String =
+    EvalSources.map("'" + _ + "'").mkString(",")
+
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Seq[Long]]]()
 
@@ -55,7 +62,7 @@ object LlmQueries {
     // near-duplicate a "train" doc from any other source.
     "q_decontaminate" -> ((s, d) => {
       val docs = T(s, d, "documents")
-      val evalSrc = Seq("src0", "src1", "src2")
+      val evalSrc = EvalSources
       // broadcastRight: this caller KNOWS the right side is the small
       // eval set (the decontamination shape), so it opts into the pinned
       // eval-side broadcast — not the default, which would OOM on a large
@@ -522,9 +529,8 @@ object LlmQueries {
     // the Sampling family scatters; thresholds/salts are interpolated from
     // the same Scala helpers the Spark plans use, so they cannot drift
     val docFpCte =
-      ("WITH f AS (SELECT doc_id, source, text, list_reduce(list_prepend(0::BIGINT,"
-        + " list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),"
-        + " (a, b) -> (a * 31 + b) % 1000000007) AS h FROM documents)")
+      ("WITH f AS (SELECT doc_id, source, text, "
+        + TextAnalysis.fingerprintSql("text") + " AS h FROM documents)")
 
     Map(
       "q_sample" -> {
@@ -581,11 +587,11 @@ object LlmQueries {
           + " WHERE jaccard >= 0.5 ORDER BY 1, 2"),
       "q_decontaminate" ->
         (shingleCte.replace("FROM documents",
-            "FROM documents WHERE source NOT IN ('src0','src1','src2')")
+            s"FROM documents WHERE source NOT IN ($evalSrcSqlList)")
           + ", sr AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN"
           + " list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])"
           + " ELSE [text] END AS sh FROM (SELECT doc_id, text, string_split(text, ' ') w"
-          + " FROM documents WHERE source IN ('src0','src1','src2')))"
+          + s" FROM documents WHERE source IN ($evalSrcSqlList)))"
           + " SELECT * FROM (SELECT a.doc_id AS id_l, b.doc_id AS id_r,"
           + " round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard"
           + " FROM s a, sr b) WHERE jaccard >= 0.5 ORDER BY 1, 2"),
@@ -605,9 +611,7 @@ object LlmQueries {
           .map(j => s"(CASE WHEN ${vote(16 * k + j)} > 0 THEN ${1L << j} ELSE 0 END)")
           .mkString("(", " + ", s")::BIGINT AS c$k")
         ("WITH th AS (SELECT doc_id, list_transform(string_split(text, ' '), t ->"
-          + " list_reduce(list_prepend(0::BIGINT,"
-          + " list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)),"
-          + " (a, b) -> (a * 31 + b) % 1000000007)) AS hs FROM documents),"
+          + " " + TextAnalysis.fingerprintSql("t") + ") AS hs FROM documents),"
           + s" sims AS (SELECT doc_id, ${(0 until 4).map(chunk).mkString(", ")} FROM th)"
           + " SELECT id_a, id_b, dist::BIGINT AS dist FROM ("
           + " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
@@ -729,9 +733,7 @@ object LlmQueries {
           + " USING (qbin) ORDER BY 1"),
       "q_fingerprint" ->
         ("SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct_fp, min(fp) AS min_fp FROM ("
-          + " SELECT source, list_reduce(list_prepend(0::BIGINT,"
-          + " list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),"
-          + " (a, b) -> (a * 31 + b) % 1000000007) AS fp FROM documents)"
+          + " SELECT source, " + TextAnalysis.fingerprintSql("text") + " AS fp FROM documents)"
           + " GROUP BY 1 ORDER BY 1"),
       "q_tokencount" ->
         ("SELECT source, count(*) AS n_docs, sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,"

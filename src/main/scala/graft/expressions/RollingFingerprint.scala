@@ -34,7 +34,10 @@ case class RollingFingerprint(
 
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
-  override def prettyName: String = "graft_rolling_fp"
+  override def prettyName: String =
+    if (base == 31L && mod == 1000000007L) "graft_rolling_fp"
+    else if (base == 131L && mod == 998244353L) "graft_rolling_fp2"
+    else s"graft_rolling_fp_${base}_$mod"
 
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString

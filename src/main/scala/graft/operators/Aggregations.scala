@@ -220,7 +220,12 @@ object Aggregations {
     // low-scale values), and conventional-FP otherwise. A constant group
     // (m2 == 0) yields NULL — guarded explicitly because engines disagree
     // on 0/0 (Spark NaN, DuckDB NULL).
-    def momentStat(c: Column, kurt: Boolean): Column = {
+    def momentStat(c0: Column, kurt: Boolean): Column = {
+      // power sums in DOUBLE regardless of input dtype: long (incl. the
+      // timestamp micros view) would wrap int64 at c^2 already, and
+      // decimal would overflow precision 38 — the double contract is the
+      // documented one
+      val c  = c0.cast(DoubleType)
       val n  = count(c).cast(DoubleType)
       val s1 = sum(c); val s2 = sum(c * c)
       val s3 = sum(c * c * c); val s4 = sum(c * c * c * c)

@@ -239,6 +239,8 @@ object GroupByReduce {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(!df.columns.contains("rank"),
       "valueCounts emits a `rank` column; rename the input's")
+    require(as != "rank" && as != valueCol && !by.contains(as),
+      s"valueCounts output name '$as' collides with rank/value/group columns")
     val dt = df.schema(valueCol).dataType
     val keyCols = by.map(col)
     val counts = df

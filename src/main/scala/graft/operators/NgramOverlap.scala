@@ -31,13 +31,11 @@ import org.apache.spark.sql.functions._
   */
 object NgramOverlap {
 
-  /** Distinct word n-grams; same short-document fallback as
-    * [[Dedup.shingles]] (docs shorter than n words contribute one
-    * whole-document gram, so no document is invisible to the check). */
-  def grams(text: Column, n: Int): Column = Dedup.shingles(text, n)
-
-  /** (id, g) exploded distinct-gram table — one-pass native gram builder
-    * ([[Dedup.shinglesFast]]), identical to [[grams]]. */
+  /** (id, g) exploded distinct-gram table — the one-pass native gram
+    * builder [[Dedup.shinglesFast]], with the same short-document
+    * fallback as [[Dedup.shingles]] (docs shorter than n words contribute
+    * one whole-document gram, so no document is invisible to the
+    * check; NULL-text rows produce no grams). */
   private def gramTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"), explode(Dedup.shinglesFast(col(textCol), n)).as("g"))

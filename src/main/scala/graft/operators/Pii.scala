@@ -27,10 +27,14 @@ object Pii {
   /** Dotted-quad IPv4. */
   val Ipv4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
 
-  /** Default pattern set, applied in order (order matters for redaction
-    * when patterns could overlap; these three cannot). */
+  /** Default pattern set, applied in order. ORDER MATTERS for redaction:
+    * email runs before phone so a digit-dash local part ("12-345-678@x.io")
+    * is consumed as one email match — phone-first would redact the local
+    * part and orphan the "@x.io" tail outside any pattern. Counts
+    * ([[piiCounts]]) are computed per pattern on the ORIGINAL text, so an
+    * overlapping span can legitimately count under two patterns. */
   val Default: Seq[(String, String)] =
-    Seq("phone" -> Phone, "email" -> Email, "ip" -> Ipv4)
+    Seq("email" -> Email, "phone" -> Phone, "ip" -> Ipv4)
 
   /** Per-pattern match counts: one (name, count Column) per pattern. */
   def piiCounts(text: Column, patterns: Seq[(String, String)] = Default): Seq[(String, Column)] =

@@ -95,6 +95,14 @@ object Rolling {
       aggs: Seq[(String, String)],
       exactScale: Option[Int],
       w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+    // an output name that replaces an input column (or repeats) would
+    // silently corrupt later aggregates re-resolving against it
+    val outNames = aggs.map(_._2)
+    val clashes = outNames.intersect(df.columns.toSeq)
+    require(clashes.isEmpty,
+      s"rolling output columns collide with input: ${clashes.mkString(", ")}")
+    require(outNames.distinct.size == outNames.size,
+      s"duplicate rolling output names: ${outNames.diff(outNames.distinct).mkString(", ")}")
     val dt = df.schema(valueCol).dataType
     val vn = graft.functions.NanOps.nanToNull(col(valueCol), dt)
     def sumE: Column = exactScale match {

@@ -126,7 +126,8 @@ object Sampling {
     * OWN probability `rate` (a per-row Column in [0,1] — e.g. a quality
     * score), under the same keyed-hash regime as [[hashSample]]:
     * reproducible, retry-safe, content-keyed co-location. Values outside
-    * [0,1] are clamped. Still a pure per-row filter — zero shuffle. */
+    * [0,1] are clamped; a NULL rate (or NULL key) drops the row, like
+    * any SQL filter. Still a pure per-row filter — zero shuffle. */
   def hashSampleWeighted(df: DataFrame, key: Column, rate: Column, salt: Int = 0): DataFrame = {
     val r = least(greatest(rate.cast("double"), lit(0.0)), lit(1.0))
     df.where(bucket(key, salt) < floor(r * lit(M.toDouble)).cast("long"))

@@ -121,6 +121,20 @@ object TextAnalysis {
     aggregate(filter(split(text, ""), c => length(c) > 0), lit(0L),
       (acc, c) => (acc * 31L + ascii(c)) % 1000000007L)
 
+  /** The same fold as [[fingerprint]], emitted as DuckDB oracle SQL over
+    * an arbitrary string expression — one source for both sides so they
+    * cannot drift (the [[Sampling.bucketSql]] convention). */
+  def fingerprintSql(expr: String): String =
+    ("list_reduce(list_prepend(0::BIGINT,"
+      + s" list_transform(string_split($expr, ''), c -> ascii(c)::BIGINT)),"
+      + " (a, b) -> (a * 31 + b) % 1000000007)")
+
+  /** Oracle-SQL twin of [[fingerprint2]]. */
+  def fingerprint2Sql(expr: String): String =
+    ("list_reduce(list_prepend(0::BIGINT,"
+      + s" list_transform(string_split($expr, ''), c -> ascii(c)::BIGINT)),"
+      + " (a, b) -> (a * 131 + b) % 998244353)")
+
   /** Second independent rolling fold — base 131 modulo the prime
     * 998244353 (~2^30, so acc*131 + 255 < 2^37: exact). Paired with
     * [[fingerprint]] it forms a ~2^60 joint key space over two
@@ -144,7 +158,9 @@ object TextAnalysis {
     * chunks are few, unlike the per-gram case that needed
     * [[graft.expressions.WordNgrams]]), so the operator is
     * embarrassingly parallel with zero shuffle. Token boundaries only —
-    * re-joining chunks with single spaces reproduces the document. */
+    * re-joining chunks with single spaces reproduces the document.
+    * Rows with a NULL text produce no chunks (generator semantics),
+    * like NULL-text docs in the gram operators. */
   def chunkText(
       df: org.apache.spark.sql.DataFrame,
       textCol: String,

@@ -129,6 +129,16 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L, 0L, "nothing here")))
   }
 
+  test("Pii: email-before-phone order consumes phone-shaped local parts whole") {
+    val rows = Seq((1L, "reach 12-345-678@corp.io ok")).toDF("id", "text")
+    val r = Pii.scan(rows, "text")
+      .select("phone_hits", "email_hits", "redacted").head()
+    // counts run per pattern on the ORIGINAL text: the span counts twice
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
+    // redaction consumes the full email first — no orphaned "@corp.io"
+    assert(r.getString(2) == "reach [PII] ok")
+  }
+
   test("Pii.scan rejects output-column collisions") {
     val rows = Seq((1L, "x", 9L)).toDF("id", "text", "phone_hits")
     assertThrows[IllegalArgumentException](Pii.scan(rows, "text"))
