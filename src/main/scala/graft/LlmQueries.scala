@@ -102,6 +102,17 @@ object LlmQueries {
     "q_dedup_embed" -> ((s, d) =>
       Dedup.embeddingDedup(T(s, d, "embeddings"), "vec_id", "embedding", 0.4)
         .select("vec_id").orderBy("vec_id")),
+    // embedding-level decontamination: exact cross-set cosine pairs with
+    // the small eval side (vec_id < 100) broadcast — the train corpus is
+    // scored in one linear pass, never shuffled
+    "q_decontaminate_embed" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.crossPairs(
+        e.where(col("vec_id") >= 100), e.where(col("vec_id") < 100),
+        "vec_id", "embedding", 0.4, broadcastRight = true)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_l", "id_r")
+    }),
     "q_ann_topk" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       Similarity.topK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
@@ -624,6 +635,12 @@ object LlmQueries {
           + " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
           + " round(list_dot_product(a.q, b.q) / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE)), 6) AS cos"
           + " FROM n a JOIN n b ON a.vec_id < b.vec_id)"
+          + " WHERE cos >= 0.4 ORDER BY 1, 2"),
+      "q_decontaminate_embed" ->
+        (s"WITH n AS $qn SELECT * FROM ("
+          + " SELECT a.vec_id AS id_l, b.vec_id AS id_r,"
+          + " round(list_dot_product(a.q, b.q) / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE)), 6) AS cos"
+          + " FROM n a JOIN n b ON a.vec_id >= 100 AND b.vec_id < 100)"
           + " WHERE cos >= 0.4 ORDER BY 1, 2"),
       "q_dedup_embed" ->
         (s"WITH n AS $qn, dup AS (SELECT DISTINCT b.vec_id AS id FROM n a JOIN n b"

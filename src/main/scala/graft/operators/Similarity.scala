@@ -67,6 +67,30 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Cross-set pairs with cosine >= threshold — embedding-level
+    * train/test decontamination (the semantic twin of
+    * [[Dedup.crossNearDupPairs]]): every (left, right) pair above the
+    * threshold, exact quantized cosine. With `broadcastRight` (the
+    * decontamination shape: the right/eval side is small) the left corpus
+    * is scored in place, one linear pass, never shuffled — opt-in like
+    * crossNearDupPairs' flag, since broadcasting an unexpectedly large
+    * right side would OOM where the shuffle join completes. */
+  def crossPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      broadcastRight: Boolean = false): DataFrame = {
+    val l  = prepared(left, idCol, embCol)
+    val r0 = prepared(right, idCol, embCol)
+    val r  = if (broadcastRight) broadcast(r0) else r0
+    l.as("a").join(r.as("b"), lit(true))
+      .select(col("a.id").as("id_l"), col("b.id").as("id_r"),
+        cosineQ(dotQ(col("a.q"), col("b.q")), col("a.nsq"), col("b.nsq")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Exact top-k neighbors for each query row (excluding self), ties
     * broken by neighbor id. The query side is expected to be small
     * (Catalyst broadcasts it); the corpus side streams — this is the

@@ -225,6 +225,29 @@ class CurationSpec extends AnyFunSuite {
     assert(k5.subsetOf(k25))
   }
 
+  // ---- Similarity.crossPairs ----
+
+  test("crossPairs == bruteForcePairs restricted to cross-set pairs; broadcast pinned") {
+    val e = TestSpark.table("0.01", "embeddings")
+    val left  = e.where(col("vec_id") >= 100)
+    val right = e.where(col("vec_id") < 100)
+    val cross = Similarity.crossPairs(left, right, "vec_id", "embedding", 0.4,
+        broadcastRight = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force emits id_a < id_b once per unordered pair; cross-set
+    // pairs always have right-id < 100 <= left-id, so (id_a, id_b) maps
+    // to (id_r, id_l)
+    val brute = Similarity.bruteForcePairs(e, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 100 && b >= 100 }
+      .map { case (a, b) => (b, a) }.toSet
+    assert(cross == brute)
+    assert(cross.nonEmpty)
+    val p = Similarity.crossPairs(left, right, "vec_id", "embedding", 0.4,
+      broadcastRight = true).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), s"eval side should broadcast:\n$p")
+  }
+
   // ---- TextAnalysis.chunkText ----
 
   test("chunkText: token-budget chunks, rejoin reproduces the document, remainder sized") {

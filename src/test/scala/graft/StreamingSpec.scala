@@ -152,6 +152,31 @@ class StreamingSpec extends AnyFunSuite {
       "checkpointed dedup state must survive the restart: only 'ccc' appended")
   }
 
+  test("stateless curation expressions run unchanged on streams: split + weighted sample + PII") {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = (0 until 300).map(i => (i.toLong, s"doc body $i call 25-989-741-2988"))
+      .toDF("id", "text")
+    // per-row filters/projections need no state: append mode, one batch
+    val streamed = runToMemory(
+      graft.operators.Pii.scan(
+        graft.operators.Sampling.assignSplit(asStream(docs),
+          graft.operators.Sampling.textKey(col("text")),
+          Seq("train" -> 0.8, "test" -> 0.2), salt = 11),
+        "text"),
+      "curation_stream", "append")
+      .select("id", "split", "phone_hits", "redacted")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
+    val batch = graft.operators.Pii.scan(
+        graft.operators.Sampling.assignSplit(docs,
+          graft.operators.Sampling.textKey(col("text")),
+          Seq("train" -> 0.8, "test" -> 0.2), salt = 11),
+        "text")
+      .select("id", "split", "phone_hits", "redacted")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
+    assert(streamed == batch)
+    assert(batch.values.forall(_._2 == 1L)) // fixture sanity: phone found
+  }
+
   test("GraftExtensions injects graft_dotq for SQL use") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // constructs without error; SQL path via register:
