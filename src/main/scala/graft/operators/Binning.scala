@@ -80,21 +80,18 @@ object Binning {
     * straddling a cut lands wholly in one bin.
     */
   /** @param exact edge derivation. true (default): the memory-safe exact
-    *              quantile plan in its CHUNKED form
-    *              ([[Quantiles.exactQuantileChunked]]) — bit-reproducible,
-    *              oracle-replayable, and the constant group's ranking
-    *              parallelizes across value-range chunks instead of one
-    *              task. false: `approx_percentile` sketch edges —
-    *              mergeable, single-pass; deterministic only up to sketch
-    *              accuracy (cut points can shift by a rank error of
-    *              n/accuracy across runs/partitionings). */
+    *              quantile plan in its SELECTION form
+    *              ([[Quantiles.exactQuantileSelect]]) — bit-reproducible,
+    *              oracle-replayable, and only the value-range chunks
+    *              containing a cut rank are ever sorted (≈ 2·nBins of
+    *              `chunks`), each in its own task. false:
+    *              `approx_percentile` sketch edges — mergeable,
+    *              single-pass; deterministic only up to sketch accuracy
+    *              (cut points can shift by a rank error of n/accuracy
+    *              across runs/partitionings). */
   /** @param chunks value-range chunks for the exact edge ranking (passed
-    *               to [[Quantiles.exactQuantileChunked]]). The chunked
-    *               topology costs ~3 extra tiny stages — at small scale
-    *               (sf0.1: 3.1 s vs 2.5 s) the plain windowed form is
-    *               cheaper, but its ranking is a single task; chunked is
-    *               the default because qcut's constant group makes that
-    *               single task the whole column's distinct values. */
+    *               to [[Quantiles.exactQuantileSelect]]): more chunks =
+    *               smaller sorted fraction, same result. */
   def qcut(
       df: DataFrame,
       valueCol: String,
@@ -112,7 +109,7 @@ object Binning {
     val qs = (1 until nBins).map(_.toDouble / nBins)
     val edges =
       if (exact) {
-        val quantiles = Quantiles.exactQuantileChunked(
+        val quantiles = Quantiles.exactQuantileSelect(
           df.select(col(valueCol)).withColumn("__g", lit(1)),
           Seq("__g"), valueCol, qs, as = "__qs", chunks = chunks)
         val edgeArr = if (qs.size == 1) array(col("__qs")) else col("__qs")
@@ -139,7 +136,7 @@ object Binning {
     * are each group's own quantiles — the stratification shape
     * ("quality quartile within language") a curation pipeline puts before
     * per-stratum sampling. Edges come from the grouped
-    * [[Quantiles.exactQuantileChunked]] (one row of interior edges per
+    * [[Quantiles.exactQuantileSelect]] (one row of interior edges per
     * group, null-safe struct keys) and join back on the grouping columns —
     * a broadcast-sized table whenever the group count is; rows with
     * NULL/NaN values, or in groups with no valid values, get a NULL bin.
@@ -159,7 +156,7 @@ object Binning {
     require(clashes.isEmpty,
       s"qcutBy reserves column names ${reserved.mkString("/")}; rename ${clashes.distinct.mkString(", ")} in the input")
     val qs = (1 until nBins).map(_.toDouble / nBins)
-    val quantiles = Quantiles.exactQuantileChunked(
+    val quantiles = Quantiles.exactQuantileSelect(
       df.select((by :+ valueCol).map(col): _*), by, valueCol, qs,
       as = "__qs", chunks = chunks)
     val edgeArr = if (qs.size == 1) array(col("__qs")) else col("__qs")

@@ -119,6 +119,108 @@ object Quantiles {
     finish(cum, by, valueCol, qs, as, propagate)
   }
 
+  /** [[exactQuantile]] by CHUNK SELECTION: identical results, but only
+    * the value-range chunks that actually contain a target rank are ever
+    * sorted — the classic distributed exact-selection refinement.
+    *
+    *   1. the same (keys, distinct value) count table;
+    *   2. per-(key, chunk) totals + an exclusive chunk-prefix (tiny:
+    *      ≤ `chunks` rows per key);
+    *   3. the covering chunk of each needed rank (floor/ceil of every
+    *      q·(n-1)) is found by a rank-interval join against the prefix —
+    *      at most 2·|qs| chunks per key survive;
+    *   4. only those chunks' rows are window-ranked (local rank + chunk
+    *      prefix = exact global rank), picked, and interpolated.
+    *
+    * vs [[exactQuantileChunked]], which ranks EVERY chunk: same carry
+    * arithmetic, but the sort volume drops from all distinct values to
+    * the covered chunks (≈ 2·|qs|/chunks of the data) — strictly less
+    * work at any scale, and each surviving chunk ranks in its own task.
+    * Results are bit-identical (QuantilesSpec pins all three forms).
+    */
+  def exactQuantileSelect(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      qs: Seq[Double],
+      as: String = "q",
+      propagate: Boolean = false,
+      chunks: Int = 32): DataFrame = {
+    validate(by, qs)
+    require(chunks >= 1, s"chunks must be >= 1 (got $chunks)")
+    val reserved = Seq("__k", "__ch", "__r", "__excl", "__ccnt")
+    val clash = (by :+ valueCol).intersect(reserved)
+    require(clash.isEmpty,
+      s"exactQuantileSelect reserves ${reserved.mkString("/")}; rename ${clash.mkString(", ")}")
+    val c       = counts(df, by, valueCol, propagate)
+    val keyCols = by.map(col)
+    val v       = col(valueCol)
+    val ck = c.withColumn("__k", struct(keyCols: _*))
+    val rng = ck.groupBy(col("__k"))
+      .agg(min(v).cast("double").as("__lo"), max(v).cast("double").as("__hi"),
+        sum("__cnt").as("__n"), sum("__nan").as("__nan"))
+
+    // same order-congruent uniform chunk rule as exactQuantileChunked
+    val span = col("__hi") - col("__lo")
+    val chunkCol = when(v.isNull || col("__lo").isNull || span <= 0.0, lit(0))
+      .otherwise(least(lit(chunks - 1), greatest(lit(0),
+        floor((v.cast("double") - col("__lo")) / span * chunks).cast("int"))))
+    val withR = ck.join(rng, "__k").withColumn("__ch", chunkCol)
+
+    val chunkTot = withR.groupBy(col("__k"), col("__ch")).agg(sum("__cnt").as("__ccnt"))
+    val wk = Window.partitionBy(col("__k")).orderBy(col("__ch"))
+    val pref = chunkTot.withColumn("__excl",
+      coalesce(sum("__ccnt").over(wk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+
+    // 0-based ranks whose covering values the interpolation needs
+    val rankArr = array(qs.flatMap { q =>
+      val pos = (col("__n") - 1).cast("double") * q
+      Seq(floor(pos).cast("long"), ceil(pos).cast("long"))
+    }: _*)
+    val targets = rng.select(col("__k"), explode(rankArr).as("__r"))
+      .where(col("__r") >= 0).distinct()
+    val relevant = targets.join(pref, Seq("__k"))
+      .where(col("__excl") <= col("__r") && col("__r") < col("__excl") + col("__ccnt"))
+      .select(col("__k"), col("__ch"), col("__excl")).distinct()
+
+    // rank only the surviving chunks: local running count + chunk prefix
+    val filtered = withR.join(relevant, Seq("__k", "__ch"))
+    val wv = Window.partitionBy(col("__k"), col("__ch")).orderBy(v.asc_nulls_first)
+    val ranked = filtered
+      .withColumn("__cum", col("__excl") +
+        sum("__cnt").over(wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__prev", col("__cum") - col("__cnt"))
+
+    val pickAggs = qs.zipWithIndex.flatMap { case (q, i) =>
+      val pos = (col("__n") - 1).cast("double") * q
+      Seq(
+        min(when(col("__prev") <= floor(pos) && floor(pos) < col("__cum"), v)).as(s"__vlo$i"),
+        min(when(col("__prev") <= ceil(pos) && ceil(pos) < col("__cum"), v)).as(s"__vhi$i"))
+    }
+    val picked = ranked.groupBy(col("__k")).agg(pickAggs.head, pickAggs.tail: _*)
+
+    // keys whose rank set is empty (n=0: all-NaN / all-NULL propagate
+    // groups) never reach `picked` — restore them from rng, whose totals
+    // are authoritative, so the empty/NaN guards behave like the
+    // windowed form's zero-count rows
+    val finalT = rng.join(picked, Seq("__k"), "left")
+    def interp(i: Int, q: Double): Column = {
+      val pos = (col("__n") - 1).cast("double") * q
+      val lo  = col(s"__vlo$i").cast("double")
+      val hi  = col(s"__vhi$i").cast("double")
+      val x = when(floor(pos) === ceil(pos), lo)
+        .otherwise((ceil(pos) - pos) * lo + (pos - floor(pos)) * hi)
+      if (propagate) when(col("__nan") > 0, lit(Double.NaN)).otherwise(x) else x
+    }
+    val empty = col("__n") === 0 && col("__nan") === 0
+    val result =
+      if (qs.size == 1) when(empty, lit(null).cast("double"))
+        .otherwise(interp(0, qs.head)).as(as)
+      else when(empty, lit(null).cast("array<double>"))
+        .otherwise(array(qs.zipWithIndex.map { case (q, i) => interp(i, q) }: _*)).as(as)
+    finalT.select(by.map(n => col(s"__k.$n").as(n)) :+ result: _*)
+  }
+
   private def validate(by: Seq[String], qs: Seq[Double]): Unit = {
     require(by.nonEmpty, "need at least one grouping column")
     require(qs.nonEmpty, "need at least one quantile")

@@ -105,6 +105,35 @@ class QuantilesSpec extends AnyFunSuite {
     assert(cProp == wProp)
   }
 
+  test("selection ranking equals the windowed form bit-for-bit (skip + propagate, any chunks)") {
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val base = data.map { case (k, x) => (k, Option(x)) } ++
+      Seq((6, Some(Double.NaN)), (6, Some(Double.NaN)),
+          (7, None), (7, None))
+    val df = base.toDF("k", "v").repartition(7)
+    def grab(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) null
+        else r.getSeq[Double](1).map(x => if (x.isNaN) "NaN" else x))).toMap
+    val windowed = grab(Quantiles.exactQuantile(df, Seq("k"), "v", qs, as = "qs"))
+    for (chunks <- Seq(1, 7, 32)) {
+      val sel = grab(Quantiles.exactQuantileSelect(df, Seq("k"), "v", qs,
+        as = "qs", chunks = chunks))
+      assert(sel == windowed, s"chunks=$chunks diverged")
+    }
+    val wProp = grab(Quantiles.exactQuantile(df, Seq("k"), "v", qs, as = "qs", propagate = true))
+    val sProp = grab(Quantiles.exactQuantileSelect(df, Seq("k"), "v", qs,
+      as = "qs", propagate = true, chunks = 5))
+    assert(sProp == wProp, "propagate (incl. all-NaN / all-NULL groups) diverged")
+  }
+
+  test("selection keeps NULL-keyed groups and singleton q") {
+    val df = Seq((Some("a"), 1.0), (None, 2.0), (None, 6.0), (Some("a"), 3.0))
+      .toDF("k", "v").repartition(3)
+    val s = Quantiles.exactQuantileSelect(df, Seq("k"), "v", Seq(0.5), as = "med", chunks = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s == Map("a" -> 2.0, (null: String) -> 4.0))
+  }
+
   test("chunked keeps NULL-keyed groups like the windowed form (null-safe struct join)") {
     val df = Seq((Some("a"), 1.0), (None, 2.0), (None, 6.0), (Some("a"), 3.0))
       .toDF("k", "v").repartition(3)
