@@ -37,6 +37,32 @@ class DtypeParitySpec extends AnyFunSuite {
     (r.schema(a.as).dataType, r.collect().map(x => x.getInt(0) -> x.get(1)).toMap)
   }
 
+  test("skew/kurt: bool rides the int view; long and timestamp compute in double (no int64 wrap)") {
+    // bool: skew of the 0/1 view
+    val bdf = Seq((0, true, 1L), (0, true, 2L), (0, false, 3L), (0, true, 4L))
+      .toDF("g", "v", "pos")
+    val (bt, bv) = out(bdf, Agg("nanskew", "v", "r"))
+    assert(bt == DoubleType)
+    val xs = Seq(1.0, 1.0, 0.0, 1.0)
+    val n = 4.0; val m = xs.sum / n
+    val m2 = xs.map(x => x * x).sum / n - m * m
+    val m3 = xs.map(x => x * x * x).sum / n - 3 * m * (xs.map(x => x * x).sum / n) + 2 * m * m * m
+    assert(bv(0) == m3 / math.sqrt(m2 * m2 * m2))
+    // long values past the int64^4 wrap point: double power sums, finite
+    val ldf = Seq((0, 100000L, 1L), (0, 200000L, 2L), (0, 400000L, 3L))
+      .toDF("g", "v", "pos")
+    val (lt, lv) = out(ldf, Agg("nankurt", "v", "r"))
+    assert(lt == DoubleType)
+    assert(!lv(0).asInstanceOf[Double].isNaN && !lv(0).asInstanceOf[Double].isInfinite)
+    // timestamp: micros view, dimensionless result, finite
+    val ts = Seq(1700000000000L, 1700000500000L, 1700003000000L).zipWithIndex
+      .map { case (t, i) => (0, new Timestamp(t), i.toLong) }
+    val tdf = ts.toDF("g", "v", "pos")
+    val (tt, tv) = out(tdf, Agg("nanskew", "v", "r"))
+    assert(tt == DoubleType)
+    assert(!tv(0).asInstanceOf[Double].isNaN && !tv(0).asInstanceOf[Double].isInfinite)
+  }
+
   test("byte/short sums promote to long; means widen to double (numpy small-int promotion)") {
     val df = Seq((0, 100, 1L), (0, 100, 2L), (1, 27, 3L))
       .toDF("g", "v", "pos")
