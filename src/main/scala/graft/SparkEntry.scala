@@ -128,6 +128,17 @@ object SparkEntry {
         round(element_at(col("qs"), 3), 6).as("q75"),
         round(element_at(col("qs"), 4), 6).as("q90"))
     }),
+    // the selection form: only rank-covering value-range chunks sort
+    // (bit-identical; QuantilesSpec pins all three quantile plans)
+    "q_quantile_select" -> ((s, d) => {
+      val r = Quantiles.exactQuantileSelect(li(s, d), Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.9), as = "qs")
+      r.select(col("l_returnflag"),
+        round(element_at(col("qs"), 1), 6).as("q25"),
+        round(element_at(col("qs"), 2), 6).as("q50"),
+        round(element_at(col("qs"), 3), 6).as("q75"),
+        round(element_at(col("qs"), 4), 6).as("q90"))
+    }),
     // bounded grouped top-k (TopKByScore): k-bounded shuffle vs the
     // row_number window idiom's full shuffle+sort
     "q_topk" -> ((s, d) =>
@@ -372,6 +383,11 @@ object SparkEntry {
         + " ORDER BY l_extendedprice ASC, l_orderkey * 8 + l_linenumber) AS rank,"
         + " l_orderkey * 8 + l_linenumber AS pos, l_extendedprice AS price"
         + " FROM lineitem) WHERE rank <= 5 ORDER BY 1, 2"),
+    "q_quantile_select" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,"
+        + " round(quantile_cont(l_extendedprice, 0.5), 6) AS q50,"
+        + " round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,"
+        + " round(quantile_cont(l_extendedprice, 0.9), 6) AS q90 FROM lineitem GROUP BY 1 ORDER BY 1"),
     "q_quantile_scalable" ->
       ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,"
         + " round(quantile_cont(l_extendedprice, 0.5), 6) AS q50,"

@@ -31,6 +31,27 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq(col("pos")), floor(col("pos") / 4), "r").count() == 0)
   }
 
+  test("r4 curation operators on empty input return empty (or all-kept) without error") {
+    assert(NgramOverlap.contaminatedDocs(emptyDocs, emptyDocs, "doc_id", "text").count() == 0)
+    assert(NgramOverlap.duplicateGramStats(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Repetition.repetitionStats(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Repetition.topNgramStats(emptyDocs, "doc_id", "text", 2).count() == 0)
+    assert(Pii.scan(emptyDocs, "text").count() == 0)
+    assert(TextAnalysis.chunkText(emptyDocs, "text", 8).count() == 0)
+    assert(GroupByReduce.valueCounts(emptyDocs, Seq("doc_id"), "text", 3).count() == 0)
+    assert(Sampling.sampleKPerGroup(emptyDocs, Seq("text"), 3,
+      Sampling.idKey(col("doc_id")), col("doc_id")).count() == 0)
+    assert(Sampling.hashSampleWeighted(emptyDocs,
+      Sampling.idKey(col("doc_id")), lit(0.5)).count() == 0)
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, String, Double)]
+      .toDF("event_id", "ts", "user", "v")
+    assert(Rolling.rollingTime(emptyEv, Seq("user"), "ts", "1 hour", "v",
+      Seq("count" -> "n")).count() == 0)
+    assert(Quantiles.exactQuantileSelect(emptyVals, Seq("label"), "v", Seq(0.5)).count() == 0)
+    val e = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.crossPairs(e, e, "vec_id", "embedding", 0.5).count() == 0)
+  }
+
   test("dedup family on empty input returns empty") {
     assert(Dedup.exactDedup(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.nearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
