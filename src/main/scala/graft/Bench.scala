@@ -53,14 +53,27 @@ object Bench {
     // all failed to parse: sbt's [info] prefix + line length — fixed by
     // run/outputStrategy=StdoutOutput + showSuccess=false in build.sbt and by
     // compacting here: per-query integer milliseconds, keys minus the uniform
-    // "q_" prefix). Full-precision per-round numbers live in BENCH_NOTES.md.
+    // "q_" prefix). At 107 queries even the compact line hit ~1850 chars, so
+    // the printed map now keeps only queries >= 200 ms (plus any failures);
+    // the dropped fast queries are summarized as small_n/small_ms so the line
+    // still accounts for every query, and the COMPLETE per-query map is
+    // written to bench_full.json next to the repo (full precision in
+    // BENCH_NOTES.md). `total` always sums ALL queries.
     def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
-    val qs = medians.map { case (k, v) =>
+    val keepMs = 200.0
+    val (kept, small) = medians.partition { case (_, v) => v < 0 || v * 1000 >= keepMs }
+    val qs = kept.map { case (k, v) =>
       "\"" + k.stripPrefix("q_") + "\":" + ms(v)
     }.mkString("{", ",", "}")
+    val smallMs = math.round(small.collect { case (_, v) if v >= 0 => v }.sum * 1000)
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
     val errs  = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","qunit":"ms","queries":$qs,"failed":$errs,"sf":"$sfDir"}"""
+    val fullQs = medians.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","qunit":"ms","queries":$fullQs,"failed":$errs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","qunit":"ms","queries":$qs,"small_n":${small.size},"small_ms":$smallMs,"failed":$errs,"sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }
