@@ -16,6 +16,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The suite compiles far more than the default 100 whole-stage-codegen
+      // classes per pass, so by the time a query is re-timed its generated
+      // classes have been evicted and Janino recompiles them inside the
+      // timed region — measured +0.5-1.0 s on the largest plans
+      // (q_decontaminate 2.15 s -> ~1.1 s just from this; BENCH_NOTES r5).
+      // Any real many-query session should size this the same way.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -17,6 +17,11 @@ object Verify {
       // events.parquet stores timestamp[ns]; read as long nanos, converted
       // back to timestamp in SparkEntry (Spark has no nanos timestamp).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 107+ queries compile >> 100 codegen classes; the default cache size
+      // forces Janino recompiles mid-suite (see Bench.scala for the measured
+      // cost). Harmless here (each query runs once) but keeps sessions
+      // consistent.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
