@@ -216,6 +216,36 @@ object SparkEntry {
           round(max("l_extendedprice"), 2).as("hi"))
         .orderBy("l_returnflag", "qbin")
     }),
+    // ---- §2.3 layout: rechunk_for_blockwise analog (core.py:634-664) ----
+    // The reference auto-rechunks so chunk boundaries align with group
+    // boundaries (core.py:2666-2667); here the same layout decision is a
+    // bucketed write. The query writes lineitem bucketed+sorted on the
+    // group key into the session catalog, reduces reading the bucketed
+    // table back, and FAILS FAST if the aggregation plans any Exchange —
+    // so this driver row pins the no-shuffle plan shape AND the values
+    // (plain-groupBy oracle), not just one of them.
+    "q_bucketed" -> ((s, d) => {
+      val table = "graft_q_bucketed_lineitem"
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      // clear stale files from a previous session (managed-table CREATE
+      // refuses a non-empty location it no longer knows about)
+      val wh = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.sessionState.catalog.getDefaultDBPath("default")),
+        table)
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      Layout.writeBucketed(
+        T(s, d, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice"),
+        table, Seq("l_returnflag"), buckets = 4)
+      val reduced = GroupByReduce.reduce(s.table(table), Seq("l_returnflag"),
+        Seq(Agg("count", "l_quantity", "n"),
+            Agg("sum", "l_quantity", "sum_qty"),
+            Agg("sum", "l_extendedprice", "sum_price", exactScale = Some(2))),
+        sort = false)
+      val plan = reduced.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"bucketed reduction must not shuffle; plan:\n$plan")
+      reduced.orderBy("l_returnflag")
+    }),
     // ---- binning (reference core.py:803-823; empty bins kept+filled) ----
     "q_bins" -> ((s, d) => {
       val edges  = Seq(0.0, 10.0, 25.0, 40.0, 50.0, 100.0)
@@ -423,6 +453,13 @@ object SparkEntry {
     "q_mincount_fill" ->
       (s"SELECT l_orderkey, coalesce(CASE WHEN count($VALID) >= 1"
         + s" THEN coalesce(sum($VALID), 0.0) END, -1.0) AS sum_valid"
+        + " FROM lineitem GROUP BY 1 ORDER BY 1"),
+    // same reduction as the bucketed-table read; the layout claim (zero
+    // Exchange) is enforced inside the query itself, so a hash match here
+    // certifies the no-shuffle path computes the true grouped reduction
+    "q_bucketed" ->
+      ("SELECT l_returnflag, count(l_quantity) AS n, sum(l_quantity) AS sum_qty,"
+        + " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price"
         + " FROM lineitem GROUP BY 1 ORDER BY 1"),
     "q_qcut_by" ->
       ("WITH e AS (SELECT l_returnflag,"
