@@ -41,6 +41,32 @@ object LlmQueries {
   private val QuantSqlDouble =
     "list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT))"
 
+  /** LSH-replay constants + SQL fragments shared by the q_ann_lsh and
+    * q_decontaminate_embed_lsh oracle pairs (single-sourced so the two
+    * replays cannot drift). maxPlanes=10 covers corpora to 64*2^10 =
+    * 65,536 vectors — any correctness sf; quantized integer dots stay
+    * below 2^53, so the sign test is exact in DuckDB's double
+    * list_dot_product. */
+  private[graft] val LshOracleTables = 8
+  private[graft] val LshOracleMaxPlanes = 10
+
+  /** (t, p, w) hyperplane literals — the same splitmix planes, quantized
+    * to the same 1e-6 grid, that Similarity.lshBucket bakes into the
+    * Spark plan. */
+  private def lshPlaneRowsSql: String =
+    (for (t <- 0 until LshOracleTables; p <- 0 until LshOracleMaxPlanes) yield {
+      val w = Similarity.hyperplane(t, p, 64).map(x => math.round(x * Similarity.Quant))
+      s"($t, $p, [${w.mkString(",")}])"
+    }).mkString(", ")
+
+  /** Similarity.autoPlanes' integer sizing rule as a SQL CASE over a
+    * count(*) aggregation of the corpus. */
+  private def lshPlanesCaseSql: String =
+    "CASE " + (4 to LshOracleMaxPlanes).map {
+      case p if p == LshOracleMaxPlanes => s"ELSE $LshOracleMaxPlanes END"
+      case p => s"WHEN count(*) <= ${64L * (1L << p)} THEN $p"
+    }.mkString(" ")
+
   // marker lists must stay in sync with TextAnalysis.LangMarkers
   private def sqlHits(words: Seq[String]): String =
     s"len(list_filter(w, x -> list_contains([${words.map("'" + _ + "'").mkString(",")}], x)))"
@@ -113,6 +139,22 @@ object LlmQueries {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_l", "id_r")
     }),
+    // bucketed big x big decontamination (Similarity.crossNeighborsLsh):
+    // both corpora hash into the SAME deterministic hyperplane sign
+    // buckets and candidates come from a cross-set (table, bucket)
+    // equality join — never a cartesian (SimilaritySpec pins the plan).
+    // The oracle replays planes + sizing + buckets + exact verify
+    // (the q_ann_lsh construction), so recall does not affect matching.
+    "q_decontaminate_embed_lsh" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.crossNeighborsLsh(
+        e.where(col("vec_id") >= 100), e.where(col("vec_id") < 100),
+        "vec_id", "embedding", 0.4,
+        planes = Similarity.autoPlanes(e.count(), maxPlanes = LshOracleMaxPlanes),
+        tables = LshOracleTables, dim = 64)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_l", "id_r")
+    }),
     "q_ann_topk" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       Similarity.topK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
@@ -131,8 +173,9 @@ object LlmQueries {
     "q_ann_lsh" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       Similarity.lshNeighbors(e, "vec_id", "embedding",
-        threshold = 0.35, planes = Similarity.autoPlanes(e.count(), maxPlanes = 10),
-        tables = 8, dim = 64)
+        threshold = 0.35,
+        planes = Similarity.autoPlanes(e.count(), maxPlanes = LshOracleMaxPlanes),
+        tables = LshOracleTables, dim = 64)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")
     }),
@@ -642,6 +685,24 @@ object LlmQueries {
           + " round(list_dot_product(a.q, b.q) / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE)), 6) AS cos"
           + " FROM n a JOIN n b ON a.vec_id >= 100 AND b.vec_id < 100)"
           + " WHERE cos >= 0.4 ORDER BY 1, 2"),
+      "q_decontaminate_embed_lsh" ->
+        // same plane-literal replay as q_ann_lsh (shared fragments above);
+        // buckets are a function of the vector alone, so one bk table
+        // serves both sides and the cross-set constraint lives in the
+        // candidate join — mirroring crossNeighborsLsh's equality join
+        (s"WITH pl(t, p, w) AS (VALUES $lshPlaneRowsSql),"
+          + s" np AS (SELECT $lshPlanesCaseSql AS planes FROM embeddings),"
+          + s" n AS $qn,"
+          + " bk AS (SELECT e.vec_id, pl.t,"
+          + " sum(CASE WHEN list_dot_product(e.q, pl.w) > 0 THEN 1 << pl.p ELSE 0 END) AS bucket"
+          + " FROM n e CROSS JOIN pl WHERE pl.p < (SELECT planes FROM np) GROUP BY 1, 2),"
+          + " cand AS (SELECT DISTINCT a.vec_id AS id_l, b.vec_id AS id_r FROM bk a JOIN bk b"
+          + " ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id >= 100 AND b.vec_id < 100)"
+          + " SELECT id_l, id_r,"
+          + " round(list_dot_product(x.q, y.q) / (sqrt(x.nsq::DOUBLE) * sqrt(y.nsq::DOUBLE)), 6) AS cos"
+          + " FROM cand JOIN n x ON cand.id_l = x.vec_id JOIN n y ON cand.id_r = y.vec_id"
+          + " WHERE list_dot_product(x.q, y.q) / (sqrt(x.nsq::DOUBLE) * sqrt(y.nsq::DOUBLE)) >= 0.4"
+          + " ORDER BY 1, 2"),
       "q_dedup_embed" ->
         (s"WITH n AS $qn, dup AS (SELECT DISTINCT b.vec_id AS id FROM n a JOIN n b"
           + " ON a.vec_id < b.vec_id"
@@ -685,21 +746,9 @@ object LlmQueries {
         // are fixed literals (quantized to the same 1e-6 grid), the plane
         // count replays Similarity.autoPlanes' integer rule from
         // count(embeddings), and candidates verify with the exact cosine.
-        // Planes emitted up to p=10 cover corpora to 65k vectors (any
-        // correctness sf); quantized integer dots are < 2^53, so the sign
-        // test is exact in DuckDB's double list_dot_product.
-        val tables = 8
-        val maxPlanes = 10
-        val planeRows = (for (t <- 0 until tables; p <- 0 until maxPlanes) yield {
-          val w = Similarity.hyperplane(t, p, 64).map(x => math.round(x * Similarity.Quant))
-          s"($t, $p, [${w.mkString(",")}])"
-        }).mkString(", ")
-        val planesCase = ("CASE " + (4 to maxPlanes).map {
-          case p if p == maxPlanes => s"ELSE $maxPlanes END"
-          case p => s"WHEN count(*) <= ${64L * (1L << p)} THEN $p"
-        }.mkString(" "))
-        (s"WITH pl(t, p, w) AS (VALUES $planeRows),"
-          + s" np AS (SELECT $planesCase AS planes FROM embeddings),"
+        // Plane/sizing SQL single-sourced with q_decontaminate_embed_lsh.
+        (s"WITH pl(t, p, w) AS (VALUES $lshPlaneRowsSql),"
+          + s" np AS (SELECT $lshPlanesCaseSql AS planes FROM embeddings),"
           + s" n AS $qn,"
           + " bk AS (SELECT e.vec_id, pl.t,"
           + " sum(CASE WHEN list_dot_product(e.q, pl.w) > 0 THEN 1 << pl.p ELSE 0 END) AS bucket"

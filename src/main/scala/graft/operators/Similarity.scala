@@ -70,18 +70,22 @@ object Similarity {
   /** Cross-set pairs with cosine >= threshold — embedding-level
     * train/test decontamination (the semantic twin of
     * [[Dedup.crossNearDupPairs]]): every (left, right) pair above the
-    * threshold, exact quantized cosine. With `broadcastRight` (the
+    * threshold, exact quantized cosine. With `broadcastRight=true` (the
     * decontamination shape: the right/eval side is small) the left corpus
-    * is scored in place, one linear pass, never shuffled — opt-in like
-    * crossNearDupPairs' flag, since broadcasting an unexpectedly large
-    * right side would OOM where the shuffle join completes. */
+    * is scored in place, one linear pass, never shuffled — but an
+    * unconditional broadcast OOMs on a large right side. With `false` the
+    * join is an UNBUCKETED CARTESIAN — exact, but quadratic: only for
+    * two small corpora (e.g. reranking candidate sets). The parameter has
+    * NO default (VERDICT r4): both shapes are dangerous on the wrong
+    * inputs, so the caller must state which corpus geometry it has. For
+    * big x big use [[crossNeighborsLsh]], the bucketed candidate path. */
   def crossPairs(
       left: DataFrame,
       right: DataFrame,
       idCol: String,
       embCol: String,
       threshold: Double,
-      broadcastRight: Boolean = false): DataFrame = {
+      broadcastRight: Boolean): DataFrame = {
     val l  = prepared(left, idCol, embCol)
     val r0 = prepared(right, idCol, embCol)
     val r  = if (broadcastRight) broadcast(r0) else r0
@@ -312,6 +316,92 @@ object Similarity {
       cache: Boolean = true): DataFrame =
     lshNeighborsManaged(df, idCol, embCol, threshold, planes, tables, dim, cache)._1
 
+  /** (id, t, bucket) sign-bucket table of a prepared (id, q, nsq)
+    * projection — the LSH candidate key shared by [[lshNeighborsManaged]]
+    * (self-join) and [[crossNeighborsLshManaged]] (cross-set join). */
+  private def signBucketTable(p: DataFrame, tables: Int, planes: Int, dim: Int): DataFrame =
+    p.select(
+      col("id"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"), lshBucket(col("q"), t, planes, dim).as("bucket"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.t"), col("bk.bucket"))
+
+  /** Cross-set approximate neighbor pairs — the bucketed big x big form of
+    * [[crossPairs]]: both corpora hash into the SAME deterministic
+    * hyperplane sign buckets, candidates come from a (table, bucket)
+    * equality join across the sets (never a cartesian), and every
+    * candidate is verified with the exact quantized cosine. Precision is
+    * exact; recall follows the same S-curve as [[lshNeighbors]] (raise
+    * `tables`, or lower `planes`, to push it up). This is the
+    * decontamination path when the "eval" side is NOT broadcast-sized —
+    * e.g. scoring one 100 TB corpus snapshot against another. */
+  def crossNeighborsLsh(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      planes: Int = 0,
+      tables: Int = 8,
+      dim: Int = 0,
+      cache: Boolean = true): DataFrame =
+    crossNeighborsLshManaged(left, right, idCol, embCol, threshold,
+      planes, tables, dim, cache)._1
+
+  /** [[crossNeighborsLsh]] plus a release handle for the two persisted
+    * projections — same cache-lifecycle contract as the other `*Managed`
+    * variants. */
+  def crossNeighborsLshManaged(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      planes: Int = 0,
+      tables: Int = 8,
+      dim: Int = 0,
+      cache: Boolean = true): (DataFrame, () => Unit) = {
+    // each projection feeds two branches (bucket build + its verify side):
+    // persist so each corpus is scanned once (same rationale as
+    // lshNeighborsManaged; the bucket tables feed one branch each and are
+    // not persisted)
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def maybeCache(d: DataFrame): DataFrame =
+      if (cache) {
+        persisted += d
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else d
+    val release = () => persisted.foreach(_.unpersist(false))
+    val pL = maybeCache(prepared(left, idCol, embCol))
+    val pR = maybeCache(prepared(right, idCol, embCol))
+    val actualDim =
+      if (dim > 0) dim
+      else pL.select(size(col("q"))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    if (actualDim == 0) // empty left corpus: empty result, right schema
+      return (pL.select(col("id").as("id_l"), col("id").as("id_r"),
+        lit(0.0).as("cos")).where(lit(false)), release)
+    // plane count sized by the combined corpus: per-bucket occupancy is
+    // (nL + nR) / 2^planes and the cross-candidate cost per bucket is
+    // occL * occR, so the sum is the conservative sizing input
+    val actualPlanes =
+      if (planes > 0) planes
+      else autoPlanes(
+        if (cache) pL.count() + pR.count() else left.count() + right.count())
+    val cand = signBucketTable(pL, tables, actualPlanes, actualDim).as("a")
+      .join(signBucketTable(pR, tables, actualPlanes, actualDim).as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
+      .distinct()
+    val result = cand
+      .join(pL.as("pa"), col("id_l") === col("pa.id"))
+      .join(pR.as("pb"), col("id_r") === col("pb.id"))
+      .select(col("id_l"), col("id_r"),
+        cosineQ(dotQ(col("pa.q"), col("pb.q")), col("pa.nsq"), col("pb.nsq")).as("cos"))
+      .where(col("cos") >= threshold)
+    (result, release)
+  }
+
   /** [[lshNeighbors]] plus a release handle for the persisted
     * intermediates — same cache-lifecycle contract as
     * [[graft.operators.Dedup.nearDupPairsManaged]]. */
@@ -347,12 +437,7 @@ object Similarity {
     // same cached-vs-raw counting rule as ivfNeighborsManaged
     val actualPlanes =
       if (planes > 0) planes else autoPlanes(if (cache) p.count() else df.count())
-    val buckets = maybeCache(p.select(
-      col("id"),
-      explode(array((0 until tables).map { t =>
-        struct(lit(t).as("t"), lshBucket(col("q"), t, actualPlanes, actualDim).as("bucket"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("bk.t"), col("bk.bucket")))
+    val buckets = maybeCache(signBucketTable(p, tables, actualPlanes, actualDim))
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")

@@ -49,7 +49,9 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq("count" -> "n")).count() == 0)
     assert(Quantiles.exactQuantileSelect(emptyVals, Seq("label"), "v", Seq(0.5)).count() == 0)
     val e = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
-    assert(Similarity.crossPairs(e, e, "vec_id", "embedding", 0.5).count() == 0)
+    assert(Similarity.crossPairs(e, e, "vec_id", "embedding", 0.5,
+      broadcastRight = false).count() == 0)
+    assert(Similarity.crossNeighborsLsh(e, e, "vec_id", "embedding", 0.5).count() == 0)
   }
 
   test("dedup family on empty input returns empty") {
