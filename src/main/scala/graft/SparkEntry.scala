@@ -303,6 +303,22 @@ object SparkEntry {
         Seq(col("ts"), col("event_id")), "cum_prod")
         .select("event_id", "user_id", "cum_prod").orderBy("event_id")
     }),
+    // user-defined scan (reference's public Scan dataclass,
+    // aggregations.py:577-598): running sum of squares via the
+    // CustomScan (window, carry, carryFold, combine) spec — the scan
+    // counterpart of q_custom_agg. Integer-valued doubles keep the
+    // sum-of-squares exact in both engines.
+    "q_custom_scan" -> ((s, d) => {
+      val df = ev(s, d).withColumn("v3", (col("event_id") % 5 + 1).cast("double"))
+      GroupByScan.scan(df, "v3", Seq("user_id"), "custom",
+        Seq(col("ts"), col("event_id")), "cum_sumsq",
+        custom = Some(GroupByScan.CustomScan(
+          window = (v, w) => sum(v * v).over(w),
+          carry = v => sum(v * v),
+          carryFold = (c, w) => sum(c).over(w),
+          combine = (l, p) => l + coalesce(p, lit(0.0)))))
+        .select("event_id", "user_id", "cum_sumsq").orderBy("event_id")
+    }),
     // string-valued aggregations (reference supports strings for
     // count/first/last/mode, aggregate_npg.py:90-105, SURVEY §1.2)
     "q_string_agg" -> ((s, d) => reduceRF(s, d,
@@ -533,6 +549,10 @@ object SparkEntry {
       (s"SELECT event_id, user_id, count($EVAL)"
         + " OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         + " AS n_valid_so_far FROM events ORDER BY event_id"),
+    "q_custom_scan" ->
+      ("SELECT event_id, user_id, sum(CAST(event_id % 5 + 1 AS DOUBLE) * CAST(event_id % 5 + 1 AS DOUBLE))"
+        + " OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        + " AS cum_sumsq FROM events ORDER BY event_id"),
     "q_string_agg" ->
       ("WITH m AS (SELECT l_returnflag, min(v) AS mode_ls FROM ("
         + " SELECT l_returnflag, v, c, max(c) OVER (PARTITION BY l_returnflag) AS mx FROM ("

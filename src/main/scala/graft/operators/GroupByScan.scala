@@ -28,6 +28,36 @@ object GroupByScan {
     "ffill", "bfill", "cumcount",
     "cummax", "cummin", "nancummax", "nancummin")
 
+  /** User-defined scan — the Spark form of the reference's public `Scan`
+    * dataclass (aggregations.py:577-598, exported `__init__.py:6`), the
+    * scan counterpart of [[Agg.custom]]. The caller supplies the same
+    * pieces every built-in compiles to, so a custom func rides both the
+    * single-window [[GroupByScan.scan]] and the Blelloch chunk-carry
+    * [[GroupByScan.scanChunked]] unchanged:
+    *
+    * @param window    running expression over the incremental frame —
+    *                  `(value, frameSpec) => agg(value).over(frameSpec)`
+    *                  (the reference's blockwise `scan` kernel)
+    * @param carry     per-chunk aggregate equal to the window's last
+    *                  in-chunk value (the reference's `reduction`)
+    * @param carryFold running fold of preceding-chunk carries —
+    *                  `(carryCol, exclusivePrefixSpec) => Column`. For an
+    *                  associative scan this is the plain running aggregate
+    *                  of the carries (sum for additive scans, min/max for
+    *                  extremal ones) — it is a SEPARATE piece because the
+    *                  window expression may transform the value first
+    *                  (e.g. sum of squares must not re-square its carries).
+    * @param combine   folds the preceding-chunks carry into each local
+    *                  value (the reference's `binary_op`); the carry is
+    *                  NULL for a group's first chunk — handle it
+    *                  (`coalesce(prev, identity)`).
+    */
+  final case class CustomScan(
+      window: (Column, WindowSpec) => Column,
+      carry: Column => Column,
+      carryFold: (Column, WindowSpec) => Column,
+      combine: (Column, Column) => Column)
+
   /** Appends output column `as` = scan of `value` within each `by` group
     * ordered by `orderBy`. All other columns pass through (a scan is
     * shape-preserving, one output row per input row).
@@ -48,10 +78,13 @@ object GroupByScan {
       orderBy: Seq[Column],
       as: String,
       exactScale: Option[Int] = None,
-      limit: Int = 0): DataFrame = {
+      limit: Int = 0,
+      custom: Option[CustomScan] = None): DataFrame = {
     require(limit >= 0, s"limit must be >= 0 (got $limit)")
     require(limit == 0 || func == "ffill" || func == "bfill",
       s"limit only applies to ffill/bfill (got func=$func)")
+    require(custom.isEmpty == (func != "custom"),
+      "func=custom requires (and is required by) a CustomScan spec")
     val dt = df.schema(value).dataType
     val v  = col(value)
     val vn = nanToNull(v, dt)
@@ -69,7 +102,10 @@ object GroupByScan {
       case None => sum(c).over(w)
     }
 
-    val expr = scanExpr(func, v, vn, dt, fwd, bwd, sumE)
+    val expr = custom match {
+      case Some(cs) => cs.window(v, fwd)
+      case None     => scanExpr(func, v, vn, dt, fwd, bwd, sumE)
+    }
     df.withColumn(as, expr)
   }
 
@@ -138,11 +174,14 @@ object GroupByScan {
       orderBy: Seq[Column],
       chunk: Column,
       as: String,
-      exactScale: Option[Int] = None): DataFrame = {
+      exactScale: Option[Int] = None,
+      custom: Option[CustomScan] = None): DataFrame = {
     val reserved = Seq("__chunk", "__carry", "__prev", "__jk")
     val clashes  = df.columns.toSeq.intersect(reserved)
     require(clashes.isEmpty,
       s"scanChunked reserves column names ${reserved.mkString("/")}; rename ${clashes.mkString(", ")} in the input")
+    require(custom.isEmpty == (func != "custom"),
+      "func=custom requires (and is required by) a CustomScan spec")
     val dt = df.schema(value).dataType
     val in = df.withColumn("__chunk", chunk)
     val keyCols  = by.map(col)
@@ -163,7 +202,8 @@ object GroupByScan {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val src = if (func == "nancumsum") vn else v
         in.withColumn(as, sum(src.cast(decT)).over(fwd)) // decimal until phase 3
-      } else scan(in, value, by :+ "__chunk", func, orderBy, as, exactScale)
+      } else scan(in, value, by :+ "__chunk", func, orderBy, as, exactScale,
+        custom = custom)
 
     def sumC(c: Column): Column = exactScale match {
       case Some(s) => sum(c.cast(org.apache.spark.sql.types.DecimalType(18, s)))
@@ -171,6 +211,7 @@ object GroupByScan {
     }
     // per-chunk carry reduction (the reference's `preop=grouped_reduce`)
     val carry: Column = func match {
+      case "custom"                  => custom.get.carry(v)
       case "cumsum"                  => sumC(v)
       case "nancumsum" if exactSum   => sumC(vn)
       case "nancumsum"               => coalesce(sumC(vn), lit(0).cast("double"))
@@ -191,6 +232,7 @@ object GroupByScan {
     val prevWin = Window.partitionBy(keyCols: _*).orderBy(col("__chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prev: Column = func match {
+      case "custom"                => custom.get.carryFold(col("__carry"), prevWin)
       case "cumsum" | "nancumsum"  => sum(col("__carry")).over(prevWin)
       case "cumprod" | "nancumprod" => product(col("__carry")).over(prevWin)
       case "cumcount"              => sum(col("__carry")).over(prevWin)
@@ -225,6 +267,7 @@ object GroupByScan {
       .join(carries.select(jk.as("__jk"), col("__prev")), "__jk")
       .drop("__jk")
     val combined: Column = func match {
+      case "custom" => custom.get.combine(col(as), col("__prev"))
       case "cumsum" if exactSum =>
         (col(as) + coalesce(col("__prev"), lit(0))).cast("double")
       case "nancumsum" if exactSum =>
