@@ -144,11 +144,18 @@ object CurationQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("lang", "rank")
     }),
-    // trailing 1-hour rolling window per user (range frame, micros-exact)
+    // trailing 1-hour rolling window per user (range frame, micros-exact);
+    // var/std ride the exact decimal power sums with one shared IEEE
+    // finalize on both sides (rounded to a grid far coarser than any
+    // cross-engine drift in sqrt)
     "q_rolling_1h" -> ((s, d) =>
       Rolling.rollingTime(SparkEntry.ev(s, d), Seq("user_id"), "ts", "1 hour",
-          "valn", Seq("count" -> "n_1h", "sum" -> "sum_1h"))
-        .select("event_id", "user_id", "n_1h", "sum_1h").orderBy("event_id")),
+          "valn", Seq("count" -> "n_1h", "sum" -> "sum_1h",
+            "var" -> "var0", "std" -> "std0"))
+        .withColumn("var_1h", round(col("var0"), 6))
+        .withColumn("std_1h", round(col("std0"), 6))
+        .select("event_id", "user_id", "n_1h", "sum_1h", "var_1h", "std_1h")
+        .orderBy("event_id")),
     // pandas rolling(5): row-count frame under the (ts, event_id) total order
     "q_rolling_rows" -> ((s, d) =>
       Rolling.rollingRows(SparkEntry.ev(s, d), Seq("user_id"),
@@ -249,14 +256,23 @@ object CurationQueries {
         + " row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, w) AS rank"
         + " FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)"
         + " GROUP BY 1, 2) WHERE rank <= 5 ORDER BY lang, rank"),
-    "q_rolling_1h" ->
+    "q_rolling_1h" -> {
+      // identical IEEE finalize as Rolling's varE: exact decimal power
+      // sums cast to double once, then (s2 - s1*s1/n) / (n - 1)
+      val s1 = "CAST(sum(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE)"
+      val s2 = "CAST(sum(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE)"
+      val n  = "CAST(count(v) OVER w AS DOUBLE)"
+      val varSql = s"CASE WHEN count(v) OVER w > 1 THEN ($s2 - $s1 * $s1 / $n) / ($n - 1.0) END"
       ("SELECT event_id, user_id, count(v) OVER w AS n_1h,"
-        + " CAST(sum(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h"
+        + s" CAST(sum(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h,"
+        + s" round($varSql, 6) AS var_1h,"
+        + s" round(sqrt($varSql), 6) AS std_1h"
         + " FROM (SELECT event_id, user_id, ts,"
         + " CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events)"
         + " WINDOW w AS (PARTITION BY user_id ORDER BY ts"
         + " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
-        + " ORDER BY event_id"),
+        + " ORDER BY event_id")
+    },
     "q_rolling_rows" ->
       ("SELECT event_id, user_id,"
         + " CAST(sum(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(v) OVER w AS mean_5,"

@@ -24,8 +24,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object Rolling {
 
   /** Supported rolling funcs: frame-capable builtins. (Positional and
-    * sketch funcs from the full registry don't support RANGE frames.) */
-  val funcs: Set[String] = Set("count", "sum", "mean", "min", "max")
+    * sketch funcs from the full registry don't support RANGE frames.)
+    * var/std use the same 3-term power-sum decomposition as the grouped
+    * [[Agg]] variance — two frame sums + a count, finalized in one IEEE
+    * expression — with `ddof` from the rolling call (pandas
+    * `rolling().var(ddof=)`, default 1); frames with <= ddof valid values
+    * yield NULL. */
+  val funcs: Set[String] = Set("count", "sum", "mean", "min", "max", "var", "std")
 
   /** Appends one rolling-aggregate column per (func, as) pair.
     *
@@ -45,7 +50,8 @@ object Rolling {
       window: String,
       valueCol: String,
       aggs: Seq[(String, String)],
-      exactScale: Option[Int] = Some(2)): DataFrame = {
+      exactScale: Option[Int] = Some(2),
+      ddof: Int = 1): DataFrame = {
     require(aggs.nonEmpty, "need at least one rolling aggregation")
     val bad = aggs.map(_._1).filterNot(funcs)
     require(bad.isEmpty,
@@ -62,7 +68,7 @@ object Rolling {
     val w = Window.partitionBy(by.map(col): _*).orderBy(col("__rts"))
       .rangeBetween(-span, 0)
     val withTs = df.withColumn("__rts", unix_micros(col(tsCol)))
-    applyAggs(withTs, valueCol, aggs, exactScale, w).drop("__rts")
+    applyAggs(withTs, valueCol, aggs, exactScale, w, ddof).drop("__rts")
   }
 
   /** Row-count rolling window: each row aggregates itself and the
@@ -77,7 +83,8 @@ object Rolling {
       window: Int,
       valueCol: String,
       aggs: Seq[(String, String)],
-      exactScale: Option[Int] = Some(2)): DataFrame = {
+      exactScale: Option[Int] = Some(2),
+      ddof: Int = 1): DataFrame = {
     require(window >= 1, s"window must be >= 1 rows (got $window)")
     require(order.nonEmpty, "rollingRows needs an explicit total order")
     require(aggs.nonEmpty, "need at least one rolling aggregation")
@@ -86,7 +93,7 @@ object Rolling {
       s"unsupported rolling funcs: ${bad.mkString(", ")} (supported: ${funcs.mkString(", ")})")
     val w = Window.partitionBy(by.map(col): _*).orderBy(order: _*)
       .rowsBetween(-(window - 1).toLong, 0)
-    applyAggs(df, valueCol, aggs, exactScale, w)
+    applyAggs(df, valueCol, aggs, exactScale, w, ddof)
   }
 
   private def applyAggs(
@@ -94,7 +101,8 @@ object Rolling {
       valueCol: String,
       aggs: Seq[(String, String)],
       exactScale: Option[Int],
-      w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      ddof: Int = 1): DataFrame = {
     // an output name that replaces an input column (or repeats) would
     // silently corrupt later aggregates re-resolving against it
     val outNames = aggs.map(_._2)
@@ -109,6 +117,19 @@ object Rolling {
       case Some(s) => sum(vn.cast(DecimalType(18, s))).over(w).cast(DoubleType)
       case None    => sum(vn).over(w)
     }
+    // exact decimal sum of squares: the (18,s) x (18,s) product is decimal
+    // (37,2s) and its frame sum decimal(38,2s) — still exact for 2-decimal
+    // data; cast to double once, in the finalize
+    def sumSqE: Column = exactScale match {
+      case Some(s) =>
+        val dv = vn.cast(DecimalType(18, s))
+        sum(dv * dv).over(w).cast(DoubleType)
+      case None => sum(vn * vn).over(w)
+    }
+    def varE: Column = {
+      val n = count(vn).over(w).cast(DoubleType)
+      when(n > ddof, (sumSqE - sumE * sumE / n) / (n - lit(ddof.toDouble)))
+    }
     aggs.foldLeft(df) { case (d, (f, as)) =>
       d.withColumn(as, f match {
         case "count" => count(vn).over(w)
@@ -116,6 +137,8 @@ object Rolling {
         case "mean"  => sumE.cast(DoubleType) / count(vn).over(w)
         case "min"   => min(vn).over(w)
         case "max"   => max(vn).over(w)
+        case "var"   => varE
+        case "std"   => sqrt(varE)
       })
     }
   }

@@ -339,6 +339,41 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1.0, 2L -> 3.0, 3L -> 6.0, 4L -> 9.0, 5L -> 12.0, 6L -> 15.0))
   }
 
+  test("rolling var/std: 3-term decomposition vs brute force; <= ddof values -> NULL; peers deterministic") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val rows = Seq(
+      (1L, "u1", at(0), 1.0),
+      (2L, "u1", at(30), 2.0),
+      (3L, "u1", at(60), 4.0),
+      (4L, "u1", at(61), Double.NaN),   // NaN skipped: frame of rows 2,3
+      (5L, "u1", at(200), 8.0),         // singleton frame: n=1 <= ddof -> NULL
+      (6L, "u2", at(10), 16.0)
+    ).toDF("event_id", "user", "ts", "v")
+    val got = Rolling.rollingTime(rows, Seq("user"), "ts", "1 hour", "v",
+        Seq("var" -> "vv", "std" -> "sd"))
+      .select("event_id", "vv", "sd").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    def sampleVar(xs: Double*): Double = {
+      val n = xs.size.toDouble
+      val m = xs.sum / n
+      xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+    }
+    assert(got(1L) == ((None, None)))                         // n=1
+    assert(got(2L)._1.exists(v => math.abs(v.asInstanceOf[Double] - sampleVar(1.0, 2.0)) < 1e-9))
+    assert(got(3L)._1.exists(v => math.abs(v.asInstanceOf[Double] - sampleVar(1.0, 2.0, 4.0)) < 1e-9))
+    assert(got(4L)._1.exists(v => math.abs(v.asInstanceOf[Double] - sampleVar(2.0, 4.0)) < 1e-9))
+    assert(got(4L)._2.exists(s => math.abs(s.asInstanceOf[Double] - math.sqrt(sampleVar(2.0, 4.0))) < 1e-9))
+    assert(got(5L) == ((None, None)))
+    // equal timestamps are peers: both rows see the same 2-value variance
+    val t0 = at(0)
+    val peers = Rolling.rollingTime(
+      Seq((1L, "u", t0, 1.0), (2L, "u", t0, 3.0)).toDF("event_id", "user", "ts", "v"),
+      Seq("user"), "ts", "1 hour", "v", Seq("var" -> "vv"))
+      .select("event_id", "vv").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(peers(1L) == peers(2L) && math.abs(peers(1L) - 2.0) < 1e-9)
+  }
+
   test("rollingTime rejects unsupported funcs and month windows") {
     val rows = Seq((1L, "u", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
       .toDF("event_id", "user", "ts", "v")
