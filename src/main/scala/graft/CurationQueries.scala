@@ -82,12 +82,17 @@ object CurationQueries {
       val rep = Repetition.repetitionStats(docs, "doc_id", "text")
       val big = Repetition.topNgramStats(docs, "doc_id", "text", n = 2)
         .select(col("doc_id"), col("n_grams").as("n_bigrams"),
-          col("top_gram_cnt").as("top_bigram_cnt"))
+          col("top_gram_cnt").as("top_bigram_cnt"),
+          col("gram_chars").as("bigram_chars"),
+          col("dup_gram_chars").as("dup_bigram_chars"))
       rep.join(big, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
           col("top_cnt"), col("top_token"), col("top_chars"), col("token_chars"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"))
+          coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+          // Gopher's exact char-fraction numerator/denominator (r4 VERDICT)
+          coalesce(col("bigram_chars"), lit(0L)).as("bigram_chars"),
+          coalesce(col("dup_bigram_chars"), lit(0L)).as("dup_bigram_chars"))
         .orderBy("doc_id")
     }),
     // PII scan + redaction: per-pattern hit counts and a checksum of the
@@ -199,13 +204,17 @@ object CurationQueries {
         + " SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g FROM"
         + " (SELECT doc_id, string_split(text, ' ') w FROM documents))"
         + " GROUP BY 1, 2),"
-        + " big AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_cnt"
+        + " big AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_cnt,"
+        + " sum(c * len(g)) AS bigram_chars,"
+        + " sum(CASE WHEN c > 1 THEN c * len(g) ELSE 0 END) AS dup_bigram_chars"
         + " FROM bc GROUP BY 1)"
         + " SELECT rep.doc_id, n_tokens::BIGINT AS n_tokens, n_distinct::BIGINT AS n_distinct,"
         + " top_cnt::BIGINT AS top_cnt, top_token, top_chars::BIGINT AS top_chars,"
         + " token_chars::BIGINT AS token_chars,"
         + " coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,"
-        + " coalesce(top_bigram_cnt, 0)::BIGINT AS top_bigram_cnt"
+        + " coalesce(top_bigram_cnt, 0)::BIGINT AS top_bigram_cnt,"
+        + " coalesce(bigram_chars, 0)::BIGINT AS bigram_chars,"
+        + " coalesce(dup_bigram_chars, 0)::BIGINT AS dup_bigram_chars"
         + " FROM rep LEFT JOIN big USING (doc_id) ORDER BY 1"),
     "q_pii" -> {
       // redaction order mirrors Pii.Default: email -> phone -> ip

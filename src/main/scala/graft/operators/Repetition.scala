@@ -58,11 +58,14 @@ object Repetition {
   }
 
   /** Per-document repeated n-gram profile over NON-distinct word n-grams:
-    * {{{ id | n_grams | n_distinct_grams | top_gram_cnt }}}
-    * Gopher's "fraction of characters in repeated n-grams" reduces to
-    * these counts for fixed-width word grams (all grams have n words).
-    * Documents shorter than n words have no grams and drop out — keep
-    * them with a left join if every row must survive. */
+    * {{{ id | n_grams | n_distinct_grams | top_gram_cnt | gram_chars | dup_gram_chars }}}
+    * Gopher's "fraction of characters in repeated n-grams" is EXACTLY
+    * `dup_gram_chars / gram_chars`: the character mass
+    * `sum(length(g) * c)` restricted to grams with count > 1, over the
+    * total gram character mass (counts alone are only a proxy — grams
+    * have n words but not n chars). Integer masses, so grouped sums stay
+    * exact. Documents shorter than n words have no grams and drop out —
+    * keep them with a left join if every row must survive. */
   def topNgramStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 2, s"n-gram repetition needs n >= 2 (got $n)")
     graft.expressions.GraftFunctions.register(df.sparkSession)
@@ -74,9 +77,12 @@ object Repetition {
       .otherwise(array().cast("array<string>"))
     val grams = df.select(col(idCol).as("id"), explode(gramArr).as("g"))
     val gc = grams.groupBy("id", "g").agg(count(lit(1)).as("c"))
+    val mass = col("c") * length(col("g")).cast("long")
     gc.groupBy(col("id").as(idCol)).agg(
       sum("c").as("n_grams"),
       count(lit(1)).as("n_distinct_grams"),
-      max("c").as("top_gram_cnt"))
+      max("c").as("top_gram_cnt"),
+      sum(mass).as("gram_chars"),
+      sum(when(col("c") > 1, mass).otherwise(0L)).as("dup_gram_chars"))
   }
 }

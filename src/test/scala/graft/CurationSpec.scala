@@ -102,14 +102,21 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L) == ((4L, 2L, 3L, "xx", 7L, 6L)))
   }
 
-  test("topNgramStats: non-distinct bigrams; short docs drop") {
+  test("topNgramStats: non-distinct bigrams, char masses; short docs drop") {
     val docs = Seq(
-      (1L, "a b a b a"),  // bigrams: ab, ba, ab, ba -> top 2
-      (2L, "solo")        // no bigrams
+      (1L, "a b a b a"),   // bigrams: "a b","b a","a b","b a" -> top 2
+      (2L, "solo"),        // no bigrams
+      (3L, "x yy x zz")    // "x yy","yy x","x zz": all unique -> dup mass 0
     ).toDF("doc_id", "text")
     val got = Repetition.topNgramStats(docs, "doc_id", "text", n = 2)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    assert(got == Map(1L -> ((4L, 2L, 2L))))
+      .select("doc_id", "n_grams", "n_distinct_grams", "top_gram_cnt",
+        "gram_chars", "dup_gram_chars")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // doc 1: 4 grams of 3 chars each, all repeated -> mass 12, dup mass 12
+    // doc 3: "x yy"(4) + "yy x"(4) + "x zz"(4) = 12 chars, none repeated
+    assert(got == Map(1L -> ((4L, 2L, 2L, 12L, 12L)),
+                      3L -> ((3L, 3L, 1L, 12L, 0L))))
   }
 
   // ---- Pii ----
