@@ -94,9 +94,17 @@ object Packing {
     // last token sits at end-1, so it crosses (end-1 div c) - seq edges.
     // Integral `div`, not `/`: Spark's `/` on longs goes through double,
     // which rounds past 2^53 total tokens — div stays exact int64.
-    // Token counts are assumed > 0 (a 0-token document would report
-    // n_splits = -1 when it lands exactly on a boundary).
-    df.withColumn("__start", (end - col(tokenCol)).cast("long"))
+    // Fail fast on a NULL/non-positive token count instead of trusting it
+    // (r4 VERDICT): a 0-token document landing exactly on a capacity
+    // boundary would otherwise silently report n_splits = -1. The guard
+    // is a per-row expression riding the same projection — no extra pass.
+    val tok = col(tokenCol)
+    val tokChecked = when(tok.isNull || tok <= 0,
+      raise_error(concat(
+        lit(s"packing: token column `$tokenCol` must be > 0, got "),
+        coalesce(tok.cast("string"), lit("NULL")))))
+      .otherwise(tok)
+    df.withColumn("__start", (end - tokChecked).cast("long"))
       .withColumn(seqCol, expr(s"__start div ${capacity}L"))
       .withColumn(offsetCol, pmod(col("__start"), lit(capacity)).cast("long"))
       .withColumn(splitsCol,

@@ -76,4 +76,21 @@ class PackingSpec extends AnyFunSuite {
     // doc 3 starts at 210: seq 3, offset 210-192=18
     assert(got(("g", 3L)) == ((3L, 18L, 0L)))
   }
+
+  test("a 0-token (or NULL-token) document fails fast instead of reporting n_splits = -1") {
+    // doc 2 has 0 tokens and lands exactly on the capacity boundary —
+    // the silent-corruption case the guard exists for (r4 VERDICT)
+    val zero = Seq(("g", 1L, cap), ("g", 2L, 0L), ("g", 3L, 5L))
+      .toDF("g", "id", "toks")
+    val e = intercept[Exception] {
+      Packing.packSequences(zero, Seq("g"), Seq(col("id")), "toks", cap).collect()
+    }
+    assert(e.getMessage.contains("must be > 0"), e.getMessage)
+    val nul = Seq(("g", 1L, Some(10L)), ("g", 2L, None))
+      .toDF("g", "id", "toks")
+    val e2 = intercept[Exception] {
+      Packing.packSequences(nul, Seq("g"), Seq(col("id")), "toks", cap).collect()
+    }
+    assert(e2.getMessage.contains("must be > 0"), e2.getMessage)
+  }
 }
