@@ -248,10 +248,10 @@ object CurationQueries {
         + s" sum(${fpSql("ch")})::BIGINT AS checksum"
         + " FROM c GROUP BY 1 ORDER BY 1"),
     "q_sample_weighted" -> {
-      val swHits = ("len(list_filter(string_split(text, ' '),"
-        + " x -> list_contains(['the','a','of','to','and','in','is'], x)))")
-      val score = (s"least(floor(600 * $swHits * 5 / len(string_split(text, ' '))), 600)"
-        + " + least(len(text), 400)")
+      // score SQL single-sourced from TextAnalysis.qualityScoreSql (ADVICE
+      // r4): re-inlined literals here would silently drift if the Spark
+      // formula or stopword list changed
+      val score = TextAnalysis.qualityScoreSql("text", "string_split(text, ' ')")
       (s"WITH f AS (SELECT doc_id, source, text, ${fpSql("text")} AS h FROM documents),"
         + s" b AS (SELECT doc_id, source, ${Sampling.bucketSql("h", 5)} AS u,"
         + s" ($score)::DOUBLE / 1000.0 AS r FROM f)"

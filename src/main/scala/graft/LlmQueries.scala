@@ -67,9 +67,10 @@ object LlmQueries {
       case p => s"WHEN count(*) <= ${64L * (1L << p)} THEN $p"
     }.mkString(" ")
 
-  // marker lists must stay in sync with TextAnalysis.LangMarkers
+  // marker-hit SQL single-sourced from TextAnalysis (markerHitsSql) so
+  // the oracle cannot drift from the Spark-side word lists
   private def sqlHits(words: Seq[String]): String =
-    s"len(list_filter(w, x -> list_contains([${words.map("'" + _ + "'").mkString(",")}], x)))"
+    TextAnalysis.markerHitsSql(words, "w")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----
@@ -577,8 +578,7 @@ object LlmQueries {
       + TextAnalysis.LangMarkers.map { case (lang, _) => s"WHEN s_$lang = best THEN '$lang'" }
         .mkString(" ") + " END")
     val swHits = sqlHits(TextAnalysis.Stopwords)
-    val scoreExpr =
-      s"least(floor(600*$swHits*5 / len(w)), 600) + least(len(text), 400)"
+    val scoreExpr = TextAnalysis.qualityScoreSql("text", "w")
     // per-doc rolling fingerprint (same fold as q_fingerprint) — the key
     // the Sampling family scatters; thresholds/salts are interpolated from
     // the same Scala helpers the Spark plans use, so they cannot drift

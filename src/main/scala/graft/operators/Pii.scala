@@ -18,7 +18,14 @@ import org.apache.spark.sql.functions._
 object Pii {
 
   /** North-American-style phone (the TPC-H c_phone shape NN-NNN-NNN-NNNN
-    * included via the optional leading group). */
+    * included via the optional TRAILING `(-[0-9]{4})?` group).
+    *
+    * Oracle-interpolation constraint: these pattern constants are
+    * interpolated raw into single-quoted DuckDB SQL by the q_pii oracle
+    * (CurationQueries) — safe for the character-class/repetition subset
+    * used here, but a future pattern containing a single quote or
+    * backslash must be escaped there first (or the oracle builder grown
+    * an escaping helper) or the oracle breaks silently. */
   val Phone = "[0-9]{2,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?"
 
   /** Email addresses. */

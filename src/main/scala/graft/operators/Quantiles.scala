@@ -52,7 +52,7 @@ object Quantiles {
       qs: Seq[Double],
       as: String = "q",
       propagate: Boolean = false): DataFrame = {
-    validate(by, qs)
+    validate(by, qs, valueCol)
     val c       = counts(df, by, valueCol, propagate)
     val keyCols = by.map(col)
     val v       = col(valueCol)
@@ -86,10 +86,8 @@ object Quantiles {
       as: String = "q",
       propagate: Boolean = false,
       chunks: Int = 32): DataFrame = {
-    validate(by, qs)
+    validate(by, qs, valueCol)
     require(chunks >= 1, s"chunks must be >= 1 (got $chunks)")
-    require(!df.columns.contains("__k"),
-      "exactQuantileChunked reserves column name __k; rename it in the input")
     val c       = counts(df, by, valueCol, propagate)
     val keyCols = by.map(col)
     val v       = col(valueCol)
@@ -146,12 +144,8 @@ object Quantiles {
       as: String = "q",
       propagate: Boolean = false,
       chunks: Int = 32): DataFrame = {
-    validate(by, qs)
+    validate(by, qs, valueCol)
     require(chunks >= 1, s"chunks must be >= 1 (got $chunks)")
-    val reserved = Seq("__k", "__ch", "__r", "__excl", "__ccnt")
-    val clash = (by :+ valueCol).intersect(reserved)
-    require(clash.isEmpty,
-      s"exactQuantileSelect reserves ${reserved.mkString("/")}; rename ${clash.mkString(", ")}")
     val c       = counts(df, by, valueCol, propagate)
     val keyCols = by.map(col)
     val v       = col(valueCol)
@@ -221,10 +215,19 @@ object Quantiles {
     finalT.select(by.map(n => col(s"__k.$n").as(n)) :+ result: _*)
   }
 
-  private def validate(by: Seq[String], qs: Seq[Double]): Unit = {
+  private def validate(by: Seq[String], qs: Seq[Double], valueCol: String): Unit = {
     require(by.nonEmpty, "need at least one grouping column")
     require(qs.nonEmpty, "need at least one quantile")
     require(qs.forall(q => q >= 0.0 && q <= 1.0), s"quantiles must be in [0,1]: $qs")
+    // The operators create "__"-prefixed internals (__cnt/__nan/__cum/__n/
+    // __k/__ch/__r/__excl/__ccnt/__lo/__hi/__prev/__vlo<i>/__vhi<i>, plus
+    // scanChunked's __chunk/__carry/__jk on the chunked path). Enumerated
+    // lists kept going stale (ADVICE r4: a `by` named __n produced an
+    // opaque ambiguous-reference error instead of this message), so the
+    // contract is the prefix itself.
+    val clash = (by :+ valueCol).filter(_.startsWith("__"))
+    require(clash.isEmpty,
+      s"quantile operators reserve the __ column-name prefix for internals; rename ${clash.mkString(", ")} in the input")
   }
 
   /** (keys, distinct value) -> (__cnt valid rows, __nan NaN rows).

@@ -110,6 +110,18 @@ object TextAnalysis {
     (swPart + lenPart).cast("long")
   }
 
+  /** Oracle-SQL twin of [[stopwordHits]] (generic over any marker word
+    * list) over a pre-split token-array SQL expression — one source for
+    * both sides so they cannot drift (the [[fingerprintSql]] convention). */
+  def markerHitsSql(words: Seq[String], wExpr: String): String =
+    s"len(list_filter($wExpr, x -> list_contains([${words.map("'" + _ + "'").mkString(",")}], x)))"
+
+  /** Oracle-SQL twin of [[qualityScore]]: `textExpr` is the raw string
+    * expression, `wExpr` its split token array. */
+  def qualityScoreSql(textExpr: String, wExpr: String): String =
+    (s"least(floor(600*${markerHitsSql(Stopwords, wExpr)}*5 / len($wExpr)), 600)"
+      + s" + least(len($textExpr), 400)")
+
   /** Rolling polynomial fingerprint over characters:
     * h = fold(h * 31 + ascii(c)) mod 1e9+7. Every intermediate stays below
     * 2^35, so the fold is exact; unlike xxhash64 this is replayable in any

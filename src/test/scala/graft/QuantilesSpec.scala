@@ -146,6 +146,23 @@ class QuantilesSpec extends AnyFunSuite {
     assert(c == w, "chunked dropped the NULL-keyed group")
   }
 
+  test("__-prefixed by/value columns are rejected with a clear message (ADVICE r4)") {
+    // the old enumerated reserved lists missed names like __n/__nan,
+    // producing opaque ambiguous-reference errors; the contract is now
+    // the whole __ prefix, across all three forms
+    val df = Seq(("a", 1.0)).toDF("__n", "v")
+    val dfv = Seq(("a", 1.0)).toDF("k", "__nan")
+    for (f <- Seq[(org.apache.spark.sql.DataFrame, Seq[String], String) => Any](
+      (d, by, vc) => Quantiles.exactQuantile(d, by, vc, Seq(0.5)),
+      (d, by, vc) => Quantiles.exactQuantileChunked(d, by, vc, Seq(0.5)),
+      (d, by, vc) => Quantiles.exactQuantileSelect(d, by, vc, Seq(0.5)))) {
+      val e1 = intercept[IllegalArgumentException](f(df, Seq("__n"), "v"))
+      assert(e1.getMessage.contains("__ column-name prefix"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException](f(dfv, Seq("k"), "__nan"))
+      assert(e2.getMessage.contains("__ column-name prefix"), e2.getMessage)
+    }
+  }
+
   test("plan: no ObjectHashAggregate percentile buffer — hash agg + window only") {
     val df = data.toDF("k", "v")
     val p = Quantiles.exactQuantile(df, Seq("k"), "v", Seq(0.5))
