@@ -73,6 +73,7 @@ object GraftFunctions {
   val RollingFp2 = "graft_rolling_fp2"
   val TopK       = "graft_topk"
   val WordNgramsF = "graft_word_ngrams"
+  val SearchSorted = "graft_searchsorted"
 
   private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
     if (exprs.length != n) throw new IllegalArgumentException(
@@ -105,6 +106,9 @@ object GraftFunctions {
       WordNgrams(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Boolean])
+    },
+    SearchSorted -> { exprs =>
+      arity(SearchSorted, exprs, 2); SearchSortedRight(exprs(0), exprs(1))
     },
     TopK -> { exprs =>
       arity(TopK, exprs, 3)

@@ -64,13 +64,15 @@ object Binning {
     * 0-based quantile-bin index of `valueCol`, nBins bins with cut points
     * at the j/nBins exact quantiles.
     *
-    * Composition, all plan-side (no driver collect): the interior edges
-    * come from [[Quantiles.exactQuantile]] over a constant group — the
+    * Composition: the interior edges come from
+    * [[Quantiles.exactQuantileSelect]] over a constant group — the
     * memory-safe exact plan, so deriving edges from a 100 TB column
-    * cannot OOM — broadcast as a 1-row array and applied per row as
-    * bin = #{edges <= v} (left-closed cut points, ties to the upper bin,
-    * matching searchsorted-right). Edges are rounded to `edgeScale`
-    * decimals so the cut points are reproducible across engines (the
+    * cannot OOM — materialized once as <= nBins-1 literal doubles (a
+    * BOUNDED driver action: size is a caller parameter, never data-sized;
+    * see the inline note) and applied per row as bin = #{edges <= v}
+    * (left-closed cut points, ties to the upper bin, matching
+    * searchsorted-right). Edges are rounded to `edgeScale` decimals so
+    * the cut points are reproducible across engines (the
     * coarser-than-FP-drift / finer-than-data-resolution rule from the
     * oracle-parity notes); rows with NULL/NaN values get a NULL bin
     * (the missing-label code, dropped by reduce like any bin overflow).
@@ -100,18 +102,42 @@ object Binning {
       edgeScale: Int = 6,
       exact: Boolean = true,
       accuracy: Int = Aggregations.SketchAccuracy,
-      chunks: Int = 32): DataFrame = {
+      chunks: Int = 32): DataFrame =
+    qcutWithEdges(df, valueCol,
+      qcutEdges(df, valueCol, nBins, edgeScale, exact, accuracy, chunks), as)
+
+  /** The edge-derivation half of [[qcut]] — the INDEX-BUILD step. Returns
+    * the <= nBins-1 interior cut points, or None when the column has no
+    * valid values at all.
+    *
+    * This is a driver-side action, but a BOUNDED one: the result size is
+    * nBins-1 doubles — a caller parameter, independent of data volume
+    * (the IVF-centroid literalization contract). The data-sized work (the
+    * exact edge ranking) stays distributed. Derive once per corpus and
+    * reuse across [[qcutWithEdges]] calls — the edge job then runs once
+    * instead of riding every consumer of the binned plan. */
+  def qcutEdges(
+      df: DataFrame,
+      valueCol: String,
+      nBins: Int,
+      edgeScale: Int = 6,
+      exact: Boolean = true,
+      accuracy: Int = Aggregations.SketchAccuracy,
+      chunks: Int = 32): Option[Seq[Double]] = {
     require(nBins >= 2, s"qcut needs nBins >= 2 (got $nBins)")
     val reserved = Seq("__qcut_edges", "__g", "__qs")
     val clashes  = (df.columns.toSeq :+ valueCol).intersect(reserved)
     require(clashes.isEmpty,
       s"qcut reserves column names ${reserved.mkString("/")}; rename ${clashes.distinct.mkString(", ")} in the input")
     val qs = (1 until nBins).map(_.toDouble / nBins)
-    val edges =
+    val edgesDf =
       if (exact) {
-        val quantiles = Quantiles.exactQuantileSelect(
+        // dedup=false: a qcut column is near-unique continuous data, so
+        // the distinct-value shuffle would carry ~every row; raw-row
+        // ranking shuffles only partial aggregates + covering chunks
+        val quantiles = Quantiles.exactQuantileSelectTrusted(
           df.select(col(valueCol)).withColumn("__g", lit(1)),
-          Seq("__g"), valueCol, qs, as = "__qs", chunks = chunks)
+          Seq("__g"), valueCol, qs, as = "__qs", chunks = chunks, dedup = false)
         val edgeArr = if (qs.size == 1) array(col("__qs")) else col("__qs")
         quantiles.select(transform(edgeArr, e => round(e, edgeScale)).as("__qcut_edges"))
       } else {
@@ -121,15 +147,25 @@ object Binning {
             array(qs.map(lit): _*), lit(accuracy)).as("__qs"))
           .select(transform(col("__qs"), e => round(e, edgeScale)).as("__qcut_edges"))
       }
+    edgesDf.collect().headOption.flatMap(r => Option(r.getSeq[Double](0)))
+  }
+
+  /** The binning half of [[qcut]]: one codegen'd pass with the cut points
+    * baked in as a literal array — zero joins, zero extra jobs. `None`
+    * edges (no valid values) bin every row NULL, matching [[qcut]]'s
+    * NULL/NaN-bin semantics. */
+  def qcutWithEdges(
+      df: DataFrame,
+      valueCol: String,
+      edges: Option[Seq[Double]],
+      as: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession) // binByEdges
     val v = col(valueCol)
     val dt = df.schema(valueCol).dataType
-    // left join on true = cross join that SURVIVES an empty edge frame
-    // (all values NULL/NaN -> exact path yields no edge row): every input
-    // row is kept, and aggregate(NULL, ...) makes its bin NULL, matching
-    // the documented NULL/NaN-bin semantics and the sketch path.
-    df.join(broadcast(edges), lit(true), "left")
-      .withColumn(as, binByEdges(v, dt))
-      .drop("__qcut_edges")
+    edges match {
+      case Some(e) => df.withColumn(as, binByEdges(v, dt, typedlit(e)))
+      case None    => df.withColumn(as, lit(null).cast(IntegerType))
+    }
   }
 
   /** Per-GROUP equal-frequency binning: like [[qcut]], but the cut points
@@ -141,6 +177,12 @@ object Binning {
     * a broadcast-sized table whenever the group count is; rows with
     * NULL/NaN values, or in groups with no valid values, get a NULL bin.
     */
+  /** @param dedup as in [[Quantiles.exactQuantileSelect]]: false (the
+    *              default, like [[qcut]]) ranks raw rows — no full-data
+    *              shuffle, right for near-unique continuous value columns;
+    *              true collapses duplicate values first — right for
+    *              tie-heavy columns (integer scores), where a covering
+    *              chunk could otherwise hold most of a group's rows. */
   def qcutBy(
       df: DataFrame,
       by: Seq[String],
@@ -148,9 +190,11 @@ object Binning {
       nBins: Int,
       as: String,
       edgeScale: Int = 6,
-      chunks: Int = 32): DataFrame = {
+      chunks: Int = 32,
+      dedup: Boolean = false): DataFrame = {
     require(nBins >= 2, s"qcutBy needs nBins >= 2 (got $nBins)")
     require(by.nonEmpty, "qcutBy needs at least one grouping column")
+    graft.expressions.GraftFunctions.register(df.sparkSession) // binByEdges
     val reserved = Seq("__qcut_edges", "__qs", "__qk")
     val clashes  = (df.columns.toSeq :+ valueCol).intersect(reserved)
     require(clashes.isEmpty,
@@ -158,7 +202,7 @@ object Binning {
     val qs = (1 until nBins).map(_.toDouble / nBins)
     val quantiles = Quantiles.exactQuantileSelect(
       df.select((by :+ valueCol).map(col): _*), by, valueCol, qs,
-      as = "__qs", chunks = chunks)
+      as = "__qs", chunks = chunks, dedup = dedup)
     val edgeArr = if (qs.size == 1) array(col("__qs")) else col("__qs")
     // The join-back rides a struct key: a bare multi-column equi-join is
     // null-UNSAFE on the grouping columns, so NULL-keyed rows would get
@@ -179,11 +223,17 @@ object Binning {
       .drop("__qcut_edges", "__qk")
   }
 
-  /** searchsorted-right over the joined `__qcut_edges` array; NULL/NaN
-    * value or NULL edges -> NULL bin. */
-  private def binByEdges(v: Column, dt: DataType): Column =
+  /** searchsorted-right over an edge-array column (qcut: a literal array;
+    * qcutBy: the joined per-group `__qcut_edges`); NULL/NaN value or NULL
+    * edges -> NULL bin. Native codegen expression
+    * ([[graft.expressions.SearchSortedRight]]) — the `aggregate` HOF it
+    * replaces was CodegenFallback, interpreted once per binned row
+    * (measured ~60% of q_qcut's wall at sf0.1, the WordNgrams lesson
+    * again). Callers register [[graft.expressions.GraftFunctions]]. */
+  private def binByEdges(v: Column, dt: DataType,
+      edgeArr: Column = col("__qcut_edges")): Column =
     when(graft.functions.NanOps.isValid(v, dt),
-      aggregate(col("__qcut_edges"), lit(0),
-        (acc, e) => acc + when(v.cast("double") >= e, 1).otherwise(0)))
+      call_function(graft.expressions.GraftFunctions.SearchSorted,
+        edgeArr, v.cast("double")))
       .otherwise(lit(null).cast(IntegerType))
 }

@@ -136,6 +136,17 @@ object Quantiles {
     * work at any scale, and each surviving chunk ranks in its own task.
     * Results are bit-identical (QuantilesSpec pins all three forms).
     */
+  /** @param dedup  true (default): rank over the (keys, DISTINCT value)
+    *               count table — one full-data shuffle whose map-side
+    *               combine collapses duplicate values, the safe shape for
+    *               tie-heavy columns (a 99%-one-value column becomes one
+    *               row instead of one covering chunk holding 99% of the
+    *               data). false: rank raw rows — NO full-data shuffle at
+    *               all (the shuffles carry partial aggregates and the
+    *               ~2|qs|/chunks covering fraction only; the source is
+    *               scanned three times, column-pruned), the faster shape
+    *               for near-unique continuous columns. Bit-identical
+    *               results (QuantilesSpec). */
   def exactQuantileSelect(
       df: DataFrame,
       by: Seq[String],
@@ -143,10 +154,31 @@ object Quantiles {
       qs: Seq[Double],
       as: String = "q",
       propagate: Boolean = false,
-      chunks: Int = 32): DataFrame = {
+      chunks: Int = 32,
+      dedup: Boolean = true): DataFrame = {
     validate(by, qs, valueCol)
+    exactQuantileSelectTrusted(df, by, valueCol, qs, as, propagate, chunks, dedup)
+  }
+
+  /** [[exactQuantileSelect]] minus the user-facing __-prefix guard — for
+    * internal callers ([[Binning.qcut]]) that pass their OWN reserved
+    * internals (e.g. the `__g` constant group) as grouping columns and
+    * enforce their own clash guards at their API boundary. */
+  private[operators] def exactQuantileSelectTrusted(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      qs: Seq[Double],
+      as: String = "q",
+      propagate: Boolean = false,
+      chunks: Int = 32,
+      dedup: Boolean = true): DataFrame = {
+    require(by.nonEmpty, "need at least one grouping column")
+    require(qs.nonEmpty, "need at least one quantile")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0), s"quantiles must be in [0,1]: $qs")
     require(chunks >= 1, s"chunks must be >= 1 (got $chunks)")
-    val c       = counts(df, by, valueCol, propagate)
+    val c       = if (dedup) counts(df, by, valueCol, propagate)
+                  else rawCounts(df, by, valueCol, propagate)
     val keyCols = by.map(col)
     val v       = col(valueCol)
     val ck = c.withColumn("__k", struct(keyCols: _*))
@@ -161,21 +193,38 @@ object Quantiles {
         floor((v.cast("double") - col("__lo")) / span * chunks).cast("int"))))
     val withR = ck.join(rng, "__k").withColumn("__ch", chunkCol)
 
-    val chunkTot = withR.groupBy(col("__k"), col("__ch")).agg(sum("__cnt").as("__ccnt"))
-    val wk = Window.partitionBy(col("__k")).orderBy(col("__ch"))
-    val pref = chunkTot.withColumn("__excl",
-      coalesce(sum("__ccnt").over(wk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-
-    // 0-based ranks whose covering values the interpolation needs
-    val rankArr = array(qs.flatMap { q =>
-      val pos = (col("__n") - 1).cast("double") * q
+    // Per-group chunk histogram as ONE aggregation row: `chunks`
+    // conditional sums that ride the ordinary partial/final hash
+    // aggregation (map-side combined). The groupBy(k, ch) + exclusive-
+    // prefix window + explode/join covering pipeline this replaces cost
+    // 3-4 AQE stages of per-group metadata (~100 ms fixed each — most of
+    // qcut's wall, r5). Prefix sums / totals / the covering test are
+    // computed over the histogram ARRAY with per-element HOFs after a
+    // posexplode — deliberately: the pure column-arithmetic form
+    // (excl_i = c_0 + ... + c_{i-1} inlined per chunk per q-rank) is an
+    // O(chunks^2 * |qs|) expression tree that took Catalyst + Janino
+    // 20+ seconds to chew; the HOFs are interpreted but run once per
+    // (group, chunk) METADATA row, never per data row.
+    val histAggs = (0 until chunks).map(i =>
+      sum(when(col("__ch") === i, col("__cnt")).otherwise(0L)).as(s"__c$i"))
+    val hist = withR.groupBy(col("__k")).agg(histAggs.head, histAggs.tail: _*)
+    val harr = array((0 until chunks).map(i => col(s"__c$i")): _*)
+    val perChunk = hist.select(col("__k"), harr.as("__h"))
+      .select(col("__k"), col("__h"),
+        posexplode(col("__h")).as(Seq("__ch", "__ccnt")))
+      .withColumn("__excl",
+        coalesce(aggregate(slice(col("__h"), lit(1), col("__ch")),
+          lit(0L), (a, x) => a + x), lit(0L)))
+      .withColumn("__tot", aggregate(col("__h"), lit(0L), (a, x) => a + x))
+    // a chunk survives iff it covers the floor or ceil of some q-rank —
+    // the target ranks are a pure function of the group total
+    val covered = qs.flatMap { q =>
+      val pos = (col("__tot") - 1).cast("double") * q
       Seq(floor(pos).cast("long"), ceil(pos).cast("long"))
-    }: _*)
-    val targets = rng.select(col("__k"), explode(rankArr).as("__r"))
-      .where(col("__r") >= 0).distinct()
-    val relevant = targets.join(pref, Seq("__k"))
-      .where(col("__excl") <= col("__r") && col("__r") < col("__excl") + col("__ccnt"))
-      .select(col("__k"), col("__ch"), col("__excl")).distinct()
+    }.map(r => r >= 0 && col("__excl") <= r && r < col("__excl") + col("__ccnt"))
+      .reduce(_ || _)
+    val relevant = perChunk.where(covered)
+      .select(col("__k"), col("__ch"), col("__excl"))
 
     // rank only the surviving chunks: local running count + chunk prefix
     val filtered = withR.join(relevant, Seq("__k", "__ch"))
@@ -236,6 +285,28 @@ object Quantiles {
     * count (0 for non-float dtypes, which cannot hold a NaN — the group
     * still stays present, with a NULL result); it sorts first and never
     * covers a rank. */
+  /** Raw-row twin of [[counts]] for `dedup = false`: same
+    * (keys, value, __cnt, __nan) shape with one row PER INPUT ROW
+    * (__cnt 1, or 0 for propagate's kept NULL/NaN rows) — no shuffle at
+    * all, at the cost of re-scanning the (column-pruned) source per plan
+    * branch and ranking duplicates individually. Equivalent downstream by
+    * construction: rng sums match, 0-count rows never advance the running
+    * rank and never cover a pick interval. */
+  private def rawCounts(
+      df: DataFrame, by: Seq[String], valueCol: String, propagate: Boolean): DataFrame = {
+    val dt      = df.schema(valueCol).dataType
+    val keyCols = by.map(col)
+    val v       = col(valueCol)
+    if (propagate)
+      df.select(keyCols :+ NanOps.nanToNull(v, dt).as(valueCol) :+
+        when(NanOps.isValid(v, dt), 1L).otherwise(0L).as("__cnt") :+
+        (if (NanOps.isFloaty(dt)) when(isnan(v), 1L).otherwise(0L) else lit(0L))
+          .as("__nan"): _*)
+    else
+      df.where(NanOps.isValid(v, dt))
+        .select(keyCols :+ v :+ lit(1L).as("__cnt") :+ lit(0L).as("__nan"): _*)
+  }
+
   private def counts(
       df: DataFrame, by: Seq[String], valueCol: String, propagate: Boolean): DataFrame = {
     val dt      = df.schema(valueCol).dataType

@@ -98,11 +98,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"window leaked into topk:\n$p")
   }
 
-  test("qcut: edge frame broadcasts; big side is scanned, never shuffled for the join") {
+  test("qcut: binning is one codegen'd scan — literal edges, zero joins, zero exchanges") {
+    // r5: the <= nBins-1 edges are literalized (the bounded IVF-centroid
+    // contract), so the binned pass needs no broadcast join at all — the
+    // whole operator is a single projection over the scan
     val d = TestSpark.table("0.01", "lineitem")
     val p = plan(graft.operators.Binning.qcut(d, "l_extendedprice", 4, "b"))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"edge array should broadcast to the value rows:\n$p")
+    assert(p.contains("graft_searchsorted"), s"expected the native bin expression:\n$p")
+    assert(!p.contains("Join") && exchanges(p) == 0,
+      s"literal-edge binning must not join or shuffle:\n$p")
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"),
+      s"bin projection should stay inside codegen:\n$p")
   }
 
   test("embeddingDedup: anti join-back on the dropped-id set, exact verify inside") {

@@ -126,6 +126,25 @@ class QuantilesSpec extends AnyFunSuite {
     assert(sProp == wProp, "propagate (incl. all-NaN / all-NULL groups) diverged")
   }
 
+  test("selection dedup=false (raw-row ranking) equals dedup=true bit-for-bit") {
+    // duplicate-heavy values + NaNs: the case where raw rows and the
+    // distinct-value count table diverge structurally but must not
+    // diverge numerically
+    val df = data.toDF("k", "v").repartition(5)
+    for (prop <- Seq(false, true); ch <- Seq(1, 3, 32)) {
+      val a = Quantiles.exactQuantileSelect(df, Seq("k"), "v",
+        Seq(0.0, 0.25, 0.5, 0.9, 1.0), propagate = prop, chunks = ch, dedup = true)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      val b = Quantiles.exactQuantileSelect(df, Seq("k"), "v",
+        Seq(0.0, 0.25, 0.5, 0.9, 1.0), propagate = prop, chunks = ch, dedup = false)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      assert(a.keySet == b.keySet, s"prop=$prop ch=$ch")
+      for (k <- a.keySet)
+        assert(a(k).zip(b(k)).forall { case (x, y) =>
+          (x.isNaN && y.isNaN) || x == y }, s"prop=$prop ch=$ch key=$k: ${a(k)} vs ${b(k)}")
+    }
+  }
+
   test("selection keeps NULL-keyed groups and singleton q") {
     val df = Seq((Some("a"), 1.0), (None, 2.0), (None, 6.0), (Some("a"), 3.0))
       .toDF("k", "v").repartition(3)
