@@ -239,9 +239,13 @@ object SparkEntry {
       val table = "graft_q_bucketed_lineitem"
       s.sql(s"DROP TABLE IF EXISTS $table")
       // clear stale files from a previous session (managed-table CREATE
-      // refuses a non-empty location it no longer knows about)
+      // refuses a non-empty location it no longer knows about); resolve
+      // via the default database's actual location — getDefaultDBPath
+      // would answer ".../default.db", which is NOT where the default
+      // database lives (it sits at the warehouse root)
       val wh = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(s.sessionState.catalog.getDefaultDBPath("default")),
+        new org.apache.hadoop.fs.Path(
+          s.sessionState.catalog.getDatabaseMetadata("default").locationUri),
         table)
       wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
       Layout.writeBucketed(
