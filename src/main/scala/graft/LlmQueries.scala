@@ -366,7 +366,16 @@ object LlmQueries {
         Seq(Agg("count", "value", "n"),
             Agg("nansum", "value", "sum_value", exactScale = Some(2))))
       val name = s"graft_stream_window_${streamRuns.incrementAndGet()}"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      // The checkpoint of this one-shot AvailableNow replay is deleted in
+      // the finally below — it never serves recovery — so its WAL fsyncs
+      // are pure overhead: prefer a memory-backed tmpfs when the host has
+      // one. (A long-lived production stream checkpoints to durable
+      // storage; this is replay-and-discard scaffolding.)
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val ckpt =
+        if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+          java.nio.file.Files.createTempDirectory(shm, "graft-ckpt")
+        else java.nio.file.Files.createTempDirectory("graft-ckpt")
       // detach the (small) result from the memory sink so the sink table
       // and checkpoint can be cleaned up immediately — otherwise a driver
       // sweeping many data dirs accumulates one complete-mode table in
