@@ -54,6 +54,11 @@ object Stress {
       "doc_id", "text", broadcastEval = true).count())
     time("lshNeighbors")(Similarity.lshNeighbors(embs, "vec_id", "embedding", 0.35).count())
     time("ivfNeighbors")(Similarity.ivfNeighbors(embs, "vec_id", "embedding", 0.35).count())
+    // cross-set LSH (r5): both sides big — the shape crossPairs' cartesian
+    // cannot survive; replica split puts half the corpus on each side
+    time("crossNeighborsLsh")(Similarity.crossNeighborsLsh(
+      embs.where(col("vec_id") % 2 === 0), embs.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", 0.35).count())
 
     // topk agg vs the row_number window idiom: 3 giant groups is the
     // window's worst case (3 sort partitions carry everything); the agg's
