@@ -413,7 +413,24 @@ object Dedup {
       textCol: String,
       maxDist: Int = 3,
       tokenHash: Column => Column = xxhash64(_),
-      bitOf: (Column, Int) => Column = hashBit): DataFrame = {
+      bitOf: (Column, Int) => Column = hashBit): DataFrame =
+    simhashPairsManaged(df, idCol, textCol, maxDist, tokenHash, bitOf)._1
+
+  /** [[simhashPairs]] plus a release handle for the persisted signature
+    * table — same cache-lifecycle contract as [[nearDupPairsManaged]].
+    * The (id, sim) table feeds BOTH sides of the pigeonhole candidate
+    * join; without the persist the whole tokenize + 64-vote aggregation
+    * runs twice (measured: ~60% of the operator's wall at sf0.1). It is
+    * compact — 16 bytes per document — so it caches at any corpus size
+    * that fits the cluster's disk. */
+  def simhashPairsManaged(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3,
+      tokenHash: Column => Column = xxhash64(_),
+      bitOf: (Column, Int) => Column = hashBit,
+      cache: Boolean = true): (DataFrame, () => Unit) = {
     // chunkBits = 64/(maxDist+1): maxDist >= 15 would give chunks of < 4
     // bits (16 distinct values), whose buckets degenerate toward all-pairs
     // — the opposite of the 100 TB-safe claim. Fail fast instead.
@@ -421,10 +438,14 @@ object Dedup {
       s"maxDist must be in [0, 15] (got $maxDist): 64/(maxDist+1)-bit chunks below 4 bits degenerate to near-all-pairs buckets")
     val nChunks = maxDist + 1
     val chunkBits = 64 / nChunks
-    val sim = simhashCols(
+    val sim0 = simhashCols(
       df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
         .select(col("id"), tokenHash(col("t")).as("h")),
       "id", "h", bitOf)
+    val sim = if (cache)
+      sim0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sim0
+    val release = () => if (cache) { sim.unpersist(false); () } else ()
     val chunks = sim.select(
       col("id"), col("sim"),
       explode(array((0 until nChunks).map { c =>
@@ -433,7 +454,7 @@ object Dedup {
             .bitwiseAND(lit((1L << chunkBits) - 1)).as("v"))
       }: _*)).as("ck"))
       .select(col("id"), col("sim"), col("ck.chunk"), col("ck.v"))
-    chunks.as("a")
+    val result = chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v")
           && col("a.id") < col("b.id"))
@@ -441,6 +462,7 @@ object Dedup {
         hamming(col("a.sim"), col("b.sim")).as("dist"))
       .where(col("dist") <= maxDist)
       .distinct()
+    (result, release)
   }
 
   /** Embedding-cosine near-duplicate dedup, keep-smallest-id — the fifth
