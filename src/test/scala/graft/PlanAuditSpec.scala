@@ -152,6 +152,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges(p) == 1, s"rolling should shuffle once:\n$p")
     assert(p.contains("RangeFrame") || p.contains("RANGE BETWEEN"),
       s"expected a RANGE frame:\n$p")
+    // r5: the var/std power sums must RIDE that same window exchange —
+    // a second shuffle would mean the decomposition re-partitioned
+    val p2 = plan(graft.operators.Rolling.rollingTime(
+      rows, Seq("user"), "ts", "1 hour", "v",
+      Seq("count" -> "n", "sum" -> "s", "var" -> "vv", "std" -> "sd")))
+    assert(exchanges(p2) == 1, s"var/std must share the one window shuffle:\n$p2")
   }
 
   test("Pii.scan adds no shuffle or join: pure per-row projection") {
