@@ -58,6 +58,28 @@ object CurationQueries {
       + " list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)])"
       + " ELSE [array_to_string(w, ' ')] END AS grams FROM tok)")
 
+  /** DuckDB replay of the ExactSubstr window/island machinery shared by
+    * the q_dup_spans and q_substr_clean oracles: positional 5-token
+    * windows (parallel unnests zip position and fp lists), fp-pair
+    * occurrence counts, duplicated positions, gaps-and-islands merge —
+    * mirroring [[NgramOverlap.duplicateSpans]] step for step. */
+  private lazy val SpanCtes = {
+    val winStr = "array_to_string(w[i:i+4], ' ')"
+    ("WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),"
+      + " wins AS (SELECT doc_id,"
+      + " unnest(range(0, len(w) - 4)) AS pos,"
+      + s" unnest([${fpSql(winStr)} for i in range(1, len(w) - 3)]) AS f1,"
+      + s" unnest([${fp2Sql(winStr)} for i in range(1, len(w) - 3)]) AS f2"
+      + " FROM t WHERE len(w) >= 5),"
+      + " freq AS (SELECT f1, f2, count(*) AS c FROM wins GROUP BY 1, 2),"
+      + " dup AS (SELECT doc_id, pos FROM wins JOIN freq USING (f1, f2) WHERE c >= 2),"
+      + " isl0 AS (SELECT doc_id, pos,"
+      + " CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5"
+      + " THEN 0 ELSE 1 END AS nw FROM dup),"
+      + " isl AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos"
+      + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM isl0)")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact 5-gram decontamination (GPT-3 style): train docs sharing any
     // exact word 5-gram with the eval sources; eval gram set broadcast
@@ -76,6 +98,26 @@ object CurationQueries {
         .withColumn("dup_frac",
           round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
         .orderBy("doc_id")),
+    // ExactSubstr-style duplicated spans (Lee et al. 2022): maximal token
+    // ranges tiled by corpus-duplicated 5-token windows (within-doc
+    // repeats count, like the suffix-array original)
+    "q_dup_spans" -> ((s, d) =>
+      NgramOverlap.duplicateSpans(T(s, d, "documents"), "doc_id", "text",
+        windowTokens = 5)
+        .orderBy("doc_id", "span_start")),
+    // the removal applied: per-source doc counts, fully-emptied docs,
+    // surviving-token mass, and an exact clean-text checksum
+    "q_substr_clean" -> ((s, d) => {
+      val clean = NgramOverlap.removeDuplicateSpans(
+        T(s, d, "documents"), "doc_id", "text", windowTokens = 5)
+      clean.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("clean_text") === "", 1L).otherwise(0L)).as("n_emptied"),
+        sum(when(col("clean_text") === "", 0L)
+          .otherwise(size(split(col("clean_text"), " ")).cast("long"))).as("kept_tokens"),
+        sum(TextAnalysis.fingerprintFast(col("clean_text"))).as("checksum"))
+        .orderBy("source")
+    }),
     // Gopher-style repetition metrics: token profile + top-bigram counts
     "q_repetition" -> ((s, d) => {
       val docs = T(s, d, "documents")
@@ -188,6 +230,24 @@ object CurationQueries {
         + " count(CASE WHEN nd > 1 THEN 1 END) AS n_dup_grams,"
         + " round(count(CASE WHEN nd > 1 THEN 1 END)::DOUBLE / count(*), 6) AS dup_frac"
         + " FROM f JOIN freq USING (f1, f2) GROUP BY 1 ORDER BY 1"),
+    "q_dup_spans" -> (SpanCtes
+      + " SELECT doc_id, min(pos)::BIGINT AS span_start,"
+      + " (max(pos) + 5 - min(pos))::BIGINT AS span_tokens"
+      + " FROM isl GROUP BY doc_id, g ORDER BY 1, 2"),
+    "q_substr_clean" -> (SpanCtes
+      + ", spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 5 - min(pos) AS n"
+      + " FROM isl GROUP BY doc_id, g),"
+      + " covered AS (SELECT doc_id, unnest(range(s, s + n)) AS pos FROM spans),"
+      + " toks AS (SELECT doc_id, unnest(range(0, len(w))) AS pos, unnest(w) AS tok FROM t),"
+      + " kept AS (SELECT doc_id, pos, tok FROM toks ANTI JOIN covered USING (doc_id, pos)),"
+      + " clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct FROM kept GROUP BY doc_id)"
+      + " SELECT d.source, count(*) AS n_docs,"
+      + " sum(CASE WHEN coalesce(ct, '') = '' THEN 1 ELSE 0 END)::BIGINT AS n_emptied,"
+      + " sum(CASE WHEN coalesce(ct, '') = '' THEN 0"
+      + " ELSE len(string_split(ct, ' ')) END)::BIGINT AS kept_tokens,"
+      + s" sum(${fpSql("coalesce(ct, '')")})::BIGINT AS checksum"
+      + " FROM documents d LEFT JOIN clean USING (doc_id)"
+      + " GROUP BY 1 ORDER BY 1"),
     "q_repetition" ->
       ("WITH wc AS (SELECT doc_id, w, count(*) AS c FROM"
         + " (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)"

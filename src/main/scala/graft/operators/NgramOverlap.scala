@@ -100,4 +100,111 @@ object NgramOverlap {
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("__ndocs") > 1, 1)).as("n_dup_grams"))
   }
+
+  /** ExactSubstr-style duplicated-SPAN detection ("Deduplicating Training
+    * Data Makes Language Models Better", Lee et al. 2022 — the suffix-
+    * array dedup, re-expressed relationally): every `windowTokens`-token
+    * window whose exact text occurs >= `minCount` times in the corpus
+    * (counting repeats within a document, like ExactSubstr) marks its
+    * token range duplicated; overlapping/adjacent duplicated windows
+    * merge into maximal spans by a gaps-and-islands pass. A duplicated
+    * substring of any length >= windowTokens is tiled by duplicated
+    * windows, so the merged span recovers it exactly — the relational
+    * equivalent of the suffix-array scan, with windowTokens as the
+    * minimum match length.
+    *
+    * Returns one row per maximal span: (idCol, span_start, span_tokens),
+    * 0-based token offsets. Docs shorter than windowTokens have no
+    * windows and never report spans.
+    *
+    * Scale shape (100 TB): the corpus shuffles once as (id, pos,
+    * 16-byte fp-pair) window rows — linear, the [[duplicateGramStats]]
+    * topology with position kept; the frequency aggregation is map-side
+    * combined; span merging is one scan-shaped window by id. No suffix
+    * array, no sort of the corpus, no driver state.
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8,
+      minCount: Long = 2): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2 (got $windowTokens)")
+    require(minCount >= 2, s"minCount must be >= 2 (got $minCount)")
+    val reserved = Seq("__pos", "__g", "__f1", "__f2", "__nocc", "__new", "__isl",
+      "span_start", "span_tokens")
+    val clashes = (Seq(idCol, textCol)).intersect(reserved)
+    require(clashes.isEmpty,
+      s"duplicateSpans reserves ${reserved.mkString("/")}; rename ${clashes.mkString(", ")} in the input")
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val w = Dedup.tokens(col(textCol))
+    // positional, NON-distinct windows in document order; the size guard
+    // (one split per row) keeps short docs window-free, like
+    // [[Repetition.topNgramStats]]
+    val winArr = when(size(w) >= windowTokens,
+      Dedup.shinglesFast(col(textCol), windowTokens, distinct = false))
+      .otherwise(array().cast("array<string>"))
+    val wins = df
+      .select(col(idCol).as("id"), posexplode(winArr).as(Seq("__pos", "__g")))
+      .select(col("id"), col("__pos"),
+        TextAnalysis.fingerprintFast(col("__g")).as("__f1"),
+        TextAnalysis.fingerprint2Fast(col("__g")).as("__f2"))
+    val freq = wins.groupBy("__f1", "__f2").agg(count(lit(1)).as("__nocc"))
+    val dup = wins
+      .join(freq.where(col("__nocc") >= minCount), Seq("__f1", "__f2"))
+      .select(col("id"), col("__pos"))
+    // gaps-and-islands: window [pos, pos+L) merges with its predecessor
+    // when pos - prev <= L (overlap or adjacency); first row's NULL lag
+    // falls to the otherwise-branch and opens an island
+    val byId = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("__pos")
+    dup
+      .withColumn("__new",
+        when(col("__pos") - lag("__pos", 1).over(byId) <= windowTokens, 0)
+          .otherwise(1))
+      .withColumn("__isl", sum("__new").over(
+        byId.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("id").as(idCol), col("__isl"))
+      .agg(min("__pos").cast("long").as("span_start"),
+        (max("__pos") + windowTokens - min("__pos")).cast("long").as("span_tokens"))
+      .drop("__isl")
+  }
+
+  /** [[duplicateSpans]] applied: appends `as` = the text with every
+    * duplicated span's tokens removed (ExactSubstr's cut, applied to all
+    * occurrences — the aggressive variant appropriate for training-data
+    * cleaning). Docs with no spans pass through unchanged; a fully-
+    * duplicated doc becomes the empty string; NULL text stays NULL.
+    *
+    * Plan: covered (id, pos) rows from the spans — anti-join against the
+    * positional token table — per-doc ordered reassembly. All relational
+    * (the per-token work stays codegen'd; only the per-DOC reassembly
+    * sorts a doc-length array), one token-row shuffle — same linear
+    * class as the window fingerprints. */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8,
+      minCount: Long = 2,
+      as: String = "clean_text"): DataFrame = {
+    require(!df.columns.contains(as),
+      s"removeDuplicateSpans output column `$as` collides with input")
+    val spans = duplicateSpans(df, idCol, textCol, windowTokens, minCount)
+    val covered = spans.select(col(idCol).as("id"),
+      explode(sequence(col("span_start"),
+        col("span_start") + col("span_tokens") - 1)).as("__pos"))
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(Dedup.tokens(col(textCol))).as(Seq("__pos", "__t")))
+    val rebuilt = toks
+      .join(covered, Seq("id", "__pos"), "left_anti")
+      .groupBy(col("id").as("__rid"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__t")))),
+          x => x.getField("__t")), " ").as("__clean"))
+    df.join(rebuilt, df(idCol) === rebuilt("__rid"), "left")
+      .withColumn(as,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("__clean"), lit(""))))
+      .drop("__rid", "__clean")
+  }
 }
