@@ -48,6 +48,8 @@ object Stress {
     time("simhashPairs")(Dedup.simhashPairs(docs, "doc_id", "text").count())
     time("duplicateGramStats")(
       NgramOverlap.duplicateGramStats(docs, "doc_id", "text").count())
+    time("duplicateSpans")(
+      NgramOverlap.duplicateSpans(docs, "doc_id", "text", windowTokens = 5).count())
     time("contaminatedDocs")(NgramOverlap.contaminatedDocs(
       docs.where(!col("source").isin("src0", "src1", "src2")),
       docs.where(col("source").isin("src0", "src1", "src2")),
