@@ -69,10 +69,11 @@ object CurationQueries {
       + " wins AS (SELECT doc_id,"
       + " unnest(range(0, len(w) - 4)) AS pos,"
       + s" unnest([${fpSql(winStr)} for i in range(1, len(w) - 3)]) AS f1,"
-      + s" unnest([${fp2Sql(winStr)} for i in range(1, len(w) - 3)]) AS f2"
+      + s" unnest([${fp2Sql(winStr)} for i in range(1, len(w) - 3)]) AS f2,"
+      + s" unnest([${TextAnalysis.fingerprint3Sql(winStr)} for i in range(1, len(w) - 3)]) AS f3"
       + " FROM t WHERE len(w) >= 5),"
-      + " freq AS (SELECT f1, f2, count(*) AS c FROM wins GROUP BY 1, 2),"
-      + " dup AS (SELECT doc_id, pos FROM wins JOIN freq USING (f1, f2) WHERE c >= 2),"
+      + " freq AS (SELECT f1, f2, f3, count(*) AS c FROM wins GROUP BY 1, 2, 3),"
+      + " dup AS (SELECT doc_id, pos FROM wins JOIN freq USING (f1, f2, f3) WHERE c >= 2),"
       + " isl0 AS (SELECT doc_id, pos,"
       + " CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5"
       + " THEN 0 ELSE 1 END AS nw FROM dup),"
@@ -241,11 +242,17 @@ object CurationQueries {
       + " toks AS (SELECT doc_id, unnest(range(0, len(w))) AS pos, unnest(w) AS tok FROM t),"
       + " kept AS (SELECT doc_id, pos, tok FROM toks ANTI JOIN covered USING (doc_id, pos)),"
       + " clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct FROM kept GROUP BY doc_id)"
+      // NULL-text docs mirror the Spark side exactly: clean_text stays
+      // NULL there, so every CASE below skips them (n_emptied 0,
+      // kept/checksum contribute nothing) — without the text IS NULL
+      // guards a NULL-text doc would wrongly count as emptied
       + " SELECT d.source, count(*) AS n_docs,"
-      + " sum(CASE WHEN coalesce(ct, '') = '' THEN 1 ELSE 0 END)::BIGINT AS n_emptied,"
-      + " sum(CASE WHEN coalesce(ct, '') = '' THEN 0"
+      + " sum(CASE WHEN d.text IS NULL THEN 0"
+      + " WHEN coalesce(ct, '') = '' THEN 1 ELSE 0 END)::BIGINT AS n_emptied,"
+      + " sum(CASE WHEN d.text IS NULL THEN NULL"
+      + " WHEN coalesce(ct, '') = '' THEN 0"
       + " ELSE len(string_split(ct, ' ')) END)::BIGINT AS kept_tokens,"
-      + s" sum(${fpSql("coalesce(ct, '')")})::BIGINT AS checksum"
+      + s" sum(CASE WHEN d.text IS NULL THEN NULL ELSE ${fpSql("coalesce(ct, '')")} END)::BIGINT AS checksum"
       + " FROM documents d LEFT JOIN clean USING (doc_id)"
       + " GROUP BY 1 ORDER BY 1"),
     "q_repetition" ->

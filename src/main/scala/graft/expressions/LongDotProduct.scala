@@ -71,6 +71,7 @@ object GraftFunctions {
   val VecSum     = "graft_vecsum"
   val RollingFp  = "graft_rolling_fp"
   val RollingFp2 = "graft_rolling_fp2"
+  val RollingFp3 = "graft_rolling_fp3"
   val TopK       = "graft_topk"
   val WordNgramsF = "graft_word_ngrams"
   val SearchSorted = "graft_searchsorted"
@@ -97,6 +98,12 @@ object GraftFunctions {
     RollingFp2 -> { exprs =>
       arity(RollingFp2, exprs, 1)
       RollingFingerprint(exprs.head, base = 131L, mod = 998244353L)
+    },
+    // third fold (base 257, prime 1e9+9): the ~2^90 triple for
+    // match-then-DELETE operators (duplicateSpans)
+    RollingFp3 -> { exprs =>
+      arity(RollingFp3, exprs, 1)
+      RollingFingerprint(exprs.head, base = 257L, mod = 1000000009L)
     },
     // one-pass word n-grams: (text, n literal, distinct literal)
     WordNgramsF -> { exprs =>

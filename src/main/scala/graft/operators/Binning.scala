@@ -129,6 +129,12 @@ object Binning {
     val clashes  = (df.columns.toSeq :+ valueCol).intersect(reserved)
     require(clashes.isEmpty,
       s"qcut reserves column names ${reserved.mkString("/")}; rename ${clashes.distinct.mkString(", ")} in the input")
+    // the Trusted quantile path skips the __-prefix guard (qcut's own __g
+    // group is an internal); re-assert it for the CALLER's value column so
+    // a __-named input fails with the clear message, not an opaque
+    // ambiguous-reference error
+    require(!valueCol.startsWith("__"),
+      s"quantile operators reserve the __ column-name prefix for internals; rename $valueCol in the input")
     val qs = (1 until nBins).map(_.toDouble / nBins)
     val edgesDf =
       if (exact) {

@@ -118,7 +118,7 @@ object NgramOverlap {
     * windows and never report spans.
     *
     * Scale shape (100 TB): the corpus shuffles once as (id, pos,
-    * 16-byte fp-pair) window rows — linear, the [[duplicateGramStats]]
+    * 24-byte fp-triple) window rows — linear, the [[duplicateGramStats]]
     * topology with position kept; the frequency aggregation is map-side
     * combined; span merging is one scan-shaped window by id. No suffix
     * array, no sort of the corpus, no driver state.
@@ -131,7 +131,7 @@ object NgramOverlap {
       minCount: Long = 2): DataFrame = {
     require(windowTokens >= 2, s"windowTokens must be >= 2 (got $windowTokens)")
     require(minCount >= 2, s"minCount must be >= 2 (got $minCount)")
-    val reserved = Seq("__pos", "__g", "__f1", "__f2", "__nocc", "__new", "__isl",
+    val reserved = Seq("__pos", "__g", "__f1", "__f2", "__f3", "__nocc", "__new", "__isl",
       "span_start", "span_tokens")
     val clashes = (Seq(idCol, textCol)).intersect(reserved)
     require(clashes.isEmpty,
@@ -144,14 +144,20 @@ object NgramOverlap {
     val winArr = when(size(w) >= windowTokens,
       Dedup.shinglesFast(col(textCol), windowTokens, distinct = false))
       .otherwise(array().cast("array<string>"))
+    // fp TRIPLE (~2^90 joint space), not the statistics-grade pair: a
+    // cross-string collision here would DELETE non-duplicated text in
+    // removeDuplicateSpans, so window identity gets the contentKey-class
+    // collision budget (expected collisions < 0.1 at 10^13 windows)
+    // while the shuffle key stays 24 bytes and SQL-replayable
     val wins = df
       .select(col(idCol).as("id"), posexplode(winArr).as(Seq("__pos", "__g")))
       .select(col("id"), col("__pos"),
         TextAnalysis.fingerprintFast(col("__g")).as("__f1"),
-        TextAnalysis.fingerprint2Fast(col("__g")).as("__f2"))
-    val freq = wins.groupBy("__f1", "__f2").agg(count(lit(1)).as("__nocc"))
+        TextAnalysis.fingerprint2Fast(col("__g")).as("__f2"),
+        TextAnalysis.fingerprint3Fast(col("__g")).as("__f3"))
+    val freq = wins.groupBy("__f1", "__f2", "__f3").agg(count(lit(1)).as("__nocc"))
     val dup = wins
-      .join(freq.where(col("__nocc") >= minCount), Seq("__f1", "__f2"))
+      .join(freq.where(col("__nocc") >= minCount), Seq("__f1", "__f2", "__f3"))
       .select(col("id"), col("__pos"))
     // gaps-and-islands: window [pos, pos+L) merges with its predecessor
     // when pos - prev <= L (overlap or adjacency); first row's NULL lag

@@ -173,9 +173,7 @@ object Quantiles {
       propagate: Boolean = false,
       chunks: Int = 32,
       dedup: Boolean = true): DataFrame = {
-    require(by.nonEmpty, "need at least one grouping column")
-    require(qs.nonEmpty, "need at least one quantile")
-    require(qs.forall(q => q >= 0.0 && q <= 1.0), s"quantiles must be in [0,1]: $qs")
+    validateBasic(by, qs)
     require(chunks >= 1, s"chunks must be >= 1 (got $chunks)")
     val c       = if (dedup) counts(df, by, valueCol, propagate)
                   else rawCounts(df, by, valueCol, propagate)
@@ -264,10 +262,14 @@ object Quantiles {
     finalT.select(by.map(n => col(s"__k.$n").as(n)) :+ result: _*)
   }
 
-  private def validate(by: Seq[String], qs: Seq[Double], valueCol: String): Unit = {
+  private def validateBasic(by: Seq[String], qs: Seq[Double]): Unit = {
     require(by.nonEmpty, "need at least one grouping column")
     require(qs.nonEmpty, "need at least one quantile")
     require(qs.forall(q => q >= 0.0 && q <= 1.0), s"quantiles must be in [0,1]: $qs")
+  }
+
+  private def validate(by: Seq[String], qs: Seq[Double], valueCol: String): Unit = {
+    validateBasic(by, qs)
     // The operators create "__"-prefixed internals (__cnt/__nan/__cum/__n/
     // __k/__ch/__r/__excl/__ccnt/__lo/__hi/__prev/__vlo<i>/__vhi<i>, plus
     // scanChunked's __chunk/__carry/__jk on the chunked path). Enumerated

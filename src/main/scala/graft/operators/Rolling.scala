@@ -53,6 +53,7 @@ object Rolling {
       exactScale: Option[Int] = Some(2),
       ddof: Int = 1): DataFrame = {
     require(aggs.nonEmpty, "need at least one rolling aggregation")
+    require(ddof >= 0, s"ddof must be >= 0 (got $ddof)")
     val bad = aggs.map(_._1).filterNot(funcs)
     require(bad.isEmpty,
       s"unsupported rolling funcs: ${bad.mkString(", ")} (supported: ${funcs.mkString(", ")})")
@@ -88,6 +89,7 @@ object Rolling {
     require(window >= 1, s"window must be >= 1 rows (got $window)")
     require(order.nonEmpty, "rollingRows needs an explicit total order")
     require(aggs.nonEmpty, "need at least one rolling aggregation")
+    require(ddof >= 0, s"ddof must be >= 0 (got $ddof)")
     val bad = aggs.map(_._1).filterNot(funcs)
     require(bad.isEmpty,
       s"unsupported rolling funcs: ${bad.mkString(", ")} (supported: ${funcs.mkString(", ")})")

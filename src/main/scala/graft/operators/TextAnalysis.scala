@@ -158,6 +158,24 @@ object TextAnalysis {
     aggregate(filter(split(text, ""), c => length(c) > 0), lit(0L),
       (acc, c) => (acc * 131L + ascii(c)) % 998244353L)
 
+  /** Third independent rolling fold — base 257 modulo the prime
+    * 1,000,000,009 (acc*257 + 255 < 2^39: exact). The fp pair's ~2^60
+    * joint space is fine for STATISTICS (duplicateGramStats), but an
+    * operator that DELETES text on a match
+    * ([[NgramOverlap.duplicateSpans]]) wants the triple: ~2^90 joint
+    * space puts expected cross-string collisions below 0.1 even at
+    * 10^13 windows — the [[Dedup.contentKey]] argument — while keeping
+    * the shuffle key 24 bytes and every fold SQL-replayable. */
+  def fingerprint3(text: Column): Column =
+    aggregate(filter(split(text, ""), c => length(c) > 0), lit(0L),
+      (acc, c) => (acc * 257L + ascii(c)) % 1000000009L)
+
+  /** Oracle-SQL twin of [[fingerprint3]]. */
+  def fingerprint3Sql(expr: String): String =
+    ("list_reduce(list_prepend(0::BIGINT,"
+      + s" list_transform(string_split($expr, ''), c -> ascii(c)::BIGINT)),"
+      + " (a, b) -> (a * 257 + b) % 1000000009)")
+
   /** Split documents into fixed-token-budget chunks — the context-window
     * preparation step of an embedding/indexing pipeline (each chunk goes
     * to the encoder independently). One output row per chunk:
@@ -205,4 +223,8 @@ object TextAnalysis {
     * registration requirement as [[fingerprintFast]]). */
   def fingerprint2Fast(text: Column): Column =
     call_function(graft.expressions.GraftFunctions.RollingFp2, text)
+
+  /** Native codegen twin of [[fingerprint3]]. */
+  def fingerprint3Fast(text: Column): Column =
+    call_function(graft.expressions.GraftFunctions.RollingFp3, text)
 }
