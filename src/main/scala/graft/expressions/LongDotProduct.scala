@@ -72,6 +72,13 @@ object GraftFunctions {
   val RollingFp  = "graft_rolling_fp"
   val RollingFp2 = "graft_rolling_fp2"
   val RollingFp3 = "graft_rolling_fp3"
+  val RollingFpPair   = "graft_rolling_fp_pair"
+  val RollingFpTriple = "graft_rolling_fp_triple"
+
+  /** The standard replayable fold families, in registry order: fp (31,
+    * 1e9+7), fp2 (131, 998244353), fp3 (257, 1e9+9). */
+  val FpFamilies: Seq[(Long, Long)] =
+    Seq((31L, 1000000007L), (131L, 998244353L), (257L, 1000000009L))
   val TopK       = "graft_topk"
   val WordNgramsF = "graft_word_ngrams"
   val SearchSorted = "graft_searchsorted"
@@ -104,6 +111,15 @@ object GraftFunctions {
     RollingFp3 -> { exprs =>
       arity(RollingFp3, exprs, 1)
       RollingFingerprint(exprs.head, base = 257L, mod = 1000000009L)
+    },
+    // fused fold families: one char pass, N accumulators (NgramOverlap)
+    RollingFpPair -> { exprs =>
+      arity(RollingFpPair, exprs, 1)
+      RollingFingerprints(exprs.head, FpFamilies.take(2))
+    },
+    RollingFpTriple -> { exprs =>
+      arity(RollingFpTriple, exprs, 1)
+      RollingFingerprints(exprs.head, FpFamilies)
     },
     // one-pass word n-grams: (text, n literal, distinct literal)
     WordNgramsF -> { exprs =>

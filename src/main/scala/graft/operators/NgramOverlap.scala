@@ -88,11 +88,15 @@ object NgramOverlap {
   def duplicateGramStats(
       df: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
+    // fused pair: one char pass computes both folds (bit-identical to the
+    // standalone fp/fp2 expressions — TextMultiModalSpec pin)
     val g = df
       .select(col(idCol).as("id"), explode(Dedup.shinglesFast(col(textCol), n)).as("g"))
       .select(col("id"),
-        TextAnalysis.fingerprintFast(col("g")).as("__f1"),
-        TextAnalysis.fingerprint2Fast(col("g")).as("__f2"))
+        call_function(graft.expressions.GraftFunctions.RollingFpPair, col("g")).as("__fs"))
+      .select(col("id"),
+        element_at(col("__fs"), 1).as("__f1"),
+        element_at(col("__fs"), 2).as("__f2"))
     // per-doc grams are distinct, so count(*) = number of docs with the gram
     val freq = g.groupBy("__f1", "__f2").agg(count(lit(1)).as("__ndocs"))
     g.join(freq, Seq("__f1", "__f2"))
@@ -152,9 +156,11 @@ object NgramOverlap {
     val wins = df
       .select(col(idCol).as("id"), posexplode(winArr).as(Seq("__pos", "__g")))
       .select(col("id"), col("__pos"),
-        TextAnalysis.fingerprintFast(col("__g")).as("__f1"),
-        TextAnalysis.fingerprint2Fast(col("__g")).as("__f2"),
-        TextAnalysis.fingerprint3Fast(col("__g")).as("__f3"))
+        call_function(graft.expressions.GraftFunctions.RollingFpTriple, col("__g")).as("__fs"))
+      .select(col("id"), col("__pos"),
+        element_at(col("__fs"), 1).as("__f1"),
+        element_at(col("__fs"), 2).as("__f2"),
+        element_at(col("__fs"), 3).as("__f3"))
     val freq = wins.groupBy("__f1", "__f2", "__f3").agg(count(lit(1)).as("__nocc"))
     val dup = wins
       .join(freq.where(col("__nocc") >= minCount), Seq("__f1", "__f2", "__f3"))

@@ -82,6 +82,29 @@ class TextMultiModalSpec extends AnyFunSuite {
     assert(both.exists(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("fused RollingFpPair/Triple equal the standalone folds per family (one char pass)") {
+    graft.expressions.GraftFunctions.register(spark)
+    val inputs = Seq("", "ab", "hello world", "café 中文 text", "a" * 500)
+    val rows = inputs.toDF("text").select(
+      TextAnalysis.fingerprintFast(col("text")).as("f1"),
+      TextAnalysis.fingerprint2Fast(col("text")).as("f2"),
+      TextAnalysis.fingerprint3Fast(col("text")).as("f3"),
+      call_function(graft.expressions.GraftFunctions.RollingFpPair, col("text")).as("p"),
+      call_function(graft.expressions.GraftFunctions.RollingFpTriple, col("text")).as("t"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](3) == Seq(r.getLong(0), r.getLong(1)), s"pair mismatch: $r")
+      assert(r.getSeq[Long](4) == Seq(r.getLong(0), r.getLong(1), r.getLong(2)),
+        s"triple mismatch: $r")
+    }
+    // fp3 equals its HOF expression form too
+    val f3 = inputs.toDF("text")
+      .select(TextAnalysis.fingerprint3(col("text")).as("hof"),
+        TextAnalysis.fingerprint3Fast(col("text")).as("fast"))
+      .collect()
+    f3.foreach(r => assert(r.getLong(0) == r.getLong(1), s"fp3 mismatch on $r"))
+  }
+
   test("langIdNgram containment form equals the gram-set intersection form") {
     val texts = Seq("the singing lion", "schneller under ich", "ab", "", "que los cios nte",
       "the les ent ion que")
