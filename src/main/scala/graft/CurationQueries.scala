@@ -338,7 +338,7 @@ object CurationQueries {
       val s1 = "CAST(sum(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE)"
       val s2 = "CAST(sum(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE)"
       val n  = "CAST(count(v) OVER w AS DOUBLE)"
-      val varSql = s"CASE WHEN count(v) OVER w > 1 THEN ($s2 - $s1 * $s1 / $n) / ($n - 1.0) END"
+      val varSql = s"CASE WHEN count(v) OVER w > 1 THEN greatest(($s2 - $s1 * $s1 / $n) / ($n - 1.0), 0.0) END"
       ("SELECT event_id, user_id, count(v) OVER w AS n_1h,"
         + s" CAST(sum(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h,"
         + s" round($varSql, 6) AS var_1h,"

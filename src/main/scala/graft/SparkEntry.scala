@@ -379,18 +379,21 @@ object SparkEntry {
       "SELECT l_returnflag, sum(l_quantity) / count(l_quantity) AS mean_qty FROM lineitem GROUP BY 1 ORDER BY 1",
     "q_nanmean" ->
       s"SELECT l_returnflag, sum($VALID) / count($VALID) AS mean_valid FROM lineitem GROUP BY 1 ORDER BY 1",
+    // var/std replay Spark's clamped finalize: CASE guard = the `when(count
+    // > ddof)` NULL rule, greatest(.., 0.0) = the near-constant-group clamp
+    // (DuckDB sqrt() errors on negatives, so the clamp protects the oracle)
     "q_var" ->
-      ("SELECT l_returnflag, (sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity)/CAST(count(l_quantity) AS DOUBLE))"
-        + " / (CAST(count(l_quantity) AS DOUBLE) - 0) AS var_qty FROM lineitem GROUP BY 1 ORDER BY 1"),
+      ("SELECT l_returnflag, CASE WHEN count(l_quantity) > 0 THEN greatest((sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity)/CAST(count(l_quantity) AS DOUBLE))"
+        + " / (CAST(count(l_quantity) AS DOUBLE) - 0), 0.0) END AS var_qty FROM lineitem GROUP BY 1 ORDER BY 1"),
     "q_nanvar" ->
-      (s"SELECT l_returnflag, (sum(($VALID)*($VALID)) - sum($VALID)*sum($VALID)/CAST(count($VALID) AS DOUBLE))"
-        + s" / (CAST(count($VALID) AS DOUBLE) - 1) AS var_valid FROM lineitem GROUP BY 1 ORDER BY 1"),
+      (s"SELECT l_returnflag, CASE WHEN count($VALID) > 1 THEN greatest((sum(($VALID)*($VALID)) - sum($VALID)*sum($VALID)/CAST(count($VALID) AS DOUBLE))"
+        + s" / (CAST(count($VALID) AS DOUBLE) - 1), 0.0) END AS var_valid FROM lineitem GROUP BY 1 ORDER BY 1"),
     "q_std" ->
-      ("SELECT l_returnflag, sqrt((sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity)/CAST(count(l_quantity) AS DOUBLE))"
-        + " / (CAST(count(l_quantity) AS DOUBLE) - 0)) AS std_qty FROM lineitem GROUP BY 1 ORDER BY 1"),
+      ("SELECT l_returnflag, sqrt(CASE WHEN count(l_quantity) > 0 THEN greatest((sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity)/CAST(count(l_quantity) AS DOUBLE))"
+        + " / (CAST(count(l_quantity) AS DOUBLE) - 0), 0.0) END) AS std_qty FROM lineitem GROUP BY 1 ORDER BY 1"),
     "q_nanstd" ->
-      (s"SELECT l_returnflag, sqrt((sum(($VALID)*($VALID)) - sum($VALID)*sum($VALID)/CAST(count($VALID) AS DOUBLE))"
-        + s" / (CAST(count($VALID) AS DOUBLE) - 1)) AS std_valid FROM lineitem GROUP BY 1 ORDER BY 1"),
+      (s"SELECT l_returnflag, sqrt(CASE WHEN count($VALID) > 1 THEN greatest((sum(($VALID)*($VALID)) - sum($VALID)*sum($VALID)/CAST(count($VALID) AS DOUBLE))"
+        + s" / (CAST(count($VALID) AS DOUBLE) - 1), 0.0) END) AS std_valid FROM lineitem GROUP BY 1 ORDER BY 1"),
     "q_min_max" ->
       "SELECT l_returnflag, min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price FROM lineitem GROUP BY 1 ORDER BY 1",
     "q_nanmin_nanmax" ->
@@ -598,8 +601,8 @@ object SparkEntry {
       val f = "CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END"
       (s"SELECT l_returnflag, sum($f)::BIGINT AS n_true,"
         + s" sum($f)::DOUBLE / count(*) AS frac_true,"
-        + s" (sum($f * $f)::DOUBLE - sum($f)*sum($f)/CAST(count(*) AS DOUBLE))"
-        + " / (CAST(count(*) AS DOUBLE) - 1) AS var_flag"
+        + s" CASE WHEN count(*) > 1 THEN greatest((sum($f * $f)::DOUBLE - sum($f)*sum($f)/CAST(count(*) AS DOUBLE))"
+        + " / (CAST(count(*) AS DOUBLE) - 1), 0.0) END AS var_flag"
         + " FROM lineitem GROUP BY 1 ORDER BY 1")
     },
     "q_time_mean" ->

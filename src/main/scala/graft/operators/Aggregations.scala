@@ -205,8 +205,12 @@ object Aggregations {
     // (sumsq - sum^2/n) / (n - ddof), NA when n <= ddof.
     def variance: Column = {
       val n = count(vn).cast(DoubleType)
+      // greatest(.., 0) clamps the tiny-negative rounding a (near-)constant
+      // group can produce (numpy var is >= 0 by construction; sqrt of the
+      // negative would be NaN where np.std gives 0.0). Oracle SQL replays
+      // the same clamp under the same count guard.
       when(count(vn) > a.ddof,
-        (sumSqE(vn) - sumE(vn) * sumE(vn) / n) / (n - a.ddof))
+        greatest((sumSqE(vn) - sumE(vn) * sumE(vn) / n) / (n - a.ddof), lit(0.0)))
     }
 
     def meanExpr: Column = sumE(vn).cast(DoubleType) / count(vn)

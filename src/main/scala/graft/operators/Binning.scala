@@ -165,6 +165,8 @@ object Binning {
       valueCol: String,
       edges: Option[Seq[Double]],
       as: String): DataFrame = {
+    require(!df.columns.contains(as),
+      s"qcut output column $as already exists in the input; pick another name or drop it first")
     graft.expressions.GraftFunctions.register(df.sparkSession) // binByEdges
     val v = col(valueCol)
     val dt = df.schema(valueCol).dataType
@@ -200,6 +202,8 @@ object Binning {
       dedup: Boolean = false): DataFrame = {
     require(nBins >= 2, s"qcutBy needs nBins >= 2 (got $nBins)")
     require(by.nonEmpty, "qcutBy needs at least one grouping column")
+    require(!df.columns.contains(as),
+      s"qcutBy output column $as already exists in the input; pick another name or drop it first")
     graft.expressions.GraftFunctions.register(df.sparkSession) // binByEdges
     val reserved = Seq("__qcut_edges", "__qs", "__qk")
     val clashes  = (df.columns.toSeq :+ valueCol).intersect(reserved)

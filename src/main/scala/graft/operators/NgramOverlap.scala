@@ -191,7 +191,13 @@ object NgramOverlap {
     * positional token table — per-doc ordered reassembly. All relational
     * (the per-token work stays codegen'd; only the per-DOC reassembly
     * sorts a doc-length array), one token-row shuffle — same linear
-    * class as the window fingerprints. */
+    * class as the window fingerprints.
+    *
+    * Id contract: `idCol` must be UNIQUE per document (the usual document
+    * id). Rows sharing an id would have their token streams merged by the
+    * rebuild and each receive the merged text. NULL ids are fine for a
+    * single row (the join is null-safe), but two NULL-id rows collide the
+    * same way duplicate ids do. */
   def removeDuplicateSpans(
       df: DataFrame,
       idCol: String,
@@ -213,7 +219,7 @@ object NgramOverlap {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("__pos"), col("__t")))),
           x => x.getField("__t")), " ").as("__clean"))
-    df.join(rebuilt, df(idCol) === rebuilt("__rid"), "left")
+    df.join(rebuilt, df(idCol) <=> rebuilt("__rid"), "left")
       .withColumn(as,
         when(col(textCol).isNull, lit(null).cast("string"))
           .otherwise(coalesce(col("__clean"), lit(""))))

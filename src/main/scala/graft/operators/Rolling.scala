@@ -130,7 +130,12 @@ object Rolling {
     }
     def varE: Column = {
       val n = count(vn).over(w).cast(DoubleType)
-      when(n > ddof, (sumSqE - sumE * sumE / n) / (n - lit(ddof.toDouble)))
+      // clamp: the IEEE finalize can round to a tiny negative for
+      // (near-)constant frames; pandas rolling().std() returns 0.0 there,
+      // and DuckDB's sqrt() ERRORS on negatives — clamp on both sides
+      // (oracle replays greatest(..., 0.0) under the same count guard)
+      when(n > ddof,
+        greatest((sumSqE - sumE * sumE / n) / (n - lit(ddof.toDouble)), lit(0.0)))
     }
     aggs.foldLeft(df) { case (d, (f, as)) =>
       d.withColumn(as, f match {

@@ -351,7 +351,15 @@ object Similarity {
 
   /** [[crossNeighborsLsh]] plus a release handle for the two persisted
     * projections — same cache-lifecycle contract as the other `*Managed`
-    * variants. */
+    * variants.
+    *
+    * Scale note: with `cache=false`, auto-sizing is NOT free — deriving
+    * `planes` costs two full `count()` scans of the raw corpora and
+    * deriving `dim` costs one extra first-row job against the cold
+    * source. At 100 TB always pass `planes` and `dim` explicitly when
+    * disabling the cache (corpus size and embedding dimension are known
+    * to the caller); auto-sizing is a convenience for cached/interactive
+    * use. */
   def crossNeighborsLshManaged(
       left: DataFrame,
       right: DataFrame,
@@ -378,9 +386,13 @@ object Similarity {
     val actualDim =
       if (dim > 0) dim
       else pL.select(size(col("q"))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
-    if (actualDim == 0) // empty left corpus: empty result, right schema
-      return (pL.select(col("id").as("id_l"), col("id").as("id_r"),
-        lit(0.0).as("cos")).where(lit(false)), release)
+    if (actualDim == 0) // empty left corpus: empty result; id_l/id_r each
+      // keep their OWN side's id type+nullability (a left-only projection
+      // would mistype id_r when the two frames' id dtypes differ)
+      return (pL.select(col("id").as("id_l"))
+        .crossJoin(pR.select(col("id").as("id_r")))
+        .select(col("id_l"), col("id_r"), lit(0.0).cast("double").as("cos"))
+        .where(lit(false)), release)
     // plane count sized by the combined corpus: per-bucket occupancy is
     // (nL + nR) / 2^planes and the cross-candidate cost per bucket is
     // occL * occR, so the sum is the conservative sizing input
