@@ -85,6 +85,25 @@ object LlmQueries {
         n = 3, threshold = 0.5, bands = 32, rows = 4)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")),
+    // row-preserving MinHash keep-first (the text twin of q_dedup_embed):
+    // survivors = rows with no smaller-id near-dup neighbor. The oracle
+    // replays the all-pairs-Jaccard keep-first rule — matchable because
+    // the planted near-dups sit deep inside the LSH S-curve (see
+    // q_dedup_near's recall note).
+    "q_dedup_near_rows" -> ((s, d) =>
+      Dedup.nearDupDedup(T(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5, bands = 32, rows = 4)
+        .select("doc_id", "source").orderBy("doc_id")),
+    // transitive duplicate clusters: 3 rounds of min-id label propagation
+    // over the MinHash pair graph; the oracle replays the same 3 unrolled
+    // iterations in SQL, so bounded-k semantics (not just the fixpoint)
+    // are what's verified.
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(
+        Dedup.nearDupPairs(T(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5, bands = 32, rows = 4),
+        iterations = 3)
+        .orderBy("id")),
     // Train/test decontamination: "eval" docs (sources src0-src2) that
     // near-duplicate a "train" doc from any other source.
     "q_decontaminate" -> ((s, d) => {
@@ -648,6 +667,33 @@ object LlmQueries {
           + " round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard"
           + " FROM s a JOIN s b ON a.doc_id < b.doc_id)"
           + " WHERE jaccard >= 0.5 ORDER BY 1, 2"),
+      "q_dedup_near_rows" ->
+        (shingleCte
+          + " , dup AS (SELECT DISTINCT b.doc_id AS id FROM s a JOIN s b ON a.doc_id < b.doc_id"
+          + " AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)"
+          + " SELECT doc_id, source FROM documents WHERE doc_id NOT IN (SELECT id FROM dup)"
+          + " ORDER BY doc_id"),
+      "q_dedup_clusters" -> {
+        // replays dupClusters' bounded min-label propagation with the
+        // SAME iteration count (3), unrolled: l{k}(v) = min(l{k-1}(v),
+        // min over neighbors u of l{k-1}(u)); every node appears as an
+        // edge src (the edge list is symmetric), so the per-src group
+        // always exists
+        val jacExpr = ("len(list_intersect(a.sh, b.sh))::DOUBLE"
+          + " / len(list_distinct(list_concat(a.sh, b.sh)))")
+        val rounds = (1 to 3).map { k =>
+          (s"l$k AS (SELECT e.src AS id, least(min(lv.lbl), min(lu.lbl)) AS lbl"
+            + s" FROM e JOIN l${k - 1} lv ON lv.id = e.src"
+            + s" JOIN l${k - 1} lu ON lu.id = e.dst GROUP BY e.src)")
+        }.mkString(", ")
+        (shingleCte
+          + " , p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b"
+          + s" ON a.doc_id < b.doc_id AND $jacExpr >= 0.5),"
+          + " e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),"
+          + " l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),"
+          + s" $rounds"
+          + " SELECT id, lbl AS cluster_id FROM l3 ORDER BY id")
+      },
       "q_decontaminate" ->
         (shingleCte.replace("FROM documents",
             s"FROM documents WHERE source NOT IN ($evalSrcSqlList)")

@@ -465,6 +465,170 @@ object Dedup {
     (result, release)
   }
 
+  /** MinHash near-duplicate dedup, keep-smallest-id — the TEXT twin of
+    * [[embeddingDedup]] and the most common 100 TB curation operation
+    * ("MinHash-dedup my corpus, keep one per duplicate group").
+    * Row-preserving: returns `df`'s rows (all columns) minus every row
+    * that has ANY [[nearDupPairs]] neighbor (LSH candidate with
+    * shingle-Jaccard >= threshold) of smaller id.
+    *
+    * Same one-pass smaller-id-neighbor rule as [[embeddingDedup]] — see
+    * that scaladoc for the one-pass-vs-greedy argument (greedy is an
+    * inherently serial chain; one pass is a single anti-join, the only
+    * formulation that doesn't iterate at 100 TB). On transitively-closed
+    * duplicate clusters the two agree. Versus CLUSTER-level keep-first
+    * ([[nearDupDedupTransitive]]) the one-pass rule differs on
+    * star/chain shapes: a doc whose only links are to LARGER-id docs
+    * survives one-pass even when its cluster contains a smaller id
+    * through an intermediary (fixture pinned in DedupSpec). */
+  def nearDupDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      bands: Int = 32,
+      rows: Int = 4,
+      cache: Boolean = true,
+      maxBucketSize: Int = 0): DataFrame =
+    nearDupDedupManaged(df, idCol, textCol, n, threshold, bands, rows,
+      cache, maxBucketSize)._1
+
+  /** [[nearDupDedup]] plus the release handle for the pair machinery's
+    * persisted intermediates — same cache-lifecycle contract as the other
+    * `*Managed` variants. */
+  def nearDupDedupManaged(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      bands: Int = 32,
+      rows: Int = 4,
+      cache: Boolean = true,
+      maxBucketSize: Int = 0): (DataFrame, () => Unit) = {
+    require(!df.columns.contains("__dup_id"),
+      "nearDupDedup reserves column name __dup_id; rename it in the input")
+    val (pairs, release) = nearDupPairsManaged(
+      df, idCol, textCol, n, threshold, bands, rows, cache, maxBucketSize)
+    // id_a < id_b by construction, so id_b is always the dropped side
+    val dropped = pairs.select(col("id_b").as("__dup_id")).distinct()
+    (df.join(dropped, col(idCol) === col("__dup_id"), "left_anti"), release)
+  }
+
+  /** Connected-component labels over a near-duplicate pair graph by
+    * `iterations` rounds of min-label propagation: every node starts
+    * labeled with its own id; each round replaces a node's label with the
+    * min of its own and its neighbors' labels. After k rounds, labels
+    * have propagated k hops — components of diameter <= k carry their
+    * global min id on every node; larger components may still hold local
+    * minima (BOUNDED iteration is the contract: k is a caller parameter,
+    * chosen from the expected chain length, not data-dependent — real
+    * duplicate clusters are shallow, so small k converges in practice).
+    *
+    * Input is any (id_a, id_b) pair table ([[nearDupPairs]],
+    * [[simhashPairs]], [[Similarity.lshNeighbors]]...); output is
+    * (id, cluster_id) for every id that appears in some pair — singleton
+    * docs never enter the pair graph and are implicitly their own
+    * cluster. Each round is one shuffle join + one map-side-combined min
+    * aggregation over the edge list (2|pairs| rows of two ids) — linear
+    * per round, k rounds total; no driver-side state, no collect. The
+    * label table is persisted per round (and the previous round
+    * released) via the `*Managed` form so the k-round lineage never
+    * re-runs the expensive pair generation. */
+  def dupClusters(
+      pairs: DataFrame,
+      iterations: Int,
+      idA: String = "id_a",
+      idB: String = "id_b"): DataFrame =
+    dupClustersManaged(pairs, iterations, idA, idB)._1
+
+  /** [[dupClusters]] plus a release handle for the per-round persisted
+    * label tables — same cache-lifecycle contract as the other `*Managed`
+    * variants. */
+  def dupClustersManaged(
+      pairs: DataFrame,
+      iterations: Int,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      cache: Boolean = true): (DataFrame, () => Unit) = {
+    require(iterations >= 1,
+      s"dupClusters needs iterations >= 1 (got $iterations)")
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def maybeCache(d: DataFrame): DataFrame =
+      if (cache) {
+        persisted += d
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else d
+    // symmetric edge list: propagation must flow both directions
+    val edges = maybeCache(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .union(pairs.select(col(idB).as("src"), col(idA).as("dst"))))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to iterations) {
+      val nbr = edges
+        .join(labels.select(col("id").as("__nid"), col("lbl").as("__nlbl")),
+          col("dst") === col("__nid"))
+        .groupBy(col("src")).agg(min(col("__nlbl")).as("__nbr_min"))
+      labels = maybeCache(
+        labels.join(nbr, labels("id") === nbr("src"), "left")
+          .select(labels("id"),
+            least(labels("lbl"), coalesce(col("__nbr_min"), labels("lbl"))).as("lbl")))
+    }
+    (labels.select(col("id"), col("lbl").as("cluster_id")),
+      () => persisted.foreach(_.unpersist(false)))
+  }
+
+  /** Cluster-level keep-first near-dup dedup: [[nearDupDedup]]'s
+    * transitive variant. Rows are grouped into duplicate CLUSTERS by
+    * `iterations` rounds of min-id label propagation over the MinHash
+    * pair graph ([[dupClusters]]) and only each cluster's smallest-id row
+    * survives — the dedup-literature semantics for chains (A~B~C with
+    * A!~C keeps only A; one-pass would also drop B and C here, but on a
+    * STAR 1-3, 2-3 one-pass keeps {1,2} while transitive keeps {1}).
+    * `iterations` bounds the propagated chain length; an under-sized k
+    * leaves distant chain members as extra survivors (never drops a
+    * cluster min). */
+  def nearDupDedupTransitive(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      iterations: Int,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      bands: Int = 32,
+      rows: Int = 4,
+      cache: Boolean = true,
+      maxBucketSize: Int = 0): DataFrame =
+    nearDupDedupTransitiveManaged(df, idCol, textCol, iterations, n,
+      threshold, bands, rows, cache, maxBucketSize)._1
+
+  /** [[nearDupDedupTransitive]] plus the combined release handle. */
+  def nearDupDedupTransitiveManaged(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      iterations: Int,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      bands: Int = 32,
+      rows: Int = 4,
+      cache: Boolean = true,
+      maxBucketSize: Int = 0): (DataFrame, () => Unit) = {
+    require(!df.columns.contains("__dup_id"),
+      "nearDupDedupTransitive reserves column name __dup_id; rename it in the input")
+    val (pairs, releasePairs) = nearDupPairsManaged(
+      df, idCol, textCol, n, threshold, bands, rows, cache, maxBucketSize)
+    val (labels, releaseLabels) = dupClustersManaged(pairs, iterations, cache = cache)
+    // drop every labeled row that is not its cluster's min; unlabeled
+    // (singleton) rows pass through the anti-join untouched
+    val dropped = labels.where(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__dup_id"))
+    (df.join(dropped, col(idCol) === col("__dup_id"), "left_anti"),
+      () => { releaseLabels(); releasePairs() })
+  }
+
   /** Embedding-cosine near-duplicate dedup, keep-smallest-id — the fifth
     * dedup family (exact / MinHash / SimHash / n-gram Jaccard / embedding
     * cosine). A row is dropped iff it has ANY neighbor with cosine >=

@@ -196,6 +196,70 @@ class DedupSpec extends AnyFunSuite {
     assert(cm.isEmpty, "release() must unpersist the lsh intermediates")
   }
 
+  test("nearDupDedup keeps only rows with no smaller-id near-dup neighbor (one-pass rule)") {
+    // docs: 1,2,5 identical, 3 near-dup of them, 4 unrelated -> pairs
+    // cover {2,3,5} on the id_b side; survivors are 1 and 4 with ALL
+    // columns (row-preserving form)
+    val kept = Dedup.nearDupDedup(docs, "doc_id", "text", threshold = 0.5)
+    assert(kept.columns.toSeq == docs.columns.toSeq)
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+    // managed form releases the pair machinery's cache entries
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val (survivors, release) = Dedup.nearDupDedupManaged(docs, "doc_id", "text")
+    survivors.count()
+    assert(!cm.isEmpty, "expected persisted intermediates during the sweep")
+    release()
+    assert(cm.isEmpty, "release() must unpersist all intermediates")
+  }
+
+  test("dupClusters: bounded min-label propagation, k hops per iteration") {
+    // star graph 1-3, 2-3 (1 and 2 are both near 3, not each other)
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val k1 = Dedup.dupClusters(pairs, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one hop: 3 sees 1; 2 only sees 3's ORIGINAL label
+    assert(k1 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    val k2 = Dedup.dupClusters(pairs, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two hops: 1's label reaches 2 through 3 — fully converged
+    assert(k2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    intercept[IllegalArgumentException] { Dedup.dupClusters(pairs, iterations = 0) }
+  }
+
+  test("transitive dedup differs from one-pass on a star; iteration bound is honored") {
+    // star in TEXT space: doc 3 = doc1 ++ doc2, so J(1,3)=J(2,3)~0.48 but
+    // J(1,2)=0. rows=2/bands=64 puts j~0.48 at miss-probability ~4e-8
+    // (1-(1-j^2)^64) — deterministic for a spec; banding false positives
+    // are removed by the exact-Jaccard verify, so precision is unaffected.
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")
+    val b = (1 to 30).map(i => s"b$i").mkString(" ")
+    val star = Seq((1L, a), (2L, b), (3L, a + " " + b)).toDF("doc_id", "text")
+    val onePass = Dedup.nearDupDedup(star, "doc_id", "text",
+      threshold = 0.4, bands = 64, rows = 2)
+      .select("doc_id").as[Long].collect().toSet
+    // one-pass: only 3 has a smaller-id neighbor; 2's sole link is to a
+    // LARGER id, so it survives
+    assert(onePass == Set(1L, 2L))
+    val transitive = Dedup.nearDupDedupTransitive(star, "doc_id", "text",
+      iterations = 2, threshold = 0.4, bands = 64, rows = 2)
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,3} keeps only its min
+    assert(transitive == Set(1L))
+    // under-sized k never drops a cluster min, only leaves extra
+    // survivors: after 1 iteration 2 still carries its own label
+    val k1 = Dedup.nearDupDedupTransitive(star, "doc_id", "text",
+      iterations = 1, threshold = 0.4, bands = 64, rows = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k1 == Set(1L, 2L))
+    // chain fixture (1~2~3, 1!~3 in one-pass terms): transitive and
+    // one-pass agree — both keep {1, 4}
+    val chain = Dedup.nearDupDedupTransitive(docs, "doc_id", "text",
+      iterations = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(chain == Set(1L, 4L))
+  }
+
   test("hamming is bit_count of xor") {
     val r = Seq((0L, 0L), (0L, 7L), (-1L, 0L)).toDF("a", "b")
       .select(Dedup.hamming(col("a"), col("b"))).collect().map(_.getInt(0)).toSeq
