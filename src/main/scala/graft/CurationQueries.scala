@@ -63,9 +63,15 @@ object CurationQueries {
     * windows (parallel unnests zip position and fp lists), fp-pair
     * occurrence counts, duplicated positions, gaps-and-islands merge —
     * mirroring [[NgramOverlap.duplicateSpans]] step for step. */
-  private lazy val SpanCtes = {
+  private lazy val SpanCtes = spanCtes("text")
+
+  /** [[SpanCtes]] parameterized by the tokenized-text expression, so the
+    * same window/island replay runs over a regex retokenization
+    * (q_dup_spans_bpe mirrors [[NgramOverlap.retokenize]] by splitting
+    * the ' '-joined regexp_extract_all tokens). */
+  private def spanCtes(textExpr: String): String = {
     val winStr = "array_to_string(w[i:i+4], ' ')"
-    ("WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),"
+    (s"WITH t AS (SELECT doc_id, string_split($textExpr, ' ') w FROM documents),"
       + " wins AS (SELECT doc_id,"
       + " unnest(range(0, len(w) - 4)) AS pos,"
       + s" unnest([${fpSql(winStr)} for i in range(1, len(w) - 3)]) AS f1,"
@@ -105,6 +111,14 @@ object CurationQueries {
     "q_dup_spans" -> ((s, d) =>
       NgramOverlap.duplicateSpans(T(s, d, "documents"), "doc_id", "text",
         windowTokens = 5)
+        .orderBy("doc_id", "span_start")),
+    // the same span machinery over the BPE-ish regex tokenization
+    // (tokenizer-pluggable family): span offsets are positions in the
+    // regex token stream; the oracle replays the identical
+    // regexp_extract_all + rejoin
+    "q_dup_spans_bpe" -> ((s, d) =>
+      NgramOverlap.duplicateSpans(T(s, d, "documents"), "doc_id", "text",
+        windowTokens = 5, tokenizer = NgramOverlap.retokenize())
         .orderBy("doc_id", "span_start")),
     // the removal applied: per-source doc counts, fully-emptied docs,
     // surviving-token mass, and an exact clean-text checksum
@@ -232,6 +246,11 @@ object CurationQueries {
         + " round(count(CASE WHEN nd > 1 THEN 1 END)::DOUBLE / count(*), 6) AS dup_frac"
         + " FROM f JOIN freq USING (f1, f2) GROUP BY 1 ORDER BY 1"),
     "q_dup_spans" -> (SpanCtes
+      + " SELECT doc_id, min(pos)::BIGINT AS span_start,"
+      + " (max(pos) + 5 - min(pos))::BIGINT AS span_tokens"
+      + " FROM isl GROUP BY doc_id, g ORDER BY 1, 2"),
+    "q_dup_spans_bpe" -> (spanCtes(
+      s"array_to_string(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}'), ' ')")
       + " SELECT doc_id, min(pos)::BIGINT AS span_start,"
       + " (max(pos) + 5 - min(pos))::BIGINT AS span_tokens"
       + " FROM isl GROUP BY doc_id, g ORDER BY 1, 2"),

@@ -31,14 +31,30 @@ import org.apache.spark.sql.functions._
   */
 object NgramOverlap {
 
+  /** Canonical retokenization: text -> the single-space join of its
+    * [[TextAnalysis.tokensRegex]] tokens. Plugs any regex tokenization
+    * (default: the BPE-ish "letter runs / digit runs / single symbol"
+    * pattern) into the whitespace-token gram/window family — every
+    * operator here (and [[Dedup]]'s shingle family) splits on single
+    * spaces, so rejoining the regex tokens with single spaces makes the
+    * fast native gram path operate on the regex tokenization with no new
+    * expression machinery. One codegen'd regex pass per row; NULL text
+    * stays NULL. Token arrays from a regex NEVER contain spaces (the
+    * default pattern excludes them), so the round-trip is lossless in
+    * token space. */
+  def retokenize(pattern: String = TextAnalysis.BpeishPattern): Column => Column =
+    t => array_join(TextAnalysis.tokensRegex(t, pattern), " ")
+
   /** (id, g) exploded distinct-gram table — the one-pass native gram
     * builder [[Dedup.shinglesFast]], with the same short-document
     * fallback as [[Dedup.shingles]] (docs shorter than n words contribute
     * one whole-document gram, so no document is invisible to the
     * check; NULL-text rows produce no grams). */
-  private def gramTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  private def gramTable(df: DataFrame, idCol: String, textCol: String, n: Int,
+      tokenizer: Column => Column = identity): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol).as("id"), explode(Dedup.shinglesFast(col(textCol), n)).as("g"))
+    df.select(col(idCol).as("id"),
+      explode(Dedup.shinglesFast(tokenizer(col(textCol)), n)).as("g"))
   }
 
   /** Training documents sharing at least one exact word n-gram with any
@@ -57,13 +73,14 @@ object NgramOverlap {
       idCol: String,
       textCol: String,
       n: Int = 5,
-      broadcastEval: Boolean = false): DataFrame = {
+      broadcastEval: Boolean = false,
+      tokenizer: Column => Column = identity): DataFrame = {
     // native codegen fold for the per-gram hash on the (big) train side —
     // identical values to the HOF fingerprint (TextMultiModalSpec pin)
     graft.expressions.GraftFunctions.register(train.sparkSession)
-    val t = gramTable(train, idCol, textCol, n)
+    val t = gramTable(train, idCol, textCol, n, tokenizer)
       .select(col("id"), col("g"), TextAnalysis.fingerprintFast(col("g")).as("__f"))
-    val e0 = gramTable(eval_, idCol, textCol, n)
+    val e0 = gramTable(eval_, idCol, textCol, n, tokenizer)
       .select(col("g").as("__eg")).distinct()
       .select(col("__eg"), TextAnalysis.fingerprintFast(col("__eg")).as("__f"))
     val e = if (broadcastEval) broadcast(e0) else e0
@@ -86,12 +103,14 @@ object NgramOverlap {
     * document text never moves.
     */
   def duplicateGramStats(
-      df: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, n: Int = 5,
+      tokenizer: Column => Column = identity): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     // fused pair: one char pass computes both folds (bit-identical to the
     // standalone fp/fp2 expressions — TextMultiModalSpec pin)
     val g = df
-      .select(col(idCol).as("id"), explode(Dedup.shinglesFast(col(textCol), n)).as("g"))
+      .select(col(idCol).as("id"),
+        explode(Dedup.shinglesFast(tokenizer(col(textCol)), n)).as("g"))
       .select(col("id"),
         call_function(graft.expressions.GraftFunctions.RollingFpPair, col("g")).as("__fs"))
       .select(col("id"),
@@ -121,6 +140,12 @@ object NgramOverlap {
     * 0-based token offsets. Docs shorter than windowTokens have no
     * windows and never report spans.
     *
+    * `tokenizer` (default: identity = whitespace tokens) rewrites the
+    * text before windowing — pass [[retokenize]] to run the whole
+    * machinery over a regex tokenization. Span offsets then refer to
+    * positions in THAT token stream, not the raw text's whitespace
+    * tokens.
+    *
     * Scale shape (100 TB): the corpus shuffles once as (id, pos,
     * 24-byte fp-triple) window rows — linear, the [[duplicateGramStats]]
     * topology with position kept; the frequency aggregation is map-side
@@ -132,7 +157,8 @@ object NgramOverlap {
       idCol: String,
       textCol: String,
       windowTokens: Int = 8,
-      minCount: Long = 2): DataFrame = {
+      minCount: Long = 2,
+      tokenizer: Column => Column = identity): DataFrame = {
     require(windowTokens >= 2, s"windowTokens must be >= 2 (got $windowTokens)")
     require(minCount >= 2, s"minCount must be >= 2 (got $minCount)")
     val reserved = Seq("__pos", "__g", "__f1", "__f2", "__f3", "__nocc", "__new", "__isl",
@@ -141,12 +167,13 @@ object NgramOverlap {
     require(clashes.isEmpty,
       s"duplicateSpans reserves ${reserved.mkString("/")}; rename ${clashes.mkString(", ")} in the input")
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    val w = Dedup.tokens(col(textCol))
+    val txt = tokenizer(col(textCol))
+    val w = Dedup.tokens(txt)
     // positional, NON-distinct windows in document order; the size guard
     // (one split per row) keeps short docs window-free, like
     // [[Repetition.topNgramStats]]
     val winArr = when(size(w) >= windowTokens,
-      Dedup.shinglesFast(col(textCol), windowTokens, distinct = false))
+      Dedup.shinglesFast(txt, windowTokens, distinct = false))
       .otherwise(array().cast("array<string>"))
     // fp TRIPLE (~2^90 joint space), not the statistics-grade pair: a
     // cross-string collision here would DELETE non-duplicated text in
@@ -197,22 +224,28 @@ object NgramOverlap {
     * id). Rows sharing an id would have their token streams merged by the
     * rebuild and each receive the merged text. NULL ids are fine for a
     * single row (the join is null-safe), but two NULL-id rows collide the
-    * same way duplicate ids do. */
+    * same way duplicate ids do.
+    *
+    * With a non-identity `tokenizer` ([[retokenize]]), the cleaned text
+    * is the single-space join of the SURVIVING tokenizer tokens — the
+    * raw text's original spacing is not reconstructible once tokenized
+    * (the usual contract for tokenized dedup pipelines). */
   def removeDuplicateSpans(
       df: DataFrame,
       idCol: String,
       textCol: String,
       windowTokens: Int = 8,
       minCount: Long = 2,
-      as: String = "clean_text"): DataFrame = {
+      as: String = "clean_text",
+      tokenizer: Column => Column = identity): DataFrame = {
     require(!df.columns.contains(as),
       s"removeDuplicateSpans output column `$as` collides with input")
-    val spans = duplicateSpans(df, idCol, textCol, windowTokens, minCount)
+    val spans = duplicateSpans(df, idCol, textCol, windowTokens, minCount, tokenizer)
     val covered = spans.select(col(idCol).as("id"),
       explode(sequence(col("span_start"),
         col("span_start") + col("span_tokens") - 1)).as("__pos"))
     val toks = df.select(col(idCol).as("id"),
-      posexplode(Dedup.tokens(col(textCol))).as(Seq("__pos", "__t")))
+      posexplode(Dedup.tokens(tokenizer(col(textCol)))).as(Seq("__pos", "__t")))
     val rebuilt = toks
       .join(covered, Seq("id", "__pos"), "left_anti")
       .groupBy(col("id").as("__rid"))

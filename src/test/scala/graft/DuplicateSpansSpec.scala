@@ -97,6 +97,31 @@ class DuplicateSpansSpec extends AnyFunSuite {
       (4L, 0L, 6L)))
   }
 
+  test("retokenized spans find duplicates the whitespace family misses; positions are regex-token-space") {
+    // docs 1 and 2 share the 13-token REGEX stream
+    // [w 1 w 2 w 3 , w 4 w 5 w 6]: doc1 glues "w3,w4" into one
+    // whitespace token, doc2 spaces the comma out — so whitespace
+    // windows never match, regex windows all do
+    val d = Seq(
+      (1L, "w1 w2 w3,w4 w5 w6"),
+      (2L, "z w1 w2 w3 , w4 w5 w6"),
+      (3L, "q r s t u v")).toDF("doc_id", "text")
+    assert(NgramOverlap.duplicateSpans(d, "doc_id", "text", windowTokens = 5).count() == 0)
+    val bpe = NgramOverlap.duplicateSpans(d, "doc_id", "text", windowTokens = 5,
+        tokenizer = NgramOverlap.retokenize())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc1's whole 13-token stream is covered; doc2's copy starts after
+    // the leading "z" — offsets count regex tokens, not whitespace words
+    assert(bpe == Set((1L, 0L, 13L), (2L, 1L, 13L)), s"got $bpe")
+    // removal in tokenizer space: doc1 empties, doc2 keeps "z", doc3's
+    // single-space text round-trips unchanged
+    val clean = NgramOverlap.removeDuplicateSpans(d, "doc_id", "text",
+        windowTokens = 5, tokenizer = NgramOverlap.retokenize())
+      .select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean == Map(1L -> "", 2L -> "z", 3L -> "q r s t u v"), s"got $clean")
+  }
+
   test("empty input and reserved-name guard") {
     val e = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(NgramOverlap.duplicateSpans(e, "doc_id", "text", L).count() == 0)
