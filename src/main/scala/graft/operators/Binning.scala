@@ -233,6 +233,78 @@ object Binning {
       .drop("__qcut_edges", "__qk")
   }
 
+  /** The edge-derivation half of [[qcutBy]] LITERALIZED — the grouped
+    * INDEX-BUILD step, mirroring [[qcutEdges]]'s contract: a bounded
+    * driver-side result of at most `maxGroups` x (nBins-1) doubles, where
+    * `maxGroups` is a CALLER parameter (the IVF-centroid literalization
+    * contract — never data-sized; more groups than maxGroups fails fast
+    * instead of silently collecting). The data-sized edge ranking stays
+    * distributed. Build once per corpus and reuse across
+    * [[qcutByWithEdges]] calls: the composed per-group edge plan then
+    * runs (and is PLANNED — measured ~1 s of constant Catalyst work per
+    * run at any data size) once instead of riding every consumer.
+    * Returns (group key values in `by` order, interior cut points); a
+    * group absent from the result (all-invalid values) bins NULL. */
+  def qcutByEdges(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      nBins: Int,
+      maxGroups: Int,
+      edgeScale: Int = 6,
+      chunks: Int = 32,
+      dedup: Boolean = false): Seq[(Seq[Any], Seq[Double])] = {
+    require(nBins >= 2, s"qcutByEdges needs nBins >= 2 (got $nBins)")
+    require(by.nonEmpty, "qcutByEdges needs at least one grouping column")
+    require(maxGroups >= 1, s"qcutByEdges needs maxGroups >= 1 (got $maxGroups)")
+    val reserved = Seq("__qcut_edges", "__qs", "__qk")
+    val clashes  = (df.columns.toSeq :+ valueCol).intersect(reserved)
+    require(clashes.isEmpty,
+      s"qcutByEdges reserves column names ${reserved.mkString("/")}; rename ${clashes.distinct.mkString(", ")} in the input")
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val quantiles = Quantiles.exactQuantileSelect(
+      df.select((by :+ valueCol).map(col): _*), by, valueCol, qs,
+      as = "__qs", chunks = chunks, dedup = dedup)
+    val edgeArr = if (qs.size == 1) array(col("__qs")) else col("__qs")
+    val rows = quantiles.select(
+      struct(by.map(col): _*).as("__qk") +:
+        transform(edgeArr, e => round(e, edgeScale)).as("__qcut_edges") +: Nil: _*)
+      .limit(maxGroups + 1).collect()
+    require(rows.length <= maxGroups,
+      s"qcutByEdges found more than maxGroups=$maxGroups groups; raise maxGroups or use the distributed qcutBy")
+    rows.toSeq.map(r => (r.getStruct(0).toSeq, r.getSeq[Double](1)))
+  }
+
+  /** The binning half for literalized grouped edges: one codegen'd pass
+    * with a per-group when-chain of literal edge arrays — zero joins,
+    * zero extra jobs (the [[qcutWithEdges]] shape, per group). Group keys
+    * match null-safely, so NULL-keyed groups bin against their own edges
+    * (the [[qcutBy]] struct-key contract); rows in groups absent from
+    * `edges`, or with NULL/NaN values, get a NULL bin. The when-chain is
+    * linear in |edges| per row — right for the bounded-group regime this
+    * path is for (maxGroups ~ tens); unbounded group counts should use
+    * the distributed [[qcutBy]] join. */
+  def qcutByWithEdges(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      edges: Seq[(Seq[Any], Seq[Double])],
+      as: String): DataFrame = {
+    require(!df.columns.contains(as),
+      s"qcutBy output column $as already exists in the input; pick another name or drop it first")
+    require(edges.forall(_._1.length == by.length),
+      s"each edge key must have ${by.length} values (one per grouping column)")
+    graft.expressions.GraftFunctions.register(df.sparkSession) // binByEdges
+    val v  = col(valueCol)
+    val dt = df.schema(valueCol).dataType
+    def keyMatch(key: Seq[Any]): Column =
+      by.zip(key).map { case (c, k) => col(c) <=> lit(k) }.reduce(_ && _)
+    val edgeCol = edges.foldRight(lit(null).cast("array<double>")) {
+      case ((k, es), acc) => when(keyMatch(k), typedlit(es)).otherwise(acc)
+    }
+    df.withColumn(as, binByEdges(v, dt, edgeCol))
+  }
+
   /** searchsorted-right over an edge-array column (qcut: a literal array;
     * qcutBy: the joined per-group `__qcut_edges`); NULL/NaN value or NULL
     * edges -> NULL bin. Native codegen expression

@@ -560,21 +560,26 @@ object Dedup {
         persisted += d
         d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       } else d
-    // symmetric edge list: propagation must flow both directions
+    // symmetric edges + a self-loop per node: min over {own label} ∪
+    // {neighbor labels} is then ONE join + ONE map-side-combined min
+    // aggregation per round (the self-loop carries the node's own label
+    // through the same path), instead of a neighbor-min join PLUS a
+    // join-back against the previous labels — halves the per-round
+    // stage count, which is the wall-clock floor for a composed
+    // metadata-sized plan
+    val sym = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
     val edges = maybeCache(
-      pairs.select(col(idA).as("src"), col(idB).as("dst"))
-        .union(pairs.select(col(idB).as("src"), col(idA).as("dst"))))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+      sym.union(sym.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst"))))
+    var labels = edges.where(col("src") === col("dst"))
+      .select(col("src").as("id"), col("src").as("lbl"))
     for (_ <- 1 to iterations) {
-      val nbr = edges
-        .join(labels.select(col("id").as("__nid"), col("lbl").as("__nlbl")),
-          col("dst") === col("__nid"))
-        .groupBy(col("src")).agg(min(col("__nlbl")).as("__nbr_min"))
       labels = maybeCache(
-        labels.join(nbr, labels("id") === nbr("src"), "left")
-          .select(labels("id"),
-            least(labels("lbl"), coalesce(col("__nbr_min"), labels("lbl"))).as("lbl")))
+        edges
+          .join(labels.select(col("id").as("__nid"), col("lbl").as("__nlbl")),
+            col("dst") === col("__nid"))
+          .groupBy(col("src").as("id")).agg(min(col("__nlbl")).as("lbl")))
     }
     (labels.select(col("id"), col("lbl").as("cluster_id")),
       () => persisted.foreach(_.unpersist(false)))

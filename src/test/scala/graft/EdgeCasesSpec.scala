@@ -222,6 +222,37 @@ class EdgeCasesSpec extends AnyFunSuite {
       assert(math.abs(occ(b) - 10L) <= 1, s"NULL-group bin $b: ${occ.get(b)}")
   }
 
+  test("qcutByEdges + qcutByWithEdges == qcutBy (literalized grouped index-build path)") {
+    val rnd = new scala.util.Random(23L)
+    val rows = (0 until 300).map { i =>
+      val k: Option[String] = i % 3 match {
+        case 0 => Some("g0"); case 1 => Some("g1"); case 2 => None
+      }
+      (k, Option(rnd.nextDouble() * 100))
+    } ++ Seq((Some("g9"), None), (Some("g9"), Some(Double.NaN))) // all-invalid group
+    val d = rows.toDF("k", "v").repartition(5)
+    // stringified triples: boxed NaN compares numerically (NaN != NaN)
+    // under Scala's Any ==, which would flag identical results
+    def dump(df: org.apache.spark.sql.DataFrame): Seq[(String, String, String)] =
+      df.collect().map(r => (String.valueOf(r.getAs[Any]("k")),
+        String.valueOf(r.getAs[Any]("v")), String.valueOf(r.getAs[Any]("b"))))
+        .toSeq.sortBy(x => (x._1, x._2))
+    val viaJoin = dump(Binning.qcutBy(d, Seq("k"), "v", 4, "b"))
+    val edges = Binning.qcutByEdges(d, Seq("k"), "v", 4, maxGroups = 8)
+    // bounded build: one entry per group WITH valid values (g9 absent)
+    assert(edges.size == 3 && edges.forall(_._2.size == 3))
+    assert(edges.exists(_._1 == Seq(null)), "NULL group key must carry its own edges")
+    val viaLit = dump(Binning.qcutByWithEdges(d, Seq("k"), "v", edges, "b"))
+    assert(viaLit == viaJoin)
+    // maxGroups is a fail-fast bound, not a silent cap
+    intercept[IllegalArgumentException] {
+      Binning.qcutByEdges(d, Seq("k"), "v", 4, maxGroups = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Binning.qcutByWithEdges(d, Seq("k"), "v", edges, "v") // existing name
+    }
+  }
+
   test("datetime binning drops out-of-range and respects left-closed edges") {
     val ts = Seq("2000-01-01 00:00:00", "2000-06-15 12:00:00", "2001-01-01 00:00:00",
       "2001-12-31 23:59:59", "2002-01-01 00:00:00")
