@@ -428,6 +428,51 @@ object LlmQueries {
       Sessionize.sessionWindowRollup(SparkEntry.ev(s, d), Seq("user_id"), "ts",
         "30 minutes", "value")
         .orderBy("user_id", "session_start")),
+    // Stateless curation filters under readStream (hash sample + quality
+    // floor + PII redaction): the documents table replayed as a file
+    // stream, APPEND mode — no watermark, no state store, every surviving
+    // row emitted as it arrives — then a batch rollup of the sunk rows
+    // must hash-match the DuckDB batch oracle. This pins the structural
+    // streaming==batch invariant of StreamingOps.curationFilter on the
+    // driver gate, the way q_stream_window pins the stateful window path.
+    "q_stream_filter" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = T(s, d, "documents").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/{documents.parquet}")
+      val out = StreamingOps.curationFilter(raw, "text",
+        sampleRate = 0.5, salt = 7, minQuality = 300L)
+      val name = s"graft_stream_filter_${streamRuns.incrementAndGet()}"
+      // same replay-and-discard checkpoint scaffolding as q_stream_window
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val ckpt =
+        if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+          java.nio.file.Files.createTempDirectory(shm, "graft-ckpt")
+        else java.nio.file.Files.createTempDirectory("graft-ckpt")
+      try {
+        val q = out.writeStream.queryName(name).format("memory")
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        q.awaitTermination()
+        graft.expressions.GraftFunctions.register(s)
+        val sunk = s.table(name)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum("quality").as("sum_quality"),
+            sum(col("email_hits") + col("phone_hits") + col("ip_hits")).as("pii_hits"),
+            sum(TextAnalysis.fingerprintFast(col("redacted"))).as("checksum"))
+          .orderBy("source")
+        s.createDataFrame(sunk.collectAsList(), sunk.schema)
+      } finally {
+        try s.catalog.dropTempView(name) catch { case _: Exception => }
+        val walk = java.nio.file.Files.walk(ckpt)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } finally walk.close()
+      }
+    }),
     // The per-partition decode slot (mapPartitions escape hatch) with the
     // deterministic stub codec: per-row mean body byte. Integer byte sums
     // stay exact; one division per row — the oracle replays it from the
@@ -931,6 +976,29 @@ object LlmQueries {
         ("SELECT date_trunc('hour', ts) AS hour_start, event_type, count(value) AS n,"
           + " CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
           + " FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+      "q_stream_filter" -> {
+        // batch replay of the stateless streaming pass: same scatter
+        // (bucketSql over the rolling fingerprint, salt 7), same
+        // single-sourced quality score, same redaction order as q_pii.
+        // NULL-text rows fall out of BOTH filters via NULL comparisons —
+        // mirroring the Spark side's NULL-propagating where clauses.
+        val keep = math.floor(0.5 * Sampling.M).toLong
+        val red = (s"regexp_replace(regexp_replace(regexp_replace(text, '${Pii.Email}', '[PII]', 'g'),"
+          + s" '${Pii.Phone}', '[PII]', 'g'), '${Pii.Ipv4}', '[PII]', 'g')")
+        ("WITH f AS (SELECT source, text, string_split(text, ' ') w,"
+          + " " + TextAnalysis.fingerprintSql("text") + " AS h FROM documents),"
+          + s" k AS (SELECT source, text, ${TextAnalysis.qualityScoreSql("text", "w")} AS q"
+          + s" FROM f WHERE ${Sampling.bucketSql("h", 7)} < $keep),"
+          + " r AS (SELECT source, q,"
+          + s" len(regexp_extract_all(text, '${Pii.Email}')) AS em,"
+          + s" len(regexp_extract_all(text, '${Pii.Phone}')) AS ph,"
+          + s" len(regexp_extract_all(text, '${Pii.Ipv4}')) AS ip,"
+          + s" $red AS redacted FROM k WHERE q >= 300)"
+          + " SELECT source, count(*) AS n_kept, sum(q)::BIGINT AS sum_quality,"
+          + " sum(em + ph + ip)::BIGINT AS pii_hits,"
+          + s" sum(${TextAnalysis.fingerprintSql("redacted")})::BIGINT AS checksum"
+          + " FROM r GROUP BY 1 ORDER BY 1")
+      },
       "q_multikey_dense" ->
         ("SELECT f.l_returnflag, s.l_linestatus, coalesce(n, 0) AS n, coalesce(sum_qty, 0.0) AS sum_qty"
           + " FROM (VALUES ('A'), ('N'), ('R'), ('X')) f(l_returnflag)"

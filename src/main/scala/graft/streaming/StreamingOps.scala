@@ -77,6 +77,39 @@ object StreamingOps {
       .drop("__h1", "__h2")
   }
 
+  /** Stateless curation pass for streaming ingest: deterministic hash
+    * sampling, quality scoring + threshold, and PII scan/redaction
+    * composed as pure per-row expressions. Appends `quality`, the
+    * per-pattern `*_hits` counts, and `redacted`; keeps rows passing the
+    * sample and the quality floor.
+    *
+    * Every step is STATELESS — no watermark, no state store, no shuffle
+    * — so the streaming==batch invariant is structural: the same
+    * DataFrame code runs under `readStream` (append mode, any
+    * micro-batching) and batch with identical surviving rows, and the
+    * sampling is keyed-hash (never `rand()`), so replays and retries are
+    * idempotent. Rows with NULL text are dropped (their sample bucket
+    * and quality are NULL — the batch semantics of the underlying
+    * operators). The q_stream_filter driver row pins streaming output ==
+    * the DuckDB batch oracle. */
+  def curationFilter(
+      stream: DataFrame,
+      textCol: String,
+      sampleRate: Double = 1.0,
+      salt: Int = 0,
+      minQuality: Long = 0L,
+      piiPatterns: Seq[(String, String)] = graft.operators.Pii.Default): DataFrame = {
+    require(!stream.columns.contains("quality"),
+      "curationFilter reserves output column `quality`; rename it in the input")
+    graft.expressions.GraftFunctions.register(stream.sparkSession)
+    val sampled = graft.operators.Sampling.hashSample(
+      stream, graft.operators.Sampling.textKey(col(textCol)), sampleRate, salt)
+    val scored = sampled
+      .withColumn("quality", graft.operators.TextAnalysis.qualityScore(col(textCol)))
+      .where(col("quality") >= minQuality)
+    graft.operators.Pii.scan(scored, textCol, piiPatterns)
+  }
+
   /** Streaming per-key running sum (NaN-skipping): the streaming analog of
     * `groupby_scan`'s nancumsum (SURVEY §2.2), as explicit keyed state via
     * flatMapGroupsWithState — one double per key, the chunk-carry of the

@@ -177,6 +177,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.values.forall(_._2 == 1L)) // fixture sanity: phone found
   }
 
+  test("curationFilter: streamed == batch; NULL text drops; filters actually bite") {
+    val docs = ((0 until 200).map { i =>
+      // vary stopword density so the quality floor splits the corpus
+      val body = if (i % 2 == 0) s"the a of to and doc $i body is full"
+                 else s"doc$i x$i y$i"
+      (i.toLong, body + (if (i % 7 == 0) " mail me a@b.com" else ""))
+    } :+ (999L, null.asInstanceOf[String])).toDF("id", "text")
+    def dump(df: DataFrame) =
+      df.select("id", "quality", "email_hits", "redacted")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val streamed = dump(runToMemory(
+      StreamingOps.curationFilter(asStream(docs), "text",
+        sampleRate = 0.7, salt = 3, minQuality = 200L),
+      "curation_filter_stream", "append"))
+    val batch = dump(StreamingOps.curationFilter(docs, "text",
+      sampleRate = 0.7, salt = 3, minQuality = 200L))
+    assert(streamed == batch)
+    assert(!batch.contains(999L), "NULL text must be dropped")
+    assert(batch.nonEmpty && batch.size < 200, "both filters must bite")
+    assert(batch.exists(_._2._3.contains("[PII]")), "redaction must apply")
+    intercept[IllegalArgumentException] {
+      StreamingOps.curationFilter(docs.withColumn("quality", lit(1)), "text")
+    }
+  }
+
   test("GraftExtensions injects graft_dotq for SQL use") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // constructs without error; SQL path via register:
