@@ -213,10 +213,16 @@ object CurationQueries {
     "q_rolling_1h" -> ((s, d) =>
       Rolling.rollingTime(SparkEntry.ev(s, d), Seq("user_id"), "ts", "1 hour",
           "valn", Seq("count" -> "n_1h", "sum" -> "sum_1h",
-            "var" -> "var0", "std" -> "std0"))
+            "var" -> "var0", "std" -> "std0",
+            "skew" -> "skew0", "kurt" -> "kurt0"))
         .withColumn("var_1h", round(col("var0"), 6))
         .withColumn("std_1h", round(col("std0"), 6))
-        .select("event_id", "user_id", "n_1h", "sum_1h", "var_1h", "std_1h")
+        // moment stats are O(1)-magnitude; the 1e-6 grid is far coarser
+        // than any frame-summation-order drift in the double power sums
+        .withColumn("skew_1h", round(col("skew0"), 6))
+        .withColumn("kurt_1h", round(col("kurt0"), 6))
+        .select("event_id", "user_id", "n_1h", "sum_1h", "var_1h", "std_1h",
+          "skew_1h", "kurt_1h")
         .orderBy("event_id")),
     // pandas rolling(5): row-count frame under the (ts, event_id) total order
     "q_rolling_rows" -> ((s, d) =>
@@ -358,10 +364,25 @@ object CurationQueries {
       val s2 = "CAST(sum(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE)"
       val n  = "CAST(count(v) OVER w AS DOUBLE)"
       val varSql = s"CASE WHEN count(v) OVER w > 1 THEN greatest(($s2 - $s1 * $s1 / $n) / ($n - 1.0), 0.0) END"
+      // skew/kurt replay Rolling.momentE term for term: raw double frame
+      // power sums, population g1/g2 finalize, NULL on constant frames
+      val s1d = "(sum(v) OVER w)"
+      val s2d = "(sum(v*v) OVER w)"
+      val s3d = "(sum(v*v*v) OVER w)"
+      val s4d = "(sum(v*v*v*v) OVER w)"
+      val mE  = s"($s1d / $n)"
+      val m2E = s"($s2d / $n - $mE * $mE)"
+      val m3E = s"($s3d / $n - 3 * $mE * ($s2d / $n) + 2 * $mE * $mE * $mE)"
+      val m4E = (s"($s4d / $n - 4 * $mE * ($s3d / $n) + 6 * $mE * $mE * ($s2d / $n)"
+        + s" - 3 * $mE * $mE * $mE * $mE)")
+      val skewSql = s"CASE WHEN $m2E > 0 THEN $m3E / sqrt($m2E * $m2E * $m2E) END"
+      val kurtSql = s"CASE WHEN $m2E > 0 THEN $m4E / ($m2E * $m2E) - 3 END"
       ("SELECT event_id, user_id, count(v) OVER w AS n_1h,"
         + s" CAST(sum(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h,"
         + s" round($varSql, 6) AS var_1h,"
-        + s" round(sqrt($varSql), 6) AS std_1h"
+        + s" round(sqrt($varSql), 6) AS std_1h,"
+        + s" round($skewSql, 6) AS skew_1h,"
+        + s" round($kurtSql, 6) AS kurt_1h"
         + " FROM (SELECT event_id, user_id, ts,"
         + " CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events)"
         + " WINDOW w AS (PARTITION BY user_id ORDER BY ts"

@@ -29,8 +29,16 @@ object Rolling {
     * [[Agg]] variance — two frame sums + a count, finalized in one IEEE
     * expression — with `ddof` from the rolling call (pandas
     * `rolling().var(ddof=)`, default 1); frames with <= ddof valid values
-    * yield NULL. */
-  val funcs: Set[String] = Set("count", "sum", "mean", "min", "max", "var", "std")
+    * yield NULL. skew/kurt extend the decomposition one order higher:
+    * population (biased, scipy g1/g2 Fisher) skewness / excess kurtosis
+    * from raw double frame power sums — the SAME convention as the
+    * grouped registry's skew/kurt (NOT pandas' bias-adjusted
+    * `rolling().skew()`; multiply by the n-dependent adjustment factor
+    * downstream for that). Constant frames (m2 == 0) yield NULL, like
+    * the grouped form; the double-sum numeric contract is the grouped
+    * momentStat one (exact for low-scale values with |x|^4 * n < 2^53). */
+  val funcs: Set[String] = Set("count", "sum", "mean", "min", "max", "var", "std",
+    "skew", "kurt")
 
   /** Appends one rolling-aggregate column per (func, as) pair.
     *
@@ -137,6 +145,28 @@ object Rolling {
       when(n > ddof,
         greatest((sumSqE - sumE * sumE / n) / (n - lit(ddof.toDouble)), lit(0.0)))
     }
+    // one fixed IEEE finalize over raw double frame power sums, mirroring
+    // the grouped Aggregations.momentStat expression term for term so an
+    // oracle replays it byte-identically
+    def momentE(kurt: Boolean): Column = {
+      val c  = vn.cast(DoubleType)
+      val n  = count(c).over(w).cast(DoubleType)
+      val s1 = sum(c).over(w); val s2 = sum(c * c).over(w)
+      val s3 = sum(c * c * c).over(w)
+      val m  = s1 / n
+      val m2 = s2 / n - m * m
+      val stat =
+        if (!kurt) {
+          val m3 = s3 / n - lit(3) * m * (s2 / n) + lit(2) * m * m * m
+          m3 / sqrt(m2 * m2 * m2)
+        } else {
+          val s4 = sum(c * c * c * c).over(w)
+          val m4 = s4 / n - lit(4) * m * (s3 / n) + lit(6) * m * m * (s2 / n) -
+            lit(3) * m * m * m * m
+          m4 / (m2 * m2) - lit(3)
+        }
+      when(m2 > 0, stat)
+    }
     aggs.foldLeft(df) { case (d, (f, as)) =>
       d.withColumn(as, f match {
         case "count" => count(vn).over(w)
@@ -146,6 +176,8 @@ object Rolling {
         case "max"   => max(vn).over(w)
         case "var"   => varE
         case "std"   => sqrt(varE)
+        case "skew"  => momentE(kurt = false)
+        case "kurt"  => momentE(kurt = true)
       })
     }
   }

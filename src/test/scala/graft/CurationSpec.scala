@@ -381,6 +381,39 @@ class CurationSpec extends AnyFunSuite {
     assert(peers(1L) == peers(2L) && math.abs(peers(1L) - 2.0) < 1e-9)
   }
 
+  test("rolling skew/kurt: population g1/g2 vs brute force; constant frame NULL; NaN skipped") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val rows = Seq(
+      (1L, "u1", at(0), 1.0),
+      (2L, "u1", at(20), 2.0),
+      (3L, "u1", at(40), 7.0),
+      (4L, "u1", at(50), Double.NaN),  // skipped: frame = {1,2,7}
+      (5L, "u1", at(59), 4.0),         // frame = {1,2,7,4}
+      (6L, "u2", at(0), 5.0),
+      (7L, "u2", at(10), 5.0)          // constant 2-frame -> m2=0 -> NULL
+    ).toDF("event_id", "user", "ts", "v")
+    val got = Rolling.rollingTime(rows, Seq("user"), "ts", "1 hour", "v",
+        Seq("skew" -> "sk", "kurt" -> "ku"))
+      .select("event_id", "sk", "ku").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    def g1g2(xs: Double*): (Double, Double) = {
+      val n = xs.size.toDouble; val m = xs.sum / n
+      def mom(k: Int) = xs.map(x => math.pow(x - m, k)).sum / n
+      (mom(3) / math.pow(mom(2), 1.5), mom(4) / (mom(2) * mom(2)) - 3)
+    }
+    for ((id, frame) <- Seq(2L -> Seq(1.0, 2.0), 3L -> Seq(1.0, 2.0, 7.0),
+        4L -> Seq(1.0, 2.0, 7.0), 5L -> Seq(1.0, 2.0, 7.0, 4.0))) {
+      val (wantS, wantK) = g1g2(frame: _*)
+      assert(got(id)._1.exists(v => math.abs(v.asInstanceOf[Double] - wantS) < 1e-9),
+        s"skew row $id: ${got(id)._1} want $wantS")
+      assert(got(id)._2.exists(v => math.abs(v.asInstanceOf[Double] - wantK) < 1e-9),
+        s"kurt row $id: ${got(id)._2} want $wantK")
+    }
+    assert(got(1L) == ((None, None)), "singleton frame: m2=0 -> NULL")
+    assert(got(7L) == ((None, None)), "constant frame: m2=0 -> NULL")
+  }
+
   test("rollingTime rejects unsupported funcs and month windows") {
     val rows = Seq((1L, "u", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
       .toDF("event_id", "user", "ts", "v")
