@@ -50,6 +50,17 @@ object Stress {
       NgramOverlap.duplicateGramStats(docs, "doc_id", "text").count())
     time("duplicateSpans")(
       NgramOverlap.duplicateSpans(docs, "doc_id", "text", windowTokens = 5).count())
+    // removal path: the span detection plus the covered-position anti-join
+    // and per-doc rebuild (its expensive half). count(clean_text) forces
+    // the rebuild join — a bare count() would let left-join elimination
+    // drop the whole rebuilt subtree (grouped keys are unique) and time
+    // nothing
+    time("removeDuplicateSpans")(
+      NgramOverlap.removeDuplicateSpans(docs, "doc_id", "text", windowTokens = 5)
+        .select(count(col("clean_text"))).head.getLong(0))
+    time("nearDupDedup")(Dedup.nearDupDedup(docs, "doc_id", "text").count())
+    time("dupClusters k=3")(
+      Dedup.dupClusters(Dedup.nearDupPairs(docs, "doc_id", "text"), 3).count())
     time("contaminatedDocs")(NgramOverlap.contaminatedDocs(
       docs.where(!col("source").isin("src0", "src1", "src2")),
       docs.where(col("source").isin("src0", "src1", "src2")),
