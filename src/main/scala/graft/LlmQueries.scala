@@ -132,6 +132,15 @@ object LlmQueries {
         .withColumn("dist", col("dist").cast("long"))
         .orderBy("id_a", "id_b")
     }),
+    // row-preserving SimHash keep-first: since pigeonhole banding has
+    // recall 1, this EQUALS the all-pairs hamming keep-first rule the
+    // oracle replays — no S-curve caveat
+    "q_dedup_simhash_rows" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      Dedup.simhashDedup(T(s, d, "documents"), "doc_id", "text", maxDist = 3,
+        tokenHash = TextAnalysis.fingerprintFast, bitOf = Dedup.replayableBit)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     // ---- similarity search ----
     // BASELINE ONLY: bruteForcePairs is the O(n^2) exact verifier that
     // anchors the bit-exact oracle and the recall pins — it is not the
@@ -637,6 +646,27 @@ object LlmQueries {
     li.withColumn("valn",
       when(col("l_tax") === 0.0, lit(Double.NaN)).otherwise(col("l_quantity")))
 
+  /** DuckDB replay of the replayable SimHash signature table, shared by
+    * the q_dedup_simhash / q_dedup_simhash_rows oracles: rolling-
+    * fingerprint token hash (same fold as q_fingerprint, but per token),
+    * parity bits ((h*A_i + C_i) mod 1e9+7 mod 2 with the splitmix-derived
+    * [[Dedup.replayableSalt]] constants interpolated), majority votes,
+    * 16-bit chunk packing. The all-pairs hamming filter downstream equals
+    * the banded result (recall 1 by pigeonhole). */
+  private lazy val simhashSimsCtes: String = {
+    def vote(i: Int) = {
+      val (a, c) = Dedup.replayableSalt(i)
+      (s"list_sum(list_transform(hs, h -> CASE WHEN ((h*$a+$c)"
+        + " % 1000000007) % 2 = 1 THEN 1 ELSE -1 END))")
+    }
+    def chunk(k: Int) = (0 until 16)
+      .map(j => s"(CASE WHEN ${vote(16 * k + j)} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("(", " + ", s")::BIGINT AS c$k")
+    ("WITH th AS (SELECT doc_id, list_transform(string_split(text, ' '), t ->"
+      + " " + TextAnalysis.fingerprintSql("t") + ") AS hs FROM documents),"
+      + s" sims AS (SELECT doc_id, ${(0 until 4).map(chunk).mkString(", ")} FROM th)")
+  }
+
   def oracleSql: Map[String, String] = {
     val shingleCte =
       ("WITH s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN"
@@ -749,30 +779,23 @@ object LlmQueries {
           + " SELECT * FROM (SELECT a.doc_id AS id_l, b.doc_id AS id_r,"
           + " round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard"
           + " FROM s a, sr b) WHERE jaccard >= 0.5 ORDER BY 1, 2"),
-      "q_dedup_simhash" -> {
-        // Replays the replayable SimHash end to end: rolling-fingerprint
-        // token hash (same fold as q_fingerprint, but per token), parity
-        // bits ((h*A_i + C_i) mod 1e9+7 mod 2 with the splitmix-derived
-        // Dedup.replayableSalt constants interpolated below), majority
-        // votes, 16-bit chunk packing, then the all-pairs hamming filter
-        // (== the banded result, recall 1 by pigeonhole).
-        def vote(i: Int) = {
-          val (a, c) = Dedup.replayableSalt(i)
-          (s"list_sum(list_transform(hs, h -> CASE WHEN ((h*$a+$c)"
-            + " % 1000000007) % 2 = 1 THEN 1 ELSE -1 END))")
-        }
-        def chunk(k: Int) = (0 until 16)
-          .map(j => s"(CASE WHEN ${vote(16 * k + j)} > 0 THEN ${1L << j} ELSE 0 END)")
-          .mkString("(", " + ", s")::BIGINT AS c$k")
-        ("WITH th AS (SELECT doc_id, list_transform(string_split(text, ' '), t ->"
-          + " " + TextAnalysis.fingerprintSql("t") + ") AS hs FROM documents),"
-          + s" sims AS (SELECT doc_id, ${(0 until 4).map(chunk).mkString(", ")} FROM th)"
+      "q_dedup_simhash" ->
+        (simhashSimsCtes
           + " SELECT id_a, id_b, dist::BIGINT AS dist FROM ("
           + " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
           + (0 until 4).map(k => s"bit_count(xor(a.c$k, b.c$k))").mkString(" ", " + ", " AS dist")
           + " FROM sims a JOIN sims b ON a.doc_id < b.doc_id)"
-          + " WHERE dist <= 3 ORDER BY 1, 2")
-      },
+          + " WHERE dist <= 3 ORDER BY 1, 2"),
+      "q_dedup_simhash_rows" ->
+        // keep-first over the same all-pairs hamming rule (== the banded
+        // result by recall-1 pigeonhole): drop every doc with a
+        // smaller-id neighbor at dist <= 3
+        (simhashSimsCtes
+          + ", dup AS (SELECT DISTINCT b.doc_id AS id"
+          + " FROM sims a JOIN sims b ON a.doc_id < b.doc_id"
+          + " WHERE" + (0 until 4).map(k => s"bit_count(xor(a.c$k, b.c$k))").mkString(" ", " + ", " <= 3)")
+          + " SELECT doc_id, source FROM documents WHERE doc_id NOT IN (SELECT id FROM dup)"
+          + " ORDER BY doc_id"),
       "q_cosine_pairs" ->
         (s"WITH n AS $qn SELECT * FROM ("
           + " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"

@@ -560,6 +560,14 @@ object Dedup {
         persisted += d
         d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       } else d
+    // The edge plan references the pair table THREE times (both
+    // directions of the symmetric union + the self-loop distinct), so
+    // the (id_a, id_b) projection is persisted FIRST: without it, the
+    // caller's whole pair-generation subtree — typically a full
+    // MinHash/LSH candidate join — would re-execute once per reference
+    // when the edge cache materializes (measured 3x the pair cost in
+    // the x8 stress probe).
+    val p = maybeCache(pairs.select(col(idA).as("src"), col(idB).as("dst")))
     // symmetric edges + a self-loop per node: min over {own label} ∪
     // {neighbor labels} is then ONE join + ONE map-side-combined min
     // aggregation per round (the self-loop carries the node's own label
@@ -567,8 +575,7 @@ object Dedup {
     // join-back against the previous labels — halves the per-round
     // stage count, which is the wall-clock floor for a composed
     // metadata-sized plan
-    val sym = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    val sym = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     val edges = maybeCache(
       sym.union(sym.select(col("src")).distinct()
         .select(col("src"), col("src").as("dst"))))
@@ -632,6 +639,43 @@ object Dedup {
       .select(col("id").as("__dup_id"))
     (df.join(dropped, col(idCol) === col("__dup_id"), "left_anti"),
       () => { releaseLabels(); releasePairs() })
+  }
+
+  /** SimHash near-duplicate dedup, keep-smallest-id: the row-preserving
+    * keep-first form for the SimHash family, completing the set (exact =
+    * [[dropDuplicatesKeepFirst]], MinHash = [[nearDupDedup]], embedding =
+    * [[embeddingDedup]]). One anti-join over [[simhashPairs]]'
+    * pigeonhole-banded candidates — and since banding has recall 1, the
+    * result EQUALS the all-pairs hamming keep-first rule (no S-curve
+    * caveat, unlike the MinHash form). Same one-pass smaller-id-neighbor
+    * semantics as the other keep-first operators. */
+  def simhashDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3,
+      tokenHash: Column => Column = xxhash64(_),
+      bitOf: (Column, Int) => Column = hashBit): DataFrame =
+    simhashDedupManaged(df, idCol, textCol, maxDist, tokenHash, bitOf)._1
+
+  /** [[simhashDedup]] plus the release handle for the persisted signature
+    * table — same cache-lifecycle contract as the other `*Managed`
+    * variants. */
+  def simhashDedupManaged(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3,
+      tokenHash: Column => Column = xxhash64(_),
+      bitOf: (Column, Int) => Column = hashBit,
+      cache: Boolean = true): (DataFrame, () => Unit) = {
+    require(!df.columns.contains("__dup_id"),
+      "simhashDedup reserves column name __dup_id; rename it in the input")
+    val (pairs, release) = simhashPairsManaged(
+      df, idCol, textCol, maxDist, tokenHash, bitOf, cache)
+    // id_a < id_b by construction, so id_b is always the dropped side
+    val dropped = pairs.select(col("id_b").as("__dup_id")).distinct()
+    (df.join(dropped, col(idCol) === col("__dup_id"), "left_anti"), release)
   }
 
   /** Embedding-cosine near-duplicate dedup, keep-smallest-id — the fifth

@@ -213,6 +213,22 @@ class DedupSpec extends AnyFunSuite {
     assert(cm.isEmpty, "release() must unpersist all intermediates")
   }
 
+  test("simhashDedup keeps only rows with no smaller-id hamming neighbor") {
+    // docs 1,2,5 identical (dist 0), 3 near (small dist), 4 unrelated
+    val kept = Dedup.simhashDedup(docs, "doc_id", "text", maxDist = 3)
+    assert(kept.columns.toSeq == docs.columns.toSeq)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(1L) && ids.contains(4L), s"survivors must include 1 and 4: $ids")
+    assert(!ids.contains(2L) && !ids.contains(5L), s"exact copies must drop: $ids")
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val (survivors, release) = Dedup.simhashDedupManaged(docs, "doc_id", "text")
+    survivors.count()
+    assert(!cm.isEmpty, "expected the persisted signature table during the sweep")
+    release()
+    assert(cm.isEmpty, "release() must unpersist the signature table")
+  }
+
   test("dupClusters: bounded min-label propagation, k hops per iteration") {
     // star graph 1-3, 2-3 (1 and 2 are both near 3, not each other)
     val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
