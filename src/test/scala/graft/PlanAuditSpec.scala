@@ -117,6 +117,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"survivors should come from an anti join:\n$p")
   }
 
+  test("nearDupDedup/simhashDedup: survivors via one anti join, no extra corpus shuffle") {
+    val docs = TestSpark.table("0.01", "documents")
+    for ((name, df) <- Seq(
+        "nearDupDedup" -> graft.operators.Dedup.nearDupDedup(docs, "doc_id", "text"),
+        "simhashDedup" -> graft.operators.Dedup.simhashDedup(docs, "doc_id", "text"))) {
+      val p = plan(df)
+      assert(p.contains("LeftAnti"), s"$name survivors should come from an anti join:\n$p")
+    }
+  }
+
+  test("qcutByWithEdges: literalized grouped binning is zero joins, zero exchanges") {
+    // the grouped twin of the qcut pin: per-group edges folded into a
+    // null-safe when-chain of literals — the binned pass is a single
+    // codegen'd projection over the scan
+    val d = TestSpark.table("0.01", "lineitem")
+    val edges = graft.operators.Binning.qcutByEdges(
+      d, Seq("l_returnflag"), "l_extendedprice", 4, maxGroups = 8)
+    val p = plan(graft.operators.Binning.qcutByWithEdges(
+      d, Seq("l_returnflag"), "l_extendedprice", edges, "b"))
+    assert(p.contains("graft_searchsorted"), s"expected the native bin expression:\n$p")
+    assert(!p.contains("Join") && exchanges(p) == 0,
+      s"literal-grouped-edge binning must not join or shuffle:\n$p")
+  }
+
+  test("curationFilter: stateless — no exchange, no state, one codegen'd filter pass") {
+    val docs = TestSpark.table("0.01", "documents")
+    val p = plan(graft.streaming.StreamingOps.curationFilter(
+      docs, "text", sampleRate = 0.5, minQuality = 300L))
+    assert(exchanges(p) == 0, s"curation filter must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"curation filter must not join:\n$p")
+  }
+
   test("contaminatedDocs with broadcastEval: eval grams broadcast, train side probes in place") {
     val docs = TestSpark.table("0.01", "documents")
     val p = plan(graft.operators.NgramOverlap.contaminatedDocs(
