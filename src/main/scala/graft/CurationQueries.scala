@@ -152,6 +152,19 @@ object CurationQueries {
           coalesce(col("dup_bigram_chars"), lit(0L)).as("dup_bigram_chars"))
         .orderBy("doc_id")
     }),
+    // Gopher/MassiveText rule flags: per-source counts of each published
+    // heuristic (exact integer cross-multiplied thresholds — no FP
+    // anywhere, so the oracle replays them bit-for-bit)
+    "q_gopher" -> ((s, d) => {
+      val flagged = TextAnalysis.gopherFlags(T(s, d, "documents"), "text")
+      val flagCols = Seq("gopher_words", "gopher_mean_len", "gopher_symbol",
+        "gopher_alpha", "gopher_stopword", "gopher_pass")
+      flagged.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          flagCols.map(c =>
+            sum(when(col(c), 1L).otherwise(0L)).as(s"n_$c")): _*)
+        .orderBy("source")
+    }),
     // PII scan + redaction: per-pattern hit counts and a checksum of the
     // redacted text (exact integer sum of per-row fingerprints)
     "q_pii" -> ((s, d) => {
@@ -308,6 +321,19 @@ object CurationQueries {
         + " coalesce(bigram_chars, 0)::BIGINT AS bigram_chars,"
         + " coalesce(dup_bigram_chars, 0)::BIGINT AS dup_bigram_chars"
         + " FROM rep LEFT JOIN big USING (doc_id) ORDER BY 1"),
+    "q_gopher" -> {
+      // flag SQL single-sourced from TextAnalysis.gopherFlagsSql; NULL
+      // text yields NULL flags on both sides, counted 0 by the CASE
+      val flags = TextAnalysis.gopherFlagsSql("text", "w")
+      val all = flags :+ ("gopher_pass" -> flags.map(_._2).mkString("(", " AND ", ")"))
+      ("WITH f AS (SELECT source, "
+        + all.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+        + " FROM (SELECT source, text, string_split(text, ' ') w FROM documents))"
+        + " SELECT source, count(*) AS n_docs, "
+        + all.map { case (n, _) =>
+            s"sum(CASE WHEN $n THEN 1 ELSE 0 END)::BIGINT AS n_$n" }.mkString(", ")
+        + " FROM f GROUP BY 1 ORDER BY 1")
+    },
     "q_pii" -> {
       // redaction order mirrors Pii.Default: email -> phone -> ip
       val red = (s"regexp_replace(regexp_replace(regexp_replace(note, '${Pii.Email}', '[PII]', 'g'),"

@@ -290,6 +290,7 @@ object Binning {
       valueCol: String,
       edges: Seq[(Seq[Any], Seq[Double])],
       as: String): DataFrame = {
+    require(by.nonEmpty, "qcutByWithEdges needs at least one grouping column")
     require(!df.columns.contains(as),
       s"qcutBy output column $as already exists in the input; pick another name or drop it first")
     require(edges.forall(_._1.length == by.length),

@@ -533,9 +533,9 @@ object Dedup {
     * cluster. Each round is one shuffle join + one map-side-combined min
     * aggregation over the edge list (2|pairs| rows of two ids) — linear
     * per round, k rounds total; no driver-side state, no collect. The
-    * label table is persisted per round (and the previous round
-    * released) via the `*Managed` form so the k-round lineage never
-    * re-runs the expensive pair generation. */
+    * pair projection, edge list, and each round's label table are
+    * persisted (released together by the `*Managed` handle) so the
+    * k-round lineage never re-runs the expensive pair generation. */
   def dupClusters(
       pairs: DataFrame,
       iterations: Int,

@@ -97,6 +97,69 @@ object TextAnalysis {
     }
   }
 
+  /** Gopher/MassiveText document-quality rule flags (Rae et al. 2021,
+    * appendix A — the standard heuristic pre-filter of large-scale text
+    * curation), appended as one boolean column per rule plus the
+    * conjunction `gopher_pass`:
+    *
+    *   - `gopher_words`:    minWords <= word count <= maxWords
+    *   - `gopher_mean_len`: mean word length in [3, 10] chars
+    *   - `gopher_symbol`:   symbol-to-word ratio (# or ...) < 0.1
+    *   - `gopher_alpha`:    > 80% of words contain an alphabetic char
+    *   - `gopher_stopword`: >= 2 hits from the tiny [[Stopwords]] list
+    *     (the paper requires 2 of its own function-word list)
+    *
+    * Every ratio threshold is evaluated as an exact integer
+    * cross-multiplication (3n <= chars <= 10n; 10*symbols < n;
+    * 5*alpha > 4n) — no floating point anywhere, so any SQL engine
+    * replays the flags bit-for-bit. NULL text yields NULL flags.
+    * The repetition-based Gopher rules (duplicate line/top-gram
+    * fractions) live in [[Repetition]] — corpus-level statistics, not
+    * per-row expressions. */
+  def gopherFlags(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000): org.apache.spark.sql.DataFrame = {
+    val outs = Seq("gopher_words", "gopher_mean_len", "gopher_symbol",
+      "gopher_alpha", "gopher_stopword", "gopher_pass")
+    val clashes = df.columns.toSeq.intersect(outs)
+    require(clashes.isEmpty,
+      s"gopherFlags output columns collide with input: ${clashes.mkString(", ")}")
+    val t = col(textCol)
+    val w = tokens(t)
+    val n = size(w).cast("long")
+    val chars = tokenChars(w)
+    val symbols = regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))
+    val alphaWords = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
+    df.withColumn("gopher_words", n >= minWords && n <= maxWords)
+      .withColumn("gopher_mean_len", lit(3) * n <= chars && chars <= lit(10) * n)
+      .withColumn("gopher_symbol", lit(10) * symbols.cast("long") < n)
+      .withColumn("gopher_alpha", lit(5) * alphaWords > lit(4) * n)
+      .withColumn("gopher_stopword", stopwordHits(w).cast("long") >= 2)
+      .withColumn("gopher_pass",
+        col("gopher_words") && col("gopher_mean_len") && col("gopher_symbol")
+          && col("gopher_alpha") && col("gopher_stopword"))
+  }
+
+  /** Oracle-SQL twin of [[gopherFlags]] — one fragment per flag over the
+    * raw text expression and its split token array, single-sourced like
+    * [[qualityScoreSql]] so the two sides cannot drift. */
+  def gopherFlagsSql(textExpr: String, wExpr: String,
+      minWords: Int = 50, maxWords: Int = 100000): Seq[(String, String)] = {
+    val n = s"len($wExpr)"
+    val chars = s"list_sum(list_transform($wExpr, t -> len(t)))"
+    val symbols = (s"(len(regexp_extract_all($textExpr, '#'))"
+      + s" + len(regexp_extract_all($textExpr, '\\.\\.\\.')))")
+    val alpha = s"len(list_filter($wExpr, t -> regexp_matches(t, '[a-z]')))"
+    Seq(
+      "gopher_words"    -> s"($n >= $minWords AND $n <= $maxWords)",
+      "gopher_mean_len" -> s"(3 * $n <= $chars AND $chars <= 10 * $n)",
+      "gopher_symbol"   -> s"(10 * $symbols < $n)",
+      "gopher_alpha"    -> s"(5 * $alpha > 4 * $n)",
+      "gopher_stopword" -> s"(${markerHitsSql(Stopwords, wExpr)} >= 2)")
+  }
+
   /** Integer quality score in [0, 1000]: 600 points for a healthy
     * stopword ratio (clipped at 20%, scaled x5 up to full marks) plus 400
     * points for length (clipped at 400 chars). Integer arithmetic end to

@@ -121,6 +121,38 @@ class CurationSpec extends AnyFunSuite {
 
   // ---- Pii ----
 
+  test("gopherFlags: each rule fails on its own fixture; pass is the conjunction; NULL text NULL flags") {
+    val stop = "the a of to and in is" // 7 stopword tokens
+    def words(n: Int, base: String = "word") = (1 to n).map(i => s"$base$i").mkString(" ")
+    val docs = Seq(
+      (1L, stop + " " + words(50)),                 // all rules pass (57 words)
+      (2L, stop + " " + words(10)),                 // too short (17 words)
+      (3L, stop + " " + (1 to 50).map(_ => "ab").mkString(" ")), // mean len < 3
+      (4L, stop + " " + words(43) + " ... ... ... ... ... ..."), // 6 symbols, 56 words: 60 >= 56
+      (5L, stop + " " + words(39) + " " + (1 to 12).map(_ => "123").mkString(" ")), // 12/58 non-alpha > 20%
+      (6L, words(60)),                              // no stopwords
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFlags(docs, "text")
+      .select("doc_id", "gopher_words", "gopher_mean_len", "gopher_symbol",
+        "gopher_alpha", "gopher_stopword", "gopher_pass")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 6).map(i => Option(r.get(i)).map(_.asInstanceOf[Boolean]))).toMap
+    def bools(xs: Boolean*) = xs.map(Option(_))
+    assert(got(1L) == bools(true, true, true, true, true, true), s"doc1: ${got(1L)}")
+    assert(got(2L)(0) == Some(false) && got(2L)(5) == Some(false), s"doc2: ${got(2L)}")
+    assert(got(3L)(1) == Some(false) && got(3L)(5) == Some(false), s"doc3: ${got(3L)}")
+    assert(got(4L)(2) == Some(false) && got(4L)(5) == Some(false), s"doc4: ${got(4L)}")
+    assert(got(5L)(3) == Some(false) && got(5L)(5) == Some(false), s"doc5: ${got(5L)}")
+    assert(got(6L)(4) == Some(false) && got(6L)(5) == Some(false), s"doc6: ${got(6L)}")
+    assert(got(7L).forall(_.isEmpty), s"NULL text must yield NULL flags: ${got(7L)}")
+    // rules other than the targeted one stay green on each fixture
+    assert(got(2L)(1) == Some(true) && got(3L)(0) == Some(true))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.gopherFlags(docs.withColumn("gopher_pass", lit(1)), "text")
+    }
+  }
+
   test("Pii counts and redaction; non-matching text untouched") {
     val rows = Seq(
       (1L, "call 25-989-741-2988 or mail bob@x.co now"),
