@@ -58,6 +58,29 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.exactDedup(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.nearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.simhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+    // r6 row-preserving / cluster forms
+    assert(Dedup.nearDupDedup(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashDedup(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.nearDupDedupTransitive(emptyDocs, "doc_id", "text",
+      iterations = 2).count() == 0)
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.dupClusters(emptyPairs, iterations = 3).count() == 0)
+  }
+
+  test("r6 curation operators on empty input return empty without error") {
+    assert(TextAnalysis.gopherFlags(emptyDocs, "text").count() == 0)
+    assert(graft.streaming.StreamingOps.curationFilter(emptyDocs, "text",
+      sampleRate = 0.5, minQuality = 100L).count() == 0)
+    assert(NgramOverlap.duplicateSpans(emptyDocs, "doc_id", "text",
+      windowTokens = 3, tokenizer = NgramOverlap.retokenize()).count() == 0)
+    // literalized qcutBy: empty corpus derives no edges; binning a
+    // non-empty frame with an empty edge list yields NULL bins
+    val edges = Binning.qcutByEdges(
+      Seq.empty[(String, Double)].toDF("k", "v"), Seq("k"), "v", 4, maxGroups = 4)
+    assert(edges.isEmpty)
+    val binned = Binning.qcutByWithEdges(
+      Seq(("g", 1.0)).toDF("k", "v"), Seq("k"), "v", edges, "b")
+    assert(binned.where(col("b").isNull).count() == 1)
   }
 
   test("similarity on empty input returns empty") {
