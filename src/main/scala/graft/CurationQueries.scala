@@ -152,6 +152,15 @@ object CurationQueries {
           coalesce(col("dup_bigram_chars"), lit(0L)).as("dup_bigram_chars"))
         .orderBy("doc_id")
     }),
+    // per-doc top-3 distinctive terms by tf-idf (quantized-idf decimal
+    // ranking — deterministic across engines; see tfidfTopK scaladoc);
+    // restricted to the first 100 docs so the row count stays sane
+    "q_tfidf" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      TextAnalysis.tfidfTopK(docs.where(col("doc_id") < 100), "doc_id", "text",
+          k = 3, nDocs = docs.where(col("doc_id") < 100).count())
+        .orderBy("doc_id", "rank")
+    }),
     // Gopher/MassiveText rule flags: per-source counts of each published
     // heuristic (exact integer cross-multiplied thresholds — no FP
     // anywhere, so the oracle replays them bit-for-bit)
@@ -321,6 +330,18 @@ object CurationQueries {
         + " coalesce(bigram_chars, 0)::BIGINT AS bigram_chars,"
         + " coalesce(dup_bigram_chars, 0)::BIGINT AS dup_bigram_chars"
         + " FROM rep LEFT JOIN big USING (doc_id) ORDER BY 1"),
+    "q_tfidf" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),"
+        + " t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d),"
+        + " tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),"
+        + " dft AS (SELECT term, count(*)::BIGINT AS df_docs FROM tf GROUP BY 1),"
+        + " sc AS (SELECT doc_id, term, tf, df_docs,"
+        + " round(ln((SELECT count(*) FROM d)::DOUBLE / df_docs), 6)::DECIMAL(18,6) * tf AS sd"
+        + " FROM tf JOIN dft USING (term)),"
+        + " rk AS (SELECT doc_id, term, tf, df_docs, sd,"
+        + " row_number() OVER (PARTITION BY doc_id ORDER BY sd DESC, term) AS rank FROM sc)"
+        + " SELECT doc_id, rank::BIGINT AS rank, term, tf, df_docs, sd::DOUBLE AS score"
+        + " FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"),
     "q_gopher" -> {
       // flag SQL single-sourced from TextAnalysis.gopherFlagsSql; NULL
       // text yields NULL flags on both sides, counted 0 by the CASE

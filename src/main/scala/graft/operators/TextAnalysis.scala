@@ -97,6 +97,51 @@ object TextAnalysis {
     }
   }
 
+  /** Per-document top-k distinctive terms by tf-idf — the classic
+    * keyword-extraction / relevance shape (inverted-index statistics as
+    * relational aggregations). Returns (idCol, rank, term, tf, df_docs,
+    * score) with rank 1..k per document, ordered by score descending,
+    * ties broken by term ascending.
+    *
+    * Determinism contract: idf is QUANTIZED before scoring —
+    * round(ln(N/df), 6) held as decimal(18,6) — so the ranking compares
+    * exact decimals, not raw doubles: a sub-ulp difference in two
+    * engines' `ln` can never reorder ranks (the residual risk is a term
+    * whose idf lands within an ulp of a 1e-6 rounding boundary —
+    * measure-zero, same budget as the rolling-moment rounding).
+    *
+    * Scale shape: (id, term) explode with map-side-combined counts (the
+    * inverted-index shuffle), a vocabulary-sized term-frequency join
+    * (AQE broadcasts it when small), and a per-document window whose
+    * partitions are each document's OWN distinct-term set — bounded by
+    * document length, never corpus-sized. `nDocs` passes a known corpus
+    * size to skip the count() scan (the planes/dim convention in
+    * [[Similarity]]); by default one count() runs — a bounded scalar,
+    * the index-build framing. */
+  def tfidfTopK(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      nDocs: Long = -1L): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"tfidfTopK needs k >= 1 (got $k)")
+    val n = if (nDocs > 0) nDocs else df.count()
+    val tf = df
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("__id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val idfQ = round(log(lit(n.toDouble) / col("df_docs")), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("__score").desc, col("term"))
+    tf.join(dfT, "term")
+      .withColumn("__score", idfQ * col("tf"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("__id").as(idCol), col("rank"), col("term"), col("tf"),
+        col("df_docs"), col("__score").cast("double").as("score"))
+  }
+
   /** Gopher/MassiveText document-quality rule flags (Rae et al. 2021,
     * appendix A — the standard heuristic pre-filter of large-scale text
     * curation), appended as one boolean column per rule plus the

@@ -121,6 +121,29 @@ class CurationSpec extends AnyFunSuite {
 
   // ---- Pii ----
 
+  test("tfidfTopK: hand-checked scores, rank order, short-vocab docs, corpus-wide terms score 0") {
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana common cherry"),
+      (3L, "common date date date")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4),
+          math.round(r.getDouble(5) * 1e6)))).toMap
+    // idf: ln(3)=1.098612, ln(1.5)=0.405465, ln(1)=0
+    assert(got((1L, 1L)) == (("apple", 2L, 1L, 2197224L)), s"got ${got((1L, 1L))}")
+    assert(got((1L, 2L)) == (("banana", 1L, 2L, 405465L)))
+    assert(got((2L, 1L)) == (("cherry", 1L, 1L, 1098612L)))
+    assert(got((2L, 2L)) == (("banana", 1L, 2L, 405465L)))
+    assert(got((3L, 1L)) == (("date", 3L, 1L, 3295836L)))
+    // corpus-wide term: idf 0 -> score 0, still ranked by term asc
+    assert(got((3L, 2L)) == (("common", 1L, 3L, 0L)))
+    assert(got.size == 6)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 0)
+    }
+  }
+
   test("gopherFlags: each rule fails on its own fixture; pass is the conjunction; NULL text NULL flags") {
     val stop = "the a of to and in is" // 7 stopword tokens
     def words(n: Int, base: String = "word") = (1 to n).map(i => s"$base$i").mkString(" ")
