@@ -152,6 +152,27 @@ object CurationQueries {
           coalesce(col("dup_bigram_chars"), lit(0L)).as("dup_bigram_chars"))
         .orderBy("doc_id")
     }),
+    // quantile winsorization: clip prices into the exact [p05, p95]
+    // interior quantiles (bounded two-double literalization, the
+    // qcutEdges shape); rollup sums the clipped column decimal-exact
+    "q_winsorize" -> ((s, d) => {
+      val w = FeatureScaling.winsorize(T(s, d, "lineitem"), "l_extendedprice",
+        pLo = 0.05, pHi = 0.95, as = "wv")
+      w.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(col("wv").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double").as("sum_w"),
+          min("wv").as("min_w"),
+          max("wv").as("max_w"))
+        .orderBy("l_returnflag")
+    }),
+    // per-group z-score standardization over events (NaN-skipping
+    // moments, clamped variance finalize replayed identically in SQL)
+    "q_zscore" -> ((s, d) =>
+      FeatureScaling.zscoreBy(SparkEntry.ev(s, d), Seq("user_id"), "valn", "z0")
+        .withColumn("z", round(col("z0"), 6))
+        .select("event_id", "user_id", "z")
+        .orderBy("event_id")),
     // per-doc top-3 distinctive terms by tf-idf (quantized-idf decimal
     // ranking — deterministic across engines; see tfidfTopK scaladoc);
     // restricted to the first 100 docs so the row count stays sane
@@ -330,6 +351,35 @@ object CurationQueries {
         + " coalesce(bigram_chars, 0)::BIGINT AS bigram_chars,"
         + " coalesce(dup_bigram_chars, 0)::BIGINT AS dup_bigram_chars"
         + " FROM rep LEFT JOIN big USING (doc_id) ORDER BY 1"),
+    "q_winsorize" -> {
+      // same exact-interpolation parity as q_qcut's edge replay
+      // (exactQuantileSelect == quantile_cont), bounds rounded to the
+      // 1e-6 grid on both sides
+      val clip = ("least(greatest(l_extendedprice, (SELECT lo FROM b)),"
+        + " (SELECT hi FROM b))")
+      ("WITH b AS (SELECT round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,"
+        + " round(quantile_cont(l_extendedprice, 0.95), 6) AS hi FROM lineitem)"
+        + " SELECT l_returnflag, count(*) AS n,"
+        + s" CAST(sum(CAST($clip AS DECIMAL(18,6))) AS DOUBLE) AS sum_w,"
+        + s" min($clip) AS min_w, max($clip) AS max_w"
+        + " FROM lineitem GROUP BY 1 ORDER BY 1")
+    },
+    "q_zscore" -> {
+      // replays zscoreBy's finalize term for term: decimal power sums
+      // over the whole-group window, clamped sample variance, one IEEE
+      // z expression, 1e-6 output grid
+      val n  = "CAST(count(v) OVER pw AS DOUBLE)"
+      val s1 = "CAST(sum(CAST(v AS DECIMAL(18,2))) OVER pw AS DOUBLE)"
+      val s2 = "CAST(sum(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))) OVER pw AS DOUBLE)"
+      val vr = s"CASE WHEN count(v) OVER pw > 1 THEN greatest(($s2 - $s1 * $s1 / $n) / ($n - 1.0), 0.0) END"
+      ("SELECT event_id, user_id, round(z, 6) AS z FROM ("
+        + " SELECT event_id, user_id,"
+        + s" CASE WHEN v IS NOT NULL AND ($vr) > 0 THEN (v - $s1 / $n) / sqrt($vr) END AS z"
+        + " FROM (SELECT event_id, user_id,"
+        + " CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events)"
+        + " WINDOW pw AS (PARTITION BY user_id))"
+        + " ORDER BY event_id")
+    },
     "q_tfidf" ->
       ("WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),"
         + " t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d),"

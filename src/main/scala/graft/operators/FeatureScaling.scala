@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Feature-scaling operators — the standard numeric-preparation steps of
+  * a training-data pipeline (outlier clipping, per-group
+  * standardization). Additions beyond the reference's surface, like
+  * [[Dedup]]/[[Sampling]] (SURVEY §2.9); both compose machinery that
+  * already exists in the engine rather than adding new execution paths.
+  */
+object FeatureScaling {
+
+  /** Quantile winsorization: clips `valueCol` into
+    * [quantile(pLo), quantile(pHi)], appended as `as`. The bounds come
+    * from the memory-safe exact quantile ([[Quantiles.exactQuantileSelect]]
+    * over a constant group — the [[Binning.qcutEdges]] INDEX-BUILD shape:
+    * a bounded driver-side literalization of exactly TWO doubles, rounded
+    * to `edgeScale` decimals so any engine replays them), and the clip
+    * itself is one codegen'd projection — zero joins, zero extra
+    * shuffles on the data path. NULL and NaN values pass through
+    * unchanged (they are not outliers, they are missing — drop or fill
+    * them explicitly). Returns the input unchanged (plus the column
+    * copy) when the column has no valid values. Derive-once-reuse: call
+    * [[winsorizeBounds]] yourself and pass the result to
+    * [[winsorizeWithBounds]] across many frames of one corpus. */
+  def winsorize(
+      df: DataFrame,
+      valueCol: String,
+      pLo: Double = 0.01,
+      pHi: Double = 0.99,
+      as: String = "winsorized",
+      edgeScale: Int = 6,
+      chunks: Int = 32): DataFrame =
+    winsorizeWithBounds(df, valueCol,
+      winsorizeBounds(df, valueCol, pLo, pHi, edgeScale, chunks), as)
+
+  /** The bounds half of [[winsorize]]: (lo, hi) interior quantiles, or
+    * None when the column has no valid values. */
+  def winsorizeBounds(
+      df: DataFrame,
+      valueCol: String,
+      pLo: Double = 0.01,
+      pHi: Double = 0.99,
+      edgeScale: Int = 6,
+      chunks: Int = 32): Option[(Double, Double)] = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1 (got $pLo, $pHi)")
+    val reserved = Seq("__g", "__qs")
+    val clashes = (df.columns.toSeq :+ valueCol).intersect(reserved)
+    require(clashes.isEmpty,
+      s"winsorize reserves column names ${reserved.mkString("/")}; rename ${clashes.distinct.mkString(", ")} in the input")
+    require(!valueCol.startsWith("__"),
+      s"quantile operators reserve the __ column-name prefix for internals; rename $valueCol in the input")
+    val qs = Quantiles.exactQuantileSelectTrusted(
+      df.select(col(valueCol)).withColumn("__g", lit(1)),
+      Seq("__g"), valueCol, Seq(pLo, pHi), as = "__qs", chunks = chunks,
+      dedup = false)
+      .select(transform(col("__qs"), e => round(e, edgeScale)).as("__qs"))
+      .collect().headOption.flatMap(r => Option(r.getSeq[Double](0)))
+    qs.map(s => (s(0), s(1)))
+  }
+
+  /** The clip half of [[winsorize]]: one codegen'd projection with the
+    * bounds baked in as literals. */
+  def winsorizeWithBounds(
+      df: DataFrame,
+      valueCol: String,
+      bounds: Option[(Double, Double)],
+      as: String): DataFrame = {
+    require(!df.columns.contains(as),
+      s"winsorize output column $as already exists in the input; pick another name or drop it first")
+    val v  = col(valueCol)
+    val dt = df.schema(valueCol).dataType
+    bounds match {
+      case Some((lo, hi)) =>
+        df.withColumn(as,
+          when(graft.functions.NanOps.isValid(v, dt),
+            least(greatest(v.cast(DoubleType), lit(lo)), lit(hi)))
+            .otherwise(v.cast(DoubleType)))
+      case None => df.withColumn(as, v.cast(DoubleType))
+    }
+  }
+
+  /** Per-group z-score standardization: appends `as` = (x - mean) / std
+    * over the rows of each `by` group — the feature-normalization shape
+    * ("standardize score within language"). One unbounded-frame window
+    * per group (the [[GroupByScan]] scan topology: one shuffle, no
+    * join-back), with mean/std from exact decimal power sums and the
+    * clamped IEEE variance finalize shared with the grouped registry —
+    * so an oracle replays the arithmetic identically. NaN/NULL values
+    * are skipped by the moments AND get a NULL z; groups with <= ddof
+    * valid values, or zero variance, yield NULL for every row (a
+    * constant group has no z-scores). */
+  def zscoreBy(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      as: String = "z",
+      exactScale: Int = 2,
+      ddof: Int = 1): DataFrame = {
+    require(by.nonEmpty, "zscoreBy needs at least one grouping column")
+    require(ddof >= 0, s"ddof must be >= 0 (got $ddof)")
+    require(!df.columns.contains(as),
+      s"zscoreBy output column $as already exists in the input; pick another name or drop it first")
+    val dt = df.schema(valueCol).dataType
+    val vn = graft.functions.NanOps.nanToNull(col(valueCol), dt)
+    val w  = Window.partitionBy(by.map(col): _*)
+    val dv = vn.cast(DecimalType(18, exactScale))
+    val n  = count(vn).over(w).cast(DoubleType)
+    val s1 = sum(dv).over(w).cast(DoubleType)
+    val s2 = sum(dv * dv).over(w).cast(DoubleType)
+    val variance =
+      when(count(vn).over(w) > ddof,
+        greatest((s2 - s1 * s1 / n) / (n - lit(ddof.toDouble)), lit(0.0)))
+    df.withColumn(as,
+      when(vn.isNotNull && variance > 0,
+        (vn.cast(DoubleType) - s1 / n) / sqrt(variance)))
+  }
+}

@@ -121,6 +121,48 @@ class CurationSpec extends AnyFunSuite {
 
   // ---- Pii ----
 
+  test("winsorize clips into exact quantile bounds; NaN/NULL pass through; derive-once form") {
+    // 1..100: p10 = 10.9, p90 = 90.1 (exact linear interpolation)
+    val d = ((1 to 100).map(i => Option(i.toDouble)) ++
+      Seq(Option(Double.NaN), Option.empty[Double])).toDF("v").repartition(4)
+    val bounds = FeatureScaling.winsorizeBounds(d, "v", 0.1, 0.9)
+    assert(bounds == Some((10.9, 90.1)), s"got $bounds")
+    val w = FeatureScaling.winsorize(d, "v", 0.1, 0.9, "wv")
+      .collect().map(r => Option(r.get(0)).map(_.toString) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(w(Some("1.0")) == Some(10.9) && w(Some("100.0")) == Some(90.1))
+    assert(w(Some("50.0")) == Some(50.0))
+    assert(w(Some("NaN")).exists(_.isNaN), "NaN must pass through")
+    assert(w(None).isEmpty, "NULL must pass through")
+    // all-invalid column: bounds None, output = input cast
+    val bad = Seq(Option.empty[Double], Some(Double.NaN)).toDF("v")
+    assert(FeatureScaling.winsorizeBounds(bad, "v").isEmpty)
+    assert(FeatureScaling.winsorize(bad, "v").count() == 2)
+    intercept[IllegalArgumentException] {
+      FeatureScaling.winsorizeBounds(d, "v", 0.9, 0.1)
+    }
+  }
+
+  test("zscoreBy == brute-force per group; NaN skipped; constant/small groups NULL") {
+    val rows = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", Double.NaN),
+      ("b", 5.0), ("b", 5.0),   // constant group -> var 0 -> NULL
+      ("c", 7.0)                // singleton -> n <= ddof -> NULL
+    ).toDF("k", "v").repartition(3)
+    val z = FeatureScaling.zscoreBy(rows, Seq("k"), "v", "z")
+      .collect().map(r => (r.getString(0), r.getDouble(1).toString) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    // group a: mean 2, sample std 1 -> z = -1, 0, 1; NaN row NULL
+    assert(z(("a", "1.0")).exists(x => math.abs(x + 1.0) < 1e-12))
+    assert(z(("a", "2.0")).exists(x => math.abs(x) < 1e-12))
+    assert(z(("a", "3.0")).exists(x => math.abs(x - 1.0) < 1e-12))
+    assert(z(("a", "NaN")).isEmpty)
+    assert(z(("b", "5.0")).isEmpty && z(("c", "7.0")).isEmpty)
+    intercept[IllegalArgumentException] {
+      FeatureScaling.zscoreBy(rows.withColumn("z", lit(1)), Seq("k"), "v", "z")
+    }
+  }
+
   test("tfidfTopK: hand-checked scores, rank order, short-vocab docs, corpus-wide terms score 0") {
     val docs = Seq(
       (1L, "apple apple banana common"),
