@@ -152,6 +152,17 @@ object CurationQueries {
           coalesce(col("dup_bigram_chars"), lit(0L)).as("dup_bigram_chars"))
         .orderBy("doc_id")
     }),
+    // grouped covariance/correlation with pairwise deletion (the
+    // NaN-injected quantity column exercises it: error-tax rows drop
+    // from BOTH sums)
+    "q_corr" -> ((s, d) =>
+      FeatureScaling.covCorrBy(
+        T(s, d, "lineitem").withColumn("valn",
+          when(col("l_tax") === 0.0, lit(Double.NaN)).otherwise(col("l_quantity"))),
+        Seq("l_returnflag"), "valn", "l_extendedprice")
+        .withColumn("cov", round(col("cov"), 6))
+        .withColumn("corr", round(col("corr"), 6))
+        .orderBy("l_returnflag")),
     // quantile winsorization: clip prices into the exact [p05, p95]
     // interior quantiles (bounded two-double literalization, the
     // qcutEdges shape); rollup sums the clipped column decimal-exact
@@ -351,6 +362,32 @@ object CurationQueries {
         + " coalesce(bigram_chars, 0)::BIGINT AS bigram_chars,"
         + " coalesce(dup_bigram_chars, 0)::BIGINT AS dup_bigram_chars"
         + " FROM rep LEFT JOIN big USING (doc_id) ORDER BY 1"),
+    "q_corr" -> {
+      // replays covCorrBy: pairwise deletion, five decimal power sums,
+      // one IEEE finalize with the clamped marginal variances
+      val n = "CAST(n_pairs AS DOUBLE)"
+      def d2(e: String) = s"CAST($e AS DECIMAL(18,2))"
+      val covE = s"CASE WHEN n_pairs > 1 THEN (sxy - sx * sy / $n) / ($n - 1.0) END"
+      def varE(sq: String, s: String) =
+        s"CASE WHEN n_pairs > 1 THEN greatest(($sq - $s * $s / $n) / ($n - 1.0), 0.0) END"
+      ("WITH p AS (SELECT l_returnflag,"
+        + " CASE WHEN l_tax = 0.0 THEN NULL ELSE l_quantity END AS x0,"
+        + " l_extendedprice AS y0 FROM lineitem),"
+        + " q AS (SELECT l_returnflag,"
+        + " CASE WHEN y0 IS NOT NULL THEN x0 END AS x,"
+        + " CASE WHEN x0 IS NOT NULL THEN y0 END AS y FROM p),"
+        + " a AS (SELECT l_returnflag, count(x) AS n_pairs,"
+        + s" CAST(sum(${d2("x")}) AS DOUBLE) AS sx, CAST(sum(${d2("y")}) AS DOUBLE) AS sy,"
+        + s" CAST(sum(${d2("x")} * ${d2("y")}) AS DOUBLE) AS sxy,"
+        + s" CAST(sum(${d2("x")} * ${d2("x")}) AS DOUBLE) AS sxx,"
+        + s" CAST(sum(${d2("y")} * ${d2("y")}) AS DOUBLE) AS syy"
+        + " FROM q GROUP BY 1),"
+        + s" f AS (SELECT l_returnflag, n_pairs, $covE AS cov,"
+        + s" ${varE("sxx", "sx")} AS vx, ${varE("syy", "sy")} AS vy FROM a)"
+        + " SELECT l_returnflag, n_pairs, round(cov, 6) AS cov,"
+        + " round(CASE WHEN vx > 0 AND vy > 0 THEN cov / sqrt(vx * vy) END, 6) AS corr"
+        + " FROM f ORDER BY 1")
+    },
     "q_winsorize" -> {
       // same exact-interpolation parity as q_qcut's edge replay
       // (exactQuantileSelect == quantile_cont), bounds rounded to the

@@ -84,6 +84,61 @@ object FeatureScaling {
     }
   }
 
+  /** Per-group covariance and Pearson correlation of two value columns —
+    * the cross-column member of the second-moment family (variance and
+    * skew/kurt live in the [[Agg]] registry; this one needs two columns,
+    * so it is its own reduction). Returns one row per group:
+    * (by..., n_pairs, cov, corr).
+    *
+    * Semantics: PAIRWISE deletion (pandas `groupby().corr()`): a row
+    * counts only when BOTH values are valid (non-NULL, non-NaN);
+    * `ddof` defaults to 1 (sample covariance). corr is NULL when either
+    * marginal variance is 0 (constant column) or n_pairs <= ddof; the
+    * variance clamp guards the sqrt like the registry's std.
+    *
+    * Exactness: all five power sums (sx, sy, sxy, sxx, syy) ride
+    * decimal(18,s) arithmetic — exact and order-independent — with ONE
+    * IEEE finalize, replayed identically by the oracle. One hash
+    * aggregation (map-side combined): the same two-phase topology as
+    * every reduction in the engine. */
+  def covCorrBy(
+      df: DataFrame,
+      by: Seq[String],
+      xCol: String,
+      yCol: String,
+      exactScale: Int = 2,
+      ddof: Int = 1): DataFrame = {
+    require(by.nonEmpty, "covCorrBy needs at least one grouping column")
+    require(ddof >= 0, s"ddof must be >= 0 (got $ddof)")
+    val xn0 = graft.functions.NanOps.nanToNull(col(xCol), df.schema(xCol).dataType)
+    val yn0 = graft.functions.NanOps.nanToNull(col(yCol), df.schema(yCol).dataType)
+    // pairwise deletion: both-or-neither
+    val xn = when(yn0.isNotNull, xn0)
+    val yn = when(xn0.isNotNull, yn0)
+    val dx = xn.cast(DecimalType(18, exactScale))
+    val dy = yn.cast(DecimalType(18, exactScale))
+    val agg = df.groupBy(by.map(col): _*).agg(
+      count(xn).as("n_pairs"),
+      sum(dx).cast(DoubleType).as("__sx"),
+      sum(dy).cast(DoubleType).as("__sy"),
+      sum(dx * dy).cast(DoubleType).as("__sxy"),
+      sum(dx * dx).cast(DoubleType).as("__sxx"),
+      sum(dy * dy).cast(DoubleType).as("__syy"))
+    val n = col("n_pairs").cast(DoubleType)
+    def centered(sq: Column, s: Column): Column = sq - s * s / n
+    val denom = n - lit(ddof.toDouble)
+    val cov = when(col("n_pairs") > ddof,
+      (col("__sxy") - col("__sx") * col("__sy") / n) / denom)
+    val vx = when(col("n_pairs") > ddof,
+      greatest(centered(col("__sxx"), col("__sx")) / denom, lit(0.0)))
+    val vy = when(col("n_pairs") > ddof,
+      greatest(centered(col("__syy"), col("__sy")) / denom, lit(0.0)))
+    agg
+      .withColumn("cov", cov)
+      .withColumn("corr", when(vx > 0 && vy > 0, cov / sqrt(vx * vy)))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
   /** Per-group z-score standardization: appends `as` = (x - mean) / std
     * over the rows of each `by` group — the feature-normalization shape
     * ("standardize score within language"). One unbounded-frame window

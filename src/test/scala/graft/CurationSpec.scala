@@ -143,6 +143,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("covCorrBy: brute-force parity, pairwise deletion, constant column NULL corr") {
+    val rows = Seq(
+      // group a: perfect positive linear relation -> corr 1
+      ("a", 1.0, 10.0), ("a", 2.0, 20.0), ("a", 3.0, 30.0),
+      // pairwise deletion: NaN x and NULL y rows drop from BOTH sums
+      ("a", Double.NaN, 99.0),
+      // group b: y constant -> vy 0 -> corr NULL, cov 0
+      ("b", 1.0, 5.0), ("b", 2.0, 5.0), ("b", 3.0, 5.0),
+      // group c: anti-correlated pair -> corr -1
+      ("c", 1.0, 4.0), ("c", 2.0, 2.0)
+    ).toDF("k", "x", "y").repartition(3)
+    val got = FeatureScaling.covCorrBy(rows, Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    val (na, covA, corrA) = got("a")
+    assert(na == 3L, s"NaN row must not count: $na")
+    assert(covA.exists(c => math.abs(c - 10.0) < 1e-9)) // cov([1,2,3],[10,20,30]) = 10
+    assert(corrA.exists(c => math.abs(c - 1.0) < 1e-12))
+    val (nb, covB, corrB) = got("b")
+    assert(nb == 3L && covB.exists(c => math.abs(c) < 1e-12) && corrB.isEmpty)
+    val (nc, _, corrC) = got("c")
+    assert(nc == 2L && corrC.exists(c => math.abs(c + 1.0) < 1e-12))
+  }
+
   test("zscoreBy == brute-force per group; NaN skipped; constant/small groups NULL") {
     val rows = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", Double.NaN),
