@@ -159,6 +159,29 @@ object CurationQueries {
           coalesce(col("dup_bigram_chars"), lit(0L)).as("dup_bigram_chars"))
         .orderBy("doc_id")
     }),
+    // pandas groupby().rank(): average/dense/pct forms in one pass —
+    // NaN rows rank NULL and consume no ranks (na_option="keep")
+    "q_rank" -> ((s, d) => {
+      val e = SparkEntry.ev(s, d)
+      val r1 = GroupByTransform.rankBy(e, Seq("user_id"), "valn", "rank_avg")
+      val r2 = GroupByTransform.rankBy(r1, Seq("user_id"), "valn", "rank_dense",
+        method = "dense")
+      GroupByTransform.rankBy(r2, Seq("user_id"), "valn", "rank_pct0", pct = true)
+        .withColumn("rank_pct", round(col("rank_pct0"), 6))
+        .select("event_id", "user_id", "rank_avg", "rank_dense", "rank_pct")
+        .orderBy("event_id")
+    }),
+    // pandas groupby().shift()/diff() under the (ts, event_id) total
+    // order: lag 1, lead 2, and first difference in one plan
+    "q_shift_diff" -> ((s, d) => {
+      val e = SparkEntry.ev(s, d)
+      val ord = Seq(col("ts"), col("event_id"))
+      val s1 = GroupByTransform.shiftBy(e, Seq("user_id"), ord, "value", 1, "prev_v")
+      val s2 = GroupByTransform.shiftBy(s1, Seq("user_id"), ord, "value", -2, "next2_v")
+      GroupByTransform.diffBy(s2, Seq("user_id"), ord, "value", 1, "dv")
+        .select("event_id", "user_id", "prev_v", "next2_v", "dv")
+        .orderBy("event_id")
+    }),
     // grouped covariance/correlation with pairwise deletion (the
     // NaN-injected quantity column exercises it: error-tax rows drop
     // from BOTH sums)
@@ -372,6 +395,29 @@ object CurationQueries {
         + " coalesce(bigram_chars, 0)::BIGINT AS bigram_chars,"
         + " coalesce(dup_bigram_chars, 0)::BIGINT AS dup_bigram_chars"
         + " FROM rep LEFT JOIN big USING (doc_id) ORDER BY 1"),
+    "q_rank" -> {
+      // v NULL rows (error events) sort last and are masked; peers =
+      // per-(user, value) tie class; pct divides by the group's valid
+      // count — replaying rankBy's min-rank + midpoint construction
+      val w = "(PARTITION BY user_id ORDER BY v ASC NULLS LAST)"
+      val avgR = s"(rank() OVER $w + (count(*) OVER (PARTITION BY user_id, v) - 1) / 2.0)"
+      ("SELECT event_id, user_id,"
+        + s" CASE WHEN v IS NOT NULL THEN $avgR END AS rank_avg,"
+        + s" CASE WHEN v IS NOT NULL THEN dense_rank() OVER $w * 1.0 END AS rank_dense,"
+        + s" CASE WHEN v IS NOT NULL THEN round($avgR"
+        + " / count(v) OVER (PARTITION BY user_id), 6) END AS rank_pct"
+        + " FROM (SELECT event_id, user_id,"
+        + " CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events)"
+        + " ORDER BY event_id")
+    },
+    "q_shift_diff" ->
+      ("SELECT event_id, user_id,"
+        + " lag(value, 1) OVER w AS prev_v,"
+        + " lead(value, 2) OVER w AS next2_v,"
+        + " value - lag(value, 1) OVER w AS dv"
+        + " FROM events"
+        + " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        + " ORDER BY event_id"),
     "q_corr" -> {
       // replays covCorrBy: pairwise deletion, five decimal power sums,
       // one IEEE finalize with the clamped marginal variances

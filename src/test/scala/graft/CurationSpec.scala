@@ -143,6 +143,55 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("rankBy: pandas tie semantics per method; NaN/NULL keep; pct divides by valid count") {
+    import graft.operators.GroupByTransform
+    // group a values: 10, 20, 20, 30, NaN, NULL -> ranks over 4 valid
+    val rows = Seq(
+      ("a", Option(10.0)), ("a", Option(20.0)), ("a", Option(20.0)),
+      ("a", Option(30.0)), ("a", Option(Double.NaN)), ("a", Option.empty[Double]),
+      ("b", Option(5.0))
+    ).toDF("k", "v").repartition(3)
+    def ranks(method: String, pct: Boolean = false): Map[String, Option[Double]] =
+      GroupByTransform.rankBy(rows, Seq("k"), "v", "r", method, pct = pct)
+        .collect().map(r => (r.getString(0) + "/" + Option(r.get(1)).fold("null")(_.toString)) ->
+          Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    val avg = ranks("average")
+    assert(avg("a/10.0") == Some(1.0) && avg("a/30.0") == Some(4.0))
+    assert(avg("a/20.0") == Some(2.5), s"tied pair averages: ${avg("a/20.0")}")
+    assert(avg("a/NaN").isEmpty && avg("a/null").isEmpty, "NaN/NULL keep -> NULL rank")
+    assert(avg("b/5.0") == Some(1.0))
+    val mn = ranks("min"); val mx = ranks("max"); val dn = ranks("dense")
+    assert(mn("a/20.0") == Some(2.0) && mx("a/20.0") == Some(3.0))
+    assert(dn("a/30.0") == Some(3.0), "dense collapses the tie class")
+    val pct = ranks("average", pct = true)
+    assert(pct("a/20.0") == Some(2.5 / 4.0) && pct("a/30.0") == Some(1.0))
+    intercept[IllegalArgumentException] {
+      GroupByTransform.rankBy(rows, Seq("k"), "v", "r", method = "first")
+    }
+  }
+
+  test("shiftBy/diffBy: lag/lead under the explicit order; boundary NULL; NaN positional") {
+    import graft.operators.GroupByTransform
+    val rows = Seq(
+      ("a", 1L, 10.0), ("a", 2L, Double.NaN), ("a", 3L, 30.0),
+      ("b", 1L, 7.0)
+    ).toDF("k", "pos", "v")
+    val ord = Seq(col("pos"))
+    val s = GroupByTransform.shiftBy(rows, Seq("k"), ord, "v", 1, "prev")
+    val l = GroupByTransform.shiftBy(s, Seq("k"), ord, "v", -1, "next")
+    val d = GroupByTransform.diffBy(l, Seq("k"), ord, "v", 1, "dv")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(3)).map(_.toString), Option(r.get(4)).map(_.toString),
+          Option(r.get(5)).map(_.toString)))).toMap
+    assert(d(("a", 1L)) == ((None, Some("NaN"), None)))           // no prev; next is NaN as-is
+    assert(d(("a", 2L)) == ((Some("10.0"), Some("30.0"), Some("NaN")))) // NaN - 10 = NaN
+    assert(d(("a", 3L)) == ((Some("NaN"), None, Some("NaN"))))    // 30 - NaN = NaN
+    assert(d(("b", 1L)) == ((None, None, None)), "group boundary isolates")
+    intercept[IllegalArgumentException] {
+      GroupByTransform.shiftBy(rows, Seq("k"), ord, "v", 0)
+    }
+  }
+
   test("covCorrBy: brute-force parity, pairwise deletion, constant column NULL corr") {
     val rows = Seq(
       // group a: perfect positive linear relation -> corr 1

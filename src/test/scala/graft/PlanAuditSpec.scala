@@ -141,6 +141,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"literal-grouped-edge binning must not join or shuffle:\n$p")
   }
 
+  test("transform family (rank/shift/diff) is scan-shaped: one shuffle even when chained") {
+    import graft.operators.GroupByTransform
+    val ev = TestSpark.table("0.01", "events")
+    val ord = Seq(col("ts"), col("event_id"))
+    val chained = GroupByTransform.diffBy(
+      GroupByTransform.shiftBy(
+        GroupByTransform.rankBy(ev, Seq("user_id"), "value", "r"),
+        Seq("user_id"), ord, "value", 1, "prev"),
+      Seq("user_id"), ord, "value", 1, "dv")
+    val p = plan(chained)
+    assert(exchanges(p) == 1,
+      s"rank+shift+diff share the user_id partitioning — one exchange:\n$p")
+  }
+
   test("curationFilter: stateless — no exchange, no state, one codegen'd filter pass") {
     val docs = TestSpark.table("0.01", "documents")
     val p = plan(graft.streaming.StreamingOps.curationFilter(
