@@ -187,7 +187,19 @@ object Similarity {
     * cell. Exact verification as always. Raising nprobe trades compute
     * for recall exactly like probing neighboring IVF lists in FAISS-style
     * indexes.
-    */
+    *
+    * Scale note — assignment cost: the coarse assignment evaluates n x
+    * cells integer dots (every vector against every literal centroid),
+    * the standard FLAT-quantizer cost (FAISS IVF does the same n x
+    * cells GEMM). With [[autoCells]]' cells ~ n/128 sizing that term is
+    * O(n^2/128) — it, not the bucketed candidate join, is what grows
+    * superlinearly when the corpus doubles (measured on the x16 stress
+    * replica corpus: wall 14 -> 125 s for 2x data, 4x assignment work +
+    * verify on a clique-quadratic output). At large n either pass a
+    * FIXED `cells` (capping assignment at n x cells while candidate
+    * verify grows with occupancy^2), shard the corpus, or prefer
+    * [[lshNeighbors]], whose bucket assignment is O(n x planes) with
+    * planes growing only logarithmically. */
   /** Corpus-aware cell count: total candidate-pair cost is
     * ~(nprobe * n / cells)^2 * cells — inversely proportional to cells —
     * so cells must grow with the corpus: max(minCells, n /

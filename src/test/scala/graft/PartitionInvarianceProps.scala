@@ -98,4 +98,27 @@ object PartitionInvarianceProps extends Properties("PartitionInvariance") {
       Agg("mean", "v", "m", exactScale = Some(2)))
     rows(df.coalesce(1), aggs) == rows(df.repartition(8), aggs)
   }
+
+  // r6 transforms: rank (tie classes — no total order needed), shift/
+  // diff (explicit total order), zscore (decimal power sums) must all be
+  // partition-invariant; values integral so every comparison is bitwise.
+  property("transforms (rank/shift/diff/zscore): 1 partition == 8 partitions") =
+    forAll(genData) { data =>
+      import graft.operators.{FeatureScaling, GroupByTransform}
+      val df = toDf(data)
+      def run(d: org.apache.spark.sql.DataFrame) =
+        FeatureScaling.zscoreBy(
+          GroupByTransform.diffBy(
+            GroupByTransform.shiftBy(
+              GroupByTransform.rankBy(d, Seq("label"), "v", "rk"),
+              Seq("label"), Seq(col("pos")), "v", 1, "sh"),
+            Seq("label"), Seq(col("pos")), "v", 1, "df_"),
+          Seq("label"), "v", "z")
+          .select("pos", "rk", "sh", "df_", "z").collect()
+          .map(r => r.getLong(0) -> r.toSeq.drop(1).map {
+            case d: Double if d.isNaN => "NaN"
+            case x => x
+          }).toMap
+      run(df.coalesce(1)) == run(df.repartition(8))
+    }
 }
