@@ -159,6 +159,15 @@ object CurationQueries {
           coalesce(col("dup_bigram_chars"), lit(0L)).as("dup_bigram_chars"))
         .orderBy("doc_id")
     }),
+    // regular-grid resampling with linear gap interpolation: 6-hour
+    // cells per user, NaN-skipping decimal-exact cell means, empty
+    // interior cells time-weighted between their observed neighbors
+    "q_resample_interp" -> ((s, d) =>
+      Resample.interpolateGrid(SparkEntry.ev(s, d), Seq("user_id"), "ts",
+          stepSeconds = 21600L, valueCol = "valn", method = "linear")
+        .withColumn("value", round(col("value"), 6))
+        .select("user_id", "ts", "value", "value_observed")
+        .orderBy("user_id", "ts")),
     // pandas groupby().rank(): average/dense/pct forms in one pass —
     // NaN rows rank NULL and consume no ranks (na_option="keep")
     "q_rank" -> ((s, d) => {
@@ -395,6 +404,35 @@ object CurationQueries {
         + " coalesce(bigram_chars, 0)::BIGINT AS bigram_chars,"
         + " coalesce(dup_bigram_chars, 0)::BIGINT AS dup_bigram_chars"
         + " FROM rep LEFT JOIN big USING (doc_id) ORDER BY 1"),
+    "q_resample_interp" -> {
+      // replays interpolateGrid: epoch-aligned 6h cells, NaN-skipping
+      // decimal cell means, observed-only span, prev/next IGNORE NULLS
+      // windows, and the identical time-weighted interpolation
+      val step = 21600000000L // 6h in micros
+      ("WITH o AS (SELECT user_id,"
+        + s" (epoch_us(ts) // $step) * $step AS gts,"
+        + " CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events),"
+        + " b AS (SELECT user_id, gts,"
+        + " CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(v) AS v"
+        + " FROM o GROUP BY 1, 2),"
+        + " s AS (SELECT user_id, min(gts) AS lo, max(gts) AS hi FROM b"
+        + " WHERE v IS NOT NULL GROUP BY 1),"
+        + s" g AS (SELECT user_id, unnest(range(lo, hi + $step, $step)) AS gts FROM s),"
+        + " j AS (SELECT g.user_id, g.gts, b.v FROM g LEFT JOIN b USING (user_id, gts)),"
+        + " f AS (SELECT user_id, gts, v,"
+        + " last_value(CASE WHEN v IS NOT NULL THEN gts END IGNORE NULLS) OVER wp AS pt,"
+        + " last_value(v IGNORE NULLS) OVER wp AS pvv,"
+        + " first_value(CASE WHEN v IS NOT NULL THEN gts END IGNORE NULLS) OVER wn AS nt,"
+        + " first_value(v IGNORE NULLS) OVER wn AS nvv"
+        + " FROM j WINDOW"
+        + " wp AS (PARTITION BY user_id ORDER BY gts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),"
+        + " wn AS (PARTITION BY user_id ORDER BY gts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))"
+        + " SELECT user_id, make_timestamp(gts) AS ts,"
+        + " round(CASE WHEN v IS NOT NULL THEN v"
+        + " ELSE pvv + (nvv - pvv) * CAST(gts - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE) END, 6) AS value,"
+        + " v IS NOT NULL AS value_observed"
+        + " FROM f ORDER BY user_id, ts")
+    },
     "q_rank" -> {
       // v NULL rows (error events) sort last and are masked; peers =
       // per-(user, value) tie class; pct divides by the group's valid

@@ -143,6 +143,40 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("interpolateGrid: cell means, linear and ffill gap fill, all-NaN cells empty, singleton groups") {
+    import graft.operators.Resample
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(sec: Long) = new java.sql.Timestamp(base + sec * 1000L)
+    val rows = Seq(
+      ("u", at(0), 10.0), ("u", at(30), 20.0), // cell 0: mean 15
+      ("u", at(190), 45.0),                    // cell 3
+      ("u", at(305), Double.NaN),              // cell 5: all-NaN -> EMPTY
+      ("u", at(400), 100.0),                   // cell 6
+      ("w", at(60), 7.0)                       // singleton group
+    ).toDF("user", "ts", "v")
+    def run(method: String) =
+      Resample.interpolateGrid(rows, Seq("user"), "ts", 60L, "v", method)
+        .collect().map(r => (r.getString(0), (r.getTimestamp(1).getTime - base) / 60000L) ->
+          ((math.round(r.getDouble(2) * 1e6), r.getBoolean(3)))).toMap
+    val lin = run("linear")
+    assert(lin(("u", 0L)) == ((15000000L, true)))
+    assert(lin(("u", 3L)) == ((45000000L, true)))
+    assert(lin(("u", 6L)) == ((100000000L, true)))
+    assert(lin(("u", 1L)) == ((25000000L, false)), s"cell1: ${lin(("u", 1L))}")
+    assert(lin(("u", 2L)) == ((35000000L, false)))
+    // all-NaN cell 5 is EMPTY and interpolated like cell 4
+    assert(lin(("u", 4L))._1 == math.round((45.0 + (100.0 - 45.0) / 3) * 1e6))
+    assert(lin(("u", 5L))._1 == math.round((45.0 + (100.0 - 45.0) * 2 / 3) * 1e6))
+    assert(lin(("w", 1L)) == ((7000000L, true)))
+    assert(lin.size == 8, s"grid must span observed cells only: ${lin.keys}")
+    val ff = run("ffill")
+    assert(ff(("u", 1L)) == ((15000000L, false)) && ff(("u", 2L)) == ((15000000L, false)))
+    assert(ff(("u", 4L)) == ((45000000L, false)) && ff(("u", 5L)) == ((45000000L, false)))
+    intercept[IllegalArgumentException] {
+      Resample.interpolateGrid(rows, Seq("user"), "ts", 60L, "v", "cubic")
+    }
+  }
+
   test("rankBy: pandas tie semantics per method; NaN/NULL keep; pct divides by valid count") {
     import graft.operators.GroupByTransform
     // group a values: 10, 20, 20, 30, NaN, NULL -> ranks over 4 valid
