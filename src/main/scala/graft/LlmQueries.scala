@@ -505,6 +505,15 @@ object LlmQueries {
           Agg("nansum", "l_quantity", "sum_qty", fill = Some(0.0))),
         expected = Some(expected))
     }),
+    // xarray unstack analog: linestatus pivoted wide with a declared
+    // domain incl. the never-observed 'X' column (fill exercises the
+    // absent-cell NULL — even count pivots to NULL on absent cells)
+    "q_unstack" -> ((s, d) =>
+      GroupByReduce.unstack(T(s, d, "lineitem"), Seq("l_returnflag"),
+        "l_linestatus", Seq("F", "O", "X"),
+        Seq(Agg("count", "l_quantity", "n", fill = Some(0L)),
+          Agg("nansum", "l_quantity", "s", fill = Some(0.0), exactScale = Some(2))))
+        .orderBy("l_returnflag")),
     // reduceAll: one func over several value columns in one pass (the
     // xarray multi-variable layer, reference xarray.py:410-440).
     "q_reduce_all" -> ((s, d) =>
@@ -1021,6 +1030,15 @@ object LlmQueries {
           + " sum(em + ph + ip)::BIGINT AS pii_hits,"
           + s" sum(${TextAnalysis.fingerprintSql("redacted")})::BIGINT AS checksum"
           + " FROM r GROUP BY 1 ORDER BY 1")
+      },
+      "q_unstack" -> {
+        def cell(v: String) = (
+          s"count(CASE WHEN l_linestatus = '$v' THEN l_quantity END) AS ${v}_n,"
+            + s" coalesce(CAST(sum(CASE WHEN l_linestatus = '$v'"
+            + s" THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS ${v}_s")
+        ("SELECT l_returnflag, "
+          + Seq("F", "O", "X").map(cell).mkString(", ")
+          + " FROM lineitem GROUP BY 1 ORDER BY 1")
       },
       "q_multikey_dense" ->
         ("SELECT f.l_returnflag, s.l_linestatus, coalesce(n, 0) AS n, coalesce(sum_qty, 0.0) AS sum_qty"

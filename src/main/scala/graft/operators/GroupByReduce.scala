@@ -175,6 +175,53 @@ object GroupByReduce {
       pos = pos, sort = sort)
   }
 
+  /** xarray `unstack` analog: a grouped reduction with ONE grouping key
+    * pivoted to WIDE columns — the DataFrame form of the reference's
+    * N-D output (a flox groupby result carries the group dim as an
+    * array axis; unstacking that axis into columns is exactly
+    * `groupBy().pivot()`). The pivot domain is CALLER-DECLARED
+    * (`pivotValues`) — the `expected_groups` contract: Spark's
+    * domain-inferring pivot overload runs an eager `distinct` JOB at
+    * plan time (a hidden corpus scan) and its output schema becomes
+    * data-dependent; both are wrong at 100 TB, so the inferring form is
+    * deliberately not offered. Never-observed (group, pivot) cells take
+    * each agg's `fill` (NULL without one — note Spark's pivot yields
+    * NULL even for `count` on an absent cell; the fill coalesce restores
+    * count-like zeros). Output columns follow Spark's pivot naming:
+    * `<value>_<as>` (bare `<value>` for a single agg).
+    *
+    * Registry funcs compile exactly as in [[reduce]]; positional funcs
+    * take `pos` as always. Missing labels (NULL/NaN) in `by` AND in the
+    * pivot key are dropped like [[reduce]]'s default. */
+  def unstack(
+      df: DataFrame,
+      by: Seq[String],
+      pivotKey: String,
+      pivotValues: Seq[Any],
+      aggs: Seq[Agg],
+      pos: Option[Column] = None): DataFrame = {
+    require(by.nonEmpty, "need at least one grouping column")
+    require(pivotValues.nonEmpty,
+      "declare the pivot domain (expected_groups contract); the inferring pivot is deliberately not offered")
+    require(aggs.nonEmpty, "need at least one aggregation")
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val base = (by :+ pivotKey).foldLeft(df)((d, k) =>
+      d.filter(isValid(col(k), d.schema(k).dataType)))
+    val cols = aggs.map { a =>
+      val dt = base.schema(a.value).dataType
+      Aggregations.withMinCount(Aggregations.compile(a, dt, pos), a, dt).as(a.as)
+    }
+    val wide = base.groupBy(by.map(col): _*)
+      .pivot(pivotKey, pivotValues)
+      .agg(cols.head, cols.tail: _*)
+    aggs.foldLeft(wide) { (d, a) =>
+      a.fill.fold(d)(f => pivotValues.foldLeft(d) { (dd, pv) =>
+        val cn = if (aggs.size == 1) s"$pv" else s"${pv}_${a.as}"
+        dd.withColumn(cn, coalesce(col(cn), lit(f)))
+      })
+    }
+  }
+
   /** Dense multi-key output domain: cross-product of per-key expected
     * DataFrames — the reference's hyper-rectangular `grp_shape` output
     * (core.py:842-851, reshape core.py:2698-2702; tested at

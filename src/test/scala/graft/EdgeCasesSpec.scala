@@ -253,6 +253,26 @@ class EdgeCasesSpec extends AnyFunSuite {
     }
   }
 
+  test("unstack: declared pivot domain, absent-cell fill, NULL pivot labels dropped") {
+    val d = Seq(
+      ("g1", "a", Option(1.0)), ("g1", "a", Option(2.0)), ("g1", "b", Option(5.0)),
+      ("g2", "b", Option(7.0)),
+      ("g2", null.asInstanceOf[String], Option(99.0)), // NULL pivot label drops
+      ("g1", "a", Option(Double.NaN))                  // NaN value skipped by nansum
+    ).toDF("k", "p", "v")
+    val w = GroupByReduce.unstack(d, Seq("k"), "p", Seq("a", "b", "zz"),
+      Seq(Agg("count", "v", "n", fill = Some(0L)),
+        Agg("nansum", "v", "s", fill = Some(0.0))))
+      .collect().map(r => r.getString(0) ->
+        (1 until 7).map(i => r.get(i)).toList).toMap
+    // columns: a_n, a_s, b_n, b_s, zz_n, zz_s (registry count skips NaN)
+    assert(w("g1") == List(2L, 3.0, 1L, 5.0, 0L, 0.0), s"g1: ${w("g1")}")
+    assert(w("g2") == List(0L, 0.0, 1L, 7.0, 0L, 0.0), s"g2: ${w("g2")}")
+    intercept[IllegalArgumentException] {
+      GroupByReduce.unstack(d, Seq("k"), "p", Nil, Seq(Agg("count", "v", "n")))
+    }
+  }
+
   test("datetime binning drops out-of-range and respects left-closed edges") {
     val ts = Seq("2000-01-01 00:00:00", "2000-06-15 12:00:00", "2001-01-01 00:00:00",
       "2001-12-31 23:59:59", "2002-01-01 00:00:00")
