@@ -34,7 +34,14 @@ object Resample {
     * (`floor(ts / step) * step`, the `date_trunc` convention). Output:
     * (by..., tsCol = cell start timestamp, `as` = value,
     * `<as>_observed` = whether the cell had valid observations).
-    */
+    *
+    * Grid-size bound: each group's grid is generated as ONE `sequence()`
+    * array before exploding, so a group's cell count must fit an array —
+    * span/step beyond ~10^8 cells (e.g. a decade at 1-second steps)
+    * risks a single huge array per group. Pick a step proportionate to
+    * the span, or pre-split the group (year column in `by`) — the same
+    * skew reasoning as the chunked scans. Groups with NO valid
+    * observations have no grid and are absent from the output. */
   def interpolateGrid(
       df: DataFrame,
       by: Seq[String],
