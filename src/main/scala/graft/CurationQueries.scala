@@ -105,6 +105,23 @@ object CurationQueries {
         "doc_id", "text", n = 5, broadcastEval = true)
         .orderBy("doc_id")
     }),
+    // the same exact-decontamination semantics through the broadcast
+    // Bloom prefilter + FP-killing verify join (the 100 TB shape when the
+    // eval gram table outgrows a hash-relation broadcast); must
+    // hash-match q_contaminated's oracle exactly
+    "q_contaminated_bloom" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val (res, release) = NgramOverlap.contaminatedDocsBloomManaged(
+        docs.where(!col("source").isin(EvalSrc: _*)),
+        docs.where(col("source").isin(EvalSrc: _*)),
+        "doc_id", "text", n = 5)
+      val out = res.orderBy("doc_id")
+      // materialize before releasing the eval-gram cache (Verify writes
+      // lazily otherwise); the result is eval-hit-sized, tiny
+      val rows = out.collectAsList()
+      release()
+      s.createDataFrame(rows, out.schema)
+    }),
     // corpus-wide duplicate-gram profile: only 16-byte fingerprint pairs
     // shuffle; dup fraction marks boilerplate docs
     "q_dupgrams" -> ((s, d) =>
@@ -191,6 +208,25 @@ object CurationQueries {
         .select("event_id", "user_id", "prev_v", "next2_v", "dv")
         .orderBy("event_id")
     }),
+    // pandas groupby().pct_change() under the same total order: exact
+    // IEEE v / lag(v) - 1 on both engines (value >= 0.01, no zero
+    // denominators in this data)
+    "q_pct_change" -> ((s, d) => {
+      val e = SparkEntry.ev(s, d)
+      GroupByTransform.pctChangeBy(e, Seq("user_id"),
+          Seq(col("ts"), col("event_id")), "value", 1, "pct")
+        .select("event_id", "user_id", "pct")
+        .orderBy("event_id")
+    }),
+    // pandas interpolate(method="time", limit_area="inside") per group:
+    // interior NaN runs time-weighted between valid neighbors, edges
+    // stay NULL; one sort, four ignore-null fills (scan topology)
+    "q_interpolate" -> ((s, d) =>
+      GroupByTransform.interpolateTime(SparkEntry.ev(s, d), Seq("user_id"),
+          "ts", "valn", "interp0", tieBreak = Seq(col("event_id")))
+        .withColumn("interp", round(col("interp0"), 6))
+        .select("event_id", "user_id", "interp")
+        .orderBy("event_id")),
     // grouped covariance/correlation with pairwise deletion (the
     // NaN-injected quantity column exercises it: error-tax rows drop
     // from BOTH sums)
@@ -320,6 +356,16 @@ object CurationQueries {
         .select("event_id", "user_id", "n_1h", "sum_1h", "var_1h", "std_1h",
           "skew_1h", "kurt_1h")
         .orderBy("event_id")),
+    // rolling median + tail quantile over the same 1-hour range frame:
+    // the frame-buffering quantile path (collect_list + sort inside the
+    // WindowExec), exact quantile_cont interpolation on both sides
+    "q_rolling_median" -> ((s, d) =>
+      Rolling.rollingTime(SparkEntry.ev(s, d), Seq("user_id"), "ts", "1 hour",
+          "valn", Seq("median" -> "med0", "quantile:0.9" -> "q90_0"))
+        .withColumn("med_1h", round(col("med0"), 6))
+        .withColumn("q90_1h", round(col("q90_0"), 6))
+        .select("event_id", "user_id", "med_1h", "q90_1h")
+        .orderBy("event_id")),
     // pandas rolling(5): row-count frame under the (ts, event_id) total order
     "q_rolling_rows" -> ((s, d) =>
       Rolling.rollingRows(SparkEntry.ev(s, d), Seq("user_id"),
@@ -328,15 +374,20 @@ object CurationQueries {
         .select("event_id", "user_id", "mean_5", "min_5").orderBy("event_id")),
   )
 
+  // shared by q_contaminated and q_contaminated_bloom: the Bloom path's
+  // verify join makes its results identical to the exact probe
+  private lazy val ContaminatedSql =
+    (Gram5Cte
+      + ", tr AS (SELECT doc_id, unnest(grams) AS gr FROM g"
+      + s" WHERE source NOT IN (${EvalSrc.map("'" + _ + "'").mkString(",")})),"
+      + " ev AS (SELECT DISTINCT unnest(grams) AS gr FROM g"
+      + s" WHERE source IN (${EvalSrc.map("'" + _ + "'").mkString(",")}))"
+      + " SELECT tr.doc_id, count(*) AS n_hit_grams FROM tr JOIN ev USING (gr)"
+      + " GROUP BY 1 ORDER BY 1")
+
   def oracleSql: Map[String, String] = Map(
-    "q_contaminated" ->
-      (Gram5Cte
-        + ", tr AS (SELECT doc_id, unnest(grams) AS gr FROM g"
-        + s" WHERE source NOT IN (${EvalSrc.map("'" + _ + "'").mkString(",")})),"
-        + " ev AS (SELECT DISTINCT unnest(grams) AS gr FROM g"
-        + s" WHERE source IN (${EvalSrc.map("'" + _ + "'").mkString(",")}))"
-        + " SELECT tr.doc_id, count(*) AS n_hit_grams FROM tr JOIN ev USING (gr)"
-        + " GROUP BY 1 ORDER BY 1"),
+    "q_contaminated" -> ContaminatedSql,
+    "q_contaminated_bloom" -> ContaminatedSql,
     "q_dupgrams" ->
       (Gram5Cte
         + ", f AS (SELECT doc_id, "
@@ -456,6 +507,32 @@ object CurationQueries {
         + " FROM events"
         + " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         + " ORDER BY event_id"),
+    "q_pct_change" ->
+      ("SELECT event_id, user_id,"
+        + " value / lag(value, 1) OVER w - 1.0 AS pct"
+        + " FROM events"
+        + " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        + " ORDER BY event_id"),
+    // replays interpolateTime: (value, micros) neighbor pairs under one
+    // validity guard, the identical IEEE lerp, equal-timestamp guard, and
+    // NULL edges (no extrapolation)
+    "q_interpolate" ->
+      ("WITH x AS (SELECT event_id, user_id, ts, epoch_us(ts)::DOUBLE AS t,"
+        + " CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events),"
+        + " y AS (SELECT event_id, user_id, v, t,"
+        + " last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wp AS pv,"
+        + " last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pt,"
+        + " first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wn AS nv,"
+        + " first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS nt"
+        + " FROM x WINDOW"
+        + " wp AS (PARTITION BY user_id ORDER BY ts, event_id"
+        + " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+        + " wn AS (PARTITION BY user_id ORDER BY ts, event_id"
+        + " ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))"
+        + " SELECT event_id, user_id, round(CASE WHEN v IS NOT NULL THEN v"
+        + " WHEN nt = pt THEN pv"
+        + " ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END, 6) AS interp"
+        + " FROM y ORDER BY event_id"),
     "q_corr" -> {
       // replays covCorrBy: pairwise deletion, five decimal power sums,
       // one IEEE finalize with the clamped marginal variances
@@ -617,6 +694,15 @@ object CurationQueries {
         + " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
         + " ORDER BY event_id")
     },
+    "q_rolling_median" ->
+      ("SELECT event_id, user_id,"
+        + " round(quantile_cont(v, 0.5) OVER w, 6) AS med_1h,"
+        + " round(quantile_cont(v, 0.9) OVER w, 6) AS q90_1h"
+        + " FROM (SELECT event_id, user_id, ts,"
+        + " CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events)"
+        + " WINDOW w AS (PARTITION BY user_id ORDER BY ts"
+        + " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        + " ORDER BY event_id"),
     "q_rolling_rows" ->
       ("SELECT event_id, user_id,"
         + " CAST(sum(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(v) OVER w AS mean_5,"

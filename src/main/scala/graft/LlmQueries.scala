@@ -356,6 +356,28 @@ object LlmQueries {
         .select("event_id", "user_id", "prev_event_id", "prev_value")
         .orderBy("event_id")
     }),
+    // Forward as-of: each event matched with the user's NEXT error event
+    // strictly after it (pandas merge_asof direction="forward"; oracle:
+    // DuckDB ASOF with the inequality flipped).
+    "q_asof_forward" -> ((s, d) => {
+      val e = SparkEntry.ev(s, d)
+      val errors = e.filter(col("event_type") === "error")
+      AsOfJoin.asofJoinForward(e, errors, Seq("user_id"), "ts", "ts",
+        Seq("event_id", "value"), rightPrefix = "next_", strict = true)
+        .select("event_id", "user_id", "next_event_id", "next_value")
+        .orderBy("event_id")
+    }),
+    // Nearest as-of: the closer of the backward/forward error events,
+    // backward winning ties (pandas merge_asof direction="nearest";
+    // oracle: both DuckDB ASOF directions + the same distance CASE).
+    "q_asof_nearest" -> ((s, d) => {
+      val e = SparkEntry.ev(s, d)
+      val errors = e.filter(col("event_type") === "error")
+      AsOfJoin.asofJoinNearest(e, errors, Seq("user_id"), "ts", "ts",
+        Seq("event_id", "value"), rightPrefix = "near_")
+        .select("event_id", "user_id", "near_event_id", "near_value")
+        .orderBy("event_id")
+    }),
     // Running-extrema scans: plain cummax/cummin propagate NaN (numpy),
     // nan* variants skip — closing the last untested scan funcs.
     "q_cummax" -> ((s, d) =>
@@ -1063,6 +1085,32 @@ object LlmQueries {
           + " FROM events l ASOF LEFT JOIN"
           + " (SELECT user_id u, ts rts, event_id eid, value v FROM events WHERE event_type = 'error') r"
           + " ON l.user_id = r.u AND l.ts > r.rts ORDER BY l.event_id"),
+      "q_asof_forward" ->
+        ("SELECT l.event_id, l.user_id, r.eid AS next_event_id, r.v AS next_value"
+          + " FROM events l ASOF LEFT JOIN"
+          + " (SELECT user_id u, ts rts, event_id eid, value v FROM events WHERE event_type = 'error') r"
+          + " ON l.user_id = r.u AND l.ts < r.rts ORDER BY l.event_id"),
+      // both ASOF directions, then the identical distance CASE as the
+      // Spark side (micros diffs are exact integers, so the <= tie rule
+      // replays bit-for-bit; eid and v pick through the SAME condition, so
+      // the pair stays atomic)
+      "q_asof_nearest" -> {
+        val near = (out: String, b: String, f: String) =>
+          (s"CASE WHEN b.beid IS NOT NULL AND f.feid IS NOT NULL THEN"
+            + s" CASE WHEN epoch_us(b.ts) - epoch_us(b.brts) <= epoch_us(f.frts) - epoch_us(f.ts)"
+            + s" THEN $b ELSE $f END"
+            + s" WHEN b.beid IS NOT NULL THEN $b ELSE $f END AS $out")
+        ("WITH err AS (SELECT user_id u, ts rts, event_id eid, value v"
+          + " FROM events WHERE event_type = 'error'),"
+          + " b AS (SELECT l.event_id, l.user_id, l.ts, r.rts brts, r.eid beid, r.v bv"
+          + " FROM events l ASOF LEFT JOIN err r ON l.user_id = r.u AND l.ts >= r.rts),"
+          + " f AS (SELECT l.event_id, l.ts, r.rts frts, r.eid feid, r.v fv"
+          + " FROM events l ASOF LEFT JOIN err r ON l.user_id = r.u AND l.ts <= r.rts)"
+          + " SELECT b.event_id, b.user_id, "
+          + near("near_event_id", "b.beid", "f.feid") + ", "
+          + near("near_value", "b.bv", "f.fv")
+          + " FROM b JOIN f USING (event_id) ORDER BY b.event_id")
+      },
       "q_custom_agg" ->
         ("SELECT l_returnflag, sum(l_quantity * l_quantity) AS sumsq_qty, count(l_quantity) AS n"
           + " FROM lineitem GROUP BY 1 ORDER BY 1"),

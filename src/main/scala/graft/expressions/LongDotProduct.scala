@@ -82,6 +82,8 @@ object GraftFunctions {
   val TopK       = "graft_topk"
   val WordNgramsF = "graft_word_ngrams"
   val SearchSorted = "graft_searchsorted"
+  val BloomAgg      = "graft_bloom_agg"
+  val BloomContains = "graft_bloom_contains"
 
   private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
     if (exprs.length != n) throw new IllegalArgumentException(
@@ -139,6 +141,27 @@ object GraftFunctions {
         s"$TopK's third argument (k) must be a literal")
       TopKByScore(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+    },
+    // Spark's own runtime-filter Bloom machinery, surfaced as functions:
+    // the aggregate folds LONG keys into a serialized
+    // org.apache.spark.util.sketch.BloomFilter (expected-items literal
+    // sizes it; Spark clamps to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits —
+    // raise those confs for corpus-scale filters), and the probe is a
+    // codegen'd might-contain against a BINARY literal of that filter.
+    // Used by NgramOverlap.contaminatedDocsBloom's broadcast prefilter.
+    BloomAgg -> { exprs =>
+      arity(BloomAgg, exprs, 2)
+      if (!exprs(1).foldable) throw new IllegalArgumentException(
+        s"$BloomAgg's second argument (expected items) must be a literal")
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1).eval().asInstanceOf[Number].longValue())
+        .toAggregateExpression()
+    },
+    BloomContains -> { exprs =>
+      arity(BloomContains, exprs, 2)
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1))
     })
 
   def register(spark: SparkSession): Unit =

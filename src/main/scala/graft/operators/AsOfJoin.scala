@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   * needed because the union-then-ordered-fill formulation maps exactly
   * onto WindowExec.
   *
+  * All three pandas `merge_asof` directions ship: [[asofJoin]] (backward,
+  * the default), [[asofJoinForward]] (earliest right row at-or-after /
+  * strictly after), and [[asofJoinNearest]] (closer of the two, backward
+  * winning ties) — each the same one-Exchange union-and-fill topology.
+  *
   * Plan shape: union the two inputs tagged by side, shuffle once by key,
   * sort by (time, side), and forward-fill the right-side payload struct —
   * one Exchange + one in-partition sort, identical cost to a grouped scan
@@ -84,6 +89,82 @@ object AsOfJoin {
     finish(filled, rightValues, rightPrefix, tolerance)
   }
 
+  /** Forward as-of join (pandas `merge_asof(direction="forward")`): match
+    * each left row with the EARLIEST right row at-or-after (`strict=false`)
+    * or strictly after (`strict=true`) its time, per key. The exact mirror
+    * of [[asofJoin]]: same tagged union, same single Exchange, with the
+    * ordered fill running backward (`first` over the current-to-following
+    * frame instead of `last` over the preceding one). `tolerance` bounds
+    * (rightTime - leftTime) instead.
+    *
+    * Ties on (key, rightTime) resolve toward the EARLIER union order;
+    * require unique (key, rightTime) on the right for determinism, as in
+    * [[asofJoin]]. */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String],
+      rightPrefix: String = "r_",
+      strict: Boolean = false,
+      tolerance: Option[Column] = None): DataFrame = {
+    val unioned = taggedUnion(left, right, keys, leftTime, rightTime, rightValues, rightPrefix)
+    // mirror of sideOrder: inclusive -> left sorts before equal-time right
+    // rows (so the forward frame sees them); strict -> right first (so the
+    // current-row-anchored frame excludes them)
+    val ord = Seq(col("__t"), if (strict) col("__isL") else lit(1) - col("__isL"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ord.map(_.asc): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = unioned.withColumn("__rvf", first(col("__rv"), ignoreNulls = true).over(w))
+    val matched = tolerance match {
+      case None      => col("__rvf")
+      case Some(tol) => when(col("__rvf").getField("__rt") - col("__t") <= tol, col("__rvf"))
+    }
+    attach(filled.withColumn("__rvf", matched), rightValues, rightPrefix)
+  }
+
+  /** Nearest as-of join (pandas `merge_asof(direction="nearest")`): match
+    * each left row with whichever right row is closest in time, either
+    * side, inclusive; EQUAL distances (including equal-time matches,
+    * distance zero) resolve to the backward candidate. One tagged union,
+    * one Exchange, ONE in-partition sort: both fills share the backward
+    * side order (right before left at equal times), under which the
+    * forward frame cannot see equal-time right rows — harmless, because an
+    * equal-time match has distance zero and the backward side already owns
+    * it by the tie rule. `tolerance` bounds the absolute distance on both
+    * sides independently (a side beyond tolerance drops out; the other may
+    * still match). */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String],
+      rightPrefix: String = "r_",
+      tolerance: Option[Column] = None): DataFrame = {
+    val unioned = taggedUnion(left, right, keys, leftTime, rightTime, rightValues, rightPrefix)
+    val ord = sideOrder(strict = false).map(_.asc)
+    val base = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = unioned
+      .withColumn("__rvb", last(col("__rv"), ignoreNulls = true).over(wb))
+      .withColumn("__rvn", first(col("__rv"), ignoreNulls = true).over(wf))
+    val db = col("__t") - col("__rvb").getField("__rt")
+    val df_ = col("__rvn").getField("__rt") - col("__t")
+    val bOk = tolerance.fold(col("__rvb").isNotNull)(t => col("__rvb").isNotNull && db <= t)
+    val fOk = tolerance.fold(col("__rvn").isNotNull)(t => col("__rvn").isNotNull && df_ <= t)
+    val chosen = when(bOk && fOk, when(db <= df_, col("__rvb")).otherwise(col("__rvn")))
+      .when(bOk, col("__rvb"))
+      .when(fOk, col("__rvn"))
+    attach(filled.withColumn("__rvf", chosen).drop("__rvb", "__rvn"),
+      rightValues, rightPrefix)
+  }
+
   /** Union the two inputs tagged by side, with the right payload packed
     * into one atomic struct. Ordering by [[sideOrder]] then puts right
     * rows before (<=) or after (<) left rows at equal times, so the
@@ -104,7 +185,8 @@ object AsOfJoin {
     // fast instead. (__chunk/__carry/__prev belong to scanChunked, which
     // the chunked variant delegates to — reserved here for both variants
     // so the contract doesn't depend on which fill topology runs.)
-    val reserved = Seq("__t", "__isL", "__rv", "__rvf", "__chunk", "__carry", "__prev", "__jk")
+    val reserved = Seq("__t", "__isL", "__rv", "__rvf", "__rvb", "__rvn",
+      "__chunk", "__carry", "__prev", "__jk")
     val outputs  = rightValues.map(rightPrefix + _)
     val clashes  = left.columns.toSeq.intersect(reserved ++ outputs) ++
       right.columns.toSeq.intersect(reserved)
@@ -138,9 +220,16 @@ object AsOfJoin {
       case None      => col("__rvf")
       case Some(tol) => when(col("__t") - col("__rvf").getField("__rt") <= tol, col("__rvf"))
     }
-    val out = filled
-      .withColumn("__rvf", matched)
-      .where(col("__isL") === 1)
+    attach(filled.withColumn("__rvf", matched), rightValues, rightPrefix)
+  }
+
+  /** Keep left rows, unpack the chosen `__rvf` payload struct into
+    * prefixed output columns, drop the working columns. */
+  private def attach(
+      filled: DataFrame,
+      rightValues: Seq[String],
+      rightPrefix: String): DataFrame = {
+    val out = filled.where(col("__isL") === 1)
     val attached = rightValues.foldLeft(out)(
       (d, c) => d.withColumn(rightPrefix + c, col("__rvf").getField(c)))
     attached.drop("__t", "__isL", "__rv", "__rvf")

@@ -91,6 +91,80 @@ object NgramOverlap {
       .agg(count(lit(1)).as("n_hit_grams"))
   }
 
+  /** [[contaminatedDocs]] through a broadcast BLOOM prefilter — the
+    * 100 TB decontamination shape when even the eval gram table is too
+    * big to broadcast as a hash relation. [[contaminatedDocs]]'
+    * `broadcastEval` ships every distinct eval gram string (~tens of
+    * bytes each); here the train side probes a Bloom filter of the
+    * 8-byte gram fingerprints instead — ~11.6 BITS per gram at the
+    * default 3% fpp (Spark's sketch sizing), a ~30-50x smaller broadcast
+    * — and only the surviving grams (true hits + the fpp sliver) enter
+    * an ordinary shuffled equality join that kills every false positive.
+    * Results are therefore IDENTICAL to [[contaminatedDocs]] (the driver
+    * row replays the exact oracle), while the train corpus is never
+    * shuffled beyond its surviving gram rows.
+    *
+    * The filter is Spark's own runtime-filter machinery
+    * (`BloomFilterAggregate` build, codegen'd `BloomFilterMightContain`
+    * probe — the same expressions injected by
+    * `spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`), driven
+    * explicitly because the optimizer's injection only triggers on
+    * equi-join shapes it can see through. Spark clamps the build at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4M
+    * items) / `.maxNumBits` — raise both for eval corpora beyond that.
+    *
+    * The eval gram table is built twice (once folded into the Bloom,
+    * once as the verify join's small side); pass `cache = true` (default)
+    * to persist it across the two consumers — the Managed variant hands
+    * back the release handle.
+    */
+  def contaminatedDocsBloom(
+      train: DataFrame,
+      eval_ : DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      cache: Boolean = true,
+      tokenizer: Column => Column = identity): DataFrame =
+    contaminatedDocsBloomManaged(train, eval_, idCol, textCol, n, cache, tokenizer)._1
+
+  /** [[contaminatedDocsBloom]] plus the eval-gram-table release handle
+    * (the [[Dedup.nearDupPairsManaged]] cache-lifecycle contract). */
+  def contaminatedDocsBloomManaged(
+      train: DataFrame,
+      eval_ : DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      cache: Boolean = true,
+      tokenizer: Column => Column = identity): (DataFrame, () => Unit) = {
+    graft.expressions.GraftFunctions.register(train.sparkSession)
+    val e0 = gramTable(eval_, idCol, textCol, n, tokenizer)
+      .select(col("g").as("__eg")).distinct()
+      .select(col("__eg"), TextAnalysis.fingerprintFast(col("__eg")).as("__f"))
+    val e = if (cache) e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else e0
+    // index build, both eval-sized: the exact distinct-gram count sizes
+    // the filter (no caller estimate to get wrong), then one aggregation
+    // folds the fingerprints into the serialized sketch
+    val nEval = e.count()
+    val bloomBytes =
+      if (nEval == 0) null
+      else e.agg(call_function(graft.expressions.GraftFunctions.BloomAgg,
+          col("__f"), lit(nEval)).as("bf"))
+        .head.getAs[Array[Byte]](0)
+    val keep: Column =
+      if (bloomBytes == null) lit(false) // no eval grams -> nothing contaminated
+      else call_function(graft.expressions.GraftFunctions.BloomContains,
+        lit(bloomBytes), col("__f"))
+    val t = gramTable(train, idCol, textCol, n, tokenizer)
+      .select(col("id"), col("g"), TextAnalysis.fingerprintFast(col("g")).as("__f"))
+      .where(keep)
+    val result = t.join(e, t("__f") === e("__f") && t("g") === e("__eg"))
+      .groupBy(t("id").as(idCol))
+      .agg(count(lit(1)).as("n_hit_grams"))
+    (result, () => { if (cache) e.unpersist(false): Unit })
+  }
+
   /** Per-document corpus-wide duplication profile: of the document's
     * `n_grams` distinct word n-grams, `n_dup_grams` appear in at least one
     * OTHER document. A high dup fraction marks boilerplate/templated text

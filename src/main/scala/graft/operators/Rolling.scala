@@ -38,7 +38,30 @@ object Rolling {
     * the grouped form; the double-sum numeric contract is the grouped
     * momentStat one (exact for low-scale values with |x|^4 * n < 2^53). */
   val funcs: Set[String] = Set("count", "sum", "mean", "min", "max", "var", "std",
-    "skew", "kurt")
+    "skew", "kurt", "median")
+
+  /** "median" and "quantile:<q>" (e.g. "quantile:0.9") buffer the frame's
+    * valid values per row (`collect_list` + `sort_array` inside the same
+    * WindowExec — no extra shuffle) and interpolate exactly like the
+    * grouped quantile registry: h = (n-1)q, lower + (h - floor h) * (upper
+    * - lower) — DuckDB/numpy `quantile_cont` semantics, NULL on empty
+    * frames. Unlike the O(1)-state power-sum funcs this materializes
+    * O(frame) doubles per output row, so it is for BOUNDED frames (an hour
+    * of events per user, a 100-row window); for group-wide quantiles use
+    * [[Quantiles]], whose chunked/selection forms never build a per-group
+    * array. */
+  private val QuantilePat = """^quantile:(\d*\.?\d+)$""".r
+
+  private def quantileQ(f: String): Option[Double] = f match {
+    case "median"        => Some(0.5)
+    case QuantilePat(qs) =>
+      val q = qs.toDouble
+      require(q >= 0.0 && q <= 1.0, s"rolling quantile q must be in [0, 1] (got $q)")
+      Some(q)
+    case _ => None
+  }
+
+  private def supported(f: String): Boolean = funcs(f) || quantileQ(f).isDefined
 
   /** Appends one rolling-aggregate column per (func, as) pair.
     *
@@ -62,9 +85,9 @@ object Rolling {
       ddof: Int = 1): DataFrame = {
     require(aggs.nonEmpty, "need at least one rolling aggregation")
     require(ddof >= 0, s"ddof must be >= 0 (got $ddof)")
-    val bad = aggs.map(_._1).filterNot(funcs)
+    val bad = aggs.map(_._1).filterNot(supported)
     require(bad.isEmpty,
-      s"unsupported rolling funcs: ${bad.mkString(", ")} (supported: ${funcs.mkString(", ")})")
+      s"unsupported rolling funcs: ${bad.mkString(", ")} (supported: ${funcs.mkString(", ")}, quantile:<q>)")
     require(!df.columns.contains("__rts"),
       "rollingTime reserves column name __rts; rename it in the input")
 
@@ -98,9 +121,9 @@ object Rolling {
     require(order.nonEmpty, "rollingRows needs an explicit total order")
     require(aggs.nonEmpty, "need at least one rolling aggregation")
     require(ddof >= 0, s"ddof must be >= 0 (got $ddof)")
-    val bad = aggs.map(_._1).filterNot(funcs)
+    val bad = aggs.map(_._1).filterNot(supported)
     require(bad.isEmpty,
-      s"unsupported rolling funcs: ${bad.mkString(", ")} (supported: ${funcs.mkString(", ")})")
+      s"unsupported rolling funcs: ${bad.mkString(", ")} (supported: ${funcs.mkString(", ")}, quantile:<q>)")
     val w = Window.partitionBy(by.map(col): _*).orderBy(order: _*)
       .rowsBetween(-(window - 1).toLong, 0)
     applyAggs(df, valueCol, aggs, exactScale, w, ddof)
@@ -168,17 +191,35 @@ object Rolling {
       when(m2 > 0, stat)
     }
     aggs.foldLeft(df) { case (d, (f, as)) =>
-      d.withColumn(as, f match {
-        case "count" => count(vn).over(w)
-        case "sum"   => sumE
-        case "mean"  => sumE.cast(DoubleType) / count(vn).over(w)
-        case "min"   => min(vn).over(w)
-        case "max"   => max(vn).over(w)
-        case "var"   => varE
-        case "std"   => sqrt(varE)
-        case "skew"  => momentE(kurt = false)
-        case "kurt"  => momentE(kurt = true)
-      })
+      quantileQ(f) match {
+        case Some(q) =>
+          // materialize the sorted frame array ONCE in a working column so
+          // the four interpolation references share one collect_list (a
+          // single shared expression is not guaranteed to dedupe across
+          // window-expression extraction)
+          val tmp = s"__wq_$as"
+          require(!d.columns.contains(tmp),
+            s"rolling quantile reserves working column $tmp; rename it in the input")
+          val n  = size(col(tmp))
+          val h  = (n.cast(DoubleType) - lit(1.0)) * lit(q)
+          val lo = floor(h)
+          val vlo = element_at(col(tmp), lo.cast("int") + 1)
+          val vhi = element_at(col(tmp), ceil(h).cast("int") + 1)
+          d.withColumn(tmp, sort_array(collect_list(vn.cast(DoubleType)).over(w)))
+            .withColumn(as, when(n > 0, vlo + (h - lo) * (vhi - vlo)))
+            .drop(tmp)
+        case None => d.withColumn(as, f match {
+          case "count" => count(vn).over(w)
+          case "sum"   => sumE
+          case "mean"  => sumE.cast(DoubleType) / count(vn).over(w)
+          case "min"   => min(vn).over(w)
+          case "max"   => max(vn).over(w)
+          case "var"   => varE
+          case "std"   => sqrt(varE)
+          case "skew"  => momentE(kurt = false)
+          case "kurt"  => momentE(kurt = true)
+        })
+      }
     }
   }
 }

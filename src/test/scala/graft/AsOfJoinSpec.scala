@@ -115,4 +115,78 @@ class AsOfJoinSpec extends AnyFunSuite {
     // NULL-key group matches its own right rows, like any other group
     assert(plain("l3") == 9.0)
   }
+
+  private def runForward(strict: Boolean, tol: Option[Long] = None) =
+    AsOfJoin.asofJoinForward(left, right, Seq("k"), "t", "rt",
+      Seq("price", "qty"), strict = strict, tolerance = tol.map(lit(_)))
+      .collect().map(r => r.getString(2) -> (r.get(3), r.get(4))).toMap
+
+  test("forward non-strict matches at-or-after; earliest wins") {
+    val r = runForward(strict = false)
+    assert(r("l1") == ((1.0, 100L)))   // equal time matches
+    assert(r("l2") == ((2.0, 200L)))   // earliest of {25}
+    assert(r("l3") == ((null, null)))  // nothing at-or-after 30
+    assert(r("l4") == ((3.0, 300L)))   // 15 beats nothing later; 14 is past
+    assert(r("l5") == ((null, null)))
+  }
+
+  test("forward strict excludes equal-time right rows") {
+    val r = runForward(strict = true)
+    assert(r("l1") == ((2.0, 200L)))   // 10 excluded, next is 25
+    assert(r("l4") == ((null, null)))  // only candidates are at/before 15
+  }
+
+  test("forward tolerance bounds (rightTime - leftTime)") {
+    assert(runForward(strict = false, tol = Some(5L))("l2") == ((2.0, 200L)))  // 25-20=5 kept
+    assert(runForward(strict = false, tol = Some(4L))("l2") == ((null, null))) // 5 > 4 aged out
+  }
+
+  test("nearest picks the closer side; backward wins ties; tolerance per side") {
+    // d: left at 20, right at 10 and 30 -> exact tie -> backward (10)
+    val l = Seq(("a", 10L, "l1"), ("a", 20L, "l2"), ("a", 30L, "l3"),
+      ("c", 5L, "l5"), ("d", 20L, "l6")).toDF("k", "t", "tag")
+    val r = Seq(("a", 10L, 1.0), ("a", 25L, 2.0),
+      ("d", 10L, 7.0), ("d", 30L, 8.0)).toDF("k", "rt", "price")
+    def run(tol: Option[Long]) =
+      AsOfJoin.asofJoinNearest(l, r, Seq("k"), "t", "rt", Seq("price"),
+        tolerance = tol.map(lit(_)))
+        .collect().map(x => x.getString(2) -> x.get(3)).toMap
+    val got = run(None)
+    assert(got("l1") == 1.0)  // distance 0, backward owns equal-time
+    assert(got("l2") == 2.0)  // back d=10 vs fwd d=5 -> forward
+    assert(got("l3") == 2.0)  // only backward exists (25)
+    assert(got("l5") == null) // keyless
+    assert(got("l6") == 7.0)  // exact tie 10 vs 10 -> backward
+    // tolerance drops each side independently: l2's forward (d=5) survives
+    // tol=5 while backward (d=10) ages out; tol=4 kills both
+    assert(run(Some(5L))("l2") == 2.0)
+    assert(run(Some(4L))("l2") == null)
+  }
+
+  test("nearest == brute force on randomized data") {
+    val rnd = new scala.util.Random(43)
+    val keys = Seq("a", "b", "c")
+    val lRows = Seq.tabulate(120)(i =>
+      (keys(rnd.nextInt(3)), rnd.nextInt(200).toLong, s"t$i"))
+    // unique (k, rt): the determinism contract
+    val rRows = Seq.tabulate(60)(_ =>
+      (keys(rnd.nextInt(3)), rnd.nextInt(200).toLong, rnd.nextInt(100).toDouble))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val l = lRows.toDF("k", "t", "tag").repartition(7)
+    val r = rRows.toDF("k", "rt", "price").repartition(5)
+    val got = AsOfJoin.asofJoinNearest(l, r, Seq("k"), "t", "rt", Seq("price"))
+      .select("tag", "r_price").collect().map(x => x.getString(0) -> x.get(1)).toMap
+    val byKey = rRows.groupBy(_._1)
+    for ((k, t, tag) <- lRows) {
+      val cands = byKey.getOrElse(k, Seq.empty)
+      val want =
+        if (cands.isEmpty) null
+        else {
+          // min distance; ties -> the backward candidate (rt <= t wins)
+          val best = cands.minBy(c => (math.abs(c._2 - t), if (c._2 <= t) 0 else 1))
+          java.lang.Double.valueOf(best._3)
+        }
+      assert(got(tag) == want, s"key=$k t=$t: got ${got(tag)} want $want")
+    }
+  }
 }

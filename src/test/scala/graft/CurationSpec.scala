@@ -47,6 +47,28 @@ class CurationSpec extends AnyFunSuite {
     assert(want.keySet == Set(1L, 3L)) // fixture sanity
   }
 
+  test("contaminatedDocsBloom == contaminatedDocs (verify join kills every false positive); empty eval") {
+    val train = Seq(
+      (1L, "a b c d e f g"), (2L, "x y z w v u t"),
+      (3L, "a b c d e q r"), (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((10L, "a b c d e f g h")).toDF("doc_id", "text")
+    val exact = NgramOverlap.contaminatedDocs(train, eval_, "doc_id", "text",
+        n = 5, broadcastEval = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (bloomDf, release) = NgramOverlap.contaminatedDocsBloomManaged(
+      train, eval_, "doc_id", "text", n = 5)
+    val bloom = bloomDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    release()
+    assert(bloom == exact)
+    // empty eval side: nothing contaminated, schema intact, no crash on
+    // the zero-item Bloom build
+    val none = NgramOverlap.contaminatedDocsBloom(train,
+      eval_.where(lit(false)), "doc_id", "text", n = 5)
+    assert(none.columns.toSeq == Seq("doc_id", "n_hit_grams"))
+    assert(none.count() == 0)
+  }
+
   test("duplicateGramStats == brute-force corpus gram frequency") {
     val docs = Seq(
       (1L, "a b c d e f"),   // grams: "a b c d e", "b c d e f"
@@ -224,6 +246,59 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       GroupByTransform.shiftBy(rows, Seq("k"), ord, "v", 0)
     }
+  }
+
+  test("pctChangeBy: v / lag - 1; boundary NULL; periods > 1") {
+    import graft.operators.GroupByTransform
+    val rows = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 15.0), ("a", 3L, 12.0),
+      ("b", 1L, 7.0)
+    ).toDF("k", "pos", "v")
+    val ord = Seq(col("pos"))
+    val got = GroupByTransform.pctChangeBy(rows, Seq("k"), ord, "v", 1, "p")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(3))).toMap
+    assert(got(("a", 1L)).isEmpty)
+    assert(got(("a", 2L)).exists(v => math.abs(v.asInstanceOf[Double] - 0.5) < 1e-12))
+    assert(got(("a", 3L)).exists(v => math.abs(v.asInstanceOf[Double] - (12.0 / 15.0 - 1)) < 1e-12))
+    assert(got(("b", 1L)).isEmpty, "group boundary isolates")
+    val p2 = GroupByTransform.pctChangeBy(rows, Seq("k"), ord, "v", 2, "p")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(3))).toMap
+    assert(p2(("a", 3L)).exists(v => math.abs(v.asInstanceOf[Double] - 0.2) < 1e-12))
+    assert(p2(("a", 2L)).isEmpty)
+  }
+
+  test("interpolateTime: interior time-weighted lerp, edges stay NULL, equal-ts guard, valid rows unchanged") {
+    import graft.operators.GroupByTransform
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val rows = Seq(
+      (1L, "u1", at(0), Double.NaN),   // leading gap: stays NULL
+      (2L, "u1", at(10), 10.0),
+      (3L, "u1", at(20), Double.NaN),  // 1/3 of the way 10->40
+      (4L, "u1", at(40), 40.0),
+      (5L, "u1", at(50), Double.NaN),  // trailing gap: stays NULL
+      (6L, "u2", at(0), Double.NaN)    // group with no valid values
+    ).toDF("event_id", "user", "ts", "v")
+    val got = GroupByTransform.interpolateTime(rows, Seq("user"), "ts", "v",
+        "iv", tieBreak = Seq(col("event_id")))
+      .select("event_id", "iv").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).isEmpty, "leading missing run stays NULL")
+    assert(got(2L).contains(10.0))
+    assert(got(3L).exists(v => math.abs(v.asInstanceOf[Double] - 20.0) < 1e-9),
+      s"lerp at 1/3 of 10->40: ${got(3L)}")
+    assert(got(4L).contains(40.0))
+    assert(got(5L).isEmpty, "trailing missing run stays NULL")
+    assert(got(6L).isEmpty)
+    // duplicate-timestamp bound: gap bounded by two valid rows at one ts
+    val dup = Seq(
+      (1L, "u", at(0), 5.0), (2L, "u", at(0), Double.NaN), (3L, "u", at(0), 9.0)
+    ).toDF("event_id", "user", "ts", "v")
+    val g2 = GroupByTransform.interpolateTime(dup, Seq("user"), "ts", "v",
+        "iv", tieBreak = Seq(col("event_id")))
+      .select("event_id", "iv").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(g2(2L).contains(5.0), "t_next == t_prev falls back to the backward value")
   }
 
   test("covCorrBy: brute-force parity, pairwise deletion, constant column NULL corr") {
@@ -623,8 +698,40 @@ class CurationSpec extends AnyFunSuite {
     val rows = Seq((1L, "u", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
       .toDF("event_id", "user", "ts", "v")
     assertThrows[IllegalArgumentException](
-      Rolling.rollingTime(rows, Seq("user"), "ts", "1 hour", "v", Seq("median" -> "x")))
+      Rolling.rollingTime(rows, Seq("user"), "ts", "1 hour", "v", Seq("mode" -> "x")))
     assertThrows[IllegalArgumentException](
       Rolling.rollingTime(rows, Seq("user"), "ts", "1 month", "v", Seq("sum" -> "x")))
+    assertThrows[IllegalArgumentException](
+      Rolling.rollingTime(rows, Seq("user"), "ts", "1 hour", "v", Seq("quantile:1.5" -> "x")))
+  }
+
+  test("rolling median/quantile: quantile_cont interpolation vs brute force; NaN skipped; empty frame NULL") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val rows = Seq(
+      (1L, "u1", at(0), 4.0),
+      (2L, "u1", at(20), 1.0),
+      (3L, "u1", at(40), 3.0),
+      (4L, "u1", at(50), Double.NaN),  // skipped: frame = {4,1,3}
+      (5L, "u1", at(90), 2.0),         // frame = {3,2} (rows 1,2 aged out)
+      (6L, "u2", at(0), Double.NaN)    // all-NaN frame -> NULL
+    ).toDF("event_id", "user", "ts", "v")
+    def qcont(q: Double, xs: Double*): Double = {
+      val a = xs.sorted; val h = (a.size - 1) * q
+      val lo = h.toInt; val hi = math.ceil(h).toInt
+      a(lo) + (h - lo) * (a(hi) - a(lo))
+    }
+    val got = Rolling.rollingTime(rows, Seq("user"), "ts", "1 hour", "v",
+        Seq("median" -> "med", "quantile:0.25" -> "q25"))
+      .select("event_id", "med", "q25").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    for ((id, frame) <- Seq(1L -> Seq(4.0), 2L -> Seq(4.0, 1.0),
+        3L -> Seq(4.0, 1.0, 3.0), 4L -> Seq(4.0, 1.0, 3.0), 5L -> Seq(3.0, 2.0))) {
+      assert(got(id)._1.exists(v => math.abs(v.asInstanceOf[Double] - qcont(0.5, frame: _*)) < 1e-12),
+        s"median row $id: ${got(id)._1} want ${qcont(0.5, frame: _*)}")
+      assert(got(id)._2.exists(v => math.abs(v.asInstanceOf[Double] - qcont(0.25, frame: _*)) < 1e-12),
+        s"q25 row $id: ${got(id)._2} want ${qcont(0.25, frame: _*)}")
+    }
+    assert(got(6L) == ((None, None)), "all-NaN frame -> NULL quantiles")
   }
 }
