@@ -262,6 +262,15 @@ object CurationQueries {
         .withColumn("z", round(col("z0"), 6))
         .select("event_id", "user_id", "z")
         .orderBy("event_id")),
+    // per-group robust scaling (x - median) / IQR: grouped exact-quantile
+    // edges rounded to the 1e-6 grid (winsorize convention), group-stats
+    // join-back, NULL on zero IQR
+    "q_robust_scale" -> ((s, d) =>
+      FeatureScaling.robustScaleBy(SparkEntry.ev(s, d), Seq("user_id"),
+          "valn", "sc0")
+        .withColumn("scaled", round(col("sc0"), 6))
+        .select("event_id", "user_id", "scaled")
+        .orderBy("event_id")),
     // per-doc top-3 distinctive terms by tf-idf (quantized-idf decimal
     // ranking — deterministic across engines; see tfidfTopK scaladoc);
     // restricted to the first 100 docs so the row count stays sane
@@ -533,6 +542,18 @@ object CurationQueries {
         + " WHEN nt = pt THEN pv"
         + " ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END, 6) AS interp"
         + " FROM y ORDER BY event_id"),
+    "q_robust_scale" -> {
+      val v = "CASE WHEN event_type = 'error' THEN NULL ELSE value END"
+      (s"WITH e AS (SELECT user_id,"
+        + s" round(quantile_cont($v, 0.25), 6) AS q1,"
+        + s" round(quantile_cont($v, 0.5), 6) AS med,"
+        + s" round(quantile_cont($v, 0.75), 6) AS q3"
+        + " FROM events GROUP BY 1)"
+        + " SELECT event_id, events.user_id,"
+        + s" round(CASE WHEN ($v) IS NOT NULL AND q3 - q1 > 0"
+        + s" THEN (($v) - med) / (q3 - q1) END, 6) AS scaled"
+        + " FROM events JOIN e USING (user_id) ORDER BY event_id")
+    },
     "q_corr" -> {
       // replays covCorrBy: pairwise deletion, five decimal power sums,
       // one IEEE finalize with the clamped marginal variances

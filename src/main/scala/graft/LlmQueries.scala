@@ -38,6 +38,45 @@ object LlmQueries {
 
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** One-shot AvailableNow replay of a streaming frame into a memory
+    * sink; returns `rollup` of the sunk table, detached so the sink and
+    * checkpoint can be dropped immediately (a driver sweeping many data
+    * dirs would otherwise accumulate one in-memory table + one temp dir
+    * per run). The checkpoint of a replay-and-discard run never serves
+    * recovery, so its WAL fsyncs are pure overhead: prefer a
+    * memory-backed tmpfs when the host has one. (A long-lived production
+    * stream checkpoints to durable storage; this is driver-row
+    * scaffolding.) Cleanup runs in finally so a failed replay leaks
+    * neither. */
+  private def replayAvailableNow(
+      s: SparkSession, out: DataFrame, prefix: String, mode: String)(
+      rollup: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"${prefix}_${streamRuns.incrementAndGet()}"
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft-ckpt")
+      else java.nio.file.Files.createTempDirectory("graft-ckpt")
+    try {
+      val q = out.writeStream.queryName(name).format("memory")
+        .outputMode(mode).trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.awaitTermination()
+      val sunk = rollup(s.table(name))
+      s.createDataFrame(sunk.collectAsList(), sunk.schema)
+    } finally {
+      try s.catalog.dropTempView(name) catch { case _: Exception => }
+      val walk = java.nio.file.Files.walk(ckpt)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+  }
+
   private val QuantSqlDouble =
     "list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT))"
 
@@ -401,7 +440,6 @@ object LlmQueries {
     // Complete output mode: every window emitted once the replay drains
     // (append mode would withhold windows past the final watermark).
     "q_stream_window" -> ((s, d) => {
-      import org.apache.spark.sql.streaming.Trigger
       val schema = T(s, d, "events").schema
       // glob form: the file source requires a directory basePath; the
       // brace-glob makes it resolve the parent dir while matching exactly
@@ -415,40 +453,10 @@ object LlmQueries {
       val out = StreamingOps.windowedReduce(fixed, "ts", "1 hour", Seq("event_type"),
         Seq(Agg("count", "value", "n"),
             Agg("nansum", "value", "sum_value", exactScale = Some(2))))
-      val name = s"graft_stream_window_${streamRuns.incrementAndGet()}"
-      // The checkpoint of this one-shot AvailableNow replay is deleted in
-      // the finally below — it never serves recovery — so its WAL fsyncs
-      // are pure overhead: prefer a memory-backed tmpfs when the host has
-      // one. (A long-lived production stream checkpoints to durable
-      // storage; this is replay-and-discard scaffolding.)
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val ckpt =
-        if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-          java.nio.file.Files.createTempDirectory(shm, "graft-ckpt")
-        else java.nio.file.Files.createTempDirectory("graft-ckpt")
-      // detach the (small) result from the memory sink so the sink table
-      // and checkpoint can be cleaned up immediately — otherwise a driver
-      // sweeping many data dirs accumulates one complete-mode table in
-      // memory and one temp dir on disk per run; cleanup in finally so a
-      // failed replay doesn't leak either
-      try {
-        val q = out.writeStream.queryName(name).format("memory")
-          .outputMode("complete").trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt.toString)
-          .start()
-        q.awaitTermination()
-        val sunk = s.table(name)
-          .select(col("window_start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+      replayAvailableNow(s, out, "graft_stream_window", "complete") { sunk =>
+        sunk.select(col("window_start").as("hour_start"), col("event_type"),
+            col("n"), col("sum_value"))
           .orderBy("hour_start", "event_type")
-        s.createDataFrame(sunk.collectAsList(), sunk.schema)
-      } finally {
-        try s.catalog.dropTempView(name) catch { case _: Exception => }
-        val walk = java.nio.file.Files.walk(ckpt)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } finally walk.close()
       }
     }),
     // Native session_window rollup — the streaming-capable sessionization
@@ -467,41 +475,38 @@ object LlmQueries {
     // streaming==batch invariant of StreamingOps.curationFilter on the
     // driver gate, the way q_stream_window pins the stateful window path.
     "q_stream_filter" -> ((s, d) => {
-      import org.apache.spark.sql.streaming.Trigger
       val schema = T(s, d, "documents").schema
       val raw = s.readStream.schema(schema).parquet(s"$d/{documents.parquet}")
       val out = StreamingOps.curationFilter(raw, "text",
         sampleRate = 0.5, salt = 7, minQuality = 300L)
-      val name = s"graft_stream_filter_${streamRuns.incrementAndGet()}"
-      // same replay-and-discard checkpoint scaffolding as q_stream_window
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val ckpt =
-        if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-          java.nio.file.Files.createTempDirectory(shm, "graft-ckpt")
-        else java.nio.file.Files.createTempDirectory("graft-ckpt")
-      try {
-        val q = out.writeStream.queryName(name).format("memory")
-          .outputMode("append").trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt.toString)
-          .start()
-        q.awaitTermination()
+      replayAvailableNow(s, out, "graft_stream_filter", "append") { sunk =>
         graft.expressions.GraftFunctions.register(s)
-        val sunk = s.table(name)
-          .groupBy("source")
+        sunk.groupBy("source")
           .agg(count(lit(1)).as("n_kept"),
             sum("quality").as("sum_quality"),
             sum(col("email_hits") + col("phone_hits") + col("ip_hits")).as("pii_hits"),
             sum(TextAnalysis.fingerprintFast(col("redacted"))).as("checksum"))
           .orderBy("source")
-        s.createDataFrame(sunk.collectAsList(), sunk.schema)
-      } finally {
-        try s.catalog.dropTempView(name) catch { case _: Exception => }
-        val walk = java.nio.file.Files.walk(ckpt)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } finally walk.close()
+      }
+    }),
+    // The STATEFUL streaming dedup surface (dropDuplicatesWithinWatermark
+    // keyed on the 128-bit content fingerprint) as a driver row. Which
+    // duplicate row survives depends on arrival order, so the rollup is
+    // choice-invariant: it profiles only the surviving TEXT SET (count +
+    // replayable checksums), which the state store makes exactly the
+    // distinct-text set — hash-matched against DuckDB's DISTINCT. NULL
+    // texts collapse to one survivor (null-equal dedup keys) and count
+    // into n_unique but not the text-derived sums, same as SQL.
+    "q_stream_dedup" -> ((s, d) => {
+      val schema = T(s, d, "documents").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/{documents.parquet}")
+        .withColumn("__ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      val out = StreamingOps.dedupExact(raw, "text", "__ts", "0 seconds")
+      replayAvailableNow(s, out, "graft_stream_dedup", "append") { sunk =>
+        graft.expressions.GraftFunctions.register(s)
+        sunk.agg(count(lit(1)).as("n_unique"),
+          sum(TextAnalysis.fingerprintFast(col("text"))).as("checksum"),
+          sum(length(col("text"))).as("sum_chars"))
       }
     }),
     // The per-partition decode slot (mapPartitions escape hatch) with the
@@ -1053,6 +1058,15 @@ object LlmQueries {
           + s" sum(${TextAnalysis.fingerprintSql("redacted")})::BIGINT AS checksum"
           + " FROM r GROUP BY 1 ORDER BY 1")
       },
+      // choice-invariant profile of the streaming-dedup survivors: the
+      // state store keeps exactly one row per distinct text (NULLs
+      // null-equal -> one survivor, counted but not summed), so DISTINCT
+      // replays it regardless of which physical row survived
+      "q_stream_dedup" ->
+        ("SELECT count(*) AS n_unique,"
+          + s" sum(${TextAnalysis.fingerprintSql("text")})::BIGINT AS checksum,"
+          + " sum(len(text))::BIGINT AS sum_chars"
+          + " FROM (SELECT DISTINCT text FROM documents)"),
       "q_unstack" -> {
         def cell(v: String) = (
           s"count(CASE WHEN l_linestatus = '$v' THEN l_quantity END) AS ${v}_n,"

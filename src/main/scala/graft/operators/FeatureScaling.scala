@@ -139,6 +139,46 @@ object FeatureScaling {
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
 
+  /** Per-group ROBUST scaling (sklearn RobustScaler per group): appends
+    * `as` = (x - median) / IQR, with median and the interquartile range
+    * from the memory-safe grouped exact quantile ([[Quantiles
+    * .exactQuantile]] — composed hash-agg + spilling window, no per-group
+    * value buffers), rounded to `edgeScale` decimals so any engine
+    * replays the edges (the [[winsorize]] convention). The group-stats
+    * frame (one row per group: three doubles) joins back onto the data
+    * by the group keys — group-count-sized, so AQE broadcasts it in the
+    * common case; the data side moves at most once.
+    *
+    * NaN/NULL values are skipped by the quantiles and get a NULL output;
+    * groups with IQR == 0 (constant-ish middle) yield NULL for every
+    * row, like [[zscoreBy]] on zero variance. Resistant to outliers
+    * where z-scores are not — the standard scaling for heavy-tailed
+    * features. */
+  def robustScaleBy(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      as: String = "scaled",
+      edgeScale: Int = 6): DataFrame = {
+    require(by.nonEmpty, "robustScaleBy needs at least one grouping column")
+    require(!df.columns.contains(as),
+      s"robustScaleBy output column $as already exists in the input; pick another name or drop it first")
+    val dt = df.schema(valueCol).dataType
+    val vn = graft.functions.NanOps.nanToNull(col(valueCol), dt)
+    val stats = Quantiles.exactQuantile(df, by, valueCol,
+        Seq(0.25, 0.5, 0.75), as = "__rq")
+      .select(by.map(col) :+
+        transform(col("__rq"), e => round(e, edgeScale)).as("__rq"): _*)
+      .select(by.map(col) :+
+        element_at(col("__rq"), 2).as("__med") :+
+        (element_at(col("__rq"), 3) - element_at(col("__rq"), 1)).as("__iqr"): _*)
+    df.join(stats, by, "left")
+      .withColumn(as,
+        when(vn.isNotNull && col("__iqr") > 0,
+          (vn.cast(DoubleType) - col("__med")) / col("__iqr")))
+      .drop("__med", "__iqr")
+  }
+
   /** Per-group z-score standardization: appends `as` = (x - mean) / std
     * over the rows of each `by` group — the feature-normalization shape
     * ("standardize score within language"). One unbounded-frame window

@@ -346,6 +346,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("robustScaleBy: (x - median) / IQR per group; NaN skipped; zero-IQR group NULL") {
+    val rows = Seq(
+      // group a: 1..5 -> q1=2, med=3, q3=4, IQR=2
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
+      ("a", Double.NaN),        // skipped by the quantiles, NULL out
+      ("b", 5.0), ("b", 5.0),   // IQR 0 -> NULL
+      ("c", 7.0)                // singleton: IQR 0 -> NULL
+    ).toDF("k", "v").repartition(3)
+    val got = FeatureScaling.robustScaleBy(rows, Seq("k"), "v", "sc")
+      .collect().map(r => (r.getString(0), r.getDouble(1).toString) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    for ((x, want) <- Seq(1.0 -> -1.0, 2.0 -> -0.5, 3.0 -> 0.0, 4.0 -> 0.5, 5.0 -> 1.0))
+      assert(got(("a", x.toString)).exists(v => math.abs(v - want) < 1e-9),
+        s"a/$x: ${got(("a", x.toString))} want $want")
+    assert(got(("a", "NaN")).isEmpty)
+    assert(got(("b", "5.0")).isEmpty && got(("c", "7.0")).isEmpty)
+    intercept[IllegalArgumentException] {
+      FeatureScaling.robustScaleBy(rows.withColumn("sc", lit(1)), Seq("k"), "v", "sc")
+    }
+  }
+
   test("tfidfTopK: hand-checked scores, rank order, short-vocab docs, corpus-wide terms score 0") {
     val docs = Seq(
       (1L, "apple apple banana common"),
