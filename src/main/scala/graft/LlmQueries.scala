@@ -271,6 +271,19 @@ object LlmQueries {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")
     }),
+    // Distributed Lloyd k-means, fit end-to-end IN the query (2
+    // iterations, k=8, smallest-id init) + final assignment rollup.
+    // Every step is exact integer/replayable arithmetic, so the oracle
+    // re-runs the whole fit in SQL: cluster sizes AND sum-of-ids pin the
+    // full assignment, not just the counts.
+    "q_kmeans" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val cents = Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
+      Similarity.kmeansAssign(e, "vec_id", "embedding", cents)
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
+        .orderBy("cluster")
+    }),
     // ---- text analysis ----
     "q_text_stats" -> ((s, d) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -891,6 +904,35 @@ object LlmQueries {
           + " FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id"
           + " WHERE list_dot_product(x.q, y.q) / (sqrt(x.nsq::DOUBLE) * sqrt(y.nsq::DOUBLE)) >= 0.35"
           + " ORDER BY 1, 2")
+      },
+      "q_kmeans" -> {
+        // full SQL replay of the 2-iteration Lloyd fit: smallest-id init
+        // (cell = rank in id order), exact integer argmin assignment
+        // (c.c - 2 x.c, ties to the smaller cell), per-dim exact long
+        // sums re-quantized with floor(s/n + 0.5) (= Java Math.round,
+        // half toward +inf — NOT SQL round(), which is half away from
+        // zero), empty cells keeping their previous centroid
+        def asg(a: String, c: String) =
+          (s"$a AS (SELECT vec_id, q, cell FROM ("
+            + " SELECT e.vec_id, e.q, c.cell, row_number() OVER (PARTITION BY e.vec_id"
+            + s" ORDER BY CAST(list_dot_product(c.cw, c.cw) AS BIGINT) - 2 * list_dot_product(e.q, c.cw), c.cell) AS rk"
+            + s" FROM n e CROSS JOIN $c c) WHERE rk = 1)")
+        def upd(s0: String, cl: String, a: String, prev: String) =
+          (s"$s0 AS (SELECT cell, i, count(*) AS nn, sum(q[i])::BIGINT AS s"
+            + s" FROM $a, (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),"
+            + s" ${cl}l AS (SELECT cell, list(floor(s::DOUBLE / nn + 0.5)::BIGINT ORDER BY i) AS cw"
+            + s" FROM $s0 GROUP BY 1),"
+            + s" $cl AS (SELECT p.cell, coalesce(u.cw, p.cw) AS cw"
+            + s" FROM $prev p LEFT JOIN ${cl}l u USING (cell))")
+        val c0 = ("c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS cw"
+          + " FROM n ORDER BY vec_id LIMIT 8)")
+        (s"WITH n AS $qn, "
+          + Seq(c0,
+            asg("a1", "c0"), upd("s1", "c1", "a1", "c0"),
+            asg("a2", "c1"), upd("s2", "c2", "a2", "c1"),
+            asg("a3", "c2")).mkString(", ")
+          + " SELECT cell AS cluster, count(*) AS n, sum(vec_id)::BIGINT AS sum_id"
+          + " FROM a3 GROUP BY 1 ORDER BY 1")
       },
       "q_ann_topk" ->
         (s"WITH n AS $qn SELECT id, rank, neighbor_id, cos FROM ("

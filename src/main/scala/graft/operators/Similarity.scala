@@ -286,6 +286,104 @@ object Similarity {
     (result, release)
   }
 
+  /** The IVF/k-means hard-assignment expression: nearest centroid index
+    * by the exact integer ||x-c||^2 rank (c.c - 2 x.c — the nsq term is
+    * constant per row and drops out of the argmin), ties toward the
+    * smaller index. Centroids travel as plan literals (k x dim longs);
+    * the scan is one codegen'd pass, no join, no UDF. */
+  private def nearestCellExpr(centroidsQ: Array[Seq[Long]]): Column = {
+    val cellScores = array(centroidsQ.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x * x).sum
+      struct((lit(cc) - lit(2L) * dotQ(col("q"), typedlit(c))).as("d"), lit(i).as("cell"))
+    }: _*)
+    element_at(array_sort(cellScores), 1).getField("cell")
+  }
+
+  /** Distributed Lloyd k-means over the FULL corpus — the clustering
+    * primitive behind semantic dedup / corpus curation ("cluster the
+    * embedding space, inspect/balance/drop clusters"), and the exact
+    * big-data counterpart of [[ivfTrain]]'s sampled ML KMeans. Every
+    * step is deterministic and engine-replayable (the q_kmeans oracle
+    * replays the whole fit in SQL):
+    *
+    *   - init: the k corpus vectors with the SMALLEST ids (data-dependent
+    *     but order-free seeding, like the q_ann_ivf quantizer; k clamps
+    *     to the corpus size). Statistically weaker than k-means|| — for
+    *     pure quality over replayability, seed via [[ivfTrain]] and pass
+    *     `init`;
+    *   - assignment: one codegen'd literal-centroid argmin pass
+    *     ([[nearestCellExpr]] — exact integer distances, smallest-index
+    *     tie-break), n x k dots per iteration (the standard flat
+    *     assignment cost; see the [[ivfNeighbors]] scale note);
+    *   - update: exact elementwise long sums ([[graft.expressions
+    *     .VectorSumLong]] — one buffer per cluster, map-side combined)
+    *     divided on the driver and re-quantized to the fixed-point grid
+    *     with floor(x + 0.5) (= SQL floor(s/n + 0.5), Java Math.round),
+    *     so the next iteration's distances stay integer-exact. EMPTY
+    *     clusters keep their previous centroid. Driver state per
+    *     iteration: k x dim longs — index-build bounded, never data-sized.
+    *
+    * Embeddings must be non-null. Returns the quantized centroids
+    * (index = cluster id, position-stable across iterations); pair with
+    * [[kmeansAssign]] for per-row labels. */
+  def kmeansFit(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      iters: Int = 10,
+      init: Option[Array[Seq[Long]]] = None,
+      cache: Boolean = true): Array[Seq[Long]] = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(iters >= 0, s"iters must be >= 0 (got $iters)")
+    GraftFunctions.register(df.sparkSession)
+    // (id, q) feeds iters+1 passes: persist the compact projection (the
+    // ivfNeighborsManaged rationale — the raw source may be a 100 TB read)
+    val p0 = prepared(df, idCol, embCol).select("id", "q")
+    val p = if (cache) p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else p0
+    try {
+      var cents = init.getOrElse {
+        p.orderBy("id").limit(k).select("q")
+          .collect().map(r => r.getSeq[Long](0): Seq[Long])
+      }
+      require(init.forall(_.nonEmpty), "kmeansFit needs at least one init centroid")
+      var it = 0
+      while (it < iters && cents.nonEmpty) {
+        val stats = p.withColumn("cluster", nearestCellExpr(cents))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n"),
+            call_function(GraftFunctions.VecSum, col("q")).as("s"))
+          .collect()
+          .map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Long](2))))
+          .toMap
+        cents = cents.zipWithIndex.map { case (old, j) =>
+          stats.get(j) match {
+            case Some((n, s)) => s.map(x => math.round(x.toDouble / n.toDouble)): Seq[Long]
+            case None         => old // empty cluster: centroid unchanged
+          }
+        }
+        it += 1
+      }
+      cents
+    } finally { if (cache) { p.unpersist(false); () } }
+  }
+
+  /** Hard cluster assignment against [[kmeansFit]] (or any quantized)
+    * centroids: (id, cluster), one literal-centroid codegen pass —
+    * the exact integer argmin of [[nearestCellExpr]]. */
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: Array[Seq[Long]],
+      as: String = "cluster"): DataFrame = {
+    require(centroids.nonEmpty, "kmeansAssign needs at least one centroid")
+    GraftFunctions.register(df.sparkSession)
+    prepared(df, idCol, embCol)
+      .withColumn(as, nearestCellExpr(centroids))
+      .select(col("id"), col(as))
+  }
+
   /** Corpus-aware plane count: the smallest p >= minPlanes such that
     * expected bucket occupancy n / 2^p drops to `targetOccupancy` —
     * candidate cost is quadratic in occupancy, so p must grow with log n

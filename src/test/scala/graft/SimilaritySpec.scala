@@ -148,4 +148,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.hyperplane(1, 2, 8).toSeq == Similarity.hyperplane(1, 2, 8).toSeq)
     assert(Similarity.hyperplane(1, 2, 8).toSeq != Similarity.hyperplane(2, 1, 8).toSeq)
   }
+
+  test("kmeansFit: two separated blobs converge to their means; assignment labels match") {
+    // ids chosen so the smallest-id init seeds one centroid per blob
+    val d = vecs(
+      (1L, Seq(0.0f, 0.0f)), (3L, Seq(0.2f, 0.0f)), (5L, Seq(0.1f, 0.1f)),
+      (2L, Seq(10.0f, 10.0f)), (4L, Seq(10.2f, 10.0f)), (6L, Seq(10.1f, 10.1f)))
+    val cents = Similarity.kmeansFit(d, "vec_id", "embedding", k = 2, iters = 3)
+    // blob means: (0.1, ~0.0333) and (10.1, ~10.0333), quantized 1e-6,
+    // Math.round at the third update
+    assert(cents.length == 2)
+    assert(cents(0) == Seq(100000L, 33333L))
+    assert(cents(1) == Seq(10100000L, 10033333L))
+    val labels = Similarity.kmeansAssign(d, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Seq(1L, 3L, 5L).forall(labels(_) == 0))
+    assert(Seq(2L, 4L, 6L).forall(labels(_) == 1))
+  }
+
+  test("kmeansFit: empty cluster keeps its centroid; k clamps to corpus; empty corpus -> no centroids") {
+    // both points sit at the origin-side: init c0=(0,0) c1=(100,0); after
+    // one update c0 absorbs both points, c1 is empty and must stay put
+    val d = vecs((1L, Seq(0.0f, 0.0f)), (2L, Seq(0.4f, 0.0f)), (3L, Seq(100.0f, 0.0f)))
+    val cents = Similarity.kmeansFit(
+      d.where(col("vec_id") <= 2), "vec_id", "embedding", k = 2, iters = 1,
+      init = Some(Array(Seq(0L, 0L), Seq(100000000L, 0L))))
+    assert(cents(0) == Seq(200000L, 0L), "mean of the two points")
+    assert(cents(1) == Seq(100000000L, 0L), "empty cluster unchanged")
+    val clamped = Similarity.kmeansFit(d, "vec_id", "embedding", k = 10, iters = 1)
+    assert(clamped.length == 3, "k clamps to the corpus size")
+    assert(Similarity.kmeansFit(d.where(lit(false)), "vec_id", "embedding",
+      k = 2, iters = 2).isEmpty)
+  }
+
+  test("kmeansAssign: exact-distance ties go to the smaller cluster index") {
+    val d = vecs((7L, Seq(5.0f, 0.0f)))
+    val cents: Array[Seq[Long]] = Array(Seq(0L, 0L), Seq(10000000L, 0L))
+    val got = Similarity.kmeansAssign(d, "vec_id", "embedding", cents)
+      .head().getInt(1)
+    assert(got == 0, "equidistant point must take the smaller index")
+  }
 }
