@@ -91,6 +91,23 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.topK(e, e, "vec_id", "embedding", 3).count() == 0)
   }
 
+  test("r6 batch-3 operators on empty input return empty without error") {
+    val emptyEv = Seq.empty[(Long, String, java.sql.Timestamp, Double)]
+      .toDF("event_id", "user", "ts", "v")
+    assert(AsOfJoin.asofJoinForward(emptyEv, emptyEv, Seq("user"), "ts", "ts",
+      Seq("v")).count() == 0)
+    assert(AsOfJoin.asofJoinNearest(emptyEv, emptyEv, Seq("user"), "ts", "ts",
+      Seq("v")).count() == 0)
+    assert(Rolling.rollingTime(emptyEv, Seq("user"), "ts", "1 hour", "v",
+      Seq("median" -> "m", "quantile:0.9" -> "q")).count() == 0)
+    assert(GroupByTransform.interpolateTime(emptyEv, Seq("user"), "ts", "v").count() == 0)
+    assert(GroupByTransform.pctChangeBy(emptyEv, Seq("user"),
+      Seq(col("ts")), "v").count() == 0)
+    assert(FeatureScaling.robustScaleBy(emptyEv, Seq("user"), "v").count() == 0)
+    assert(NgramOverlap.contaminatedDocsBloom(emptyDocs, emptyDocs,
+      "doc_id", "text").count() == 0)
+  }
+
   test("ivfNeighbors on a corpus smaller than `cells` clamps k") {
     val e = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val r = Similarity.ivfNeighbors(e, "vec_id", "embedding", 0.9, cells = 16)

@@ -212,4 +212,56 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges(p) == 0, s"PII scan must be shuffle-free:\n$p")
     assert(!p.contains("Join"), s"PII scan must not join:\n$p")
   }
+
+  test("asofJoinForward/Nearest: one shuffle, no product join; nearest shares ONE sort") {
+    val l = (0 until 50).map(i => (i % 3, i.toLong, s"e$i")).toDF("k", "t", "payload")
+    val r = (0 until 20).map(i => (i % 3, i.toLong * 2, i.toDouble)).toDF("k", "t", "v")
+    for (df <- Seq(
+        AsOfJoin.asofJoinForward(l, r, Seq("k"), "t", "t", Seq("v")),
+        AsOfJoin.asofJoinNearest(l, r, Seq("k"), "t", "t", Seq("v")))) {
+      val p = plan(df)
+      assert(exchanges(p) == 1, s"asof variants should shuffle once:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"asof must not fall back to a product join:\n$p")
+    }
+    // both nearest fills share the backward side order -> one Sort node
+    val pn = plan(AsOfJoin.asofJoinNearest(l, r, Seq("k"), "t", "t", Seq("v")))
+    assert("Sort ".r.findAllIn(pn).length <= 1,
+      s"nearest's two fills must share one in-partition sort:\n$pn")
+  }
+
+  test("interpolateTime: one shuffle, one sort for all four neighbor fills") {
+    import graft.operators.GroupByTransform
+    val rows = (0 until 100).map(i =>
+      (i.toLong, s"u${i % 4}", new java.sql.Timestamp(1700000000000L + i * 60000L),
+        if (i % 5 == 0) Double.NaN else i.toDouble))
+      .toDF("event_id", "user", "ts", "v")
+    val p = plan(GroupByTransform.interpolateTime(rows, Seq("user"), "ts", "v",
+      tieBreak = Seq(col("event_id"))))
+    assert(exchanges(p) == 1, s"interpolate should shuffle once:\n$p")
+    assert("Sort ".r.findAllIn(p).length <= 1,
+      s"backward+forward fills must share one sort:\n$p")
+  }
+
+  test("rolling median rides the one window exchange; frame array stays inside the WindowExec") {
+    val rows = (0 until 100).map(i =>
+      (i.toLong, s"u${i % 4}", new java.sql.Timestamp(1700000000000L + i * 60000L), i.toDouble))
+      .toDF("event_id", "user", "ts", "v")
+    val p = plan(graft.operators.Rolling.rollingTime(
+      rows, Seq("user"), "ts", "1 hour", "v",
+      Seq("count" -> "n", "median" -> "m", "quantile:0.9" -> "q")))
+    assert(exchanges(p) == 1, s"median/quantile must share the one window shuffle:\n$p")
+  }
+
+  test("contaminatedDocsBloom: codegen bloom probe on the train scan, no product join") {
+    val docs = TestSpark.table("0.01", "documents")
+    val (res, release) = graft.operators.NgramOverlap.contaminatedDocsBloomManaged(
+      docs.where(col("source") =!= "src0"), docs.where(col("source") === "src0"),
+      "doc_id", "text", n = 5)
+    val p = plan(res)
+    release()
+    assert(p.contains("might_contain"), s"bloom probe must be in the plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bloom path must stay an equality join:\n$p")
+  }
 }
