@@ -94,6 +94,34 @@ object CurationQueries {
       + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM isl0)")
   }
 
+  /** DuckDB replay of the CROSS-corpus span machinery
+    * ([[NgramOverlap.contaminatedSpans]]): train windows (positions + fp
+    * triple) semi-joined against the eval corpus's distinct window
+    * triples, then the identical gaps-and-islands merge. The train-doc
+    * CTE is named `t` so the q_decontam_clean removal tail reuses
+    * q_substr_clean's covered/toks/kept/clean shape verbatim. */
+  private lazy val CrossSpanCtes = {
+    val winStr = "array_to_string(w[i:i+4], ' ')"
+    def winUnnest = (s" unnest(range(0, len(w) - 4)) AS pos,"
+      + s" unnest([${fpSql(winStr)} for i in range(1, len(w) - 3)]) AS f1,"
+      + s" unnest([${fp2Sql(winStr)} for i in range(1, len(w) - 3)]) AS f2,"
+      + s" unnest([${TextAnalysis.fingerprint3Sql(winStr)} for i in range(1, len(w) - 3)]) AS f3")
+    val evalIn = EvalSrc.map("'" + _ + "'").mkString(",")
+    (s"WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents"
+      + s" WHERE source NOT IN ($evalIn)),"
+      + s" wins AS (SELECT doc_id,$winUnnest FROM t WHERE len(w) >= 5),"
+      + s" te AS (SELECT doc_id, string_split(text, ' ') w FROM documents"
+      + s" WHERE source IN ($evalIn)),"
+      + s" ewins AS (SELECT DISTINCT f1, f2, f3 FROM (SELECT$winUnnest"
+      + " FROM te WHERE len(w) >= 5)),"
+      + " dup AS (SELECT doc_id, pos FROM wins SEMI JOIN ewins USING (f1, f2, f3)),"
+      + " isl0 AS (SELECT doc_id, pos,"
+      + " CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5"
+      + " THEN 0 ELSE 1 END AS nw FROM dup),"
+      + " isl AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos"
+      + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM isl0)")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact 5-gram decontamination (GPT-3 style): train docs sharing any
     // exact word 5-gram with the eval sources; eval gram set broadcast
@@ -149,6 +177,34 @@ object CurationQueries {
     "q_substr_clean" -> ((s, d) => {
       val clean = NgramOverlap.removeDuplicateSpans(
         T(s, d, "documents"), "doc_id", "text", windowTokens = 5)
+      clean.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("clean_text") === "", 1L).otherwise(0L)).as("n_emptied"),
+        sum(when(col("clean_text") === "", 0L)
+          .otherwise(size(split(col("clean_text"), " ")).cast("long"))).as("kept_tokens"),
+        sum(TextAnalysis.fingerprintFast(col("clean_text"))).as("checksum"))
+        .orderBy("source")
+    }),
+    // span-level decontamination (GPT-3 appendix-C shape): maximal train
+    // token ranges tiled by 5-token windows occurring anywhere in the
+    // eval sources; eval's distinct window triples broadcast
+    "q_contaminated_spans" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      NgramOverlap.contaminatedSpans(
+        docs.where(!col("source").isin(EvalSrc: _*)),
+        docs.where(col("source").isin(EvalSrc: _*)),
+        "doc_id", "text", windowTokens = 5, broadcastEval = true)
+        .orderBy("doc_id", "span_start")
+    }),
+    // the removal applied to the train corpus: the q_substr_clean rollup
+    // (doc counts, emptied docs, surviving-token mass, exact checksum)
+    // over the decontaminated text
+    "q_decontam_clean" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val clean = NgramOverlap.removeContaminatedSpans(
+        docs.where(!col("source").isin(EvalSrc: _*)),
+        docs.where(col("source").isin(EvalSrc: _*)),
+        "doc_id", "text", windowTokens = 5, broadcastEval = true)
       clean.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("clean_text") === "", 1L).otherwise(0L)).as("n_emptied"),
@@ -237,6 +293,17 @@ object CurationQueries {
         Seq("l_returnflag"), "valn", "l_extendedprice")
         .withColumn("cov", round(col("cov"), 6))
         .withColumn("corr", round(col("corr"), 6))
+        .orderBy("l_returnflag")),
+    // grouped OLS fit over the same NaN-injected pair: slope/intercept/r2
+    // from the covCorrBy power sums with the OLS finalize
+    "q_linreg" -> ((s, d) =>
+      FeatureScaling.linregBy(
+        T(s, d, "lineitem").withColumn("valn",
+          when(col("l_tax") === 0.0, lit(Double.NaN)).otherwise(col("l_quantity"))),
+        Seq("l_returnflag"), "valn", "l_extendedprice")
+        .withColumn("slope", round(col("slope"), 6))
+        .withColumn("intercept", round(col("intercept"), 6))
+        .withColumn("r2", round(col("r2"), 6))
         .orderBy("l_returnflag")),
     // quantile winsorization: clip prices into the exact [p05, p95]
     // interior quantiles (bounded two-double literalization, the
@@ -436,6 +503,29 @@ object CurationQueries {
       + s" sum(CASE WHEN d.text IS NULL THEN NULL ELSE ${fpSql("coalesce(ct, '')")} END)::BIGINT AS checksum"
       + " FROM documents d LEFT JOIN clean USING (doc_id)"
       + " GROUP BY 1 ORDER BY 1"),
+    "q_contaminated_spans" -> (CrossSpanCtes
+      + " SELECT doc_id, min(pos)::BIGINT AS span_start,"
+      + " (max(pos) + 5 - min(pos))::BIGINT AS span_tokens"
+      + " FROM isl GROUP BY doc_id, g ORDER BY 1, 2"),
+    "q_decontam_clean" -> (CrossSpanCtes
+      + ", spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 5 - min(pos) AS n"
+      + " FROM isl GROUP BY doc_id, g),"
+      + " covered AS (SELECT doc_id, unnest(range(s, s + n)) AS pos FROM spans),"
+      + " toks AS (SELECT doc_id, unnest(range(0, len(w))) AS pos, unnest(w) AS tok FROM t),"
+      + " kept AS (SELECT doc_id, pos, tok FROM toks ANTI JOIN covered USING (doc_id, pos)),"
+      + " clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct FROM kept GROUP BY doc_id)"
+      // same NULL-text mirroring as q_substr_clean, over train docs only
+      + " SELECT d.source, count(*) AS n_docs,"
+      + " sum(CASE WHEN d.text IS NULL THEN 0"
+      + " WHEN coalesce(ct, '') = '' THEN 1 ELSE 0 END)::BIGINT AS n_emptied,"
+      + " sum(CASE WHEN d.text IS NULL THEN NULL"
+      + " WHEN coalesce(ct, '') = '' THEN 0"
+      + " ELSE len(string_split(ct, ' ')) END)::BIGINT AS kept_tokens,"
+      + s" sum(CASE WHEN d.text IS NULL THEN NULL ELSE ${fpSql("coalesce(ct, '')")} END)::BIGINT AS checksum"
+      + s" FROM (SELECT * FROM documents WHERE source NOT IN"
+      + s" (${EvalSrc.map("'" + _ + "'").mkString(",")})) d"
+      + " LEFT JOIN clean USING (doc_id)"
+      + " GROUP BY 1 ORDER BY 1"),
     "q_repetition" ->
       ("WITH wc AS (SELECT doc_id, w, count(*) AS c FROM"
         + " (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)"
@@ -579,6 +669,36 @@ object CurationQueries {
         + " SELECT l_returnflag, n_pairs, round(cov, 6) AS cov,"
         + " round(CASE WHEN vx > 0 AND vy > 0 THEN cov / sqrt(vx * vy) END, 6) AS corr"
         + " FROM f ORDER BY 1")
+    },
+    "q_linreg" -> {
+      // replays linregBy: the covCorrBy power sums with the OLS finalize
+      // (clamped centered sums, slope NULL on constant x, r2 NULL on
+      // constant y)
+      val n = "CAST(n_pairs AS DOUBLE)"
+      def d2(e: String) = s"CAST($e AS DECIMAL(18,2))"
+      ("WITH p AS (SELECT l_returnflag,"
+        + " CASE WHEN l_tax = 0.0 THEN NULL ELSE l_quantity END AS x0,"
+        + " l_extendedprice AS y0 FROM lineitem),"
+        + " q AS (SELECT l_returnflag,"
+        + " CASE WHEN y0 IS NOT NULL THEN x0 END AS x,"
+        + " CASE WHEN x0 IS NOT NULL THEN y0 END AS y FROM p),"
+        + " a AS (SELECT l_returnflag, count(x) AS n_pairs,"
+        + s" CAST(sum(${d2("x")}) AS DOUBLE) AS sx, CAST(sum(${d2("y")}) AS DOUBLE) AS sy,"
+        + s" CAST(sum(${d2("x")} * ${d2("y")}) AS DOUBLE) AS sxy,"
+        + s" CAST(sum(${d2("x")} * ${d2("x")}) AS DOUBLE) AS sxx,"
+        + s" CAST(sum(${d2("y")} * ${d2("y")}) AS DOUBLE) AS syy"
+        + " FROM q GROUP BY 1),"
+        + s" f AS (SELECT l_returnflag, n_pairs, sxy - sx * sy / $n AS sxyc,"
+        + s" greatest(sxx - sx * sx / $n, 0.0) AS sxxc,"
+        + s" greatest(syy - sy * sy / $n, 0.0) AS syyc, sx, sy FROM a),"
+        + s" g AS (SELECT l_returnflag, n_pairs,"
+        + " CASE WHEN n_pairs >= 2 AND sxxc > 0 THEN sxyc / sxxc END AS slope,"
+        + " sxyc, sxxc, syyc, sx, sy FROM f)"
+        + s" SELECT l_returnflag, n_pairs, round(slope, 6) AS slope,"
+        + s" round((sy - slope * sx) / $n, 6) AS intercept,"
+        + " round(CASE WHEN n_pairs >= 2 AND sxxc > 0 AND syyc > 0"
+        + " THEN sxyc * sxyc / (sxxc * syyc) END, 6) AS r2"
+        + " FROM g ORDER BY 1")
     },
     "q_winsorize" -> {
       // same exact-interpolation parity as q_qcut's edge replay

@@ -139,6 +139,58 @@ object FeatureScaling {
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
 
+  /** Per-group ordinary-least-squares line fit y = slope*x + intercept —
+    * the regression member of the cross-moment family ([[covCorrBy]]'s
+    * sums with the OLS finalize; DuckDB's regr_slope/regr_intercept/
+    * regr_r2 shape, computed from the same five exact decimal power sums
+    * so an oracle replays it bit for bit). Returns one row per group:
+    * (by..., n_pairs, slope, intercept, r2).
+    *
+    * Semantics: PAIRWISE deletion like [[covCorrBy]] (a row counts only
+    * when both values are valid). slope/intercept are NULL when x is
+    * constant within the group (centered Sxx == 0) or n_pairs < 2; r2 is
+    * additionally NULL when y is constant (centered Syy == 0 — the fit
+    * is exact but r2 is 0/0, matching DuckDB's regr_r2 NULL). The
+    * centered sums are clamped at 0 like every variance finalize in the
+    * engine (an IEEE tiny-negative on near-constant columns would flip
+    * signs / NaN the ratio).
+    *
+    * One hash aggregation, map-side combined — the standard two-phase
+    * reduction topology; group count rows out. */
+  def linregBy(
+      df: DataFrame,
+      by: Seq[String],
+      xCol: String,
+      yCol: String,
+      exactScale: Int = 2): DataFrame = {
+    require(by.nonEmpty, "linregBy needs at least one grouping column")
+    val xn0 = graft.functions.NanOps.nanToNull(col(xCol), df.schema(xCol).dataType)
+    val yn0 = graft.functions.NanOps.nanToNull(col(yCol), df.schema(yCol).dataType)
+    val xn = when(yn0.isNotNull, xn0)
+    val yn = when(xn0.isNotNull, yn0)
+    val dx = xn.cast(DecimalType(18, exactScale))
+    val dy = yn.cast(DecimalType(18, exactScale))
+    val agg = df.groupBy(by.map(col): _*).agg(
+      count(xn).as("n_pairs"),
+      sum(dx).cast(DoubleType).as("__sx"),
+      sum(dy).cast(DoubleType).as("__sy"),
+      sum(dx * dy).cast(DoubleType).as("__sxy"),
+      sum(dx * dx).cast(DoubleType).as("__sxx"),
+      sum(dy * dy).cast(DoubleType).as("__syy"))
+    val n = col("n_pairs").cast(DoubleType)
+    val sxyC = col("__sxy") - col("__sx") * col("__sy") / n
+    val sxxC = greatest(col("__sxx") - col("__sx") * col("__sx") / n, lit(0.0))
+    val syyC = greatest(col("__syy") - col("__sy") * col("__sy") / n, lit(0.0))
+    val slope = when(col("n_pairs") >= 2 && sxxC > 0, sxyC / sxxC)
+    agg
+      .withColumn("slope", slope)
+      .withColumn("intercept", (col("__sy") - slope * col("__sx")) / n)
+      .withColumn("r2",
+        when(col("n_pairs") >= 2 && sxxC > 0 && syyC > 0,
+          sxyC * sxyC / (sxxC * syyC)))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
   /** Per-group ROBUST scaling (sklearn RobustScaler per group): appends
     * `as` = (x - median) / IQR, with median and the interquartile range
     * from the memory-safe grouped exact quantile ([[Quantiles

@@ -235,40 +235,60 @@ object NgramOverlap {
       tokenizer: Column => Column = identity): DataFrame = {
     require(windowTokens >= 2, s"windowTokens must be >= 2 (got $windowTokens)")
     require(minCount >= 2, s"minCount must be >= 2 (got $minCount)")
-    val reserved = Seq("__pos", "__g", "__f1", "__f2", "__f3", "__nocc", "__new", "__isl",
-      "span_start", "span_tokens")
-    val clashes = (Seq(idCol, textCol)).intersect(reserved)
+    requireNoSpanClash("duplicateSpans", idCol, textCol)
+    val wins = windowTable(df, idCol, textCol, windowTokens, tokenizer)
+    val freq = wins.groupBy("__f1", "__f2", "__f3").agg(count(lit(1)).as("__nocc"))
+    val dup = wins
+      .join(freq.where(col("__nocc") >= minCount), Seq("__f1", "__f2", "__f3"))
+      .select(col("id"), col("__pos"))
+    mergeIslands(dup, idCol, windowTokens)
+  }
+
+  private val SpanReserved = Seq("__pos", "__g", "__f1", "__f2", "__f3", "__nocc",
+    "__new", "__isl", "span_start", "span_tokens")
+
+  private def requireNoSpanClash(op: String, idCol: String, textCol: String): Unit = {
+    val clashes = Seq(idCol, textCol).intersect(SpanReserved)
     require(clashes.isEmpty,
-      s"duplicateSpans reserves ${reserved.mkString("/")}; rename ${clashes.mkString(", ")} in the input")
+      s"$op reserves ${SpanReserved.mkString("/")}; rename ${clashes.mkString(", ")} in the input")
+  }
+
+  /** Positional, NON-distinct (id, __pos, __f1, __f2, __f3) window table —
+    * the shared front half of the span family. The size guard (one split
+    * per row) keeps short docs window-free, like
+    * [[Repetition.topNgramStats]]. Window identity is the fp TRIPLE
+    * (~2^90 joint space), not the statistics-grade pair: a cross-string
+    * collision would DELETE non-duplicated text in the removal forms, so
+    * it gets the contentKey-class collision budget (expected collisions
+    * < 0.1 at 10^13 windows) while the shuffle key stays 24 bytes and
+    * SQL-replayable. */
+  private def windowTable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      tokenizer: Column => Column): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     val txt = tokenizer(col(textCol))
     val w = Dedup.tokens(txt)
-    // positional, NON-distinct windows in document order; the size guard
-    // (one split per row) keeps short docs window-free, like
-    // [[Repetition.topNgramStats]]
     val winArr = when(size(w) >= windowTokens,
       Dedup.shinglesFast(txt, windowTokens, distinct = false))
       .otherwise(array().cast("array<string>"))
-    // fp TRIPLE (~2^90 joint space), not the statistics-grade pair: a
-    // cross-string collision here would DELETE non-duplicated text in
-    // removeDuplicateSpans, so window identity gets the contentKey-class
-    // collision budget (expected collisions < 0.1 at 10^13 windows)
-    // while the shuffle key stays 24 bytes and SQL-replayable
-    val wins = df
-      .select(col(idCol).as("id"), posexplode(winArr).as(Seq("__pos", "__g")))
+    df.select(col(idCol).as("id"), posexplode(winArr).as(Seq("__pos", "__g")))
       .select(col("id"), col("__pos"),
         call_function(graft.expressions.GraftFunctions.RollingFpTriple, col("__g")).as("__fs"))
       .select(col("id"), col("__pos"),
         element_at(col("__fs"), 1).as("__f1"),
         element_at(col("__fs"), 2).as("__f2"),
         element_at(col("__fs"), 3).as("__f3"))
-    val freq = wins.groupBy("__f1", "__f2", "__f3").agg(count(lit(1)).as("__nocc"))
-    val dup = wins
-      .join(freq.where(col("__nocc") >= minCount), Seq("__f1", "__f2", "__f3"))
-      .select(col("id"), col("__pos"))
-    // gaps-and-islands: window [pos, pos+L) merges with its predecessor
-    // when pos - prev <= L (overlap or adjacency); first row's NULL lag
-    // falls to the otherwise-branch and opens an island
+  }
+
+  /** Gaps-and-islands merge of flagged (id, __pos) window rows into
+    * maximal (idCol, span_start, span_tokens) spans: window [pos, pos+L)
+    * merges with its predecessor when pos - prev <= L (overlap or
+    * adjacency); the first row's NULL lag falls to the otherwise-branch
+    * and opens an island. */
+  private def mergeIslands(dup: DataFrame, idCol: String, windowTokens: Int): DataFrame = {
     val byId = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("__pos")
     dup
       .withColumn("__new",
@@ -314,7 +334,23 @@ object NgramOverlap {
       tokenizer: Column => Column = identity): DataFrame = {
     require(!df.columns.contains(as),
       s"removeDuplicateSpans output column `$as` collides with input")
-    val spans = duplicateSpans(df, idCol, textCol, windowTokens, minCount, tokenizer)
+    cutSpans(df, idCol, textCol,
+      duplicateSpans(df, idCol, textCol, windowTokens, minCount, tokenizer),
+      as, tokenizer)
+  }
+
+  /** Shared back half of the removal forms: cut every (idCol, span_start,
+    * span_tokens) span out of `df`'s text — anti-join covered token
+    * positions against the positional token table, per-doc ordered
+    * reassembly, null-safe join back (see [[removeDuplicateSpans]]'s id
+    * contract). */
+  private def cutSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spans: DataFrame,
+      as: String,
+      tokenizer: Column => Column): DataFrame = {
     val covered = spans.select(col(idCol).as("id"),
       explode(sequence(col("span_start"),
         col("span_start") + col("span_tokens") - 1)).as("__pos"))
@@ -331,5 +367,78 @@ object NgramOverlap {
         when(col(textCol).isNull, lit(null).cast("string"))
           .otherwise(coalesce(col("__clean"), lit(""))))
       .drop("__rid", "__clean")
+  }
+
+  /** Span-level decontamination (detection half): maximal token ranges of
+    * TRAIN documents that are tiled by `windowTokens`-token windows whose
+    * exact text occurs anywhere in the EVAL corpus — [[duplicateSpans]]'
+    * cross-corpus twin, and the span-granularity complement of
+    * [[contaminatedDocs]] (which flags whole documents on any shared
+    * n-gram; this localizes WHERE the overlap sits, so the document's
+    * clean remainder survives — the GPT-3 appendix-C shape, where
+    * contaminated training documents had the overlapping substrings
+    * removed rather than being dropped whole).
+    *
+    * Same window/island machinery as [[duplicateSpans]]: a shared
+    * substring of length >= windowTokens is tiled by shared windows, so
+    * the merged span recovers it exactly, with windowTokens as the
+    * minimum match length. Eval docs shorter than windowTokens contribute
+    * no windows and are invisible to the span check (use
+    * [[contaminatedDocs]]' whole-short-doc-gram fallback for those).
+    * Returns one row per maximal span: (idCol, span_start, span_tokens),
+    * 0-based offsets in `tokenizer`'s token stream.
+    *
+    * Scale shape (100 TB): train shuffles once as (id, pos, 24-byte
+    * fp-triple) window rows; the eval side collapses to its DISTINCT
+    * window triples (24 bytes per distinct window, text never kept) and
+    * is left-semi-joined — `broadcastEval = true` pins that set broadcast
+    * (the standard decontamination shape: huge train, eval-sized eval),
+    * so train windows are probed in place; the island merge is the same
+    * per-doc scan as [[duplicateSpans]]. The fp TRIPLE carries the
+    * destructive-op collision budget because [[removeContaminatedSpans]]
+    * deletes matched text. */
+  def contaminatedSpans(
+      train: DataFrame,
+      eval_ : DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8,
+      broadcastEval: Boolean = false,
+      tokenizer: Column => Column = identity): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2 (got $windowTokens)")
+    requireNoSpanClash("contaminatedSpans", idCol, textCol)
+    val wins = windowTable(train, idCol, textCol, windowTokens, tokenizer)
+    val evalWins0 = windowTable(eval_, idCol, textCol, windowTokens, tokenizer)
+      .select("__f1", "__f2", "__f3").distinct()
+    val evalWins = if (broadcastEval) broadcast(evalWins0) else evalWins0
+    val dup = wins
+      .join(evalWins, Seq("__f1", "__f2", "__f3"), "left_semi")
+      .select(col("id"), col("__pos"))
+    mergeIslands(dup, idCol, windowTokens)
+  }
+
+  /** [[contaminatedSpans]] applied: appends `as` = the train text with
+    * every eval-overlapping span's tokens removed (all occurrences).
+    * Same contracts as [[removeDuplicateSpans]]: docs with no spans pass
+    * through unchanged, a fully-contaminated doc becomes the empty
+    * string, NULL text stays NULL, `idCol` must be unique non-null (the
+    * rebuild join is null-safe for a single NULL id), and with a
+    * non-identity `tokenizer` the cleaned text is the single-space join
+    * of surviving tokenizer tokens. */
+  def removeContaminatedSpans(
+      train: DataFrame,
+      eval_ : DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8,
+      broadcastEval: Boolean = false,
+      as: String = "clean_text",
+      tokenizer: Column => Column = identity): DataFrame = {
+    require(!train.columns.contains(as),
+      s"removeContaminatedSpans output column `$as` collides with input")
+    cutSpans(train, idCol, textCol,
+      contaminatedSpans(train, eval_, idCol, textCol, windowTokens,
+        broadcastEval, tokenizer),
+      as, tokenizer)
   }
 }

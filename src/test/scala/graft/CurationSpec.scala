@@ -326,6 +326,40 @@ class CurationSpec extends AnyFunSuite {
     assert(nc == 2L && corrC.exists(c => math.abs(c + 1.0) < 1e-12))
   }
 
+  test("linregBy: OLS fit vs closed form; constant x NULL slope; constant y r2 NULL with exact fit") {
+    val rows = Seq(
+      // group a: exact y = 10x -> slope 10, intercept 0, r2 1; NaN dropped
+      ("a", 1.0, 10.0), ("a", 2.0, 20.0), ("a", 3.0, 30.0), ("a", Double.NaN, 99.0),
+      // group b: constant x -> vertical line, slope/intercept/r2 NULL
+      ("b", 2.0, 1.0), ("b", 2.0, 5.0),
+      // group c: constant y -> slope 0, intercept = ybar, r2 NULL (0/0)
+      ("c", 1.0, 7.0), ("c", 2.0, 7.0), ("c", 3.0, 7.0),
+      // group d: noisy fit y = 2x + 1 + {0, -1, +1} -> known sums
+      ("d", 1.0, 3.0), ("d", 2.0, 4.0), ("d", 3.0, 8.0)
+    ).toDF("k", "x", "y").repartition(3)
+    val got = FeatureScaling.linregBy(rows, Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    val (na, slA, inA, r2A) = got("a")
+    assert(na == 3L)
+    assert(slA.exists(v => math.abs(v - 10.0) < 1e-9))
+    assert(inA.exists(v => math.abs(v) < 1e-9))
+    assert(r2A.exists(v => math.abs(v - 1.0) < 1e-12))
+    val (nb, slB, inB, r2B) = got("b")
+    assert(nb == 2L && slB.isEmpty && inB.isEmpty && r2B.isEmpty)
+    val (nc2, slC, inC, r2C) = got("c")
+    assert(nc2 == 3L && slC.exists(v => math.abs(v) < 1e-12))
+    assert(inC.exists(v => math.abs(v - 7.0) < 1e-9) && r2C.isEmpty)
+    // group d closed form: xbar=2 ybar=5, Sxy=5, Sxx=2 -> slope 2.5,
+    // intercept 0, r2 = 25/(2*14) = 0.892857...
+    val (nd, slD, inD, r2D) = got("d")
+    assert(nd == 3L && slD.exists(v => math.abs(v - 2.5) < 1e-9))
+    assert(inD.exists(v => math.abs(v) < 1e-9))
+    assert(r2D.exists(v => math.abs(v - 25.0 / 28.0) < 1e-9))
+  }
+
   test("zscoreBy == brute-force per group; NaN skipped; constant/small groups NULL") {
     val rows = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", Double.NaN),

@@ -131,4 +131,81 @@ class DuplicateSpansSpec extends AnyFunSuite {
         docs.toDF("span_start", "text"), "span_start", "text", L)
     }
   }
+
+  /** Sequential cross-corpus reference: a train window is contaminated iff
+    * its text equals ANY eval window; merge covered positions as in brute. */
+  private def bruteCross(
+      train: Seq[(Long, String)], eval_ : Seq[(Long, String)]): Map[Long, Seq[(Long, Long)]] = {
+    def wins(rows: Seq[(Long, String)]) = rows.flatMap { case (id, t) =>
+      val w = t.split(" ")
+      if (w.length < L) Nil
+      else (0 to w.length - L).map(i => (id, i, w.slice(i, i + L).mkString(" ")))
+    }
+    val evalSet = wins(eval_).map(_._3).toSet
+    wins(train).filter(x => evalSet(x._3))
+      .groupBy(_._1).view.mapValues { xs =>
+        val ps = xs.map(_._2).sorted
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        for (p <- ps) {
+          if (spans.nonEmpty && p <= spans.last._1 + spans.last._2) {
+            val (s0, len0) = spans.last
+            spans(spans.size - 1) = (s0, math.max(len0, p + L - s0))
+          } else spans += ((p.toLong, L.toLong))
+        }
+        spans.toSeq
+      }.toMap
+  }
+
+  private val evalDocs = Seq(
+    (100L, "c d e f q"),    // shares "c d e"/"d e f" with train docs 1/5/7
+    (101L, "m m m"),        // matches doc 4's self-repeats
+    (102L, "zz"))           // shorter than L: contributes no windows
+
+  test("contaminatedSpans == cross-corpus brute force; within-train dups alone never flag") {
+    val got = NgramOverlap.contaminatedSpans(
+        docs.toDF("doc_id", "text"), evalDocs.toDF("doc_id", "text"),
+        "doc_id", "text", windowTokens = L, broadcastEval = true)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    val want = bruteCross(docs, evalDocs).view.mapValues(_.sortBy(_._1)).toMap
+      .filter(_._2.nonEmpty)
+    assert(got == want, s"got=$got\nwant=$want")
+    // "c d e f" tiles in docs 1/5 (pos 2..5) and 7 (pos 4..7); doc 2 only
+    // contains "c d e" (pos 2); doc 4 matched by the eval self-repeats.
+    // Doc 1 == doc 5 exactly, but that WITHIN-train duplication does not
+    // flag anything beyond the eval overlap — unlike duplicateSpans.
+    assert(got(1L) == Seq((2L, 4L)) && got(5L) == Seq((2L, 4L)))
+    assert(got(2L) == Seq((2L, 3L)))
+    assert(got(4L) == Seq((0L, 6L)))
+    assert(got(7L) == Seq((4L, 4L)))
+    assert(!got.contains(3L) && !got.contains(6L))
+    // broadcast off: identical result
+    val noBc = NgramOverlap.contaminatedSpans(
+        docs.toDF("doc_id", "text"), evalDocs.toDF("doc_id", "text"),
+        "doc_id", "text", windowTokens = L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(noBc == got.toSeq.flatMap { case (id, ss) => ss.map(s => (id, s._1, s._2)) }.toSet)
+  }
+
+  test("removeContaminatedSpans cuts the eval-overlapping tokens; empty eval is a no-op") {
+    val withNull = docs :+ (8L, null.asInstanceOf[String])
+    val got = NgramOverlap.removeContaminatedSpans(
+        withNull.toDF("doc_id", "text"), evalDocs.toDF("doc_id", "text"),
+        "doc_id", "text", windowTokens = L)
+      .select("doc_id", "clean_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a b g" && got(5L) == "a b g") // "c d e f" cut
+    assert(got(2L) == "x y z w")                     // "c d e" cut
+    assert(got(4L) == "")                            // fully contaminated
+    assert(got(7L) == "k1 k2 a b g k3")
+    assert(got(3L) == "p q r" && got(6L) == "uu")    // untouched
+    assert(got(8L) == null)
+    val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noop = NgramOverlap.removeContaminatedSpans(
+        docs.toDF("doc_id", "text"), emptyEval, "doc_id", "text", L)
+      .select("doc_id", "clean_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docs.forall { case (id, t) => noop(id) == t })
+  }
 }
