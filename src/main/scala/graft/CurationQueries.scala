@@ -347,6 +347,18 @@ object CurationQueries {
           k = 3, nDocs = docs.where(col("doc_id") < 100).count())
         .orderBy("doc_id", "rank")
     }),
+    // per-doc Shannon token entropy (information-density quality signal):
+    // quantized lns + exact decimal weighted sum, one IEEE finalize
+    "q_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropy(T(s, d, "documents"), "doc_id", "text")
+        .withColumn("entropy", round(col("entropy"), 6))
+        .orderBy("doc_id")),
+    // per-doc cross-entropy under the corpus's own unigram MLE (the
+    // SQL-expressible analog of CCNet's LM-perplexity filter)
+    "q_unigram_ll" -> ((s, d) =>
+      TextAnalysis.unigramLogLoss(T(s, d, "documents"), "doc_id", "text")
+        .withColumn("unigram_loss", round(col("unigram_loss"), 6))
+        .orderBy("doc_id")),
     // Gopher/MassiveText rule flags: per-source counts of each published
     // heuristic (exact integer cross-multiplied thresholds — no FP
     // anywhere, so the oracle replays them bit-for-bit)
@@ -741,6 +753,28 @@ object CurationQueries {
         + " row_number() OVER (PARTITION BY doc_id ORDER BY sd DESC, term) AS rank FROM sc)"
         + " SELECT doc_id, rank::BIGINT AS rank, term, tf, df_docs, sd::DOUBLE AS score"
         + " FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"),
+    "q_entropy" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),"
+        + " tc AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),"
+        + " a AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,"
+        + " sum(c::DECIMAL(18,6) * round(ln(c), 6)::DECIMAL(18,6)) AS s FROM tc GROUP BY 1)"
+        + " SELECT doc_id, n_tokens, n_distinct,"
+        + " round(CASE WHEN n_tokens >= 2 THEN"
+        + " round(ln(n_tokens), 6)::DECIMAL(18,6)::DOUBLE - s::DOUBLE / n_tokens::DOUBLE"
+        + " END, 6) AS entropy"
+        + " FROM a ORDER BY 1"),
+    "q_unigram_ll" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),"
+        + " corpus AS (SELECT tok, count(*)::BIGINT AS ct FROM t GROUP BY 1),"
+        + " tot AS (SELECT sum(ct)::BIGINT AS n FROM corpus),"
+        + " tc AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),"
+        + " a AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,"
+        + " sum(c::DECIMAL(18,6) * round(ln(ct), 6)::DECIMAL(18,6)) AS s"
+        + " FROM tc JOIN corpus USING (tok) GROUP BY 1)"
+        + " SELECT doc_id, n_tokens,"
+        + " round(round(ln((SELECT n FROM tot)), 6)::DECIMAL(18,6)::DOUBLE"
+        + " - s::DOUBLE / n_tokens::DOUBLE, 6) AS unigram_loss"
+        + " FROM a ORDER BY 1"),
     "q_gopher" -> {
       // flag SQL single-sourced from TextAnalysis.gopherFlagsSql; NULL
       // text yields NULL flags on both sides, counted 0 by the CASE

@@ -335,4 +335,79 @@ object TextAnalysis {
   /** Native codegen twin of [[fingerprint3]]. */
   def fingerprint3Fast(text: Column): Column =
     call_function(graft.expressions.GraftFunctions.RollingFp3, text)
+
+  /** Quantized natural log: round(ln(x), 6) as decimal(18,6) — the
+    * [[tfidfTopK]] determinism convention. All downstream sums/products
+    * over the quantized values ride exact decimal arithmetic, so two
+    * engines agree bit-for-bit unless a raw ln lands within an ulp of a
+    * rounding boundary (documented accepted risk, same as idf). */
+  private def lnQ(x: Column): Column =
+    round(log(x), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+
+  /** Per-document Shannon token entropy (nats) — the information-density
+    * quality signal (near-zero entropy = degenerate repetition, the
+    * Gopher/MassiveText boilerplate shape; natural text sits in a
+    * mid-range band). Returns (idCol, n_tokens, n_distinct, entropy)
+    * with entropy = ln(n) - (1/n) * sum_t c_t ln(c_t) over the doc's
+    * token counts c_t; single-token and NULL-text docs report NULL
+    * entropy (no distribution to measure; a constant doc reports 0).
+    *
+    * Determinism: each ln is quantized ([[lnQ]]); the weighted sum is an
+    * exact decimal; the one IEEE step is the final subtract/divide of
+    * exactly-represented doubles, identical in any engine. Plan: explode
+    * -> (id, token) hash count -> per-doc hash agg — two map-side
+    * combined shuffles of token-count rows, text never moves past the
+    * first explode. */
+  def tokenEntropy(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tc = df
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("__t"))
+      .groupBy("__id", "__t").agg(count(lit(1)).as("__c"))
+    tc.groupBy(col("__id").as(idCol)).agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__c").cast(org.apache.spark.sql.types.DecimalType(18, 6)) * lnQ(col("__c")))
+          .as("__s"))
+      .withColumn("entropy",
+        when(col("n_tokens") >= 2,
+          lnQ(col("n_tokens")).cast("double")
+            - col("__s").cast("double") / col("n_tokens").cast("double")))
+      .drop("__s")
+  }
+
+  /** Per-document cross-entropy (nats/token) under the corpus's own
+    * unigram MLE — the SQL-expressible analog of CCNet's LM-perplexity
+    * quality filter: loss_d = (1/n_d) * sum over the doc's token
+    * occurrences of ln(N / c_t), where c_t is the token's corpus-wide
+    * occurrence count and N the corpus token total. High loss = rare
+    * vocabulary (noise, junk, or genuinely novel text); low = stock
+    * phrasing. Returns (idCol, n_tokens, unigram_loss); NULL-text docs
+    * drop (no occurrences).
+    *
+    * Same determinism scheme as [[tokenEntropy]] (quantized lns, exact
+    * decimal weighted sum, one IEEE finalize). Plan: the corpus unigram
+    * table is a token-vocabulary hash agg; its grand total joins on as a
+    * one-row broadcast; doc rows probe the vocabulary by token — all
+    * map-side combined, no data-sized driver state. */
+  def unigramLogLoss(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("__t"))
+    val corpus = tok.groupBy("__t").agg(count(lit(1)).as("__ct"))
+    val total = corpus.agg(sum(col("__ct")).as("__n"))
+    val tc = tok.groupBy("__id", "__t").agg(count(lit(1)).as("__c"))
+    tc.join(corpus, "__t")
+      .groupBy(col("__id").as(idCol)).agg(
+        sum(col("__c")).as("n_tokens"),
+        sum(col("__c").cast(org.apache.spark.sql.types.DecimalType(18, 6)) * lnQ(col("__ct")))
+          .as("__s"))
+      .crossJoin(broadcast(total))
+      .withColumn("unigram_loss",
+        lnQ(col("__n")).cast("double")
+          - col("__s").cast("double") / col("n_tokens").cast("double"))
+      .drop("__s", "__n")
+  }
 }

@@ -202,4 +202,32 @@ class TextMultiModalSpec extends AnyFunSuite {
     assert(r(1) == Seq(0))
     assert(r(2) == Seq(0))
   }
+
+  test("tokenEntropy: closed-form values; constant doc 0; singleton/NULL-text contracts") {
+    val docs = Seq((1L, "a a b b"), (2L, "c c c"), (3L, "a"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    // H("a a b b") = ln 4 - (2 ln 2 + 2 ln 2)/4 = ln 2 (quantization <= 1e-6)
+    val (n1, d1, h1) = got(1L)
+    assert(n1 == 4L && d1 == 2L && h1.exists(v => math.abs(v - math.log(2)) < 1e-4))
+    val (n2, d2, h2) = got(2L)
+    assert(n2 == 3L && d2 == 1L && h2.exists(v => math.abs(v) < 1e-4))
+    val (n3, _, h3) = got(3L)
+    assert(n3 == 1L && h3.isEmpty)          // single token: no distribution
+    assert(!got.contains(4L))               // NULL text drops
+  }
+
+  test("unigramLogLoss: corpus-MLE cross-entropy closed form; rare vocab scores higher") {
+    // corpus: N = 5; counts a=2, b=2, c=1
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogLoss(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val (n1, l1) = got(1L)   // ln 5 - (3 ln 2)/3 = ln 2.5
+    assert(n1 == 3L && math.abs(l1 - math.log(2.5)) < 1e-4)
+    val (n2, l2) = got(2L)   // ln 5 - (ln 2 + ln 1)/2
+    assert(n2 == 2L && math.abs(l2 - (math.log(5) - math.log(2) / 2)) < 1e-4)
+    assert(l2 > l1)          // the rare-token doc is more surprising
+  }
 }
