@@ -460,6 +460,16 @@ object CurationQueries {
           Seq(col("ts"), col("event_id")), 5, "valn",
           Seq("mean" -> "mean_5", "min" -> "min_5"))
         .select("event_id", "user_id", "mean_5", "min_5").orderBy("event_id")),
+    // pandas ewm(alpha=0.5).mean() via the chunked-carry scan (no
+    // sequential recurrence); alpha=0.5 keeps every weight an exact
+    // power of two on both sides, so only summation association drifts
+    // — absorbed by the 1e-6 rounding like the rolling moments
+    "q_ewm" -> ((s, d) =>
+      Ewm.ewmMean(SparkEntry.ev(s, d), Seq("user_id"),
+          Seq(col("ts"), col("event_id")), "valn", alpha = 0.5)
+        .withColumn("ewm", round(col("ewm"), 6))
+        .select("event_id", "user_id", "ewm")
+        .orderBy("event_id")),
   )
 
   // shared by q_contaminated and q_contaminated_bloom: the Bloom path's
@@ -887,5 +897,20 @@ object CurationQueries {
         + " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
         + " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
         + " ORDER BY event_id"),
+    "q_ewm" ->
+      // the direct quadratic formula (mathematically equal to the chunked
+      // carry; pow(0.5, k) is exact on both engines)
+      ("WITH e AS (SELECT event_id, user_id,"
+        + " CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,"
+        + " row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS p"
+        + " FROM events),"
+        + " a AS (SELECT x.event_id, x.user_id,"
+        + " sum(CASE WHEN b.v IS NOT NULL THEN pow(0.5, x.p - b.p) * b.v END) AS n,"
+        + " sum(CASE WHEN b.v IS NOT NULL THEN pow(0.5, x.p - b.p) END) AS d"
+        + " FROM e x JOIN e b ON x.user_id = b.user_id AND b.p <= x.p"
+        + " GROUP BY 1, 2)"
+        + " SELECT event_id, user_id,"
+        + " round(CASE WHEN d > 0 THEN n / d END, 6) AS ewm"
+        + " FROM a ORDER BY 1"),
   )
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Ewm
+
+/** Distributed pandas-ewm parity: brute-force closed form, chunking
+  * invariance (the carry topology vs the single-chunk path), NaN decay
+  * semantics, repartition determinism. */
+class EwmSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** pandas ewm(alpha, adjust=True, ignore_na=False).mean() reference. */
+  private def brute(xs: Seq[Option[Double]], alpha: Double): Seq[Option[Double]] = {
+    val beta = 1 - alpha
+    xs.indices.map { t =>
+      val terms = (0 to t).flatMap(j => xs(j).map(x => (math.pow(beta, t - j), x)))
+      if (terms.isEmpty) None
+      else Some(terms.map { case (w, x) => w * x }.sum / terms.map(_._1).sum)
+    }
+  }
+
+  private def mkDf(groups: Map[String, Seq[Option[Double]]]) =
+    groups.toSeq.flatMap { case (g, xs) =>
+      xs.zipWithIndex.map { case (x, i) =>
+        (g, i.toLong, x.getOrElse(Double.NaN))
+      }
+    }.toDF("g", "pos", "x")
+
+  private val fixture = Map(
+    "a" -> Seq(Some(1.0), Some(2.0), None, Some(4.0), Some(0.5), None, None, Some(3.0),
+      Some(7.0), Some(1.5), Some(2.25), Some(9.0), Some(0.0), Some(5.0)),
+    "b" -> (1 to 40).map(i => Some(i * 1.25 % 7)),
+    "c" -> Seq(None, None, Some(2.0)),     // leading NaNs -> NULL, NULL, 2.0
+    "d" -> Seq(Some(42.0)))
+
+  test("ewmMean == pandas brute force (NaN decay, carried mean at NaN rows, leading-NaN NULLs)") {
+    for (alpha <- Seq(0.5, 0.1, 0.9)) {
+      val got = Ewm.ewmMean(mkDf(fixture), Seq("g"), Seq(col("pos")), "x", alpha)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+      for ((g, xs) <- fixture; (want, i) <- brute(xs, alpha).zipWithIndex) {
+        val v = got((g, i.toLong))
+        assert(v.isDefined == want.isDefined, s"alpha=$alpha $g[$i]: $v vs $want")
+        for (a <- v; b <- want)
+          assert(math.abs(a - b) < 1e-9, s"alpha=$alpha $g[$i]: $a vs $b")
+      }
+    }
+  }
+
+  test("chunking-invariant: tiny chunks exercise the two-level carry and match the single-chunk path") {
+    val df = mkDf(fixture)
+    val ref = Ewm.ewmMean(df, Seq("g"), Seq(col("pos")), "x", 0.3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    for (mc <- Seq(2, 3, 5)) {
+      val got = Ewm.ewmMean(df.repartition(7), Seq("g"), Seq(col("pos")), "x", 0.3,
+          maxChunk = mc)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+      assert(got.keySet == ref.keySet)
+      for ((k, v) <- ref) {
+        assert(got(k).isDefined == v.isDefined, s"maxChunk=$mc $k")
+        for (a <- got(k); b <- v)
+          assert(math.abs(a - b) < 1e-9, s"maxChunk=$mc $k: $a vs $b")
+      }
+    }
+  }
+
+  test("first row equals its own value; constant series is constant; guards fire") {
+    val df = Seq(("a", 0L, 3.0), ("a", 1L, 3.0), ("a", 2L, 3.0)).toDF("g", "pos", "x")
+    val got = Ewm.ewmMean(df, Seq("g"), Seq(col("pos")), "x", 0.2)
+      .orderBy("pos").collect().map(_.getDouble(3))
+    assert(got.forall(v => math.abs(v - 3.0) < 1e-12))
+    intercept[IllegalArgumentException] {
+      Ewm.ewmMean(df, Seq("g"), Seq(col("pos")), "x", 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Ewm.ewmMean(df.withColumn("ewm", lit(1)), Seq("g"), Seq(col("pos")), "x", 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Ewm.ewmMean(df, Seq.empty, Seq(col("pos")), "x", 0.5)
+    }
+  }
+
+  test("long group across many chunks and superchunks stays accurate") {
+    // alpha=0.3, maxChunk=4 -> gamma decays fast; 200 rows span 50 chunks
+    val xs = (0 until 200).map(i => Some(((i * 37) % 11).toDouble))
+    val df = mkDf(Map("g" -> xs))
+    val got = Ewm.ewmMean(df, Seq("g"), Seq(col("pos")), "x", 0.3, maxChunk = 4)
+      .orderBy("pos").collect().map(_.getDouble(3))
+    val want = brute(xs, 0.3).map(_.get)
+    for (i <- xs.indices)
+      assert(math.abs(got(i) - want(i)) < 1e-9, s"[$i]: ${got(i)} vs ${want(i)}")
+  }
+}
