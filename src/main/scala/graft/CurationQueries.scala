@@ -470,6 +470,16 @@ object CurationQueries {
         .withColumn("ewm", round(col("ewm"), 6))
         .select("event_id", "user_id", "ewm")
         .orderBy("event_id")),
+    // pandas ewm(alpha=0.5).var()/std() (bias=false): the mixed-base
+    // decayed sums (squared weights decay at beta^2 = 0.25, still an
+    // exact power of two)
+    "q_ewm_var" -> ((s, d) =>
+      Ewm.ewmVarStd(SparkEntry.ev(s, d), Seq("user_id"),
+          Seq(col("ts"), col("event_id")), "valn", alpha = 0.5)
+        .withColumn("ewm_var", round(col("ewm_var"), 6))
+        .withColumn("ewm_std", round(col("ewm_std"), 6))
+        .select("event_id", "user_id", "ewm_var", "ewm_std")
+        .orderBy("event_id")),
   )
 
   // shared by q_contaminated and q_contaminated_bloom: the Bloom path's
@@ -912,5 +922,23 @@ object CurationQueries {
         + " SELECT event_id, user_id,"
         + " round(CASE WHEN d > 0 THEN n / d END, 6) AS ewm"
         + " FROM a ORDER BY 1"),
+    "q_ewm_var" -> {
+      val vr = "greatest(w1 * sxx - sx * sx, 0.0) / (w1 * w1 - w2)"
+      ("WITH e AS (SELECT event_id, user_id,"
+        + " CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,"
+        + " row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS p"
+        + " FROM events),"
+        + " a AS (SELECT x.event_id, x.user_id,"
+        + " sum(CASE WHEN b.v IS NOT NULL THEN pow(0.5, x.p - b.p) END) AS w1,"
+        + " sum(CASE WHEN b.v IS NOT NULL THEN pow(0.25, x.p - b.p) END) AS w2,"
+        + " sum(CASE WHEN b.v IS NOT NULL THEN pow(0.5, x.p - b.p) * b.v END) AS sx,"
+        + " sum(CASE WHEN b.v IS NOT NULL THEN pow(0.5, x.p - b.p) * b.v * b.v END) AS sxx"
+        + " FROM e x JOIN e b ON x.user_id = b.user_id AND b.p <= x.p"
+        + " GROUP BY 1, 2)"
+        + " SELECT event_id, user_id,"
+        + s" round(CASE WHEN w1 * w1 - w2 > 0 THEN $vr END, 6) AS ewm_var,"
+        + s" round(CASE WHEN w1 * w1 - w2 > 0 THEN sqrt($vr) END, 6) AS ewm_std"
+        + " FROM a ORDER BY 1")
+    },
   )
 }

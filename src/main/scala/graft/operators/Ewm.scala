@@ -5,65 +5,183 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Exponentially-weighted mean — pandas `ewm(alpha).mean()` (adjust=true,
-  * ignore_na=false) as a DISTRIBUTED grouped transform: no sequential
-  * per-group recurrence anywhere, so one giant group parallelizes across
-  * its chunks like every scan in this engine (the decayed twin of
-  * [[GroupByScan.scanChunked]]'s Blelloch carry).
+/** Exponentially-weighted moments — pandas `ewm(alpha).mean()/var()/std()`
+  * (adjust=true, ignore_na=false) as DISTRIBUTED grouped transforms: no
+  * sequential per-group recurrence anywhere, so one giant group
+  * parallelizes across its chunks like every scan in this engine (the
+  * decayed twin of [[GroupByScan.scanChunked]]'s Blelloch carry).
   *
   * Semantics (pandas adjust=true): with beta = 1 - alpha and p the row's
   * 0-based position in its group under `orderCols`,
   *
-  *   ewm_t = sum over valid j<=t of beta^(p_t-p_j) * x_j
-  *         / sum over valid j<=t of beta^(p_t-p_j)
+  *   mean_t = sum over valid j<=t of beta^(p_t-p_j) * x_j
+  *          / sum over valid j<=t of beta^(p_t-p_j)
   *
-  * NaN/NULL values contribute to NEITHER sum but still advance the decay
-  * clock (ignore_na=false), and their rows receive the carried mean of
-  * prior observations — exactly pandas. Rows before the first valid
-  * observation get NULL.
+  * and var/std add the weighted second moment with pandas' bias=false
+  * reliability correction (denominator Sw - Sw2/Sw, where Sw2 sums the
+  * SQUARED weights — a decayed sum at base beta^2). NaN/NULL values
+  * contribute to NO sum but still advance the decay clock
+  * (ignore_na=false), and their rows receive the carried value of prior
+  * observations — exactly pandas. Rows before the first valid
+  * observation get NULL; var/std need two in-horizon observations.
   *
   * Distribution scheme — the direct formula overflows (beta^-p grows
   * unboundedly) and the recurrence y_t = x_t + beta*y_{t-1} is serial, so
   * the group is cut into fixed chunks of C rows with C sized to a ~250
-  * decimal-digit decay budget (beta^-(C-1) <= 1e250):
+  * decimal-digit decay budget against the FASTEST-decaying base
+  * (beta_max^-(C-1) <= 1e250):
   *
-  *   1. within-chunk: running scaled sums s_t = sum x_j*beta^(-q_j) over
-  *      the chunk prefix (q = position in chunk); the in-chunk partial is
-  *      beta^q_t * s_t — one window over (group, chunk);
+  *   1. within-chunk: running scaled sums s_t = sum v_j*beta^(-q_j) over
+  *      the chunk prefix (q = position in chunk) — one window over
+  *      (group, chunk);
   *   2. chunk carries: chunk b's contribution decayed to the next chunk
   *      boundary is A_b = beta^C * s_total_b; the carry into chunk c,
   *      Carry_c = sum_{b<c} gamma^(c-1-b) A_b with gamma = beta^C, is the
-  *      SAME ewm shape one level up, so the same scaled-cumsum trick runs
-  *      over chunk summary rows grouped into superchunks of K chunks
-  *      (K exhausting the same 250-digit budget against gamma);
-  *   3. superchunk carries: with the budgets exhausted, a superchunk's
-  *      decay factor is <= 1e-250, so only the two preceding superchunks
-  *      can contribute above 1e-500 — and 1e-500 underflows to exactly 0
-  *      in IEEE double, so the lag-1 + lag-2 truncation is not an
-  *      approximation at double precision.
+  *      SAME decayed shape one level up, so the same scaled-cumsum trick
+  *      runs over chunk summary rows grouped into superchunks of K chunks
+  *      (K exhausting the same budget);
+  *   3. superchunk carries: each superchunk step decays every base by
+  *      >= ~125 digits (the budget split across the <= 2x digit-rate
+  *      spread between beta and beta^2), so contributions from four or
+  *      more superchunks back are below 1e-375 — under the smallest
+  *      denormal, i.e. exactly 0 in IEEE double. The lag-1..3 truncation
+  *      used here is therefore not an approximation at double precision.
   *
   * The plan is scan-shaped: one shuffle of the rows by group (all row
   * windows share it), plus two metadata-sized aggregations (one summary
   * row per chunk / superchunk, i.e. 1/C / 1/(C*K) of the data) whose
   * results join back by (group, chunk) — the scanChunked topology one
   * level deeper. Magnitude contract: |x| below ~1e40 keeps every scaled
-  * intermediate under the double overflow line (the budget leaves ~50
-  * digits of headroom).
+  * intermediate under the double overflow line.
   *
   * Determinism: all inputs to each window sum are plain doubles; sums run
   * in frame order, so results are identical across partitionings (spec-
   * pinned). An oracle replays the mathematically-equal direct formula;
   * the two associations drift only in the last ulps, absorbed by the
-  * driver row's 1e-6 rounding (the rolling-moment convention).
+  * driver rows' 1e-6 rounding (the rolling-moment convention).
   *
-  * Horizon divergence from pandas: observations older than the ~250-digit
-  * decay budget (e.g. ~830 rows at alpha=0.5, ~575k rows at alpha=0.001)
-  * carry exactly-0 weight here, so a row whose ENTIRE valid lookback sits
+  * Horizon divergence from pandas: observations decayed beyond the
+  * budget (e.g. ~830 rows at alpha=0.5, ~575k rows at alpha=0.001) carry
+  * exactly-0 weight here, so a row whose ENTIRE valid lookback sits
   * beyond the horizon reports NULL where pandas' renormalized recurrence
-  * would still carry the stale mean — a value that is pure decayed noise
-  * at those distances. Rows with any in-horizon observation agree.
+  * would still carry the stale value — pure decayed noise at those
+  * distances. Rows with any in-horizon observation agree.
   */
 object Ewm {
+
+  /** One decayed sum to compute: S_name(t) = sum over j <= t with
+    * valid_j of base^(p_t - p_j) * value_j. */
+  private case class DSpec(name: String, base: Double, value: Column)
+
+  private val Reserved = Seq("__p", "__c", "__q", "__sc", "__r")
+
+  /** Appends one column per spec (the UNSCALED decayed sums at each row)
+    * via the chunk/superchunk carry topology described above. All specs
+    * share one chunk grid sized by the fastest-decaying base; bases may
+    * differ by at most ~2x in decay rate (the lag-3 truncation proof
+    * above needs >= ~125 digits per superchunk step for every base). */
+  private def decayedSums(
+      df: DataFrame,
+      by: Seq[String],
+      orderCols: Seq[Column],
+      valid: Column,
+      specs: Seq[DSpec],
+      maxChunk: Int): DataFrame = {
+    val dMax = specs.map(s => -math.log10(s.base)).max
+    val dMin = specs.map(s => -math.log10(s.base)).min
+    require(dMax / dMin <= 2.000001,
+      s"decayedSums bases span more than a 2x decay-rate ratio")
+    val c = math.max(2, math.min(maxChunk, (250.0 / dMax).toInt + 1))
+    val k = math.max(1, (250.0 / (c * dMax)).toInt + 1)
+    val byCols = by.map(col)
+
+    val wOrd = Window.partitionBy(byCols: _*).orderBy(orderCols: _*)
+    var base = df
+      .withColumn("__p", row_number().over(wOrd).cast("long") - 1)
+      .withColumn("__c", expr(s"__p div $c"))
+      .withColumn("__q", col("__p") % c)
+    val wChunkRun = Window.partitionBy(byCols :+ col("__c"): _*)
+      .orderBy(col("__q")).rowsBetween(Window.unboundedPreceding, 0)
+    val wChunkAll = Window.partitionBy(byCols :+ col("__c"): _*)
+    for (s <- specs) {
+      val xs = when(valid, s.value * pow(lit(s.base), -col("__q"))).otherwise(lit(0.0))
+      base = base
+        .withColumn(s"__sn_${s.name}", sum(xs).over(wChunkRun))
+        .withColumn(s"__tn_${s.name}", sum(xs).over(wChunkAll))
+    }
+
+    // one summary row per (group, chunk); __tn_* are chunk constants
+    var chunks = base
+      .groupBy(byCols :+ col("__c"): _*)
+      .agg(max(col(s"__tn_${specs.head.name}")).as(s"__tn_${specs.head.name}"),
+        specs.tail.map(s => max(col(s"__tn_${s.name}")).as(s"__tn_${s.name}")): _*)
+      .withColumn("__sc", expr(s"__c div $k"))
+      .withColumn("__r", col("__c") % k)
+    val wScRun = Window.partitionBy(byCols :+ col("__sc"): _*)
+      .orderBy(col("__r")).rowsBetween(Window.unboundedPreceding, -1)
+    val wScAll = Window.partitionBy(byCols :+ col("__sc"): _*)
+    for (s <- specs) {
+      val gamma = math.pow(s.base, c)
+      val a = lit(gamma) * col(s"__tn_${s.name}")          // A_b
+      val scaled = a * pow(lit(gamma), -col("__r"))        // A_b * gamma^-b'
+      chunks = chunks
+        // within-superchunk carry: gamma^(r-1) * sum_{b'<r} A_b*gamma^(-b')
+        // (empty frame -> NULL -> 0; the huge gamma^-1 at r=0 rides that NULL)
+        .withColumn(s"__cin_${s.name}", coalesce(
+          pow(lit(gamma), col("__r") - 1) * sum(scaled).over(wScRun), lit(0.0)))
+        .withColumn(s"__enf_${s.name}", sum(scaled).over(wScAll))
+    }
+
+    // one summary row per (group, superchunk): E = value decayed to the
+    // superchunk's last chunk boundary; lags 1..3 feed the next ones
+    val wSc = Window.partitionBy(byCols: _*).orderBy(col("__sc"))
+    val scs = chunks
+      .groupBy(byCols :+ col("__sc"): _*)
+      .agg(max(col(s"__enf_${specs.head.name}")).as(s"__enf_${specs.head.name}"),
+        specs.tail.map(s => max(col(s"__enf_${s.name}")).as(s"__enf_${s.name}")): _*)
+    val lagCols = specs.flatMap { s =>
+      val e = pow(lit(math.pow(s.base, c)), k - 1) * col(s"__enf_${s.name}")
+      (1 to 3).map(l => lag(e, l).over(wSc).as(s"__e${l}_${s.name}"))
+    }
+    val scLags = scs.select(byCols ++ Seq(col("__sc")) ++ lagCols: _*)
+
+    var carries = chunks.join(scLags, by :+ "__sc", "left")
+    for (s <- specs) {
+      val gamma = math.pow(s.base, c)
+      val gK = math.pow(gamma, k)  // underflows to 0 harmlessly when spent
+      val prior = coalesce(col(s"__e1_${s.name}"), lit(0.0)) +
+        lit(gK) * coalesce(col(s"__e2_${s.name}"), lit(0.0)) +
+        lit(gK * gK) * coalesce(col(s"__e3_${s.name}"), lit(0.0))
+      carries = carries.withColumn(s"__cr_${s.name}",
+        col(s"__cin_${s.name}") + pow(lit(gamma), col("__r")) * prior)
+    }
+    val carrySel = carries.select(
+      byCols ++ Seq(col("__c")) ++ specs.map(s => col(s"__cr_${s.name}")): _*)
+
+    var out = base.join(carrySel, by :+ "__c", "left")
+    for (s <- specs)
+      out = out.withColumn(s.name,
+        pow(lit(s.base), col("__q")) * (col(s"__sn_${s.name}") + col(s"__cr_${s.name}")))
+    out.drop(Reserved ++ specs.flatMap(s =>
+      Seq(s"__sn_${s.name}", s"__tn_${s.name}", s"__cr_${s.name}")): _*)
+  }
+
+  private def checkArgs(
+      df: DataFrame, by: Seq[String], alpha: Double, maxChunk: Int,
+      outs: Seq[String]): Unit = {
+    require(by.nonEmpty, "ewm needs at least one grouping column")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1) (got $alpha)")
+    require(maxChunk >= 2, s"maxChunk must be >= 2 (got $maxChunk)")
+    val clash = df.columns.toSeq.intersect(outs)
+    require(clash.isEmpty,
+      s"ewm output columns already exist in the input: ${clash.mkString(", ")}")
+    val rclash = df.columns.toSeq.filter(n =>
+      Reserved.contains(n) || n.startsWith("__sn_") || n.startsWith("__tn_") ||
+        n.startsWith("__cin_") || n.startsWith("__enf_") || n.startsWith("__cr_") ||
+        n.startsWith("__e1_") || n.startsWith("__e2_") || n.startsWith("__e3_"))
+    require(rclash.isEmpty,
+      s"ewm reserves the __-prefixed working names; rename ${rclash.mkString(", ")} in the input")
+  }
 
   /** Appends `as` = the exponentially-weighted mean of `valueCol` within
     * each `by` group ordered by `orderCols`. `maxChunk` caps the chunk
@@ -77,104 +195,52 @@ object Ewm {
       alpha: Double,
       as: String = "ewm",
       maxChunk: Int = 1024): DataFrame = {
-    require(by.nonEmpty, "ewmMean needs at least one grouping column")
-    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1) (got $alpha)")
-    require(maxChunk >= 2, s"maxChunk must be >= 2 (got $maxChunk)")
-    require(!df.columns.contains(as),
-      s"ewmMean output column $as already exists in the input; pick another name or drop it first")
-    val reserved = Seq("__p", "__c", "__q", "__xs", "__ws", "__sn", "__sd",
-      "__tn", "__td", "__an", "__ad", "__sc", "__r", "__gin", "__cinn", "__cind",
-      "__enf", "__edf", "__en1", "__ed1", "__en2", "__ed2", "__cn", "__cd")
-    val clashes = df.columns.toSeq.intersect(reserved)
-    require(clashes.isEmpty,
-      s"ewmMean reserves the __-prefixed working names; rename ${clashes.mkString(", ")} in the input")
-
+    checkArgs(df, by, alpha, maxChunk, Seq(as))
     val beta = 1.0 - alpha
-    val digitsPerRow = -math.log10(beta)
-    // chunk size: beta^-(C-1) stays within ~1e250 (x-magnitude headroom)
-    val c = math.max(2, math.min(maxChunk, (250.0 / digitsPerRow).toInt + 1))
-    val gamma = math.pow(beta, c)
-    // superchunk size: gamma^-(K-1) under the same budget
-    val k = math.max(1, (250.0 / (c * digitsPerRow)).toInt + 1)
+    val vn = graft.functions.NanOps
+      .nanToNull(col(valueCol), df.schema(valueCol).dataType).cast(DoubleType)
+    val sums = decayedSums(df.withColumn("__v", vn), by, orderCols,
+      col("__v").isNotNull,
+      Seq(DSpec("__swx", beta, col("__v")), DSpec("__sw", beta, lit(1.0))),
+      maxChunk)
+    sums
+      .withColumn(as, when(col("__sw") > 0, col("__swx") / col("__sw")))
+      .drop("__v", "__swx", "__sw")
+  }
 
-    val dt = df.schema(valueCol).dataType
-    val vn = graft.functions.NanOps.nanToNull(col(valueCol), dt).cast(DoubleType)
-    val byCols = by.map(col)
-
-    val wOrd = Window.partitionBy(byCols: _*).orderBy(orderCols: _*)
-    val base = df
-      .withColumn("__p", row_number().over(wOrd).cast("long") - 1)
-      .withColumn("__c", expr(s"__p div $c"))
-      .withColumn("__q", col("__p") % c)
-      .withColumn("__xs", when(vn.isNotNull, vn * pow(lit(beta), -col("__q")))
-        .otherwise(lit(0.0)))
-      .withColumn("__ws", when(vn.isNotNull, pow(lit(beta), -col("__q")))
-        .otherwise(lit(0.0)))
-    val wChunkRun = Window.partitionBy(byCols :+ col("__c"): _*)
-      .orderBy(col("__q")).rowsBetween(Window.unboundedPreceding, 0)
-    val wChunkAll = Window.partitionBy(byCols :+ col("__c"): _*)
-    val rows = base
-      .withColumn("__sn", sum(col("__xs")).over(wChunkRun))
-      .withColumn("__sd", sum(col("__ws")).over(wChunkRun))
-      .withColumn("__tn", sum(col("__xs")).over(wChunkAll))
-      .withColumn("__td", sum(col("__ws")).over(wChunkAll))
-
-    // one summary row per (group, chunk); __tn/__td are chunk constants
-    val chunks = rows
-      .groupBy(byCols :+ col("__c"): _*)
-      .agg(max(col("__tn")).as("__tn"), max(col("__td")).as("__td"))
-      .withColumn("__an", lit(gamma) * col("__tn"))
-      .withColumn("__ad", lit(gamma) * col("__td"))
-      .withColumn("__sc", expr(s"__c div $k"))
-      .withColumn("__r", col("__c") % k)
-      .withColumn("__gin", pow(lit(gamma), -col("__r")))
-    val wScRun = Window.partitionBy(byCols :+ col("__sc"): _*)
-      .orderBy(col("__r")).rowsBetween(Window.unboundedPreceding, -1)
-    val wScAll = Window.partitionBy(byCols :+ col("__sc"): _*)
-    val chunks2 = chunks
-      // within-superchunk carry: gamma^(r-1) * sum_{b'<r} A_b*gamma^(-b')
-      // (empty frame -> 0; the huge gamma^-1 at r=0 multiplies that 0)
-      .withColumn("__cinn", coalesce(
-        pow(lit(gamma), col("__r") - 1) * sum(col("__an") * col("__gin")).over(wScRun),
-        lit(0.0)))
-      .withColumn("__cind", coalesce(
-        pow(lit(gamma), col("__r") - 1) * sum(col("__ad") * col("__gin")).over(wScRun),
-        lit(0.0)))
-      .withColumn("__enf", sum(col("__an") * col("__gin")).over(wScAll))
-      .withColumn("__edf", sum(col("__ad") * col("__gin")).over(wScAll))
-
-    // one summary row per (group, superchunk): E = value decayed to the
-    // superchunk's last chunk boundary; lag-1/lag-2 feed the next ones
-    val wSc = Window.partitionBy(byCols: _*).orderBy(col("__sc"))
-    val scs = chunks2
-      .groupBy(byCols :+ col("__sc"): _*)
-      .agg(max(col("__enf")).as("__enf"), max(col("__edf")).as("__edf"))
-      .withColumn("__en", pow(lit(gamma), k - 1) * col("__enf"))
-      .withColumn("__ed", pow(lit(gamma), k - 1) * col("__edf"))
-      .select(byCols ++ Seq(col("__sc"),
-        lag(col("__en"), 1).over(wSc).as("__en1"),
-        lag(col("__ed"), 1).over(wSc).as("__ed1"),
-        lag(col("__en"), 2).over(wSc).as("__en2"),
-        lag(col("__ed"), 2).over(wSc).as("__ed2")): _*)
-
-    val gK = math.pow(gamma, k) // underflows to 0 harmlessly when spent
-    val carries = chunks2
-      .join(scs, by :+ "__sc", "left")
-      .withColumn("__cn", col("__cinn") + pow(lit(gamma), col("__r")) *
-        (coalesce(col("__en1"), lit(0.0)) + lit(gK) * coalesce(col("__en2"), lit(0.0))))
-      .withColumn("__cd", col("__cind") + pow(lit(gamma), col("__r")) *
-        (coalesce(col("__ed1"), lit(0.0)) + lit(gK) * coalesce(col("__ed2"), lit(0.0))))
-      .select(byCols ++ Seq(col("__c"), col("__cn"), col("__cd")): _*)
-
-    // row value = beta^q*(sn + carry) / beta^q*(sd + carry): the beta^q
-    // factors cancel, so they are never materialized — the ratio of the
-    // chunk-start-scaled sums is the mean directly (and dodges their
-    // underflow at large q)
-    rows
-      .join(carries, by :+ "__c", "left")
-      .withColumn(as, when(col("__sd") + col("__cd") > 0,
-        (col("__sn") + col("__cn")) / (col("__sd") + col("__cd"))))
-      .drop("__p", "__c", "__q", "__xs", "__ws", "__sn", "__sd", "__tn", "__td",
-        "__cn", "__cd")
+  /** Appends `asVar`/`asStd` = pandas `ewm(alpha).var()/std()` (adjust=
+    * true, bias=false): weighted variance Sw*Swxx - Swx^2 over the
+    * reliability denominator Sw^2 - Sw2, with Sw2 the squared-weight sum
+    * (decay base beta^2 — the mixed-base case of [[decayedSums]]). NULL
+    * until two in-horizon observations; the numerator is clamped at 0
+    * like every variance finalize in the engine. */
+  def ewmVarStd(
+      df: DataFrame,
+      by: Seq[String],
+      orderCols: Seq[Column],
+      valueCol: String,
+      alpha: Double,
+      asVar: String = "ewm_var",
+      asStd: String = "ewm_std",
+      maxChunk: Int = 1024): DataFrame = {
+    checkArgs(df, by, alpha, maxChunk, Seq(asVar, asStd))
+    val beta = 1.0 - alpha
+    val vn = graft.functions.NanOps
+      .nanToNull(col(valueCol), df.schema(valueCol).dataType).cast(DoubleType)
+    val sums = decayedSums(df.withColumn("__v", vn), by, orderCols,
+      col("__v").isNotNull,
+      Seq(DSpec("__sw", beta, lit(1.0)),
+        DSpec("__swx", beta, col("__v")),
+        DSpec("__swxx", beta, col("__v") * col("__v")),
+        DSpec("__sw2", beta * beta, lit(1.0))),
+      maxChunk)
+    // pandas _ewm.pyx bias=false form: var = (Sw*Swxx - Swx^2) / (Sw^2 - Sw2)
+    val num = greatest(col("__sw") * col("__swxx") - col("__swx") * col("__swx"), lit(0.0))
+    val den = col("__sw") * col("__sw") - col("__sw2")
+    val v = when(den > 0, num / den)
+    sums
+      .withColumn(asVar, v)
+      .withColumn(asStd, sqrt(v))
+      .drop("__v", "__sw", "__swx", "__swxx", "__sw2")
   }
 }

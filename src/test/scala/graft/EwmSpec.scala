@@ -84,6 +84,40 @@ class EwmSpec extends AnyFunSuite {
     }
   }
 
+  /** pandas ewm(alpha, adjust=True, bias=False).var() reference. */
+  private def bruteVar(xs: Seq[Option[Double]], alpha: Double): Seq[Option[Double]] = {
+    val beta = 1 - alpha
+    xs.indices.map { t =>
+      val terms = (0 to t).flatMap(j => xs(j).map(x => (math.pow(beta, t - j), x)))
+      val w1 = terms.map(_._1).sum
+      val w2 = terms.map(p => p._1 * p._1).sum
+      if (terms.size < 2 || w1 * w1 - w2 <= 0) None
+      else {
+        val m = terms.map { case (w, x) => w * x }.sum / w1
+        val num = terms.map { case (w, x) => w * (x - m) * (x - m) }.sum
+        Some(num / (w1 - w2 / w1))
+      }
+    }
+  }
+
+  test("ewmVarStd == pandas bias=false brute force; <2 obs NULL; std = sqrt(var)") {
+    for (alpha <- Seq(0.5, 0.2); mc <- Seq(1024, 3)) {
+      val got = Ewm.ewmVarStd(mkDf(fixture), Seq("g"), Seq(col("pos")), "x", alpha,
+          maxChunk = mc)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+            Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+      for ((g, xs) <- fixture; (want, i) <- bruteVar(xs, alpha).zipWithIndex) {
+        val (v, s) = got((g, i.toLong))
+        assert(v.isDefined == want.isDefined, s"alpha=$alpha mc=$mc $g[$i]: $v vs $want")
+        for (a <- v; b <- want) {
+          assert(math.abs(a - b) < 1e-9, s"alpha=$alpha mc=$mc $g[$i]: $a vs $b")
+          assert(math.abs(s.get - math.sqrt(a)) < 1e-12)
+        }
+      }
+    }
+  }
+
   test("long group across many chunks and superchunks stays accurate") {
     // alpha=0.3, maxChunk=4 -> gamma decays fast; 200 rows span 50 chunks
     val xs = (0 until 200).map(i => Some(((i * 37) % 11).toDouble))
