@@ -80,13 +80,20 @@ object Ewm {
     * share one chunk grid sized by the fastest-decaying base; bases may
     * differ by at most ~2x in decay rate (the lag-3 truncation proof
     * above needs >= ~125 digits per superchunk step for every base). */
+  /** [[decayedSums]] body; returns the result plus the release handle for
+    * the persisted row stage. The row table (running + total scaled sums)
+    * feeds BOTH the output rows and the chunk-summary aggregation;
+    * without the persist the scan + group sort + window stack runs twice
+    * (the [[Dedup.nearDupPairsManaged]] multi-branch rationale — one
+    * extra full sorted pass of the data at scale). */
   private def decayedSums(
       df: DataFrame,
       by: Seq[String],
       orderCols: Seq[Column],
       valid: Column,
       specs: Seq[DSpec],
-      maxChunk: Int): DataFrame = {
+      maxChunk: Int,
+      cache: Boolean): (DataFrame, () => Unit) = {
     val dMax = specs.map(s => -math.log10(s.base)).max
     val dMin = specs.map(s => -math.log10(s.base)).min
     require(dMax / dMin <= 2.000001,
@@ -109,6 +116,8 @@ object Ewm {
         .withColumn(s"__sn_${s.name}", sum(xs).over(wChunkRun))
         .withColumn(s"__tn_${s.name}", sum(xs).over(wChunkAll))
     }
+    if (cache) base = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val release = () => if (cache) { base.unpersist(false); () } else ()
 
     // one summary row per (group, chunk); __tn_* are chunk constants
     var chunks = base
@@ -162,8 +171,8 @@ object Ewm {
     for (s <- specs)
       out = out.withColumn(s.name,
         pow(lit(s.base), col("__q")) * (col(s"__sn_${s.name}") + col(s"__cr_${s.name}")))
-    out.drop(Reserved ++ specs.flatMap(s =>
-      Seq(s"__sn_${s.name}", s"__tn_${s.name}", s"__cr_${s.name}")): _*)
+    (out.drop(Reserved ++ specs.flatMap(s =>
+      Seq(s"__sn_${s.name}", s"__tn_${s.name}", s"__cr_${s.name}")): _*), release)
   }
 
   private def checkArgs(
@@ -194,18 +203,35 @@ object Ewm {
       valueCol: String,
       alpha: Double,
       as: String = "ewm",
-      maxChunk: Int = 1024): DataFrame = {
+      maxChunk: Int = 1024,
+      cache: Boolean = true): DataFrame =
+    ewmMeanManaged(df, by, orderCols, valueCol, alpha, as, maxChunk, cache)._1
+
+  /** [[ewmMean]] plus the release handle for the persisted row stage —
+    * the [[Dedup.nearDupPairsManaged]] cache-lifecycle contract (call
+    * `release()` after the consuming action; Spark's CacheManager dedupes
+    * identical plans, so repeated unmanaged calls over the same input
+    * reuse one entry). */
+  def ewmMeanManaged(
+      df: DataFrame,
+      by: Seq[String],
+      orderCols: Seq[Column],
+      valueCol: String,
+      alpha: Double,
+      as: String = "ewm",
+      maxChunk: Int = 1024,
+      cache: Boolean = true): (DataFrame, () => Unit) = {
     checkArgs(df, by, alpha, maxChunk, Seq(as))
     val beta = 1.0 - alpha
     val vn = graft.functions.NanOps
       .nanToNull(col(valueCol), df.schema(valueCol).dataType).cast(DoubleType)
-    val sums = decayedSums(df.withColumn("__v", vn), by, orderCols,
+    val (sums, release) = decayedSums(df.withColumn("__v", vn), by, orderCols,
       col("__v").isNotNull,
       Seq(DSpec("__swx", beta, col("__v")), DSpec("__sw", beta, lit(1.0))),
-      maxChunk)
-    sums
+      maxChunk, cache)
+    (sums
       .withColumn(as, when(col("__sw") > 0, col("__swx") / col("__sw")))
-      .drop("__v", "__swx", "__sw")
+      .drop("__v", "__swx", "__sw"), release)
   }
 
   /** Appends `asVar`/`asStd` = pandas `ewm(alpha).var()/std()` (adjust=
@@ -222,25 +248,41 @@ object Ewm {
       alpha: Double,
       asVar: String = "ewm_var",
       asStd: String = "ewm_std",
-      maxChunk: Int = 1024): DataFrame = {
+      maxChunk: Int = 1024,
+      cache: Boolean = true): DataFrame =
+    ewmVarStdManaged(df, by, orderCols, valueCol, alpha, asVar, asStd,
+      maxChunk, cache)._1
+
+  /** [[ewmVarStd]] plus the release handle — same contract as
+    * [[ewmMeanManaged]]. */
+  def ewmVarStdManaged(
+      df: DataFrame,
+      by: Seq[String],
+      orderCols: Seq[Column],
+      valueCol: String,
+      alpha: Double,
+      asVar: String = "ewm_var",
+      asStd: String = "ewm_std",
+      maxChunk: Int = 1024,
+      cache: Boolean = true): (DataFrame, () => Unit) = {
     checkArgs(df, by, alpha, maxChunk, Seq(asVar, asStd))
     val beta = 1.0 - alpha
     val vn = graft.functions.NanOps
       .nanToNull(col(valueCol), df.schema(valueCol).dataType).cast(DoubleType)
-    val sums = decayedSums(df.withColumn("__v", vn), by, orderCols,
+    val (sums, release) = decayedSums(df.withColumn("__v", vn), by, orderCols,
       col("__v").isNotNull,
       Seq(DSpec("__sw", beta, lit(1.0)),
         DSpec("__swx", beta, col("__v")),
         DSpec("__swxx", beta, col("__v") * col("__v")),
         DSpec("__sw2", beta * beta, lit(1.0))),
-      maxChunk)
+      maxChunk, cache)
     // pandas _ewm.pyx bias=false form: var = (Sw*Swxx - Swx^2) / (Sw^2 - Sw2)
     val num = greatest(col("__sw") * col("__swxx") - col("__swx") * col("__swx"), lit(0.0))
     val den = col("__sw") * col("__sw") - col("__sw2")
     val v = when(den > 0, num / den)
-    sums
+    (sums
       .withColumn(asVar, v)
       .withColumn(asStd, sqrt(v))
-      .drop("__v", "__sw", "__swx", "__swxx", "__sw2")
+      .drop("__v", "__sw", "__swx", "__swxx", "__sw2"), release)
   }
 }
