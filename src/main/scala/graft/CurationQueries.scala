@@ -470,6 +470,14 @@ object CurationQueries {
         .withColumn("ewm", round(col("ewm"), 6))
         .select("event_id", "user_id", "ewm")
         .orderBy("event_id")),
+    // wall-clock decayed mean (pandas ewm(halflife=timedelta, times=...)):
+    // 1-hour halflife over each user's irregular event stream
+    "q_ewm_time" -> ((s, d) =>
+      Ewm.ewmTimeMean(SparkEntry.ev(s, d), Seq("user_id"), "ts", "valn",
+          "1 hour", tieBreak = Seq(col("event_id")))
+        .withColumn("ewm", round(col("ewm"), 6))
+        .select("event_id", "user_id", "ewm")
+        .orderBy("event_id")),
     // pandas ewm(alpha=0.5).var()/std() (bias=false): the mixed-base
     // decayed sums (squared weights decay at beta^2 = 0.25, still an
     // exact power of two)
@@ -918,6 +926,24 @@ object CurationQueries {
         + " sum(CASE WHEN b.v IS NOT NULL THEN pow(0.5, x.p - b.p) * b.v END) AS n,"
         + " sum(CASE WHEN b.v IS NOT NULL THEN pow(0.5, x.p - b.p) END) AS d"
         + " FROM e x JOIN e b ON x.user_id = b.user_id AND b.p <= x.p"
+        + " GROUP BY 1, 2)"
+        + " SELECT event_id, user_id,"
+        + " round(CASE WHEN d > 0 THEN n / d END, 6) AS ewm"
+        + " FROM a ORDER BY 1"),
+    "q_ewm_time" ->
+      // direct wall-clock-decay formula; weights pow(2, -dt_us/3.6e9) —
+      // real exponents, so both engines' pow drift a few ulps: absorbed
+      // by the 1e-6 rounding like the rest of the ewm family
+      ("WITH e AS (SELECT event_id, user_id,"
+        + " CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,"
+        + " epoch_us(ts) AS tm FROM events),"
+        + " a AS (SELECT x.event_id, x.user_id,"
+        + " sum(CASE WHEN b.v IS NOT NULL THEN"
+        + " pow(2.0, -(x.tm - b.tm)::DOUBLE / 3600000000.0) * b.v END) AS n,"
+        + " sum(CASE WHEN b.v IS NOT NULL THEN"
+        + " pow(2.0, -(x.tm - b.tm)::DOUBLE / 3600000000.0) END) AS d"
+        + " FROM e x JOIN e b ON x.user_id = b.user_id AND"
+        + " (b.tm < x.tm OR (b.tm = x.tm AND b.event_id <= x.event_id))"
         + " GROUP BY 1, 2)"
         + " SELECT event_id, user_id,"
         + " round(CASE WHEN d > 0 THEN n / d END, 6) AS ewm"

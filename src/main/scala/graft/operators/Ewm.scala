@@ -184,8 +184,11 @@ object Ewm {
     val clash = df.columns.toSeq.intersect(outs)
     require(clash.isEmpty,
       s"ewm output columns already exist in the input: ${clash.mkString(", ")}")
+    val extra = Set("__v", "__tm", "__an", "__ad", "__en", "__ed",
+      "__en1", "__ed1", "__en2", "__ed2", "__sc1", "__sc2")
     val rclash = df.columns.toSeq.filter(n =>
-      Reserved.contains(n) || n.startsWith("__sn_") || n.startsWith("__tn_") ||
+      Reserved.contains(n) || extra.contains(n) ||
+        n.startsWith("__sn_") || n.startsWith("__tn_") ||
         n.startsWith("__cin_") || n.startsWith("__enf_") || n.startsWith("__cr_") ||
         n.startsWith("__e1_") || n.startsWith("__e2_") || n.startsWith("__e3_"))
     require(rclash.isEmpty,
@@ -284,5 +287,156 @@ object Ewm {
       .withColumn(asVar, v)
       .withColumn(asStd, sqrt(v))
       .drop("__v", "__sw", "__swx", "__swxx", "__sw2"), release)
+  }
+
+  /** TIME-decayed exponentially-weighted mean over an irregular event
+    * stream — pandas `ewm(halflife=timedelta, times=...).mean()`: the
+    * weight of observation j at row t is 2^(-(t_t - t_j)/halflife), so
+    * decay follows WALL CLOCK, not row count (the event-stream feature
+    * shape: "decayed activity per user as of each event"). NaN/NULL
+    * values take no part (time itself is the decay clock, so pandas'
+    * ignore_na distinction does not arise); rows before the first valid
+    * observation get NULL. Ties in `timeCol` weigh each other fully;
+    * `tieBreak` columns fix their order for deterministic summation.
+    *
+    * Same chunked-carry machinery as [[ewmMean]] with the decay clock in
+    * halflife units: rows bucket into fixed 512-halflife time cells
+    * (cell boundaries from exact integer-microsecond arithmetic — never
+    * FP division), within-cell scaled sums use 2^q with q the REAL
+    * in-cell offset (bounded by 512, so 2^q <= 1.4e154 — the same ~250
+    * decimal-digit budget), and cell/supercell carries fold with
+    * explicit-distance decay factors pow(2^-512, gap) so EMPTY time
+    * cells are handled exactly (a factor beyond ~2 supercells of gap
+    * underflows to exact 0 — the lag-3 truncation proof again).
+    * Timestamps must be non-negative epochs (the cell index uses
+    * truncating integer division).
+    *
+    * The plan is the [[ewmMean]] shape: one row shuffle by group, two
+    * summary-scale aggregations joined back, row stage persisted across
+    * its two consumers (`cache`/Managed contract). */
+  def ewmTimeMean(
+      df: DataFrame,
+      by: Seq[String],
+      timeCol: String,
+      valueCol: String,
+      halflife: String,
+      as: String = "ewm",
+      tieBreak: Seq[Column] = Nil,
+      cache: Boolean = true): DataFrame =
+    ewmTimeMeanManaged(df, by, timeCol, valueCol, halflife, as, tieBreak, cache)._1
+
+  /** [[ewmTimeMean]] plus the release handle — same contract as
+    * [[ewmMeanManaged]]. */
+  def ewmTimeMeanManaged(
+      df: DataFrame,
+      by: Seq[String],
+      timeCol: String,
+      valueCol: String,
+      halflife: String,
+      as: String = "ewm",
+      tieBreak: Seq[Column] = Nil,
+      cache: Boolean = true): (DataFrame, () => Unit) = {
+    checkArgs(df, by, 0.5, 1024, Seq(as))
+    // the Rolling.rollingTime interval convention: CalendarInterval
+    // without months (months have no fixed micros length)
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(halflife))
+    require(iv.months == 0, s"halflife '$halflife' has months — no fixed micros length")
+    val hMicros = iv.days * 86400000000L + iv.microseconds
+    require(hMicros > 0, s"halflife must be a positive duration (got $halflife)")
+    val cellHl = 512L                 // cell width in halflives: 2^512 ~ 1.3e154
+    val wMicros = cellHl * hMicros
+    val gamma = math.pow(2.0, -cellHl.toDouble)       // exact: 2^-512
+    val k = 2                         // supercell = 2 cells; gap factors beyond underflow
+    val byCols = by.map(col)
+
+    val vn = graft.functions.NanOps
+      .nanToNull(col(valueCol), df.schema(valueCol).dataType).cast(DoubleType)
+    val tm = unix_micros(col(timeCol))
+    var base = df
+      .withColumn("__v", vn)
+      .withColumn("__tm", tm)
+      .withColumn("__c", expr(s"__tm div $wMicros"))
+      .withColumn("__q", (col("__tm") - col("__c") * wMicros).cast(DoubleType) / hMicros)
+    val ordCols = Seq(col("__q")) ++ tieBreak
+    val wCellRun = Window.partitionBy(byCols :+ col("__c"): _*)
+      .orderBy(ordCols: _*).rowsBetween(Window.unboundedPreceding, 0)
+    val wCellAll = Window.partitionBy(byCols :+ col("__c"): _*)
+    val xs = when(col("__v").isNotNull, col("__v") * pow(lit(2.0), col("__q"))).otherwise(lit(0.0))
+    val ws = when(col("__v").isNotNull, pow(lit(2.0), col("__q"))).otherwise(lit(0.0))
+    base = base
+      .withColumn("__sn_n", sum(xs).over(wCellRun))
+      .withColumn("__sn_d", sum(ws).over(wCellRun))
+      .withColumn("__tn_n", sum(xs).over(wCellAll))
+      .withColumn("__tn_d", sum(ws).over(wCellAll))
+    if (cache) base = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val release = () => if (cache) { base.unpersist(false); () } else ()
+
+    // one summary row per non-empty (group, cell); A = total decayed to
+    // the cell's END boundary = gamma * scaled total
+    val cells = base
+      .groupBy(byCols :+ col("__c"): _*)
+      .agg(max(col("__tn_n")).as("__tn_n"), max(col("__tn_d")).as("__tn_d"))
+      .withColumn("__an", lit(gamma) * col("__tn_n"))
+      .withColumn("__ad", lit(gamma) * col("__tn_d"))
+      .withColumn("__sc", expr(s"__c div $k"))
+      .withColumn("__r", col("__c") % k)
+    // within-supercell carry with explicit cell distance (cells can be
+    // missing): contribution of cell b to cell c's START boundary is
+    // A_b * gamma^(c-1-b) = gamma^(r-1) * (A_b * gamma^(-b%k)) for cells
+    // in the same supercell
+    val wScRun = Window.partitionBy(byCols :+ col("__sc"): _*)
+      .orderBy(col("__r")).rowsBetween(Window.unboundedPreceding, -1)
+    val wScAll = Window.partitionBy(byCols :+ col("__sc"): _*)
+    val scaledN = col("__an") * pow(lit(gamma), -col("__r"))
+    val scaledD = col("__ad") * pow(lit(gamma), -col("__r"))
+    val cells2 = cells
+      .withColumn("__cin_n", coalesce(
+        pow(lit(gamma), col("__r") - 1) * sum(scaledN).over(wScRun), lit(0.0)))
+      .withColumn("__cin_d", coalesce(
+        pow(lit(gamma), col("__r") - 1) * sum(scaledD).over(wScRun), lit(0.0)))
+      .withColumn("__enf_n", sum(scaledN).over(wScAll))
+      .withColumn("__enf_d", sum(scaledD).over(wScAll))
+
+    // supercell summaries with EXPLICIT-GAP decay: E decayed to the
+    // supercell's end boundary; a lagged supercell g supercells back
+    // contributes E * (gamma^k)^(gap). gamma^k = 2^-1024 underflows, so
+    // any gap >= 1 between EXISTING supercells zeroes exactly — but the
+    // adjacent-supercell case (gap 0 between row and its lag) carries.
+    val wSc = Window.partitionBy(byCols: _*).orderBy(col("__sc"))
+    val gK = math.pow(gamma, k) // 2^-1024: subnormal-but-nonzero floor
+    val scs = cells2
+      .groupBy(byCols :+ col("__sc"): _*)
+      .agg(max(col("__enf_n")).as("__enf_n"), max(col("__enf_d")).as("__enf_d"))
+      .select(byCols ++ Seq(col("__sc"),
+        (pow(lit(gamma), k - 1) * col("__enf_n")).as("__en"),
+        (pow(lit(gamma), k - 1) * col("__enf_d")).as("__ed")): _*)
+      .select(byCols ++ Seq(col("__sc"),
+        lag(col("__en"), 1).over(wSc).as("__en1"),
+        lag(col("__ed"), 1).over(wSc).as("__ed1"),
+        lag(col("__sc"), 1).over(wSc).as("__sc1"),
+        lag(col("__en"), 2).over(wSc).as("__en2"),
+        lag(col("__ed"), 2).over(wSc).as("__ed2"),
+        lag(col("__sc"), 2).over(wSc).as("__sc2")): _*)
+
+    def gapPow(scLag: Column): Column =
+      pow(lit(gK), (col("__sc") - scLag - 1).cast(DoubleType))
+    val carries = cells2
+      .join(scs, by :+ "__sc", "left")
+      .withColumn("__cr_n", col("__cin_n") + pow(lit(gamma), col("__r")) *
+        (coalesce(gapPow(col("__sc1")) * col("__en1"), lit(0.0)) +
+          coalesce(gapPow(col("__sc2")) * col("__en2"), lit(0.0))))
+      .withColumn("__cr_d", col("__cin_d") + pow(lit(gamma), col("__r")) *
+        (coalesce(gapPow(col("__sc1")) * col("__ed1"), lit(0.0)) +
+          coalesce(gapPow(col("__sc2")) * col("__ed2"), lit(0.0))))
+      .select(byCols ++ Seq(col("__c"), col("__cr_n"), col("__cr_d")): _*)
+
+    val out = base.join(carries, by :+ "__c", "left")
+    val den = pow(lit(2.0), -col("__q")) * (col("__sn_d") + col("__cr_d"))
+    val num = pow(lit(2.0), -col("__q")) * (col("__sn_n") + col("__cr_n"))
+    ((out
+      .withColumn(as, when(den > 0, num / den))
+      .drop("__v", "__tm", "__c", "__q", "__sn_n", "__sn_d", "__tn_n", "__tn_d",
+        "__cr_n", "__cr_d")), release)
   }
 }

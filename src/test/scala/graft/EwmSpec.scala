@@ -118,6 +118,63 @@ class EwmSpec extends AnyFunSuite {
     }
   }
 
+  /** time-decay reference: weight = 2^(-(t_t - t_j)/halflife). */
+  private def bruteTime(
+      rows: Seq[(Long, Option[Double])], hMicros: Long): Seq[Option[Double]] =
+    rows.indices.map { t =>
+      val (tt, _) = rows(t)
+      val terms = (0 to t).flatMap { j =>
+        val (tj, xj) = rows(j)
+        xj.map(x => (math.pow(2.0, -(tt - tj).toDouble / hMicros), x))
+      }
+      val w = terms.map(_._1).sum
+      if (w > 0) Some(terms.map(p => p._1 * p._2).sum / w) else None
+    }
+
+  test("ewmTimeMean: wall-clock decay vs brute force across cells, supercells, and empty-cell gaps") {
+    val h = 1000000L // 1 second halflife
+    // ~30 halflives per step -> 512-halflife cells hold ~17 rows; 120 rows
+    // span ~7 cells / 4 supercells; inject NaNs, ties, and one giant gap
+    // (3000 halflives ~ 6 cells of silence) to cross supercells non-densely
+    val times = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var t = 0L
+    for (i <- 0 until 120) {
+      t += (if (i == 60) 3000L * h else (17L + (i * 13) % 41) * h)
+      times += t
+    }
+    val vals = (0 until 120).map(i =>
+      if (i % 11 == 3) None else Some(((i * 29) % 13).toDouble - 4))
+    val rows = times.toSeq.zip(vals)
+    val df = rows.zipWithIndex.map { case ((tm, x), i) =>
+      (1L, i.toLong, new java.sql.Timestamp(tm / 1000), x.getOrElse(Double.NaN))
+    }.toDF("g", "i", "ts", "x")
+    val got = Ewm.ewmTimeMean(df.repartition(5), Seq("g"), "ts", "x", "1 second",
+        tieBreak = Seq(col("i")))
+      .collect().map(r => r.getLong(1) -> Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    val want = bruteTime(rows, h)
+    for (i <- rows.indices) {
+      assert(got(i.toLong).isDefined == want(i).isDefined, s"[$i]")
+      for (a <- got(i.toLong); b <- want(i))
+        assert(math.abs(a - b) < 1e-9, s"[$i]: $a vs $b")
+    }
+  }
+
+  test("ewmTimeMean: equal timestamps weigh each other fully; rejects month halflives") {
+    val df = Seq(
+      (1L, 0L, new java.sql.Timestamp(0L), 1.0),
+      (1L, 1L, new java.sql.Timestamp(0L), 3.0),
+      (1L, 2L, new java.sql.Timestamp(3600000L), 5.0)).toDF("g", "i", "ts", "x")
+    val got = Ewm.ewmTimeMean(df, Seq("g"), "ts", "x", "1 hour", tieBreak = Seq(col("i")))
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(math.abs(got(0L) - 1.0) < 1e-12)
+    assert(math.abs(got(1L) - 2.0) < 1e-12)           // (1 + 3) / 2, full weights
+    // third row 1 halflife later: weights (.5, .5, 1) -> (0.5 + 1.5 + 5)/2
+    assert(math.abs(got(2L) - 3.5) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Ewm.ewmTimeMean(df, Seq("g"), "ts", "x", "1 month")
+    }
+  }
+
   test("long group across many chunks and superchunks stays accurate") {
     // alpha=0.3, maxChunk=4 -> gamma decays fast; 200 rows span 50 chunks
     val xs = (0 until 200).map(i => Some(((i * 37) % 11).toDouble))

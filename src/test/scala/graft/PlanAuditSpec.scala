@@ -179,6 +179,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"train grams must not shuffle before the probe:\n$p")
   }
 
+  test("contaminatedSpans with broadcastEval: eval window triples broadcast before the semi join") {
+    val docs = TestSpark.table("0.01", "documents")
+    val p = plan(graft.operators.NgramOverlap.contaminatedSpans(
+      docs.where(col("source") =!= "src0"), docs.where(col("source") === "src0"),
+      "doc_id", "text", windowTokens = 5, broadcastEval = true))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"eval triple set should broadcast into a semi join:\n$p")
+    // the train window table must reach the broadcast probe unshuffled;
+    // its only exchange is the island-merge window by doc afterwards
+    val broadcastAt = p.indexOf("BroadcastExchange")
+    val trainSide = p.substring(0, broadcastAt)
+    assert("Exchange hashpartitioning".r.findAllIn(trainSide).length <= 1,
+      s"train windows must not shuffle before the probe:\n$p")
+  }
+
+  test("ewmMean is scan-shaped: row stage cached once, carry joins broadcast at summary scale") {
+    val ev = SparkEntry.ev(spark, "/root/testdata/sf0.001")
+    val (out, release) = graft.operators.Ewm.ewmMeanManaged(ev, Seq("user_id"),
+      Seq(col("ts"), col("event_id")), "valn", 0.5)
+    try {
+      out.count() // materialize so InMemoryRelation shows in the executed plan
+      val p = plan(out)
+      // the base row shuffle by group is the only data-sized exchange;
+      // chunk/superchunk summaries are 1/C-scale and broadcast back
+      assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+        s"row stage should be persisted across its two consumers:\n$p")
+    } finally release()
+  }
+
   test("sampleKPerGroup: heap aggregation, no window sort; selection joins back broadcast") {
     val docs = TestSpark.table("0.01", "documents")
     val p = plan(graft.operators.Sampling.sampleKPerGroup(
