@@ -376,8 +376,15 @@ object SparkEntry {
       Agg("nanskew", "valn", "skew_valid"))),
   )
 
+  /** Assembled oracle map, post-processed by [[OracleNorm.noNegZeroRounds]]:
+    * every DuckDB `round(...)` becomes `(round(...) + 0.0)` so a statistic
+    * that rounds to zero from below hashes as `+0.0` on both engines
+    * (CORRECTNESS_r06 q_rolling_1h root cause; see OracleNorm scaladoc). */
   def oracleSql: Map[String, String] =
-    LlmQueries.oracleSql ++ CurationQueries.oracleSql ++ Map(
+    (LlmQueries.oracleSql ++ CurationQueries.oracleSql ++ coreOracleSql)
+      .map { case (k, v) => k -> OracleNorm.noNegZeroRounds(v) }
+
+  private def coreOracleSql: Map[String, String] = Map(
     "q_count" ->
       s"SELECT l_returnflag, count($VALID) AS n_valid FROM lineitem GROUP BY 1 ORDER BY 1",
     "q_sum" ->
@@ -414,13 +421,29 @@ object SparkEntry {
     "q_any_all" ->
       ("SELECT l_returnflag, bool_or(l_discount > 0.05) AS any_disc, bool_and(l_discount > 0.05) AS all_disc"
         + " FROM lineitem GROUP BY 1 ORDER BY 1"),
+    // first/last tie-break: the driver data has duplicate (orderkey,
+    // linenumber) pairs, so POS alone is not a total order — arg_min/
+    // arg_max on it is engine- and run-nondeterministic (reproduced at
+    // sf0.001: two values share a group's max POS). Both sides order by
+    // (POS, value) instead: same lexicographic key as the Spark
+    // min_by/max_by struct.
     "q_first_last" ->
-      (s"SELECT l_returnflag, arg_min(l_extendedprice, $POS) AS first_price, arg_max(l_extendedprice, $POS) AS last_price"
-        + " FROM lineitem GROUP BY 1 ORDER BY 1"),
+      ("SELECT l_returnflag, min(CASE WHEN rnf = 1 THEN p END) AS first_price,"
+        + " min(CASE WHEN rnl = 1 THEN p END) AS last_price FROM ("
+        + s" SELECT l_returnflag, l_extendedprice AS p,"
+        + s" row_number() OVER (PARTITION BY l_returnflag ORDER BY $POS ASC, l_extendedprice ASC) AS rnf,"
+        + s" row_number() OVER (PARTITION BY l_returnflag ORDER BY $POS DESC, l_extendedprice DESC) AS rnl"
+        + " FROM lineitem) GROUP BY 1 ORDER BY 1"),
     "q_nanfirst_nanlast" ->
-      (s"SELECT l_returnflag, arg_min(l_quantity, $POS) FILTER (WHERE l_tax != 0.0) AS first_valid,"
-        + s" arg_max(l_quantity, $POS) FILTER (WHERE l_tax != 0.0) AS last_valid"
-        + " FROM lineitem GROUP BY 1 ORDER BY 1"),
+      ("SELECT f.l_returnflag, x.first_valid, x.last_valid"
+        + " FROM (SELECT DISTINCT l_returnflag FROM lineitem) f LEFT JOIN ("
+        + " SELECT l_returnflag, min(CASE WHEN rnf = 1 THEN q END) AS first_valid,"
+        + " min(CASE WHEN rnl = 1 THEN q END) AS last_valid FROM ("
+        + s" SELECT l_returnflag, l_quantity AS q,"
+        + s" row_number() OVER (PARTITION BY l_returnflag ORDER BY $POS ASC, l_quantity ASC) AS rnf,"
+        + s" row_number() OVER (PARTITION BY l_returnflag ORDER BY $POS DESC, l_quantity DESC) AS rnl"
+        + " FROM lineitem WHERE l_tax != 0.0) GROUP BY 1"
+        + ") x USING (l_returnflag) ORDER BY 1"),
     "q_argminmax" ->
       (s"SELECT l_returnflag, min(CASE WHEN l_extendedprice = mn THEN pos END) AS argmin_pos,"
         + " min(CASE WHEN l_extendedprice = mx THEN pos END) AS argmax_pos FROM ("

@@ -49,4 +49,13 @@ object NanOps {
   /** valid = non-null and non-NaN (negation of flox xrutils.isnull). */
   def isValid(c: Column, dt: DataType): Column =
     if (isFloaty(dt)) c.isNotNull && !isnan(c) else c.isNotNull
+
+  /** Negative-zero normalization: `-0.0 + 0.0 == +0.0` per IEEE 754, and
+    * `x + 0.0 == x` for every other double (NaN, ±Inf, NULL included). The
+    * driver's correctness hash is representation-sensitive, so a finalizer
+    * that can land on `-0.0` (centered moments, diffs, slopes) must pass
+    * through this before being compared against the [[graft.OracleNorm]]-
+    * normalized DuckDB oracle. Spark's `round()` already normalizes the
+    * zero sign (BigDecimal-based); use this for unrounded finalizers. */
+  def noNegZero(c: Column): Column = c + lit(0.0)
 }

@@ -280,11 +280,16 @@ object Aggregations {
       // Deterministic positional picks via min_by/max_by on the position
       // column — unlike F.first/F.last these are well-defined under
       // shuffles (reference first/last are blockwise-only for the same
-      // reason, aggregations.py:496-511).
-      case "first"    => min_by(v, p)
-      case "last"     => max_by(v, p)
-      case "nanfirst" => min_by(vn, when(valid, p))
-      case "nanlast"  => max_by(vn, when(valid, p))
+      // reason, aggregations.py:496-511). The value itself is the tie-break
+      // (lexicographic struct key): if the caller's position column is not
+      // a total order — the driver data has duplicate (orderkey, linenumber)
+      // pairs — min_by on position alone picks whichever tied row a
+      // partition merge saw first, a cross-run AND cross-engine flake.
+      // Ties in (pos, value) carry equal values, so the pick is stable.
+      case "first"    => min_by(v, struct(p, v))
+      case "last"     => max_by(v, struct(p, v))
+      case "nanfirst" => min_by(vn, when(valid, struct(p, vn)))
+      case "nanlast"  => max_by(vn, when(valid, struct(p, vn)))
       // arg-extrema: first-wins tie-break (reference core.py:1057-1059).
       // argmin: row minimizing (value, pos) lexicographically;
       // argmax: row maximizing (value, -pos).
