@@ -281,9 +281,20 @@ object LlmQueries {
       val cents = Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
       Similarity.kmeansAssign(e, "vec_id", "embedding", cents)
         .groupBy(col("cluster").cast("long").as("cluster"))
-        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
+        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sum_id"))
         .orderBy("cluster")
     }),
+    // SemDeDup composition end-to-end IN the query: the same replayable
+    // k=8 / 2-iteration Lloyd fit as q_kmeans, then within-cell
+    // exact-cosine pairs and keep-smallest-id survivors. The oracle
+    // replays fit + assignment + pairs + anti-join in SQL (shared fit
+    // CTEs with the q_kmeans oracle), so cell-boundary recall loss is
+    // replayed identically and cannot affect matching.
+    "q_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(
+        T(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, k = 8, iters = 2)
+        .select("vec_id").orderBy("vec_id")),
     // ---- text analysis ----
     "q_text_stats" -> ((s, d) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -716,6 +727,35 @@ object LlmQueries {
       + s" sims AS (SELECT doc_id, ${(0 until 4).map(chunk).mkString(", ")} FROM th)")
   }
 
+  /** SQL replay of the 2-iteration k=8 Lloyd fit shared by the q_kmeans
+    * and q_semantic_dedup oracles (expects a CTE `n` of (vec_id, q, nsq)
+    * in scope): smallest-id init (cell = rank in id order), exact integer
+    * argmin assignment (c.c - 2 x.c, ties to the smaller cell), per-dim
+    * exact long sums re-quantized with floor(s/n + 0.5) (= Java
+    * Math.round, half toward +inf — NOT SQL round(), which is half away
+    * from zero), empty cells keeping their previous centroid. Final
+    * assignment lands in CTE `a3` (vec_id, q, cell). */
+  private lazy val kmeansFitReplayCtes: String = {
+    def asg(a: String, c: String) =
+      (s"$a AS (SELECT vec_id, q, cell FROM ("
+        + " SELECT e.vec_id, e.q, c.cell, row_number() OVER (PARTITION BY e.vec_id"
+        + s" ORDER BY CAST(list_dot_product(c.cw, c.cw) AS BIGINT) - 2 * list_dot_product(e.q, c.cw), c.cell) AS rk"
+        + s" FROM n e CROSS JOIN $c c) WHERE rk = 1)")
+    def upd(s0: String, cl: String, a: String, prev: String) =
+      (s"$s0 AS (SELECT cell, i, count(*) AS nn, sum(q[i])::BIGINT AS s"
+        + s" FROM $a, (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),"
+        + s" ${cl}l AS (SELECT cell, list(floor(s::DOUBLE / nn + 0.5)::BIGINT ORDER BY i) AS cw"
+        + s" FROM $s0 GROUP BY 1),"
+        + s" $cl AS (SELECT p.cell, coalesce(u.cw, p.cw) AS cw"
+        + s" FROM $prev p LEFT JOIN ${cl}l u USING (cell))")
+    val c0 = ("c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS cw"
+      + " FROM n ORDER BY vec_id LIMIT 8)")
+    Seq(c0,
+      asg("a1", "c0"), upd("s1", "c1", "a1", "c0"),
+      asg("a2", "c1"), upd("s2", "c2", "a2", "c1"),
+      asg("a3", "c2")).mkString(", ")
+  }
+
   def oracleSql: Map[String, String] = {
     val shingleCte =
       ("WITH s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN"
@@ -906,33 +946,23 @@ object LlmQueries {
           + " ORDER BY 1, 2")
       },
       "q_kmeans" -> {
-        // full SQL replay of the 2-iteration Lloyd fit: smallest-id init
-        // (cell = rank in id order), exact integer argmin assignment
-        // (c.c - 2 x.c, ties to the smaller cell), per-dim exact long
-        // sums re-quantized with floor(s/n + 0.5) (= Java Math.round,
-        // half toward +inf — NOT SQL round(), which is half away from
-        // zero), empty cells keeping their previous centroid
-        def asg(a: String, c: String) =
-          (s"$a AS (SELECT vec_id, q, cell FROM ("
-            + " SELECT e.vec_id, e.q, c.cell, row_number() OVER (PARTITION BY e.vec_id"
-            + s" ORDER BY CAST(list_dot_product(c.cw, c.cw) AS BIGINT) - 2 * list_dot_product(e.q, c.cw), c.cell) AS rk"
-            + s" FROM n e CROSS JOIN $c c) WHERE rk = 1)")
-        def upd(s0: String, cl: String, a: String, prev: String) =
-          (s"$s0 AS (SELECT cell, i, count(*) AS nn, sum(q[i])::BIGINT AS s"
-            + s" FROM $a, (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),"
-            + s" ${cl}l AS (SELECT cell, list(floor(s::DOUBLE / nn + 0.5)::BIGINT ORDER BY i) AS cw"
-            + s" FROM $s0 GROUP BY 1),"
-            + s" $cl AS (SELECT p.cell, coalesce(u.cw, p.cw) AS cw"
-            + s" FROM $prev p LEFT JOIN ${cl}l u USING (cell))")
-        val c0 = ("c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS cw"
-          + " FROM n ORDER BY vec_id LIMIT 8)")
-        (s"WITH n AS $qn, "
-          + Seq(c0,
-            asg("a1", "c0"), upd("s1", "c1", "a1", "c0"),
-            asg("a2", "c1"), upd("s2", "c2", "a2", "c1"),
-            asg("a3", "c2")).mkString(", ")
+        (s"WITH n AS $qn, " + kmeansFitReplayCtes
           + " SELECT cell AS cluster, count(*) AS n, sum(vec_id)::BIGINT AS sum_id"
           + " FROM a3 GROUP BY 1 ORDER BY 1")
+      },
+      "q_semantic_dedup" -> {
+        // Replays semanticDedup end-to-end: the SAME 2-iteration Lloyd
+        // fit as q_kmeans (shared CTEs), hard assignment (a3), candidate
+        // pairs ONLY where both sides share a cell, exact-cosine verify,
+        // keep-smallest-id anti-join.
+        (s"WITH n AS $qn, " + kmeansFitReplayCtes
+          + ", dup AS (SELECT DISTINCT b.vec_id AS id FROM a3 a JOIN a3 b"
+          + " ON a.cell = b.cell AND a.vec_id < b.vec_id"
+          + " AND list_dot_product(a.q, b.q) /"
+          + " (sqrt(CAST(list_dot_product(a.q, a.q) AS BIGINT)::DOUBLE)"
+          + " * sqrt(CAST(list_dot_product(b.q, b.q) AS BIGINT)::DOUBLE)) >= 0.4)"
+          + " SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id FROM dup)"
+          + " ORDER BY 1")
       },
       "q_ann_topk" ->
         (s"WITH n AS $qn SELECT id, rank, neighbor_id, cos FROM ("

@@ -369,8 +369,9 @@ object Similarity {
   }
 
   /** Hard cluster assignment against [[kmeansFit]] (or any quantized)
-    * centroids: (id, cluster), one literal-centroid codegen pass —
-    * the exact integer argmin of [[nearestCellExpr]]. */
+    * centroids: (idCol, cluster), one literal-centroid codegen pass —
+    * the exact integer argmin of [[nearestCellExpr]]. The id column
+    * keeps the caller's name (ADVICE r6). */
   def kmeansAssign(
       df: DataFrame,
       idCol: String,
@@ -381,7 +382,104 @@ object Similarity {
     GraftFunctions.register(df.sparkSession)
     prepared(df, idCol, embCol)
       .withColumn(as, nearestCellExpr(centroids))
-      .select(col("id"), col(as))
+      .select(col("id").as(idCol), col(as))
+  }
+
+  /** Within-cell near-duplicate pairs against a fixed coarse quantizer:
+    * every vector is hard-assigned its nearest centroid
+    * ([[nearestCellExpr]] — the [[kmeansAssign]] argmin), and candidate
+    * pairs come ONLY from a bucketed equality join on the cell id, then
+    * verify with the exact quantized cosine. The candidate generator
+    * behind [[semanticDedup]]; exposed so callers can inspect pairs (the
+    * output carries the shared `cell`) or reuse one fitted quantizer
+    * across corpora. Recall < 1 by construction: a near-dup pair
+    * straddling a cell boundary is never compared — the SemDeDup
+    * trade-off (cluster-then-dedup), same S-curve role as
+    * [[lshNeighbors]]' bucket recall. */
+  def semanticPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      centroids: Array[Seq[Long]]): DataFrame =
+    semanticPairsManaged(df, idCol, embCol, threshold, centroids)._1
+
+  /** [[semanticPairs]] plus the release handle for the persisted
+    * (id, q, nsq, cell) projection — the corpus feeds both join sides,
+    * so it is scanned once, not twice (the [[ivfNeighborsManaged]]
+    * rationale and cache-lifecycle contract). */
+  def semanticPairsManaged(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      centroids: Array[Seq[Long]],
+      cache: Boolean = true): (DataFrame, () => Unit) = {
+    require(centroids.nonEmpty, "semanticPairs needs at least one centroid")
+    GraftFunctions.register(df.sparkSession)
+    val p0 = prepared(df, idCol, embCol)
+      .withColumn("cell", nearestCellExpr(centroids))
+    val p = if (cache) p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else p0
+    val release = () => if (cache) { p.unpersist(false); () } else ()
+    val pairs = p.as("a")
+      .join(p.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.cell").as("cell"),
+        cosineQ(dotQ(col("a.q"), col("b.q")), col("a.nsq"), col("b.nsq")).as("cos"))
+      .where(col("cos") >= threshold)
+    (pairs, release)
+  }
+
+  /** SemDeDup-style semantic dedup, composed end-to-end (VERDICT r6 #3):
+    * fit k centroids over the full corpus ([[kmeansFit]] — exact,
+    * replayable Lloyd), generate within-cell cosine pairs
+    * ([[semanticPairs]] — cell-bucketed equality join, never cross-cell),
+    * and keep-smallest-id via one anti-join (the
+    * [[graft.operators.Dedup.embeddingDedup]] one-pass rule: a row is
+    * dropped iff it has ANY neighbor with cosine >= threshold, a smaller
+    * id, and the same cell). Returns the surviving input rows unchanged.
+    *
+    * 100 TB shape: k x iters literal-centroid scans for the fit (driver
+    * state = k x dim longs), one scan + one cell-equality self-join for
+    * the pairs (within-cell cost quadratic in occupancy — size k ~ n /
+    * targetOccupancy like [[autoCells]]), one anti-join for survivors.
+    * The big table is never shuffled for the anti-join side; nothing
+    * iterates over rows on the driver. Pass `init`/`centroids` built
+    * once (e.g. [[ivfTrain]]) to skip the fit on repeated runs. */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      k: Int,
+      iters: Int = 10,
+      centroids: Option[Array[Seq[Long]]] = None,
+      cache: Boolean = true): DataFrame =
+    semanticDedupManaged(df, idCol, embCol, threshold, k, iters, centroids, cache)._1
+
+  /** [[semanticDedup]] plus the release handle for the pair stage's
+    * persisted projection — call `release()` after the consuming action
+    * (the `*Managed` cache-lifecycle contract). */
+  def semanticDedupManaged(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      k: Int,
+      iters: Int = 10,
+      centroids: Option[Array[Seq[Long]]] = None,
+      cache: Boolean = true): (DataFrame, () => Unit) = {
+    require(!df.columns.contains("__sem_dup_id"),
+      "semanticDedup reserves column name __sem_dup_id; rename it in the input")
+    val cents = centroids.getOrElse(
+      kmeansFit(df, idCol, embCol, k, iters, cache = cache))
+    if (cents.isEmpty) return (df, () => ()) // empty corpus: nothing to drop
+    val (pairs, release) =
+      semanticPairsManaged(df, idCol, embCol, threshold, cents, cache)
+    // id_a < id_b by construction, so id_b is always the dropped side
+    val dropped = pairs.select(col("id_b").as("__sem_dup_id")).distinct()
+    (df.join(dropped, col(idCol) === col("__sem_dup_id"), "left_anti"), release)
   }
 
   /** Corpus-aware plane count: the smallest p >= minPlanes such that

@@ -188,4 +188,58 @@ class SimilaritySpec extends AnyFunSuite {
       .head().getInt(1)
     assert(got == 0, "equidistant point must take the smaller index")
   }
+
+  test("kmeansAssign preserves the caller's id column name") {
+    val d = vecs((7L, Seq(5.0f, 0.0f)))
+    val cents: Array[Seq[Long]] = Array(Seq(0L, 0L))
+    assert(Similarity.kmeansAssign(d, "vec_id", "embedding", cents, as = "cl")
+      .columns.toSeq == Seq("vec_id", "cl"))
+  }
+
+  test("semanticPairs: candidates NEVER leave a cell — a cross-cell near-dup pair is not emitted") {
+    // Two cells at (1,0) and (0,1). Vectors 1 and 2 are near-identical
+    // (cos ~0.9998) but straddle the boundary: 1 leans toward cell 0,
+    // 2 leans toward cell 1 by euclidean distance to the centroids.
+    // Brute force finds the pair; semanticPairs must not (SemDeDup's
+    // cluster-then-dedup recall trade-off), and every emitted pair's
+    // two sides must share the pair's cell under kmeansAssign.
+    val cents: Array[Seq[Long]] = Array(Seq(1000000L, 0L), Seq(0L, 1000000L))
+    val d = vecs(
+      (1L, Seq(1.0f, 0.98f)), (2L, Seq(0.98f, 1.0f)),   // boundary straddle
+      (3L, Seq(1.0f, 0.1f)), (4L, Seq(1.0f, 0.12f)),    // both cell 0
+      (5L, Seq(0.1f, 1.0f)))                            // cell 1, no near-dup
+    val brute = Similarity.bruteForcePairs(d, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.contains((1L, 2L)) && brute.contains((3L, 4L)))
+    val sem = Similarity.semanticPairs(d, "vec_id", "embedding", 0.9, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val semIds = sem.map(p => (p._1, p._2))
+    assert(!semIds.contains((1L, 2L)), "cross-cell pair must not be a candidate")
+    assert(semIds.contains((3L, 4L)), "within-cell near-dup pair must be emitted")
+    assert(semIds.subsetOf(brute), "semantic pairs must pass exact verification")
+    val cellOf = Similarity.kmeansAssign(d, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    sem.foreach { case (a, b, c) =>
+      assert(cellOf(a) == c && cellOf(b) == c,
+        s"pair ($a,$b) cell $c disagrees with kmeansAssign")
+    }
+  }
+
+  test("semanticDedup: keep-smallest-id within cells; survivors pinned; rows preserved") {
+    val cents: Array[Seq[Long]] = Array(Seq(1000000L, 0L), Seq(0L, 1000000L))
+    val d = vecs(
+      (1L, Seq(1.0f, 0.98f)), (2L, Seq(0.98f, 1.0f)),
+      (3L, Seq(1.0f, 0.1f)), (4L, Seq(1.0f, 0.12f)),
+      (5L, Seq(0.1f, 1.0f)))
+    val kept = Similarity.semanticDedup(d, "vec_id", "embedding",
+      threshold = 0.9, k = 2, centroids = Some(cents))
+    // 4 dropped (near-dup of 3, same cell, larger id); 1,2 both survive
+    // (their near-dup pair straddles cells); 5 untouched
+    assert(kept.columns.toSeq == d.columns.toSeq, "input schema preserved")
+    assert(kept.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L, 5L))
+    // empty corpus: everything survives, no job explosion
+    assert(Similarity.semanticDedup(d.where(lit(false)), "vec_id", "embedding",
+      threshold = 0.9, k = 2).count() == 0)
+  }
 }
