@@ -308,8 +308,12 @@ object Ewm {
     * explicit-distance decay factors pow(2^-512, gap) so EMPTY time
     * cells are handled exactly (a factor beyond ~2 supercells of gap
     * underflows to exact 0 — the lag-3 truncation proof again).
-    * Timestamps must be non-negative epochs (the cell index uses
-    * truncating integer division).
+    * Any epoch sign works: cell indices use exact integer FLOOR
+    * division (`(t - pmod(t, w)) div w` — `div` alone truncates toward
+    * zero, which would collapse every pre-1970 row within one cell
+    * width of the epoch into cell 0 and silently mis-decay them;
+    * ADVICE r6), so pre-1970 timestamps bucket into negative cells
+    * with the in-cell offset still in [0, 512).
     *
     * The plan is the [[ewmMean]] shape: one row shuffle by group, two
     * summary-scale aggregations joined back, row stage persisted across
@@ -356,7 +360,9 @@ object Ewm {
     var base = df
       .withColumn("__v", vn)
       .withColumn("__tm", tm)
-      .withColumn("__c", expr(s"__tm div $wMicros"))
+      // floor division, exact in integers: __tm - pmod(__tm, w) is
+      // divisible by w, so the truncating `div` cannot round
+      .withColumn("__c", expr(s"(__tm - pmod(__tm, ${wMicros}L)) div ${wMicros}L"))
       .withColumn("__q", (col("__tm") - col("__c") * wMicros).cast(DoubleType) / hMicros)
     val ordCols = Seq(col("__q")) ++ tieBreak
     val wCellRun = Window.partitionBy(byCols :+ col("__c"): _*)
@@ -379,8 +385,10 @@ object Ewm {
       .agg(max(col("__tn_n")).as("__tn_n"), max(col("__tn_d")).as("__tn_d"))
       .withColumn("__an", lit(gamma) * col("__tn_n"))
       .withColumn("__ad", lit(gamma) * col("__tn_d"))
-      .withColumn("__sc", expr(s"__c div $k"))
-      .withColumn("__r", col("__c") % k)
+      // floor/pmod (not div/%): negative cells (pre-1970 rows) need
+      // __sc floored and __r in [0, k) for the gamma^(-r) rescale
+      .withColumn("__sc", expr(s"(__c - pmod(__c, ${k}L)) div ${k}L"))
+      .withColumn("__r", expr(s"pmod(__c, ${k}L)"))
     // within-supercell carry with explicit cell distance (cells can be
     // missing): contribution of cell b to cell c's START boundary is
     // A_b * gamma^(c-1-b) = gamma^(r-1) * (A_b * gamma^(-b%k)) for cells

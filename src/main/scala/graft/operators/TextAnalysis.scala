@@ -349,8 +349,11 @@ object TextAnalysis {
     * Gopher/MassiveText boilerplate shape; natural text sits in a
     * mid-range band). Returns (idCol, n_tokens, n_distinct, entropy)
     * with entropy = ln(n) - (1/n) * sum_t c_t ln(c_t) over the doc's
-    * token counts c_t; single-token and NULL-text docs report NULL
-    * entropy (no distribution to measure; a constant doc reports 0).
+    * token counts c_t; single-token docs report NULL entropy (no
+    * distribution to measure; a constant doc reports 0). NULL-text docs
+    * DROP — they are absent from the output entirely (the explode over
+    * their empty token set emits no rows), the unigramLogLoss
+    * convention; left-join the input ids back if NULL rows are wanted.
     *
     * Determinism: each ln is quantized ([[lnQ]]); the weighted sum is an
     * exact decimal; the one IEEE step is the final subtract/divide of

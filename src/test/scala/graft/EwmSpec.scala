@@ -159,6 +159,38 @@ class EwmSpec extends AnyFunSuite {
     }
   }
 
+  test("ewmTimeMean: pre-1970 (negative-epoch) rows bucket by FLOOR division and match brute force") {
+    // ADVICE r6: truncating `div` put every row in (-cellWidth, 0) into
+    // cell 0, silently mis-decaying pre-1970 data. The fixture straddles
+    // the epoch: rows from ~-2000 halflives to +2000, including rows in
+    // (-512, 0) halflives (exactly the old bug's mis-bucketed band), a
+    // NaN, and equal-timestamp ties at a negative epoch.
+    val h = 1000000L // 1 second halflife
+    val times = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var t = -2000L * h
+    for (i <- 0 until 80) {
+      times += t
+      t += (if (i == 40) 900L * h else (23L + (i * 7) % 61) * h)
+    }
+    times += -100L * h; times += -100L * h // negative-epoch tie
+    val sortedTimes = times.toSeq.sorted
+    val vals = sortedTimes.indices.map(i =>
+      if (i % 13 == 5) None else Some(((i * 31) % 17).toDouble - 8))
+    val rows = sortedTimes.zip(vals)
+    val df = rows.zipWithIndex.map { case ((tm, x), i) =>
+      (1L, i.toLong, new java.sql.Timestamp(tm / 1000), x.getOrElse(Double.NaN))
+    }.toDF("g", "i", "ts", "x")
+    val got = Ewm.ewmTimeMean(df.repartition(5), Seq("g"), "ts", "x", "1 second",
+        tieBreak = Seq(col("i")))
+      .collect().map(r => r.getLong(1) -> Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    val want = bruteTime(rows, h)
+    for (i <- rows.indices) {
+      assert(got(i.toLong).isDefined == want(i).isDefined, s"[$i]")
+      for (a <- got(i.toLong); b <- want(i))
+        assert(math.abs(a - b) < 1e-9, s"[$i]: $a vs $b")
+    }
+  }
+
   test("ewmTimeMean: equal timestamps weigh each other fully; rejects month halflives") {
     val df = Seq(
       (1L, 0L, new java.sql.Timestamp(0L), 1.0),
