@@ -488,6 +488,24 @@ object CurationQueries {
         .withColumn("ewm_std", round(col("ewm_std"), 6))
         .select("event_id", "user_id", "ewm_var", "ewm_std")
         .orderBy("event_id")),
+    // wall-clock decayed var/std (r6 verdict #6): mixed-rate decayed
+    // sums (squared weights decay at twice the halflife rate), with the
+    // reliability cutoff NULLing rows whose lookback beyond the newest
+    // observation is below 1e-6 relative weight — the oracle applies
+    // the same cutoff, so both engines NULL the same rows
+    // var rounds at 1e-3 / std at 1e-4 (not the usual 1e-6): the
+    // real-exponent wall-clock weights drift ~1 ulp per term between
+    // engines, and the num/den cancellation plus var's ~1e4 magnitude
+    // amplify that to ~1e-5 absolute — past a 1e-6 grain. The drift is
+    // DETERMINISTIC (both engines sum in fixed order over the same
+    // driver data), so grains verified at sf0.01 are stable across runs
+    "q_ewm_time_var" -> ((s, d) =>
+      Ewm.ewmTimeVarStd(SparkEntry.ev(s, d), Seq("user_id"), "ts", "valn",
+          "1 hour", tieBreak = Seq(col("event_id")))
+        .withColumn("ewm_var", round(col("ewm_var"), 3))
+        .withColumn("ewm_std", round(col("ewm_std"), 4))
+        .select("event_id", "user_id", "ewm_var", "ewm_std")
+        .orderBy("event_id")),
   )
 
   // shared by q_contaminated and q_contaminated_bloom: the Bloom path's
@@ -964,6 +982,32 @@ object CurationQueries {
         + " SELECT event_id, user_id,"
         + s" round(CASE WHEN w1 * w1 - w2 > 0 THEN $vr END, 6) AS ewm_var,"
         + s" round(CASE WHEN w1 * w1 - w2 > 0 THEN sqrt($vr) END, 6) AS ewm_std"
+        + " FROM a ORDER BY 1")
+    },
+    "q_ewm_time_var" -> {
+      // direct wall-clock formula with the engine's reliability cutoff
+      // (Ewm.RelVarEps interpolated): rows whose den carries < 1e-6 of
+      // w1^2 are NULL on both sides — below that the cancelled sums are
+      // double noise, not variance
+      val vr = "greatest(w1 * sxx - sx * sx, 0.0) / (w1 * w1 - w2)"
+      val ok = s"w1 * w1 - w2 > ${Ewm.RelVarEps} * w1 * w1"
+      val w = "pow(2.0, -(x.tm - b.tm)::DOUBLE / 3600000000.0)"
+      ("WITH e AS (SELECT event_id, user_id,"
+        + " CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,"
+        + " epoch_us(ts) AS tm FROM events),"
+        + " a AS (SELECT x.event_id, x.user_id,"
+        + s" sum(CASE WHEN b.v IS NOT NULL THEN $w END) AS w1,"
+        + s" sum(CASE WHEN b.v IS NOT NULL THEN $w * $w END) AS w2,"
+        + s" sum(CASE WHEN b.v IS NOT NULL THEN $w * b.v END) AS sx,"
+        + s" sum(CASE WHEN b.v IS NOT NULL THEN $w * b.v * b.v END) AS sxx"
+        + " FROM e x JOIN e b ON x.user_id = b.user_id AND"
+        + " (b.tm < x.tm OR (b.tm = x.tm AND b.event_id <= x.event_id))"
+        + " GROUP BY 1, 2)"
+        + " SELECT event_id, user_id,"
+        // 3/4-decimal grain, matching the Spark side (ulp-per-term pow
+        // drift amplified by var's magnitude — see the query comment)
+        + s" round(CASE WHEN $ok THEN $vr END, 3) AS ewm_var,"
+        + s" round(CASE WHEN $ok THEN sqrt($vr) END, 4) AS ewm_std"
         + " FROM a ORDER BY 1")
     },
   )

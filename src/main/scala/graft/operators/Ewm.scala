@@ -190,7 +190,8 @@ object Ewm {
       Reserved.contains(n) || extra.contains(n) ||
         n.startsWith("__sn_") || n.startsWith("__tn_") ||
         n.startsWith("__cin_") || n.startsWith("__enf_") || n.startsWith("__cr_") ||
-        n.startsWith("__e1_") || n.startsWith("__e2_") || n.startsWith("__e3_"))
+        n.startsWith("__e1_") || n.startsWith("__e2_") || n.startsWith("__e3_") ||
+        n.startsWith("__s_"))
     require(rclash.isEmpty,
       s"ewm reserves the __-prefixed working names; rename ${rclash.mkString(", ")} in the input")
   }
@@ -341,6 +342,131 @@ object Ewm {
       tieBreak: Seq[Column] = Nil,
       cache: Boolean = true): (DataFrame, () => Unit) = {
     checkArgs(df, by, 0.5, 1024, Seq(as))
+    // mean needs only rate-1 sums -> the full 512-halflife cell budget
+    val (sums, release) = timeDecayedSums(df, by, timeCol, valueCol, halflife,
+      tieBreak, cellHl = 512L,
+      Seq(TSpec("n", 1, col("__v")), TSpec("d", 1, lit(1.0))), cache)
+    val den = col("__s_d")
+    ((sums
+      .withColumn(as, when(den > 0, col("__s_n") / den))
+      .drop("__s_n", "__s_d")), release)
+  }
+
+  /** TIME-decayed exponentially-weighted variance/std over an irregular
+    * event stream — the wall-clock twin of [[ewmVarStd]] (pandas itself
+    * raises NotImplementedError for `ewm(halflife=timedelta, times=...)
+    * .var()`; the semantics here are the standard weighted moments with
+    * the same wall-clock weights as [[ewmTimeMean]]):
+    *
+    *   w_j = 2^(-(t_t - t_j)/halflife);  mean = Swx/Sw;
+    *   var = (Sw*Swxx - Swx^2) / (Sw^2 - Sw2)   [bias=false]
+    *
+    * with Sw2 the sum of SQUARED weights — a decayed sum at TWICE the
+    * decay rate, the mixed-base case. The cell width halves to 256
+    * halflives so the fastest in-cell scale 2^(2q) stays at the same
+    * ~154-digit budget; the lag-2 supercell truncation stays exact for
+    * every base (slowest-base lag-3 minimum decay 2^-(256+2*512) =
+    * 2^-1280, below the smallest denormal — exactly 0 in IEEE).
+    *
+    * Reliability cutoff: the variance is NULL unless den = Sw^2 - Sw2
+    * exceeds 1e-6 * Sw^2 — i.e. unless the lookback beyond the single
+    * newest observation carries at least ~1e-6 relative weight. Below
+    * that the sums cancel catastrophically (both num and den shrink to
+    * the ~1e-16 double noise floor once the second-newest weight is
+    * ~2^-50, e.g. a row 50+ halflives after its predecessor) and ANY
+    * sum-of-moments formulation returns pure rounding noise; a row-count
+    * `den > 0` test would report that noise as variance. A single
+    * observation (however weighted) and equal-time ties behave as in
+    * [[ewmVarStd]]: one obs NULL, ties count separately. Magnitude
+    * contract: |x| below ~1e20 (the x^2 sum must clear the shared scale
+    * budget). */
+  def ewmTimeVarStd(
+      df: DataFrame,
+      by: Seq[String],
+      timeCol: String,
+      valueCol: String,
+      halflife: String,
+      asVar: String = "ewm_var",
+      asStd: String = "ewm_std",
+      tieBreak: Seq[Column] = Nil,
+      cache: Boolean = true): DataFrame =
+    ewmTimeVarStdManaged(df, by, timeCol, valueCol, halflife, asVar, asStd,
+      tieBreak, cache)._1
+
+  /** [[ewmTimeVarStd]] plus the release handle — same contract as
+    * [[ewmMeanManaged]]. */
+  def ewmTimeVarStdManaged(
+      df: DataFrame,
+      by: Seq[String],
+      timeCol: String,
+      valueCol: String,
+      halflife: String,
+      asVar: String = "ewm_var",
+      asStd: String = "ewm_std",
+      tieBreak: Seq[Column] = Nil,
+      cache: Boolean = true): (DataFrame, () => Unit) = {
+    checkArgs(df, by, 0.5, 1024, Seq(asVar, asStd))
+    // Sw2 decays at rate 2 -> halve the cell so 2^(2q) <= 2^512
+    val (sums, release) = timeDecayedSums(df, by, timeCol, valueCol, halflife,
+      tieBreak, cellHl = 256L,
+      Seq(TSpec("w", 1, lit(1.0)),
+        TSpec("wx", 1, col("__v")),
+        TSpec("wxx", 1, col("__v") * col("__v")),
+        TSpec("w2", 2, lit(1.0))), cache)
+    // pandas _ewm.pyx bias=false form: var = (Sw*Swxx - Swx^2)/(Sw^2 - Sw2),
+    // gated by the relative reliability cutoff (scaladoc): den must carry
+    // >= 1e-6 of Sw^2 or the cancelled sums are double-precision noise
+    val num = greatest(
+      col("__s_w") * col("__s_wxx") - col("__s_wx") * col("__s_wx"), lit(0.0))
+    val den = col("__s_w") * col("__s_w") - col("__s_w2")
+    val v = when(den > lit(RelVarEps) * col("__s_w") * col("__s_w"), num / den)
+    ((sums
+      .withColumn(asVar, v)
+      .withColumn(asStd, sqrt(v))
+      .drop("__s_w", "__s_wx", "__s_wxx", "__s_w2")), release)
+  }
+
+  /** [[ewmTimeVarStd]]'s reliability cutoff: den/Sw^2 below this is
+    * cancellation noise, not variance (engine and oracle share the
+    * constant; the only drift risk is a den/Sw^2 landing within an ulp
+    * of it — the accepted ln-boundary risk class). */
+  val RelVarEps = 1e-6
+
+  /** One wall-clock decayed sum: S_name(t) = sum over valid j <= t of
+    * 2^(-rate * (t_t - t_j)/halflife) * value_j. `rate` is an integer
+    * decay multiplier in halflife units (1 = the weight itself, 2 = the
+    * squared weight); `value` may reference `__v` (the NaN-nulled value
+    * column). */
+  private case class TSpec(name: String, rate: Int, value: Column)
+
+  /** The wall-clock chunked-carry engine behind [[ewmTimeMean]] /
+    * [[ewmTimeVarStd]]: appends `__s_<name>` = each spec's UNSCALED
+    * decayed sum at every row. Cells are `cellHl` halflives wide —
+    * callers size cellHl so the FASTEST rate's in-cell scale
+    * 2^(rate*cellHl) stays within the ~154-digit budget, which keeps the
+    * slowest rate's lag-3 supercell decay below the smallest denormal
+    * (exact-0 truncation; see the [[ewmTimeMean]] scaladoc for the
+    * single-rate walkthrough and [[ewmTimeVarStd]] for mixed-rate
+    * sizing). Cell/supercell indices use exact integer FLOOR division
+    * (`(t - pmod(t, w)) div w` — `div` alone truncates toward zero,
+    * which would collapse every pre-1970 row within one cell width of
+    * the epoch into cell 0 and silently mis-decay them; ADVICE r6), so
+    * pre-1970 timestamps bucket into negative cells with the in-cell
+    * offset still in [0, cellHl).
+    *
+    * The plan is the [[ewmMean]] shape: one row shuffle by group, two
+    * summary-scale aggregations joined back, row stage persisted across
+    * its two consumers (`cache`/Managed contract). */
+  private def timeDecayedSums(
+      df: DataFrame,
+      by: Seq[String],
+      timeCol: String,
+      valueCol: String,
+      halflife: String,
+      tieBreak: Seq[Column],
+      cellHl: Long,
+      specs: Seq[TSpec],
+      cache: Boolean): (DataFrame, () => Unit) = {
     // the Rolling.rollingTime interval convention: CalendarInterval
     // without months (months have no fixed micros length)
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
@@ -348,11 +474,11 @@ object Ewm {
     require(iv.months == 0, s"halflife '$halflife' has months — no fixed micros length")
     val hMicros = iv.days * 86400000000L + iv.microseconds
     require(hMicros > 0, s"halflife must be a positive duration (got $halflife)")
-    val cellHl = 512L                 // cell width in halflives: 2^512 ~ 1.3e154
     val wMicros = cellHl * hMicros
-    val gamma = math.pow(2.0, -cellHl.toDouble)       // exact: 2^-512
-    val k = 2                         // supercell = 2 cells; gap factors beyond underflow
+    val k = 2                 // supercell = 2 cells; gap factors beyond underflow
     val byCols = by.map(col)
+    // per-spec cell decay: exact negative powers of two
+    def gammaOf(s: TSpec) = math.pow(2.0, -(s.rate * cellHl).toDouble)
 
     val vn = graft.functions.NanOps
       .nanToNull(col(valueCol), df.schema(valueCol).dataType).cast(DoubleType)
@@ -368,23 +494,22 @@ object Ewm {
     val wCellRun = Window.partitionBy(byCols :+ col("__c"): _*)
       .orderBy(ordCols: _*).rowsBetween(Window.unboundedPreceding, 0)
     val wCellAll = Window.partitionBy(byCols :+ col("__c"): _*)
-    val xs = when(col("__v").isNotNull, col("__v") * pow(lit(2.0), col("__q"))).otherwise(lit(0.0))
-    val ws = when(col("__v").isNotNull, pow(lit(2.0), col("__q"))).otherwise(lit(0.0))
-    base = base
-      .withColumn("__sn_n", sum(xs).over(wCellRun))
-      .withColumn("__sn_d", sum(ws).over(wCellRun))
-      .withColumn("__tn_n", sum(xs).over(wCellAll))
-      .withColumn("__tn_d", sum(ws).over(wCellAll))
+    for (s <- specs) {
+      val xs = when(col("__v").isNotNull,
+        s.value * pow(lit(2.0), lit(s.rate.toDouble) * col("__q"))).otherwise(lit(0.0))
+      base = base
+        .withColumn(s"__sn_${s.name}", sum(xs).over(wCellRun))
+        .withColumn(s"__tn_${s.name}", sum(xs).over(wCellAll))
+    }
     if (cache) base = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val release = () => if (cache) { base.unpersist(false); () } else ()
 
     // one summary row per non-empty (group, cell); A = total decayed to
     // the cell's END boundary = gamma * scaled total
-    val cells = base
+    var cells = base
       .groupBy(byCols :+ col("__c"): _*)
-      .agg(max(col("__tn_n")).as("__tn_n"), max(col("__tn_d")).as("__tn_d"))
-      .withColumn("__an", lit(gamma) * col("__tn_n"))
-      .withColumn("__ad", lit(gamma) * col("__tn_d"))
+      .agg(max(col(s"__tn_${specs.head.name}")).as(s"__tn_${specs.head.name}"),
+        specs.tail.map(s => max(col(s"__tn_${s.name}")).as(s"__tn_${s.name}")): _*)
       // floor/pmod (not div/%): negative cells (pre-1970 rows) need
       // __sc floored and __r in [0, k) for the gamma^(-r) rescale
       .withColumn("__sc", expr(s"(__c - pmod(__c, ${k}L)) div ${k}L"))
@@ -396,55 +521,52 @@ object Ewm {
     val wScRun = Window.partitionBy(byCols :+ col("__sc"): _*)
       .orderBy(col("__r")).rowsBetween(Window.unboundedPreceding, -1)
     val wScAll = Window.partitionBy(byCols :+ col("__sc"): _*)
-    val scaledN = col("__an") * pow(lit(gamma), -col("__r"))
-    val scaledD = col("__ad") * pow(lit(gamma), -col("__r"))
-    val cells2 = cells
-      .withColumn("__cin_n", coalesce(
-        pow(lit(gamma), col("__r") - 1) * sum(scaledN).over(wScRun), lit(0.0)))
-      .withColumn("__cin_d", coalesce(
-        pow(lit(gamma), col("__r") - 1) * sum(scaledD).over(wScRun), lit(0.0)))
-      .withColumn("__enf_n", sum(scaledN).over(wScAll))
-      .withColumn("__enf_d", sum(scaledD).over(wScAll))
+    for (s <- specs) {
+      val gamma = gammaOf(s)
+      val scaled = (lit(gamma) * col(s"__tn_${s.name}")) * pow(lit(gamma), -col("__r"))
+      cells = cells
+        .withColumn(s"__cin_${s.name}", coalesce(
+          pow(lit(gamma), col("__r") - 1) * sum(scaled).over(wScRun), lit(0.0)))
+        .withColumn(s"__enf_${s.name}", sum(scaled).over(wScAll))
+    }
 
     // supercell summaries with EXPLICIT-GAP decay: E decayed to the
     // supercell's end boundary; a lagged supercell g supercells back
-    // contributes E * (gamma^k)^(gap). gamma^k = 2^-1024 underflows, so
-    // any gap >= 1 between EXISTING supercells zeroes exactly — but the
-    // adjacent-supercell case (gap 0 between row and its lag) carries.
+    // contributes E * (gamma^k)^(gap), underflowing to exact 0 once the
+    // budget is spent — but the adjacent-supercell case (gap 0 between
+    // row and its lag) carries.
     val wSc = Window.partitionBy(byCols: _*).orderBy(col("__sc"))
-    val gK = math.pow(gamma, k) // 2^-1024: subnormal-but-nonzero floor
-    val scs = cells2
+    val scAgg = cells
       .groupBy(byCols :+ col("__sc"): _*)
-      .agg(max(col("__enf_n")).as("__enf_n"), max(col("__enf_d")).as("__enf_d"))
-      .select(byCols ++ Seq(col("__sc"),
-        (pow(lit(gamma), k - 1) * col("__enf_n")).as("__en"),
-        (pow(lit(gamma), k - 1) * col("__enf_d")).as("__ed")): _*)
-      .select(byCols ++ Seq(col("__sc"),
-        lag(col("__en"), 1).over(wSc).as("__en1"),
-        lag(col("__ed"), 1).over(wSc).as("__ed1"),
-        lag(col("__sc"), 1).over(wSc).as("__sc1"),
-        lag(col("__en"), 2).over(wSc).as("__en2"),
-        lag(col("__ed"), 2).over(wSc).as("__ed2"),
-        lag(col("__sc"), 2).over(wSc).as("__sc2")): _*)
+      .agg(max(col(s"__enf_${specs.head.name}")).as(s"__enf_${specs.head.name}"),
+        specs.tail.map(s => max(col(s"__enf_${s.name}")).as(s"__enf_${s.name}")): _*)
+    val lagCols = specs.flatMap { s =>
+      val e = pow(lit(gammaOf(s)), k - 1) * col(s"__enf_${s.name}")
+      (1 to 2).map(l => lag(e, l).over(wSc).as(s"__e${l}_${s.name}"))
+    } ++ Seq(lag(col("__sc"), 1).over(wSc).as("__sc1"),
+      lag(col("__sc"), 2).over(wSc).as("__sc2"))
+    val scs = scAgg.select(byCols ++ Seq(col("__sc")) ++ lagCols: _*)
 
-    def gapPow(scLag: Column): Column =
-      pow(lit(gK), (col("__sc") - scLag - 1).cast(DoubleType))
-    val carries = cells2
-      .join(scs, by :+ "__sc", "left")
-      .withColumn("__cr_n", col("__cin_n") + pow(lit(gamma), col("__r")) *
-        (coalesce(gapPow(col("__sc1")) * col("__en1"), lit(0.0)) +
-          coalesce(gapPow(col("__sc2")) * col("__en2"), lit(0.0))))
-      .withColumn("__cr_d", col("__cin_d") + pow(lit(gamma), col("__r")) *
-        (coalesce(gapPow(col("__sc1")) * col("__ed1"), lit(0.0)) +
-          coalesce(gapPow(col("__sc2")) * col("__ed2"), lit(0.0))))
-      .select(byCols ++ Seq(col("__c"), col("__cr_n"), col("__cr_d")): _*)
+    var carries = cells.join(scs, by :+ "__sc", "left")
+    for (s <- specs) {
+      val gamma = gammaOf(s)
+      val gK = math.pow(gamma, k)
+      def gapPow(scLag: Column): Column =
+        pow(lit(gK), (col("__sc") - scLag - 1).cast(DoubleType))
+      carries = carries.withColumn(s"__cr_${s.name}",
+        col(s"__cin_${s.name}") + pow(lit(gamma), col("__r")) *
+          (coalesce(gapPow(col("__sc1")) * col(s"__e1_${s.name}"), lit(0.0)) +
+            coalesce(gapPow(col("__sc2")) * col(s"__e2_${s.name}"), lit(0.0))))
+    }
+    val carrySel = carries.select(
+      byCols ++ Seq(col("__c")) ++ specs.map(s => col(s"__cr_${s.name}")): _*)
 
-    val out = base.join(carries, by :+ "__c", "left")
-    val den = pow(lit(2.0), -col("__q")) * (col("__sn_d") + col("__cr_d"))
-    val num = pow(lit(2.0), -col("__q")) * (col("__sn_n") + col("__cr_n"))
-    ((out
-      .withColumn(as, when(den > 0, num / den))
-      .drop("__v", "__tm", "__c", "__q", "__sn_n", "__sn_d", "__tn_n", "__tn_d",
-        "__cr_n", "__cr_d")), release)
+    var out = base.join(carrySel, by :+ "__c", "left")
+    for (s <- specs)
+      out = out.withColumn(s"__s_${s.name}",
+        pow(lit(2.0), lit(-s.rate.toDouble) * col("__q")) *
+          (col(s"__sn_${s.name}") + col(s"__cr_${s.name}")))
+    (out.drop(Seq("__v", "__tm", "__c", "__q") ++ specs.flatMap(s =>
+      Seq(s"__sn_${s.name}", s"__tn_${s.name}", s"__cr_${s.name}")): _*), release)
   }
 }

@@ -159,6 +159,98 @@ class EwmSpec extends AnyFunSuite {
     }
   }
 
+  /** time-decay var reference, bias=false, with the engine's reliability
+    * cutoff: weights w_j = 2^(-(t_t-t_j)/h); var = (Sw*Swxx - Swx^2) /
+    * (Sw^2 - Sw2), NULL when den <= RelVarEps * Sw^2 (below the cutoff
+    * the cancelled sums are double-precision noise in ANY formulation —
+    * the fixture that exposed it put a row 51 halflives after its
+    * predecessor: num and den both landed at ~9e-16 and this brute
+    * reference returned 1.0 where the true value is ~0.5). */
+  private def bruteTimeVar(
+      rows: Seq[(Long, Option[Double])], hMicros: Long): Seq[Option[Double]] =
+    rows.indices.map { t =>
+      val (tt, _) = rows(t)
+      val terms = (0 to t).flatMap { j =>
+        val (tj, xj) = rows(j)
+        xj.map(x => (math.pow(2.0, -(tt - tj).toDouble / hMicros), x))
+      }
+      val sw = terms.map(_._1).sum
+      val swx = terms.map(p => p._1 * p._2).sum
+      val swxx = terms.map(p => p._1 * p._2 * p._2).sum
+      val sw2 = terms.map(p => p._1 * p._1).sum
+      val den = sw * sw - sw2
+      if (den > Ewm.RelVarEps * sw * sw)
+        Some(math.max(sw * swxx - swx * swx, 0.0) / den)
+      else None
+    }
+
+  test("ewmTimeVarStd: wall-clock var/std vs brute force; single obs NULL; ties count; std=sqrt(var)") {
+    val h = 1000000L // 1 second halflife
+    // 256-halflife cells: steps of 2-8 halflives (well-conditioned:
+    // adjacent weights >= 2^-8) put ~50 rows per cell; 600 rows span
+    // ~11 cells / ~6 supercells; one 1500-halflife gap (~6 empty cells)
+    // exercises the explicit-gap carries — the rows right after it fall
+    // below the reliability cutoff and must be NULL on BOTH sides; NaNs
+    // and a same-timestamp tie included
+    val times = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var t = 0L
+    for (i <- 0 until 600) {
+      t += (if (i == 300) 1500L * h else (2L + (i * 5) % 7) * h)
+      times += t
+    }
+    times += times(10) // tie with row 10
+    val sortedTimes = times.toSeq.sorted
+    val vals = sortedTimes.indices.map(i =>
+      if (i % 9 == 4) None else Some(((i * 23) % 11).toDouble - 5))
+    val rows = sortedTimes.zip(vals)
+    val df = rows.zipWithIndex.map { case ((tm, x), i) =>
+      (1L, i.toLong, new java.sql.Timestamp(tm / 1000), x.getOrElse(Double.NaN))
+    }.toDF("g", "i", "ts", "x")
+    val got = Ewm.ewmTimeVarStd(df.repartition(5), Seq("g"), "ts", "x", "1 second",
+        tieBreak = Seq(col("i")))
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(4)).map(_.asInstanceOf[Double]),
+         Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    val want = bruteTimeVar(rows, h)
+    val firstValid = rows.indexWhere(_._2.isDefined)
+    assert(got(firstValid.toLong)._1.isEmpty,
+      "first observation alone must have NULL variance")
+    assert(got(301L)._1.isEmpty && want(301).isEmpty,
+      "first row after the 1500-halflife gap is below the reliability cutoff")
+    assert(want.count(_.isDefined) > 500, "fixture must be mostly well-conditioned")
+    for (i <- rows.indices) {
+      assert(got(i.toLong)._1.isDefined == want(i).isDefined, s"[$i]")
+      for (a <- got(i.toLong)._1; b <- want(i))
+        assert(math.abs(a - b) < 1e-9, s"var[$i]: $a vs $b")
+      for (v <- got(i.toLong)._1; s <- got(i.toLong)._2)
+        assert(math.abs(s - math.sqrt(v)) < 1e-15, s"std[$i]")
+    }
+  }
+
+  test("ewmTimeVarStd: negative epochs and cell-boundary straddle match brute force") {
+    val h = 1000000L
+    // rows from ~-900 to +900 halflives at 3-halflife steps: crosses the
+    // epoch, negative cells, and several 256-halflife cell boundaries,
+    // all well-conditioned
+    val times = (0 until 600).map(i => (-900L + i * 3L) * h)
+    val vals = times.indices.map(i =>
+      if (i % 7 == 2) None else Some(((i * 13) % 9).toDouble - 4))
+    val rows = times.zip(vals)
+    val df = rows.zipWithIndex.map { case ((tm, x), i) =>
+      (1L, i.toLong, new java.sql.Timestamp(tm / 1000), x.getOrElse(Double.NaN))
+    }.toDF("g", "i", "ts", "x")
+    val got = Ewm.ewmTimeVarStd(df.repartition(3), Seq("g"), "ts", "x", "1 second",
+        tieBreak = Seq(col("i")))
+      .collect().map(r => r.getLong(1) -> Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    val want = bruteTimeVar(rows, h)
+    assert(want.count(_.isDefined) > 550, "fixture must be well-conditioned")
+    for (i <- rows.indices) {
+      assert(got(i.toLong).isDefined == want(i).isDefined, s"[$i]")
+      for (a <- got(i.toLong); b <- want(i))
+        assert(math.abs(a - b) < 1e-9, s"[$i]: $a vs $b")
+    }
+  }
+
   test("ewmTimeMean: pre-1970 (negative-epoch) rows bucket by FLOOR division and match brute force") {
     // ADVICE r6: truncating `div` put every row in (-cellWidth, 0) into
     // cell 0, silently mis-decaying pre-1970 data. The fixture straddles
