@@ -535,7 +535,9 @@ object Dedup {
     * per round, k rounds total; no driver-side state, no collect. The
     * pair projection, edge list, and each round's label table are
     * persisted (released together by the `*Managed` handle) so the
-    * k-round lineage never re-runs the expensive pair generation. */
+    * k-round lineage never re-runs the expensive pair generation.
+    * [[dupClustersAudited]] additionally reports which labels still
+    * moved in the final round — the under-chosen-k detector. */
   def dupClusters(
       pairs: DataFrame,
       iterations: Int,
@@ -552,6 +554,30 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       cache: Boolean = true): (DataFrame, () => Unit) = {
+    val (labels, _, release) =
+      dupClustersAudited(pairs, iterations, idA, idB, cache)
+    (labels, release)
+  }
+
+  /** [[dupClustersManaged]] plus a CONVERGENCE AUDIT (VERDICT r6 #7):
+    * the second returned frame holds the (id, prev_label, cluster_id)
+    * rows whose label still changed in the FINAL round — non-empty means
+    * `iterations` was under-chosen for the realized chain topology and
+    * some components still carry local minima (count it, or inspect the
+    * ids, then re-run with larger k). Empty proves a fixpoint: when no
+    * label moved in round k, no label can move in any later round
+    * (min-propagation is monotone), so the labeling is the exact
+    * connected-component answer. The audit is ONE extra join over the
+    * last two persisted label tables — label-table-sized (distinct pair
+    * ids), never document-sized, evaluated only if the caller acts on
+    * it. A 100 TB run should gate on `audit.isEmpty` (or log its count)
+    * before trusting cluster-level dedup built on the labels. */
+  def dupClustersAudited(
+      pairs: DataFrame,
+      iterations: Int,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      cache: Boolean = true): (DataFrame, DataFrame, () => Unit) = {
     require(iterations >= 1,
       s"dupClusters needs iterations >= 1 (got $iterations)")
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -581,14 +607,19 @@ object Dedup {
         .select(col("src"), col("src").as("dst"))))
     var labels = edges.where(col("src") === col("dst"))
       .select(col("src").as("id"), col("src").as("lbl"))
+    var prev = labels
     for (_ <- 1 to iterations) {
+      prev = labels
       labels = maybeCache(
         edges
           .join(labels.select(col("id").as("__nid"), col("lbl").as("__nlbl")),
             col("dst") === col("__nid"))
           .groupBy(col("src").as("id")).agg(min(col("__nlbl")).as("lbl")))
     }
-    (labels.select(col("id"), col("lbl").as("cluster_id")),
+    val audit = prev.select(col("id"), col("lbl").as("prev_label"))
+      .join(labels.select(col("id"), col("lbl").as("cluster_id")), "id")
+      .where(col("prev_label") =!= col("cluster_id"))
+    (labels.select(col("id"), col("lbl").as("cluster_id")), audit,
       () => persisted.foreach(_.unpersist(false)))
   }
 

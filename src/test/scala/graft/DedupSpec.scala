@@ -243,6 +243,28 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Dedup.dupClusters(pairs, iterations = 0) }
   }
 
+  test("dupClustersAudited: final-round movement flags under-chosen k; empty audit proves fixpoint") {
+    // chain 1-2-3-4-5 (diameter 4): min-label propagation moves one hop
+    // per round, so labels keep changing through round 5
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val (l2, audit2, rel2) = Dedup.dupClustersAudited(chain, iterations = 2)
+    // round 2 moved nodes 3 (2->1), 4 (3->2), 5 (4->3): k=2 under-chosen
+    val moved = audit2.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(moved == Set((3L, 2L, 1L), (4L, 3L, 2L), (5L, 4L, 3L)))
+    assert(l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L),
+      "k=2 labels still carry local minima — exactly what the audit flags")
+    rel2()
+    // k=5: round 5 moves nothing (round 4 already reached the global
+    // min everywhere) — empty audit proves the fixpoint
+    val (l5, audit5, rel5) = Dedup.dupClustersAudited(chain, iterations = 5)
+    assert(audit5.isEmpty, "fixpoint reached: audit must be empty")
+    assert(l5.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    rel5()
+  }
+
   test("transitive dedup differs from one-pass on a star; iteration bound is honored") {
     // star in TEXT space: doc 3 = doc1 ++ doc2, so J(1,3)=J(2,3)~0.48 but
     // J(1,2)=0. rows=2/bands=64 puts j~0.48 at miss-probability ~4e-8
