@@ -929,8 +929,15 @@ object LlmQueries {
         // (Spark sorts (d, cell) structs; cell index is vec_id-ordered, so
         // ordering by centroid vec_id is the same tie-break); candidates
         // share a cell; exact-cosine verification.
+        // cells replays Similarity.autoCells exactly: min(n//128,
+        // isqrt(n)) clamped to [16, 2^20], with isqrt = floor(sqrt) plus
+        // the same one-step integer adjustment as the Scala side
         (s"WITH n AS $qn,"
-          + " nc AS (SELECT least(greatest(16, (SELECT count(*) FROM embeddings) // 128), 1048576) AS cells),"
+          + " cnt AS (SELECT count(*) AS n FROM embeddings),"
+          + " sq AS (SELECT n, CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) AS s0 FROM cnt),"
+          + " isq AS (SELECT n, CASE WHEN (s0+1)*(s0+1) <= n THEN s0+1"
+          + " WHEN s0*s0 > n THEN s0-1 ELSE s0 END AS s FROM sq),"
+          + " nc AS (SELECT least(greatest(16, least(n // 128, s)), 1048576) AS cells FROM isq),"
           + " c AS (SELECT vec_id AS cell, q AS cw, CAST(list_dot_product(q, q) AS BIGINT) AS cc"
           + " FROM n WHERE vec_id < (SELECT cells FROM nc)),"
           + " asg AS (SELECT vec_id, cell FROM ("

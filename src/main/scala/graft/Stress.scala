@@ -10,12 +10,18 @@ import graft.operators.{Dedup, NgramOverlap, Similarity}
   * key collides N ways). Prints wall-clock per operator; the check is
   * that times grow ~linearly with N, i.e. no all-pairs blowup.
   *
-  * Usage: runMain graft.Stress [sfDir] [replicas]
+  * Usage: runMain graft.Stress [sfDir] [replicas] [opSubstr,opSubstr,...]
+  * (the optional third arg filters ops by name substring — quick
+  * re-measures of one family without the full sweep)
   */
 object Stress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = if (args.length > 1) args(1).toInt else 8
+    val opFilter: String => Boolean =
+      if (args.length > 2) { val subs = args(2).split(",").toSeq
+        name => subs.exists(name.contains)
+      } else _ => true
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -29,7 +35,7 @@ object Stress {
       (0 until n).map(i => base.withColumn(idCol, col(idCol) + lit(i.toLong * 10000000L)))
         .reduce(_ unionByName _)
     }
-    def time(name: String)(f: => Long): Unit = {
+    def time(name: String)(f: => Long): Unit = if (opFilter(name)) {
       val t0 = System.nanoTime()
       val rows = f
       println(f"[stress] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$rows")
@@ -67,6 +73,18 @@ object Stress {
       "doc_id", "text", broadcastEval = true).count())
     time("lshNeighbors")(Similarity.lshNeighbors(embs, "vec_id", "embedding", 0.35).count())
     time("ivfNeighbors")(Similarity.ivfNeighbors(embs, "vec_id", "embedding", 0.35).count())
+    // DISTINCT-vector IVF probe: the replica corpus above duplicates every
+    // vector n ways, so its pair output (and verify cost) is clique-
+    // quadratic by construction — right for testing dedup pressure, wrong
+    // for isolating ASSIGNMENT cost, the term the sqrt-n autoCells rule
+    // bounds. Synthetic distinct vectors keep the true-pair count sparse
+    // so assignment + bucketing dominate; the check is wall growing
+    // ~n^1.5, not n^2 (r6 verdict #5).
+    val distinctEmbs = spark.range(n * 2000L).select(col("id").as("vec_id"),
+      array((0 until 64).map(j =>
+        sin(col("id") * (7919 + j) + lit(j * 104729)).cast("float")): _*).as("embedding"))
+    time("ivfNeighbors distinct")(
+      Similarity.ivfNeighbors(distinctEmbs, "vec_id", "embedding", 0.35).count())
     // cross-set LSH (r5): both sides big — the shape crossPairs' cartesian
     // cannot survive; replica split puts half the corpus on each side
     time("crossNeighborsLsh")(Similarity.crossNeighborsLsh(

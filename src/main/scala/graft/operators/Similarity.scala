@@ -200,18 +200,43 @@ object Similarity {
     * verify grows with occupancy^2), shard the corpus, or prefer
     * [[lshNeighbors]], whose bucket assignment is O(n x planes) with
     * planes growing only logarithmically. */
-  /** Corpus-aware cell count: total candidate-pair cost is
-    * ~(nprobe * n / cells)^2 * cells — inversely proportional to cells —
-    * so cells must grow with the corpus: max(minCells, n /
-    * targetListSize), integer logic (SQL-replayable, mirrored by the
-    * q_ann_ivf oracle). targetListSize=128 measured vs 256 on the 16x
-    * stress corpus: half the per-cell occupancy, ~2x less verify work,
-    * recall held by nprobe. Capped at 2^20 cells: beyond that the
-    * literal-centroid assignment expression itself is the bottleneck
-    * (and an unclamped Int cast would wrap negative past ~5*10^11 rows) —
-    * shard the corpus or raise targetListSize instead. */
+  /** Exact integer square root, SQL-replayable: floor of the double
+    * sqrt with a one-step adjustment. For n < 2^53 the double sqrt is
+    * within one ulp of the true root, so a single +-1 correction makes
+    * the result exact — and the identical CASE expression in the
+    * q_ann_ivf oracle lands on the same integer, ulp-for-ulp. */
+  def isqrt(n: Long): Long = {
+    require(n >= 0, s"isqrt of negative $n")
+    val s0 = math.floor(math.sqrt(n.toDouble)).toLong
+    if ((s0 + 1) * (s0 + 1) <= n) s0 + 1
+    else if (s0 * s0 > n) s0 - 1
+    else s0
+  }
+
+  /** Corpus-aware cell count, balancing the TWO costs that move with it
+    * (VERDICT r6 #5):
+    *
+    *   - flat coarse assignment: n x cells integer dots (every vector
+    *     scored against every literal centroid);
+    *   - candidate verify: ~(nprobe * occupancy)^2 * cells with
+    *     occupancy = n / cells — inversely proportional to cells.
+    *
+    * cells ~ sqrt(n) (the FAISS convention) balances them at O(n^1.5)
+    * each; the previous cells ~ n/128 rule minimized verify work but
+    * let assignment grow O(n^2/128) (measured on the x16 stress corpus:
+    * wall 14 -> 125 s for 2x data, BENCH_NOTES). The rule keeps the
+    * occupancy-targeted sizing for small corpora — min(n /
+    * targetListSize, isqrt(n)) — because below n = targetListSize^2
+    * (~16k at the default) the n/128 term is smaller and assignment is
+    * nowhere near dominant; past it, sqrt takes over and assignment
+    * stays ~n^1.5. Pure integer logic (SQL-replayable, mirrored by the
+    * q_ann_ivf oracle). Floor of minCells; the 2^20 cap is now only
+    * reachable past ~10^12 rows (isqrt grows slowly) — shard the corpus
+    * or raise targetListSize there. */
   def autoCells(n: Long, targetListSize: Long = 128, minCells: Int = 16): Int =
-    math.min(math.max(minCells.toLong, n / targetListSize), 1L << 20).toInt
+    math.min(
+      math.max(minCells.toLong, math.min(n / targetListSize, isqrt(n))),
+      1L << 20).toInt
 
   def ivfNeighbors(
       df: DataFrame,

@@ -78,6 +78,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ns.map(Similarity.autoPlanes(_)) == ns.map(Similarity.autoPlanes(_)).sorted)
   }
 
+  test("isqrt is exact at boundaries; autoCells balances assignment vs verify at sqrt(n)") {
+    // exact integer sqrt, including perfect-square boundaries where the
+    // double sqrt could land one ulp off
+    for (s <- Seq(0L, 1L, 2L, 1000L, 1048576L, 3037000498L)) {
+      if (s > 0) assert(Similarity.isqrt(s * s - 1) == s - 1, s"isqrt(${s}^2-1)")
+      assert(Similarity.isqrt(s * s) == s, s"isqrt(${s}^2)")
+      if (s > 0) assert(Similarity.isqrt(s * s + 1) == s, s"isqrt(${s}^2+1)")
+    }
+    // small corpora keep the occupancy rule (n/128 dominates below 128^2)
+    assert(Similarity.autoCells(500) == 16)     // the test-sf regime: floor
+    assert(Similarity.autoCells(10000) == 78)   // n/128 < isqrt(n)=100
+    assert(Similarity.autoCells(128 * 128) == 128) // crossover: both 128
+    // large corpora switch to sqrt sizing: assignment O(n^1.5), not O(n^2)
+    assert(Similarity.autoCells(1000000) == 1000)     // isqrt, not 7812
+    assert(Similarity.autoCells(100000000) == 10000)  // isqrt, not 781250
+    assert(Similarity.autoCells((1L << 40)) == (1L << 20).toInt) // cap
+    val ns = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L)
+    assert(ns.map(Similarity.autoCells(_)) == ns.map(Similarity.autoCells(_)).sorted,
+      "autoCells must be monotonic in corpus size")
+  }
+
   /** LSH candidate-pair cost with auto-sized planes must grow ~linearly in
     * the corpus (the whole point of corpus-aware sizing): occupancy
     * n/2^planes stays ~constant, so sum-over-buckets C(size,2) scales with
