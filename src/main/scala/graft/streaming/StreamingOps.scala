@@ -17,6 +17,37 @@ import graft.operators.{Agg, Aggregations}
   * `dedupExact` state is bounded by the watermark horizon too (that is
   * the point of dropDuplicatesWithinWatermark); `runningNanSum` keeps one
   * number per key — the smallest possible per-group state.
+  *
+  * == The streamability boundary (r6 verdict #8) ==
+  *
+  * What streams, and why — the test is always "is the per-key state the
+  * operator must hold bounded by something the watermark can evict?":
+  *
+  *   - STATELESS row transforms (the curation filters: quality/langid/
+  *     PII/Gopher flags, any per-row expression) — trivially streamable;
+  *     streaming==batch is structural, not a re-implementation.
+  *   - WINDOWED grouped reductions over event time ([[windowedReduce]]) —
+  *     state = open windows per group, watermark-evicted.
+  *   - WATERMARK-HORIZON dedup ([[dedupExact]]) — state = keys within
+  *     the horizon.
+  *   - RUNNING per-key scans ([[runningNanSum]] via mapGroupsWithState)
+  *     — state = one accumulator per key (no per-row history).
+  *
+  * What does NOT stream, deliberately — the batch transform family
+  * (GroupByTransform rank/shift/diff/pctChange/interpolate, Ewm, the
+  *  Rolling row/time frames, quantiles, argmin/argmax without pos):
+  * each output row depends on an UNBOUNDED ordered prefix (or suffix)
+  * of its group, so exact incremental maintenance needs per-key state
+  * proportional to the group's history — precisely the state shape
+  * watermarks exist to forbid. rank/shift would additionally
+  * RETRACT already-emitted rows when a late row lands inside the order
+  * (append mode cannot; update mode would rewrite unbounded output).
+  * Do not add them here: bound the problem instead — run the batch
+  * transform over a closed window of the stream's sink (the lambda
+  * shape), or reformulate as a running scan (e.g. ewm-mean's recurrence
+  * IS a bounded-state running scan per key and could ship as a
+  * mapGroupsWithState if a use case pins its semantics — but that is a
+  * NEW operator with in-order-arrival semantics, not the batch ewm).
   */
 object StreamingOps {
 
