@@ -506,6 +506,58 @@ object CurationQueries {
         .withColumn("ewm_std", round(col("ewm_std"), 4))
         .select("event_id", "user_id", "ewm_var", "ewm_std")
         .orderBy("event_id")),
+    // rolling cov/corr/trend (r7): value against integer epoch-seconds
+    // over the 1-hour range frame — slope = value units per second, the
+    // windowed OLS trend. Both columns centered at the per-group masked
+    // min inside the operator (shift-invariant; uncentered epoch-seconds
+    // sums would cancel away ~8 digits), mirrored in the oracle. All
+    // sums exact decimals on both engines -> bit-identical finalize.
+    "q_rolling_corr" -> ((s, d) =>
+      Rolling.covCorrTime(
+          SparkEntry.ev(s, d)
+            .withColumn("tsec", expr("unix_micros(ts) DIV 1000000")),
+          Seq("user_id"), "ts", "1 hour", "valn", "tsec",
+          asSlope = Some("trend0"), scaleY = Some(0))
+        .withColumn("cov_1h", round(col("rolling_cov"), 6))
+        .withColumn("corr_1h", round(col("rolling_corr"), 6))
+        .withColumn("trend_1h", round(col("trend0"), 6))
+        .select("event_id", "user_id", "cov_1h", "corr_1h", "trend_1h")
+        .orderBy("event_id")),
+    // running approx quantile (r7): the GK sketch as an EXPANDING window
+    // aggregate — the unbounded-frame path the exact rolling quantile's
+    // bounded-frame contract excludes. Accuracy evidence, the q_approxcd
+    // pattern: the sketch's rank guarantee (|rank - target| <= n/accuracy)
+    // is asserted as a hash-matchable boolean against the frame's exact
+    // order statistics (test-scale scaffolding); the oracle supplies the
+    // exact running median and TRUE.
+    "q_running_quantile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val acc = 100
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val vn = graft.functions.NanOps.nanToNull(col("valn"),
+        org.apache.spark.sql.types.DoubleType)
+      val n = size(col("__srt"))
+      val h = (n.cast("double") - lit(1.0)) * lit(0.5)
+      val lo = floor(h)
+      val exact = when(n > 0,
+        element_at(col("__srt"), lo.cast("int") + 1)
+          + (h - lo) * (element_at(col("__srt"), ceil(h).cast("int") + 1)
+            - element_at(col("__srt"), lo.cast("int") + 1)))
+      val tol = n.cast("double") / lit(acc.toDouble) + lit(1.0)
+      val okBand = col("aq") >= element_at(col("__srt"),
+          greatest(lit(0.0), floor(h - tol)).cast("int") + 1) &&
+        col("aq") <= element_at(col("__srt"),
+          least(n.cast("double") - lit(1.0), ceil(h + tol)).cast("int") + 1)
+      Rolling.runningQuantileApprox(SparkEntry.ev(s, d), Seq("user_id"),
+          Seq(col("ts"), col("event_id")), "valn", 0.5, acc, "aq")
+        .withColumn("__srt", sort_array(collect_list(vn).over(w)))
+        .withColumn("n_run", n.cast("long"))
+        .withColumn("med_run", round(exact, 6))
+        .withColumn("approx_ok", when(n === 0, lit(true)).otherwise(okBand))
+        .select("event_id", "user_id", "n_run", "med_run", "approx_ok")
+        .orderBy("event_id")
+    }),
   )
 
   // shared by q_contaminated and q_contaminated_bloom: the Bloom path's
@@ -1010,5 +1062,47 @@ object CurationQueries {
         + s" round(CASE WHEN $ok THEN sqrt($vr) END, 4) AS ewm_std"
         + " FROM a ORDER BY 1")
     },
+    "q_rolling_corr" -> {
+      // replays covCorrTime term for term: pair mask on v, per-group
+      // masked-min centering, exact decimal frame sums cast to double
+      // once, the same IEEE finalize with the same guards
+      val n = "CAST(count(cx) OVER w AS DOUBLE)"
+      def s(e: String) = s"CAST(sum($e) OVER w AS DOUBLE)"
+      val cxy = s"(${s("cx * cy")} - ${s("cx")} * ${s("cy")} / $n)"
+      val m2x = s"(${s("cx * cx")} - ${s("cx")} * ${s("cx")} / $n)"
+      val m2y = s"(${s("cy * cy")} - ${s("cy")} * ${s("cy")} / $n)"
+      ("WITH e AS (SELECT event_id, user_id, ts,"
+        + " CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,"
+        + " epoch_us(ts) // 1000000 AS tsec FROM events),"
+        + " m AS (SELECT event_id, user_id, ts,"
+        + " CASE WHEN v IS NOT NULL THEN CAST(v AS DECIMAL(18,2)) END AS xm,"
+        + " CASE WHEN v IS NOT NULL THEN CAST(tsec AS DECIMAL(18,0)) END AS ym"
+        + " FROM e),"
+        + " c AS (SELECT event_id, user_id, ts,"
+        + " CAST(xm - min(xm) OVER g AS DECIMAL(18,2)) AS cx,"
+        + " CAST(ym - min(ym) OVER g AS DECIMAL(18,0)) AS cy"
+        + " FROM m WINDOW g AS (PARTITION BY user_id))"
+        + " SELECT event_id, user_id,"
+        + s" round(CASE WHEN count(cx) OVER w > 1 THEN $cxy / ($n - 1.0) END, 6) AS cov_1h,"
+        + s" round(CASE WHEN count(cx) OVER w > 1 AND $m2x > 0 AND $m2y > 0"
+        + s" THEN $cxy / sqrt($m2x * $m2y) END, 6) AS corr_1h,"
+        + s" round(CASE WHEN count(cx) OVER w > 1 AND $m2y > 0"
+        + s" THEN $cxy / $m2y END, 6) AS trend_1h"
+        + " FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts"
+        + " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        + " ORDER BY event_id")
+    },
+    "q_running_quantile" ->
+      // exact expanding median (quantile_cont == the Spark-side sorted-
+      // array interpolation) + the constant-TRUE accuracy bit: if the GK
+      // sketch ever leaves its rank band, the hash comparison fails
+      ("SELECT event_id, user_id, count(v) OVER w AS n_run,"
+        + " round(quantile_cont(v, 0.5) OVER w, 6) AS med_run,"
+        + " TRUE AS approx_ok"
+        + " FROM (SELECT event_id, user_id, ts,"
+        + " CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events)"
+        + " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
+        + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        + " ORDER BY event_id"),
   )
 }

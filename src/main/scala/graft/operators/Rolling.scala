@@ -129,6 +129,190 @@ object Rolling {
     applyAggs(df, valueCol, aggs, exactScale, w, ddof)
   }
 
+  /** Rolling covariance / correlation / OLS slope between two columns
+    * over the same trailing TIME frame as [[rollingTime]] — the pandas
+    * `rolling().cov(other)/corr(other)` pair plus the rolling-trend
+    * slope (regress x on y; pass y = epoch seconds for "how fast is x
+    * moving per second over the last hour", the windowed twin of
+    * [[FeatureScaling]]'s grouped OLS).
+    *
+    * Pairwise-complete semantics (the pandas convention): only rows
+    * where BOTH values are valid (non-NULL, non-NaN) contribute; a row
+    * with one side missing still RECEIVES a result from its frame's
+    * complete pairs. cov uses `ddof` (sample, default 1; NULL when the
+    * frame has <= ddof complete pairs); corr is ddof-invariant and NULL
+    * when either marginal variance is 0 (constant frame); slope = cov /
+    * var(y), NULL when var(y) = 0.
+    *
+    * Numeric contract mirrors [[rollingTime]]'s var: per-column exact
+    * decimal frame sums (scaleX/scaleY; products stay exact decimals —
+    * (18,sx)×(18,sy) → (37,sx+sy) summed at (38,sx+sy)), cast to double
+    * once, then ONE fixed IEEE finalize an oracle replays term for term.
+    * None = raw double sums (faster, order-sensitive). Both columns are
+    * CENTERED at their per-group (pair-masked) minimum before the sums —
+    * cov/corr/slope are shift-invariant, and without centering an
+    * epoch-seconds y column loses ~8 significant digits to cancellation
+    * (syy ~ 1e20 vs frame variance ~ 1e6: the sums agree to the ulp but
+    * the subtraction keeps only noise). The centering min is one extra
+    * unbounded frame in the SAME WindowExec (no extra shuffle or sort)
+    * and is replayed by the oracle, so parity is still bit-exact.
+    * Decimal overflow contract: |shifted x·y| · frame-rows must fit
+    * 38-(sx+sy) integer digits — a group spanning ~11 days of
+    * epoch-seconds at scale 6 against 2-decimal values leaves 10^22
+    * headroom, comfortable at any frame size. */
+  def covCorrTime(
+      df: DataFrame,
+      by: Seq[String],
+      tsCol: String,
+      window: String,
+      xCol: String,
+      yCol: String,
+      asCov: String = "rolling_cov",
+      asCorr: String = "rolling_corr",
+      asSlope: Option[String] = None,
+      scaleX: Option[Int] = Some(2),
+      scaleY: Option[Int] = Some(2),
+      ddof: Int = 1): DataFrame = {
+    require(ddof >= 0, s"ddof must be >= 0 (got $ddof)")
+    require(!df.columns.contains("__rts"),
+      "covCorrTime reserves column name __rts; rename it in the input")
+    val micros = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(window))
+    require(micros.months == 0, s"window '$window' has months — no fixed micros length")
+    val span = micros.days * 86400000000L + micros.microseconds
+    require(span > 0, s"window '$window' must be positive")
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col("__rts"))
+      .rangeBetween(-span, 0)
+    val wg = Window.partitionBy(by.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.withColumn("__rts", unix_micros(col(tsCol)))
+      .transform(applyCovCorr(_, xCol, yCol, asCov, asCorr, asSlope,
+        scaleX, scaleY, w, wg, ddof))
+      .drop("__rts")
+  }
+
+  /** [[covCorrTime]] over a ROWS frame (self + `window - 1` preceding
+    * under the caller's total order) — the [[rollingRows]] twin. */
+  def covCorrRows(
+      df: DataFrame,
+      by: Seq[String],
+      order: Seq[Column],
+      window: Int,
+      xCol: String,
+      yCol: String,
+      asCov: String = "rolling_cov",
+      asCorr: String = "rolling_corr",
+      asSlope: Option[String] = None,
+      scaleX: Option[Int] = Some(2),
+      scaleY: Option[Int] = Some(2),
+      ddof: Int = 1): DataFrame = {
+    require(window >= 1, s"window must be >= 1 rows (got $window)")
+    require(order.nonEmpty, "covCorrRows needs an explicit total order")
+    require(ddof >= 0, s"ddof must be >= 0 (got $ddof)")
+    val w = Window.partitionBy(by.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-(window - 1).toLong, 0)
+    val wg = Window.partitionBy(by.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    applyCovCorr(df, xCol, yCol, asCov, asCorr, asSlope, scaleX, scaleY, w, wg, ddof)
+  }
+
+  /** RUNNING (expanding-frame) approximate quantile — the unbounded-frame
+    * complement of the exact `"median"`/`"quantile:<q>"` rolling funcs,
+    * whose O(frame) per-row buffer is documented for bounded frames only.
+    * Spark's own GK sketch (`percentile_approx`, a mergeable
+    * TypedImperativeAggregate) runs as a window aggregate over `ROWS
+    * UNBOUNDED PRECEDING`: the expanding frame never removes rows, so
+    * WindowExec feeds each row to the sketch exactly once — O(rows)
+    * updates with O(accuracy) state per group, any group size.
+    *
+    * Contract: the returned value is an actual element of the frame whose
+    * RANK is within `n / accuracy` of the target rank (the GK guarantee;
+    * accuracy = 1/epsilon). NaN/NULL values are skipped (nan* semantics);
+    * all-invalid frames yield NULL. Needs a caller-supplied total order
+    * (ROWS frame — same determinism contract as [[rollingRows]]); the
+    * sketch's internal structure is insertion-order-sensitive but the
+    * rank guarantee holds under any order, so only the guarantee (not the
+    * exact returned element) is stable across repartitioning — pin
+    * downstream logic to the epsilon band, not the value. */
+  def runningQuantileApprox(
+      df: DataFrame,
+      by: Seq[String],
+      order: Seq[Column],
+      valueCol: String,
+      q: Double,
+      accuracy: Int = 10000,
+      as: String = "running_quantile"): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile q must be in [0, 1] (got $q)")
+    require(accuracy >= 1, s"accuracy must be >= 1 (got $accuracy)")
+    require(order.nonEmpty, "runningQuantileApprox needs an explicit total order")
+    require(!df.columns.contains(as),
+      s"output column $as collides with input; rename one")
+    val w = Window.partitionBy(by.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vn = graft.functions.NanOps.nanToNull(col(valueCol), df.schema(valueCol).dataType)
+    df.withColumn(as, percentile_approx(vn, lit(q), lit(accuracy)).over(w))
+  }
+
+  private def applyCovCorr(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      asCov: String,
+      asCorr: String,
+      asSlope: Option[String],
+      scaleX: Option[Int],
+      scaleY: Option[Int],
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      wGroup: org.apache.spark.sql.expressions.WindowSpec,
+      ddof: Int): DataFrame = {
+    val outNames = Seq(asCov, asCorr) ++ asSlope
+    val clashes = outNames.intersect(df.columns.toSeq)
+    require(clashes.isEmpty,
+      s"cov/corr output columns collide with input: ${clashes.mkString(", ")}")
+    require(outNames.distinct.size == outNames.size,
+      s"duplicate cov/corr output names: ${outNames.mkString(", ")}")
+    val work = Seq("__cc_x", "__cc_y")
+    require(work.forall(!df.columns.contains(_)),
+      s"cov/corr reserves working columns ${work.mkString(", ")}; rename them in the input")
+    val vx0 = graft.functions.NanOps.nanToNull(col(xCol), df.schema(xCol).dataType)
+    val vy0 = graft.functions.NanOps.nanToNull(col(yCol), df.schema(yCol).dataType)
+    // pairwise-complete mask: a pair contributes only when both sides valid
+    val xm = when(vx0.isNotNull && vy0.isNotNull, vx0)
+    val ym = when(vx0.isNotNull && vy0.isNotNull, vy0)
+    def dec(c: Column, s: Option[Int]): Column =
+      s.map(sc => c.cast(DecimalType(18, sc))).getOrElse(c.cast(DoubleType))
+    def recenter(c: Column, s: Option[Int]): Column = {
+      // shift-invariant centering at the per-group masked min (scaladoc);
+      // the (18,s)-(18,s) difference widens to (19,s) — cast back down,
+      // exact because the shifted span is group-sized
+      val d = c - min(c).over(wGroup)
+      s.map(sc => d.cast(DecimalType(18, sc))).getOrElse(d)
+    }
+    // materialize the centered values once: the centering min is an
+    // unbounded frame in the same WindowExec (same partitioning), and a
+    // working column guarantees the five frame sums share it
+    val centered = df
+      .withColumn("__cc_x", recenter(dec(xm, scaleX), scaleX))
+      .withColumn("__cc_y", recenter(dec(ym, scaleY), scaleY))
+    val (dx, dy) = (col("__cc_x"), col("__cc_y"))
+    def fsum(c: Column): Column = sum(c).over(w).cast(DoubleType)
+    val n   = count(dx).over(w).cast(DoubleType)
+    val sx  = fsum(dx);      val sy  = fsum(dy)
+    val sxx = fsum(dx * dx); val syy = fsum(dy * dy)
+    val sxy = fsum(dx * dy)
+    // one IEEE finalize over the frame sums (cov can be legitimately
+    // negative — no clamp; the corr/slope variance terms clamp at 0 via
+    // the > 0 guards)
+    val cxy = sxy - sx * sy / n
+    val m2x = sxx - sx * sx / n
+    val m2y = syy - sy * sy / n
+    val out = centered
+      .withColumn(asCov, when(n > ddof, cxy / (n - lit(ddof.toDouble))))
+      .withColumn(asCorr, when(n > 1 && m2x > 0 && m2y > 0, cxy / sqrt(m2x * m2y)))
+    asSlope.fold(out)(s => out.withColumn(s, when(n > 1 && m2y > 0, cxy / m2y)))
+      .drop(work: _*)
+  }
+
   private def applyAggs(
       df: DataFrame,
       valueCol: String,

@@ -749,6 +749,121 @@ class CurationSpec extends AnyFunSuite {
     assert(got(7L) == ((None, None)), "constant frame: m2=0 -> NULL")
   }
 
+  test("rolling cov/corr/slope: pairwise-complete vs brute force; epoch-scale y survives centering") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // y at epoch-seconds magnitude (~1.7e9): without the per-group
+    // centering the frame sums of y^2 (~3e18) would cancel away the
+    // ~1e3-sized variance; with it the result matches brute force (which
+    // centers too) to 1e-9
+    def ysec(min: Long): Double = 1.7e9 + min * 60.0
+    val rows = Seq(
+      (1L, "u1", at(0), 1.0, ysec(0)),
+      (2L, "u1", at(30), 2.0, ysec(30)),
+      (3L, "u1", at(60), 4.0, ysec(55)),
+      (4L, "u1", at(61), Double.NaN, ysec(61)),     // x NaN: pair excluded
+      (5L, "u1", at(80), 5.0, Double.NaN),          // y NaN: pair excluded
+      (6L, "u1", at(200), 8.0, ysec(200)),          // singleton -> all NULL
+      (7L, "u2", at(0), 3.0, ysec(0)),              // constant-y frame ...
+      (8L, "u2", at(10), 7.0, ysec(0))              // ... cov ok, corr/slope NULL
+    ).toDF("event_id", "user", "ts", "x", "y")
+    val got = Rolling.covCorrTime(rows, Seq("user"), "ts", "1 hour", "x", "y",
+        asSlope = Some("sl"), scaleX = None, scaleY = None)
+      .select("event_id", "rolling_cov", "rolling_corr", "sl").collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    def brute(pairs: (Double, Double)*): (Double, Option[Double], Option[Double]) = {
+      val n = pairs.size.toDouble
+      val (mx, my) = (pairs.map(_._1).sum / n, pairs.map(_._2).sum / n)
+      val cxy = pairs.map(p => (p._1 - mx) * (p._2 - my)).sum
+      val m2x = pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      val m2y = pairs.map(p => (p._2 - my) * (p._2 - my)).sum
+      (cxy / (n - 1),
+        if (m2x > 0 && m2y > 0) Some(cxy / math.sqrt(m2x * m2y)) else None,
+        if (m2y > 0) Some(cxy / m2y) else None)
+    }
+    def check(id: Long, pairs: (Double, Double)*): Unit = {
+      val (wc, wr, ws) = brute(pairs: _*)
+      assert(got(id)._1.exists(v => math.abs(v.asInstanceOf[Double] - wc) < 1e-9),
+        s"cov row $id: ${got(id)._1} want $wc")
+      (got(id)._2, wr) match {
+        case (Some(a), Some(b)) => assert(math.abs(a.asInstanceOf[Double] - b) < 1e-9, s"corr row $id")
+        case (None, None)       =>
+        case other              => fail(s"corr row $id: $other")
+      }
+      (got(id)._3, ws) match {
+        case (Some(a), Some(b)) => assert(math.abs(a.asInstanceOf[Double] - b) < 1e-9, s"slope row $id")
+        case (None, None)       =>
+        case other              => fail(s"slope row $id: $other")
+      }
+    }
+    val (p1, p2, p3) = ((1.0, ysec(0)), (2.0, ysec(30)), (4.0, ysec(55)))
+    assert(got(1L) == ((None, None, None)), "singleton frame all NULL")
+    check(2L, p1, p2)
+    check(3L, p1, p2, p3)
+    check(4L, p2, p3)                // own pair invalid, frame = valid pairs of rows 2,3
+    check(5L, p2, p3)                // y-NaN row: same frame
+    assert(got(6L) == ((None, None, None)))
+    check(8L, (3.0, ysec(0)), (7.0, ysec(0)))  // cov=0, corr/slope NULL
+  }
+
+  test("rolling cov: rows frame + exact decimal path matches the double path on 2-decimal data") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (1 to 8).map(i =>
+        (i.toLong, "u", t0, (i * 7 % 5) + i * 0.25, ((i * 3) % 4).toDouble))
+      .toDF("event_id", "user", "ts", "x", "y")
+    def run(sx: Option[Int], sy: Option[Int]) =
+      Rolling.covCorrRows(rows, Seq("user"), Seq(col("ts"), col("event_id")), 4,
+          "x", "y", asSlope = Some("sl"), scaleX = sx, scaleY = sy)
+        .select("event_id", "rolling_cov", "rolling_corr", "sl").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toSeq
+    val exact = run(Some(2), Some(2)); val dbl = run(None, None)
+    exact.zip(dbl).foreach { case ((id, c1, r1, s1), (_, c2, r2, s2)) =>
+      def close(a: Option[Any], b: Option[Any]): Boolean = (a, b) match {
+        case (Some(x), Some(y)) =>
+          math.abs(x.asInstanceOf[Double] - y.asInstanceOf[Double]) < 1e-9
+        case (None, None) => true
+        case _            => false
+      }
+      assert(close(c1, c2) && close(r1, r2) && close(s1, s2), s"row $id: $c1/$c2 $r1/$r2 $s1/$s2")
+    }
+  }
+
+  test("runningQuantileApprox: expanding GK sketch honors the rank band; NaN skipped; all-invalid NULL") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 400 rows, one group: a shuffled-ish deterministic sequence; with
+    // accuracy=50 (eps=2%) the sketch must stay within ±(n/50 + 1) ranks
+    // of the target at every prefix
+    val rows = (1 to 400).map(i =>
+        (i.toLong, "u", t0, if (i % 19 == 3) Double.NaN else ((i * 73) % 101).toDouble))
+      .toDF("event_id", "user", "ts", "v")
+    val got = Rolling.runningQuantileApprox(rows.repartition(7), Seq("user"),
+        Seq(col("ts"), col("event_id")), "v", 0.5, 50, "aq")
+      .select("event_id", "aq").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    val prefix = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (i <- 1 to 400) {
+      val x = if (i % 19 == 3) Double.NaN else ((i * 73) % 101).toDouble
+      if (!x.isNaN) prefix += x
+      val n = prefix.size
+      if (n == 0) assert(got(i.toLong).isEmpty, s"row $i: empty prefix must be NULL")
+      else {
+        val a = prefix.sorted
+        val h = (n - 1) * 0.5
+        val tol = n.toDouble / 50 + 1
+        val lo = a(math.max(0, math.floor(h - tol).toInt))
+        val hi = a(math.min(n - 1, math.ceil(h + tol).toInt))
+        val v = got(i.toLong).getOrElse(fail(s"row $i: missing"))
+        assert(v >= lo && v <= hi, s"row $i: $v outside rank band [$lo, $hi] (n=$n)")
+        assert(a.contains(v), s"row $i: sketch must return an actual frame element")
+      }
+    }
+    // all-invalid group
+    val nan = Seq((1L, "g", t0, Double.NaN)).toDF("event_id", "user", "ts", "v")
+    assert(Rolling.runningQuantileApprox(nan, Seq("user"),
+      Seq(col("event_id")), "v", 0.5, 50, "aq").select("aq").head().isNullAt(0))
+  }
+
   test("rollingTime rejects unsupported funcs and month windows") {
     val rows = Seq((1L, "u", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
       .toDF("event_id", "user", "ts", "v")
