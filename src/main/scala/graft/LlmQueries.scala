@@ -469,11 +469,7 @@ object LlmQueries {
       // brace-glob makes it resolve the parent dir while matching exactly
       // the single events file
       val raw = s.readStream.schema(schema).parquet(s"$d/{events.parquet}")
-      val fixed = schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        case _ => raw
-      }
+      val fixed = SparkEntry.tsToTimestamp(raw, "ts")
       val out = StreamingOps.windowedReduce(fixed, "ts", "1 hour", Seq("event_type"),
         Seq(Agg("count", "value", "n"),
             Agg("nansum", "value", "sum_value", exactScale = Some(2))))

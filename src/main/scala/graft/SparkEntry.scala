@@ -41,19 +41,28 @@ object SparkEntry {
       .withColumn("pos", col("l_orderkey") * 8 + col("l_linenumber"))
       .withColumn("valn", when(col("l_tax") === 0.0, lit(Double.NaN)).otherwise(col("l_quantity")))
 
-  private[graft] def ev(s: SparkSession, dir: String): DataFrame = {
-    val raw = T(s, dir, "events")
-    // events.ts is parquet timestamp[ns]; with
-    // spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos —
-    // convert to a microsecond timestamp (the data is micro-precision).
-    val fixed = raw.schema("ts").dataType match {
+  /** Normalize the events `ts` column to a plain (UTC-instant)
+    * TimestampType regardless of how the driver encoded it that round:
+    *   - parquet timestamp[ns] + spark.sql.legacy.parquet.nanosAsLong →
+    *     long nanos → truncate to micros;
+    *   - parquet timestamp[us] with isAdjustedToUTC=false → Spark 4
+    *     infers TIMESTAMP_NTZ → cast (session tz is pinned to UTC, so
+    *     the wall-clock reading IS the instant, matching DuckDB's naive
+    *     timestamps cell-for-cell);
+    *   - already TimestampType → untouched. */
+  private[graft] def tsToTimestamp(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => raw
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol,
+          col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
-    fixed.withColumn("valn",
+
+  private[graft] def ev(s: SparkSession, dir: String): DataFrame =
+    tsToTimestamp(T(s, dir, "events"), "ts").withColumn("valn",
       when(col("event_type") === "error", lit(Double.NaN)).otherwise(col("value")))
-  }
 
   // oracle-side equivalents of the injected columns (NaN already
   // normalized to NULL where the query consumes valid values only)
