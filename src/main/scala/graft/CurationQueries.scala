@@ -558,7 +558,75 @@ object CurationQueries {
         .select("event_id", "user_id", "n_run", "med_run", "approx_ok")
         .orderBy("event_id")
     }),
+    // EXACT-recall set-similarity join (prefix filtering): the oracle is
+    // the BRUTE-FORCE all-pairs Jaccard, so a hash match certifies
+    // recall = precision = 1 — the guarantee the LSH path (q_dedup_near)
+    // structurally cannot make.
+    "q_jaccard_exact" -> ((s, d) =>
+      Dedup.jaccardJoinExact(T(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.4)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")),
+    // Ordered funnel over the event stream: per-user earliest
+    // signup → (later) view → (later) purchase times, one row per step
+    // with reach + step conversion. Single exchange (stacked unbounded
+    // windows on user_id).
+    "q_funnel" -> ((s, d) =>
+      Funnel.funnelCounts(SparkEntry.ev(s, d), "user_id", "ts", "event_type",
+          FunnelSteps)
+        .orderBy("step")),
+    // The per-user funnel detail behind q_funnel: each user's step
+    // completion instants (NULL = never reached).
+    "q_funnel_users" -> ((s, d) =>
+      Funnel.stepTimes(SparkEntry.ev(s, d), "user_id", "ts", "event_type",
+          FunnelSteps)
+        .withColumnsRenamed(Map("t0" -> "t_signup", "t1" -> "t_view",
+          "t2" -> "t_purchase"))
+        .orderBy("user_id")),
+    // Cohort-retention triangle: first-seen day × day offset × distinct
+    // active users.
+    "q_retention" -> ((s, d) =>
+      Funnel.retention(SparkEntry.ev(s, d), "user_id", "ts")
+        .orderBy("cohort", "offset")),
+    // Typed JSON extraction from the props payload column (from_json with
+    // an explicit schema — the scan stays columnar, no per-row schema
+    // inference) feeding a grouped reduce.
+    "q_json_extract" -> ((s, d) =>
+      SparkEntry.ev(s, d)
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+    // ROLLUP / CUBE / GROUPING SETS: the full subtotal lattice in one
+    // Expand + single-shuffle aggregation; gid disambiguates subtotal
+    // rows from genuine NULL keys.
+    "q_rollup" -> ((s, d) =>
+      MultiDim.rollupAgg(T(s, d, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")))
+        .withColumn("gid", col("gid").cast("long"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
+    "q_cube" -> ((s, d) =>
+      MultiDim.cubeAgg(T(s, d, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")))
+        .withColumn("gid", col("gid").cast("long"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
+    "q_grouping_sets" -> ((s, d) =>
+      MultiDim.groupingSetsAgg(T(s, d, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(Seq("l_returnflag"), Seq("l_linestatus")),
+          Seq(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")))
+        .withColumn("gid", col("gid").cast("long"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
   )
+
+  /** Shared funnel step sequence (signup → view → purchase). */
+  private val FunnelSteps = Seq("signup", "view", "purchase")
 
   // shared by q_contaminated and q_contaminated_bloom: the Bloom path's
   // verify join makes its results identical to the exact probe
@@ -1104,5 +1172,75 @@ object CurationQueries {
         + " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
         + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         + " ORDER BY event_id"),
+    // brute-force all-pairs Jaccard — certifying the prefix-filter join's
+    // recall/precision = 1 (same shingle construction as q_dedup_near)
+    "q_jaccard_exact" ->
+      (ShingleCte3
+        + " SELECT * FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        + " round(len(list_intersect(a.sh, b.sh))::DOUBLE"
+        + " / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard"
+        + " FROM s a JOIN s b ON a.doc_id < b.doc_id)"
+        + " WHERE jaccard >= 0.4 ORDER BY 1, 2"),
+    "q_funnel" ->
+      (FunnelTimesCte
+        + ", c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM u)"
+        + " SELECT 0::BIGINT AS step, 'signup' AS event_type, n0 AS users,"
+        + "   CAST(NULL AS DOUBLE) AS conversion FROM c"
+        + " UNION ALL SELECT 1, 'view', n1, round(n1::DOUBLE / n0, 6) FROM c"
+        + " UNION ALL SELECT 2, 'purchase', n2, round(n2::DOUBLE / n1, 6) FROM c"
+        + " ORDER BY 1"),
+    "q_funnel_users" ->
+      (FunnelTimesCte
+        + " SELECT user_id, t0 AS t_signup, t1 AS t_view, t2 AS t_purchase"
+        + " FROM u ORDER BY user_id"),
+    "q_retention" ->
+      ("SELECT cohort, date_diff('day', cohort, day) AS offset,"
+        + " count(DISTINCT user_id) AS n_users"
+        + " FROM (SELECT DISTINCT user_id,"
+        + " CAST(min(ts) OVER (PARTITION BY user_id) AS DATE) AS cohort,"
+        + " CAST(ts AS DATE) AS day FROM events)"
+        + " GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_json_extract" ->
+      ("SELECT event_type, count(k) AS n_k, sum(k)::BIGINT AS sum_k,"
+        + " min(k) AS min_k, max(k) AS max_k"
+        + " FROM (SELECT event_type,"
+        + " CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)"
+        + " GROUP BY 1 ORDER BY 1"),
+    "q_rollup" ->
+      (s"SELECT l_returnflag, l_linestatus, $GidSql, sum(l_quantity) AS sum_qty,"
+        + " count(*) AS n FROM lineitem"
+        + " GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY 3, 1, 2"),
+    "q_cube" ->
+      (s"SELECT l_returnflag, l_linestatus, $GidSql, sum(l_quantity) AS sum_qty,"
+        + " count(*) AS n FROM lineitem"
+        + " GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY 3, 1, 2"),
+    "q_grouping_sets" ->
+      (s"SELECT l_returnflag, l_linestatus, $GidSql, sum(l_quantity) AS sum_qty,"
+        + " count(*) AS n FROM lineitem"
+        + " GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
+        + " ORDER BY 3, 1, 2"),
   )
+
+  // Spark's grouping_id() bit order: first grouping column = high bit.
+  private val GidSql =
+    "(grouping(l_returnflag) * 2 + grouping(l_linestatus))::BIGINT AS gid"
+
+  // same construction as LlmQueries' shingle CTE: distinct word 3-grams,
+  // whole-document fallback for docs shorter than 3 words
+  private val ShingleCte3 =
+    ("WITH s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN"
+      + " list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])"
+      + " ELSE [text] END AS sh FROM (SELECT doc_id, text, string_split(text, ' ') w FROM documents))")
+
+  // per-user funnel completion instants, one window column per step —
+  // step i's condition reads step i-1's column, so each step adds one
+  // nesting level (SQL can't reference an alias in its own SELECT)
+  private val FunnelTimesCte =
+    ("WITH u AS (SELECT DISTINCT user_id, t0, t1, t2"
+      + " FROM (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)"
+      + " OVER (PARTITION BY user_id) AS t2"
+      + " FROM (SELECT *, min(CASE WHEN event_type = 'view' AND ts > t0 THEN ts END)"
+      + " OVER (PARTITION BY user_id) AS t1"
+      + " FROM (SELECT user_id, ts, event_type, min(CASE WHEN event_type = 'signup' THEN ts END)"
+      + " OVER (PARTITION BY user_id) AS t0 FROM events))))")
 }

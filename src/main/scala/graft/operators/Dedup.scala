@@ -759,4 +759,68 @@ object Dedup {
     val dropped = pairs.select(col("id_b").as("__dup_id")).distinct()
     (df.join(dropped, col(idCol) === col("__dup_id"), "left_anti"), release)
   }
+
+  /** EXACT-recall set-similarity self-join: every pair of documents with
+    * shingle-Jaccard >= `threshold`, guaranteed (recall = 1), without an
+    * all-pairs join. This is the deterministic complement to the
+    * probabilistic [[nearDupPairs]] (MinHash-LSH trades recall at the
+    * S-curve boundary for speed; audits and legal-compliance dedup need
+    * the exact answer).
+    *
+    * Method: prefix filtering (published as SSJoin/PPJoin and the
+    * MapReduce set-similarity joins built on them). Order every
+    * document's shingles by ascending global document frequency (rarest
+    * first, ties by value). If J(x,y) >= t then |x ∩ y| >= ceil(t·|x|),
+    * so x's first `|x| - ceil(t·|x|) + 1` shingles under ANY shared
+    * total order must hit the corresponding prefix of y — an equality
+    * join on prefix shingles finds every qualifying pair. Candidates are
+    * then verified with the exact Jaccard, so precision is also 1.
+    *
+    * Scale shape (100 TB): one agg shuffle for shingle frequencies, one
+    * per-doc window sort for prefixes (partition = doc id, bounded by
+    * doc length), one equality join on prefix shingles (rare-first
+    * ordering keeps frequent shingles out of short docs' prefixes, so
+    * the join key distribution is anti-skewed by construction), and the
+    * same narrow id-keyed verify joins as the LSH path. The length
+    * filter `t·|x| <= |y| <= |x|/t` prunes candidates inside the join
+    * condition before the distinct.
+    */
+  def jaccardJoinExact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1] (got $threshold)")
+    val sh = shingleTable(df, idCol, textCol, n)
+    val sized = sh.withColumn("len", size(col("sh")))
+    val ex = sized.select(col("id"), col("len"), explode(col("sh")).as("tok"))
+    val freq = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("tok"))
+    // ceil on the exact integer grid: ceil(t·len) = -floor(-t·len); the
+    // double product is safe here because len is small (shingles per
+    // doc) and t has few mantissa bits in practice — and a one-off
+    // boundary slip only ever *lengthens* the prefix (recall unharmed).
+    def ceilT(len: Column): Column = -floor(-len * threshold)
+    val prefix = ex.join(freq, "tok")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("len") - ceilT(col("len")) + 1)
+      .select(col("id"), col("len"), col("tok"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id")
+          && col("b.len") >= ceilT(col("a.len"))
+          && col("a.len") >= ceilT(col("b.len")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+      size(array_union(col("sa.sh"), col("sb.sh")))
+    cand
+      .join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
 }

@@ -309,4 +309,23 @@ class DedupSpec extends AnyFunSuite {
     val r = Seq("x", "y").toDF("text").select(h1.as("a"), h2.as("b")).collect()
     assert(r.forall(x => x.getLong(0) != x.getLong(1)))
   }
+
+  test("jaccardJoinExact matches brute-force all-pairs at every threshold") {
+    // richer corpus: graded overlap levels so thresholds cut differently
+    val mid = ((1 to 10).map(i => s"w$i") ++ (1 to 20).map(i => s"m$i")).mkString(" ")
+    val corpus = docs.union(Seq((6L, mid), (7L, "a b"), (8L, "a b")).toDF("doc_id", "text"))
+    val sh = corpus.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (t <- Seq(0.3, 0.5, 0.9, 1.0)) {
+      val got = Dedup.jaccardJoinExact(corpus, "doc_id", "text", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val want = brute.filter(_._2 >= t)
+      assert(got == want, s"threshold $t: got ${got.keySet}, want ${want.keySet}")
+    }
+  }
 }
