@@ -623,6 +623,21 @@ object CurationQueries {
           Seq(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")))
         .withColumn("gid", col("gid").cast("long"))
         .orderBy("gid", "l_returnflag", "l_linestatus")),
+    // C4/CCNet paragraph-level dedup: corpus-wide keep-first over
+    // 16-token segments, documents rebuilt from survivors (docs whose
+    // every segment was seen earlier vanish).
+    "q_segment_dedup" -> ((s, d) =>
+      Dedup.segmentDedupText(T(s, d, "documents"), "doc_id", "text",
+          maxTokens = 16)
+        .orderBy("doc_id")),
+    // Bucketized band self-join: per event, stats over OTHER events with
+    // |value_b - value_a| <= 0.25 — an equality join on value cells, the
+    // plan a naive BETWEEN join would turn into a nested-loop cartesian.
+    "q_range_join" -> ((s, d) =>
+      RangeJoin.neighborStats(
+          SparkEntry.ev(s, d).select("event_id", "value"),
+          "event_id", "value", eps = 0.25)
+        .orderBy("event_id")),
   )
 
   /** Shared funnel step sequence (signup → view → purchase). */
@@ -1219,6 +1234,25 @@ object CurationQueries {
         + " count(*) AS n FROM lineitem"
         + " GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
         + " ORDER BY 3, 1, 2"),
+    // replays chunk → corpus-wide keep-first (QUALIFY row_number over
+    // the exact segment text, (doc_id, idx) order) → ordered rebuild
+    "q_segment_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
+        + " c AS (SELECT doc_id, unnest([{'i': i, 'ch': array_to_string(w[(i*16+1):((i+1)*16)], ' ')}"
+        + " for i in range(0, greatest(CAST(ceil(len(w)/16.0) AS INT), 1))], recursive := true) FROM t),"
+        + " tot AS (SELECT doc_id, count(*) AS n_total FROM c GROUP BY 1),"
+        + " k AS (SELECT doc_id, i, ch FROM c"
+        + " QUALIFY row_number() OVER (PARTITION BY ch ORDER BY doc_id, i) = 1)"
+        + " SELECT doc_id, string_agg(ch, ' ' ORDER BY i) AS text_dedup,"
+        + " count(*) AS n_kept, n_total FROM k JOIN tot USING (doc_id)"
+        + " GROUP BY doc_id, n_total ORDER BY doc_id"),
+    "q_range_join" ->
+      ("SELECT a.event_id, count(*) AS n_near,"
+        + " min(b.value) AS min_near, max(b.value) AS max_near"
+        + " FROM events a JOIN events b"
+        + " ON b.value >= a.value - 0.25 AND b.value <= a.value + 0.25"
+        + " AND a.event_id != b.event_id"
+        + " GROUP BY 1 ORDER BY 1"),
   )
 
   // Spark's grouping_id() bit order: first grouping column = high bit.

@@ -823,4 +823,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), jac.as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Corpus-wide SEGMENT-level exact dedup, keep-first (the C4/CCNet
+    * paragraph-dedup recipe: shared boilerplate — headers, footers,
+    * license blocks — is removed from every document except the first
+    * one that carries it, while the rest of each document survives).
+    *
+    * Input is (id, idx, segment) rows from ANY segmenter — newline
+    * paragraphs in a real corpus, [[TextAnalysis.chunkText]] windows
+    * here. An occurrence survives iff its (id, idx) is the corpus-wide
+    * minimum for that exact segment text.
+    *
+    * Scale shape: occurrences are keyed by the 16-byte salted content
+    * fingerprint ([[contentKey]]), so the winner aggregation and the
+    * survivor join shuffle fingerprints + (id, idx) — never segment
+    * text. The winner is ONE min(struct) agg row per distinct segment
+    * (not a per-segment window sort), so a boilerplate block shared by
+    * millions of documents costs a map-side-combined aggregate, not a
+    * hot sorted partition.
+    */
+  def segmentDedup(
+      segs: DataFrame,
+      idCol: String,
+      idxCol: String,
+      segCol: String): DataFrame = {
+    val (h1, h2) = contentKey(col(segCol))
+    val keyed = segs.select(col(idCol).as("id"), col(idxCol).as("idx"),
+      col(segCol).as("seg"), h1.as("k1"), h2.as("k2"))
+    val winners = keyed
+      .groupBy(col("k1"), col("k2"))
+      .agg(min(struct(col("id"), col("idx"))).as("w"))
+      .select(col("k1").as("w1"), col("k2").as("w2"),
+        col("w.id").as("wid"), col("w.idx").as("widx"))
+    keyed.join(winners,
+        col("k1") === col("w1") && col("k2") === col("w2")
+          && col("id") === col("wid") && col("idx") === col("widx"))
+      .select(col("id").as(idCol), col("idx").as(idxCol), col("seg").as(segCol))
+  }
+
+  /** [[segmentDedup]] over fixed-size token windows, documents rebuilt
+    * from their surviving segments in original order: (id, text_dedup,
+    * n_kept, n_total). Documents whose every segment was seen earlier
+    * in the corpus VANISH from the output (the C4 rule). The rebuild
+    * collect_list is bounded by a single document's segment count. */
+  def segmentDedupText(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int): DataFrame = {
+    val segs = TextAnalysis.chunkText(df, textCol, maxTokens)
+      .select(col(idCol), col("chunk_idx"), col("chunk"))
+    val totals = segs.groupBy(col(idCol)).agg(count(lit(1)).as("n_total"))
+    segmentDedup(segs, idCol, "chunk_idx", "chunk")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+      .join(totals, idCol)
+  }
 }

@@ -310,6 +310,31 @@ class DedupSpec extends AnyFunSuite {
     assert(r.forall(x => x.getLong(0) != x.getLong(1)))
   }
 
+  test("segmentDedup keeps only the corpus-wide first occurrence of each segment") {
+    // seg "dup" appears in docs 1 (idx 0), 2 (idx 1), and twice in doc 1
+    val segs = Seq(
+      (1L, 0, "dup"), (1L, 1, "only-in-1"), (1L, 2, "dup"),
+      (2L, 0, "only-in-2"), (2L, 1, "dup"),
+      (3L, 0, "dup") // doc 3 is ALL duplicate -> vanishes after rebuild
+    ).toDF("doc_id", "idx", "seg")
+    val kept = Dedup.segmentDedup(segs, "doc_id", "idx", "seg")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(kept == Set((1L, 0, "dup"), (1L, 1, "only-in-1"), (2L, 0, "only-in-2")))
+  }
+
+  test("segmentDedupText rebuilds survivors in order and drops emptied docs") {
+    val docsDf = Seq(
+      (1L, "a b c d e f"),   // chunks of 2: "a b","c d","e f"
+      (2L, "c d x y"),       // "c d" seen in doc 1 -> only "x y" survives
+      (3L, "a b c d")        // both chunks seen -> doc vanishes
+    ).toDF("doc_id", "text")
+    val r = Dedup.segmentDedupText(docsDf, "doc_id", "text", maxTokens = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(
+      1L -> (("a b c d e f", 3L, 3L)),
+      2L -> (("x y", 1L, 2L))))
+  }
+
   test("jaccardJoinExact matches brute-force all-pairs at every threshold") {
     // richer corpus: graded overlap levels so thresholds cut differently
     val mid = ((1 to 10).map(i => s"w$i") ++ (1 to 20).map(i => s"m$i")).mkString(" ")
