@@ -638,6 +638,15 @@ object CurationQueries {
           SparkEntry.ev(s, d).select("event_id", "value"),
           "event_id", "value", eps = 0.25)
         .orderBy("event_id")),
+    // DSIR importance weights: target = the eval sources, background =
+    // everything else; per-background-doc sum of hashed-unigram
+    // log-likelihood ratios (decimal-exact, quantized-ln convention).
+    "q_dsir" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      TextAnalysis.dsirScores(T(s, d, "documents"), "doc_id", "text",
+          col("source").isin(EvalSrc: _*), buckets = 1024)
+        .orderBy("doc_id")
+    }),
   )
 
   /** Shared funnel step sequence (signup → view → purchase). */
@@ -1253,6 +1262,19 @@ object CurationQueries {
         + " ON b.value >= a.value - 0.25 AND b.value <= a.value + 0.25"
         + " AND a.event_id != b.event_id"
         + " GROUP BY 1 ORDER BY 1"),
+    // replays the hashed-unigram two-model fit and the decimal llr sum;
+    // bins via the shared rolling-fingerprint SQL (never a re-hash)
+    "q_dsir" ->
+      (s"WITH tok AS (SELECT doc_id, source IN (${EvalSrc.map("'" + _ + "'").mkString(",")}) AS tgt,"
+        + " unnest(string_split(text, ' ')) AS t FROM documents),"
+        + s" bk AS (SELECT doc_id, tgt, ${fpSql("t")} % 1024 AS b FROM tok),"
+        + " c AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,"
+        + " sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cb FROM bk GROUP BY 1),"
+        + " tt AS (SELECT sum(ct) AS nt, sum(cb) AS nb FROM c),"
+        + " r AS (SELECT b, round(ln((ct + 1)::DOUBLE / (nt + 1024)), 6)::DECIMAL(18,6)"
+        + " - round(ln((cb + 1)::DOUBLE / (nb + 1024)), 6)::DECIMAL(18,6) AS llr FROM c, tt)"
+        + " SELECT doc_id, count(*) AS n_tokens, CAST(sum(llr) AS DOUBLE) AS dsir_score"
+        + " FROM bk JOIN r USING (b) WHERE NOT tgt GROUP BY 1 ORDER BY 1"),
   )
 
   // Spark's grouping_id() bit order: first grouping column = high bit.

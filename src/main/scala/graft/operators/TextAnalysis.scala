@@ -413,4 +413,58 @@ object TextAnalysis {
           - col("__s").cast("double") / col("n_tokens").cast("double"))
       .drop("__s", "__n")
   }
+
+  /** DSIR-style importance weights (the hashed-n-gram data-selection
+    * recipe published as "Data Selection for Language Models via
+    * Importance Resampling"): fit unigram bag-of-words models for a
+    * TARGET slice and the BACKGROUND corpus over `buckets` hashed
+    * feature bins (add-one smoothing), then score every background
+    * document with the sum of its tokens' log-likelihood ratios
+    * ln p_target(bin) − ln p_background(bin). High scores = documents
+    * that look like the target distribution — the standard pretraining
+    * data-selection signal; feed the weights to [[Sampling]] for the
+    * resampling step.
+    *
+    * Determinism contract: bins come from the replayable rolling
+    * fingerprint ([[fingerprintFast]] % buckets — non-negative by
+    * construction), each ln is quantized to the decimal(18,6) grid
+    * (the tf-idf convention), and the per-doc score is an EXACT decimal
+    * sum of quantized ratios, finalized to double once.
+    *
+    * Scale shape: the ratio table is `buckets` rows — broadcast; token
+    * rows shuffle once for the per-doc sum; corpus totals are a 1-row
+    * broadcast cross-join. Nothing is driver-side.
+    *
+    * Requires [[graft.expressions.GraftFunctions.register]] on the
+    * session (fingerprintFast).
+    *
+    * Output: one row per background doc — (idCol, n_tokens,
+    * dsir_score). NULL-text docs produce no tokens and are absent.
+    */
+  def dsirScores(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      isTargetCol: org.apache.spark.sql.Column,
+      buckets: Int): org.apache.spark.sql.DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
+    val tok = df.select(col(idCol).as("__id"), isTargetCol.as("__tgt"),
+      explode(tokens(col(textCol))).as("__t"))
+    val bucketed = tok.select(col("__id"), col("__tgt"),
+      (fingerprintFast(col("__t")) % buckets).as("__b"))
+    val counts = bucketed.groupBy("__b").agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(!col("__tgt"), 1L).otherwise(0L)).as("__cb"))
+    val totals = counts.agg(sum(col("__ct")).as("__nt"), sum(col("__cb")).as("__nb"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (lnQ((col("__ct") + 1).cast("double") / (col("__nt") + buckets))
+          - lnQ((col("__cb") + 1).cast("double") / (col("__nb") + buckets)))
+          .as("__llr"))
+    bucketed.where(!col("__tgt"))
+      .join(broadcast(ratios), "__b")
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__llr")).cast("double").as("dsir_score"))
+  }
 }

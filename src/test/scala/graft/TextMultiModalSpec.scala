@@ -230,4 +230,38 @@ class TextMultiModalSpec extends AnyFunSuite {
     assert(n2 == 2L && math.abs(l2 - (math.log(5) - math.log(2) / 2)) < 1e-4)
     assert(l2 > l1)          // the rare-token doc is more surprising
   }
+
+  test("dsirScores matches a brute-force two-model replay and ranks target-like docs higher") {
+    graft.expressions.GraftFunctions.register(spark)
+    val B = 16
+    val docs = Seq(
+      (1L, "apple banana apple cherry", true),
+      (2L, "apple cherry banana", false),  // pure target vocabulary
+      (3L, "dog emu dog dog fox", false),  // disjoint vocabulary
+      (4L, "apple dog", false)             // mixed
+    ).toDF("doc_id", "text", "tgt")
+    // brute replay in Scala: same fingerprint buckets (read back from the
+    // registered expression), add-one smoothing, ln quantized half-up to
+    // the 1e-6 grid, exact decimal sum
+    def lnQ(x: Double): BigDecimal =
+      BigDecimal(math.log(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val toks = docs.select(col("doc_id"), col("tgt"),
+        explode(split(col("text"), " ")).as("t"))
+      .withColumn("b", TextAnalysis.fingerprintFast(col("t")) % B)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(3)))
+    val ct = toks.filter(_._2).groupBy(_._3).view.mapValues(_.size).toMap
+    val cb = toks.filterNot(_._2).groupBy(_._3).view.mapValues(_.size).toMap
+    val (nt, nb) = (toks.count(_._2), toks.count(!_._2))
+    def llr(b: Long): BigDecimal =
+      lnQ((ct.getOrElse(b, 0) + 1).toDouble / (nt + B)) -
+        lnQ((cb.getOrElse(b, 0) + 1).toDouble / (nb + B))
+    val want = toks.filterNot(_._2).groupBy(_._1).map { case (id, ts) =>
+      id -> (ts.size.toLong, ts.map(t => llr(t._3)).sum.toDouble)
+    }
+    val got = TextAnalysis.dsirScores(docs, "doc_id", "text", col("tgt"), B)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want)
+    assert(got(2L)._2 > got(4L)._2 && got(4L)._2 > got(3L)._2,
+      s"expected target-vocab > mixed > disjoint, got $got")
+  }
 }
