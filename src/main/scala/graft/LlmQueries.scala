@@ -529,6 +529,29 @@ object LlmQueries {
           sum(length(col("text"))).as("sum_chars"))
       }
     }),
+    // Stream-stream event-time interval join: purchases within 1 hour
+    // after a same-user signup, both sides read as streams with
+    // watermarks (the state-bounding requirement), joined inner — every
+    // match emits in the AvailableNow replay, then a batch rollup of the
+    // sunk pairs hash-matches the DuckDB range self-join oracle.
+    "q_stream_join" -> ((s, d) => {
+      val schema = T(s, d, "events").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/{events.parquet}")
+      val e = SparkEntry.tsToTimestamp(raw, "ts")
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"), col("value"))
+      val joined = StreamingOps.intervalJoin(signups, purchases,
+        Seq("user_id"), "signup_ts", "purchase_ts", "1 HOUR", "2 hours")
+      replayAvailableNow(s, joined, "graft_stream_join", "append") { sunk =>
+        sunk.groupBy("user_id").agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+          .orderBy("user_id")
+      }
+    }),
     // The per-partition decode slot (mapPartitions escape hatch) with the
     // deterministic stub codec: per-row mean body byte. Integer byte sums
     // stay exact; one division per row — the oracle replays it from the
@@ -1142,6 +1165,14 @@ object LlmQueries {
           + s" sum(${TextAnalysis.fingerprintSql("text")})::BIGINT AS checksum,"
           + " sum(len(text))::BIGINT AS sum_chars"
           + " FROM (SELECT DISTINCT text FROM documents)"),
+      "q_stream_join" ->
+        ("SELECT s.user_id, count(*) AS n_pairs,"
+          + " CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
+          + " FROM (SELECT user_id, ts FROM events WHERE event_type = 'signup') s"
+          + " JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p"
+          + " ON p.user_id = s.user_id AND p.ts >= s.ts"
+          + " AND p.ts <= s.ts + INTERVAL 1 HOUR"
+          + " GROUP BY 1 ORDER BY 1"),
       "q_unstack" -> {
         def cell(v: String) = (
           s"count(CASE WHEN l_linestatus = '$v' THEN l_quantity END) AS ${v}_n,"

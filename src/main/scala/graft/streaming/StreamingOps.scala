@@ -149,6 +149,53 @@ object StreamingOps {
     * micro-batch (streaming has no global event-time order without a
     * sort; pair with a watermark + event-time sort downstream if needed).
     */
+  /** Stream-stream event-time INTERVAL join (inner): each right row is
+    * matched to same-key left rows with
+    * `rTs ∈ [lTs, lTs + maxDelay]` — "purchase within an hour of
+    * signup". The canonical two-stream correlation that batch engines
+    * express as a range self-join.
+    *
+    * Watermarks on BOTH sides bound the join state (Spark's stream-
+    * stream join requirement): left rows are evicted once the watermark
+    * passes `lTs + maxDelay`, right rows once it passes `rTs`. Inner
+    * matches emit as soon as both rows have arrived — the watermark
+    * governs only state cleanup — so the operator composes with
+    * AvailableNow replay (everything lands in one batch, every match
+    * emits) and the streaming==batch invariant is testable end to end.
+    *
+    * Inputs must have disjoint column names apart from `keyCols`
+    * (rename upstream); the output carries left columns then right
+    * columns minus the duplicate keys. Also valid on two BATCH frames
+    * (watermarks are no-ops there), where it plans as an equality
+    * shuffle join with the range predicate as a post-filter — the same
+    * no-cartesian shape as [[graft.operators.RangeJoin]].
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      lTs: String,
+      rTs: String,
+      maxDelay: String,
+      watermarkDelay: String): DataFrame = {
+    require(keyCols.nonEmpty, "intervalJoin needs at least one equality key")
+    val clash = left.columns.toSeq.intersect(right.columns.toSeq)
+      .filterNot(keyCols.contains)
+    require(clash.isEmpty,
+      s"intervalJoin needs disjoint non-key columns; rename ${clash.mkString(", ")}")
+    val l = left.withWatermark(lTs, watermarkDelay).alias("__ij_l")
+    val r = right.withWatermark(rTs, watermarkDelay).alias("__ij_r")
+    val keyCond = keyCols.map(k => col(s"__ij_l.$k") === col(s"__ij_r.$k"))
+      .reduce(_ && _)
+    val cond = keyCond &&
+      col(s"__ij_r.$rTs") >= col(s"__ij_l.$lTs") &&
+      col(s"__ij_r.$rTs") <= col(s"__ij_l.$lTs") + expr(s"INTERVAL $maxDelay")
+    val rightKeep = right.columns.toSeq.filterNot(keyCols.contains)
+    l.join(r, cond, "inner")
+      .select(left.columns.toSeq.map(c => col(s"__ij_l.$c"))
+        ++ rightKeep.map(c => col(s"__ij_r.$c")): _*)
+  }
+
   def runningNanSum(stream: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._

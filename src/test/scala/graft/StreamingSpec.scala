@@ -203,6 +203,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalJoin: streamed pairs equal the batch range join, bounds closed") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(ms: Long) = new java.sql.Timestamp(base + ms)
+    val signups = Seq(("u1", t(0)), ("u1", t(500000)), ("u2", t(0)))
+      .toDF("user_id", "signup_ts")
+    val purchases = Seq(
+      ("u1", t(0), 1.0),        // exactly at lower bound -> matches signup 1
+      ("u1", t(600000), 2.0),   // 10 min: matches BOTH u1 signups
+      ("u1", t(3600000), 3.0),  // exactly lTs + 1h of signup 1 (closed upper)
+      ("u1", t(4100001), 4.0),  // 1 ms past signup 2's closed window
+      ("u2", t(7200000), 5.0),  // 2 h: outside
+      ("u3", t(0), 6.0)         // no signup
+    ).toDF("user_id", "purchase_ts", "value")
+
+    def pairs(df: DataFrame) = df
+      .select("user_id", "signup_ts", "purchase_ts", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getDouble(3)))
+      .toSet
+
+    val batch = pairs(StreamingOps.intervalJoin(signups, purchases,
+      Seq("user_id"), "signup_ts", "purchase_ts", "1 HOUR", "0 seconds"))
+    // purchase at 4100001 ms is 1 ms past signup 2's closed upper bound
+    // (500000 + 3600000) and matches nothing; purchase at exactly
+    // lTs + 1h DOES match (closed ends)
+    val expected = Set(
+      ("u1", 0L + base, 0L + base, 1.0),
+      ("u1", 0L + base, 600000L + base, 2.0),
+      ("u1", 500000L + base, 600000L + base, 2.0),
+      ("u1", 0L + base, 3600000L + base, 3.0),
+      ("u1", 500000L + base, 3600000L + base, 3.0))
+    assert(batch == expected, s"batch pairs: $batch")
+
+    val streamed = pairs(runToMemory(
+      StreamingOps.intervalJoin(asStream(signups), asStream(purchases),
+        Seq("user_id"), "signup_ts", "purchase_ts", "1 HOUR", "2 hours"),
+      "ij_pairs", "append"))
+    assert(streamed == batch)
+  }
+
   test("GraftExtensions injects graft_dotq for SQL use") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // constructs without error; SQL path via register:
