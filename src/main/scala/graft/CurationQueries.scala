@@ -638,6 +638,19 @@ object CurationQueries {
           SparkEntry.ev(s, d).select("event_id", "value"),
           "event_id", "value", eps = 0.25)
         .orderBy("event_id")),
+    // Z-order layout: events clustered on (value, user_id) via Morton
+    // interleaving with declared bounds; per-256-cell tile stats show
+    // each tile covering a small (value, user_id) rectangle — the
+    // min/max-pruning property a z-ordered write buys at scale.
+    "q_zorder" -> ((s, d) =>
+      Layout.zorderBy(
+          SparkEntry.ev(s, d).select("event_id", "user_id", "value"),
+          Seq(("value", 0.0, 1000.0), ("user_id", 0.0, 1024.0)), bits = 8)
+        .groupBy(shiftright(col("__z"), 8).as("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+          min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"))
+        .orderBy("tile")),
     // DSIR importance weights: target = the eval sources, background =
     // everything else; per-background-doc sum of hashed-unigram
     // log-likelihood ratios (decimal-exact, quantized-ln convention).
@@ -1262,6 +1275,25 @@ object CurationQueries {
         + " ON b.value >= a.value - 0.25 AND b.value <= a.value + 0.25"
         + " AND a.event_id != b.event_id"
         + " GROUP BY 1 ORDER BY 1"),
+    // replays zValue's quantize + interleave bit-for-bit (SQL generated
+    // from the same (bits, dims) loop shape as the Spark expression)
+    "q_zorder" -> {
+      val bits = 8
+      def cellSql(c: String, lo: Double, hi: Double) =
+        (s"least(${(1L << bits) - 1}, greatest(0,"
+          + s" CAST(floor(($c - $lo) / (${hi - lo}) * ${1L << bits}) AS BIGINT)))")
+      val dims = Seq(cellSql("value", 0.0, 1000.0), cellSql("user_id", 0.0, 1024.0))
+      val z = (for {
+        j <- dims.indices
+        i <- 0 until bits
+      } yield s"(((c$j >> $i) & 1) << ${i * dims.size + j})").mkString(" | ")
+      (s"WITH c AS (SELECT event_id, user_id, value,"
+        + dims.zipWithIndex.map { case (sql, j) => s" $sql AS c$j" }.mkString(",")
+        + " FROM events), zt AS (SELECT user_id, value, (" + z + ") >> 8 AS tile FROM c)"
+        + " SELECT tile, count(*) AS n, min(value) AS min_v, max(value) AS max_v,"
+        + " min(user_id) AS min_u, max(user_id) AS max_u"
+        + " FROM zt GROUP BY 1 ORDER BY 1")
+    },
     // replays the hashed-unigram two-model fit and the decimal llr sum;
     // bins via the shared rolling-fingerprint SQL (never a re-hash)
     "q_dsir" ->

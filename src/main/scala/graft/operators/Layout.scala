@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Storage-layout operators — the `rechunk_for_blockwise` analog
   * (reference core.py:634-664, optimal-chunk solver core.py:221-252).
@@ -46,5 +46,61 @@ object Layout {
     require(keys.nonEmpty, "need at least one key")
     val cols = keys.map(org.apache.spark.sql.functions.col)
     if (partitions > 0) df.repartition(partitions, cols: _*) else df.repartition(cols: _*)
+  }
+
+  /** Z-order (Morton) value for multi-dimensional data layout: each
+    * dimension is quantized to `bits` levels over its caller-declared
+    * `[lo, hi)` range (out-of-range values clamp to the edge cells),
+    * then the cell bits are interleaved — bit i of dimension j lands at
+    * output bit `i·k + j`. Rows sorted by this value cluster
+    * multi-dimensionally: any file span covers a small hyper-rectangle
+    * of the dimension space, so min/max file statistics prune scans
+    * with predicates on ANY dimension subset — the Delta/Iceberg
+    * OPTIMIZE ZORDER idea, as a plain deterministic expression.
+    *
+    * Declared bounds (the [[Binning]] uniform-bins convention) keep the
+    * mapping free of any data-dependent fitting pass — no sampling job,
+    * identical across incremental writes, and replayable by the oracle.
+    * All arithmetic is codegen'd (`floor`, shifts, masks on longs).
+    */
+  def zValue(dims: Seq[(Column, Double, Double)], bits: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val k = dims.size
+    require(k >= 1, "zValue needs at least one dimension")
+    require(bits >= 1 && bits * k <= 62,
+      s"bits*dims must fit a positive long (got $bits*$k)")
+    val top = (1L << bits) - 1
+    val cells = dims.map { case (c, lo, hi) =>
+      require(hi > lo, s"zValue bounds must satisfy lo < hi (got [$lo, $hi))")
+      least(lit(top), greatest(lit(0L),
+        floor((c - lo) / (hi - lo) * (1L << bits)).cast("long")))
+    }
+    val terms = for {
+      j <- cells.indices
+      i <- 0 until bits
+    } yield shiftleft(shiftright(cells(j), i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Range-partition + in-partition sort by [[zValue]]: ONE range
+    * exchange produces the write-ready multi-dimensionally clustered
+    * layout. `partitions` sizes the output files (≈ volume / target
+    * file size at scale). Appends the z value as `zCol` for inspection;
+    * drop it before writing if undesired. */
+  def zorderBy(
+      df: DataFrame,
+      dims: Seq[(String, Double, Double)],
+      bits: Int,
+      partitions: Int = 0,
+      zCol: String = "__z"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(!df.columns.contains(zCol),
+      s"zorderBy appends $zCol; rename it in the input or pass another zCol")
+    val withZ = df.withColumn(zCol,
+      zValue(dims.map { case (n, lo, hi) => (col(n), lo, hi) }, bits))
+    val parted =
+      if (partitions > 0) withZ.repartitionByRange(partitions, col(zCol))
+      else withZ.repartitionByRange(col(zCol))
+    parted.sortWithinPartitions(col(zCol))
   }
 }

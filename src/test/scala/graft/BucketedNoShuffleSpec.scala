@@ -54,4 +54,41 @@ class BucketedNoShuffleSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
       s"expected only the up-front exchange:\n$p")
   }
+
+  test("zValue interleaves quantized cells bit by bit and clamps out-of-range") {
+    import graft.operators.Layout
+    // bits=3, 2 dims, [0,8) each -> cell == the value itself; dim 0 at
+    // even output bits, dim 1 at odd
+    val df = Seq((5.0, 3.0), (0.0, 0.0), (7.0, 7.0), (-4.0, 99.0))
+      .toDF("a", "b")
+    val z = df.select(Layout.zValue(
+        Seq((col("a"), 0.0, 8.0), (col("b"), 0.0, 8.0)), 3).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // a=5 (101), b=3 (011): z bits a0<<0|b0<<1|a1<<2|b1<<3|a2<<4|b2<<5
+    //   = 1 + 2 + 0 + 8 + 16 + 0 = 27
+    assert(z(0) == 27L)
+    assert(z(1) == 0L)
+    assert(z(2) == 63L)                 // all six bits set
+    assert(z(3) == (2L + 8L + 32L))     // clamps to a=0, b=7 -> odd bits
+  }
+
+  test("zorderBy clusters tiles into small dimension rectangles") {
+    import graft.operators.Layout
+    // 32x32 grid of (x, y) points; 8-bit z over [0,32) quantizes each
+    // dim to 8 cells of 4 values
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 } yield (x.toDouble, y.toDouble))
+      .toDF("x", "y")
+    val tiles = Layout.zorderBy(grid,
+        Seq(("x", 0.0, 32.0), ("y", 0.0, 32.0)), bits = 8, partitions = 4)
+      .groupBy(shiftright(col("__z"), 12).as("tile"))
+      .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+      .collect()
+    // each 2^12 z-span is a 2-cell x 2-cell quad = an 8x8 value square;
+    // without z-ordering a contiguous span would cover a full row stripe
+    tiles.foreach { t =>
+      assert(t.getDouble(2) - t.getDouble(1) <= 7.0, s"x range too wide: $t")
+      assert(t.getDouble(4) - t.getDouble(3) <= 7.0, s"y range too wide: $t")
+    }
+    assert(tiles.length == 16)
+  }
 }
