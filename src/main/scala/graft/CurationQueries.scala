@@ -638,6 +638,17 @@ object CurationQueries {
           SparkEntry.ev(s, d).select("event_id", "value"),
           "event_id", "value", eps = 0.25)
         .orderBy("event_id")),
+    // Full correlation matrix in ONE aggregation pass: every pair of
+    // (NaN-injected quantity, extendedprice, discount) per return flag —
+    // k(k-1)/2 * 6 power sums in a single hash agg, long-form output.
+    "q_corr_matrix" -> ((s, d) =>
+      FeatureScaling.corrMatrixBy(
+          T(s, d, "lineitem").withColumn("valn",
+            when(col("l_tax") === 0.0, lit(Double.NaN)).otherwise(col("l_quantity"))),
+          Seq("l_returnflag"), Seq("valn", "l_extendedprice", "l_discount"))
+        .withColumn("cov", round(col("cov"), 6))
+        .withColumn("corr", round(col("corr"), 6))
+        .orderBy("l_returnflag", "col_x", "col_y")),
     // Z-order layout: events clustered on (value, user_id) via Morton
     // interleaving with declared bounds; per-256-cell tile stats show
     // each tile covering a small (value, user_id) rectangle — the
@@ -1275,6 +1286,41 @@ object CurationQueries {
         + " ON b.value >= a.value - 0.25 AND b.value <= a.value + 0.25"
         + " AND a.event_id != b.event_id"
         + " GROUP BY 1 ORDER BY 1"),
+    // replays corrMatrixBy pair by pair (the q_corr oracle generated per
+    // pair and unioned; identical masks, decimal sums, and finalize)
+    "q_corr_matrix" -> {
+      val n = "CAST(n_pairs AS DOUBLE)"
+      def d2(e: String) = s"CAST($e AS DECIMAL(18,2))"
+      val covE = s"CASE WHEN n_pairs > 1 THEN (sxy - sx * sy / $n) / ($n - 1.0) END"
+      def varE(sq: String, s0: String) =
+        s"CASE WHEN n_pairs > 1 THEN greatest(($sq - $s0 * $s0 / $n) / ($n - 1.0), 0.0) END"
+      val colsSql = Seq(
+        "valn" -> "CASE WHEN l_tax = 0.0 THEN NULL ELSE l_quantity END",
+        "l_extendedprice" -> "l_extendedprice",
+        "l_discount" -> "l_discount")
+      val parts = for {
+        i <- colsSql.indices
+        j <- (i + 1) until colsSql.size
+      } yield {
+        val (nx, ex) = colsSql(i)
+        val (ny, ey) = colsSql(j)
+        (s"SELECT l_returnflag, '$nx' AS col_x, '$ny' AS col_y, n_pairs,"
+          + " round(cov, 6) AS cov,"
+          + " round(CASE WHEN vx > 0 AND vy > 0 THEN cov / sqrt(vx * vy) END, 6) AS corr"
+          + s" FROM (SELECT l_returnflag, n_pairs, $covE AS cov,"
+          + s" ${varE("sxx", "sx")} AS vx, ${varE("syy", "sy")} AS vy"
+          + " FROM (SELECT l_returnflag, count(x) AS n_pairs,"
+          + s" CAST(sum(${d2("x")}) AS DOUBLE) AS sx, CAST(sum(${d2("y")}) AS DOUBLE) AS sy,"
+          + s" CAST(sum(${d2("x")} * ${d2("y")}) AS DOUBLE) AS sxy,"
+          + s" CAST(sum(${d2("x")} * ${d2("x")}) AS DOUBLE) AS sxx,"
+          + s" CAST(sum(${d2("y")} * ${d2("y")}) AS DOUBLE) AS syy"
+          + " FROM (SELECT l_returnflag,"
+          + s" CASE WHEN ($ey) IS NOT NULL THEN ($ex) END AS x,"
+          + s" CASE WHEN ($ex) IS NOT NULL THEN ($ey) END AS y FROM lineitem)"
+          + " GROUP BY 1))")
+      }
+      parts.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY 1, 2, 3")
+    },
     // replays zValue's quantize + interleave bit-for-bit (SQL generated
     // from the same (bits, dims) loop shape as the Spark expression)
     "q_zorder" -> {

@@ -139,6 +139,68 @@ object FeatureScaling {
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
 
+  /** Full correlation matrix over `cols` in ONE aggregation pass: every
+    * unordered column pair's (n_pairs, cov, corr) with [[covCorrBy]]'s
+    * exact semantics — per-pair pairwise deletion, five decimal power
+    * sums per pair, identical finalize (ddof cov, clamped marginal
+    * variances, NULL corr on constant columns). Output is long-form:
+    * one row per (group, col_x, col_y), x before y in `cols` order.
+    *
+    * Scale shape: k(k−1)/2 · 6 aggregate expressions in a SINGLE hash
+    * aggregate — one scan, one map-side-combined shuffle of
+    * group-count-sized partials, regardless of k; the pair unpivot is a
+    * per-row explode of an answer-sized frame. The one-pass form is
+    * what makes feature-correlation audits viable at 100 TB: k separate
+    * covCorrBy calls would scan the corpus k(k−1)/2 times. */
+  def corrMatrixBy(
+      df: DataFrame,
+      by: Seq[String],
+      cols: Seq[String],
+      exactScale: Int = 2,
+      ddof: Int = 1): DataFrame = {
+    require(by.nonEmpty, "corrMatrixBy needs at least one grouping column")
+    require(cols.size >= 2, "corrMatrixBy needs at least two value columns")
+    require(ddof >= 0, s"ddof must be >= 0 (got $ddof)")
+    val pairs = for {
+      i <- cols.indices
+      j <- (i + 1) until cols.size
+    } yield (i, j)
+    def nn(c: String) =
+      graft.functions.NanOps.nanToNull(col(c), df.schema(c).dataType)
+    val aggExprs = pairs.flatMap { case (i, j) =>
+      val (x0, y0) = (nn(cols(i)), nn(cols(j)))
+      val xn = when(y0.isNotNull, x0)
+      val yn = when(x0.isNotNull, y0)
+      val dx = xn.cast(DecimalType(18, exactScale))
+      val dy = yn.cast(DecimalType(18, exactScale))
+      val p = s"__${i}_$j"
+      Seq(count(xn).as(s"n$p"),
+        sum(dx).cast(DoubleType).as(s"sx$p"),
+        sum(dy).cast(DoubleType).as(s"sy$p"),
+        sum(dx * dy).cast(DoubleType).as(s"sxy$p"),
+        sum(dx * dx).cast(DoubleType).as(s"sxx$p"),
+        sum(dy * dy).cast(DoubleType).as(s"syy$p"))
+    }
+    val agg = df.groupBy(by.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = pairs.map { case (i, j) =>
+      val p = s"__${i}_$j"
+      val n = col(s"n$p").cast(DoubleType)
+      val denom = n - lit(ddof.toDouble)
+      val cov = when(col(s"n$p") > ddof,
+        (col(s"sxy$p") - col(s"sx$p") * col(s"sy$p") / n) / denom)
+      def varE(sq: String, s: String) = when(col(s"n$p") > ddof,
+        greatest((col(sq) - col(s) * col(s) / n) / denom, lit(0.0)))
+      val (vx, vy) = (varE(s"sxx$p", s"sx$p"), varE(s"syy$p", s"sy$p"))
+      struct(
+        lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+        col(s"n$p").as("n_pairs"), cov.as("cov"),
+        when(vx > 0 && vy > 0, cov / sqrt(vx * vy)).as("corr"))
+    }
+    agg.select(by.map(col) :+ explode(array(rows: _*)).as("__r"): _*)
+      .select(by.map(col) ++ Seq(col("__r.col_x"), col("__r.col_y"),
+        col("__r.n_pairs"), col("__r.cov"), col("__r.corr")): _*)
+  }
+
   /** Per-group ordinary-least-squares line fit y = slope*x + intercept —
     * the regression member of the cross-moment family ([[covCorrBy]]'s
     * sums with the OLS finalize; DuckDB's regr_slope/regr_intercept/

@@ -326,6 +326,36 @@ class CurationSpec extends AnyFunSuite {
     assert(nc == 2L && corrC.exists(c => math.abs(c + 1.0) < 1e-12))
   }
 
+  test("corrMatrixBy: every pair equals the pairwise covCorrBy call; single aggregate in the plan") {
+    val rows = Seq(
+      ("a", 1.0, 10.0, 5.0), ("a", 2.0, 20.0, 3.0), ("a", 3.0, 30.0, 8.0),
+      ("a", Double.NaN, 99.0, 1.0), // pairwise: drops from x-pairs only
+      ("b", 1.0, 5.0, 2.0), ("b", 2.0, 5.0, 4.0), ("b", 3.0, 5.0, 9.0)
+    ).toDF("k", "x", "y", "z").repartition(3)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getString(2))
+    def vals(r: org.apache.spark.sql.Row) =
+      (r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))
+    val matrix = FeatureScaling.corrMatrixBy(rows, Seq("k"), Seq("x", "y", "z"))
+    val got = matrix.collect().map(r => key(r) -> vals(r)).toMap
+    assert(got.size == 6) // 2 groups x 3 pairs
+    for ((cx, cy) <- Seq(("x", "y"), ("x", "z"), ("y", "z"))) {
+      val want = FeatureScaling.covCorrBy(rows, Seq("k"), cx, cy)
+        .collect().map(r => (r.getString(0), cx, cy) ->
+          (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+            Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+      want.foreach { case (k, v) => assert(got(k) == v, s"pair $k") }
+    }
+    // plan pin on an un-repartitioned input (the fixture's repartition(3)
+    // adds its own exchange): exactly the one aggregation shuffle
+    val flat = Seq(("a", 1.0, 2.0, 3.0)).toDF("k", "x", "y", "z")
+    val plan = FeatureScaling.corrMatrixBy(flat, Seq("k"), Seq("x", "y", "z"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"matrix must be ONE aggregation pass:\n$plan")
+  }
+
   test("linregBy: OLS fit vs closed form; constant x NULL slope; constant y r2 NULL with exact fit") {
     val rows = Seq(
       // group a: exact y = 10x -> slope 10, intercept 0, r2 1; NaN dropped
