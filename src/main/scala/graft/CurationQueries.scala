@@ -631,12 +631,12 @@ object CurationQueries {
           maxTokens = 16)
         .orderBy("doc_id")),
     // Bucketized band self-join: per event, stats over OTHER events with
-    // |value_b - value_a| <= 0.25 — an equality join on value cells, the
+    // |value_b - value_a| <= 0.05 — an equality join on value cells, the
     // plan a naive BETWEEN join would turn into a nested-loop cartesian.
     "q_range_join" -> ((s, d) =>
       RangeJoin.neighborStats(
           SparkEntry.ev(s, d).select("event_id", "value"),
-          "event_id", "value", eps = 0.25)
+          "event_id", "value", eps = 0.05)
         .orderBy("event_id")),
     // Full correlation matrix in ONE aggregation pass: every pair of
     // (NaN-injected quantity, extendedprice, discount) per return flag —
@@ -1283,7 +1283,7 @@ object CurationQueries {
       ("SELECT a.event_id, count(*) AS n_near,"
         + " min(b.value) AS min_near, max(b.value) AS max_near"
         + " FROM events a JOIN events b"
-        + " ON b.value >= a.value - 0.25 AND b.value <= a.value + 0.25"
+        + " ON b.value >= a.value - 0.05 AND b.value <= a.value + 0.05"
         + " AND a.event_id != b.event_id"
         + " GROUP BY 1 ORDER BY 1"),
     // replays corrMatrixBy pair by pair (the q_corr oracle generated per
