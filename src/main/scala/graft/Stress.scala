@@ -91,6 +91,29 @@ object Stress {
       embs.where(col("vec_id") % 2 === 0), embs.where(col("vec_id") % 2 === 1),
       "vec_id", "embedding", 0.35).count())
 
+    // r7 wave. jaccardJoinExact on the replica corpus: every doc
+    // duplicates n ways, so TRUE pairs are clique-quadratic by
+    // construction (same caveat as nearDupPairs above) — the check is
+    // wall tracking the pair count, not staying flat.
+    time("jaccardJoinExact t=.5")(
+      Dedup.jaccardJoinExact(docs, "doc_id", "text", n = 3, threshold = 0.5).count())
+    // segment dedup is the linear one: winner agg + survivor join +
+    // rebuild, all keyed — wall should track rows ~linearly
+    time("segmentDedupText")(
+      Dedup.segmentDedupText(docs, "doc_id", "text", maxTokens = 16)
+        .select(count(col("text_dedup"))).head.getLong(0))
+    time("dsirScores")(graft.operators.TextAnalysis.dsirScores(
+      docs, "doc_id", "text", col("source").isin("src0", "src1", "src2"), 1024).count())
+    // band join on replicated events: value DENSITY grows with n, so
+    // matched pairs grow ~n^2 * 2eps * density by physics — the printed
+    // rows value is the pair count; the check is constant pairs/sec,
+    // not flat wall (BENCH_NOTES r7: the parameter sets the bill)
+    val evx = expand("events", "event_id").persist()
+    println(s"[stress] ${evx.count()} events")
+    time("rangeJoin eps=.05 pairs")(
+      graft.operators.RangeJoin.neighborStats(evx, "event_id", "value", 0.05)
+        .select(sum(col("n_near"))).head.getLong(0))
+
     // topk agg vs the row_number window idiom: 3 giant groups is the
     // window's worst case (3 sort partitions carry everything); the agg's
     // shuffle stays k-bounded per (partition, group)
