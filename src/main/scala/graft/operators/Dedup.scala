@@ -807,12 +807,25 @@ object Dedup {
     val prefix = ex.join(freq, "tok")
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= col("len") - ceilT(col("len")) + 1)
-      .select(col("id"), col("len"), col("tok"))
+      .select(col("id"), col("len"), col("tok"), col("rk"))
+    // PPJoin positional filter: J >= t needs overlap I >= t(|x|+|y|)/(1+t).
+    // For the FIRST common token under the shared order, every common
+    // token sits at-or-after it in both docs, so the remaining-suffix
+    // bound min(|x|−rk_x, |y|−rk_y) + 1 >= I must hold there — a pair
+    // whose every matching prefix token fails the bound cannot reach t
+    // (recall intact: true pairs always pass via their first common
+    // token). The 1e-9 slack keeps an FP product boundary from pruning
+    // an exact-threshold pair; it only ever weakens the prune.
+    val ratio = threshold / (1.0 + threshold)
+    val overlapBound =
+      least(col("a.len") - col("a.rk"), col("b.len") - col("b.rk")) + 1
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id")
           && col("b.len") >= ceilT(col("a.len"))
-          && col("a.len") >= ceilT(col("b.len")))
+          && col("a.len") >= ceilT(col("b.len"))
+          && overlapBound.cast("double") >=
+            (col("a.len") + col("b.len")).cast("double") * ratio - 1e-9)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
