@@ -1368,8 +1368,10 @@ object CurationQueries {
 
   // per-user funnel completion instants, one window column per step —
   // step i's condition reads step i-1's column, so each step adds one
-  // nesting level (SQL can't reference an alias in its own SELECT)
-  private val FunnelTimesCte =
+  // nesting level (SQL can't reference an alias in its own SELECT);
+  // shared with LlmQueries' q_stream_funnel oracle (same ground truth:
+  // the streaming funnel's in-order replay must equal the batch windows)
+  private[graft] val FunnelTimesCte =
     ("WITH u AS (SELECT DISTINCT user_id, t0, t1, t2"
       + " FROM (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)"
       + " OVER (PARTITION BY user_id) AS t2"

@@ -559,6 +559,25 @@ object LlmQueries {
           .orderBy("user_id")
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
+    // Streaming funnel: the flatMapGroupsWithState running-scan form of
+    // Funnel.stepTimes (bounded state: k instants per user). The
+    // AvailableNow replay is in-order, so the final state must equal the
+    // batch window computation — the oracle IS q_funnel_users' CTE.
+    "q_stream_funnel" -> ((s, d) => {
+      val schema = T(s, d, "events").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/{events.parquet}")
+      val e = SparkEntry.tsToTimestamp(raw, "ts")
+      val out = StreamingOps.streamingFunnel(e, "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"))
+      replayAvailableNow(s, out, "graft_stream_funnel", "update") { sunk =>
+        def tcol(i: Int, name: String) =
+          when(element_at(col("step_micros"), i + 1) =!= Long.MinValue,
+            timestamp_micros(element_at(col("step_micros"), i + 1))).as(name)
+        sunk.select(col("user_id").cast("long").as("user_id"),
+            tcol(0, "t_signup"), tcol(1, "t_view"), tcol(2, "t_purchase"))
+          .orderBy("user_id")
+      }
+    }),
     // The per-partition decode slot (mapPartitions escape hatch) with the
     // deterministic stub codec: per-row mean body byte. Integer byte sums
     // stay exact; one division per row — the oracle replays it from the
@@ -1172,6 +1191,10 @@ object LlmQueries {
           + s" sum(${TextAnalysis.fingerprintSql("text")})::BIGINT AS checksum,"
           + " sum(len(text))::BIGINT AS sum_chars"
           + " FROM (SELECT DISTINCT text FROM documents)"),
+      "q_stream_funnel" ->
+        (CurationQueries.FunnelTimesCte
+          + " SELECT user_id, t0 AS t_signup, t1 AS t_view, t2 AS t_purchase"
+          + " FROM u ORDER BY user_id"),
       "q_stream_join" ->
         ("SELECT s.user_id, count(*) AS n_pairs,"
           + " CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"

@@ -196,6 +196,63 @@ object StreamingOps {
         ++ rightKeep.map(c => col(s"__ij_r.$c")): _*)
   }
 
+  /** Streaming funnel: the running-scan reformulation of
+    * [[graft.operators.Funnel.stepTimes]] (the boundary note above —
+    * batch funnel depends on an unbounded ordered prefix, but its
+    * STATE is bounded: k step instants per key, monotone under
+    * in-order arrival). Per-key state = the earliest strictly-ordered
+    * completion instant of each step (micros; MinValue = not reached);
+    * each micro-batch's rows are processed in EVENT-TIME order within
+    * the key, and a step i event sets `t_i` iff `t_{i-1}` is set,
+    * `ts > t_{i-1}` (strict, as in batch), and `t_i` is still unset.
+    *
+    * IN-ORDER-ARRIVAL CONTRACT (the runningNanSum convention): rows
+    * are sorted by event time WITHIN each micro-batch, so
+    * streaming == batch holds exactly when batches respect event-time
+    * order across boundaries (a replay, or an ordered source). A late
+    * row landing in a later batch after its step window was consumed
+    * is ignored rather than retracting emitted state — the documented
+    * trade of this operator class; batch [[graft.operators.Funnel]] is
+    * the ground truth when late data matters.
+    *
+    * Emits one row per key per batch with the current step instants
+    * (Update mode): (key, t0..t{k-1} micros, MinValue = unreached).
+    */
+  def streamingFunnel(
+      stream: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "streamingFunnel needs at least one step")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val k = steps.size
+    val stepIdx = steps.zipWithIndex.toMap
+    val None_ = Long.MinValue
+    stream
+      .select(col(keyCol).cast("string"), unix_micros(col(tsCol)), col(typeCol))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[(String, Long, String)],
+         state: GroupState[Array[Long]]) => {
+          val t = state.getOption.getOrElse(Array.fill(k)(None_))
+          // event-time order within the batch (bounded buffer: one
+          // micro-batch of one key)
+          rows.toArray.sortBy(_._2).foreach { case (_, ts, tp) =>
+            stepIdx.get(tp).foreach { i =>
+              val eligible = t(i) == None_ &&
+                (i == 0 || (t(i - 1) != None_ && ts > t(i - 1)))
+              if (eligible) t(i) = ts
+            }
+          }
+          state.update(t)
+          Iterator.single((key, t.toSeq))
+        })
+      .toDF(keyCol, "step_micros")
+  }
+
   def runningNanSum(stream: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._

@@ -243,6 +243,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streamingFunnel equals batch stepTimes under replay, rows arriving out of order") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(ms: Long) = new java.sql.Timestamp(base + ms)
+    // deliberately NOT in event-time order: the per-batch sort must fix it
+    val ev = Seq(
+      (1L, t(7200000), "purchase"), (1L, t(0), "signup"), (1L, t(3600000), "view"),
+      (2L, t(1000), "view"), (2L, t(2000), "signup"), // view precedes signup
+      (3L, t(0), "signup"), (3L, t(0), "view")        // same instant: strict > rejects
+    ).toDF("user_id", "ts", "event_type")
+    val steps = Seq("signup", "view", "purchase")
+    val streamed = runToMemory(
+      StreamingOps.streamingFunnel(asStream(ev), "user_id", "ts", "event_type", steps),
+      "sf_state", "update")
+      .collect().map(r => r.getString(0).toLong -> r.getSeq[Long](1)).toMap
+    val batch = graft.operators.Funnel.stepTimes(ev, "user_id", "ts", "event_type", steps)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 3).map(i => Option(r.getTimestamp(i)).map(_.getTime * 1000L)
+          .getOrElse(Long.MinValue))).toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (k, want) =>
+      assert(streamed(k) == want, s"user $k: streamed ${streamed(k)} vs batch $want")
+    }
+  }
+
   test("GraftExtensions injects graft_dotq for SQL use") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // constructs without error; SQL path via register:
