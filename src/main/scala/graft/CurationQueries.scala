@@ -488,6 +488,23 @@ object CurationQueries {
         .withColumn("ewm_std", round(col("ewm_std"), 6))
         .select("event_id", "user_id", "ewm_var", "ewm_std")
         .orderBy("event_id")),
+    // pandas ewm(alpha=0.5).cov(other)/corr(other) (bias=false): the
+    // pairwise mask gates contribution on BOTH series (valn NULLs on
+    // error events, props.k NULLs never here but carries its own type)
+    // while every row advances the decay clock; corr's constant-column
+    // NULL uses the RelCorrEps relative gate mirrored in the oracle
+    "q_ewm_cov" -> ((s, d) =>
+      Ewm.ewmCovCorr(
+          SparkEntry.ev(s, d).withColumn("kv",
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+              .getField("k").cast("double")),
+          Seq("user_id"), Seq(col("ts"), col("event_id")), "valn", "kv",
+          alpha = 0.5)
+        .withColumn("ewm_cov", round(col("ewm_cov"), 6))
+        .withColumn("ewm_corr", round(col("ewm_corr"), 6))
+        .select("event_id", "user_id", "ewm_cov", "ewm_corr")
+        .orderBy("event_id")),
     // wall-clock decayed var/std (r6 verdict #6): mixed-rate decayed
     // sums (squared weights decay at twice the halflife rate), with the
     // reliability cutoff NULLing rows whose lookback beyond the newest
@@ -1150,6 +1167,36 @@ object CurationQueries {
         + " SELECT event_id, user_id,"
         + s" round(CASE WHEN w1 * w1 - w2 > 0 THEN $vr END, 6) AS ewm_var,"
         + s" round(CASE WHEN w1 * w1 - w2 > 0 THEN sqrt($vr) END, 6) AS ewm_std"
+        + " FROM a ORDER BY 1")
+    },
+    "q_ewm_cov" -> {
+      // direct quadratic pairwise formula; pow(0.5, d) exact on both
+      // engines, the corr gate is the engine's RelCorrEps relative
+      // cutoff (mid-gap between cancellation noise and real signal)
+      val pairOk = "b.x IS NOT NULL AND b.y IS NOT NULL"
+      val cv = "(w1 * sxy - sx * sy) / (w1 * w1 - w2)"
+      val cr = ("greatest(least((w1 * sxy - sx * sy)"
+        + " / sqrt((w1 * sxx - sx * sx) * (w1 * syy - sy * sy)), 1.0), -1.0)")
+      val ok = (s"w1 * w1 - w2 > 0 AND w1 * sxx - sx * sx > ${Ewm.RelCorrEps} * w1 * sxx"
+        + s" AND w1 * syy - sy * sy > ${Ewm.RelCorrEps} * w1 * syy")
+      ("WITH e AS (SELECT event_id, user_id,"
+        + " CASE WHEN event_type = 'error' THEN NULL ELSE value END AS x,"
+        + " CAST(json_extract_string(props, '$.k') AS BIGINT)::DOUBLE AS y,"
+        + " row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS p"
+        + " FROM events),"
+        + " a AS (SELECT r.event_id, r.user_id,"
+        + s" sum(CASE WHEN $pairOk THEN pow(0.5, r.p - b.p) END) AS w1,"
+        + s" sum(CASE WHEN $pairOk THEN pow(0.25, r.p - b.p) END) AS w2,"
+        + s" sum(CASE WHEN $pairOk THEN pow(0.5, r.p - b.p) * b.x END) AS sx,"
+        + s" sum(CASE WHEN $pairOk THEN pow(0.5, r.p - b.p) * b.y END) AS sy,"
+        + s" sum(CASE WHEN $pairOk THEN pow(0.5, r.p - b.p) * b.x * b.y END) AS sxy,"
+        + s" sum(CASE WHEN $pairOk THEN pow(0.5, r.p - b.p) * b.x * b.x END) AS sxx,"
+        + s" sum(CASE WHEN $pairOk THEN pow(0.5, r.p - b.p) * b.y * b.y END) AS syy"
+        + " FROM e r JOIN e b ON r.user_id = b.user_id AND b.p <= r.p"
+        + " GROUP BY 1, 2)"
+        + " SELECT event_id, user_id,"
+        + s" round(CASE WHEN w1 * w1 - w2 > 0 THEN $cv END, 6) AS ewm_cov,"
+        + s" round(CASE WHEN $ok THEN $cr END, 6) AS ewm_corr"
         + " FROM a ORDER BY 1")
     },
     "q_ewm_time_var" -> {

@@ -184,7 +184,7 @@ object Ewm {
     val clash = df.columns.toSeq.intersect(outs)
     require(clash.isEmpty,
       s"ewm output columns already exist in the input: ${clash.mkString(", ")}")
-    val extra = Set("__v", "__tm", "__an", "__ad", "__en", "__ed",
+    val extra = Set("__v", "__vx", "__vy", "__tm", "__an", "__ad", "__en", "__ed",
       "__en1", "__ed1", "__en2", "__ed2", "__sc1", "__sc2")
     val rclash = df.columns.toSeq.filter(n =>
       Reserved.contains(n) || extra.contains(n) ||
@@ -288,6 +288,88 @@ object Ewm {
       .withColumn(asVar, v)
       .withColumn(asStd, sqrt(v))
       .drop("__v", "__sw", "__swx", "__swxx", "__sw2"), release)
+  }
+
+  /** Appends `asCov`/`asCorr` = pandas `ewm(alpha).cov(other)/corr(other)`
+    * (adjust=true, bias=false, ignore_na=false): the PAIRWISE decayed
+    * moments of two columns. A row contributes only when BOTH values are
+    * valid (pandas' pairwise-complete mask), but every row advances the
+    * decay clock (positions are row positions, ignore_na=false).
+    *
+    *   cov  = (Sw*Swxy − Swx*Swy) / (Sw² − Sw2)   (bias=false)
+    *   corr = (Sw*Swxy − Swx*Swy)
+    *            / sqrt((Sw*Swxx − Swx²)(Sw*Swyy − Swy²))
+    *
+    * — the reliability denominator cancels out of corr, so corr needs no
+    * Sw2; both share the seven decayed sums (six at base beta, Sw2 at
+    * beta² — the [[ewmVarStd]] mixed-base case) on ONE chunk grid. cov
+    * is NULL until two in-horizon pairs (den > 0); corr additionally
+    * NULLs when either marginal variance is degenerate (constant column
+    * — pandas emits NaN there). Degeneracy is a RELATIVE cutoff, not
+    * `> 0`: a constant-column variance Sw*Sxx − Sx² cancels to summation
+    * noise (≤ ~1e-13 of Sw*Sxx), not exact zero, and the noise lands on
+    * different sides of zero per engine — while any real two-valued
+    * signal is ≥ ~(Δ/x)² relative. [[RelCorrEps]] = 1e-9 sits in that
+    * gap (the [[RelVarEps]] rationale one family over). corr is clamped
+    * to [-1, 1]: the two variance square roots round oppositely at the
+    * last ulp on perfectly correlated data, which would otherwise emit
+    * 1.0000000000000002. */
+  def ewmCovCorr(
+      df: DataFrame,
+      by: Seq[String],
+      orderCols: Seq[Column],
+      xCol: String,
+      yCol: String,
+      alpha: Double,
+      asCov: String = "ewm_cov",
+      asCorr: String = "ewm_corr",
+      maxChunk: Int = 1024,
+      cache: Boolean = true): DataFrame =
+    ewmCovCorrManaged(df, by, orderCols, xCol, yCol, alpha, asCov, asCorr,
+      maxChunk, cache)._1
+
+  /** [[ewmCovCorr]] plus the release handle — same contract as
+    * [[ewmMeanManaged]]. */
+  def ewmCovCorrManaged(
+      df: DataFrame,
+      by: Seq[String],
+      orderCols: Seq[Column],
+      xCol: String,
+      yCol: String,
+      alpha: Double,
+      asCov: String = "ewm_cov",
+      asCorr: String = "ewm_corr",
+      maxChunk: Int = 1024,
+      cache: Boolean = true): (DataFrame, () => Unit) = {
+    checkArgs(df, by, alpha, maxChunk, Seq(asCov, asCorr))
+    val beta = 1.0 - alpha
+    val xn = graft.functions.NanOps
+      .nanToNull(col(xCol), df.schema(xCol).dataType).cast(DoubleType)
+    val yn = graft.functions.NanOps
+      .nanToNull(col(yCol), df.schema(yCol).dataType).cast(DoubleType)
+    val in = df.withColumn("__vx", xn).withColumn("__vy", yn)
+    val both = col("__vx").isNotNull && col("__vy").isNotNull
+    val (sums, release) = decayedSums(in, by, orderCols, both,
+      Seq(DSpec("__sw", beta, lit(1.0)),
+        DSpec("__swx", beta, col("__vx")),
+        DSpec("__swy", beta, col("__vy")),
+        DSpec("__swxy", beta, col("__vx") * col("__vy")),
+        DSpec("__swxx", beta, col("__vx") * col("__vx")),
+        DSpec("__swyy", beta, col("__vy") * col("__vy")),
+        DSpec("__sw2", beta * beta, lit(1.0))),
+      maxChunk, cache)
+    val covNum = col("__sw") * col("__swxy") - col("__swx") * col("__swy")
+    val den = col("__sw") * col("__sw") - col("__sw2")
+    val vx = col("__sw") * col("__swxx") - col("__swx") * col("__swx")
+    val vy = col("__sw") * col("__swyy") - col("__swy") * col("__swy")
+    val vxOk = vx > lit(RelCorrEps) * col("__sw") * col("__swxx")
+    val vyOk = vy > lit(RelCorrEps) * col("__sw") * col("__swyy")
+    (sums
+      .withColumn(asCov, when(den > 0, covNum / den))
+      .withColumn(asCorr, when(den > 0 && vxOk && vyOk,
+        greatest(least(covNum / sqrt(vx * vy), lit(1.0)), lit(-1.0))))
+      .drop("__vx", "__vy", "__sw", "__swx", "__swy", "__swxy",
+        "__swxx", "__swyy", "__sw2"), release)
   }
 
   /** TIME-decayed exponentially-weighted mean over an irregular event
@@ -431,6 +513,13 @@ object Ewm {
     * constant; the only drift risk is a den/Sw^2 landing within an ulp
     * of it — the accepted ln-boundary risk class). */
   val RelVarEps = 1e-6
+
+  /** [[ewmCovCorr]]'s marginal-variance degeneracy cutoff: a variance
+    * below this fraction of its uncentered moment Sw*Sxx is treated as
+    * constant-column cancellation noise (noise ceiling ~1e-13 relative;
+    * the smallest genuine two-valued signal in practice ~(Δ/x)² ≥ ~1e-5
+    * — 1e-9 sits mid-gap, so ulp drift cannot flip the gate). */
+  val RelCorrEps = 1e-9
 
   /** One wall-clock decayed sum: S_name(t) = sum over valid j <= t of
     * 2^(-rate * (t_t - t_j)/halflife) * value_j. `rate` is an integer

@@ -118,6 +118,74 @@ class EwmSpec extends AnyFunSuite {
     }
   }
 
+  /** pandas ewm(alpha).cov/corr(other) bias=false PAIRWISE reference:
+    * only both-valid rows contribute, every row advances the clock;
+    * corr NULL under the engine's RelCorrEps degeneracy gate. */
+  private def bruteCovCorr(
+      xs: Seq[Option[Double]], ys: Seq[Option[Double]], alpha: Double)
+      : Seq[(Option[Double], Option[Double])] = {
+    val beta = 1 - alpha
+    xs.indices.map { t =>
+      val terms = (0 to t).flatMap { j =>
+        for (x <- xs(j); y <- ys(j)) yield (math.pow(beta, t - j), x, y)
+      }
+      val w1 = terms.map(_._1).sum
+      val w2 = terms.map(p => p._1 * p._1).sum
+      val sx = terms.map(p => p._1 * p._2).sum
+      val sy = terms.map(p => p._1 * p._3).sum
+      val sxy = terms.map(p => p._1 * p._2 * p._3).sum
+      val sxx = terms.map(p => p._1 * p._2 * p._2).sum
+      val syy = terms.map(p => p._1 * p._3 * p._3).sum
+      val den = w1 * w1 - w2
+      val (vx, vy) = (w1 * sxx - sx * sx, w1 * syy - sy * sy)
+      val cov = if (den > 0) Some((w1 * sxy - sx * sy) / den) else None
+      val corr =
+        if (den > 0 && vx > Ewm.RelCorrEps * w1 * sxx && vy > Ewm.RelCorrEps * w1 * syy)
+          Some(math.max(-1.0, math.min(1.0, (w1 * sxy - sx * sy) / math.sqrt(vx * vy))))
+        else None
+      (cov, corr)
+    }
+  }
+
+  test("ewmCovCorr == pairwise brute force; constant-column corr NULL; corr clamped to [-1,1]") {
+    // independent missing patterns; "e" is exactly anti-correlated
+    // (corr must clamp to -1, not -1.0000000000000002); "f" has a
+    // constant-y prefix (corr NULL while cov is defined)
+    val pairs = Map(
+      "a" -> (Seq(Some(1.0), None, Some(3.0), Some(0.5), Some(4.0), None, Some(2.0)),
+        Seq(Some(2.0), Some(1.0), None, Some(5.0), Some(1.5), Some(3.0), Some(0.25))),
+      "e" -> ((1 to 12).map(i => Some(i.toDouble)),
+        (1 to 12).map(i => Some(10.0 - 2.0 * i))),
+      "f" -> (Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0)),
+        Seq(Some(7.0), Some(7.0), Some(7.0), Some(2.0))),
+      "g" -> (Seq(Some(5.0)), Seq(Some(6.0))))
+    val df = pairs.toSeq.flatMap { case (g, (xs, ys)) =>
+      xs.indices.map(i => (g, i.toLong,
+        xs(i).getOrElse(Double.NaN), ys(i).getOrElse(Double.NaN)))
+    }.toDF("g", "pos", "x", "y")
+    for (alpha <- Seq(0.5, 0.2); mc <- Seq(1024, 3)) {
+      val got = Ewm.ewmCovCorr(df, Seq("g"), Seq(col("pos")), "x", "y", alpha,
+          maxChunk = mc)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((Option(r.get(4)).map(_.asInstanceOf[Double]),
+            Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+      for ((g, (xs, ys)) <- pairs;
+           ((wc, wr), i) <- bruteCovCorr(xs, ys, alpha).zipWithIndex) {
+        val (c, r) = got((g, i.toLong))
+        assert(c.isDefined == wc.isDefined, s"cov alpha=$alpha mc=$mc $g[$i]: $c vs $wc")
+        assert(r.isDefined == wr.isDefined, s"corr alpha=$alpha mc=$mc $g[$i]: $r vs $wr")
+        for (a <- c; b <- wc) assert(math.abs(a - b) < 1e-9, s"cov $g[$i]: $a vs $b")
+        for (a <- r; b <- wr) {
+          assert(math.abs(a - b) < 1e-9, s"corr $g[$i]: $a vs $b")
+          assert(a >= -1.0 && a <= 1.0)
+        }
+      }
+      // the anti-correlated group sits at -1 to the last ulp and never below
+      val e11 = got(("e", 11L))._2.get
+      assert(e11 >= -1.0 && e11 + 1.0 < 1e-12, s"e[11] corr $e11")
+    }
+  }
+
   /** time-decay reference: weight = 2^(-(t_t - t_j)/halflife). */
   private def bruteTime(
       rows: Seq[(Long, Option[Double])], hMicros: Long): Seq[Option[Double]] =
