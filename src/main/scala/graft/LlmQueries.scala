@@ -77,6 +77,19 @@ object LlmQueries {
     }
   }
 
+  /** Gap-based sessionization replay shared by q_session_window (batch)
+    * and q_stream_session (AvailableNow replay of the same rollup):
+    * windows merge on the inclusive gap boundary, end = last + gap. */
+  private val SessionWindowOracleSql =
+    ("WITH s AS (SELECT user_id, ts, value,"
+      + " CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000"
+      + " THEN 1 ELSE 0 END AS isnew FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),"
+      + " t AS (SELECT user_id, ts, value, sum(isnew) OVER (PARTITION BY user_id ORDER BY ts"
+      + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM s)"
+      + " SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,"
+      + " count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
+      + " FROM t GROUP BY user_id, sess ORDER BY 1, 2")
+
   private val QuantSqlDouble =
     "list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT))"
 
@@ -487,6 +500,24 @@ object LlmQueries {
       Sessionize.sessionWindowRollup(SparkEntry.ev(s, d), Seq("user_id"), "ts",
         "30 minutes", "value")
         .orderBy("user_id", "session_start")),
+    // The SAME session_window rollup under readStream — the "runs
+    // unchanged under streaming" claim promoted to a driver row.
+    // Complete mode: the state store merges sessions across batches
+    // and the final emission is the full rollup, so the AvailableNow
+    // replay must hash-match the batch oracle (shared with
+    // q_session_window — one SQL string, zero drift).
+    "q_stream_session" -> ((s, d) => {
+      val schema = T(s, d, "events").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/{events.parquet}")
+      val e = SparkEntry.tsToTimestamp(raw, "ts")
+      val out = Sessionize.sessionWindowRollup(e, Seq("user_id"), "ts",
+        "30 minutes", "value")
+      replayAvailableNow(s, out, "graft_stream_session", "complete") { sunk =>
+        sunk.select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"), col("sum_value"))
+          .orderBy("user_id", "session_start")
+      }
+    }),
     // Stateless curation filters under readStream (hash sample + quality
     // floor + PII redaction): the documents table replayed as a file
     // stream, APPEND mode — no watermark, no state store, every surviving
@@ -1142,15 +1173,10 @@ object LlmQueries {
           + " SELECT user_id, session, min(ts) AS session_start, max(ts) AS session_end,"
           + " count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
           + " FROM t GROUP BY 1, 2 ORDER BY 1, 2"),
-      "q_session_window" ->
-        ("WITH s AS (SELECT user_id, ts, value,"
-          + " CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000"
-          + " THEN 1 ELSE 0 END AS isnew FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),"
-          + " t AS (SELECT user_id, ts, value, sum(isnew) OVER (PARTITION BY user_id ORDER BY ts"
-          + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM s)"
-          + " SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,"
-          + " count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
-          + " FROM t GROUP BY user_id, sess ORDER BY 1, 2"),
+      "q_session_window" -> SessionWindowOracleSql,
+      // the streaming replay must equal the batch rollup — one string,
+      // zero drift between the two gates
+      "q_stream_session" -> SessionWindowOracleSql,
       "q_media_decode" ->
         ("SELECT doc_id, CASE WHEN len(text) = 0 THEN 0.0 ELSE"
           + " list_sum(list_transform(string_split(text, ''), c -> ascii(c)::BIGINT))::DOUBLE / len(text)"
