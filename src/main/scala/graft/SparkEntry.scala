@@ -157,6 +157,15 @@ object SparkEntry {
         round(element_at(col("qs"), 3), 6).as("q75"),
         round(element_at(col("qs"), 4), 6).as("q90"))
     }),
+    // exact weighted quantile (inverted-CDF over importance weights):
+    // selection runs on the exact decimal(18,6) grid, so the threshold
+    // can never land within FP noise of a cumulative sum — the result
+    // is the same raw double on both engines, no rounding needed
+    "q_weighted_quantile" -> ((s, d) =>
+      Quantiles.weightedQuantile(li(s, d), Seq("l_returnflag"),
+          "l_extendedprice", "l_quantity",
+          Seq(0.25 -> "wq25", 0.5 -> "wq50", 0.9 -> "wq90"))
+        .orderBy("l_returnflag")),
     // bounded grouped top-k (TopKByScore): k-bounded shuffle vs the
     // row_number window idiom's full shuffle+sort
     "q_topk" -> ((s, d) =>
@@ -502,6 +511,18 @@ object SparkEntry {
         + " round(quantile_cont(l_extendedprice, 0.5), 6) AS q50,"
         + " round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,"
         + " round(quantile_cont(l_extendedprice, 0.9), 6) AS q90 FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_weighted_quantile" ->
+      ("WITH r AS (SELECT l_returnflag AS k, l_extendedprice AS v, l_quantity AS w"
+        + " FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity > 0),"
+        + " c AS (SELECT k, v,"
+        + " sum(w::DECIMAL(18,6)) OVER (PARTITION BY k ORDER BY v"
+        + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,"
+        + " sum(w::DECIMAL(18,6)) OVER (PARTITION BY k)::DECIMAL(18,6) AS totw FROM r)"
+        + " SELECT k AS l_returnflag,"
+        + " min(CASE WHEN cumw >= totw * 0.250000 THEN v END) AS wq25,"
+        + " min(CASE WHEN cumw >= totw * 0.500000 THEN v END) AS wq50,"
+        + " min(CASE WHEN cumw >= totw * 0.900000 THEN v END) AS wq90"
+        + " FROM c GROUP BY 1 ORDER BY 1"),
     "q_mode" ->
       ("SELECT l_returnflag, min(v) AS mode_qty FROM ("
         + "SELECT l_returnflag, v, c, max(c) OVER (PARTITION BY l_returnflag) AS mx FROM ("

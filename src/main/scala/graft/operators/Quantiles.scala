@@ -366,4 +366,68 @@ object Quantiles {
         .otherwise(array(qs.zipWithIndex.map { case (q, i) => interp(i, q) }: _*)).as(as)
     picked.select(keyCols :+ result: _*)
   }
+
+  /** EXACT weighted quantile per group — the importance-weighted corpus
+    * statistic ([[TextAnalysis.dsirScores]] weights, mixture sampling
+    * rates): the inverted-CDF (lower) definition, `result(q)` = the
+    * smallest value whose cumulative weight reaches `q` of the group's
+    * total weight. Rows with NULL/NaN value or NULL/non-positive weight
+    * take no part; a group with no contributing row reports NULL.
+    *
+    * Exactness contract: weights are quantized to decimal(18,6) and
+    * every comparison (running weight vs q x total) runs on the exact
+    * decimal grid — `qs` must therefore sit on the 1e-6 grid too (the
+    * tf-idf/DSIR quantization convention), so the selection threshold
+    * can never land within FP noise of a cumulative sum and the result
+    * is engine-independent by construction, not by tolerance.
+    *
+    * Scale shape: one shuffle by group with a value-ordered running
+    * decimal sum (spilling WindowExec, the [[exactQuantile]] topology
+    * minus the distinct-collapse), then ONE hash aggregation computing
+    * every requested quantile as a conditional min — no per-group
+    * buffering, no second pass per q. Ties in value are safe under any
+    * tie order: equal values share the tie-run's final cumulative
+    * weight, and the conditional min over the run returns the same
+    * value either way.
+    *
+    * @param qs (quantile, output-column-name) pairs; q in [0, 1] on the
+    *           1e-6 grid. q=0 gives the group minimum, q=1 the maximum.
+    */
+  def weightedQuantile(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      qs: Seq[(Double, String)]): DataFrame = {
+    require(by.nonEmpty, "weightedQuantile needs at least one grouping column")
+    require(qs.nonEmpty, "weightedQuantile needs at least one quantile")
+    qs.foreach { case (q, _) =>
+      require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1] (got $q)")
+      require((q * 1e6).round.toDouble == q * 1e6,
+        s"quantile must sit on the 1e-6 grid for exact decimal selection (got $q)")
+    }
+    val clash = df.columns.toSeq.intersect(qs.map(_._2))
+    require(clash.isEmpty,
+      s"weightedQuantile output columns already exist: ${clash.mkString(", ")}")
+    val keyCols = by.map(col)
+    val v = NanOps.nanToNull(col(valueCol), df.schema(valueCol).dataType)
+      .cast("double")
+    val wRaw = NanOps.nanToNull(col(weightCol), df.schema(weightCol).dataType)
+      .cast("double")
+    val w = when(v.isNotNull && wRaw > 0.0, wRaw.cast("decimal(18,6)"))
+    val byVal = Window.partitionBy(keyCols: _*).orderBy(col("__wv"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val total = Window.partitionBy(keyCols: _*)
+    val staged = df
+      .withColumn("__wv", v)
+      .withColumn("__ww", w)
+      .withColumn("__cumw", sum(col("__ww")).over(byVal))
+      .withColumn("__totw", sum(col("__ww")).over(total))
+    val aggExprs = qs.map { case (q, name) =>
+      val target = col("__totw") * lit(BigDecimal(q).setScale(6))
+      min(when(col("__ww").isNotNull && col("__cumw") >= target, col("__wv")))
+        .as(name)
+    }
+    staged.groupBy(keyCols: _*).agg(aggExprs.head, aggExprs.tail: _*)
+  }
 }

@@ -182,6 +182,56 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedQuantile == inverted-CDF brute force (ties, zero/negative weights, NaN, q edges)") {
+    val rows = (0 until 300).map { i =>
+      val g = s"g${i % 4}"
+      val v = i % 7 match {
+        case 0 => Double.NaN
+        case 1 => (i % 5).toDouble          // heavy ties
+        case _ => rnd.nextDouble() * 100
+      }
+      val w = i % 5 match {
+        case 0 => 0.0                        // excluded
+        case 1 => -1.5                       // excluded
+        case _ => (rnd.nextInt(400) + 1) / 100.0  // 1e-2 grid, decimal-exact
+      }
+      (g, v, w)
+    } ++ Seq(("dead", 1.0, 0.0), ("dead", Double.NaN, 3.0)) // no contributing row
+    val df = rows.toDF("g", "v", "w")
+    val qs = Seq(0.0 -> "p0", 0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90", 1.0 -> "p100")
+    val got = Quantiles.weightedQuantile(df, Seq("g"), "v", "w", qs)
+      .collect().map(r => r.getString(0) ->
+        (1 to qs.size).map(i => Option(r.get(i)).map(_.asInstanceOf[Double]))).toMap
+    val byG = rows.groupBy(_._1)
+    for ((g, rs) <- byG) {
+      val valid = rs.collect { case (_, v, w) if !v.isNaN && w > 0 => (v, BigDecimal(w)) }
+        .sortBy(_._1)
+      val tot = valid.map(_._2).sum
+      val want = qs.map { case (q, _) =>
+        if (valid.isEmpty) None
+        else {
+          val target = tot * BigDecimal(q)
+          var cum = BigDecimal(0)
+          valid.collectFirst {
+            case (v, w) if { cum += w; cum >= target } => v
+          }
+        }
+      }
+      assert(got(g) == want, s"group $g: ${got(g)} vs $want")
+    }
+    assert(got("dead").forall(_.isEmpty))
+  }
+
+  test("weightedQuantile rejects off-grid quantiles and clashing output names") {
+    val df = Seq(("a", 1.0, 1.0)).toDF("g", "v", "w")
+    intercept[IllegalArgumentException] {
+      Quantiles.weightedQuantile(df, Seq("g"), "v", "w", Seq(0.123456789 -> "x"))
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.weightedQuantile(df, Seq("g"), "v", "w", Seq(0.5 -> "v"))
+    }
+  }
+
   test("plan: no ObjectHashAggregate percentile buffer — hash agg + window only") {
     val df = data.toDF("k", "v")
     val p = Quantiles.exactQuantile(df, Seq("k"), "v", Seq(0.5))
