@@ -128,6 +128,17 @@ object LlmQueries {
     // ---- dedup ----
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(T(s, d, "documents"), "doc_id", "text").orderBy("keep_id")),
+    // incremental-ingestion dedup: even doc_ids play yesterday's corpus,
+    // odd ids today's batch — survivors are odd docs whose text is new
+    // to the corpus AND first within the batch
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Dedup.dedupIncremental(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
     // bands=32 puts the dataset's planted near-dups (trigram j>=0.9,
     // noise <=0.07) fifteen orders of magnitude inside the detection
     // S-curve; the all-pairs oracle stays matchable because no pair
@@ -901,6 +912,14 @@ object LlmQueries {
           + " FROM a GROUP BY 1, 2 ORDER BY 1, 2"),
       "q_dedup_exact" ->
         "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY 1",
+      "q_dedup_incremental" ->
+        ("WITH c AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),"
+          + " b AS (SELECT doc_id, text, n_chars FROM documents"
+          + " WHERE doc_id % 2 = 1 AND text IS NOT NULL),"
+          + " f AS (SELECT b.* FROM b LEFT JOIN c ON b.text = c.text WHERE c.text IS NULL),"
+          + " w AS (SELECT text, min(doc_id) AS wid FROM f GROUP BY 1)"
+          + " SELECT f.doc_id, f.n_chars FROM f"
+          + " JOIN w ON f.text = w.text AND f.doc_id = w.wid ORDER BY 1"),
       "q_dedup_near" ->
         (shingleCte
           + " SELECT * FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"

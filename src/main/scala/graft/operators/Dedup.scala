@@ -74,6 +74,45 @@ object Dedup {
       .select("keep_id", "n_copies")
   }
 
+  /** Incremental-ingestion exact dedup: the rows of `batch` whose
+    * content is NOT already in `corpus`, keep-first within the batch —
+    * the daily-ingestion shape (yesterday's corpus is fixed; today's
+    * batch must not re-add anything it contains, nor duplicate itself).
+    * Row-preserving: survivors keep every `batch` column.
+    *
+    * Scale shape: the corpus collapses to its DISTINCT 16-byte
+    * [[contentKey]] fingerprints (never text) before the anti-join, so
+    * a 100 TB corpus probes as a fingerprint table; the within-batch
+    * keep-first is the [[segmentDedup]] min-struct winner aggregation
+    * (no per-content window sort) joined back on fingerprint + id.
+    * Both joins shuffle on the same fingerprint key, so Catalyst plans
+    * one exchange per side, reused across the two probes.
+    *
+    * NULL-content rows are ABSENT from the output (there is nothing to
+    * deduplicate on; Spark's xxhash64 would otherwise hash NULLs equal
+    * while SQL equality never matches them — the [[exactDedup]] family
+    * convention). Filter-and-union beforehand to keep them. */
+  def dedupIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      contentCol: String): DataFrame = {
+    val (h1, h2) = contentKey(col(contentCol))
+    val seen = corpus.where(col(contentCol).isNotNull)
+      .select(h1.as("__h1"), h2.as("__h2")).distinct()
+    val keyed = batch.where(col(contentCol).isNotNull)
+      .withColumn("__h1", h1).withColumn("__h2", h2)
+    val fresh = keyed.join(seen, Seq("__h1", "__h2"), "left_anti")
+    val winners = fresh
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(min(col(idCol)).as("__wid"))
+      .select(col("__h1").as("__w1"), col("__h2").as("__w2"), col("__wid"))
+    fresh.join(winners,
+        col("__h1") === col("__w1") && col("__h2") === col("__w2")
+          && col(idCol) === col("__wid"))
+      .select(batch.columns.map(fresh(_)): _*)
+  }
+
   /** MinHash signature: k independent min-hashes over a shingle array.
     * Seeding follows the standard one-hash-function-per-row construction:
     * h_s(x) = xxhash64(s, x), signature[s] = min over shingles.

@@ -24,6 +24,26 @@ class DedupSpec extends AnyFunSuite {
     assert(r == Map(1L -> 3L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("dedupIncremental drops corpus-known and batch-repeated content, keeps batch columns") {
+    val corpus = Seq(
+      (10L, "old news"), (11L, "shared boilerplate"), (12L, null: String)
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "shared boilerplate"),  // in corpus -> dropped
+      (2L, "fresh today"),         // survives
+      (3L, "fresh today"),         // batch-internal copy -> dropped
+      (4L, "also fresh"),          // survives
+      (5L, null: String)           // NULL content -> absent by contract
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupIncremental(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    assert(kept == Seq(2L -> "fresh today", 4L -> "also fresh"))
+    // empty corpus degenerates to plain within-batch keep-first
+    val solo = Dedup.dedupIncremental(corpus.limit(0), batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(solo == Seq(1L, 2L, 4L))
+  }
+
   test("dropDuplicatesKeepFirst keeps the smallest-id row with all columns") {
     val kept = Dedup.dropDuplicatesKeepFirst(docs, "doc_id", "text")
       .collect().map(_.getLong(0)).sorted.toSeq
