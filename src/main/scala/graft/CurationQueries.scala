@@ -679,6 +679,22 @@ object CurationQueries {
           min(col("value")).as("min_v"), max(col("value")).as("max_v"),
           min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"))
         .orderBy("tile")),
+    // Deterministic training-shard assignment: content-keyed quadratic
+    // scatter mod 8 — per-shard rollup (count, chars, fingerprint
+    // checksum) pins the exact shard membership on the driver gate;
+    // the physical writer (one file per shard dir, scatter order) is
+    // spec-pinned in BucketedNoShuffleSpec.
+    "q_shards" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      Layout.shardAssign(
+          T(s, d, "documents").where(col("text").isNotNull),
+          Sampling.textKey(col("text")), shards = 8, salt = 9)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(Sampling.textKey(col("text"))).as("checksum"))
+        .orderBy("shard")
+    }),
     // DSIR importance weights: target = the eval sources, background =
     // everything else; per-background-doc sum of hashed-unigram
     // log-likelihood ratios (decimal-exact, quantized-ln convention).
@@ -1387,6 +1403,15 @@ object CurationQueries {
         + " min(user_id) AS min_u, max(user_id) AS max_u"
         + " FROM zt GROUP BY 1 ORDER BY 1")
     },
+    // replays shard = quadratic-scatter(fingerprint) % 8 via the shared
+    // bucketSql/fingerprintSql fragments (one source, zero drift)
+    "q_shards" ->
+      (s"WITH f AS (SELECT n_chars, ${fpSql("text")} AS h FROM documents"
+        + " WHERE text IS NOT NULL)"
+        + s" SELECT (${Sampling.bucketSql("h", 9)}) % 8 AS shard,"
+        + " count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,"
+        + " sum(h)::BIGINT AS checksum"
+        + " FROM f GROUP BY 1 ORDER BY 1"),
     // replays the hashed-unigram two-model fit and the decimal llr sum;
     // bins via the shared rolling-fingerprint SQL (never a re-hash)
     "q_dsir" ->

@@ -103,4 +103,51 @@ object Layout {
       else withZ.repartitionByRange(col(zCol))
     parted.sortWithinPartitions(col(zCol))
   }
+
+  /** Deterministic training-shard assignment: appends `as` = the row's
+    * shard in [0, shards), from the [[Sampling.bucket]] quadratic
+    * scatter of `key` — so the assignment is content-keyed (a re-run,
+    * a backfill, or another engine lands every row in the same shard),
+    * SQL-replayable ([[Sampling.bucketSql]] + `% shards`), and
+    * approximately uniform regardless of key distribution. Keyed by
+    * [[Sampling.textKey]] this also fixes the within-shard ORDER:
+    * sort by (`as`, a second-salt bucket, tiebreak) and the corpus is
+    * globally shuffled for training yet byte-reproducible. */
+  def shardAssign(
+      df: DataFrame,
+      key: Column,
+      shards: Int,
+      salt: Int = 0,
+      as: String = "shard"): DataFrame = {
+    require(shards > 0, s"shards must be positive (got $shards)")
+    require(!df.columns.contains(as),
+      s"shardAssign appends $as; rename it in the input or pass another name")
+    df.withColumn(as, Sampling.bucket(key, salt) % shards)
+  }
+
+  /** Physical shard writer: [[shardAssign]] + one task per shard + a
+    * deterministic within-shard order (second-salt scatter of the same
+    * key, `tieBreak` breaking scatter collisions) → a directory per
+    * shard, ONE parquet file each, byte-stable across re-runs. The
+    * repartition hashes the shard id, so a task may carry a few shard
+    * directories; each directory still receives exactly one file.
+    * At 100 TB size `shards` ≈ volume / target file size and drop the
+    * one-file-per-shard expectation by repartitioning on (shard,
+    * scatter-range) instead. */
+  def writeShards(
+      df: DataFrame,
+      outDir: String,
+      key: Column,
+      shards: Int,
+      tieBreak: Seq[Column],
+      salt: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.col
+    val assigned = shardAssign(df, key, shards, salt)
+      .withColumn("__ord", Sampling.bucket(key, salt + 1))
+    assigned
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard") +: col("__ord") +: tieBreak: _*)
+      .drop("__ord")
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+  }
 }

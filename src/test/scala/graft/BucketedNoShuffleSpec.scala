@@ -72,6 +72,35 @@ class BucketedNoShuffleSpec extends AnyFunSuite {
     assert(z(3) == (2L + 8L + 32L))     // clamps to a=0, b=7 -> odd bits
   }
 
+  test("writeShards: one file per shard dir, content-keyed assignment, re-run-stable order") {
+    import graft.operators.{Layout, Sampling}
+    val docs = (0 until 300).map(i => (i.toLong, s"doc body number ${i % 211} tail $i"))
+      .toDF("id", "text")
+    val key = Sampling.textKey(col("text"))
+    def writeOnce(): (String, Map[Int, Seq[Long]]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+      Layout.writeShards(docs, dir, key, shards = 4, tieBreak = Seq(col("id")), salt = 3)
+      val perShard = (0 until 4).map { sh =>
+        val d = new java.io.File(s"$dir/shard=$sh")
+        val files = Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"shard $sh: ${files.length} files")
+        // read the single file directly: row order inside it is the contract
+        sh -> spark.read.parquet(files.head.getPath)
+          .select("id").collect().map(_.getLong(0)).toSeq
+      }.toMap
+      (dir, perShard)
+    }
+    val (_, a) = writeOnce()
+    val (_, b) = writeOnce()
+    assert(a == b, "shard contents or order changed across identical re-runs")
+    // membership matches the declared assignment rule
+    val expect = docs.withColumn("sh", Sampling.bucket(key, 3) % 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2).toInt).toMap
+    for ((sh, ids) <- a; id <- ids) assert(expect(id) == sh)
+    assert(a.values.map(_.size).sum == 300)
+  }
+
   test("zorderBy clusters tiles into small dimension rectangles") {
     import graft.operators.Layout
     // 32x32 grid of (x, y) points; 8-bit z over [0,32) quantizes each
