@@ -29,6 +29,7 @@ object Stress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.expressions.GraftFunctions.register(spark)
 
     def expand(t: String, idCol: String): DataFrame = {
       val base = spark.read.parquet(s"$sfDir/$t.parquet")
@@ -104,6 +105,20 @@ object Stress {
         .select(count(col("text_dedup"))).head.getLong(0))
     time("dsirScores")(graft.operators.TextAnalysis.dsirScores(
       docs, "doc_id", "text", col("source").isin("src0", "src1", "src2"), 1024).count())
+    // incremental dedup: the even-id half plays the corpus, the full
+    // expansion the batch — even contents all collide (anti-join probe
+    // at its densest), odd contents exercise the n-way within-batch
+    // keep-first; wall should track rows
+    time("dedupIncremental")(
+      Dedup.dedupIncremental(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .where(col("doc_id") % 2 === 0), docs,
+        "doc_id", "text").count())
+    // shard assignment is a pure per-row scatter + one hash agg
+    time("shardAssign stats")(
+      graft.operators.Layout.shardAssign(docs.where(col("text").isNotNull),
+          graft.operators.Sampling.textKey(col("text")), shards = 64, salt = 3)
+        .groupBy("shard").count().count())
     // band join on replicated events: value DENSITY grows with n, so
     // matched pairs grow ~n^2 * 2eps * density by physics — the printed
     // rows value is the pair count; the check is constant pairs/sec,
@@ -129,6 +144,22 @@ object Stress {
         .partitionBy("l_returnflag").orderBy(col("l_extendedprice").desc, col("pos"))
       li.withColumn("rk", row_number().over(w)).where(col("rk") <= 10).count()
     }
+    // weighted quantile: one spilling value-sorted window + one agg —
+    // 3 giant groups again; wall should track rows like any scan
+    time("weightedQuantile")(
+      graft.operators.Quantiles.weightedQuantile(li, Seq("l_returnflag"),
+        "l_extendedprice", "l_quantity",
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90")).count())
+    // pairwise ewm moments over the expanded event stream: the chunked
+    // carry is scan-shaped, so x-fold rows cost ~x-fold wall even with
+    // per-user history growing n-fold
+    time("ewmCovCorr")(
+      graft.operators.Ewm.ewmCovCorr(
+        SparkEntry.tsToTimestamp(evx, "ts")
+          .withColumn("vx", col("value"))
+          .withColumn("vy", col("value") * 2 - col("user_id")),
+        Seq("user_id"), Seq(col("ts"), col("event_id")), "vx", "vy",
+        alpha = 0.5).count())
     spark.stop()
   }
 }
