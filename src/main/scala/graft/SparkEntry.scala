@@ -292,6 +292,44 @@ object SparkEntry {
         s"bucketed reduction must not shuffle; plan:\n$plan")
       reduced.orderBy("l_returnflag")
     }),
+    // co-located bucketed JOIN: both fact tables written bucketed on the
+    // join key with equal bucket counts — the sort-merge join's required
+    // distribution is satisfied by the bucketing metadata, so the join
+    // plan carries ZERO Exchange (fail-fast pinned; broadcast disabled
+    // for the check so the small sf can't sidestep the claim)
+    "q_bucketed_join" -> ((s, d) => {
+      def reset(table: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        val wh = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(
+            s.sessionState.catalog.getDatabaseMetadata("default").locationUri),
+          table)
+        wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      }
+      val tl = "graft_q_bj_lineitem"
+      val to = "graft_q_bj_orders"
+      reset(tl); reset(to)
+      Layout.writeBucketed(
+        T(s, d, "lineitem").select("l_orderkey", "l_quantity"),
+        tl, Seq("l_orderkey"), buckets = 4)
+      Layout.writeBucketed(
+        T(s, d, "orders").select("o_orderkey", "o_orderstatus"),
+        to, Seq("o_orderkey"), buckets = 4)
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = s.table(to)
+          .join(s.table(tl), col("o_orderkey") === col("l_orderkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"co-located bucketed join must not shuffle; plan:\n$plan")
+        joined.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+          .orderBy("o_orderstatus")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
     // ---- binning (reference core.py:803-823; empty bins kept+filled) ----
     "q_bins" -> ((s, d) => {
       val edges  = Seq(0.0, 10.0, 25.0, 40.0, 50.0, 100.0)
@@ -561,6 +599,11 @@ object SparkEntry {
       ("SELECT l_returnflag, count(l_quantity) AS n, sum(l_quantity) AS sum_qty,"
         + " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price"
         + " FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_bucketed_join" ->
+      ("SELECT o_orderstatus, count(*) AS n,"
+        + " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty"
+        + " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+        + " GROUP BY 1 ORDER BY 1"),
     "q_qcut_by" ->
       ("WITH e AS (SELECT l_returnflag,"
         + " list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]), x -> round(x, 6)) AS edges"
