@@ -523,6 +523,22 @@ object CurationQueries {
         .withColumn("ewm_std", round(col("ewm_std"), 4))
         .select("event_id", "user_id", "ewm_var", "ewm_std")
         .orderBy("event_id")),
+    // wall-clock pairwise cov/corr (1-hour halflife): valn vs props.k,
+    // pairwise-complete mask; var-grade rounding (the q_ewm_time_var
+    // real-exponent drift rationale: cov at 1e-3; corr is normalized,
+    // so its drift stays relative — 1e-5 grain)
+    "q_ewm_time_cov" -> ((s, d) =>
+      Ewm.ewmTimeCovCorr(
+          SparkEntry.ev(s, d).withColumn("kv",
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+              .getField("k").cast("double")),
+          Seq("user_id"), "ts", "valn", "kv", "1 hour",
+          tieBreak = Seq(col("event_id")))
+        .withColumn("ewm_cov", round(col("ewm_cov"), 3))
+        .withColumn("ewm_corr", round(col("ewm_corr"), 5))
+        .select("event_id", "user_id", "ewm_cov", "ewm_corr")
+        .orderBy("event_id")),
     // rolling cov/corr/trend (r7): value against integer epoch-seconds
     // over the 1-hour range frame — slope = value units per second, the
     // windowed OLS trend. Both columns centered at the per-group masked
@@ -1213,6 +1229,37 @@ object CurationQueries {
         + " SELECT event_id, user_id,"
         + s" round(CASE WHEN w1 * w1 - w2 > 0 THEN $cv END, 6) AS ewm_cov,"
         + s" round(CASE WHEN $ok THEN $cr END, 6) AS ewm_corr"
+        + " FROM a ORDER BY 1")
+    },
+    "q_ewm_time_cov" -> {
+      // direct wall-clock pairwise formula; the engine's RelVarEps
+      // reliability gate on den and RelCorrEps marginal gates on corr
+      val pairOk = "b.x IS NOT NULL AND b.y IS NOT NULL"
+      val w = "pow(2.0, -(r.tm - b.tm)::DOUBLE / 3600000000.0)"
+      val cv = "(w1 * sxy - sx * sy) / (w1 * w1 - w2)"
+      val cr = ("greatest(least((w1 * sxy - sx * sy)"
+        + " / sqrt((w1 * sxx - sx * sx) * (w1 * syy - sy * sy)), 1.0), -1.0)")
+      val denOk = s"w1 * w1 - w2 > ${Ewm.RelVarEps} * w1 * w1"
+      val ok = (s"$denOk AND w1 * sxx - sx * sx > ${Ewm.RelCorrEps} * w1 * sxx"
+        + s" AND w1 * syy - sy * sy > ${Ewm.RelCorrEps} * w1 * syy")
+      ("WITH e AS (SELECT event_id, user_id,"
+        + " CASE WHEN event_type = 'error' THEN NULL ELSE value END AS x,"
+        + " CAST(json_extract_string(props, '$.k') AS BIGINT)::DOUBLE AS y,"
+        + " epoch_us(ts) AS tm FROM events),"
+        + " a AS (SELECT r.event_id, r.user_id,"
+        + s" sum(CASE WHEN $pairOk THEN $w END) AS w1,"
+        + s" sum(CASE WHEN $pairOk THEN $w * $w END) AS w2,"
+        + s" sum(CASE WHEN $pairOk THEN $w * b.x END) AS sx,"
+        + s" sum(CASE WHEN $pairOk THEN $w * b.y END) AS sy,"
+        + s" sum(CASE WHEN $pairOk THEN $w * b.x * b.y END) AS sxy,"
+        + s" sum(CASE WHEN $pairOk THEN $w * b.x * b.x END) AS sxx,"
+        + s" sum(CASE WHEN $pairOk THEN $w * b.y * b.y END) AS syy"
+        + " FROM e r JOIN e b ON r.user_id = b.user_id AND"
+        + " (b.tm < r.tm OR (b.tm = r.tm AND b.event_id <= r.event_id))"
+        + " GROUP BY 1, 2)"
+        + " SELECT event_id, user_id,"
+        + s" round(CASE WHEN $denOk THEN $cv END, 3) AS ewm_cov,"
+        + s" round(CASE WHEN $ok THEN $cr END, 5) AS ewm_corr"
         + " FROM a ORDER BY 1")
     },
     "q_ewm_time_var" -> {

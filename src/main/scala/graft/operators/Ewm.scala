@@ -508,6 +508,79 @@ object Ewm {
       .drop("__s_w", "__s_wx", "__s_wxx", "__s_w2")), release)
   }
 
+  /** TIME-decayed pairwise covariance/correlation — the wall-clock twin
+    * of [[ewmCovCorr]], completing the (row, time) x (mean, var, cov)
+    * matrix. Weights are [[ewmTimeMean]]'s 2^(-dt/halflife); a row
+    * contributes only when BOTH series are valid (pairwise-complete),
+    * every row advances the wall clock by construction. Seven decayed
+    * sums share one 256-halflife cell grid (Sw2 at twice the rate — the
+    * [[ewmTimeVarStd]] mixed-rate sizing).
+    *
+    * Gates: cov NULL unless den = Sw^2 - Sw2 carries >= [[RelVarEps]]
+    * of Sw^2 (the wall-clock reliability cutoff — below it the
+    * cancelled sums are double noise); corr additionally NULL when
+    * either marginal variance fails the [[RelCorrEps]] relative
+    * degeneracy gate, and clamps to [-1, 1]. Magnitude contract:
+    * |x|,|y| below ~1e20 (the squared sums share the scale budget). */
+  def ewmTimeCovCorr(
+      df: DataFrame,
+      by: Seq[String],
+      timeCol: String,
+      xCol: String,
+      yCol: String,
+      halflife: String,
+      asCov: String = "ewm_cov",
+      asCorr: String = "ewm_corr",
+      tieBreak: Seq[Column] = Nil,
+      cache: Boolean = true): DataFrame =
+    ewmTimeCovCorrManaged(df, by, timeCol, xCol, yCol, halflife, asCov,
+      asCorr, tieBreak, cache)._1
+
+  /** [[ewmTimeCovCorr]] plus the release handle — same contract as
+    * [[ewmMeanManaged]]. */
+  def ewmTimeCovCorrManaged(
+      df: DataFrame,
+      by: Seq[String],
+      timeCol: String,
+      xCol: String,
+      yCol: String,
+      halflife: String,
+      asCov: String = "ewm_cov",
+      asCorr: String = "ewm_corr",
+      tieBreak: Seq[Column] = Nil,
+      cache: Boolean = true): (DataFrame, () => Unit) = {
+    checkArgs(df, by, 0.5, 1024, Seq(asCov, asCorr))
+    val xn = graft.functions.NanOps
+      .nanToNull(col(xCol), df.schema(xCol).dataType).cast(DoubleType)
+    val yn = graft.functions.NanOps
+      .nanToNull(col(yCol), df.schema(yCol).dataType).cast(DoubleType)
+    val staged = df.withColumn("__vx", xn).withColumn("__vy", yn)
+    val (sums, release) = timeDecayedSumsStaged(staged, by, timeCol,
+      halflife, tieBreak, cellHl = 256L,
+      Seq(TSpec("w", 1, lit(1.0)),
+        TSpec("wx", 1, col("__vx")),
+        TSpec("wy", 1, col("__vy")),
+        TSpec("wxy", 1, col("__vx") * col("__vy")),
+        TSpec("wxx", 1, col("__vx") * col("__vx")),
+        TSpec("wyy", 1, col("__vy") * col("__vy")),
+        TSpec("w2", 2, lit(1.0))),
+      col("__vx").isNotNull && col("__vy").isNotNull,
+      Seq("__vx", "__vy"), cache)
+    val covNum = col("__s_w") * col("__s_wxy") - col("__s_wx") * col("__s_wy")
+    val den = col("__s_w") * col("__s_w") - col("__s_w2")
+    val denOk = den > lit(RelVarEps) * col("__s_w") * col("__s_w")
+    val vx = col("__s_w") * col("__s_wxx") - col("__s_wx") * col("__s_wx")
+    val vy = col("__s_w") * col("__s_wyy") - col("__s_wy") * col("__s_wy")
+    val vxOk = vx > lit(RelCorrEps) * col("__s_w") * col("__s_wxx")
+    val vyOk = vy > lit(RelCorrEps) * col("__s_w") * col("__s_wyy")
+    ((sums
+      .withColumn(asCov, when(denOk, covNum / den))
+      .withColumn(asCorr, when(denOk && vxOk && vyOk,
+        greatest(least(covNum / sqrt(vx * vy), lit(1.0)), lit(-1.0))))
+      .drop("__s_w", "__s_wx", "__s_wy", "__s_wxy", "__s_wxx", "__s_wyy",
+        "__s_w2")), release)
+  }
+
   /** [[ewmTimeVarStd]]'s reliability cutoff: den/Sw^2 below this is
     * cancellation noise, not variance (engine and oracle share the
     * constant; the only drift risk is a den/Sw^2 landing within an ulp
@@ -556,6 +629,28 @@ object Ewm {
       cellHl: Long,
       specs: Seq[TSpec],
       cache: Boolean): (DataFrame, () => Unit) = {
+    val vn = graft.functions.NanOps
+      .nanToNull(col(valueCol), df.schema(valueCol).dataType).cast(DoubleType)
+    timeDecayedSumsStaged(df.withColumn("__v", vn), by, timeCol, halflife,
+      tieBreak, cellHl, specs, col("__v").isNotNull, Seq("__v"), cache)
+  }
+
+  /** [[timeDecayedSums]] with caller-staged value columns: `valid` gates
+    * which rows contribute (every row still advances the clock), and
+    * `staging` lists the caller's working columns to drop on the way
+    * out. Lets the pairwise operators sum products of TWO columns under
+    * a both-valid mask through the same cell/supercell machinery. */
+  private def timeDecayedSumsStaged(
+      df: DataFrame,
+      by: Seq[String],
+      timeCol: String,
+      halflife: String,
+      tieBreak: Seq[Column],
+      cellHl: Long,
+      specs: Seq[TSpec],
+      valid: Column,
+      staging: Seq[String],
+      cache: Boolean): (DataFrame, () => Unit) = {
     // the Rolling.rollingTime interval convention: CalendarInterval
     // without months (months have no fixed micros length)
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
@@ -569,11 +664,8 @@ object Ewm {
     // per-spec cell decay: exact negative powers of two
     def gammaOf(s: TSpec) = math.pow(2.0, -(s.rate * cellHl).toDouble)
 
-    val vn = graft.functions.NanOps
-      .nanToNull(col(valueCol), df.schema(valueCol).dataType).cast(DoubleType)
     val tm = unix_micros(col(timeCol))
     var base = df
-      .withColumn("__v", vn)
       .withColumn("__tm", tm)
       // floor division, exact in integers: __tm - pmod(__tm, w) is
       // divisible by w, so the truncating `div` cannot round
@@ -584,7 +676,7 @@ object Ewm {
       .orderBy(ordCols: _*).rowsBetween(Window.unboundedPreceding, 0)
     val wCellAll = Window.partitionBy(byCols :+ col("__c"): _*)
     for (s <- specs) {
-      val xs = when(col("__v").isNotNull,
+      val xs = when(valid,
         s.value * pow(lit(2.0), lit(s.rate.toDouble) * col("__q"))).otherwise(lit(0.0))
       base = base
         .withColumn(s"__sn_${s.name}", sum(xs).over(wCellRun))
@@ -655,7 +747,7 @@ object Ewm {
       out = out.withColumn(s"__s_${s.name}",
         pow(lit(2.0), lit(-s.rate.toDouble) * col("__q")) *
           (col(s"__sn_${s.name}") + col(s"__cr_${s.name}")))
-    (out.drop(Seq("__v", "__tm", "__c", "__q") ++ specs.flatMap(s =>
+    (out.drop(staging ++ Seq("__tm", "__c", "__q") ++ specs.flatMap(s =>
       Seq(s"__sn_${s.name}", s"__tn_${s.name}", s"__cr_${s.name}")): _*), release)
   }
 }

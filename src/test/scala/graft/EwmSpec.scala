@@ -295,6 +295,64 @@ class EwmSpec extends AnyFunSuite {
     }
   }
 
+  test("ewmTimeCovCorr: pairwise wall-clock moments vs brute force; gates and clamp") {
+    val h = 1000000L // 1 second halflife
+    var t = 0L
+    val rows = (0 until 400).map { i =>
+      t += (2L + (i * 5) % 7) * h
+      val x = if (i % 9 == 4) None else Some(((i * 23) % 11).toDouble - 5)
+      val y = if (i % 7 == 2) None else Some(((i * 31) % 13).toDouble * 0.5)
+      (t, x, y)
+    }
+    val df = rows.zipWithIndex.map { case ((tm, x, y), i) =>
+      (1L, i.toLong, new java.sql.Timestamp(tm / 1000),
+        x.getOrElse(Double.NaN), y.getOrElse(Double.NaN))
+    }.toDF("g", "i", "ts", "x", "y")
+    val got = Ewm.ewmTimeCovCorr(df.repartition(5), Seq("g"), "ts", "x", "y",
+        "1 second", tieBreak = Seq(col("i")))
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(5)).map(_.asInstanceOf[Double]),
+         Option(r.get(6)).map(_.asInstanceOf[Double]))).toMap
+    // brute force: the direct wall-clock pairwise formula with the
+    // engine's gates
+    val want = rows.indices.map { i =>
+      val (ti, _, _) = rows(i)
+      val terms = (0 to i).flatMap { j =>
+        val (tj, xj, yj) = rows(j)
+        for (x <- xj; y <- yj)
+          yield (math.pow(2.0, -(ti - tj).toDouble / h), x, y)
+      }
+      val w1 = terms.map(_._1).sum
+      val w2 = terms.map(p => p._1 * p._1).sum
+      val sx = terms.map(p => p._1 * p._2).sum
+      val sy = terms.map(p => p._1 * p._3).sum
+      val sxy = terms.map(p => p._1 * p._2 * p._3).sum
+      val sxx = terms.map(p => p._1 * p._2 * p._2).sum
+      val syy = terms.map(p => p._1 * p._3 * p._3).sum
+      val den = w1 * w1 - w2
+      val (vx, vy) = (w1 * sxx - sx * sx, w1 * syy - sy * sy)
+      val denOk = den > Ewm.RelVarEps * w1 * w1
+      val cov = if (denOk) Some((w1 * sxy - sx * sy) / den) else None
+      val corr =
+        if (denOk && vx > Ewm.RelCorrEps * w1 * sxx && vy > Ewm.RelCorrEps * w1 * syy)
+          Some(math.max(-1.0, math.min(1.0, (w1 * sxy - sx * sy) / math.sqrt(vx * vy))))
+        else None
+      (cov, corr)
+    }
+    assert(want.count(_._1.isDefined) > 300, "fixture mostly well-conditioned")
+    for (i <- rows.indices) {
+      val (gc, gr) = got(i.toLong)
+      val (wc, wr) = want(i)
+      assert(gc.isDefined == wc.isDefined, s"cov[$i]: $gc vs $wc")
+      assert(gr.isDefined == wr.isDefined, s"corr[$i]: $gr vs $wr")
+      for (a <- gc; b <- wc) assert(math.abs(a - b) < 1e-8, s"cov[$i]: $a vs $b")
+      for (a <- gr; b <- wr) {
+        assert(math.abs(a - b) < 1e-8, s"corr[$i]: $a vs $b")
+        assert(a >= -1.0 && a <= 1.0)
+      }
+    }
+  }
+
   test("ewmTimeVarStd: negative epochs and cell-boundary straddle match brute force") {
     val h = 1000000L
     // rows from ~-900 to +900 halflives at 3-halflife steps: crosses the
