@@ -21,6 +21,10 @@ object CurationQueries {
 
   private val EvalSrc = LlmQueries.EvalSources
 
+  // q_bm25's literal query-term set — single-sourced so the Spark
+  // projection and the oracle replay score the same query
+  private val Bm25Terms = Seq("spark", "vector", "hash")
+
   // q_winsorize's build-once bounds cache, keyed by the immutable data
   // dir (the qcutEdgeCache convention in SparkEntry): the bounds are the
   // INDEX-BUILD step — derive once per corpus, the query path measures
@@ -347,6 +351,19 @@ object CurationQueries {
           k = 3, nDocs = docs.where(col("doc_id") < 100).count())
         .orderBy("doc_id", "rank")
     }),
+    // corpus heavy hitters: Misra-Gries candidate sketch (bounded
+    // per-partition state, capacity-sized shuffle) + exact verify —
+    // the sketch only prunes, so the oracle is the plain exact agg
+    "q_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitters(T(s, d, "documents"), "text",
+        capacity = 64, phi = 0.03)
+        .orderBy(col("freq").desc, col("token"))),
+    // BM25 top-k keyword retrieval (quantized idf + per-term scores on
+    // the decimal grid; projection-only tf, one broadcast stats row)
+    "q_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopK(T(s, d, "documents"), "doc_id", "text",
+        Bm25Terms, k = 20)
+        .orderBy("rank")),
     // per-doc Shannon token entropy (information-density quality signal):
     // quantized lns + exact decimal weighted sum, one IEEE finalize
     "q_entropy" -> ((s, d) =>
@@ -1016,6 +1033,10 @@ object CurationQueries {
         + " row_number() OVER (PARTITION BY doc_id ORDER BY sd DESC, term) AS rank FROM sc)"
         + " SELECT doc_id, rank::BIGINT AS rank, term, tf, df_docs, sd::DOUBLE AS score"
         + " FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"),
+    "q_heavy_hitters" ->
+      TextAnalysis.heavyHittersSql("text", "documents", phi = 0.03),
+    "q_bm25" ->
+      TextAnalysis.bm25Sql("doc_id", "text", "documents", Bm25Terms, k = 20),
     "q_entropy" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),"
         + " tc AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),"

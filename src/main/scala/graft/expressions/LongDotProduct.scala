@@ -80,6 +80,7 @@ object GraftFunctions {
   val FpFamilies: Seq[(Long, Long)] =
     Seq((31L, 1000000007L), (131L, 998244353L), (257L, 1000000009L))
   val TopK       = "graft_topk"
+  val MgSketch   = "graft_mg"
   val WordNgramsF = "graft_word_ngrams"
   val SearchSorted = "graft_searchsorted"
   val BloomAgg      = "graft_bloom_agg"
@@ -141,6 +142,16 @@ object GraftFunctions {
         s"$TopK's third argument (k) must be a literal")
       TopKByScore(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+    },
+    // Misra-Gries frequent-items summary: (token, capacity literal) ->
+    // array<struct<token,count>> superset of all items with frequency
+    // > n/(capacity+1) (TextAnalysis.heavyHitters' candidate stage)
+    MgSketch -> { exprs =>
+      arity(MgSketch, exprs, 2)
+      if (!exprs(1).foldable) throw new IllegalArgumentException(
+        s"$MgSketch's second argument (capacity) must be a literal")
+      MisraGriesSketch(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
     },
     // Spark's own runtime-filter Bloom machinery, surfaced as functions:
     // the aggregate folds LONG keys into a serialized

@@ -441,6 +441,170 @@ object TextAnalysis {
     * Output: one row per background doc — (idCol, n_tokens,
     * dsir_score). NULL-text docs produce no tokens and are absent.
     */
+  /** BM25 top-k retrieval (Robertson/Okapi, the Lucene `1 + …` idf
+    * variant) of the documents best matching a literal query-term set —
+    * the keyword-search/relevance-scoring half of a curation stack
+    * (e.g. pulling topical slices out of a 100 TB corpus by query).
+    *
+    * score(d) = Σ_t idf_t · (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with k1 = 1.2, b = 0.75, idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5)).
+    *
+    * Scale shape: `queryTerms` is a small literal set, so per-doc term
+    * frequencies are PROJECTIONS (`size(filter(tokens, = term))`) — no
+    * explode, no inverted-index shuffle; corpus stats (N, Σdl, df_t) are
+    * ONE global aggregation reduced map-side to a single broadcast row;
+    * the final top-k is orderBy+limit = per-partition TakeOrdered + a
+    * k-row merge. Nothing data-sized moves.
+    *
+    * Determinism contract: idf is quantized to the decimal(18,6) grid
+    * ([[lnQ]] convention) and each per-term score is quantized before the
+    * exact decimal sum, so engines agree bit-for-bit; ties rank by id.
+    * NULL-text docs drop; docs matching no term drop ([[bm25Sql]]
+    * replays both). */
+  def bm25TopK(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"bm25TopK needs k >= 1 (got $k)")
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "queryTerms must be a non-empty distinct list")
+    require(queryTerms.forall(t => t.nonEmpty && !t.contains(" ")),
+      "queryTerms must be single whitespace-free tokens")
+    val D = org.apache.spark.sql.types.DecimalType(18, 6)
+    val baseCols = Seq(col("__id"), size(col("__w")).cast("long").as("__dl")) ++
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        size(filter(col("__w"), x => x === lit(t))).cast("long").as(s"__tf$i")
+      }
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
+      .select(baseCols: _*)
+    val statCols = Seq(sum(col("__dl")).as("__sdl")) ++
+      queryTerms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = base.agg(count(lit(1)).as("__n"), statCols: _*)
+    val avgdl = col("__sdl").cast("double") / col("__n").cast("double")
+    val termScores = queryTerms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val idfQ = round(log(lit(1.0) +
+        ((col("__n") - col(s"__df$i")).cast("double") + lit(0.5)) /
+          (col(s"__df$i").cast("double") + lit(0.5))), 6).cast(D)
+      when(col(s"__tf$i") > 0,
+        round(idfQ.cast("double") * ((tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + (lit(0.75) * col("__dl").cast("double")) / avgdl))), 6)
+          .cast(D))
+        .otherwise(lit(0).cast(D))
+    }
+    val matched = queryTerms.indices
+      .map(i => when(col(s"__tf$i") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__score").desc, col("__id"))
+    base.crossJoin(broadcast(stats))
+      .withColumn("__score", termScores.reduce(_ + _))
+      .withColumn("__m", matched)
+      .where(col("__m") > 0)
+      .orderBy(col("__score").desc, col("__id")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("__id").as(idCol), col("rank"), col("__m").as("matched"),
+        col("__score").cast("double").as("score"))
+  }
+
+  /** Exact corpus heavy hitters via a Misra-Gries candidate sketch +
+    * exact verification — every token whose corpus frequency is at
+    * least ceil(phi·n) (n = total tokens), with its EXACT count.
+    *
+    * Two passes over the token stream, neither shuffling the
+    * vocabulary:
+    *   1. candidates: ONE global [[graft.expressions.MisraGriesSketch]]
+    *      aggregation (map partitions fold into capacity-bounded
+    *      summaries; the shuffle carries ≤ capacity pairs per
+    *      partition). MG guarantees the summary contains every token
+    *      with frequency > n/(capacity+1).
+    *   2. verify: the token stream probes the ≤ capacity candidate set
+    *      (broadcast hash semi-shape), and only matching rows reach the
+    *      exact `groupBy(token)` — a ≤ capacity-key aggregation.
+    *
+    * `require(phi·(capacity+1) > 1)` makes the guarantee scale-free:
+    * threshold ceil(phi·n) ≥ phi·n > n/(capacity+1), so the candidate
+    * superset covers every qualifying token at ANY corpus size and the
+    * composed result is deterministic — the sketch only prunes; the
+    * emitted counts are exact. (The CM/space-saving alternative
+    * overcounts; MG undercounts — either way the verify join is what
+    * makes the answer exact, the [[NgramOverlap]] bloom-prefilter
+    * pattern.)
+    *
+    * Output: (token, freq, threshold) ordered (freq DESC, token),
+    * threshold = the materialized cut so callers see the guarantee
+    * line. NULL-text docs contribute no tokens. */
+  def heavyHitters(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      capacity: Int,
+      phi: Double): org.apache.spark.sql.DataFrame = {
+    require(capacity >= 1, s"heavyHitters needs capacity >= 1 (got $capacity)")
+    require(phi > 0 && phi < 1, s"phi must be in (0,1) (got $phi)")
+    require(phi * (capacity + 1) > 1,
+      s"phi=$phi with capacity=$capacity voids the MG superset guarantee: " +
+        s"need phi > 1/(capacity+1) = ${1.0 / (capacity + 1)}")
+    val s = df.sparkSession
+    graft.expressions.GraftFunctions.register(s)
+    val toks = df.where(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__t"))
+    val cand = toks
+      .agg(call_function(graft.expressions.GraftFunctions.MgSketch,
+        col("__t"), lit(capacity)).as("__mg"),
+        count(lit(1)).as("__n"))
+      .select(explode(col("__mg")).as("__c"), col("__n"))
+      .select(col("__c.token").as("__ct"), col("__n"))
+    toks.join(broadcast(cand), col("__t") === col("__ct"))
+      .groupBy(col("__t").as("token"))
+      .agg(count(lit(1)).as("freq"), first(col("__n")).as("__n"))
+      .withColumn("threshold", ceil(lit(phi) * col("__n")))
+      .where(col("freq") >= col("threshold"))
+      .select(col("token"), col("freq"), col("threshold"))
+  }
+
+  /** DuckDB twin of [[heavyHitters]] — the sketch is invisible in the
+    * composed result (it only prunes), so the oracle is the plain exact
+    * aggregation with the same ceil(phi·n) threshold. */
+  def heavyHittersSql(textExpr: String, table: String, phi: Double): String =
+    (s"WITH t AS (SELECT unnest(string_split($textExpr, ' ')) AS token FROM $table"
+      + s" WHERE $textExpr IS NOT NULL),"
+      + s" n AS (SELECT count(*)::BIGINT AS n FROM t)"
+      + s" SELECT token, count(*)::BIGINT AS freq,"
+      + s" ceil($phi * (SELECT n FROM n))::BIGINT AS threshold FROM t GROUP BY 1"
+      + s" HAVING count(*) >= ceil($phi * (SELECT n FROM n))"
+      + s" ORDER BY freq DESC, token")
+
+  /** DuckDB twin of [[bm25TopK]] (same quantization grid, same literal
+    * constants, same op order — bit-for-bit). */
+  def bm25Sql(idExpr: String, textExpr: String, table: String,
+      queryTerms: Seq[String], k: Int): String = {
+    val tfs = queryTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(w, x -> x = '$t'))::BIGINT AS tf$i"
+    }.mkString(", ")
+    val dfs = queryTerms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::BIGINT AS df$i").mkString(", ")
+    val scores = queryTerms.indices.map { i =>
+      s"""CASE WHEN tf$i > 0 THEN round(
+         |round(ln(1.0 + ((n - df$i)::DOUBLE + 0.5) / (df$i::DOUBLE + 0.5)), 6)::DECIMAL(18,6)::DOUBLE
+         | * ((tf$i::DOUBLE * 2.2) / (tf$i::DOUBLE + 1.2 * (0.25 + (0.75 * dl::DOUBLE) / (sdl::DOUBLE / n::DOUBLE))))
+         |, 6)::DECIMAL(18,6) ELSE 0::DECIMAL(18,6) END""".stripMargin.replaceAll("\n", "")
+    }.mkString(" + ")
+    val m = queryTerms.indices
+      .map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    (s"WITH b AS (SELECT $idExpr AS id, len(w)::BIGINT AS dl, $tfs"
+      + s" FROM (SELECT $idExpr, string_split($textExpr, ' ') AS w FROM $table"
+      + s" WHERE $textExpr IS NOT NULL)),"
+      + s" st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl, $dfs FROM b),"
+      + s" sc AS (SELECT id, ($m)::BIGINT AS matched, $scores AS s FROM b, st)"
+      + s" SELECT id AS $idExpr, row_number() OVER (ORDER BY s DESC, id)::BIGINT AS rank,"
+      + s" matched, s::DOUBLE AS score FROM sc WHERE matched > 0"
+      + s" ORDER BY s DESC, id LIMIT $k")
+  }
+
   def dsirScores(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,

@@ -264,4 +264,76 @@ class TextMultiModalSpec extends AnyFunSuite {
     assert(got(2L)._2 > got(4L)._2 && got(4L)._2 > got(3L)._2,
       s"expected target-vocab > mixed > disjoint, got $got")
   }
+
+  test("bm25TopK: brute-force parity on a tiny corpus, drops and ties") {
+    val docs = Seq(
+      (1L, "cat dog cat"),          // tf(cat)=2, short
+      (2L, "cat dog bird fish emu fox hen owl"), // tf(cat)=1, long
+      (3L, "dog dog dog"),          // no query term -> dropped
+      (4L, "cat"),                  // tf=1, shortest
+      (5L, null.asInstanceOf[String]), // NULL text -> dropped
+      (6L, "cat dog cat")           // identical to doc 1 -> tie, id order
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("cat"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // brute replay: N=5 (null drops), df=4, avgdl=(3+8+3+1+3)/5
+    val N = 5.0; val df = 4.0
+    val avgdl = (3 + 8 + 3 + 1 + 3).toDouble / N
+    def lnQ(x: Double): BigDecimal =
+      BigDecimal(math.log(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def score(tf: Double, dl: Double): Double =
+      BigDecimal(lnQ(1.0 + (N - df + 0.5) / (df + 0.5)).toDouble *
+        ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Seq(
+      (4L, score(1, 1)), (1L, score(2, 3)), (6L, score(2, 3)), (2L, score(1, 8)))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (id, i + 1L, 1L, s) }
+    assert(got.toSeq == want)
+    // rows 3 and 5 are absent; matched counts multi-term hits
+    val multi = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("cat", "fish"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(multi(2L) == 2L) // cat + fish
+  }
+
+  test("heavyHitters: exact result under sketch pruning, any partitioning") {
+    // 40 distinct rare tokens vs capacity 8 forces MG decrements; the
+    // composed operator must still return the exact filtered counts
+    val rare = (1 to 40).map(i => s"r$i")
+    val texts = Seq.fill(30)("hot hot warm") ++ rare.map(t => s"$t warm") ++
+      Seq(null.asInstanceOf[String])
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // n = 30*3 + 40*2 = 170 tokens; hot=60, warm=70, each r_i=1
+    // phi=0.2 -> threshold ceil(34) = 34 -> {warm:70, hot:60}
+    def run(parts: Int) =
+      TextAnalysis.heavyHitters(docs.repartition(parts), "text", capacity = 8, phi = 0.2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(("warm", 70L, 34L), ("hot", 60L, 34L))
+    assert(run(1) == want)
+    assert(run(7) == want)
+    assert(run(32) == want)
+    // guarantee precondition is enforced at build time
+    intercept[IllegalArgumentException] {
+      TextAnalysis.heavyHitters(docs, "text", capacity = 8, phi = 0.1)
+    }
+  }
+
+  test("graft_mg raw sketch: undercount bound and merge truncation") {
+    graft.expressions.GraftFunctions.register(spark)
+    // stream with known counts: a=50, b=30, then 25 distinct singletons
+    val toks = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++
+      (1 to 25).map(i => s"x$i")).zipWithIndex
+      .map { case (t, i) => (t, i.toLong) }.toDF("t", "i")
+    val n = 105.0
+    for (parts <- Seq(1, 6)) {
+      val rows = toks.repartition(parts)
+        .selectExpr("graft_mg(t, 4) AS mg").head()
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.size <= 4, s"capacity respected, got $rows")
+      // MG bound: estimate in [true - n/(k+1), true]; a and b clear it
+      assert(rows.contains("a") && rows("a") >= 50 - n / 5 && rows("a") <= 50)
+      assert(rows.contains("b") && rows("b") >= 30 - n / 5 && rows("b") <= 30)
+    }
+  }
 }
