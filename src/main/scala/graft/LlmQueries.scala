@@ -167,6 +167,20 @@ object LlmQueries {
           n = 3, threshold = 0.5, bands = 32, rows = 4),
         iterations = 3)
         .orderBy("id")),
+    // leakage-free split: every doc takes the split of its dup-cluster
+    // representative (q_dedup_clusters' labels), so near-duplicates
+    // never straddle a boundary; the oracle replays labels + the
+    // keyed-hash interval rule end to end
+    "q_cluster_split" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Dedup.clusterSplit(docs, "doc_id",
+          Dedup.dupClusters(
+            Dedup.nearDupPairs(docs, "doc_id", "text",
+              n = 3, threshold = 0.5, bands = 32, rows = 4),
+            iterations = 3),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 5)
+        .select("doc_id", "rep_id", "split").orderBy("doc_id")
+    }),
     // Train/test decontamination: "eval" docs (sources src0-src2) that
     // near-duplicate a "train" doc from any other source.
     "q_decontaminate" -> ((s, d) => {
@@ -952,6 +966,31 @@ object LlmQueries {
           + " l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),"
           + s" $rounds"
           + " SELECT id, lbl AS cluster_id FROM l3 ORDER BY id")
+      },
+      "q_cluster_split" -> {
+        // q_dedup_clusters' label replay + the assignSplit interval rule
+        // over coalesce(cluster label, own id)
+        val jacExpr = ("len(list_intersect(a.sh, b.sh))::DOUBLE"
+          + " / len(list_distinct(list_concat(a.sh, b.sh)))")
+        val rounds = (1 to 3).map { k =>
+          (s"l$k AS (SELECT e.src AS id, least(min(lv.lbl), min(lu.lbl)) AS lbl"
+            + s" FROM e JOIN l${k - 1} lv ON lv.id = e.src"
+            + s" JOIN l${k - 1} lu ON lu.id = e.dst GROUP BY e.src)")
+        }.mkString(", ")
+        val edges = Sampling.splitEdges(
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        val cases = edges.map { case (name, hi) => s"WHEN u < $hi THEN '$name'" }
+          .mkString("CASE ", " ", " END")
+        (shingleCte
+          + " , p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b"
+          + s" ON a.doc_id < b.doc_id AND $jacExpr >= 0.5),"
+          + " e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),"
+          + " l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),"
+          + s" $rounds,"
+          + " r AS (SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS rep_id"
+          + " FROM documents d LEFT JOIN l3 l ON l.id = d.doc_id),"
+          + s" b AS (SELECT doc_id, rep_id, ${Sampling.bucketSql("rep_id", 5)} AS u FROM r)"
+          + s" SELECT doc_id, rep_id, $cases AS split FROM b ORDER BY doc_id")
       },
       "q_decontaminate" ->
         (shingleCte.replace("FROM documents",

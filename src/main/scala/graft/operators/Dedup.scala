@@ -711,6 +711,42 @@ object Dedup {
       () => { releaseLabels(); releasePairs() })
   }
 
+  /** Leakage-free train/val/test split: assigns every row the split of
+    * its duplicate-CLUSTER representative, so near-duplicates (which
+    * [[Sampling.assignSplit]] keyed on content would separate whenever
+    * even one byte differs) can never straddle a split boundary — the
+    * eval-contamination failure mode of naive per-document splitting.
+    *
+    * `labels` is any (id, cluster_id) table ([[dupClusters]] over
+    * MinHash/SimHash/embedding pairs); rows absent from it are
+    * singletons and represent themselves. The split is the
+    * [[Sampling.assignSplit]] keyed-hash interval rule over the
+    * representative id — deterministic, retry-safe, replayable.
+    *
+    * Scale shape: one join of the corpus against the label table
+    * (label rows exist only for pair-participating ids — usually a
+    * small fraction; AQE broadcasts it when it fits) plus the per-row
+    * split projection. Nothing else moves. Gate on
+    * [[dupClustersAudited]]'s empty audit first: an under-converged
+    * labeling can still split one (rare, deep) cluster across
+    * boundaries via two distinct local-minima representatives. */
+  def clusterSplit(
+      df: DataFrame,
+      idCol: String,
+      labels: DataFrame,
+      splits: Seq[(String, Double)],
+      as: String = "split",
+      salt: Int = 0): DataFrame = {
+    require(!df.columns.contains("__rep"),
+      "clusterSplit reserves column name __rep; rename it in the input")
+    val rep = labels.select(col("id").as("__cid"), col("cluster_id").as("__rep"))
+    val joined = df.join(rep, col(idCol) === col("__cid"), "left")
+      .withColumn("__rep", coalesce(col("__rep"), col(idCol).cast("long")))
+    Sampling.assignSplit(joined, Sampling.idKey(col("__rep")), splits, as, salt)
+      .withColumnRenamed("__rep", "rep_id")
+      .drop("__cid")
+  }
+
   /** SimHash near-duplicate dedup, keep-smallest-id: the row-preserving
     * keep-first form for the SimHash family, completing the set (exact =
     * [[dropDuplicatesKeepFirst]], MinHash = [[nearDupDedup]], embedding =

@@ -355,6 +355,27 @@ class DedupSpec extends AnyFunSuite {
       2L -> (("x y", 1L, 2L))))
   }
 
+  test("clusterSplit: cluster co-location, singleton fallback, assignSplit parity") {
+    import graft.operators.Sampling
+    // labels: {1,2,3} one cluster (rep 1), {7,8} another (rep 7); 4,5 singletons
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "cluster_id")
+    val rows = Seq(1L, 2L, 3L, 4L, 5L, 7L, 8L).toDF("doc_id")
+    val splits = Seq("train" -> 0.5, "test" -> 0.5)
+    val got = Dedup.clusterSplit(rows, "doc_id", labels, splits, salt = 9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // co-location: every cluster member shares its rep's split
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(7L) == got(8L))
+    assert(got(1L)._1 == 1L && got(7L)._1 == 7L)
+    // singleton fallback = plain assignSplit keyed by own id
+    val single = Sampling.assignSplit(Seq(4L, 5L).toDF("doc_id"),
+        Sampling.idKey(col("doc_id")), splits, salt = 9)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(4L)._2 == single(4L) && got(5L)._2 == single(5L))
+    assert(got(4L)._1 == 4L && got(5L)._1 == 5L)
+  }
+
   test("jaccardJoinExact matches brute-force all-pairs at every threshold") {
     // richer corpus: graded overlap levels so thresholds cut differently
     val mid = ((1 to 10).map(i => s"w$i") ++ (1 to 20).map(i => s"m$i")).mkString(" ")
