@@ -330,6 +330,30 @@ object SparkEntry {
           .orderBy("o_orderstatus")
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }),
+    // skew-safe salted join: fact rows scatter over (key, salt); the dim
+    // replicates x salts — result equals the plain equi-join (the oracle
+    // IS the plain join), broadcast disabled so the salted shuffled-hash
+    // path actually executes
+    "q_salted_join" -> ((s, d) => {
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val fact = T(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        val dim = T(s, d, "orders").select(
+          col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        val joined = Layout.saltedJoin(fact, dim, "l_orderkey",
+          spreadKey = col("l_orderkey") * 10 + col("l_linenumber"), salts = 8)
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("ShuffledHashJoin"),
+          s"salted join must take the shuffled-hash path; plan:\n$plan")
+        joined.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+          .orderBy("o_orderpriority")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
     // ---- binning (reference core.py:803-823; empty bins kept+filled) ----
     "q_bins" -> ((s, d) => {
       val edges  = Seq(0.0, 10.0, 25.0, 40.0, 50.0, 100.0)
@@ -601,6 +625,13 @@ object SparkEntry {
         + " FROM lineitem GROUP BY 1 ORDER BY 1"),
     "q_bucketed_join" ->
       ("SELECT o_orderstatus, count(*) AS n,"
+        + " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty"
+        + " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+        + " GROUP BY 1 ORDER BY 1"),
+    // the salt is invisible in the result by construction — the oracle
+    // is the PLAIN equi-join aggregate
+    "q_salted_join" ->
+      ("SELECT o_orderpriority, count(*) AS n,"
         + " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty"
         + " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
         + " GROUP BY 1 ORDER BY 1"),

@@ -104,6 +104,55 @@ object Layout {
     parted.sortWithinPartitions(col(zCol))
   }
 
+  /** Skew-safe equi-join by key salting — the standard remedy when ONE
+    * join key is hot enough that its shuffle partition exceeds an
+    * executor (a few-domain fact table joining a dimension too big to
+    * broadcast; AQE's skew-join split handles sort-merge spills, but
+    * salting caps the partition size at the SOURCE and also covers the
+    * shuffled-hash path).
+    *
+    * Mechanics: every fact row gets a deterministic salt in [0, salts)
+    * from `spreadKey` (a per-row identity column — NOT the join key,
+    * which would map a hot key to one salt again); the dimension side
+    * replicates each row `salts` times (explode over a literal
+    * sequence); the join runs on (key, salt), so a hot key's rows
+    * spread over `salts` reducers, each holding a full dim copy for
+    * that key. Each fact row still meets each matching dim row exactly
+    * once (its own salt's replica), so the result EQUALS the plain
+    * equi-join for any join multiplicity — the oracle checks that
+    * equality. Inner/left semantics preserved ("right"/"full" would
+    * duplicate dim-side non-matches per salt — rejected).
+    *
+    * Cost model: dim side pays x`salts` replication (size `salts` from
+    * the hot key's row count / healthy-partition budget; 8-32 is
+    * typical); fact side pays nothing extra. The dim hint pins the
+    * shuffled-hash path — building the per-partition hash table over
+    * the replicated dim, streaming the big fact side, no sort. */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      spreadKey: Column,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(salts >= 2, s"salts must be >= 2 (got $salts); 1 is a plain join")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left joins (got $joinType)")
+    val clash = (fact.columns ++ dim.columns).filter(Set("__salt", "__dsalt"))
+    require(clash.isEmpty,
+      s"saltedJoin reserves __salt/__dsalt; rename ${clash.mkString(", ")} in the input")
+    val saltedFact = fact.withColumn("__salt",
+      Sampling.bucket(spreadKey, salt = 0) % salts)
+    val saltedDim = dim
+      .withColumn("__dsalt", explode(sequence(lit(0L), lit(salts - 1L))))
+      .hint("shuffle_hash")
+    saltedFact.join(saltedDim,
+        saltedFact(key) === saltedDim(key) && col("__salt") === col("__dsalt"),
+        joinType)
+      .drop("__salt", "__dsalt").drop(saltedDim(key))
+  }
+
   /** Deterministic training-shard assignment: appends `as` = the row's
     * shard in [0, shards), from the [[Sampling.bucket]] quadratic
     * scatter of `key` — so the assignment is content-keyed (a re-run,

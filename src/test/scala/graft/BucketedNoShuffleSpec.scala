@@ -120,4 +120,35 @@ class BucketedNoShuffleSpec extends AnyFunSuite {
     }
     assert(tiles.length == 16)
   }
+
+  test("saltedJoin equals the plain join for inner/left at any multiplicity") {
+    import graft.operators.Layout
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // fact: hot key 1 (5 rows), key 2 (2 rows), key 9 unmatched
+      val fact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+        (2L, 20L), (2L, 21L), (9L, 90L)).toDF("k", "rid")
+      // dim: key 1 has TWO rows (multiplicity), key 2 one, key 7 unmatched
+      val dim = Seq((1L, "a"), (1L, "b"), (2L, "c"), (7L, "z")).toDF("k", "v")
+      for (jt <- Seq("inner", "left")) {
+        val salted = Layout.saltedJoin(fact, dim, "k", col("rid"), salts = 4, jt)
+          .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sorted
+        val plain = fact.join(dim, Seq("k"), jt)
+          .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sorted
+        assert(salted.toSeq == plain.toSeq, s"joinType=$jt")
+      }
+      // the physical join really runs on (key, salt) via shuffled hash
+      val plan = Layout.saltedJoin(fact, dim, "k", col("rid"), salts = 4)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), s"expected shuffled-hash:\n$plan")
+      assert(plan.contains("__salt"), s"join keys must include the salt:\n$plan")
+      intercept[IllegalArgumentException] {
+        Layout.saltedJoin(fact, dim, "k", col("rid"), salts = 1)
+      }
+      intercept[IllegalArgumentException] {
+        Layout.saltedJoin(fact, dim, "k", col("rid"), salts = 4, "full")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
