@@ -376,6 +376,13 @@ object CurationQueries {
       TextAnalysis.unigramLogLoss(T(s, d, "documents"), "doc_id", "text")
         .withColumn("unigram_loss", round(col("unigram_loss"), 6))
         .orderBy("doc_id")),
+    // per-doc cross-entropy under a Jelinek-Mercer-interpolated bigram
+    // MLE (unigramLogLoss with one token of context): garbled sequences
+    // of plausible words now score high too
+    "q_bigram_ll" -> ((s, d) =>
+      TextAnalysis.bigramLogLoss(T(s, d, "documents"), "doc_id", "text")
+        .withColumn("bigram_loss", round(col("bigram_loss"), 6))
+        .orderBy("doc_id")),
     // Gopher/MassiveText rule flags: per-source counts of each published
     // heuristic (exact integer cross-multiplied thresholds — no FP
     // anywhere, so the oracle replays them bit-for-bit)
@@ -1059,6 +1066,10 @@ object CurationQueries {
         + " round(round(ln((SELECT n FROM tot)), 6)::DECIMAL(18,6)::DOUBLE"
         + " - s::DOUBLE / n_tokens::DOUBLE, 6) AS unigram_loss"
         + " FROM a ORDER BY 1"),
+    "q_bigram_ll" ->
+      ("SELECT doc_id, n_trans, round(bigram_loss, 6) AS bigram_loss FROM ("
+        + TextAnalysis.bigramLogLossSql("doc_id", "text", "documents")
+        + ") ORDER BY 1"),
     "q_gopher" -> {
       // flag SQL single-sourced from TextAnalysis.gopherFlagsSql; NULL
       // text yields NULL flags on both sides, counted 0 by the CASE

@@ -414,6 +414,86 @@ object TextAnalysis {
       .drop("__s", "__n")
   }
 
+  /** Per-document cross-entropy (nats/transition) under a
+    * Jelinek-Mercer-interpolated BIGRAM MLE fit on the corpus itself —
+    * the [[unigramLogLoss]] quality filter with one token of context:
+    * boilerplate scores even lower (stock transitions), shuffled/
+    * garbled text scores higher than the unigram filter can see
+    * (plausible words, implausible sequence).
+    *
+    *   p(w_i | w_{i-1}) = λ·c(w_{i-1}w_i)/c(w_{i-1}) + (1−λ)·c(w_i)/N
+    *   loss_d = −(1/(n_d−1)) · Σ_{i=2..n_d} lnQ(p(w_i | w_{i-1}))
+    *
+    * λ = 0.75; single-token and NULL-text docs have no transitions and
+    * are absent (the [[unigramLogLoss]] convention). Interpolation with
+    * the unigram term means unseen bigrams never hit ln(0) as long as
+    * every token occurs somewhere — true when the model is fit on the
+    * scored corpus itself.
+    *
+    * Determinism: each transition probability is one fixed-shape IEEE
+    * expression over exact integer counts, ln-quantized ([[lnQ]]) and
+    * summed as exact decimals — [[bigramLogLossSql]] mirrors it
+    * bit-for-bit. Plan shape: transition rows (adjacent-token structs
+    * via one array transform, no self-join) probe two vocabulary-sized
+    * count tables (bigram, unigram) — map-side-combined shuffles; N is
+    * a one-row broadcast. */
+  def bigramLogLoss(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1) (got $lambda)")
+    val trans = df
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
+      .where(size(col("__w")) >= 2)
+      .select(col("__id"), explode(transform(
+        sequence(lit(0), size(col("__w")) - 2),
+        i => struct(element_at(col("__w"), i + 1).as("p"),
+          element_at(col("__w"), i + 2).as("c")))).as("__t"))
+      .select(col("__id"), col("__t.p").as("__p"), col("__t.c").as("__c"))
+    val uni = df.select(explode(tokens(col(textCol))).as("__u"))
+      .groupBy("__u").agg(count(lit(1)).as("__cu"))
+    val total = uni.agg(sum(col("__cu")).as("__n"))
+    val bi = trans.groupBy(col("__p").as("__bp"), col("__c").as("__bc"))
+      .agg(count(lit(1)).as("__cb"))
+    val p = lit(lambda) * (col("__cb").cast("double") / col("__cup").cast("double")) +
+      lit(1.0 - lambda) * (col("__cuc").cast("double") / col("__n").cast("double"))
+    trans
+      .join(bi, col("__p") === col("__bp") && col("__c") === col("__bc"))
+      .join(uni.select(col("__u").as("__pu"), col("__cu").as("__cup")),
+        col("__p") === col("__pu"))
+      .join(uni.select(col("__u").as("__cu2"), col("__cu").as("__cuc")),
+        col("__c") === col("__cu2"))
+      .crossJoin(broadcast(total))
+      .select(col("__id"), lnQ(p).as("__lp"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_trans"), sum(col("__lp")).as("__s"))
+      .withColumn("bigram_loss",
+        -(col("__s").cast("double")) / col("n_trans").cast("double"))
+      .drop("__s")
+  }
+
+  /** DuckDB twin of [[bigramLogLoss]] — same λ literal, same count
+    * ratios, same quantized-ln decimal sum. */
+  def bigramLogLossSql(idExpr: String, textExpr: String, table: String,
+      lambda: Double = 0.75): String =
+    (s"WITH d AS (SELECT $idExpr AS id, string_split($textExpr, ' ') AS w FROM $table"
+      + s" WHERE $textExpr IS NOT NULL),"
+      + " tr AS (SELECT id, unnest([w[i] for i in range(1, len(w))]) AS p,"
+      + " unnest([w[i+1] for i in range(1, len(w))]) AS c FROM d WHERE len(w) >= 2),"
+      + s" uni AS (SELECT unnest(w) AS u FROM d),"
+      + " uc AS (SELECT u, count(*)::BIGINT AS cu FROM uni GROUP BY 1),"
+      + " tot AS (SELECT sum(cu)::BIGINT AS n FROM uc),"
+      + " bc AS (SELECT p, c, count(*)::BIGINT AS cb FROM tr GROUP BY 1, 2),"
+      + " sc AS (SELECT tr.id,"
+      + s" round(ln($lambda * (bc.cb::DOUBLE / up.cu::DOUBLE)"
+      + s" + ${1.0 - lambda} * (uc2.cu::DOUBLE / (SELECT n FROM tot)::DOUBLE)), 6)::DECIMAL(18,6) AS lp"
+      + " FROM tr JOIN bc ON tr.p = bc.p AND tr.c = bc.c"
+      + " JOIN uc up ON tr.p = up.u JOIN uc uc2 ON tr.c = uc2.u)"
+      + " SELECT id AS " + idExpr + ", count(*)::BIGINT AS n_trans,"
+      + " -(sum(lp)::DOUBLE) / count(*)::DOUBLE AS bigram_loss"
+      + " FROM sc GROUP BY 1 ORDER BY 1")
+
   /** DSIR-style importance weights (the hashed-n-gram data-selection
     * recipe published as "Data Selection for Language Models via
     * Importance Resampling"): fit unigram bag-of-words models for a

@@ -296,6 +296,37 @@ class TextMultiModalSpec extends AnyFunSuite {
     assert(multi(2L) == 2L) // cat + fish
   }
 
+  test("bigramLogLoss: brute-force JM-interpolated replay; context beats unigram") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // stock transitions
+      (2L, "b a b a b a"),   // same vocabulary, same transitions reversed
+      (3L, "a a b b a b"),   // rarer transitions (a a, b b)
+      (4L, "c"),             // single token -> absent
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val toks = Seq("a b a b a b", "b a b a b a", "a a b b a b", "c")
+      .map(_.split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = toks.flatten.size.toDouble
+    val bi = toks.flatMap(w => w.zip(w.tail)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    def lnQ(x: Double): BigDecimal =
+      BigDecimal(math.log(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def loss(w: Seq[String]): Double = {
+      val lps = w.zip(w.tail).map { case (p, c) =>
+        lnQ(0.75 * (bi((p, c)).toDouble / uni(p).toDouble) + 0.25 * (uni(c).toDouble / n))
+      }
+      -(lps.sum.toDouble) / lps.size
+    }
+    val got = TextAnalysis.bigramLogLoss(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    for ((id, w) <- Seq(1L -> toks(0), 2L -> toks(1), 3L -> toks(2)))
+      assert(got(id) == ((w.size - 1).toLong, loss(w)), s"doc $id")
+    // the bigram filter separates doc 3 (odd transitions) from 1 and 2
+    assert(got(3L)._2 > got(1L)._2 && got(3L)._2 > got(2L)._2)
+  }
+
   test("heavyHitters: exact result under sketch pruning, any partitioning") {
     // 40 distinct rare tokens vs capacity 8 forces MG decrements; the
     // composed operator must still return the exact filtered counts
