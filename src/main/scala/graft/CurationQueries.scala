@@ -376,6 +376,29 @@ object CurationQueries {
       TextAnalysis.unigramLogLoss(T(s, d, "documents"), "doc_id", "text")
         .withColumn("unigram_loss", round(col("unigram_loss"), 6))
         .orderBy("doc_id")),
+    // logistic-regression quality classifier: 2 full-batch gradient
+    // steps fit ON THE QUERY PATH (quantized sigmoid + exact decimal
+    // gradient sums -> the oracle replays the unrolled fit
+    // bit-for-bit, the q_kmeans convention), then score + rollup
+    "q_logreg" -> ((s, d) => {
+      val features = Seq(col("x1") -> 100.0, col("x2") -> 1000.0)
+      val feat = T(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          (col("lang") === "en").as("y"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("x1"),
+          col("n_chars").as("x2"))
+      val betas = FeatureScaling.logisticFit(feat, features, col("y"), iters = 2)
+      FeatureScaling.logisticScore(feat, features, betas)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("prob") >= 0.5, 1L).otherwise(0L)).as("n_pred_en"),
+          sum(col("prob")).cast("double").as("sum_prob"))
+        .withColumn("b0", lit(betas(0)))
+        .withColumn("b1", lit(betas(1)))
+        .withColumn("b2", lit(betas(2)))
+        .orderBy("source")
+    }),
     // per-doc cross-entropy under a Jelinek-Mercer-interpolated bigram
     // MLE (unigramLogLoss with one token of context): garbled sequences
     // of plausible words now score high too
@@ -1066,6 +1089,41 @@ object CurationQueries {
         + " round(round(ln((SELECT n FROM tot)), 6)::DECIMAL(18,6)::DOUBLE"
         + " - s::DOUBLE / n_tokens::DOUBLE, 6) AS unigram_loss"
         + " FROM a ORDER BY 1"),
+    "q_logreg" -> {
+      import graft.operators.FeatureScaling.{sigmoidQSql, logitSql}
+      // integer-raw features (divisors 100 / 1000): gradient summands
+      // are exact decimal x integer products — no per-row rounding
+      val xs = Seq("x1::DOUBLE / 100.0", "x2::DOUBLE / 1000.0")
+      def grads(s0: String, src: String) =
+        (s"SELECT count(*)::BIGINT AS n,"
+          + s" sum(y::DECIMAL(18,6) - $s0) AS g0,"
+          + s" sum((y::DECIMAL(18,6) - $s0) * x1::DECIMAL(18,0)) AS g1,"
+          + s" sum((y::DECIMAL(18,6) - $s0) * x2::DECIMAL(18,0)) AS g2"
+          + s" FROM $src")
+      def step(prev: (String, String, String)) = (
+        s"${prev._1} + 0.1 * (g0::DOUBLE / n::DOUBLE)",
+        s"${prev._2} + 0.1 * ((g1::DOUBLE / 100.0) / n::DOUBLE)",
+        s"${prev._3} + 0.1 * ((g2::DOUBLE / 1000.0) / n::DOUBLE)")
+      val s0 = sigmoidQSql(logitSql("0.0", Seq("0.0" -> xs(0), "0.0" -> xs(1))))
+      val (b10, b11, b12) = step(("0.0", "0.0", "0.0"))
+      val s1 = sigmoidQSql(logitSql("c.b0", Seq("c.b1" -> xs(0), "c.b2" -> xs(1))))
+      val (b20, b21, b22) = step(("c.b0", "c.b1", "c.b2"))
+      val s2 = sigmoidQSql(logitSql("c2.b0", Seq("c2.b1" -> xs(0), "c2.b2" -> xs(1))))
+      ("WITH f AS (SELECT doc_id, source,"
+        + " CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,"
+        + " len(string_split(text, ' '))::BIGINT AS x1,"
+        + " n_chars::BIGINT AS x2"
+        + " FROM documents WHERE text IS NOT NULL),"
+        + s" i1 AS (${grads(s0, "f")}),"
+        + s" c AS (SELECT $b10 AS b0, $b11 AS b1, $b12 AS b2 FROM i1),"
+        + s" i2 AS (${grads(s1, "f CROSS JOIN c")}),"
+        + s" c2 AS (SELECT $b20 AS b0, $b21 AS b1, $b22 AS b2 FROM i2 CROSS JOIN c)"
+        + s" SELECT source, count(*)::BIGINT AS n_docs,"
+        + s" sum(CASE WHEN $s2 >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_pred_en,"
+        + s" sum($s2)::DOUBLE AS sum_prob,"
+        + " any_value(c2.b0) AS b0, any_value(c2.b1) AS b1, any_value(c2.b2) AS b2"
+        + " FROM f CROSS JOIN c2 GROUP BY source ORDER BY source")
+    },
     "q_bigram_ll" ->
       ("SELECT doc_id, n_trans, round(bigram_loss, 6) AS bigram_loss FROM ("
         + TextAnalysis.bigramLogLossSql("doc_id", "text", "documents")

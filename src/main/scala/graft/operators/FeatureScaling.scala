@@ -328,4 +328,107 @@ object FeatureScaling {
       when(vn.isNotNull && variance > 0,
         (vn.cast(DoubleType) - s1 / n) / sqrt(variance)))
   }
+
+  /** Distributed logistic-regression fit by `iters` full-batch gradient
+    * steps — the quality-classifier training step of a curation stack
+    * (a fastText-style "does this look like good text" filter, fit on
+    * the corpus's own deterministic features + labels). Returns the
+    * coefficient vector (intercept +: one weight per feature).
+    *
+    * Features are (integer-valued column, divisor) pairs: the model
+    * runs on x_raw/divisor. The integer-raw convention is what makes
+    * the fit REPLAYABLE: the gradient summand (y − σ)·x_raw is an
+    * exact decimal × integer product — no per-row rounding, sums are
+    * order-independent — and the divisor is applied once to the exact
+    * sum. (A double-feature version needs round(r·x, 6) per row, and
+    * with enough rows one product lands where Spark's
+    * shortest-repr-based round and the oracle's exact-value round
+    * disagree — observed, not hypothetical.) The only per-row rounding
+    * left is the sigmoid's decimal(18,6) quantization, whose
+    * boundary-ulp risk is the accepted [[TextAnalysis.tfidfTopK]]
+    * budget.
+    *
+    * Per iteration: ONE map-side-combined aggregation computes the
+    * full-batch gradient, then β_j += lr·(g_j/div_j)/n on the driver —
+    * d+1 numbers of driver state per step, the
+    * [[Similarity.kmeansFit]] shape. The feature projection is
+    * persisted across the `iters` passes so a 100 TB source is read
+    * once. Rows with a NULL label or NULL feature are excluded. */
+  def logisticFit(
+      df: DataFrame,
+      features: Seq[(Column, Double)],
+      label: Column,
+      iters: Int,
+      lr: Double = 0.1,
+      cache: Boolean = true): Array[Double] = {
+    require(features.nonEmpty, "logisticFit needs at least one feature")
+    require(features.forall(_._2 > 0), "feature divisors must be > 0")
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val d = features.size
+    val cols = label.cast("long").as("__y") +:
+      features.zipWithIndex.map { case ((f, _), j) => f.cast("long").as(s"__x$j") }
+    val keep = (0 until d).map(j => col(s"__x$j").isNotNull)
+      .foldLeft(col("__y").isNotNull)(_ && _)
+    val p0 = df.select(cols: _*).where(keep)
+    val p = if (cache) p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else p0
+    try {
+      val betas = Array.fill(d + 1)(0.0)
+      val divs = features.map(_._2)
+      var it = 0
+      while (it < iters) {
+        val sQ = sigmoidQ(logit(betas, divs,
+          (0 until d).map(j => col(s"__x$j"))))
+        val r = col("__y").cast(DecimalType(18, 6)) - sQ
+        val gradCols = sum(r).as("__g0") +: (0 until d).map(j =>
+          sum(r * col(s"__x$j").cast(DecimalType(18, 0))).as(s"__g${j + 1}"))
+        val row = p.agg(count(lit(1)).as("__n"), gradCols: _*).head()
+        val n = row.getLong(0).toDouble
+        betas(0) = betas(0) +
+          lr * (Option(row.getDecimal(1)).fold(0.0)(_.doubleValue()) / n)
+        var j = 1
+        while (j <= d) {
+          val g = Option(row.getDecimal(j + 1)).fold(0.0)(_.doubleValue())
+          betas(j) = betas(j) + lr * ((g / divs(j - 1)) / n)
+          j += 1
+        }
+        it += 1
+      }
+      betas
+    } finally { if (cache) { p.unpersist(false); () } }
+  }
+
+  /** Scores rows against [[logisticFit]] coefficients: appends `as` =
+    * the quantized sigmoid probability (decimal(18,6), the same grid
+    * the fit used) over the same (integer column, divisor) features —
+    * one codegen projection, zero shuffles. Rows with NULL features
+    * get NULL. */
+  def logisticScore(
+      df: DataFrame,
+      features: Seq[(Column, Double)],
+      betas: Array[Double],
+      as: String = "prob"): DataFrame = {
+    require(betas.length == features.size + 1,
+      s"need ${features.size + 1} coefficients (intercept first), got ${betas.length}")
+    require(!df.columns.contains(as),
+      s"logisticScore appends $as; rename it in the input or pass another name")
+    df.withColumn(as,
+      sigmoidQ(logit(betas, features.map(_._2), features.map(_._1.cast("long")))))
+  }
+
+  private def logit(betas: Array[Double], divs: Seq[Double], xs: Seq[Column]): Column =
+    xs.zipWithIndex.foldLeft(lit(betas(0))) { case (acc, (x, j)) =>
+      acc + lit(betas(j + 1)) * (x.cast(DoubleType) / lit(divs(j)))
+    }
+
+  /** round(1/(1+exp(−z)), 6) as decimal(18,6) — the lnQ convention for
+    * the logistic link. */
+  private def sigmoidQ(z: Column): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6).cast(DecimalType(18, 6))
+
+  /** DuckDB twins of the [[logisticFit]] building blocks, used by the
+    * q_logreg oracle to replay the unrolled fit. */
+  def sigmoidQSql(zExpr: String): String =
+    s"round(1.0 / (1.0 + exp(-($zExpr))), 6)::DECIMAL(18,6)"
+  def logitSql(b0: String, bx: Seq[(String, String)]): String =
+    bx.foldLeft(b0) { case (acc, (b, x)) => s"$acc + $b * ($x)" }
 }

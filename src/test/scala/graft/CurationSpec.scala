@@ -390,6 +390,46 @@ class CurationSpec extends AnyFunSuite {
     assert(r2D.exists(v => math.abs(v - 25.0 / 28.0) < 1e-9))
   }
 
+  test("logisticFit: brute-force GD replay; separable data ranks right; NULLs excluded") {
+    // y correlates with x1 (value 10 vs 30 scaled /10); x2 constant
+    val rows = Seq(
+      (0L, Some(10L), 5L), (0L, Some(12L), 5L), (0L, Some(8L), 5L),
+      (1L, Some(30L), 5L), (1L, Some(28L), 5L), (1L, Some(33L), 5L),
+      (0L, None: Option[Long], 5L) // NULL feature -> excluded
+    ).toDF("y", "x1", "x2")
+    val feats = Seq(col("x1") -> 10.0, col("x2") -> 10.0)
+    val got = FeatureScaling.logisticFit(rows, feats, col("y"), iters = 3, lr = 0.5)
+    // brute replay on the 6 valid rows
+    val data = Seq((0.0, 1.0, 0.5), (0.0, 1.2, 0.5), (0.0, 0.8, 0.5),
+      (1.0, 3.0, 0.5), (1.0, 2.8, 0.5), (1.0, 3.3, 0.5))
+    def sq(z: Double): BigDecimal =
+      BigDecimal(1.0 / (1.0 + math.exp(-z))).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    var b = Array(0.0, 0.0, 0.0)
+    for (_ <- 1 to 3) {
+      // gradient sums over exact decimals; raw-x products are exact
+      // (x_raw integer), divisor applied after the sum as in the engine
+      val rs = data.map { case (y, x1, x2) =>
+        (BigDecimal(y) - sq(b(0) + b(1) * x1 + b(2) * x2), x1 * 10, x2 * 10)
+      }
+      val g0 = rs.map(_._1).sum
+      val g1 = rs.map(t => t._1 * t._2.round.toInt).sum
+      val g2 = rs.map(t => t._1 * t._3.round.toInt).sum
+      b = Array(
+        b(0) + 0.5 * (g0.toDouble / 6),
+        b(1) + 0.5 * ((g1.toDouble / 10.0) / 6),
+        b(2) + 0.5 * ((g2.toDouble / 10.0) / 6))
+    }
+    assert(got.toSeq == b.toSeq, s"got ${got.toSeq}, want ${b.toSeq}")
+    assert(got(1) > 0, "x1 separates the classes, so its weight must be positive")
+    // scoring ranks a high-x1 row above a low-x1 row
+    val scored = FeatureScaling.logisticScore(rows.where(col("x1").isNotNull), feats, got)
+      .collect().map(r => r.getLong(1) -> r.getDecimal(3)).toMap
+    assert(scored(30L).compareTo(scored(10L)) > 0)
+    intercept[IllegalArgumentException] {
+      FeatureScaling.logisticScore(rows, feats, Array(0.0, 1.0))
+    }
+  }
+
   test("zscoreBy == brute-force per group; NaN skipped; constant/small groups NULL") {
     val rows = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", Double.NaN),
