@@ -354,6 +354,18 @@ object SparkEntry {
           .orderBy("o_orderpriority")
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }),
+    // incremental rollup maintenance: per-(flag, ship-month) aggregate
+    // STATES (exact decimal power sums) merged down the partition axis,
+    // then the registry finalize — the oracle is the DIRECT aggregate
+    // over the union, so the hash match IS the merge-invariance proof
+    "q_agg_state" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+        .withColumn("ship_month", date_trunc("month", col("l_shipdate")))
+      val monthly = AggState.state(li, Seq("l_returnflag", "ship_month"),
+        "l_extendedprice", scale = 2)
+      AggState.finalize(AggState.merge(monthly, Seq("l_returnflag")), ddof = 1)
+        .orderBy("l_returnflag")
+    }),
     // ---- binning (reference core.py:803-823; empty bins kept+filled) ----
     "q_bins" -> ((s, d) => {
       val edges  = Seq(0.0, 10.0, 25.0, 40.0, 50.0, 100.0)
@@ -628,6 +640,26 @@ object SparkEntry {
         + " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty"
         + " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
         + " GROUP BY 1 ORDER BY 1"),
+    // the merge path is invisible by construction — the oracle is the
+    // DIRECT aggregate with the same decimal power sums and the same
+    // clamped IEEE finalize
+    "q_agg_state" -> {
+      val p = "CAST(l_extendedprice AS DECIMAL(18,2))"
+      ("SELECT l_returnflag, count(*)::BIGINT AS n_rows,"
+        + " count(l_extendedprice)::BIGINT AS n_valid,"
+        + " min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,"
+        + " CASE WHEN count(l_extendedprice) > 0 THEN"
+        + s" CAST(sum($p) AS DOUBLE) / CAST(count(l_extendedprice) AS DOUBLE) END AS mean,"
+        + " CASE WHEN count(l_extendedprice) > 1 THEN"
+        + s" greatest((CAST(sum($p * $p) AS DOUBLE) - CAST(sum($p) AS DOUBLE) * CAST(sum($p) AS DOUBLE)"
+        + " / CAST(count(l_extendedprice) AS DOUBLE))"
+        + " / (CAST(count(l_extendedprice) AS DOUBLE) - 1.0), 0.0) END AS var,"
+        + " sqrt(CASE WHEN count(l_extendedprice) > 1 THEN"
+        + s" greatest((CAST(sum($p * $p) AS DOUBLE) - CAST(sum($p) AS DOUBLE) * CAST(sum($p) AS DOUBLE)"
+        + " / CAST(count(l_extendedprice) AS DOUBLE))"
+        + " / (CAST(count(l_extendedprice) AS DOUBLE) - 1.0), 0.0) END) AS std"
+        + " FROM lineitem GROUP BY 1 ORDER BY 1")
+    },
     // the salt is invisible in the result by construction — the oracle
     // is the PLAIN equi-join aggregate
     "q_salted_join" ->

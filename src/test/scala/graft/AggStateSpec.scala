@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Agg, AggState, GroupByReduce}
+
+/** Mergeable aggregate states: finalize(merge(state-per-partition)) must
+  * equal the direct grouped reduction bit-for-bit, for any grouping of
+  * the partition axis (associativity), including NULL/NaN rows and
+  * all-invalid groups. */
+class AggStateSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def fixture = Seq(
+    // (key, day, value) — day is the ingestion partition axis
+    ("a", 1, Some(10.5)), ("a", 1, Some(11.25)), ("a", 2, Some(9.0)),
+    ("a", 3, None), ("a", 3, Some(Double.NaN)),
+    ("b", 1, Some(100.0)), ("b", 2, Some(100.0)),
+    ("c", 1, None), ("c", 2, Some(Double.NaN)) // all-invalid group
+  ).toDF("k", "day", "v")
+
+  test("finalize(merge(per-day states)) == direct reduction, bit for bit") {
+    val daily = AggState.state(fixture, Seq("k", "day"), "v", scale = 2)
+    val got = AggState.finalize(AggState.merge(daily, Seq("k")), ddof = 1)
+      .select("k", "n_rows", "n_valid", "mean", "var", "std", "mn", "mx")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+
+    val direct = GroupByReduce.reduce(fixture, Seq("k"),
+      Seq(Agg("nanmean", "v", "mean", exactScale = Some(2)),
+        Agg("nanvar", "v", "var", ddof = 1, exactScale = Some(2)),
+        Agg("nanstd", "v", "std", ddof = 1, exactScale = Some(2)),
+        Agg("nanmin", "v", "mn"), Agg("nanmax", "v", "mx")), sort = false)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.get(1), r.get(2), r.get(3), r.get(4), r.get(5))).toMap
+
+    for (k <- Seq("a", "b", "c")) {
+      val (mean, vr, sd, mn, mx) = (got(k)(2), got(k)(3), got(k)(4), got(k)(5), got(k)(6))
+      assert(Seq(mean, vr, sd, mn, mx) == direct(k), s"key $k: $got vs $direct")
+    }
+    assert(got("a").take(2) == Seq(5L, 3L)) // n_rows counts all, n_valid skips NULL+NaN
+    assert(got("c")(1) == 0L && got("c")(2) == null && got("c")(5) == null)
+    // b: constant group -> var exactly 0 (clamp), std 0
+    assert(got("b")(3) == 0.0 && got("b")(4) == 0.0)
+  }
+
+  test("merge is associative: day-merge-then-total == merge-all-at-once") {
+    val daily = AggState.state(fixture, Seq("k", "day"), "v", scale = 2)
+    // route A: collapse days pairwise (1,2 -> stage) then fold in 3
+    val stage = AggState.merge(daily.where(col("day") <= 2), Seq("k"))
+      .unionByName(daily.where(col("day") === 3).drop("day"))
+    val a = AggState.finalize(AggState.merge(stage, Seq("k")), ddof = 1)
+    val b = AggState.finalize(AggState.merge(daily, Seq("k")), ddof = 1)
+    val cols = a.columns.sorted.map(col)
+    assert(a.select(cols: _*).orderBy("k").collect().toSeq ==
+      b.select(cols: _*).orderBy("k").collect().toSeq)
+    // schema is stable across re-merges (fixed decimal types)
+    assert(AggState.merge(stage, Seq("k")).schema ==
+      AggState.merge(daily, Seq("k")).schema)
+  }
+}
