@@ -354,6 +354,27 @@ object SparkEntry {
           .orderBy("o_orderpriority")
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }),
+    // CDC-apply / SCD1 keyed merge: one max-struct hash agg keeps the
+    // highest (version, side) row per key — updates beat the base on
+    // version ties; multi-version update batches collapse to the latest
+    "q_upsert" -> ((s, d) => {
+      val c = T(s, d, "customer")
+      val base = c.select(col("c_custkey"),
+        col("c_mktsegment").as("seg"), lit(0L).as("ver"))
+      val ups = c.where(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          concat(lit("UPD"), (col("c_custkey") % 5).cast("string")).as("seg"),
+          lit(1L).as("ver"))
+        .unionByName(c.where(col("c_custkey") % 6 === 0)
+          .select(col("c_custkey"), lit("NEWER").as("seg"), lit(2L).as("ver")))
+        .unionByName(c.where(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), lit("TIE0").as("seg"), lit(0L).as("ver")))
+      Upsert.upsertLatest(base, ups, Seq("c_custkey"), "ver")
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("sum_key"),
+          sum("ver").as("sum_ver"))
+        .orderBy("seg")
+    }),
     // incremental rollup maintenance: per-(flag, ship-month) aggregate
     // STATES (exact decimal power sums) merged down the partition axis,
     // then the registry finalize — the oracle is the DIRECT aggregate
@@ -640,6 +661,18 @@ object SparkEntry {
         + " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty"
         + " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
         + " GROUP BY 1 ORDER BY 1"),
+    // latest-wins replayed as a rank-1 window over the tagged union
+    "q_upsert" ->
+      ("WITH b AS (SELECT c_custkey, c_mktsegment AS seg, 0::BIGINT AS ver, 0 AS side FROM customer),"
+        + " u AS (SELECT c_custkey, 'UPD' || (c_custkey % 5) AS seg, 1::BIGINT AS ver, 1 AS side"
+        + " FROM customer WHERE c_custkey % 3 = 0"
+        + " UNION ALL SELECT c_custkey, 'NEWER', 2::BIGINT, 1 FROM customer WHERE c_custkey % 6 = 0"
+        + " UNION ALL SELECT c_custkey, 'TIE0', 0::BIGINT, 1 FROM customer WHERE c_custkey % 7 = 0),"
+        + " a AS (SELECT * FROM b UNION ALL SELECT * FROM u),"
+        + " w AS (SELECT *, row_number() OVER (PARTITION BY c_custkey"
+        + " ORDER BY ver DESC, side DESC) AS rn FROM a)"
+        + " SELECT seg, count(*)::BIGINT AS n, sum(c_custkey)::BIGINT AS sum_key,"
+        + " sum(ver)::BIGINT AS sum_ver FROM w WHERE rn = 1 GROUP BY 1 ORDER BY 1"),
     // the merge path is invisible by construction — the oracle is the
     // DIRECT aggregate with the same decimal power sums and the same
     // clamped IEEE finalize
