@@ -354,6 +354,23 @@ object SparkEntry {
           .orderBy("o_orderpriority")
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }),
+    // data-quality gate: all row checks in ONE aggregation pass
+    // (NULL predicate = violation, the SQL constraint rule), plus
+    // key-uniqueness and referential-orphan summaries, one report table
+    "q_expectations" -> ((s, d) => {
+      val liT = T(s, d, "lineitem")
+      val rowChecks = Validate.report(liT, Seq(
+        "quantity_range" -> col("l_quantity").between(1, 50),
+        "shipdate_not_null" -> col("l_shipdate").isNotNull,
+        "discount_range" -> col("l_discount").between(0, 1)))
+      val pk = Validate.duplicateKeys(liT, Seq("l_orderkey", "l_linenumber"))
+        .select(lit("pk_unique").as("check"), col("n_keys").as("n_rows"),
+          col("n_dup_rows").as("n_violations"))
+      val fk = Validate.orphans(liT, T(s, d, "orders"), "l_orderkey", "o_orderkey")
+        .select(lit("fk_orders").as("check"), col("n_child_rows").as("n_rows"),
+          col("n_orphans").as("n_violations"))
+      rowChecks.unionByName(pk).unionByName(fk).orderBy("check")
+    }),
     // CDC-apply / SCD1 keyed merge: one max-struct hash agg keeps the
     // highest (version, side) row per key — updates beat the base on
     // version ties; multi-version update batches collapse to the latest
@@ -661,6 +678,21 @@ object SparkEntry {
         + " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty"
         + " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
         + " GROUP BY 1 ORDER BY 1"),
+    "q_expectations" ->
+      ("SELECT 'quantity_range' AS \"check\", count(*)::BIGINT AS n_rows,"
+        + " sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)::BIGINT AS n_violations FROM lineitem"
+        + " UNION ALL SELECT 'shipdate_not_null', count(*)::BIGINT,"
+        + " sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END)::BIGINT FROM lineitem"
+        + " UNION ALL SELECT 'discount_range', count(*)::BIGINT,"
+        + " sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END)::BIGINT FROM lineitem"
+        + " UNION ALL SELECT 'pk_unique', count(*)::BIGINT,"
+        + " sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT FROM"
+        + " (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)"
+        + " UNION ALL SELECT 'fk_orders', count(*)::BIGINT,"
+        + " sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT"
+        + " FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o"
+        + " ON l_orderkey = o.o_orderkey"
+        + " ORDER BY 1"),
     // latest-wins replayed as a rank-1 window over the tagged union
     "q_upsert" ->
       ("WITH b AS (SELECT c_custkey, c_mktsegment AS seg, 0::BIGINT AS ver, 0 AS side FROM customer),"

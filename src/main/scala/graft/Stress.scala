@@ -160,6 +160,59 @@ object Stress {
           .withColumn("vy", col("value") * 2 - col("user_id")),
         Seq("user_id"), Seq(col("ts"), col("event_id")), "vx", "vy",
         alpha = 0.5).count())
+
+    // r7 third wave. Heavy hitters: two token passes, both map-side
+    // bounded (MG summaries / candidate probes) — wall tracks rows
+    time("heavyHitters cap=256")(
+      graft.operators.TextAnalysis.heavyHitters(docs, "text",
+        capacity = 256, phi = 0.01).count())
+    // BM25: projection-only tf + one broadcast stats row + TakeOrdered
+    time("bm25TopK k=100")(
+      graft.operators.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "vector", "hash"), k = 100).count())
+    // bigram LM: transition rows shuffle against vocabulary-sized tables
+    time("bigramLogLoss")(
+      graft.operators.TextAnalysis.bigramLogLoss(docs, "doc_id", "text").count())
+    // logistic fit: iters bounded aggregations over the persisted
+    // projection — wall ~ iters x one scan
+    time("logisticFit it=3")(
+      graft.operators.FeatureScaling.logisticFit(
+        docs.where(col("text").isNotNull)
+          .select(col("lang"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("dl")),
+        Seq(col("dl") -> 100.0, col("n_chars") -> 1000.0),
+        col("lang") === "en", iters = 3).length.toLong)
+    // salted join vs plain at the same sizes: the price of x8 dim
+    // replication (fact untouched) — constant-factor, not shape
+    val cx = expand("customer", "c_custkey").persist()
+    val ox = expand("orders", "o_orderkey")
+      .withColumn("o_custkey",
+        col("o_custkey") + (col("o_orderkey") / 10000000L).cast("long") * 10000000L)
+      .persist()
+    println(s"[stress] ${cx.count()} customers, ${ox.count()} orders")
+    val dimJ = cx.select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    time("saltedJoin s=8")(
+      graft.operators.Layout.saltedJoin(ox, dimJ, "o_custkey",
+          col("o_orderkey"), salts = 8)
+        .groupBy("c_mktsegment").count().count())
+    time("plainJoin")(
+      ox.join(dimJ, Seq("o_custkey")).groupBy("c_mktsegment").count().count())
+    // upsert: one max-struct agg over the tagged union — wall tracks rows
+    time("upsertLatest")(
+      graft.operators.Upsert.upsertLatest(
+        cx.select(col("c_custkey"), col("c_mktsegment").as("v"), lit(0L).as("ver")),
+        cx.where(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), lit("upd").as("v"), lit(1L).as("ver")),
+        Seq("c_custkey"), "ver").count())
+    // aggregate states: per-(flag,month) states merged to flags — the
+    // incremental path's full cost is ONE scan + state-sized merges
+    time("aggState+merge")(
+      graft.operators.AggState.finalize(
+        graft.operators.AggState.merge(
+          graft.operators.AggState.state(
+            li.withColumn("m", date_trunc("month", col("l_shipdate"))),
+            Seq("l_returnflag", "m"), "l_extendedprice", scale = 2),
+          Seq("l_returnflag")), ddof = 1).count())
     spark.stop()
   }
 }

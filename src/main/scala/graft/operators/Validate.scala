@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectation checks — the validation gate a pipeline
+  * runs before a training job consumes a new partition (the
+  * Deequ/Great-Expectations niche, as plain deterministic operators):
+  * declarative row-level constraints, key-uniqueness, and referential
+  * integrity, each reduced to violation COUNTS a driver can alert on.
+  *
+  * SQL constraint semantics: a row VIOLATES a check unless the
+  * predicate is literally TRUE — a NULL predicate (NULL operand in a
+  * comparison) is a violation, not a pass, so "value between 1 and 50"
+  * catches NULLs without a separate not-null clause (add one anyway
+  * when you want the two counted apart).
+  *
+  * Scale shape: [[report]] evaluates ALL row checks in ONE map-side
+  * combined aggregation over a single scan (one violation-sum per
+  * check), then explodes the 1-row result into (check, n_rows,
+  * n_violations) rows — bounded by the check count. [[duplicateKeys]]
+  * is one hash count per key; [[orphans]] is one left-anti join
+  * (broadcast when the parent's key projection fits). Nothing
+  * data-sized reaches the driver.
+  */
+object Validate {
+
+  /** One row per check: (check, n_rows, n_violations). */
+  def report(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "report needs at least one check")
+    require(checks.map(_._1).distinct.size == checks.size,
+      "check names must be unique")
+    val sums = checks.zipWithIndex.map { case ((_, pred), j) =>
+      sum(when(pred <=> lit(true), 0L).otherwise(1L)).as(s"__c$j")
+    }
+    val one = df.agg(count(lit(1)).as("__n"), sums: _*)
+    val rows = checks.zipWithIndex.map { case ((name, _), j) =>
+      struct(lit(name).as("check"), col("__n").as("n_rows"),
+        col(s"__c$j").as("n_violations"))
+    }
+    one.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.check"), col("__r.n_rows"), col("__r.n_violations"))
+  }
+
+  /** Key-uniqueness summary: (n_keys, n_dup_keys, n_dup_rows) — how
+    * many distinct keys exist, how many occur more than once, and how
+    * many rows sit inside those duplicated keys. */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "duplicateKeys needs at least one key column")
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+        sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as("n_dup_rows"))
+  }
+
+  /** Referential-integrity summary: (n_child_rows, n_orphans) — child
+    * rows whose `childKey` has no match in the parent's `parentKey`.
+    * NULL child keys count as orphans (they reference nothing). */
+  def orphans(
+      child: DataFrame,
+      parent: DataFrame,
+      childKey: String,
+      parentKey: String): DataFrame = {
+    val p = parent.select(col(parentKey).as("__pk")).distinct()
+    val o = child.join(p, col(childKey) === col("__pk"), "left_anti")
+    child.agg(count(lit(1)).as("n_child_rows"))
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("n_orphans"))))
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Validate
+
+class ValidateSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("report: NULL predicate is a violation; one row per check; single-pass") {
+    val df = Seq(
+      (Some(5.0), "x"), (Some(60.0), "y"), (None, "z"), (Some(10.0), null)
+    ).toDF("q", "s")
+    val r = Validate.report(df, Seq(
+      "q_range" -> col("q").between(1, 50),   // 60 violates, NULL violates
+      "s_not_null" -> col("s").isNotNull))
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map("q_range" -> ((4L, 2L)), "s_not_null" -> ((4L, 1L))))
+    // all check sums ride ONE aggregate: a single scan of the input
+    val plan = Validate.report(df, Seq("a" -> col("q").isNotNull,
+      "b" -> col("s").isNotNull)).queryExecution.executedPlan.toString
+    assert("(LocalTableScan|Scan ExistingRDD|FileScan)".r.findAllIn(plan).length == 1, plan)
+    intercept[IllegalArgumentException] {
+      Validate.report(df, Seq("dup" -> lit(true), "dup" -> lit(false)))
+    }
+  }
+
+  test("duplicateKeys and orphans summaries") {
+    val child = Seq(
+      (Some(1L), "a"), (Some(1L), "b"), (Some(2L), "c"), (Some(3L), "d"),
+      (None: Option[Long], "e")
+    ).toDF("fk", "v")
+    val dup = Validate.duplicateKeys(child, Seq("fk")).head()
+    assert((dup.getLong(0), dup.getLong(1), dup.getLong(2)) == ((4L, 1L, 2L)))
+    val parent = Seq(1L, 2L).toDF("pk")
+    val o = Validate.orphans(child, parent, "fk", "pk").head()
+    // key 3 (1 row) + NULL key (1 row) are orphans
+    assert((o.getLong(0), o.getLong(1)) == ((5L, 2L)))
+  }
+}
