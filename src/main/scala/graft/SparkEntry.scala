@@ -392,6 +392,32 @@ object SparkEntry {
           sum("ver").as("sum_ver"))
         .orderBy("seg")
     }),
+    // distinct-count states: per-month HLL sketches merged to flags;
+    // merged and direct estimates agree within half the accuracy band
+    // (merged = composite estimator, direct = HIP — DataSketches
+    // semantics) and both sit within 10% of exact — pinned as
+    // hash-matchable booleans, the q_approxcd convention
+    "q_distinct_state" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+        .withColumn("ship_month", date_trunc("month", col("l_shipdate")))
+      val monthly = AggState.stateDistinct(li,
+        Seq("l_returnflag", "ship_month"), "l_orderkey")
+      val merged = AggState.estimateDistinct(
+          AggState.mergeDistinct(monthly, Seq("l_returnflag")))
+        .select(col("l_returnflag"), col("nd_estimate").as("nd_merged"))
+      val direct = AggState.estimateDistinct(
+          AggState.stateDistinct(li, Seq("l_returnflag"), "l_orderkey"))
+        .select(col("l_returnflag"), col("nd_estimate").as("nd_direct"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact_nd"))
+      merged.join(direct, "l_returnflag").join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_nd"),
+          (abs(col("nd_merged") - col("nd_direct")).cast("double") / col("exact_nd") <= 0.05)
+            .as("merge_close"),
+          (abs(col("nd_merged") - col("exact_nd")).cast("double") / col("exact_nd") <= 0.1)
+            .as("approx_ok"))
+        .orderBy("l_returnflag")
+    }),
     // incremental rollup maintenance: per-(flag, ship-month) aggregate
     // STATES (exact decimal power sums) merged down the partition axis,
     // then the registry finalize — the oracle is the DIRECT aggregate
@@ -705,6 +731,10 @@ object SparkEntry {
         + " ORDER BY ver DESC, side DESC) AS rn FROM a)"
         + " SELECT seg, count(*)::BIGINT AS n, sum(c_custkey)::BIGINT AS sum_key,"
         + " sum(ver)::BIGINT AS sum_ver FROM w WHERE rn = 1 GROUP BY 1 ORDER BY 1"),
+    "q_distinct_state" ->
+      ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_nd,"
+        + " TRUE AS merge_close, TRUE AS approx_ok"
+        + " FROM lineitem GROUP BY 1 ORDER BY 1"),
     // the merge path is invisible by construction — the oracle is the
     // DIRECT aggregate with the same decimal power sums and the same
     // clamped IEEE finalize

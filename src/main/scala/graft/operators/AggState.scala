@@ -77,6 +77,41 @@ object AggState {
       max(col("mx")).as("mx"))
   }
 
+  /** Distinct-count STATE: one DataSketches HLL sketch per group over
+    * `valueCol` — the mergeable form of count-distinct, completing the
+    * incremental-rollup story for the statistic that plain power sums
+    * cannot carry (daily uniques -> monthly uniques without rescan).
+    * `lgConfigK` sizes accuracy (~1.04/sqrt(2^lgK) relative error;
+    * 12 ≈ 1.6%). */
+  def stateDistinct(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      lgConfigK: Int = 12): DataFrame = {
+    require(keys.nonEmpty, "stateDistinct needs at least one grouping key")
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as("nd_sketch"))
+  }
+
+  /** Merge distinct-count states down to `keys` — register-wise max,
+    * associative. Estimator caveat (DataSketches semantics): a MERGED
+    * sketch reports the composite estimator while a sketch fed
+    * directly reports the more accurate HIP estimator, so at HLL-mode
+    * cardinalities the merged estimate differs from the direct one by
+    * a fraction of the error bound (both stay inside it — pinned as
+    * band booleans by q_distinct_state); below the sparse/set
+    * threshold the representations coincide and the estimates are
+    * identical (AggStateSpec pins that exactly). */
+  def mergeDistinct(states: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "mergeDistinct needs at least one grouping key")
+    states.groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("nd_sketch"), lit(true)).as("nd_sketch"))
+  }
+
+  /** Append the cardinality estimate of a distinct-count state. */
+  def estimateDistinct(states: DataFrame, as: String = "nd_estimate"): DataFrame =
+    states.withColumn(as, hll_sketch_estimate(col("nd_sketch")))
+
   /** Finalize a state table into the registry statistics: count, mean,
     * var, std (ddof-adjusted, clamped — the [[Aggregations]] variance
     * decomposition verbatim), min, max. A pure projection: states are

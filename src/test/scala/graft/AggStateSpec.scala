@@ -44,6 +44,22 @@ class AggStateSpec extends AnyFunSuite {
     assert(got("b")(3) == 0.0 && got("b")(4) == 0.0)
   }
 
+  test("distinct-count states: merged estimate == direct estimate == exact at small cardinality") {
+    val rows = (1 to 500).map(i => (i % 3, i % 7, (i % 40).toLong))
+      .toDF("k", "day", "v")
+    val merged = AggState.estimateDistinct(AggState.mergeDistinct(
+        AggState.stateDistinct(rows, Seq("k", "day"), "v"), Seq("k")))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val direct = AggState.estimateDistinct(
+        AggState.stateDistinct(rows, Seq("k"), "v"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(merged == direct, "register-wise max must equal the one-shot sketch")
+    // HLL is exact far below 2^lgK: 40 distinct values estimate exactly
+    val exact = rows.groupBy("k").agg(countDistinct(col("v")))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged == exact)
+  }
+
   test("merge is associative: day-merge-then-total == merge-all-at-once") {
     val daily = AggState.state(fixture, Seq("k", "day"), "v", scale = 2)
     // route A: collapse days pairwise (1,2 -> stage) then fold in 3
