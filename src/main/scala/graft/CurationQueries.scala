@@ -376,6 +376,21 @@ object CurationQueries {
       TextAnalysis.unigramLogLoss(T(s, d, "documents"), "doc_id", "text")
         .withColumn("unigram_loss", round(col("unigram_loss"), 6))
         .orderBy("doc_id")),
+    // normalization-then-dedup: deterministic noise (upper-cased /
+    // double-spaced / padded thirds of the corpus) collapses back to
+    // the clean corpus's group structure only THROUGH normalizeText —
+    // the oracle replays noise, normalization, and keep-first dedup
+    "q_dedup_normalized" -> ((s, d) => {
+      val noisy = T(s, d, "documents").withColumn("noisy",
+        when(col("doc_id") % 3 === 0, upper(col("text")))
+          .when(col("doc_id") % 3 === 1,
+            regexp_replace(col("text"), " ", "  "))
+          .otherwise(concat(lit("  "), col("text"), lit(" "))))
+      Dedup.exactDedup(
+          noisy.withColumn("canon", TextAnalysis.normalizeText(col("noisy"))),
+          "doc_id", "canon")
+        .orderBy("keep_id")
+    }),
     // logistic-regression quality classifier: 2 full-batch gradient
     // steps fit ON THE QUERY PATH (quantized sigmoid + exact decimal
     // gradient sums -> the oracle replays the unrolled fit
@@ -1089,6 +1104,14 @@ object CurationQueries {
         + " round(round(ln((SELECT n FROM tot)), 6)::DECIMAL(18,6)::DOUBLE"
         + " - s::DOUBLE / n_tokens::DOUBLE, 6) AS unigram_loss"
         + " FROM a ORDER BY 1"),
+    "q_dedup_normalized" -> {
+      val canon = TextAnalysis.normalizeTextSql("CASE WHEN doc_id % 3 = 0 THEN upper(text)"
+        + " WHEN doc_id % 3 = 1 THEN regexp_replace(text, ' ', '  ', 'g')"
+        + " ELSE '  ' || text || ' ' END")
+      (s"SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM"
+        + s" (SELECT doc_id, $canon AS canon FROM documents)"
+        + " GROUP BY canon ORDER BY 1")
+    },
     "q_logreg" -> {
       import graft.operators.FeatureScaling.{sigmoidQSql, logitSql}
       // integer-raw features (divisors 100 / 1000): gradient summands

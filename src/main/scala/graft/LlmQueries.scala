@@ -573,6 +573,26 @@ object LlmQueries {
     // distinct-text set — hash-matched against DuckDB's DISTINCT. NULL
     // texts collapse to one survivor (null-equal dedup keys) and count
     // into n_unique but not the text-derived sums, same as SQL.
+    // live CDC-apply table: the q_upsert fixture rides a STREAM (base
+    // and update slices derived from the streamed customer source,
+    // union-tagged), folded by the same order-independent max-struct
+    // winner agg under complete mode — hash-matching the BATCH q_upsert
+    // oracle is the streaming==batch pin
+    "q_stream_upsert" -> ((s, d) => {
+      val schema = T(s, d, "customer").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/{customer.parquet}")
+      val (base, ups) = SparkEntry.upsertFixture(raw)
+      val tagged = base.withColumn("__side", lit(0))
+        .unionByName(ups.withColumn("__side", lit(1)))
+      val winners = graft.operators.Upsert.latestByOrder(tagged,
+        Seq("c_custkey"), Seq(col("ver"), col("__side")))
+      replayAvailableNow(s, winners, "graft_stream_upsert", "complete") { sunk =>
+        sunk.groupBy("seg")
+          .agg(count(lit(1)).as("n"), sum("c_custkey").as("sum_key"),
+            sum("ver").as("sum_ver"))
+          .orderBy("seg")
+      }
+    }),
     "q_stream_dedup" -> ((s, d) => {
       val schema = T(s, d, "documents").schema
       val raw = s.readStream.schema(schema).parquet(s"$d/{documents.parquet}")
@@ -1270,6 +1290,7 @@ object LlmQueries {
       // state store keeps exactly one row per distinct text (NULLs
       // null-equal -> one survivor, counted but not summed), so DISTINCT
       // replays it regardless of which physical row survived
+      "q_stream_upsert" -> SparkEntry.UpsertOracleSql,
       "q_stream_dedup" ->
         ("SELECT count(*) AS n_unique,"
           + s" sum(${TextAnalysis.fingerprintSql("text")})::BIGINT AS checksum,"

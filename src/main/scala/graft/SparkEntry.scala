@@ -68,6 +68,39 @@ object SparkEntry {
   // normalized to NULL where the query consumes valid values only)
   private val POS   = "l_orderkey * 8 + l_linenumber"
   private val VALID = "CASE WHEN l_tax = 0.0 THEN NULL ELSE l_quantity END" // valn, NaN->NULL
+
+  /** Shared by q_upsert and q_stream_upsert (the streaming replay must
+    * hash-match the SAME batch oracle — that equality IS the
+    * streaming==batch pin). */
+  private[graft] val UpsertOracleSql =
+    ("WITH b AS (SELECT c_custkey, c_mktsegment AS seg, 0::BIGINT AS ver, 0 AS side FROM customer),"
+      + " u AS (SELECT c_custkey, 'UPD' || (c_custkey % 5) AS seg, 1::BIGINT AS ver, 1 AS side"
+      + " FROM customer WHERE c_custkey % 3 = 0"
+      + " UNION ALL SELECT c_custkey, 'NEWER', 2::BIGINT, 1 FROM customer WHERE c_custkey % 6 = 0"
+      + " UNION ALL SELECT c_custkey, 'TIE0', 0::BIGINT, 1 FROM customer WHERE c_custkey % 7 = 0),"
+      + " a AS (SELECT * FROM b UNION ALL SELECT * FROM u),"
+      + " w AS (SELECT *, row_number() OVER (PARTITION BY c_custkey"
+      + " ORDER BY ver DESC, side DESC) AS rn FROM a)"
+      + " SELECT seg, count(*)::BIGINT AS n, sum(c_custkey)::BIGINT AS sum_key,"
+      + " sum(ver)::BIGINT AS sum_ver FROM w WHERE rn = 1 GROUP BY 1 ORDER BY 1")
+
+  /** The q_upsert fixture construction, shared with the streaming row:
+    * base = every customer at version 0; updates = three deterministic
+    * slices (new seg at v1, NEWER at v2, TIE0 at v0 — the tie that the
+    * update side must win). */
+  private[graft] def upsertFixture(c: DataFrame): (DataFrame, DataFrame) = {
+    val base = c.select(col("c_custkey"),
+      col("c_mktsegment").as("seg"), lit(0L).as("ver"))
+    val ups = c.where(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"),
+        concat(lit("UPD"), (col("c_custkey") % 5).cast("string")).as("seg"),
+        lit(1L).as("ver"))
+      .unionByName(c.where(col("c_custkey") % 6 === 0)
+        .select(col("c_custkey"), lit("NEWER").as("seg"), lit(2L).as("ver")))
+      .unionByName(c.where(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit("TIE0").as("seg"), lit(0L).as("ver")))
+    (base, ups)
+  }
   private val EVAL  = "CASE WHEN event_type = 'error' THEN NULL ELSE value END"
 
   private def reduceRF(s: SparkSession, dir: String, aggs: Agg*): DataFrame =
@@ -354,6 +387,33 @@ object SparkEntry {
           .orderBy("o_orderpriority")
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }),
+    // star-schema analytic query (the TPC-H Q5-ish shape): fact table
+    // scans once with the date filter PUSHED to parquet; every
+    // dimension broadcasts (explicitly pinned — at 100 TB the fact side
+    // must never shuffle for dim joins); one partial-aggregated rollup
+    "q_star" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val ord = T(s, d, "orders").select("o_orderkey", "o_custkey")
+      val cust = T(s, d, "customer").select("c_custkey", "c_nationkey")
+      val supp = T(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val nat = T(s, d, "nation").select("n_nationkey", "n_name")
+      val joined = li
+        .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"star query must broadcast every dimension; plan:\n$plan")
+      joined.groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy("n_name")
+    }),
     // data-quality gate: all row checks in ONE aggregation pass
     // (NULL predicate = violation, the SQL constraint rule), plus
     // key-uniqueness and referential-orphan summaries, one report table
@@ -375,17 +435,7 @@ object SparkEntry {
     // highest (version, side) row per key — updates beat the base on
     // version ties; multi-version update batches collapse to the latest
     "q_upsert" -> ((s, d) => {
-      val c = T(s, d, "customer")
-      val base = c.select(col("c_custkey"),
-        col("c_mktsegment").as("seg"), lit(0L).as("ver"))
-      val ups = c.where(col("c_custkey") % 3 === 0)
-        .select(col("c_custkey"),
-          concat(lit("UPD"), (col("c_custkey") % 5).cast("string")).as("seg"),
-          lit(1L).as("ver"))
-        .unionByName(c.where(col("c_custkey") % 6 === 0)
-          .select(col("c_custkey"), lit("NEWER").as("seg"), lit(2L).as("ver")))
-        .unionByName(c.where(col("c_custkey") % 7 === 0)
-          .select(col("c_custkey"), lit("TIE0").as("seg"), lit(0L).as("ver")))
+      val (base, ups) = upsertFixture(T(s, d, "customer"))
       Upsert.upsertLatest(base, ups, Seq("c_custkey"), "ver")
         .groupBy("seg")
         .agg(count(lit(1)).as("n"), sum("c_custkey").as("sum_key"),
@@ -704,6 +754,15 @@ object SparkEntry {
         + " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty"
         + " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
         + " GROUP BY 1 ORDER BY 1"),
+    "q_star" ->
+      ("SELECT n_name, count(*)::BIGINT AS n,"
+        + " CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue"
+        + " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        + " JOIN customer ON o_custkey = c_custkey"
+        + " JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
+        + " JOIN nation ON s_nationkey = n_nationkey"
+        + " WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        + " GROUP BY 1 ORDER BY 1"),
     "q_expectations" ->
       ("SELECT 'quantity_range' AS \"check\", count(*)::BIGINT AS n_rows,"
         + " sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)::BIGINT AS n_violations FROM lineitem"
@@ -720,17 +779,7 @@ object SparkEntry {
         + " ON l_orderkey = o.o_orderkey"
         + " ORDER BY 1"),
     // latest-wins replayed as a rank-1 window over the tagged union
-    "q_upsert" ->
-      ("WITH b AS (SELECT c_custkey, c_mktsegment AS seg, 0::BIGINT AS ver, 0 AS side FROM customer),"
-        + " u AS (SELECT c_custkey, 'UPD' || (c_custkey % 5) AS seg, 1::BIGINT AS ver, 1 AS side"
-        + " FROM customer WHERE c_custkey % 3 = 0"
-        + " UNION ALL SELECT c_custkey, 'NEWER', 2::BIGINT, 1 FROM customer WHERE c_custkey % 6 = 0"
-        + " UNION ALL SELECT c_custkey, 'TIE0', 0::BIGINT, 1 FROM customer WHERE c_custkey % 7 = 0),"
-        + " a AS (SELECT * FROM b UNION ALL SELECT * FROM u),"
-        + " w AS (SELECT *, row_number() OVER (PARTITION BY c_custkey"
-        + " ORDER BY ver DESC, side DESC) AS rn FROM a)"
-        + " SELECT seg, count(*)::BIGINT AS n, sum(c_custkey)::BIGINT AS sum_key,"
-        + " sum(ver)::BIGINT AS sum_ver FROM w WHERE rn = 1 GROUP BY 1 ORDER BY 1"),
+    "q_upsert" -> UpsertOracleSql,
     "q_distinct_state" ->
       ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_nd,"
         + " TRUE AS merge_close, TRUE AS approx_ok"

@@ -521,6 +521,23 @@ object TextAnalysis {
     * Output: one row per background doc — (idCol, n_tokens,
     * dsir_score). NULL-text docs produce no tokens and are absent.
     */
+  /** Canonical text normalization for identity purposes — the step every
+    * curation pipeline runs BEFORE exact/near dedup so trivial variants
+    * (case, runs of whitespace, edge padding) collapse to one identity:
+    * lowercase, collapse `\s+` to single spaces, trim. Pure codegen
+    * (lower/regexp_replace/trim), zero shuffle; the regex is in the
+    * Java∩RE2 subset ([[Pii]] convention) so any engine replays it.
+    * Unicode canonicalization (NFC/NFKC) is deliberately NOT included:
+    * Spark has no codegen normalizer expression and the corpus contract
+    * here is byte-oriented; add a dedicated Expression if a corpus
+    * needs it. NULL text stays NULL. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** DuckDB twin of [[normalizeText]]. */
+  def normalizeTextSql(expr: String): String =
+    s"trim(regexp_replace(lower($expr), '\\s+', ' ', 'g'))"
+
   /** BM25 top-k retrieval (Robertson/Okapi, the Lucene `1 + …` idf
     * variant) of the documents best matching a literal query-term set —
     * the keyword-search/relevance-scoring half of a curation stack

@@ -38,22 +38,38 @@ object Upsert {
       keys: Seq[String],
       versionCol: String,
       tieBreak: Seq[String] = Nil): DataFrame = {
-    require(keys.nonEmpty, "upsertLatest needs at least one key column")
     require(base.columns.toSeq == updates.columns.toSeq,
       s"base and updates must share one schema (got ${base.columns.toSeq} vs ${updates.columns.toSeq})")
     require((versionCol +: tieBreak).forall(base.columns.contains),
       s"version/tie-break columns must exist in the schema")
     require(!base.columns.contains("__side"),
       "upsertLatest reserves column name __side; rename it in the input")
-    val payload = base.columns.toSeq // full row rides in the struct
     val tagged = base.withColumn("__side", lit(0))
       .unionByName(updates.withColumn("__side", lit(1)))
+    latestByOrder(tagged, keys,
+      col(versionCol) +: col("__side") +: tieBreak.map(col))
+      .drop("__side")
+  }
+
+  /** The winner kernel: one row per key — the max of
+    * `struct(order..., payload...)` (payload = every input column, so
+    * the comparison is total and the survivor deterministic under any
+    * partitioning). Works unchanged under `readStream` with a
+    * complete/update-mode sink: per-key state is ONE struct, the
+    * bounded-state shape the streamability boundary allows
+    * ([[graft.streaming.StreamingOps]] uses it for the live
+    * CDC-apply table). */
+  def latestByOrder(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty, "latestByOrder needs at least one key column")
+    require(order.nonEmpty, "latestByOrder needs at least one order column")
+    val payload = df.columns.toSeq
     // ordering fields aliased so they can repeat inside the payload tail
-    val ordered = (col(versionCol).as("__o_ver") +: col("__side").as("__o_side") +:
-      tieBreak.zipWithIndex.map { case (t, i) => col(t).as(s"__o_t$i") }) ++
+    val ordered = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } ++
       payload.map(col)
-    tagged
-      .groupBy(keys.map(col): _*)
+    df.groupBy(keys.map(col): _*)
       .agg(max(struct(ordered: _*)).as("__w"))
       .select(payload.map(c => col(s"__w.$c").as(c)): _*)
   }

@@ -32,6 +32,12 @@ import graft.operators.{Agg, Aggregations}
   *     the horizon.
   *   - RUNNING per-key scans ([[runningNanSum]] via mapGroupsWithState)
   *     — state = one accumulator per key (no per-row history).
+  *   - KEYED latest-wins upsert ([[graft.operators.Upsert.latestByOrder]]
+  *     run under readStream, complete/update-mode sink — the live
+  *     CDC-apply table): state = ONE winner struct per key, and the
+  *     max-struct fold is order-independent, so arrival order across
+  *     micro-batches cannot change the result (q_stream_upsert
+  *     hash-matches the batch q_upsert oracle).
   *
   * What does NOT stream, deliberately — the batch transform family
   * (GroupByTransform rank/shift/diff/pctChange/interpolate, Ewm, the

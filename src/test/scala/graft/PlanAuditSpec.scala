@@ -293,4 +293,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"bloom path must stay an equality join:\n$p")
   }
+
+  test("q_star: fact-side date filter pushed to parquet; columns pruned; all dims broadcast") {
+    val p = plan(SparkEntry.queries("q_star")(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"ship-date filter not pushed to the fact scan:\n$p")
+    val factRead = p.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("l_extendedprice")).getOrElse("")
+    assert(factRead.contains("l_discount") && !factRead.contains("l_quantity"),
+      s"fact scan should read only the 4 needed columns, got: $factRead")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 4,
+      s"all four dimension joins must broadcast:\n$p")
+  }
 }
