@@ -414,6 +414,13 @@ object SparkEntry {
             .cast("decimal(18,4)")).cast("double").as("revenue"))
         .orderBy("n_name")
     }),
+    // per-column ANALYZE-style profiling: every column's null/ndv/
+    // extrema stats in ONE aggregation pass, extrema stringified so a
+    // mixed-type table yields one uniform report
+    "q_profile" -> ((s, d) =>
+      Validate.profile(T(s, d, "orders"),
+        Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"))
+        .orderBy("column")),
     // data-quality gate: all row checks in ONE aggregation pass
     // (NULL predicate = violation, the SQL constraint rule), plus
     // key-uniqueness and referential-orphan summaries, one report table
@@ -763,6 +770,13 @@ object SparkEntry {
         + " JOIN nation ON s_nationkey = n_nationkey"
         + " WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
         + " GROUP BY 1 ORDER BY 1"),
+    "q_profile" ->
+      Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate").map { c =>
+        (s"SELECT '$c' AS \"column\", count(*)::BIGINT AS n_rows,"
+          + s" sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,"
+          + s" count(DISTINCT $c)::BIGINT AS n_distinct,"
+          + s" min($c)::VARCHAR AS min_str, max($c)::VARCHAR AS max_str FROM orders")
+      }.mkString("", " UNION ALL ", " ORDER BY 1"),
     "q_expectations" ->
       ("SELECT 'quantity_range' AS \"check\", count(*)::BIGINT AS n_rows,"
         + " sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)::BIGINT AS n_violations FROM lineitem"

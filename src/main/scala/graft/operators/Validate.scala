@@ -53,6 +53,34 @@ object Validate {
         sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as("n_dup_rows"))
   }
 
+  /** Per-column profiling report — the ANALYZE-style statistics pass a
+    * pipeline (or a cost-based optimizer) wants per new partition: for
+    * every requested column, (column, n_rows, n_null, n_distinct,
+    * min_str, max_str), extrema rendered as strings so one report
+    * covers mixed types. ALL columns profile in ONE aggregation over a
+    * single scan (count/ndv/min/max are each map-side combined);
+    * exact ndv by design — swap in approx_count_distinct at
+    * trillion-row scale if the vocabulary itself is huge (noted, not
+    * defaulted: profiling feeds decisions, exactness is worth one
+    * shuffle of distinct values per column). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.zipWithIndex.flatMap { case (c, j) =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn$j"),
+        count_distinct(col(c)).as(s"__nd$j"),
+        min(col(c)).cast("string").as(s"__mn$j"),
+        max(col(c)).cast("string").as(s"__mx$j"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.zipWithIndex.map { case (c, j) =>
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"__nn$j").as("n_null"), col(s"__nd$j").as("n_distinct"),
+        col(s"__mn$j").as("min_str"), col(s"__mx$j").as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
   /** Referential-integrity summary: (n_child_rows, n_orphans) — child
     * rows whose `childKey` has no match in the parent's `parentKey`.
     * NULL child keys count as orphans (they reference nothing). */

@@ -26,6 +26,21 @@ class ValidateSpec extends AnyFunSuite {
     }
   }
 
+  test("profile: per-column nulls/ndv/extrema in one scan, mixed types stringified") {
+    val df = Seq(
+      (Some(3L), "b", Some(2.5)), (Some(1L), "a", None),
+      (None: Option[Long], "b", Some(7.5))
+    ).toDF("x", "s", "v")
+    val r = Validate.profile(df, Seq("x", "s", "v"))
+      .collect().map(p => p.getString(0) ->
+        ((p.getLong(1), p.getLong(2), p.getLong(3), p.getString(4), p.getString(5)))).toMap
+    assert(r("x") == ((3L, 1L, 2L, "1", "3")))
+    assert(r("s") == ((3L, 0L, 2L, "a", "b")))
+    assert(r("v") == ((3L, 1L, 2L, "2.5", "7.5")))
+    val plan = Validate.profile(df, Seq("x", "s")).queryExecution.executedPlan.toString
+    assert("(LocalTableScan|Scan ExistingRDD|FileScan)".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("duplicateKeys and orphans summaries") {
     val child = Seq(
       (Some(1L), "a"), (Some(1L), "b"), (Some(2L), "c"), (Some(3L), "d"),
