@@ -121,4 +121,34 @@ object PartitionInvarianceProps extends Properties("PartitionInvariance") {
           }).toMap
       run(df.coalesce(1)) == run(df.repartition(8))
     }
+
+  // r7: the state/merge/winner operators must be partition-invariant too
+  // — AggState by exact decimal sums, upsert by the total-order
+  // max-struct, heavyHitters because the MG sketch only PRUNES and the
+  // verify recount is exact.
+  property("aggState/upsert/heavyHitters: 1 partition == 8 partitions") =
+    forAll(genData) { data =>
+      import graft.operators.{AggState, TextAnalysis, Upsert}
+      val df = toDf(data)
+      def states(d: org.apache.spark.sql.DataFrame) =
+        AggState.finalize(AggState.merge(
+            AggState.state(d.withColumn("part", col("pos") % 3),
+              Seq("label", "part"), "v", scale = 0), Seq("label")), ddof = 1)
+          .collect().map(r => r.getInt(0) -> r.toSeq.drop(1).map {
+            case d0: Double if d0.isNaN => "NaN"
+            case x => x
+          }).toMap
+      def winners(d: org.apache.spark.sql.DataFrame) =
+        Upsert.latestByOrder(d, Seq("label"), Seq(col("v"), col("pos")))
+          .collect().map(r => r.getInt(0) -> ((r.getDouble(1).toString, r.getLong(2)))).toMap
+      def hitters(d: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.heavyHitters(
+          d.select(concat(lit("t"), col("label"),
+            lit(" x"), (col("pos") % 2).cast("string")).as("text")),
+          "text", capacity = 3, phi = 0.3)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val one = df.coalesce(1); val eight = df.repartition(8)
+      states(one) == states(eight) && winners(one) == winners(eight) &&
+        hitters(one) == hitters(eight)
+    }
 }
