@@ -383,15 +383,20 @@ object FeatureScaling {
           sum(r * col(s"__x$j").cast(DecimalType(18, 0))).as(s"__g${j + 1}"))
         val row = p.agg(count(lit(1)).as("__n"), gradCols: _*).head()
         val n = row.getLong(0).toDouble
-        betas(0) = betas(0) +
-          lr * (Option(row.getDecimal(1)).fold(0.0)(_.doubleValue()) / n)
-        var j = 1
-        while (j <= d) {
-          val g = Option(row.getDecimal(j + 1)).fold(0.0)(_.doubleValue())
-          betas(j) = betas(j) + lr * ((g / divs(j - 1)) / n)
-          j += 1
+        // no valid rows: nothing to fit — keep the zero model rather
+        // than dividing the (NULL -> 0) gradients by n = 0 into NaNs
+        if (n == 0) it = iters
+        else {
+          betas(0) = betas(0) +
+            lr * (Option(row.getDecimal(1)).fold(0.0)(_.doubleValue()) / n)
+          var j = 1
+          while (j <= d) {
+            val g = Option(row.getDecimal(j + 1)).fold(0.0)(_.doubleValue())
+            betas(j) = betas(j) + lr * ((g / divs(j - 1)) / n)
+            j += 1
+          }
+          it += 1
         }
-        it += 1
       }
       betas
     } finally { if (cache) { p.unpersist(false); () } }

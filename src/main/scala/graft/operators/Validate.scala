@@ -31,7 +31,8 @@ object Validate {
     require(checks.map(_._1).distinct.size == checks.size,
       "check names must be unique")
     val sums = checks.zipWithIndex.map { case ((_, pred), j) =>
-      sum(when(pred <=> lit(true), 0L).otherwise(1L)).as(s"__c$j")
+      // coalesce: an empty input has ZERO violations, not NULL ones
+      coalesce(sum(when(pred <=> lit(true), 0L).otherwise(1L)), lit(0L)).as(s"__c$j")
     }
     val one = df.agg(count(lit(1)).as("__n"), sums: _*)
     val rows = checks.zipWithIndex.map { case ((name, _), j) =>
@@ -49,8 +50,8 @@ object Validate {
     require(keys.nonEmpty, "duplicateKeys needs at least one key column")
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
       .agg(count(lit(1)).as("n_keys"),
-        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
-        sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as("n_dup_rows"))
+        coalesce(sum(when(col("__c") > 1, 1L).otherwise(0L)), lit(0L)).as("n_dup_keys"),
+        coalesce(sum(when(col("__c") > 1, col("__c")).otherwise(0L)), lit(0L)).as("n_dup_rows"))
   }
 
   /** Per-column profiling report — the ANALYZE-style statistics pass a
@@ -67,7 +68,7 @@ object Validate {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.zipWithIndex.flatMap { case (c, j) =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn$j"),
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn$j"),
         count_distinct(col(c)).as(s"__nd$j"),
         min(col(c)).cast("string").as(s"__mn$j"),
         max(col(c)).cast("string").as(s"__mx$j"))

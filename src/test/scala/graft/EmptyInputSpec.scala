@@ -120,6 +120,35 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq(Agg("nanmode", "v", "m"))).count() == 0)
   }
 
+  test("r7 third-wave operators on empty input return empty (or zero model) without error") {
+    // text family
+    assert(TextAnalysis.bm25TopK(emptyDocs, "doc_id", "text", Seq("x"), 5).count() == 0)
+    assert(TextAnalysis.heavyHitters(emptyDocs, "text", 8, 0.2).count() == 0)
+    assert(TextAnalysis.bigramLogLoss(emptyDocs, "doc_id", "text").count() == 0)
+    // logistic fit: no valid rows keeps the zero model (no NaN from 0/0)
+    val b = FeatureScaling.logisticFit(emptyVals,
+      Seq(col("pos") -> 10.0), col("v") > 0, iters = 2)
+    assert(b.toSeq == Seq(0.0, 0.0))
+    assert(FeatureScaling.logisticScore(emptyVals, Seq(col("pos") -> 10.0), b).count() == 0)
+    // state/winner family
+    val st = AggState.state(emptyVals, Seq("label"), "v", scale = 2)
+    assert(st.count() == 0)
+    assert(AggState.finalize(AggState.merge(st, Seq("label"))).count() == 0)
+    assert(Upsert.upsertLatest(emptyVals, emptyVals, Seq("label"), "pos").count() == 0)
+    // layout / validation
+    assert(Layout.saltedJoin(emptyVals,
+      Seq.empty[(Int, String)].toDF("label", "x"), "label", col("pos"), 4).count() == 0)
+    val rep = Validate.report(emptyVals, Seq("c" -> col("v").isNotNull)).head()
+    assert(rep.getLong(1) == 0L && rep.getLong(2) == 0L)
+    val prof = Validate.profile(emptyVals, Seq("v")).head()
+    assert(prof.getLong(1) == 0L && prof.getLong(3) == 0L && prof.getString(4) == null)
+    // split/normalize
+    assert(Dedup.clusterSplit(emptyDocs, "doc_id",
+      Seq.empty[(Long, Long)].toDF("id", "cluster_id"),
+      Seq("a" -> 0.5, "b" -> 0.5)).count() == 0)
+    assert(emptyDocs.select(TextAnalysis.normalizeText(col("text"))).count() == 0)
+  }
+
   test("sessionize on empty input returns empty") {
     val d = Seq.empty[(String, java.sql.Timestamp, Double)].toDF("user_id", "t", "v")
     assert(Sessionize.sessions(d, Seq("user_id"), "t", 600, "v").count() == 0)
