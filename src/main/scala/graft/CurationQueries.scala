@@ -468,6 +468,20 @@ object CurationQueries {
         sum(TextAnalysis.fingerprintFast(col("chunk"))).as("checksum"))
         .orderBy("source")
     }),
+    // RAG chunking: overlapping 16-token windows every 8 tokens —
+    // consecutive chunks share 8 tokens so no retrieval boundary splits
+    // a fact; start count is exact integer arithmetic (oracle-replayed)
+    "q_chunk_overlap" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val c = TextAnalysis.chunkTextOverlap(T(s, d, "documents"), "text",
+        maxTokens = 16, stride = 8)
+      c.groupBy("source").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(size(split(col("chunk"), " "))).cast("long").as("sum_tokens"),
+        max(size(split(col("chunk"), " "))).cast("long").as("max_chunk_tokens"),
+        sum(TextAnalysis.fingerprintFast(col("chunk"))).as("checksum"))
+        .orderBy("source")
+    }),
     // quality-weighted sampling: keep each doc w.p. qualityScore/1000 —
     // per-row threshold, same replayable scatter as q_sample
     "q_sample_weighted" -> ((s, d) => {
@@ -1190,6 +1204,16 @@ object CurationQueries {
         + " c AS (SELECT doc_id, source, unnest("
         + " [array_to_string(w[(i*64+1):((i+1)*64)], ' ')"
         + " for i in range(0, greatest(CAST(ceil(len(w) / 64.0) AS INT), 1))]) AS ch FROM t)"
+        + " SELECT source, count(*) AS n_chunks,"
+        + " sum(len(string_split(ch, ' ')))::BIGINT AS sum_tokens,"
+        + " max(len(string_split(ch, ' ')))::BIGINT AS max_chunk_tokens,"
+        + s" sum(${fpSql("ch")})::BIGINT AS checksum"
+        + " FROM c GROUP BY 1 ORDER BY 1"),
+    "q_chunk_overlap" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),"
+        + " c AS (SELECT doc_id, source, unnest("
+        + " [array_to_string(w[(i*8+1):(i*8+16)], ' ')"
+        + " for i in range(0, 1 + (greatest(len(w) - 16, 0) + 7) // 8)]) AS ch FROM t)"
         + " SELECT source, count(*) AS n_chunks,"
         + " sum(len(string_split(ch, ' ')))::BIGINT AS sum_tokens,"
         + " max(len(string_split(ch, ' ')))::BIGINT AS max_chunk_tokens,"

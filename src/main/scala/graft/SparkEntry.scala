@@ -414,6 +414,20 @@ object SparkEntry {
             .cast("decimal(18,4)")).cast("double").as("revenue"))
         .orderBy("n_name")
     }),
+    // snapshot diff: added/removed/changed/unchanged counts between two
+    // deterministic versions of the customer table — one full-outer
+    // join + one aggregation, the audit step between upsert applications
+    "q_snapshot_diff" -> ((s, d) => {
+      val c = T(s, d, "customer").select("c_custkey", "c_mktsegment")
+      val newV = c.where(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, lit("CHANGED"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+        .unionByName(c.where(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            lit("ADDED").as("c_mktsegment")))
+      Validate.snapshotDiff(c, newV, Seq("c_custkey"), Seq("c_mktsegment"))
+    }),
     // per-column ANALYZE-style profiling: every column's null/ndv/
     // extrema stats in ONE aggregation pass, extrema stringified so a
     // mixed-type table yields one uniform report
@@ -770,6 +784,20 @@ object SparkEntry {
         + " JOIN nation ON s_nationkey = n_nationkey"
         + " WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
         + " GROUP BY 1 ORDER BY 1"),
+    "q_snapshot_diff" ->
+      ("WITH o AS (SELECT c_custkey AS k, c_mktsegment AS v FROM customer),"
+        + " nn AS (SELECT c_custkey AS k,"
+        + " CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS v"
+        + " FROM customer WHERE c_custkey % 11 <> 0"
+        + " UNION ALL SELECT c_custkey + 10000000, 'ADDED' FROM customer WHERE c_custkey % 13 = 0)"
+        + " SELECT count(o.k)::BIGINT AS n_old, count(nn.k)::BIGINT AS n_new,"
+        + " sum(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_added,"
+        + " sum(CASE WHEN nn.k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,"
+        + " sum(CASE WHEN o.k IS NOT NULL AND nn.k IS NOT NULL"
+        + " AND o.v IS DISTINCT FROM nn.v THEN 1 ELSE 0 END)::BIGINT AS n_changed,"
+        + " sum(CASE WHEN o.k IS NOT NULL AND nn.k IS NOT NULL"
+        + " AND o.v IS NOT DISTINCT FROM nn.v THEN 1 ELSE 0 END)::BIGINT AS n_unchanged"
+        + " FROM o FULL OUTER JOIN nn ON o.k = nn.k"),
     "q_profile" ->
       Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate").map { c =>
         (s"SELECT '$c' AS \"column\", count(*)::BIGINT AS n_rows,"

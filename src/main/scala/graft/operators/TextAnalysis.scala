@@ -318,6 +318,40 @@ object TextAnalysis {
     df.select(keep :+ posexplode(chunks).as(Seq(idxCol, as)): _*)
   }
 
+  /** Overlapping context windows — the RAG-chunking convention
+    * ([[chunkText]] with a stride): windows of `maxTokens` tokens start
+    * every `stride` tokens, so consecutive chunks share
+    * maxTokens − stride tokens of context and no retrieval boundary
+    * splits a fact. The start count is exact integer arithmetic
+    * (1 + ceildiv(max(0, len − maxTokens), stride)), so any engine
+    * replays the chunk set; the final window may be shorter. Same
+    * generator semantics as [[chunkText]]: one array transform +
+    * posexplode, NULL text emits nothing, appends (`as`_idx, `as`). */
+  def chunkTextOverlap(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      maxTokens: Int,
+      stride: Int,
+      as: String = "chunk",
+      keepText: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1 (got $maxTokens)")
+    require(stride >= 1 && stride <= maxTokens,
+      s"stride must be in [1, maxTokens] (got $stride, maxTokens=$maxTokens)")
+    val idxCol = s"${as}_idx"
+    val clashes = df.columns.toSeq.intersect(Seq(as, idxCol))
+    require(clashes.isEmpty,
+      s"chunkTextOverlap emits $as/$idxCol; rename ${clashes.mkString(", ")} in the input")
+    val w = tokens(col(textCol))
+    // when() guard: greatest() SKIPS nulls, so a NULL text would
+    // otherwise yield one null chunk instead of no rows
+    val nStarts = when(size(w).isNotNull, lit(1) +
+      (greatest(size(w) - maxTokens, lit(0)) + (stride - 1)) / stride)
+    val chunks = transform(sequence(lit(0), nStarts.cast("int") - 1),
+      i => array_join(slice(w, i * stride + 1, lit(maxTokens)), " "))
+    val keep = df.columns.toSeq.filterNot(c => !keepText && c == textCol).map(col)
+    df.select(keep :+ posexplode(chunks).as(Seq(idxCol, as)): _*)
+  }
+
   /** Native codegen twin of [[fingerprint]] (identical values on BMP
     * text, pinned by TextMultiModalSpec): the HOF fold above interprets
     * one lambda per character; [[graft.expressions.RollingFingerprint]]

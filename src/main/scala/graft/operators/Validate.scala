@@ -82,6 +82,44 @@ object Validate {
     one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
 
+  /** Snapshot diff — what changed between two versions of a keyed
+    * table (yesterday's corpus vs today's): ONE full-outer join on the
+    * keys plus one aggregation, reporting (n_old, n_new, n_added,
+    * n_removed, n_changed, n_unchanged). A row counts as CHANGED when
+    * any of `compareCols` differs under null-safe comparison (NULL vs
+    * value = changed, NULL vs NULL = equal). Keys are assumed unique
+    * per side — run [[duplicateKeys]] first when in doubt (duplicate
+    * keys would multiply join rows and overstate every count).
+    *
+    * At 100 TB this is the audit step between [[graft.operators
+    * .Upsert.upsertLatest]] applications: both sides shuffle once on
+    * the keys (zero times if stored bucketed), and only counts come
+    * back. */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    val o = oldDf.select((keys ++ compareCols).map(c => col(c).as(s"__o_$c")) :+
+      lit(1).as("__in_old"): _*)
+    val n = newDf.select((keys ++ compareCols).map(c => col(c).as(s"__n_$c")) :+
+      lit(1).as("__in_new"): _*)
+    val cond = keys.map(k => col(s"__o_$k") === col(s"__n_$k")).reduce(_ && _)
+    val changed = compareCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    o.join(n, cond, "full_outer").agg(
+      coalesce(sum(col("__in_old")), lit(0)).cast("long").as("n_old"),
+      coalesce(sum(col("__in_new")), lit(0)).cast("long").as("n_new"),
+      coalesce(sum(when(col("__in_old").isNull, 1L)), lit(0L)).as("n_added"),
+      coalesce(sum(when(col("__in_new").isNull, 1L)), lit(0L)).as("n_removed"),
+      coalesce(sum(when(col("__in_old").isNotNull && col("__in_new").isNotNull
+        && changed, 1L)), lit(0L)).as("n_changed"),
+      coalesce(sum(when(col("__in_old").isNotNull && col("__in_new").isNotNull
+        && !changed, 1L)), lit(0L)).as("n_unchanged"))
+  }
+
   /** Referential-integrity summary: (n_child_rows, n_orphans) — child
     * rows whose `childKey` has no match in the parent's `parentKey`.
     * NULL child keys count as orphans (they reference nothing). */

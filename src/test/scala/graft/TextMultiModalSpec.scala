@@ -327,6 +327,22 @@ class TextMultiModalSpec extends AnyFunSuite {
     assert(got(3L)._2 > got(1L)._2 && got(3L)._2 > got(2L)._2)
   }
 
+  test("chunkTextOverlap: stride windows share context; exact start count; edge cases") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b"), (3L, "x"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTextOverlap(docs, "text", maxTokens = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // len 7, m=4, s=2 -> starts 0,2,4,6 (1 + ceil(3/2) = 3? no: 1+2=3 starts? check: ceil((7-4)/2)=2 -> 3 starts: 0,2,4)
+    assert(got(1L) == Seq("a b c d", "c d e f", "e f g"))
+    assert(got(2L) == Seq("a b")) // shorter than window -> 1 chunk
+    assert(got(3L) == Seq("x"))
+    assert(!got.contains(4L)) // NULL text emits nothing
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTextOverlap(docs, "text", maxTokens = 4, stride = 5)
+    }
+  }
+
   test("heavyHitters: exact result under sketch pruning, any partitioning") {
     // 40 distinct rare tokens vs capacity 8 forces MG decrements; the
     // composed operator must still return the exact filtered counts

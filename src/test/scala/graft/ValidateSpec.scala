@@ -41,6 +41,23 @@ class ValidateSpec extends AnyFunSuite {
     assert("(LocalTableScan|Scan ExistingRDD|FileScan)".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged; null-safe compare") {
+    val o = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),
+      (4L, Some("d"))).toDF("k", "v")
+    val n = Seq((1L, Some("a")),                    // unchanged
+      (2L, Some("B")),                              // changed
+      (3L, None: Option[String]),                   // NULL == NULL -> unchanged
+      (5L, Some("e"))).toDF("k", "v")               // added; 4 removed
+    val r = Validate.snapshotDiff(o, n, Seq("k"), Seq("v")).head()
+    assert(r.toSeq == Seq(4L, 4L, 1L, 1L, 1L, 2L),
+      s"(n_old, n_new, n_added, n_removed, n_changed, n_unchanged) got ${r.toSeq}")
+    // NULL vs value counts as changed
+    val r2 = Validate.snapshotDiff(o, n.withColumn("v",
+        when(col("k") === 3L, lit("now-set")).otherwise(col("v"))),
+      Seq("k"), Seq("v")).head()
+    assert(r2.getLong(4) == 2L && r2.getLong(5) == 1L)
+  }
+
   test("duplicateKeys and orphans summaries") {
     val child = Seq(
       (Some(1L), "a"), (Some(1L), "b"), (Some(2L), "c"), (Some(3L), "d"),
