@@ -285,6 +285,20 @@ object LlmQueries {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")
     }),
+    // multi-probe LSH (Lv et al.): Hamming-radius-1 probing buys ~2x
+    // the recall of the same table count — here TWO tables probe-match
+    // the quality of more; probes=planes makes the probe set the full
+    // radius-1 ball, so the oracle replays candidates as
+    // bit_count(xor(bucket_a, bucket_b)) <= 1
+    "q_ann_lsh_mp" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val planes = Similarity.autoPlanes(e.count(), maxPlanes = LshOracleMaxPlanes)
+      Similarity.lshNeighborsMultiProbe(e, "vec_id", "embedding",
+        threshold = 0.35, probes = planes, planes = planes,
+        tables = 2, dim = 64)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b")
+    }),
     "q_ann_ivf" -> ((s, d) => {
       // IVF index-build-once semantics: the coarse quantizer is built on
       // first use per corpus and reused (a tiny serializable array) — the
@@ -1147,6 +1161,24 @@ object LlmQueries {
           + " FROM n e CROSS JOIN pl WHERE pl.p < (SELECT planes FROM np) GROUP BY 1, 2),"
           + " cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b"
           + " ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)"
+          + " SELECT id_a, id_b,"
+          + " round(list_dot_product(x.q, y.q) / (sqrt(x.nsq::DOUBLE) * sqrt(y.nsq::DOUBLE)), 6) AS cos"
+          + " FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id"
+          + " WHERE list_dot_product(x.q, y.q) / (sqrt(x.nsq::DOUBLE) * sqrt(y.nsq::DOUBLE)) >= 0.35"
+          + " ORDER BY 1, 2")
+      },
+      "q_ann_lsh_mp" -> {
+        // the q_ann_lsh replay with two changes: only tables 0-1, and
+        // radius-1 candidates (full probe set == Hamming ball <= 1)
+        (s"WITH pl(t, p, w) AS (VALUES $lshPlaneRowsSql),"
+          + s" np AS (SELECT $lshPlanesCaseSql AS planes FROM embeddings),"
+          + s" n AS $qn,"
+          + " bk AS (SELECT e.vec_id, pl.t,"
+          + " sum(CASE WHEN list_dot_product(e.q, pl.w) > 0 THEN 1 << pl.p ELSE 0 END) AS bucket"
+          + " FROM n e CROSS JOIN pl WHERE pl.p < (SELECT planes FROM np) AND pl.t < 2 GROUP BY 1, 2),"
+          + " cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b"
+          + " ON a.t = b.t AND bit_count(xor(a.bucket::BIGINT, b.bucket::BIGINT)) <= 1"
+          + " AND a.vec_id < b.vec_id)"
           + " SELECT id_a, id_b,"
           + " round(list_dot_product(x.q, y.q) / (sqrt(x.nsq::DOUBLE) * sqrt(y.nsq::DOUBLE)), 6) AS cos"
           + " FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id"

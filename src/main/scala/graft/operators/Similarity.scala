@@ -697,4 +697,99 @@ object Similarity {
       .where(col("cos") >= threshold)
     (result, release)
   }
+
+  /** Per-table probe buckets for MULTI-PROBE LSH (Lv et al., VLDB'07):
+    * the vector's own sign bucket plus `probes` single-bit flips of its
+    * LEAST CONFIDENT planes — the ones whose projection magnitude is
+    * smallest, i.e. where a near neighbor most plausibly sits on the
+    * other side of the hyperplane. Ordering is total ((|proj|, mask)
+    * pairs through array_sort), so the probe set is deterministic;
+    * `probes = planes` degenerates to the full Hamming-radius-1 ball
+    * (ranking irrelevant — the oracle-replayed form). Projections are
+    * exact integer dots, so "magnitude" is exact. */
+  def probeBuckets(
+      embQ: Column, table: Int, planes: Int, dim: Int, probes: Int): Column = {
+    val projs = (0 until planes).map { p =>
+      val w = hyperplane(table, p, dim).map(x => math.round(x * Quant))
+      dotQ(embQ, typedlit(w.toSeq))
+    }
+    val bucket = projs.zipWithIndex.map { case (proj, p) =>
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val ranked = array_sort(array(projs.zipWithIndex.map { case (proj, p) =>
+      struct(abs(proj).as("a"), lit(1L << p).as("m"))
+    }: _*))
+    val masks = slice(transform(ranked, r => r.getField("m")), 1, probes)
+    concat(array(bucket), transform(masks, m => bucket.bitwiseXOR(m)))
+  }
+
+  /** [[lshNeighbors]] with multi-probing: candidates share a bucket OR
+    * sit one flipped low-confidence plane apart, in at least one table.
+    * Buys the recall of ~2x the tables for `probes`x more candidate
+    * rows on ONE side of the join — the standard trade when adding
+    * tables (another full corpus pass + bucket table) is the scarcer
+    * resource. Exact verify unchanged, so precision is still 1. */
+  def lshNeighborsMultiProbe(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      probes: Int,
+      planes: Int = 0,
+      tables: Int = 8,
+      dim: Int = 0,
+      cache: Boolean = true): DataFrame =
+    lshNeighborsMultiProbeManaged(df, idCol, embCol, threshold, probes,
+      planes, tables, dim, cache)._1
+
+  /** [[lshNeighborsMultiProbe]] plus the cache-release handle. */
+  def lshNeighborsMultiProbeManaged(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      probes: Int,
+      planes: Int = 0,
+      tables: Int = 8,
+      dim: Int = 0,
+      cache: Boolean = true): (DataFrame, () => Unit) = {
+    require(probes >= 1, s"probes must be >= 1 (got $probes); use lshNeighbors for 0")
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def maybeCache(d: DataFrame): DataFrame =
+      if (cache) {
+        persisted += d
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else d
+    val release = () => persisted.foreach(_.unpersist(false))
+    val p = maybeCache(prepared(df, idCol, embCol))
+    val actualDim =
+      if (dim > 0) dim
+      else p.select(size(col("q"))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    if (actualDim == 0)
+      return (p.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cos")).where(lit(false)), release)
+    val actualPlanes =
+      if (planes > 0) planes else autoPlanes(if (cache) p.count() else df.count())
+    val actualProbes = math.min(probes, actualPlanes)
+    val buckets = maybeCache(signBucketTable(p, tables, actualPlanes, actualDim))
+    val probed = p.select(col("id"),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("t"),
+            probeBuckets(col("q"), t, actualPlanes, actualDim, actualProbes).as("pb"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("bk.t"), explode(col("bk.pb")).as("bucket"))
+    val cand = probed.as("a")
+      .join(buckets.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val result = cand
+      .join(p.as("pa"), col("id_a") === col("pa.id"))
+      .join(p.as("pb"), col("id_b") === col("pb.id"))
+      .select(col("id_a"), col("id_b"),
+        cosineQ(dotQ(col("pa.q"), col("pb.q")), col("pa.nsq"), col("pb.nsq")).as("cos"))
+      .where(col("cos") >= threshold)
+    (result, release)
+  }
 }

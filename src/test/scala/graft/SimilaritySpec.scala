@@ -55,6 +55,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low (|brute|=${brute.size}, |lsh|=${lsh.size})")
   }
 
+  test("multi-probe LSH: superset of single-probe, exact precision, radius-1 ball at probes=planes") {
+    val e = TestSpark.table("0.01", "embeddings")
+    val brute = Similarity.bruteForcePairs(e, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = run(Similarity.lshNeighbors(e, "vec_id", "embedding", 0.35,
+      planes = 6, tables = 2, dim = 64))
+    val multi = run(Similarity.lshNeighborsMultiProbe(e, "vec_id", "embedding", 0.35,
+      probes = 6, planes = 6, tables = 2, dim = 64))
+    assert(single.subsetOf(multi), "the identity probe must keep every single-probe pair")
+    assert(multi.subsetOf(brute), "multi-probe emitted a pair failing exact verification")
+    assert(multi.size > single.size,
+      s"radius-1 probing should add recall here (single=${single.size}, multi=${multi.size})")
+    // probes=planes == the exact Hamming-radius-1 candidate rule: replay
+    // buckets through the public lshBucket and intersect with brute truth
+    val bks = Similarity.prepared(e, "vec_id", "embedding")
+      .select(col("id"),
+        array((0 until 2).map(t => Similarity.lshBucket(col("q"), t, 6, 64)): _*).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = brute.filter { case (a, b) =>
+      (0 until 2).exists(t => java.lang.Long.bitCount(bks(a)(t) ^ bks(b)(t)) <= 1)
+    }
+    assert(multi == want, s"radius-1 rule mismatch: extra=${multi -- want}, missing=${want -- multi}")
+    // ranked probing with probes < planes stays between the two
+    val partial = run(Similarity.lshNeighborsMultiProbe(e, "vec_id", "embedding", 0.35,
+      probes = 2, planes = 6, tables = 2, dim = 64))
+    assert(single.subsetOf(partial) && partial.subsetOf(multi))
+  }
+
   test("ivfNeighbors on real embeddings: exact precision, useful recall, recall rises with nprobe") {
     val e = TestSpark.table("0.01", "embeddings")
     val brute = Similarity.bruteForcePairs(e, "vec_id", "embedding", 0.35)
