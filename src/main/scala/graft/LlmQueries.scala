@@ -811,6 +811,21 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_doc_id"))
         .orderBy("split")
     }),
+    // temperature UP-sampling: listed sources replicate rate times
+    // (micro-unit rates; whole copies + content-chosen fractional copy
+    // via cross-multiplied integer threshold — no FP); unlisted and
+    // rate-0 sources drop
+    "q_upsample" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      Sampling.upsampleToMixture(T(s, d, "documents"), "source",
+          Seq("src0" -> 2700000L, "src1" -> 1000000L,
+              "src2" -> 500000L, "src3" -> 0L),
+          Sampling.textKey(col("text")), salt = 4)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_out"), sum("doc_id").as("sum_doc_id"),
+          sum("copy_idx").as("sum_copy"))
+        .orderBy("source")
+    }),
     // downsample-only mixture balancing: exact integer thresholds from
     // per-source counts; binding source kept whole
     "q_mixture" -> ((s, d) => {
@@ -930,6 +945,20 @@ object LlmQueries {
           + s", b AS (SELECT doc_id, ${Sampling.bucketSql("h", 2)} AS u FROM f)"
           + s" SELECT $cases AS split, count(*) AS n_docs,"
           + s" sum(doc_id)::BIGINT AS sum_doc_id FROM b GROUP BY 1 ORDER BY 1")
+      },
+      "q_upsample" -> {
+        val rates = Seq("src0" -> 2700000L, "src1" -> 1000000L,
+          "src2" -> 500000L, "src3" -> 0L)
+        val vals = rates.map { case (s0, m0) => s"('$s0', ${m0}::BIGINT)" }.mkString(", ")
+        (docFpCte
+          + s", r(source, rm) AS (VALUES $vals),"
+          + s" c AS (SELECT f.source, f.doc_id, (rm // 1000000)"
+          + s" + CASE WHEN ${Sampling.bucketSql("f.h", 4)} * 1000000 < (rm % 1000000) * ${Sampling.M}"
+          + " THEN 1 ELSE 0 END AS k FROM f JOIN r USING (source))"
+          + " SELECT source, sum(k)::BIGINT AS n_out,"
+          + " sum(doc_id * k)::BIGINT AS sum_doc_id,"
+          + " sum(k * (k - 1) // 2)::BIGINT AS sum_copy"
+          + " FROM c WHERE k > 0 GROUP BY 1 ORDER BY 1")
       },
       "q_mixture" -> {
         val tgt = Seq("src0" -> 4L, "src1" -> 2L, "src2" -> 1L,

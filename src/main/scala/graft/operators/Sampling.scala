@@ -219,4 +219,52 @@ object Sampling {
         lit(M).cast(dec) * col("__t").cast(dec) * col("__nm").cast(dec))
       .drop("__t", "__n", "__tm", "__nm")
   }
+
+  /** Temperature UP-sampling to a mixture — the other half of
+    * [[sampleToMixture]] (which only discards): every row of a listed
+    * source is replicated `rate` times, with the fractional part
+    * resolved per row by the keyed-hash scatter (rate 2.7 → every row
+    * twice, the content-chosen 70% a third time). The standard
+    * pretraining recipe where high-quality sources repeat for N epochs
+    * within one shuffled corpus.
+    *
+    * Rates are MICRO-units (2_700_000 = 2.7): whole copies =
+    * micros / 10^6 and the extra-copy threshold
+    * (micros % 10^6) · M / 10^6 are exact integer arithmetic — no FP
+    * anywhere, any engine replays the copy count per row. Rows of
+    * sources missing from `rates` are DROPPED (the mixture defines the
+    * output); rate 0 drops its source too. Appends `copy_idx`
+    * (0-based) so downstream shuffles ([[Layout.shardAssign]] keyed by
+    * (content, copy_idx)) spread the copies; determinism is retry-safe
+    * like every Sampling operator. */
+  def upsampleToMixture(
+      df: DataFrame,
+      sourceCol: String,
+      ratesMicro: Seq[(String, Long)],
+      key: Column,
+      salt: Int = 0): DataFrame = {
+    require(ratesMicro.nonEmpty, "need at least one source rate")
+    require(ratesMicro.forall(_._2 >= 0), s"rates must be >= 0: $ratesMicro")
+    require(ratesMicro.map(_._1).distinct.size == ratesMicro.size,
+      s"duplicate sources: $ratesMicro")
+    val reserved = Seq("__rm", "copy_idx")
+    val clashes = df.columns.toSeq.intersect(reserved)
+    require(clashes.isEmpty,
+      s"upsampleToMixture reserves ${reserved.mkString("/")}; rename ${clashes.mkString(", ")} in the input")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = ratesMicro.toDF(sourceCol, "__rm")
+    val whole = (col("__rm") / 1000000L).cast("long")
+    // extra-copy test cross-multiplied so everything stays in exact
+    // longs: bucket/M < rem/10^6  <=>  bucket * 10^6 < rem * M
+    // (both sides < 2^60 — no overflow, no FP)
+    val copies = whole +
+      when(bucket(key, salt) * 1000000L < (col("__rm") % 1000000L) * M, 1L)
+        .otherwise(0L)
+    df.join(broadcast(rates), Seq(sourceCol))
+      .withColumn("copy_idx",
+        explode(when(copies > 0, sequence(lit(0L), copies - 1))
+          .otherwise(array().cast("array<long>"))))
+      .drop("__rm")
+  }
 }

@@ -107,6 +107,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == kept.select("id").as[Long].collect().toSet)
   }
 
+  test("upsampleToMixture: whole copies exact, fractional share in band, drops, partition-invariant") {
+    val docs = (1 to 600).map(i => (s"src${i % 3}", i.toLong, s"text body $i"))
+      .toDF("source", "doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.upsampleToMixture(d, "source",
+        Seq("src0" -> 2500000L, "src1" -> 1000000L, "src2" -> 0L),
+        Sampling.textKey(col("text")), salt = 7)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val rows = run(docs)
+    // src1 rate 1.0: every row exactly once, copy_idx 0
+    assert(rows.filter(_._1 == "src1").map(_._2).sorted.toSeq ==
+      (1 to 600).filter(_ % 3 == 1).map(_.toLong).sorted.toSeq)
+    // src2 rate 0 and unlisted sources: absent
+    assert(!rows.exists(_._1 == "src2"))
+    // src0 rate 2.5: each doc 2 or 3 copies; overall mean ~2.5
+    val bySrc0 = rows.filter(_._1 == "src0").groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc0.values.forall(n => n == 2 || n == 3))
+    val mean = bySrc0.values.sum.toDouble / bySrc0.size
+    assert(mean > 2.3 && mean < 2.7, s"fractional share off: mean copies $mean")
+    // copy_idx is 0..k-1 per doc
+    val idx = rows.filter(_._1 == "src0").groupBy(_._2)
+      .view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(idx.values.forall(s => s == (0L until s.length).toSeq))
+    assert(run(docs.repartition(13)).sorted.toSeq == rows.sorted.toSeq)
+  }
+
   test("sampleToMixture: untargeted sources drop; missing target source empties the result") {
     val df = Seq((1L, "x", "a"), (2L, "y", "a"), (3L, "z", "b"))
       .toDF("id", "text", "source")
