@@ -64,7 +64,7 @@ object Stress {
     // nothing
     time("removeDuplicateSpans")(
       NgramOverlap.removeDuplicateSpans(docs, "doc_id", "text", windowTokens = 5)
-        .select(count(col("clean_text"))).head.getLong(0))
+        .select(count(col("clean_text"))).head().getLong(0))
     time("nearDupDedup")(Dedup.nearDupDedup(docs, "doc_id", "text").count())
     time("dupClusters k=3")(
       Dedup.dupClusters(Dedup.nearDupPairs(docs, "doc_id", "text"), 3).count())
@@ -102,7 +102,7 @@ object Stress {
     // rebuild, all keyed — wall should track rows ~linearly
     time("segmentDedupText")(
       Dedup.segmentDedupText(docs, "doc_id", "text", maxTokens = 16)
-        .select(count(col("text_dedup"))).head.getLong(0))
+        .select(count(col("text_dedup"))).head().getLong(0))
     time("dsirScores")(graft.operators.TextAnalysis.dsirScores(
       docs, "doc_id", "text", col("source").isin("src0", "src1", "src2"), 1024).count())
     // incremental dedup: the even-id half plays the corpus, the full
@@ -127,7 +127,7 @@ object Stress {
     println(s"[stress] ${evx.count()} events")
     time("rangeJoin eps=.05 pairs")(
       graft.operators.RangeJoin.neighborStats(evx, "event_id", "value", 0.05)
-        .select(sum(col("n_near"))).head.getLong(0))
+        .select(sum(col("n_near"))).head().getLong(0))
 
     // topk agg vs the row_number window idiom: 3 giant groups is the
     // window's worst case (3 sort partitions carry everything); the agg's

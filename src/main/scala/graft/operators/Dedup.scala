@@ -110,7 +110,7 @@ object Dedup {
     fresh.join(winners,
         col("__h1") === col("__w1") && col("__h2") === col("__w2")
           && col(idCol) === col("__wid"))
-      .select(batch.columns.map(fresh(_)): _*)
+      .select(batch.columns.toIndexedSeq.map(fresh(_)): _*)
   }
 
   /** MinHash signature: k independent min-hashes over a shingle array.

@@ -151,7 +151,7 @@ object NgramOverlap {
       if (nEval == 0) null
       else e.agg(call_function(graft.expressions.GraftFunctions.BloomAgg,
           col("__f"), lit(nEval)).as("bf"))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
     val keep: Column =
       if (bloomBytes == null) lit(false) // no eval grams -> nothing contaminated
       else call_function(graft.expressions.GraftFunctions.BloomContains,

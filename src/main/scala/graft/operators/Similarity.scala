@@ -289,7 +289,7 @@ object Similarity {
       return (p.select(col("id").as("id_a"), col("id").as("id_b"),
         lit(0.0).as("cos")).where(lit(false)), release)
     // nearest cells by ||x-c||^2 = nsq - 2 x.c + c.c: rank by (c.c - 2 x.c)
-    val cellScores = array(centroidsQ.zipWithIndex.map { case (c, i) =>
+    val cellScores = array(centroidsQ.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       val cc = c.map(x => x * x).sum
       struct((lit(cc) - lit(2L) * dotQ(col("q"), typedlit(c))).as("d"), lit(i).as("cell"))
     }: _*)
@@ -317,7 +317,7 @@ object Similarity {
     * smaller index. Centroids travel as plan literals (k x dim longs);
     * the scan is one codegen'd pass, no join, no UDF. */
   private def nearestCellExpr(centroidsQ: Array[Seq[Long]]): Column = {
-    val cellScores = array(centroidsQ.zipWithIndex.map { case (c, i) =>
+    val cellScores = array(centroidsQ.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       val cc = c.map(x => x * x).sum
       struct((lit(cc) - lit(2L) * dotQ(col("q"), typedlit(c))).as("d"), lit(i).as("cell"))
     }: _*)
