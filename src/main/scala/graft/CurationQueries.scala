@@ -468,6 +468,30 @@ object CurationQueries {
         sum(TextAnalysis.fingerprintFast(col("chunk"))).as("checksum"))
         .orderBy("source")
     }),
+    // length-bucketed dynamic batching (the padded-batch training
+    // shape): docs bucket by token count, sort by length within the
+    // bucket, group into 8-doc batches — each batch pads to its own
+    // max length, and the rollup accounts the padding waste the
+    // bucketing exists to minimize (composition: Binning + window)
+    "q_length_batches" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+        .where(col("text").isNotNull)
+        .withColumn("toks", size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .withColumn("lbucket",
+          Binning.binIndexUniform(col("toks").cast("double"), 0.0, 64.0, 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lbucket").orderBy(col("toks"), col("doc_id"))
+      val batched = docs
+        .withColumn("batch", ((row_number().over(w) - 1) / 8).cast("long"))
+      batched.groupBy("lbucket", "batch")
+        .agg(count(lit(1)).as("__n"), max(col("toks")).as("__mx"),
+          sum(col("toks")).as("__sum"))
+        .groupBy("lbucket")
+        .agg(count(lit(1)).as("n_batches"), sum(col("__n")).as("n_docs"),
+          sum(col("__sum")).as("sum_tokens"),
+          sum(col("__n") * col("__mx") - col("__sum")).as("padding_waste"))
+        .orderBy("lbucket")
+    }),
     // RAG chunking: overlapping 16-token windows every 8 tokens —
     // consecutive chunks share 8 tokens so no retrieval boundary splits
     // a fact; start count is exact integer arithmetic (oracle-replayed)
@@ -1209,6 +1233,17 @@ object CurationQueries {
         + " max(len(string_split(ch, ' ')))::BIGINT AS max_chunk_tokens,"
         + s" sum(${fpSql("ch")})::BIGINT AS checksum"
         + " FROM c GROUP BY 1 ORDER BY 1"),
+    "q_length_batches" ->
+      ("WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS toks"
+        + " FROM documents WHERE text IS NOT NULL),"
+        + " b AS (SELECT doc_id, toks, CASE WHEN toks > 0 AND toks <= 64 THEN"
+        + " greatest(least(CAST(ceil(toks::DOUBLE / 16.0) AS INT) - 1, 3), 0) END AS lbucket FROM t),"
+        + " w AS (SELECT *, ((row_number() OVER (PARTITION BY lbucket ORDER BY toks, doc_id) - 1) // 8)::BIGINT AS batch FROM b),"
+        + " g AS (SELECT lbucket, batch, count(*)::BIGINT AS n, max(toks) AS mx,"
+        + " sum(toks)::BIGINT AS s FROM w GROUP BY 1, 2)"
+        + " SELECT lbucket, count(*)::BIGINT AS n_batches, sum(n)::BIGINT AS n_docs,"
+        + " sum(s)::BIGINT AS sum_tokens, sum(n * mx - s)::BIGINT AS padding_waste"
+        + " FROM g GROUP BY 1 ORDER BY 1"),
     "q_chunk_overlap" ->
       ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),"
         + " c AS (SELECT doc_id, source, unnest("
