@@ -167,6 +167,18 @@ object LlmQueries {
           n = 3, threshold = 0.5, bands = 32, rows = 4),
         iterations = 3)
         .orderBy("id")),
+    // run-to-convergence labels (capped driver loop; stops when no
+    // label moves): at the fixpoint this is the EXACT connected
+    // components, so the oracle pins it by over-provisioned unrolling
+    // (6 rounds >= any realized depth on this corpus)
+    "q_dedup_clusters_conv" -> ((s, d) => {
+      val (labels, _, converged) = Dedup.dupClustersConverged(
+        Dedup.nearDupPairs(T(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5, bands = 32, rows = 4),
+        maxIters = 10)
+      require(converged, "q_dedup_clusters_conv must reach the fixpoint at sf scale")
+      labels.orderBy("id")
+    }),
     // leakage-free split: every doc takes the split of its dup-cluster
     // representative (q_dedup_clusters' labels), so near-duplicates
     // never straddle a boundary; the oracle replays labels + the
@@ -1029,6 +1041,25 @@ object LlmQueries {
           + " l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),"
           + s" $rounds"
           + " SELECT id, lbl AS cluster_id FROM l3 ORDER BY id")
+      },
+      "q_dedup_clusters_conv" -> {
+        // the q_dedup_clusters replay unrolled to SIX rounds — at the
+        // fixpoint extra rounds are no-ops, so any unroll >= the
+        // realized convergence depth replays the converged labels
+        val jacExpr = ("len(list_intersect(a.sh, b.sh))::DOUBLE"
+          + " / len(list_distinct(list_concat(a.sh, b.sh)))")
+        val rounds = (1 to 6).map { k =>
+          (s"l$k AS (SELECT e.src AS id, least(min(lv.lbl), min(lu.lbl)) AS lbl"
+            + s" FROM e JOIN l${k - 1} lv ON lv.id = e.src"
+            + s" JOIN l${k - 1} lu ON lu.id = e.dst GROUP BY e.src)")
+        }.mkString(", ")
+        (shingleCte
+          + " , p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b"
+          + s" ON a.doc_id < b.doc_id AND $jacExpr >= 0.5),"
+          + " e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),"
+          + " l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),"
+          + s" $rounds"
+          + " SELECT id, lbl AS cluster_id FROM l6 ORDER BY id")
       },
       "q_cluster_split" -> {
         // q_dedup_clusters' label replay + the assignSplit interval rule

@@ -662,6 +662,58 @@ object Dedup {
       () => persisted.foreach(_.unpersist(false)))
   }
 
+  /** [[dupClusters]] run TO CONVERGENCE with a safety cap: propagation
+    * rounds continue until no label moves (the [[dupClustersAudited]]
+    * fixpoint test — one label-table-sized count per round, the
+    * kmeansFit driver-loop shape) or `maxIters` rounds elapse. Returns
+    * (labels, roundsRun, converged). At the fixpoint the labeling is
+    * the EXACT connected-component answer (min-propagation is
+    * monotone), so an oracle can pin the result by over-provisioned
+    * unrolling: any unroll >= the realized round count replays it.
+    * Real duplicate clusters are shallow — expect convergence in a
+    * handful of rounds; `converged = false` means the cap bound first
+    * (raise it, or treat labels as the bounded-k result). */
+  def dupClustersConverged(
+      pairs: DataFrame,
+      maxIters: Int,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      cache: Boolean = true): (DataFrame, Int, Boolean) = {
+    require(maxIters >= 1, s"dupClustersConverged needs maxIters >= 1 (got $maxIters)")
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def maybeCache(d: DataFrame): DataFrame =
+      if (cache) {
+        persisted += d
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else d
+    val p = maybeCache(pairs.select(col(idA).as("src"), col(idB).as("dst")))
+    val sym = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+    val edges = maybeCache(
+      sym.union(sym.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst"))))
+    var labels = maybeCache(edges.where(col("src") === col("dst"))
+      .select(col("src").as("id"), col("src").as("lbl")))
+    var rounds = 0
+    var moved = true
+    while (moved && rounds < maxIters) {
+      val next = maybeCache(
+        edges
+          .join(labels.select(col("id").as("__nid"), col("lbl").as("__nlbl")),
+            col("dst") === col("__nid"))
+          .groupBy(col("src").as("id")).agg(min(col("__nlbl")).as("lbl")))
+      moved = next.join(
+          labels.select(col("id"), col("lbl").as("__prev")), "id")
+        .where(col("__prev") =!= col("lbl"))
+        .limit(1).count() > 0
+      labels = next
+      rounds += 1
+    }
+    val out = labels.select(col("id"), col("lbl").as("cluster_id"))
+    // release all but the final label table, which the caller consumes
+    persisted.dropRight(1).foreach(_.unpersist(false))
+    (out, rounds, !moved)
+  }
+
   /** Cluster-level keep-first near-dup dedup: [[nearDupDedup]]'s
     * transitive variant. Rows are grouped into duplicate CLUSTERS by
     * `iterations` rounds of min-id label propagation over the MinHash

@@ -285,6 +285,21 @@ class DedupSpec extends AnyFunSuite {
     rel5()
   }
 
+  test("dupClustersConverged: stops at the fixpoint, reports rounds, cap binds") {
+    // chain 1-2-3-4-5 (diameter 4): full convergence needs 4 rounds;
+    // the loop runs one more to observe no movement
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val (labels, rounds, converged) = Dedup.dupClustersConverged(chain, maxIters = 10)
+    assert(converged && rounds <= 6)
+    assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // cap binds before convergence: bounded-k labels, converged=false
+    val (capped, r2, c2) = Dedup.dupClustersConverged(chain, maxIters = 2)
+    assert(!c2 && r2 == 2)
+    assert(capped.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+  }
+
   test("transitive dedup differs from one-pass on a star; iteration bound is honored") {
     // star in TEXT space: doc 3 = doc1 ++ doc2, so J(1,3)=J(2,3)~0.48 but
     // J(1,2)=0. rows=2/bands=64 puts j~0.48 at miss-probability ~4e-8
