@@ -691,16 +691,28 @@ object Dedup {
     val edges = maybeCache(
       sym.union(sym.select(col("src")).distinct()
         .select(col("src"), col("src").as("dst"))))
-    var labels = maybeCache(edges.where(col("src") === col("dst"))
-      .select(col("src").as("id"), col("src").as("lbl")))
+    // Per-round LINEAGE TRUNCATION: a plain persist leaves each round's
+    // logical plan referencing every earlier round AND the edge subtree
+    // again, so the final plan grows ~multiplicatively with the round
+    // count (measured: >1000 Exchanges in the pre-execution plan after a
+    // handful of rounds) and Catalyst analysis becomes the bottleneck.
+    // localCheckpoint materializes the round and REPLACES the lineage
+    // with the checkpointed RDD, keeping every round's plan one join
+    // deep. Trade (documented Spark semantics): localCheckpoint data
+    // does not survive executor loss — on an unreliable cluster set a
+    // checkpoint dir and swap in .checkpoint(). State is label-table-
+    // sized per round (distinct pair ids), bounded by maxIters.
+    var labels = edges.where(col("src") === col("dst"))
+      .select(col("src").as("id"), col("src").as("lbl"))
+      .localCheckpoint()
     var rounds = 0
     var moved = true
     while (moved && rounds < maxIters) {
-      val next = maybeCache(
-        edges
-          .join(labels.select(col("id").as("__nid"), col("lbl").as("__nlbl")),
-            col("dst") === col("__nid"))
-          .groupBy(col("src").as("id")).agg(min(col("__nlbl")).as("lbl")))
+      val next = edges
+        .join(labels.select(col("id").as("__nid"), col("lbl").as("__nlbl")),
+          col("dst") === col("__nid"))
+        .groupBy(col("src").as("id")).agg(min(col("__nlbl")).as("lbl"))
+        .localCheckpoint()
       moved = next.join(
           labels.select(col("id"), col("lbl").as("__prev")), "id")
         .where(col("__prev") =!= col("lbl"))
@@ -709,8 +721,7 @@ object Dedup {
       rounds += 1
     }
     val out = labels.select(col("id"), col("lbl").as("cluster_id"))
-    // release all but the final label table, which the caller consumes
-    persisted.dropRight(1).foreach(_.unpersist(false))
+    persisted.foreach(_.unpersist(false))
     (out, rounds, !moved)
   }
 
