@@ -213,6 +213,32 @@ object Stress {
             li.withColumn("m", date_trunc("month", col("l_shipdate"))),
             Seq("l_returnflag", "m"), "l_extendedprice", scale = 2),
           Seq("l_returnflag")), ddof = 1).count())
+
+    // r7 fifth wave. Multi-probe vs single-probe at equal tables: the
+    // probe side carries (probes+1)x rows — the wall ratio IS the
+    // candidate-side bill for the recall bought without more tables
+    time("lsh single t=4")(
+      Similarity.lshNeighbors(embs, "vec_id", "embedding", 0.35,
+        planes = 8, tables = 4, dim = 64).count())
+    time("lsh multiprobe t=4")(
+      Similarity.lshNeighborsMultiProbe(embs, "vec_id", "embedding", 0.35,
+        probes = 3, planes = 8, tables = 4, dim = 64).count())
+    // upsampling: per-row explode bounded by the rate — wall ~rows
+    time("upsampleToMixture")(
+      graft.operators.Sampling.upsampleToMixture(
+        docs.where(col("text").isNotNull), "source",
+        Seq("src0" -> 2700000L, "src1" -> 1500000L, "src2" -> 1000000L,
+            "src3" -> 500000L, "src4" -> 1000000L, "src5" -> 2000000L),
+        graft.operators.Sampling.textKey(col("text")), salt = 6).count())
+    // converged clusters on the replica corpus (clique-heavy): rounds
+    // stay small (cliques have diameter 1), per-round cost edge-linear
+    time("dupClustersConverged") {
+      val (lbl, rounds, conv) = Dedup.dupClustersConverged(
+        Dedup.nearDupPairs(docs, "doc_id", "text"), maxIters = 8)
+      val n = lbl.count()
+      println(s"[stress]   (rounds=$rounds converged=$conv)")
+      n
+    }
     spark.stop()
   }
 }
