@@ -543,6 +543,25 @@ object LlmQueries {
           .orderBy("hour_start", "event_type")
       }
     }),
+    // streaming windowed TOP-K: the k-bounded heap aggregate rides the
+    // same incremental window state as any registry reduction (explicit
+    // pos makes it an order-independent (value, pos) selection — the
+    // streamability requirement), replayed AvailableNow and
+    // hash-matched to the batch window-rank oracle
+    "q_stream_topk" -> ((s, d) => {
+      val schema = T(s, d, "events").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/{events.parquet}")
+      val fixed = SparkEntry.tsToTimestamp(raw, "ts")
+      val out = StreamingOps.windowedReduce(fixed, "ts", "1 day", Seq("event_type"),
+        Seq(Agg("topk", "value", "top", k = 3)), pos = Some(col("event_id")))
+      replayAvailableNow(s, out, "graft_stream_topk", "complete") { sunk =>
+        sunk.selectExpr("window_start", "event_type", "posexplode(top) as (rk0, t)")
+          .select(col("window_start").as("day_start"), col("event_type"),
+            (col("rk0") + 1).cast("long").as("rank"),
+            col("t.id").as("event_id"), col("t.score").as("value"))
+          .orderBy("day_start", "event_type", "rank")
+      }
+    }),
     // Native session_window rollup — the streaming-capable sessionization
     // (same expression runs under readStream + watermark). Oracle replays
     // the inclusive gap boundary (windows merge when next_start <=
@@ -1351,6 +1370,13 @@ object LlmQueries {
         ("SELECT doc_id, CASE WHEN len(text) = 0 THEN 0.0 ELSE"
           + " list_sum(list_transform(string_split(text, ''), c -> ascii(c)::BIGINT))::DOUBLE / len(text)"
           + " END AS mean_byte FROM documents ORDER BY 1"),
+      "q_stream_topk" ->
+        ("SELECT day_start, event_type, rank::BIGINT AS rank, event_id, value FROM ("
+          + " SELECT date_trunc('day', ts) AS day_start, event_type, event_id, value,"
+          + " row_number() OVER (PARTITION BY date_trunc('day', ts), event_type"
+          + " ORDER BY value DESC, event_id) AS rank"
+          + " FROM events WHERE value IS NOT NULL AND NOT isnan(value))"
+          + " WHERE rank <= 3 ORDER BY 1, 2, 3"),
       "q_stream_window" ->
         ("SELECT date_trunc('hour', ts) AS hour_start, event_type, count(value) AS n,"
           + " CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
