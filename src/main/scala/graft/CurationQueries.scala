@@ -358,6 +358,13 @@ object CurationQueries {
       TextAnalysis.heavyHitters(T(s, d, "documents"), "text",
         capacity = 64, phi = 0.03)
         .orderBy(col("freq").desc, col("token"))),
+    // per-language heavy hitters: the grouped form — sketch and verify
+    // both key on the group, thresholds per group, same scale-free
+    // guarantee
+    "q_heavy_hitters_by" -> ((s, d) =>
+      TextAnalysis.heavyHittersBy(T(s, d, "documents"), Seq("lang"), "text",
+        capacity = 64, phi = 0.02)
+        .orderBy(col("lang"), col("freq").desc, col("token"))),
     // BM25 top-k keyword retrieval (quantized idf + per-term scores on
     // the decimal grid; projection-only tf, one broadcast stats row)
     "q_bm25" -> ((s, d) =>
@@ -1118,6 +1125,15 @@ object CurationQueries {
         + " FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"),
     "q_heavy_hitters" ->
       TextAnalysis.heavyHittersSql("text", "documents", phi = 0.03),
+    "q_heavy_hitters_by" ->
+      ("WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token"
+        + " FROM documents WHERE text IS NOT NULL),"
+        + " n AS (SELECT lang, count(*)::BIGINT AS n FROM t GROUP BY 1)"
+        + " SELECT t.lang, token, count(*)::BIGINT AS freq,"
+        + " ceil(0.02 * any_value(n.n))::BIGINT AS threshold"
+        + " FROM t JOIN n ON t.lang = n.lang GROUP BY t.lang, token"
+        + " HAVING count(*) >= ceil(0.02 * any_value(n.n))"
+        + " ORDER BY 1, 3 DESC, 2"),
     "q_bm25" ->
       TextAnalysis.bm25Sql("doc_id", "text", "documents", Bm25Terms, k = 20),
     "q_entropy" ->

@@ -697,6 +697,49 @@ object TextAnalysis {
       .select(col("token"), col("freq"), col("threshold"))
   }
 
+  /** Grouped [[heavyHitters]]: the frequent tokens of EVERY group (per
+    * language, per source, per day) in one pass each — the sketch
+    * aggregation and the exact verify both key on the group columns, so
+    * per-group state stays capacity-bounded and the guarantee
+    * (phi > 1/(capacity+1)) holds per group at any group size. The
+    * candidate table is groups x <= capacity rows (AQE broadcasts it
+    * when small; at extreme group counts it hash-joins — still
+    * token-row-linear). Output: (by..., token, freq, threshold),
+    * thresholds per group. */
+  def heavyHittersBy(
+      df: org.apache.spark.sql.DataFrame,
+      by: Seq[String],
+      textCol: String,
+      capacity: Int,
+      phi: Double): org.apache.spark.sql.DataFrame = {
+    require(by.nonEmpty, "heavyHittersBy needs at least one grouping column; use heavyHitters")
+    require(capacity >= 1, s"heavyHittersBy needs capacity >= 1 (got $capacity)")
+    require(phi > 0 && phi < 1, s"phi must be in (0,1) (got $phi)")
+    require(phi * (capacity + 1) > 1,
+      s"phi=$phi with capacity=$capacity voids the MG superset guarantee: " +
+        s"need phi > 1/(capacity+1) = ${1.0 / (capacity + 1)}")
+    val s = df.sparkSession
+    graft.expressions.GraftFunctions.register(s)
+    val toks = df.where(col(textCol).isNotNull)
+      .select(by.map(col) :+ explode(tokens(col(textCol))).as("__t"): _*)
+    // group columns renamed on the candidate side: both frames derive
+    // from one source, and Spark's self-join ambiguity check rejects
+    // toks(c) === cand(c) on shared lineage
+    val cand = toks.groupBy(by.map(col): _*)
+      .agg(call_function(graft.expressions.GraftFunctions.MgSketch,
+        col("__t"), lit(capacity)).as("__mg"),
+        count(lit(1)).as("__n"))
+      .select(by.zipWithIndex.map { case (c, i) => col(c).as(s"__g$i") } :+
+        explode(col("__mg.token")).as("__ct") :+ col("__n"): _*)
+    toks.join(cand, by.zipWithIndex.map { case (c, i) => col(c) === col(s"__g$i") }
+        .reduce(_ && _) && col("__t") === col("__ct"))
+      .groupBy(by.map(col) :+ col("__t").as("token"): _*)
+      .agg(count(lit(1)).as("freq"), first(col("__n")).as("__n"))
+      .withColumn("threshold", ceil(lit(phi) * col("__n")))
+      .where(col("freq") >= col("threshold"))
+      .select(by.map(col) ++ Seq(col("token"), col("freq"), col("threshold")): _*)
+  }
+
   /** DuckDB twin of [[heavyHitters]] — the sketch is invisible in the
     * composed result (it only prunes), so the oracle is the plain exact
     * aggregation with the same ceil(phi·n) threshold. */
