@@ -54,32 +54,48 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    ordered.foreach { case (n, fn) => once(n, fn) } // warmup pass
+    // Cross-query CACHE ISOLATION (VERDICT r7 #2): at 191 queries the
+    // suite accumulates enough MEMORY_AND_DISK pressure that earlier
+    // queries' persisted stages evict mid-query, and persist-dependent
+    // queries swing >3x between runs of identical code (q_jaccard_exact
+    // 0.76 s standalone vs 9.17 s in-suite). Dropping every cache entry
+    // BETWEEN queries (never between a query's own repetitions) makes
+    // each query's timing start from the same cold-cache state on every
+    // run: rep 1 pays its own persists, reps 2-3 reuse them — a
+    // reproducible per-query steady state instead of one that depends on
+    // 190 neighbors' residency.
+    def isolate(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      System.gc() // collect predecessors' garbage OUTSIDE the timed region
+    }
+    ordered.foreach { case (n, fn) => isolate(); once(n, fn) } // warmup pass
     failed.clear() // only timed-run failures count against the report
     val medians = ordered.map { case (n, fn) =>
-      System.gc() // collect predecessors' garbage OUTSIDE the timed region
+      isolate()
       val ts = (1 to 3).map(_ => once(n, fn)).sorted
       n -> (if (ts.contains(-1.0)) -1.0 else ts(1))
     }
 
     // The driver captures only the last ~2000 chars of output and json-parses
     // the metric line, so the WHOLE line must survive tail truncation (r1-r3
-    // all failed to parse: sbt's [info] prefix + line length — fixed by
-    // run/outputStrategy=StdoutOutput + showSuccess=false in build.sbt and by
-    // compacting here: per-query integer milliseconds, keys minus the uniform
-    // "q_" prefix). At 107 queries even the compact line hit ~1850 chars, so
-    // the printed map now keeps only queries >= 200 ms (plus any failures);
-    // the dropped fast queries are summarized as small_n/small_ms so the line
-    // still accounts for every query, and the COMPLETE per-query map is
-    // written to bench_full.json next to the repo (full precision in
-    // BENCH_NOTES.md). `total` always sums ALL queries.
+    // failed to parse on sbt prefixes + line length; r7 failed AGAIN because
+    // a >=200ms keep-threshold stopped bounding the map once the suite hit
+    // 191 queries — the line's HEAD fell outside the captured tail). Fixed
+    // structurally (VERDICT r7 #7): the printed map now keeps only the
+    // TOP-25 slowest queries — a count bound, not a time bound, so the line
+    // length no longer grows with the suite; the remaining queries are
+    // summarized as rest_n/rest_ms so the line still accounts for every
+    // query, and the COMPLETE per-query map is written to bench_full.json
+    // next to the repo (full precision in BENCH_NOTES.md). `total` always
+    // sums ALL queries. The line also prints AFTER spark.stop(), so no
+    // late executor/log output can land between it and process exit.
     def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
-    val keepMs = 200.0
-    val (kept, small) = medians.partition { case (_, v) => v < 0 || v * 1000 >= keepMs }
+    val keepN = 25
+    val (kept, rest) = medians.sortBy { case (_, v) => -v }.splitAt(keepN)
     val qs = kept.map { case (k, v) =>
       "\"" + k.stripPrefix("q_") + "\":" + ms(v)
     }.mkString("{", ",", "}")
-    val smallMs = math.round(small.collect { case (_, v) if v >= 0 => v }.sum * 1000)
+    val restMs = math.round(rest.collect { case (_, v) if v >= 0 => v }.sum * 1000)
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
     val errs  = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullQs = medians.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
@@ -87,8 +103,8 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","qunit":"ms","queries":$qs,"small_n":${small.size},"small_ms":$smallMs,"failed":$errs,"sf":"$sfDir"}"""
-    println(line)
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","qunit":"ms","queries":$qs,"rest_n":${rest.size},"rest_ms":$restMs,"failed":$errs,"sf":"$sfDir"}"""
     spark.stop()
+    println(line)
   }
 }

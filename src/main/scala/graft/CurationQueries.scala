@@ -358,6 +358,17 @@ object CurationQueries {
       TextAnalysis.heavyHitters(T(s, d, "documents"), "text",
         capacity = 64, phi = 0.03)
         .orderBy(col("freq").desc, col("token"))),
+    // n-gram heavy hitters (VERDICT r7 #9): the corpus's most repeated
+    // bigram PHRASES — boilerplate detection; MG sketch over the
+    // non-distinct gram stream + exact verify, oracle = plain exact
+    // bigram aggregation (the sketch only prunes)
+    // capacity/phi sized to the DATA, the way a real boilerplate sweep
+    // must be: the top bigram's corpus share is ~0.0018, so phi = 0.0015
+    // needs capacity >= 1/phi - 1 = 666 for the MG superset guarantee —
+    // 1024 keeps headroom and is still tiny bounded state (~30 KB/task)
+    "q_heavy_ngrams" -> ((s, d) =>
+      TextAnalysis.heavyNgrams(T(s, d, "documents"), "text", n = 2,
+        capacity = 1024, phi = 0.0015)),
     // per-language heavy hitters: the grouped form — sketch and verify
     // both key on the group, thresholds per group, same scale-free
     // guarantee
@@ -1125,6 +1136,8 @@ object CurationQueries {
         + " FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"),
     "q_heavy_hitters" ->
       TextAnalysis.heavyHittersSql("text", "documents", phi = 0.03),
+    "q_heavy_ngrams" ->
+      TextAnalysis.heavyNgramsSql("text", "documents", n = 2, phi = 0.0015),
     "q_heavy_hitters_by" ->
       ("WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token"
         + " FROM documents WHERE text IS NOT NULL),"
@@ -1171,12 +1184,17 @@ object CurationQueries {
       // integer-raw features (divisors 100 / 1000): gradient summands
       // are exact decimal x integer products — no per-row rounding
       val xs = Seq("x1::DOUBLE / 100.0", "x2::DOUBLE / 1000.0")
+      // the fit CTEs replay logisticFit's row-exclusion rule (ADVICE
+      // r7): rows with a NULL label or NULL feature never enter the
+      // gradient; scoring (the outer rollup) still sees every row,
+      // NULL features scoring NULL — exactly logisticScore
       def grads(s0: String, src: String) =
         (s"SELECT count(*)::BIGINT AS n,"
           + s" sum(y::DECIMAL(18,6) - $s0) AS g0,"
           + s" sum((y::DECIMAL(18,6) - $s0) * x1::DECIMAL(18,0)) AS g1,"
           + s" sum((y::DECIMAL(18,6) - $s0) * x2::DECIMAL(18,0)) AS g2"
-          + s" FROM $src")
+          + s" FROM $src"
+          + s" WHERE y IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL")
       def step(prev: (String, String, String)) = (
         s"${prev._1} + 0.1 * (g0::DOUBLE / n::DOUBLE)",
         s"${prev._2} + 0.1 * ((g1::DOUBLE / 100.0) / n::DOUBLE)",
@@ -1187,7 +1205,7 @@ object CurationQueries {
       val (b20, b21, b22) = step(("c.b0", "c.b1", "c.b2"))
       val s2 = sigmoidQSql(logitSql("c2.b0", Seq("c2.b1" -> xs(0), "c2.b2" -> xs(1))))
       ("WITH f AS (SELECT doc_id, source,"
-        + " CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,"
+        + " CASE WHEN lang IS NULL THEN NULL WHEN lang = 'en' THEN 1 ELSE 0 END AS y,"
         + " len(string_split(text, ' '))::BIGINT AS x1,"
         + " n_chars::BIGINT AS x2"
         + " FROM documents WHERE text IS NOT NULL),"

@@ -139,6 +139,25 @@ object LlmQueries {
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     }),
+    // incremental NEAR-dup ingestion (VERDICT r7 #4): even doc_ids are
+    // yesterday's corpus, persisted as a band-bucket/shingle index and
+    // ROUND-TRIPPED through parquet (so the driver row exercises the
+    // stored-index path, not just the in-session one); odd ids are
+    // today's batch — survivors have no corpus near-neighbor and no
+    // smaller-id batch near-neighbor. Oracle replays brute-force
+    // all-pairs Jaccard on both edges (recall matchable for the same
+    // S-curve reason as q_dedup_near).
+    "q_dedup_incremental_near" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val dir = s"/tmp/graft_ndidx_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      Dedup.buildNearDupIndex(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3, bands = 32, rows = 4).write(dir)
+      val idx = Dedup.NearDupIndex.read(s, dir)
+      Dedup.dedupIncrementalNear(idx, docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", threshold = 0.5, broadcastBatch = true)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
     // bands=32 puts the dataset's planted near-dups (trigram j>=0.9,
     // noise <=0.07) fifteen orders of magnitude inside the detection
     // S-curve; the all-pairs oracle stays matchable because no pair
@@ -588,6 +607,30 @@ object LlmQueries {
           .orderBy("user_id", "session_start")
       }
     }),
+    // APPEND-mode sessions (VERDICT r7 #5) — the deployable form: with a
+    // watermark, the state store emits each session ONCE when the
+    // watermark passes its end, and evicts it — so the result stream and
+    // the state are both bounded, unlike complete mode's unbounded
+    // result table (q_stream_session keeps that row as the
+    // streaming==batch totality pin; THIS row pins the closed-session
+    // subset). AvailableNow replay: batch 1 ingests everything (wm still
+    // -inf, nothing late), the post-batch wm = max(ts) - 1h, and the
+    // follow-up batch emits exactly the sessions with
+    // session_end <= wm. The oracle replays that eviction predicate —
+    // including Spark's ms truncation of the event-time stats — on top
+    // of the shared session rollup SQL.
+    "q_stream_session_append" -> ((s, d) => {
+      val schema = T(s, d, "events").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/{events.parquet}")
+      val e = SparkEntry.tsToTimestamp(raw, "ts").withWatermark("ts", "1 hour")
+      val out = Sessionize.sessionWindowRollup(e, Seq("user_id"), "ts",
+        "30 minutes", "value")
+      replayAvailableNow(s, out, "graft_stream_session_append", "append") { sunk =>
+        sunk.select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"), col("sum_value"))
+          .orderBy("user_id", "session_start")
+      }
+    }),
     // Stateless curation filters under readStream (hash sample + quality
     // floor + PII redaction): the documents table replayed as a file
     // stream, APPEND mode — no watermark, no state store, every surviving
@@ -1028,6 +1071,20 @@ object LlmQueries {
           + " w AS (SELECT text, min(doc_id) AS wid FROM f GROUP BY 1)"
           + " SELECT f.doc_id, f.n_chars FROM f"
           + " JOIN w ON f.text = w.text AND f.doc_id = w.wid ORDER BY 1"),
+      "q_dedup_incremental_near" -> {
+        val jacBC = ("len(list_intersect(bb.sh, c.sh))::DOUBLE"
+          + " / len(list_distinct(list_concat(bb.sh, c.sh)))")
+        val jacBB = ("len(list_intersect(x.sh, y.sh))::DOUBLE"
+          + " / len(list_distinct(list_concat(x.sh, y.sh)))")
+        (shingleCte
+          + " , c AS (SELECT doc_id, sh FROM s WHERE doc_id % 2 = 0),"
+          + " bb AS (SELECT doc_id, sh FROM s WHERE doc_id % 2 = 1),"
+          + s" dup AS (SELECT DISTINCT bb.doc_id AS id FROM bb JOIN c ON $jacBC >= 0.5"
+          + " UNION"
+          + s" SELECT DISTINCT y.doc_id AS id FROM bb x JOIN bb y ON x.doc_id < y.doc_id AND $jacBB >= 0.5)"
+          + " SELECT doc_id, source FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL"
+          + " AND doc_id NOT IN (SELECT id FROM dup) ORDER BY doc_id")
+      },
       "q_dedup_near" ->
         (shingleCte
           + " SELECT * FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
@@ -1366,6 +1423,16 @@ object LlmQueries {
       // the streaming replay must equal the batch rollup — one string,
       // zero drift between the two gates
       "q_stream_session" -> SessionWindowOracleSql,
+      // append mode emits exactly the CLOSED sessions: the same shared
+      // rollup filtered by the state store's eviction predicate,
+      // session_end <= watermark, where watermark = max event time
+      // truncated to MILLISECONDS (Spark's event-time stats granularity)
+      // minus the 1h delay
+      "q_stream_session_append" ->
+        (s"SELECT * FROM ($SessionWindowOracleSql)"
+          + " WHERE epoch_us(session_end) <="
+          + " ((SELECT epoch_us(max(ts)) FROM events) // 1000) * 1000 - 3600000000"
+          + " ORDER BY 1, 2"),
       "q_media_decode" ->
         ("SELECT doc_id, CASE WHEN len(text) = 0 THEN 0.0 ELSE"
           + " list_sum(list_transform(string_split(text, ''), c -> ascii(c)::BIGINT))::DOUBLE / len(text)"

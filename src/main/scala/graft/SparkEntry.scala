@@ -387,32 +387,70 @@ object SparkEntry {
           .orderBy("o_orderpriority")
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }),
-    // star-schema analytic query (the TPC-H Q5-ish shape): fact table
-    // scans once with the date filter PUSHED to parquet; every
-    // dimension broadcasts (explicitly pinned — at 100 TB the fact side
-    // must never shuffle for dim joins); one partial-aggregated rollup
+    // star-schema analytic query (the TPC-H Q5-ish shape), planned the
+    // way a 100 TB cluster must run it (VERDICT r7 #1): orders and
+    // customer are NOT dimensions — in TPC-H they scale WITH lineitem
+    // (orders = lineitem/4, customer = orders/10), so broadcasting them
+    // is an executor-OOM at real scale. The fact-fact edge
+    // lineitem⋈orders rides the bucketed co-located layout
+    // (Layout.writeBucketed on the order key, equal bucket counts — the
+    // q_bucketed_join machinery: SMJ whose required distribution the
+    // bucketing metadata satisfies, ZERO Exchange on the order key,
+    // fail-fast pinned). customer joins on a DIFFERENT key (custkey),
+    // so that edge pays the one genuinely unavoidable shuffle. Only the
+    // true dimensions — supplier (lineitem/~2000) and nation (25 rows,
+    // constant) — broadcast. The date filter still reaches the fact
+    // scan. Sizing rule in SURVEY §2.9 (star-layout recipe).
     "q_star" -> ((s, d) => {
-      val li = T(s, d, "lineitem")
-        .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
-        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-      val ord = T(s, d, "orders").select("o_orderkey", "o_custkey")
-      val cust = T(s, d, "customer").select("c_custkey", "c_nationkey")
-      val supp = T(s, d, "supplier").select("s_suppkey", "s_nationkey")
-      val nat = T(s, d, "nation").select("n_nationkey", "n_name")
-      val joined = li
-        .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")
-          && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-      val plan = joined.queryExecution.executedPlan.toString
-      require(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
-        s"star query must broadcast every dimension; plan:\n$plan")
-      joined.groupBy("n_name")
-        .agg(count(lit(1)).as("n"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,4)")).cast("double").as("revenue"))
-        .orderBy("n_name")
+      def reset(table: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        val wh = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(
+            s.sessionState.catalog.getDatabaseMetadata("default").locationUri),
+          table)
+        wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      }
+      val tl = "graft_q_star_lineitem"
+      val to = "graft_q_star_orders"
+      reset(tl); reset(to)
+      Layout.writeBucketed(
+        T(s, d, "lineitem").select("l_orderkey", "l_suppkey",
+          "l_extendedprice", "l_discount", "l_shipdate"),
+        tl, Seq("l_orderkey"), buckets = 4)
+      Layout.writeBucketed(
+        T(s, d, "orders").select("o_orderkey", "o_custkey"),
+        to, Seq("o_orderkey"), buckets = 4)
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        // auto-broadcast off so the small sf can't quietly broadcast the
+        // fact-sized sides and sidestep the plan claim; the genuine
+        // dimensions broadcast via explicit hints, which ignore the
+        // threshold
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val li = s.table(tl)
+          .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        val ord = s.table(to)
+        val cust = T(s, d, "customer").select("c_custkey", "c_nationkey")
+        val supp = T(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        val nat = T(s, d, "nation").select("n_nationkey", "n_name")
+        val joined = li
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require("BroadcastHashJoin".r.findAllIn(plan).size == 2,
+          s"star query must broadcast exactly the two true dimensions; plan:\n$plan")
+        require("hashpartitioning\\([lo]_orderkey".r.findFirstIn(plan).isEmpty,
+          s"lineitem-orders must ride the bucketed co-located layout, not a shuffle; plan:\n$plan")
+        joined.groupBy("n_name")
+          .agg(count(lit(1)).as("n"),
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast("decimal(18,4)")).cast("double").as("revenue"))
+          .orderBy("n_name")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }),
     // snapshot diff: added/removed/changed/unchanged counts between two
     // deterministic versions of the customer table — one full-outer
@@ -499,6 +537,49 @@ object SparkEntry {
       val monthly = AggState.state(li, Seq("l_returnflag", "ship_month"),
         "l_extendedprice", scale = 2)
       AggState.finalize(AggState.merge(monthly, Seq("l_returnflag")), ddof = 1)
+        .orderBy("l_returnflag")
+    }),
+    // state COMPACTION down a merge tree (VERDICT r7 #10): daily states
+    // roll to monthly, monthly to per-flag totals — two merge levels,
+    // the retention pattern of a real state store (keep days hot,
+    // compact to months, answer years). Exact dimensions: finalize of
+    // the 2-level merge hash-matches the DIRECT aggregate (decimal sums
+    // are exact + associative). HLL distinct dimension: the 2-level and
+    // 1-level merges agree within half the accuracy band (NOT exactly —
+    // measured: union order decides where sparse sketches upgrade to
+    // dense HLL mode, so the estimate is only band-associative; the
+    // q_distinct_state merge_close convention) and sit inside the 10%
+    // band vs exact.
+    "q_agg_state_compact" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+        .withColumn("ship_day", date_trunc("day", col("l_shipdate")))
+        .withColumn("ship_month", date_trunc("month", col("l_shipdate")))
+      val daily = AggState.state(li,
+        Seq("l_returnflag", "ship_month", "ship_day"), "l_extendedprice", scale = 2)
+      val monthly = AggState.merge(daily, Seq("l_returnflag", "ship_month"))
+      val total = AggState.finalize(
+        AggState.merge(monthly, Seq("l_returnflag")), ddof = 1)
+      val dailyNd = AggState.stateDistinct(li,
+        Seq("l_returnflag", "ship_month", "ship_day"), "l_orderkey")
+      val nd2 = AggState.estimateDistinct(
+          AggState.mergeDistinct(
+            AggState.mergeDistinct(dailyNd, Seq("l_returnflag", "ship_month")),
+            Seq("l_returnflag")))
+        .select(col("l_returnflag"), col("nd_estimate").as("nd2"))
+      val nd1 = AggState.estimateDistinct(
+          AggState.mergeDistinct(dailyNd, Seq("l_returnflag")))
+        .select(col("l_returnflag"), col("nd_estimate").as("nd1"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact_nd"))
+      total.join(nd2, "l_returnflag").join(nd1, "l_returnflag")
+        .join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n_rows"), col("n_valid"),
+          col("mn"), col("mx"), col("mean"), col("var"), col("std"),
+          col("exact_nd"),
+          (abs(col("nd2") - col("nd1")).cast("double") / col("exact_nd") <= 0.05)
+            .as("tree_close"),
+          (abs(col("nd2") - col("exact_nd")).cast("double") / col("exact_nd") <= 0.1)
+            .as("approx_ok"))
         .orderBy("l_returnflag")
     }),
     // ---- binning (reference core.py:803-823; empty bins kept+filled) ----
@@ -844,6 +925,28 @@ object SparkEntry {
         + s" greatest((CAST(sum($p * $p) AS DOUBLE) - CAST(sum($p) AS DOUBLE) * CAST(sum($p) AS DOUBLE)"
         + " / CAST(count(l_extendedprice) AS DOUBLE))"
         + " / (CAST(count(l_extendedprice) AS DOUBLE) - 1.0), 0.0) END) AS std"
+        + " FROM lineitem GROUP BY 1 ORDER BY 1")
+    },
+    // compaction: both the merge tree and the sketches are invisible by
+    // construction — the oracle is the direct aggregate plus TRUE pins
+    // for the tree-invariance and accuracy booleans
+    "q_agg_state_compact" -> {
+      val p = "CAST(l_extendedprice AS DECIMAL(18,2))"
+      ("SELECT l_returnflag, count(*)::BIGINT AS n_rows,"
+        + " count(l_extendedprice)::BIGINT AS n_valid,"
+        + " min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,"
+        + " CASE WHEN count(l_extendedprice) > 0 THEN"
+        + s" CAST(sum($p) AS DOUBLE) / CAST(count(l_extendedprice) AS DOUBLE) END AS mean,"
+        + " CASE WHEN count(l_extendedprice) > 1 THEN"
+        + s" greatest((CAST(sum($p * $p) AS DOUBLE) - CAST(sum($p) AS DOUBLE) * CAST(sum($p) AS DOUBLE)"
+        + " / CAST(count(l_extendedprice) AS DOUBLE))"
+        + " / (CAST(count(l_extendedprice) AS DOUBLE) - 1.0), 0.0) END AS var,"
+        + " sqrt(CASE WHEN count(l_extendedprice) > 1 THEN"
+        + s" greatest((CAST(sum($p * $p) AS DOUBLE) - CAST(sum($p) AS DOUBLE) * CAST(sum($p) AS DOUBLE)"
+        + " / CAST(count(l_extendedprice) AS DOUBLE))"
+        + " / (CAST(count(l_extendedprice) AS DOUBLE) - 1.0), 0.0) END) AS std,"
+        + " count(DISTINCT l_orderkey)::BIGINT AS exact_nd,"
+        + " TRUE AS tree_close, TRUE AS approx_ok"
         + " FROM lineitem GROUP BY 1 ORDER BY 1")
     },
     // the salt is invisible in the result by construction — the oracle

@@ -230,6 +230,36 @@ object Stress {
         Seq("src0" -> 2700000L, "src1" -> 1500000L, "src2" -> 1000000L,
             "src3" -> 500000L, "src4" -> 1000000L, "src5" -> 2000000L),
         graft.operators.Sampling.textKey(col("text")), salt = 6).count())
+    // r8 wave. grouped heavy hitters: per-group MG state is capacity-
+    // bounded, candidate table = groups x <= capacity — wall tracks rows
+    time("heavyHittersBy cap=256")(
+      graft.operators.TextAnalysis.heavyHittersBy(docs, Seq("lang"), "text",
+        capacity = 256, phi = 0.01).count())
+    // n-gram heavy hitters: the non-distinct gram stream is ~token-count
+    // sized; same bounded-state shape
+    time("heavyNgrams n=2")(
+      graft.operators.TextAnalysis.heavyNgrams(docs, "text", n = 2,
+        capacity = 1024, phi = 0.0015).count())
+    // one-pass correlation matrix: k(k-1)/2 = 6 pairs from ONE hash agg
+    // over the expanded event stream — wall ~ one scan regardless of k
+    time("corrMatrixBy 4 cols")(
+      graft.operators.FeatureScaling.corrMatrixBy(
+        SparkEntry.tsToTimestamp(evx, "ts")
+          .withColumn("v1", col("value"))
+          .withColumn("v2", col("value") * 2 - col("user_id"))
+          .withColumn("v3", col("user_id") % 97)
+          .withColumn("v4", col("value") + col("user_id") % 13),
+        Seq("event_type"), Seq("v1", "v2", "v3", "v4")).count())
+    // incremental near-dup: corpus = the unexpanded table's index, batch
+    // = the full expansion — the cross probe is at its densest (every
+    // replica of an even doc collides with the corpus); wall should
+    // track batch rows, never corpus re-sketch cost
+    time("dedupIncrementalNear")(
+      Dedup.dedupIncrementalNear(
+        Dedup.buildNearDupIndex(
+          spark.read.parquet(s"$sfDir/documents.parquet")
+            .where(col("doc_id") % 2 === 0), "doc_id", "text"),
+        docs, "doc_id", "text").count())
     // converged clusters on the replica corpus (clique-heavy): rounds
     // stay small (cliques have diameter 1), per-round cost edge-linear
     time("dupClustersConverged") {

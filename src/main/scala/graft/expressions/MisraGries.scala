@@ -47,6 +47,18 @@ case class MisraGriesSketch(
 
   require(capacity > 0, s"graft_mg requires capacity > 0 (got $capacity)")
 
+  // analysis-time type gate (ADVICE r7): update() casts to UTF8String,
+  // so a non-string child must fail analysis with a clear message, not
+  // a runtime ClassCastException (AbstractDataType is private[sql], so
+  // ExpectsInputTypes is off-limits outside Spark; checkInputDataTypes
+  // is the public hook — the GraftFunctions builder double-checks too)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_mg requires a STRING token column (got ${child.dataType.sql})")
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(

@@ -142,8 +142,13 @@ object Layout {
     val clash = (fact.columns ++ dim.columns).filter(Set("__salt", "__dsalt"))
     require(clash.isEmpty,
       s"saltedJoin reserves __salt/__dsalt; rename ${clash.mkString(", ")} in the input")
+    // NULL spreadKey would make bucket() NULL and __salt === __dsalt
+    // never true — silently dropping that fact row's match (ADVICE r7);
+    // coalescing to salt 0 keeps the plain-equi-join equality contract
+    // for NULL spread keys (they all land on one salt, which is exactly
+    // the plain join's behavior for that row — no spreading, no loss)
     val saltedFact = fact.withColumn("__salt",
-      Sampling.bucket(spreadKey, salt = 0) % salts)
+      coalesce(Sampling.bucket(spreadKey, salt = 0) % salts, lit(0L)))
     val saltedDim = dim
       .withColumn("__dsalt", explode(sequence(lit(0L), lit(salts - 1L))))
       .hint("shuffle_hash")

@@ -674,15 +674,52 @@ object TextAnalysis {
       textCol: String,
       capacity: Int,
       phi: Double): org.apache.spark.sql.DataFrame = {
-    require(capacity >= 1, s"heavyHitters needs capacity >= 1 (got $capacity)")
+    requireMgGuarantee("heavyHitters", capacity, phi)
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    heavyFromTokens(df.where(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__t")), capacity, phi)
+  }
+
+  /** N-GRAM heavy hitters (VERDICT r7 #9): the corpus's most repeated
+    * word n-grams — the Gopher/C4 boilerplate-phrase detector — with the
+    * same sketch-prunes-verify-exactly contract as [[heavyHitters]]
+    * (unigram = the n=1 special case). The gram stream is
+    * [[Dedup.shinglesFast]] with `distinct = false` (occurrences count
+    * with multiplicity — a phrase repeated inside one doc IS the signal
+    * here, unlike dedup shingling); docs shorter than n words contribute
+    * their whole text as one gram (the WordNgrams fallback, replayed by
+    * the oracle). Scale shape identical to [[heavyHitters]]: the gram
+    * stream never shuffles — the MG aggregation ships ≤ capacity
+    * (gram, count) pairs per partition, and only candidate-matching
+    * grams reach the exact ≤-capacity-key re-count. */
+  def heavyNgrams(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      n: Int,
+      capacity: Int,
+      phi: Double): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"heavyNgrams needs n >= 1 (got $n)")
+    requireMgGuarantee("heavyNgrams", capacity, phi)
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    heavyFromTokens(df.where(col(textCol).isNotNull)
+      .select(explode(Dedup.shinglesFast(col(textCol), n, distinct = false))
+        .as("__t")), capacity, phi)
+  }
+
+  private def requireMgGuarantee(op: String, capacity: Int, phi: Double): Unit = {
+    require(capacity >= 1, s"$op needs capacity >= 1 (got $capacity)")
     require(phi > 0 && phi < 1, s"phi must be in (0,1) (got $phi)")
     require(phi * (capacity + 1) > 1,
       s"phi=$phi with capacity=$capacity voids the MG superset guarantee: " +
         s"need phi > 1/(capacity+1) = ${1.0 / (capacity + 1)}")
-    val s = df.sparkSession
-    graft.expressions.GraftFunctions.register(s)
-    val toks = df.where(col(textCol).isNotNull)
-      .select(explode(tokens(col(textCol))).as("__t"))
+  }
+
+  /** Shared sketch-then-verify core of [[heavyHitters]]/[[heavyNgrams]]:
+    * `toks` is the exploded single-column (`__t`) token/gram stream. */
+  private def heavyFromTokens(
+      toks: org.apache.spark.sql.DataFrame,
+      capacity: Int,
+      phi: Double): org.apache.spark.sql.DataFrame = {
     val cand = toks
       .agg(call_function(graft.expressions.GraftFunctions.MgSketch,
         col("__t"), lit(capacity)).as("__mg"),
@@ -695,6 +732,7 @@ object TextAnalysis {
       .withColumn("threshold", ceil(lit(phi) * col("__n")))
       .where(col("freq") >= col("threshold"))
       .select(col("token"), col("freq"), col("threshold"))
+      .orderBy(col("freq").desc, col("token"))
   }
 
   /** Grouped [[heavyHitters]]: the frequent tokens of EVERY group (per
@@ -752,12 +790,36 @@ object TextAnalysis {
       + s" HAVING count(*) >= ceil($phi * (SELECT n FROM n))"
       + s" ORDER BY freq DESC, token")
 
+  /** DuckDB twin of [[heavyNgrams]] — same sketch-invisibility argument
+    * as [[heavyHittersSql]]; the gram stream replays WordNgrams'
+    * non-distinct windows including the short-doc whole-text fallback. */
+  def heavyNgramsSql(textExpr: String, table: String, n: Int, phi: Double): String = {
+    require(n >= 1, s"heavyNgramsSql needs n >= 1 (got $n)")
+    val gram = (0 until n).map {
+      case 0 => "w[i]"
+      case k => s"w[i+$k]"
+    }.mkString(" || ' ' || ")
+    val grams = s"[$gram for i in range(1, len(w) - ${n - 2})]"
+    (s"WITH t AS (SELECT unnest(CASE WHEN len(w) >= $n THEN $grams"
+      + s" ELSE [$textExpr] END) AS token"
+      + s" FROM (SELECT $textExpr, string_split($textExpr, ' ') AS w FROM $table"
+      + s" WHERE $textExpr IS NOT NULL)),"
+      + s" n AS (SELECT count(*)::BIGINT AS n FROM t)"
+      + s" SELECT token, count(*)::BIGINT AS freq,"
+      + s" ceil($phi * (SELECT n FROM n))::BIGINT AS threshold FROM t GROUP BY 1"
+      + s" HAVING count(*) >= ceil($phi * (SELECT n FROM n))"
+      + s" ORDER BY freq DESC, token")
+  }
+
   /** DuckDB twin of [[bm25TopK]] (same quantization grid, same literal
     * constants, same op order — bit-for-bit). */
   def bm25Sql(idExpr: String, textExpr: String, table: String,
       queryTerms: Seq[String], k: Int): String = {
+    // terms land inside SQL string literals — double any single quote
+    // (ADVICE r7: an unescaped quote produced broken/injectable oracle
+    // SQL; the Spark side uses lit() and never had the hazard)
     val tfs = queryTerms.zipWithIndex.map { case (t, i) =>
-      s"len(list_filter(w, x -> x = '$t'))::BIGINT AS tf$i"
+      s"len(list_filter(w, x -> x = '${t.replace("'", "''")}'))::BIGINT AS tf$i"
     }.mkString(", ")
     val dfs = queryTerms.indices.map(i =>
       s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::BIGINT AS df$i").mkString(", ")

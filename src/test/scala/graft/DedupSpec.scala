@@ -44,6 +44,45 @@ class DedupSpec extends AnyFunSuite {
     assert(solo == Seq(1L, 2L, 4L))
   }
 
+  test("dedupIncrementalNear: stored index probes == fresh build, cross drops ignore id order") {
+    // corpus ids deliberately LARGER than batch ids: a batch doc matching
+    // a corpus doc must still drop (the corpus is already accepted — id
+    // order never arbitrates across the boundary)
+    val corpus = Seq((100L, base), (101L, unrelated), (102L, null: String))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, nearDup),               // near-dup of corpus base -> dropped
+      (2L, (1 to 30).map(i => s"f$i").mkString(" ")), // fresh -> survives
+      (3L, (1 to 30).map(i => s"f$i").mkString(" ")), // batch-internal copy -> dropped
+      (4L, (1 to 30).map(i => s"g$i").mkString(" ")), // fresh -> survives
+      (5L, null: String)           // NULL content -> absent by contract
+    ).toDF("doc_id", "text")
+    val fresh = Dedup.buildNearDupIndex(corpus, "doc_id", "text")
+    val keptFresh = Dedup.dedupIncrementalNear(fresh, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptFresh == Seq(2L, 4L))
+    // parquet round-trip: probing a STORED index is bit-identical to
+    // probing the in-session one (signatures are content-keyed)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndidx").toString
+    fresh.write(dir)
+    val stored = Dedup.NearDupIndex.read(spark, dir)
+    assert(stored.n == 3 && stored.bands == 32 && stored.rows == 4)
+    val keptStored = Dedup.dedupIncrementalNear(stored, batch, "doc_id", "text",
+        broadcastBatch = true)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptStored == keptFresh)
+    // rolling forward: index grown by the survivors' sketch rejects a
+    // next-day copy of a survivor
+    val day2 = Seq((10L, (1 to 30).map(i => s"f$i").mkString(" "))).toDF("doc_id", "text")
+    val grownIdx = Dedup.NearDupIndex(
+      stored.buckets.union(Dedup.buildNearDupIndex(
+        batch.where(col("doc_id").isin(keptFresh: _*)), "doc_id", "text").buckets),
+      stored.shingles.union(Dedup.buildNearDupIndex(
+        batch.where(col("doc_id").isin(keptFresh: _*)), "doc_id", "text").shingles),
+      stored.n, stored.bands, stored.rows)
+    assert(Dedup.dedupIncrementalNear(grownIdx, day2, "doc_id", "text").count() == 0)
+  }
+
   test("dropDuplicatesKeepFirst keeps the smallest-id row with all columns") {
     val kept = Dedup.dropDuplicatesKeepFirst(docs, "doc_id", "text")
       .collect().map(_.getLong(0)).sorted.toSeq
