@@ -70,10 +70,14 @@ object Bench {
     }
     ordered.foreach { case (n, fn) => isolate(); once(n, fn) } // warmup pass
     failed.clear() // only timed-run failures count against the report
+    // 5 reps (r8, was 3): with isolation the totals already agree within
+    // ~2.5% across runs, but sub-second queries still saw 1.5-2.2x
+    // per-query swings from single GC/JIT hiccups landing in a 3-sample
+    // median; 5 samples make the median robust to one outlier pair
     val medians = ordered.map { case (n, fn) =>
       isolate()
-      val ts = (1 to 3).map(_ => once(n, fn)).sorted
-      n -> (if (ts.contains(-1.0)) -1.0 else ts(1))
+      val ts = (1 to 5).map(_ => once(n, fn)).sorted
+      n -> (if (ts.contains(-1.0)) -1.0 else ts(2))
     }
 
     // The driver captures only the last ~2000 chars of output and json-parses

@@ -363,12 +363,14 @@ object CurationQueries {
     // non-distinct gram stream + exact verify, oracle = plain exact
     // bigram aggregation (the sketch only prunes)
     // capacity/phi sized to the DATA, the way a real boilerplate sweep
-    // must be: the top bigram's corpus share is ~0.0018, so phi = 0.0015
-    // needs capacity >= 1/phi - 1 = 666 for the MG superset guarantee —
-    // 1024 keeps headroom and is still tiny bounded state (~30 KB/task)
+    // must be: the top bigram's corpus share FLATTENS with corpus size
+    // (0.056 at sf0.001, 0.0018 at sf0.01, 0.0013 at sf0.1), so phi =
+    // 0.001 keeps the sweep non-trivial at every tested scale, and the
+    // MG superset guarantee needs capacity >= 1/phi - 1 = 999 — 2048
+    // doubles the headroom and is still ~60 KB/task of bounded state
     "q_heavy_ngrams" -> ((s, d) =>
       TextAnalysis.heavyNgrams(T(s, d, "documents"), "text", n = 2,
-        capacity = 1024, phi = 0.0015)),
+        capacity = 2048, phi = 0.001)),
     // per-language heavy hitters: the grouped form — sketch and verify
     // both key on the group, thresholds per group, same scale-free
     // guarantee
@@ -1137,7 +1139,7 @@ object CurationQueries {
     "q_heavy_hitters" ->
       TextAnalysis.heavyHittersSql("text", "documents", phi = 0.03),
     "q_heavy_ngrams" ->
-      TextAnalysis.heavyNgramsSql("text", "documents", n = 2, phi = 0.0015),
+      TextAnalysis.heavyNgramsSql("text", "documents", n = 2, phi = 0.001),
     "q_heavy_hitters_by" ->
       ("WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token"
         + " FROM documents WHERE text IS NOT NULL),"

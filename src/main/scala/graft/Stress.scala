@@ -239,7 +239,7 @@ object Stress {
     // sized; same bounded-state shape
     time("heavyNgrams n=2")(
       graft.operators.TextAnalysis.heavyNgrams(docs, "text", n = 2,
-        capacity = 1024, phi = 0.0015).count())
+        capacity = 2048, phi = 0.001).count())
     // one-pass correlation matrix: k(k-1)/2 = 6 pairs from ONE hash agg
     // over the expanded event stream — wall ~ one scan regardless of k
     time("corrMatrixBy 4 cols")(
@@ -268,6 +268,28 @@ object Stress {
       val n = lbl.count()
       println(s"[stress]   (rounds=$rounds converged=$conv)")
       n
+    }
+    // star contraction on the same clique-heavy replica pair graph —
+    // rounds should match propagation's here (diameter-1 cliques give
+    // neither algorithm work); the topology receipt is the chain below
+    time("ccStarContraction") {
+      val (lbl, rounds, conv) = Dedup.ccStarContraction(
+        Dedup.nearDupPairs(docs, "doc_id", "text"), maxIters = 10)
+      val c = lbl.count()
+      println(s"[stress]   (rounds=$rounds converged=$conv)")
+      c
+    }
+    // the DIAMETER receipt: a synthetic path of n*100k nodes — label
+    // propagation would need n*100k-1 rounds (infeasible, not probed);
+    // star contraction must converge in O(log^2) rounds regardless of
+    // replica factor, with wall ~linear in the edge count
+    time(s"ccStar chain ${n}e5") {
+      val chain = spark.range(n.toLong * 100000L - 1)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val (lbl, rounds, conv) = Dedup.ccStarContraction(chain, maxIters = 40)
+      val c = lbl.count()
+      println(s"[stress]   (rounds=$rounds converged=$conv)")
+      c
     }
     spark.stop()
   }

@@ -168,6 +168,30 @@ object Dedup {
     NearDupIndex(bandedBuckets(sh, bands, rows), sh, n, bands, rows)
   }
 
+  /** Roll a [[NearDupIndex]] forward with a batch's accepted survivors —
+    * the daily-loop closer the [[dedupIncrementalNear]] docstring
+    * promises: after dedup accepts today's survivors, the index of the
+    * GROWN corpus is the old index plus the survivors' sketch rows, and
+    * nothing historical is touched. Because signatures and banding are
+    * content-keyed and per-row, append ≡ from-scratch build on the
+    * union, row for row (DedupSpec pins probe-result equality) — so a
+    * 100 TB pipeline only ever sketches each document once, on the day
+    * it arrives. On disk this is a parquet APPEND of the two tables
+    * (both partition-friendly); here the composed frames are returned
+    * for the caller to probe or [[NearDupIndex.write]]. */
+  def appendToIndex(
+      index: NearDupIndex,
+      survivors: DataFrame,
+      idCol: String,
+      textCol: String): NearDupIndex = {
+    val add = buildNearDupIndex(survivors, idCol, textCol,
+      index.n, index.bands, index.rows)
+    NearDupIndex(
+      index.buckets.unionByName(add.buckets),
+      index.shingles.unionByName(add.shingles),
+      index.n, index.bands, index.rows)
+  }
+
   /** Incremental-ingestion NEAR-dup dedup — the daily MinHash shape
     * (VERDICT r7 #4), the near-dup twin of [[dedupIncremental]]: the
     * rows of `batch` that are near-duplicates (shingle-Jaccard >=
@@ -887,6 +911,112 @@ object Dedup {
     (out, rounds, !moved)
   }
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (the
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the scale
+    * alternative to [[dupClustersConverged]]'s min-label propagation.
+    * Why it matters at 100 TB: label propagation needs one round per
+    * hop of component DIAMETER, and a pathological crawl graph (long
+    * chains of pairwise-similar revisions) can realize diameters in
+    * the thousands; star contraction HALVES tree heights every
+    * alternation and provably converges in O(log^2 n) rounds on any
+    * topology — the round count depends on component SHAPE only
+    * logarithmically, never linearly. DedupSpec pins the gap: a
+    * 64-node path converges here in <= 8 rounds where propagation
+    * needs 63.
+    *
+    * One round = large-star then small-star, each ONE shuffle
+    * aggregation (per-node neighborhood min) + ONE join over the
+    * current edge list, with edges kept canonically oriented
+    * (hi > lo) and distinct:
+    *  - large-star connects every neighbor LARGER than a node to its
+    *    neighborhood minimum (trees flatten toward small ids);
+    *  - small-star connects every neighbor smaller-or-equal, plus the
+    *    node itself, to that minimum (chains of small ids collapse).
+    * Both preserve connectivity exactly (each replaced edge is
+    * spanned by the two emitted ones through the shared minimum), so
+    * the fixpoint — every edge already (node, neighborhood-min) — is
+    * the exact star graph: edge (v, r) iff r is v's component minimum.
+    * Fixpoint test per round: next ⊆ prev (one except + limit) with
+    * equal counts — distinct canonical sets, so subset + cardinality
+    * IS equality. Per-round localCheckpoint truncates lineage (the
+    * [[dupClustersConverged]] rule); state is edge-table-sized and
+    * SHRINKS monotonically in practice as stars collapse.
+    *
+    * Same input/output contract as [[dupClustersConverged]]: any
+    * (id_a, id_b) pair table in; (id, cluster_id = component min) for
+    * every pair-participating id out, plus (roundsRun, converged).
+    * At both operators' fixpoints the labelings are IDENTICAL — the
+    * q_cc_star oracle reuses q_dedup_clusters_conv's unrolled replay
+    * verbatim, and DedupSpec pins cross-operator equality on random
+    * graphs. */
+  def ccStarContraction(
+      pairs: DataFrame,
+      maxIters: Int,
+      idA: String = "id_a",
+      idB: String = "id_b"): (DataFrame, Int, Boolean) = {
+    require(maxIters >= 1,
+      s"ccStarContraction needs maxIters >= 1 (got $maxIters)")
+    val p = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .where(col("a") =!= col("b"))
+    // canonical orientation (hi > lo), deduped — both star ops emit
+    // edges already in this orientation, so round outputs are
+    // set-comparable
+    var edges = p
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .distinct()
+      .localCheckpoint()
+    var n = edges.count()
+    var rounds = 0
+    var converged = n == 0L
+    // large-star: symmetric neighborhoods; m = min(N(u) ∪ {u}); emit
+    // (v, m) for every neighbor v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val m = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("__mn"))
+        .select(col("u").as("__mu"), least(col("__mu"), col("__mn")).as("__m"))
+      sym.join(m, col("u") === col("__mu"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("__m").as("lo"))
+        .where(col("hi") =!= col("lo"))
+        .distinct()
+    }
+    // small-star: on (hi > lo) orientation each node's listed
+    // neighbors are exactly its SMALLER neighbors; m = their min;
+    // emit (v, m) for v in N \ {m} plus (hi, m)
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("hi")).agg(min(col("lo")).as("__m"))
+      val j = e.join(m, "hi")
+      j.where(col("lo") =!= col("__m"))
+        .select(col("lo").as("hi"), col("__m").as("lo"))
+        .union(j.select(col("hi"), col("__m").as("lo")))
+        .where(col("hi") =!= col("lo"))
+        .distinct()
+    }
+    while (!converged && rounds < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nn = next.count()
+      // distinct canonical sets: subset (no row of next outside prev)
+      // + equal cardinality ⇔ set equality ⇔ joint fixpoint
+      converged = nn == n &&
+        next.except(edges).limit(1).count() == 0L
+      edges = next
+      n = nn
+      rounds += 1
+    }
+    // at the fixpoint edges ARE the star graph: non-roots point at
+    // their component min and roots appear only on the lo side, so the
+    // min-agg is a per-id no-op; under a bound that hit first it makes
+    // the partial labeling deterministic (best label seen per id)
+    val labels = edges.select(col("hi").as("id"), col("lo").as("__lbl"))
+      .unionByName(edges.select(col("lo").as("id"), col("lo").as("__lbl")))
+      .groupBy(col("id")).agg(min(col("__lbl")).as("cluster_id"))
+    (labels, rounds, converged)
+  }
+
   /** Cluster-level keep-first near-dup dedup: [[nearDupDedup]]'s
     * transitive variant. Rows are grouped into duplicate CLUSTERS by
     * `iterations` rounds of min-id label propagation over the MinHash
@@ -1093,13 +1223,28 @@ object Dedup {
       threshold: Double): DataFrame =
     jaccardJoinExactManaged(df, idCol, textCol, n, threshold)._1
 
-  /** [[jaccardJoinExact]] plus the release handle for the two persisted
-    * stages — the [[nearDupPairsManaged]] cache-lifecycle contract. The
-    * shingle table feeds FOUR scans (the frequency count, the prefix
-    * build, and both verify sides) and the windowed prefix table feeds
-    * both sides of the candidate self-join; without the persists the
-    * shingling runs four times and the frequency-join + window sort
-    * twice (measured 2.9 s → ~1.2 s at sf0.1). */
+  /** [[jaccardJoinExact]] plus the release handle for the persisted
+    * stages — the [[nearDupPairsManaged]] cache-lifecycle contract.
+    *
+    * EXACT-COLLAPSE front end (r8): identical shingle ARRAYS collapse to
+    * one representative before the prefix join, and member pairs expand
+    * back afterwards. Why this is load-bearing at scale: the prefix
+    * join's candidate volume is Σ_tok f_tok² over prefix-token document
+    * frequencies, and exact duplicates inflate every f linearly — so a
+    * corpus with heavy exact duplication (every real crawl) pays a
+    * QUADRATIC candidate bill for pairs it could know by identity. The
+    * x16 replica stress probe measured exactly that: 24.8M → 100.2M
+    * candidate rows and 22 → 338 s wall for 2× data before the
+    * collapse; after it the candidate join runs on DISTINCT contents
+    * only (replication-invariant) and the expansion is output-bound —
+    * the output's own quadratic clique structure IS the answer being
+    * returned, not overhead. Within-group pairs carry jaccard = 1.0
+    * exactly (same set); cross-group pairs inherit their group pair's
+    * verified jaccard — identical results to the uncollapsed join, row
+    * for row (the q_jaccard_exact brute-force oracle certifies both
+    * recall AND this equivalence). Collapse identity is the 128-bit
+    * double hash of the JSON-encoded array (unambiguous encoding, the
+    * [[contentKey]] collision argument). */
   def jaccardJoinExactManaged(
       df: DataFrame,
       idCol: String,
@@ -1109,10 +1254,24 @@ object Dedup {
       cache: Boolean = true): (DataFrame, () => Unit) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1] (got $threshold)")
-    var sh = shingleTable(df, idCol, textCol, n)
-    if (cache)
-      sh = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sized = sh.withColumn("len", size(col("sh")))
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def maybeCache(d: DataFrame): DataFrame =
+      if (cache) {
+        persisted += d
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else d
+    val ckey = to_json(col("sh"))
+    val keyed = shingleTable(df, idCol, textCol, n)
+      .where(col("sh").isNotNull)
+      .select(col("id"), col("sh"),
+        xxhash64(ckey).as("__g1"),
+        xxhash64(lit("graft-jaccard-salt"), ckey).as("__g2"))
+    // (id -> content group) membership: 24 bytes/doc, feeds the expansion
+    val members = maybeCache(keyed.select(col("id"), col("__g1"), col("__g2")))
+    // one representative per distinct content (min id, the shared array)
+    val reps = maybeCache(keyed.groupBy(col("__g1"), col("__g2"))
+      .agg(min(col("id")).as("id"), first(col("sh")).as("sh")))
+    val sized = reps.withColumn("len", size(col("sh")))
     val ex = sized.select(col("id"), col("len"), explode(col("sh")).as("tok"))
     val freq = ex.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1122,15 +1281,10 @@ object Dedup {
     // doc) and t has few mantissa bits in practice — and a one-off
     // boundary slip only ever *lengthens* the prefix (recall unharmed).
     def ceilT(len: Column): Column = -floor(-len * threshold)
-    var prefix = ex.join(freq, "tok")
+    val prefix = maybeCache(ex.join(freq, "tok")
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= col("len") - ceilT(col("len")) + 1)
-      .select(col("id"), col("len"), col("tok"), col("rk"))
-    if (cache)
-      prefix = prefix.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val release = () => if (cache) {
-      sh.unpersist(false); prefix.unpersist(false); ()
-    } else ()
+      .select(col("id"), col("len"), col("tok"), col("rk")))
     // PPJoin positional filter: J >= t needs overlap I >= t(|x|+|y|)/(1+t).
     // For the FIRST common token under the shared order, every common
     // token sits at-or-after it in both docs, so the remaining-suffix
@@ -1153,11 +1307,33 @@ object Dedup {
       .distinct()
     val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
       size(array_union(col("sa.sh"), col("sb.sh")))
-    (cand
-      .join(sh.as("sa"), col("id_a") === col("sa.id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.id"))
-      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
-      .where(col("jaccard") >= threshold), release)
+    // verified DISTINCT-CONTENT pairs (representative ids)
+    val gpairs = maybeCache(cand
+      .join(reps.as("sa"), col("id_a") === col("sa.id"))
+      .join(reps.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"),
+        col("sa.__g1").as("ga1"), col("sa.__g2").as("ga2"),
+        col("sb.__g1").as("gb1"), col("sb.__g2").as("gb2"))
+      .where(col("jaccard") >= threshold))
+    // expansion: cross-group member pairs inherit the group jaccard
+    // (id order normalized — groups are disjoint id sets)...
+    val cross = gpairs
+      .join(members.as("ma"),
+        col("ga1") === col("ma.__g1") && col("ga2") === col("ma.__g2"))
+      .join(members.as("mb"),
+        col("gb1") === col("mb.__g1") && col("gb2") === col("mb.__g2"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"), col("jaccard"))
+    // ...and within-group pairs are exact duplicates: jaccard 1.0 ≥ any
+    // valid threshold, known by identity, never re-verified
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.__g1") === col("y.__g1") && col("x.__g2") === col("y.__g2")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    (cross.unionByName(within),
+      () => persisted.foreach(_.unpersist(false)))
   }
 
   /** Corpus-wide SEGMENT-level exact dedup, keep-first (the C4/CCNet

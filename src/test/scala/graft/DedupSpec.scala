@@ -448,4 +448,67 @@ class DedupSpec extends AnyFunSuite {
       assert(got == want, s"threshold $t: got ${got.keySet}, want ${want.keySet}")
     }
   }
+
+  test("ccStarContraction: log-round convergence on a path where propagation needs n-1 rounds") {
+    // 64-node path 0-1-2-...-63: component diameter 63, so min-label
+    // propagation needs 63 rounds to carry 0 to the far end; star
+    // contraction halves heights every alternation — the whole point
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds, converged) = Dedup.ccStarContraction(pairs, maxIters = 12)
+    assert(converged, s"path should converge within 12 rounds (ran $rounds)")
+    assert(rounds <= 8, s"star contraction should need O(log n) rounds on a path, got $rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("ccStarContraction equals dupClustersConverged at both fixpoints; empty and multi-component inputs") {
+    // deterministic pseudo-random sparse graph over 40 nodes: ids hashed
+    // into pairs, several components of assorted shapes
+    val pairs = (1 to 60).map { i =>
+      val a = (i * 2654435761L) % 40
+      val b = (i * 40503L + 7) % 40
+      (a.min(b), a.max(b))
+    }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val (star, _, cs) = Dedup.ccStarContraction(pairs, maxIters = 20)
+    val (prop, _, cp) = Dedup.dupClustersConverged(pairs, maxIters = 50)
+    assert(cs && cp)
+    val sm = star.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pm = prop.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sm == pm, "star-contraction and converged propagation must agree exactly")
+    // self-loop-only input: no cross-id edge -> every node a singleton,
+    // zero rounds, immediately converged
+    val (empty, r0, c0) = Dedup.ccStarContraction(
+      Seq((1L, 1L), (2L, 2L)).toDF("id_a", "id_b"), maxIters = 3)
+    assert(c0 && r0 == 0 && empty.count() == 0)
+  }
+
+  test("appendToIndex: rolled-forward index probes identically to a from-scratch build on the union") {
+    val corpus = Seq((10L, base), (11L, unrelated)).toDF("doc_id", "text")
+    val day1 = Seq(
+      (21L, nearDup),            // near-dups corpus 10 -> rejected
+      (22L, "brand new thing"),  // survives -> must enter the index
+      (23L, null: String)        // NULL content -> out by contract
+    ).toDF("doc_id", "text")
+    val idx0 = Dedup.buildNearDupIndex(corpus, "doc_id", "text", n = 3, bands = 32, rows = 4)
+    val s1 = Dedup.dedupIncrementalNear(idx0, day1, "doc_id", "text", threshold = 0.5)
+    assert(s1.collect().map(_.getLong(0)).toSet == Set(22L))
+    val rolled = Dedup.appendToIndex(idx0, s1, "doc_id", "text")
+    val scratch = Dedup.buildNearDupIndex(
+      corpus.union(Seq((22L, "brand new thing")).toDF("doc_id", "text")),
+      "doc_id", "text", n = 3, bands = 32, rows = 4)
+    // day-2 batch hits every boundary: corpus dup, day-1-survivor dup,
+    // fresh, and a batch-internal pair
+    val day2 = Seq(
+      (31L, base),               // corpus dup
+      (32L, "brand new thing"),  // dup of the day-1 survivor
+      (33L, "really fresh"), (34L, "really fresh"), // batch pair -> keep 33
+      (35L, "another one")
+    ).toDF("doc_id", "text")
+    def probe(ix: Dedup.NearDupIndex) =
+      Dedup.dedupIncrementalNear(ix, day2, "doc_id", "text", threshold = 0.5)
+        .collect().map(_.getLong(0)).toSet
+    val viaRolled = probe(rolled)
+    assert(viaRolled == probe(scratch), "append must equal from-scratch on the union")
+    assert(viaRolled == Set(33L, 35L))
+  }
 }
