@@ -83,6 +83,35 @@ object LlmQueries {
     }
   }
 
+  /** foreachBatch twin of [[replayAvailableNow]] for sinkless streaming
+    * operators ([[StreamingOps.dedupNearIngest]]): runs the writer with
+    * an AvailableNow trigger and a cleaned-up temp checkpoint, returns
+    * when the replay drains. */
+  private def runForeachBatchReplay(
+      writer: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+      prefix: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft-ckpt")
+      else java.nio.file.Files.createTempDirectory("graft-ckpt")
+    try {
+      writer.queryName(s"${prefix}_${streamRuns.incrementAndGet()}")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+        .awaitTermination()
+    } finally {
+      val walk = java.nio.file.Files.walk(ckpt)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+  }
+
   /** Gap-based sessionization replay shared by q_session_window (batch)
     * and q_stream_session (AvailableNow replay of the same rollup):
     * windows merge on the inclusive gap boundary, end = last + gap. */
@@ -140,6 +169,19 @@ object LlmQueries {
     "q_dedup_incremental" -> ((s, d) => {
       val docs = T(s, d, "documents")
       Dedup.dedupIncremental(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+    // the Bloom-pruned form: corpus fingerprints fold into a ~11.6-bit/
+    // doc sketch, bloom-negative batch rows skip the anti-join as
+    // definitively fresh, positives verify exactly — the oracle is
+    // q_dedup_incremental's replay VERBATIM, so the hash match certifies
+    // the prune is invisible
+    "q_dedup_incr_bloom" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Dedup.dedupIncrementalBloom(
           docs.where(col("doc_id") % 2 === 0),
           docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
         .select("doc_id", "n_chars")
@@ -245,6 +287,15 @@ object LlmQueries {
       require(converged, "q_cc_star must reach the star fixpoint at sf scale")
       labels.orderBy("id")
     }),
+    // the pre-action audit over those labels: cluster-size histogram
+    // (parameter meltdown = one giant cluster; healthy = mass at 2-3)
+    "q_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizeHistogram(
+        Dedup.dupClusters(
+          Dedup.nearDupPairs(T(s, d, "documents"), "doc_id", "text",
+            n = 3, threshold = 0.5, bands = 32, rows = 4),
+          iterations = 3))
+        .orderBy("cluster_size")),
     // leakage-free split: every doc takes the split of its dup-cluster
     // representative (q_dedup_clusters' labels), so near-duplicates
     // never straddle a boundary; the oracle replays labels + the
@@ -627,6 +678,30 @@ object LlmQueries {
             col("n"), col("sum_value"))
           .orderBy("hour_start", "event_type")
       }
+    }),
+    // continuous-ingestion NEAR-dup dedup: the q_dedup_incremental_near
+    // probe run as a STREAM through foreachBatch with index roll-forward
+    // between micro-batches (corpus-state family — see the StreamingOps
+    // streamability boundary). The single-file source drains in one
+    // batch, so the result hash-matches the batch incremental oracle;
+    // StreamingSpec pins the multi-batch roll-forward path (one file
+    // per trigger == the sequential daily loop).
+    "q_stream_dedup_near" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val raw = s.readStream.schema(docs.schema)
+        .parquet(s"$d/{documents.parquet}")
+        .where(col("doc_id") % 2 === 1)
+      val idxRaw = Dedup.buildNearDupIndex(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3, bands = 32, rows = 4)
+      val idx = Dedup.NearDupIndex(idxRaw.buckets.cache(), idxRaw.shingles.cache(),
+        idxRaw.n, idxRaw.bands, idxRaw.rows)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      runForeachBatchReplay(
+        StreamingOps.dedupNearIngest(raw, idx, "doc_id", "text",
+          threshold = 0.5)(surv => parts.synchronized { parts += surv; () }),
+        "graft_stream_dedup_near")
+      parts.reduceOption(_ unionByName _).getOrElse(docs.where(lit(false)))
+        .select("doc_id", "source").orderBy("doc_id")
     }),
     // streaming windowed TOP-K: the k-bounded heap aggregate rides the
     // same incremental window state as any registry reduction (explicit
@@ -1137,6 +1212,16 @@ object LlmQueries {
           + " w AS (SELECT text, min(doc_id) AS wid FROM f GROUP BY 1)"
           + " SELECT f.doc_id, f.n_chars FROM f"
           + " JOIN w ON f.text = w.text AND f.doc_id = w.wid ORDER BY 1"),
+      // identical replay as q_dedup_incremental: the Bloom stage only
+      // prunes, never decides
+      "q_dedup_incr_bloom" ->
+        ("WITH c AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),"
+          + " b AS (SELECT doc_id, text, n_chars FROM documents"
+          + " WHERE doc_id % 2 = 1 AND text IS NOT NULL),"
+          + " f AS (SELECT b.* FROM b LEFT JOIN c ON b.text = c.text WHERE c.text IS NULL),"
+          + " w AS (SELECT text, min(doc_id) AS wid FROM f GROUP BY 1)"
+          + " SELECT f.doc_id, f.n_chars FROM f"
+          + " JOIN w ON f.text = w.text AND f.doc_id = w.wid ORDER BY 1"),
       "q_dedup_incremental_near" -> {
         val jacBC = ("len(list_intersect(bb.sh, c.sh))::DOUBLE"
           + " / len(list_distinct(list_concat(bb.sh, c.sh)))")
@@ -1249,6 +1334,26 @@ object LlmQueries {
           + " l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),"
           + s" $rounds"
           + " SELECT id, lbl AS cluster_id FROM l6 ORDER BY id")
+      },
+      "q_cluster_sizes" -> {
+        // q_dedup_clusters' 3-round label replay folded to the
+        // (size, n_clusters, n_docs) histogram
+        val jacExpr = ("len(list_intersect(a.sh, b.sh))::DOUBLE"
+          + " / len(list_distinct(list_concat(a.sh, b.sh)))")
+        val rounds = (1 to 3).map { k =>
+          (s"l$k AS (SELECT e.src AS id, least(min(lv.lbl), min(lu.lbl)) AS lbl"
+            + s" FROM e JOIN l${k - 1} lv ON lv.id = e.src"
+            + s" JOIN l${k - 1} lu ON lu.id = e.dst GROUP BY e.src)")
+        }.mkString(", ")
+        (shingleCte
+          + " , p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b"
+          + s" ON a.doc_id < b.doc_id AND $jacExpr >= 0.5),"
+          + " e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),"
+          + " l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),"
+          + s" $rounds,"
+          + " h AS (SELECT lbl, count(*) AS sz FROM l3 GROUP BY lbl)"
+          + " SELECT sz AS cluster_size, count(*) AS n_clusters,"
+          + " sum(sz)::BIGINT AS n_docs FROM h GROUP BY 1 ORDER BY 1")
       },
       "q_cluster_split" -> {
         // q_dedup_clusters' label replay + the assignSplit interval rule
@@ -1571,6 +1676,23 @@ object LlmQueries {
           + " WHERE epoch_us(hour_start) + 3600000000 <="
           + " ((SELECT epoch_us(max(ts)) FROM events) // 1000) * 1000 - 3600000000"
           + " ORDER BY 1, 2"),
+      // streamed probe == the batch incremental dedup (the single-file
+      // source drains in one micro-batch): same replay as
+      // q_dedup_incremental_near
+      "q_stream_dedup_near" -> {
+        val jacBC = ("len(list_intersect(bb.sh, c.sh))::DOUBLE"
+          + " / len(list_distinct(list_concat(bb.sh, c.sh)))")
+        val jacBB = ("len(list_intersect(x.sh, y.sh))::DOUBLE"
+          + " / len(list_distinct(list_concat(x.sh, y.sh)))")
+        (shingleCte
+          + " , c AS (SELECT doc_id, sh FROM s WHERE doc_id % 2 = 0),"
+          + " bb AS (SELECT doc_id, sh FROM s WHERE doc_id % 2 = 1),"
+          + s" dup AS (SELECT DISTINCT bb.doc_id AS id FROM bb JOIN c ON $jacBC >= 0.5"
+          + " UNION"
+          + s" SELECT DISTINCT y.doc_id AS id FROM bb x JOIN bb y ON x.doc_id < y.doc_id AND $jacBB >= 0.5)"
+          + " SELECT doc_id, source FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL"
+          + " AND doc_id NOT IN (SELECT id FROM dup) ORDER BY doc_id")
+      },
       "q_stream_filter" -> {
         // batch replay of the stateless streaming pass: same scatter
         // (bucketSql over the rolling fingerprint, salt 7), same

@@ -113,6 +113,71 @@ object Dedup {
       .select(batch.columns.toIndexedSeq.map(fresh(_)): _*)
   }
 
+  /** [[dedupIncremental]] with a BLOOM-PRUNED corpus probe — identical
+    * results, radically less corpus traffic at 100 TB. The plain form
+    * anti-joins the batch against the corpus's full distinct-fingerprint
+    * table every day (a corpus-sized shuffle even when the batch is
+    * tiny); here the corpus fingerprints fold into a Bloom filter
+    * (~11.6 BITS per doc at Spark's default 3% fpp vs 16 bytes for the
+    * fingerprint pair — at 10B corpus docs: ~14 GB of sketch vs 160 GB
+    * of shuffle keys), the batch probes it per-row with the codegen'd
+    * [[graft.expressions.GraftFunctions.BloomContains]], and only
+    * bloom-POSITIVE rows (true duplicates + the fpp sliver) enter the
+    * exact anti-join that kills every false positive. Bloom NEGATIVES
+    * are definitively fresh — no false negatives by construction — and
+    * bypass the join entirely, so for the common mostly-fresh daily
+    * batch the anti-join's batch side shrinks to ~(dup fraction + fpp)
+    * and its corpus side is pruned by the join's own key locality.
+    * In production, build the sketch once and persist it beside the
+    * corpus (the [[NearDupIndex]] convention); it composes across days
+    * by OR (Spark's BloomFilter mergeInPlace) or a rebuild at the
+    * cadence the fpp budget allows.
+    *
+    * Same contract as [[dedupIncremental]] otherwise: NULL content
+    * absent, batch-internal keep-first by min id, batch columns
+    * preserved. The q_dedup_incr_bloom oracle IS q_dedup_incremental's
+    * replay — matching hashes certify the prune is invisible. */
+  def dedupIncrementalBloom(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      contentCol: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(batch.sparkSession)
+    val (h1, h2) = contentKey(col(contentCol))
+    val seen = corpus.where(col(contentCol).isNotNull)
+      .select(h1.as("__h1"), h2.as("__h2")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact count sizes the filter — no caller estimate to get wrong
+    // (the contaminatedDocsBloom sizing rule)
+    val nCorpus = seen.count()
+    val bloomBytes =
+      if (nCorpus == 0) null
+      else seen.agg(call_function(graft.expressions.GraftFunctions.BloomAgg,
+          col("__h1"), lit(nCorpus)).as("bf"))
+        .head().getAs[Array[Byte]](0)
+    val keyed = batch.where(col(contentCol).isNotNull)
+      .withColumn("__h1", h1).withColumn("__h2", h2)
+    val mightBeSeen: Column =
+      if (bloomBytes == null) lit(false)
+      else call_function(graft.expressions.GraftFunctions.BloomContains,
+        lit(bloomBytes), col("__h1"))
+    // positives verify exactly (anti-join eats the fpp sliver);
+    // negatives are fresh by the no-false-negative guarantee
+    val fresh = keyed.where(!mightBeSeen)
+      .unionByName(keyed.where(mightBeSeen).join(seen, Seq("__h1", "__h2"), "left_anti"))
+    val winners = fresh
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(min(col(idCol)).as("__wid"))
+      .select(col("__h1").as("__w1"), col("__h2").as("__w2"), col("__wid"))
+    // seen stays persisted for the verify anti-join's evaluation (it
+    // already fed the eager sketch build); release via the session's
+    // cache lifecycle like the other non-Managed persisting operators
+    fresh.join(winners,
+        col("__h1") === col("__w1") && col("__h2") === col("__w2")
+          && col(idCol) === col("__wid"))
+      .select(batch.columns.toIndexedSeq.map(fresh(_)): _*)
+  }
+
   /** Persistable MinHash-LSH index of a corpus — the state that makes
     * NEAR-dup dedup incremental (VERDICT r7 #4). Two compact tables:
     * `buckets` (id, band, bucket) — the banded LSH keys, `bands` rows of
@@ -1101,6 +1166,23 @@ object Dedup {
       .withColumnRenamed("__rep", "rep_id")
       .drop("__cid")
   }
+
+  /** Cluster-size histogram — the operational audit every dedup run
+    * should gate on BEFORE acting on its labels: (cluster_size,
+    * n_clusters, n_docs) rows over any (id, cluster_id) table
+    * ([[dupClusters]], [[ccStarContraction]]...). What it catches:
+    * LSH/threshold parameter meltdown shows up as one giant cluster
+    * (boilerplate-token banding, an over-eager threshold) — deleting
+    * "duplicates" from it would delete the corpus; a histogram whose
+    * mass sits at size 2-3 with a thin tail is the healthy shape.
+    * Two hash aggregations, output bounded by the distinct sizes —
+    * nothing document-sized moves or reaches the driver. */
+  def clusterSizeHistogram(
+      labels: DataFrame,
+      clusterCol: String = "cluster_id"): DataFrame =
+    labels.groupBy(col(clusterCol)).agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("__sz")).as("n_docs"))
 
   /** SimHash near-duplicate dedup, keep-smallest-id: the row-preserving
     * keep-first form for the SimHash family, completing the set (exact =

@@ -38,6 +38,11 @@ import graft.operators.{Agg, Aggregations}
   *     max-struct fold is order-independent, so arrival order across
   *     micro-batches cannot change the result (q_stream_upsert
   *     hash-matches the batch q_upsert oracle).
+  *   - CORPUS-STATE near-dup dedup ([[dedupNearIngest]]) — the one
+  *     stateful family whose state must NOT be watermark-evicted (an
+  *     evicted sketch re-admits old duplicates), so it rides
+  *     foreachBatch with the state in corpus storage (the persisted
+  *     near-dup index, appended per batch), not the state store.
   *
   * What does NOT stream, deliberately — the batch transform family
   * (GroupByTransform rank/shift/diff/pctChange/interpolate, Ewm, the
@@ -112,6 +117,58 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__h1", "__h2")
       .drop("__h1", "__h2")
+  }
+
+  /** Continuous-ingestion NEAR-dup dedup — the streaming form of the
+    * daily loop ([[graft.operators.Dedup.appendToIndex]]): every
+    * micro-batch probes the corpus index (cross-set + within-batch,
+    * exact-Jaccard-verified, the [[graft.operators.Dedup.dedupIncrementalNear]]
+    * contract), `emit`s its survivors, and rolls the index forward with
+    * those survivors BEFORE the next batch — rejects never enter.
+    *
+    * A new entry on the streamability boundary: the index is CORPUS
+    * state, not watermark state — it grows with accepted content by
+    * design and no watermark may evict it (evicting would re-admit old
+    * duplicates). That is why this is a foreachBatch operator rather
+    * than a stateful-aggregation one: the state belongs in corpus
+    * storage (at scale, the persisted parquet index tables with a
+    * per-batch APPEND — `emit` survivors and append their sketch rows),
+    * not in the state store. Here the rolled tables are
+    * localCheckpoint-ed per batch, so per-batch plans stay flat and the
+    * consumed micro-batch frame is never referenced after its
+    * foreachBatch call returns (Spark invalidates it).
+    *
+    * Ordering semantics: within a batch, smaller-id keep-first; across
+    * batches, ARRIVAL order arbitrates (earlier accepted content wins)
+    * — exactly q_dedup_rolling's day-granularity rule at micro-batch
+    * granularity. StreamingSpec pins a multi-file single-file-per-
+    * trigger replay equal to the sequential daily loop, batch for
+    * batch. Pass a persisted or parquet-backed `initial` (a lazy
+    * frame's sketch would re-run on the first probe's every reference).
+    *
+    * Returns the configured writer — caller adds trigger/checkpoint and
+    * starts (the [[graft.LlmQueries]] AvailableNow replay, or a real
+    * continuous trigger in production). */
+  def dedupNearIngest(
+      stream: DataFrame,
+      initial: graft.operators.Dedup.NearDupIndex,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5)(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var index = initial
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val survivors = graft.operators.Dedup
+          .dedupIncrementalNear(index, batch.toDF(), idCol, textCol, threshold)
+          .localCheckpoint()
+        emit(survivors)
+        val rolled = graft.operators.Dedup
+          .appendToIndex(index, survivors, idCol, textCol)
+        index = graft.operators.Dedup.NearDupIndex(
+          rolled.buckets.localCheckpoint(), rolled.shingles.localCheckpoint(),
+          rolled.n, rolled.bands, rolled.rows)
+    }
   }
 
   /** Stateless curation pass for streaming ingest: deterministic hash

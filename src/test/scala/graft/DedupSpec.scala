@@ -511,4 +511,41 @@ class DedupSpec extends AnyFunSuite {
     assert(viaRolled == probe(scratch), "append must equal from-scratch on the union")
     assert(viaRolled == Set(33L, 35L))
   }
+
+  test("dedupIncrementalBloom equals dedupIncremental: mixed batch, empty corpus, all-dup batch") {
+    val corpus = Seq(
+      (10L, "old news"), (11L, "shared boilerplate"), (12L, null: String)
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "shared boilerplate"), (2L, "fresh today"), (3L, "fresh today"),
+      (4L, "also fresh"), (5L, null: String), (6L, "old news")
+    ).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    assert(ids(Dedup.dedupIncrementalBloom(corpus, batch, "doc_id", "text"))
+      == ids(Dedup.dedupIncremental(corpus, batch, "doc_id", "text")))
+    // empty corpus: null sketch path — everything fresh, keep-first
+    assert(ids(Dedup.dedupIncrementalBloom(corpus.where(lit(false)), batch, "doc_id", "text"))
+      == Set(1L, 2L, 4L, 6L))
+    // all-duplicate batch: every row bloom-positive, anti-join drops all
+    assert(ids(Dedup.dedupIncrementalBloom(corpus,
+      Seq((7L, "old news"), (8L, "shared boilerplate")).toDF("doc_id", "text"),
+      "doc_id", "text")).isEmpty)
+    // larger randomized parity: 300 docs, heavy collision mix
+    val big = (0L until 300L).map(i => (i, s"content ${i % 60}")).toDF("doc_id", "text")
+    val c2 = big.where(col("doc_id") % 3 === 0)
+    val b2 = big.where(col("doc_id") % 3 =!= 0)
+    assert(ids(Dedup.dedupIncrementalBloom(c2, b2, "doc_id", "text"))
+      == ids(Dedup.dedupIncremental(c2, b2, "doc_id", "text")))
+  }
+
+  test("clusterSizeHistogram folds labels to (size, n_clusters, n_docs)") {
+    val labels = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),          // one cluster of 3
+      (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L) // two clusters of 2
+    ).toDF("id", "cluster_id")
+    val h = Dedup.clusterSizeHistogram(labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(h == Set((3L, 1L, 3L), (2L, 2L, 4L)))
+  }
 }

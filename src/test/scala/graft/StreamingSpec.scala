@@ -280,4 +280,52 @@ class StreamingSpec extends AnyFunSuite {
       .head().getSeq[org.apache.spark.sql.Row](0).map(x => (x.getDouble(0), x.getLong(1)))
     assert(top == Seq((9.0, 2L), (5.0, 3L)))
   }
+
+  test("dedupNearIngest: one-file-per-trigger replay equals the sequential daily loop; index rolls forward") {
+    import graft.operators.Dedup
+    val base30 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 15).map(i => s"w$i") ++ Seq("CHANGED") ++ (17 to 30).map(i => s"w$i")).mkString(" ")
+    val fresh1 = (1 to 30).map(i => s"f$i").mkString(" ")
+    val fresh2 = (1 to 30).map(i => s"g$i").mkString(" ")
+    val corpus = Seq((1L, base30)).toDF("doc_id", "text")
+    // day2's 21 duplicates DAY-1's survivor and day3's 32 duplicates
+    // DAY-2's — both reject ONLY if the index actually rolls forward
+    // between micro-batches
+    val days = Seq(
+      Seq((11L, near), (12L, fresh1)),              // 11 ~ corpus; 12 survives
+      Seq((21L, fresh1), (22L, fresh2)),            // 21 ~ day1 survivor; 22 survives
+      Seq((31L, near), (32L, fresh2), (33L, (1 to 30).map(i => s"z$i").mkString(" "))))
+      .map(_.toDF("doc_id", "text"))
+    val dir = tmpDir("graft-stream-nd")
+    days.zipWithIndex.foreach { case (df, i) =>
+      val tmp = tmpDir("graft-nd-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val dst = new java.io.File(dir, s"day$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // file-source batches drain oldest-modification-first: pin the order
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(days.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val idxRaw = Dedup.buildNearDupIndex(corpus, "doc_id", "text", n = 3, bands = 32, rows = 4)
+    val idx = Dedup.NearDupIndex(idxRaw.buckets.cache(), idxRaw.shingles.cache(),
+      idxRaw.n, idxRaw.bands, idxRaw.rows)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    StreamingOps.dedupNearIngest(stream, idx, "doc_id", "text", threshold = 0.5)(
+        surv => got.synchronized { got += surv.collect().map(_.getLong(0)).toSet; () })
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .start().awaitTermination()
+    // sequential daily-loop reference over the same files in the same order
+    var index = idxRaw
+    val want = days.map { day =>
+      val s = Dedup.dedupIncrementalNear(index, day, "doc_id", "text", threshold = 0.5)
+      index = Dedup.appendToIndex(index, s, "doc_id", "text")
+      s.collect().map(_.getLong(0)).toSet
+    }
+    assert(got.toSeq == want, s"streamed per-batch survivors $got != sequential loop $want")
+    assert(want == Seq(Set(12L), Set(22L), Set(33L)))
+  }
 }
