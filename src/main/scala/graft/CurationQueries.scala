@@ -475,6 +475,14 @@ object CurationQueries {
           Sampling.textKey(col("text")), col("doc_id"), salt = 4)
         .select("doc_id", "lang").orderBy("doc_id")
     }),
+    // weighted sampling WITHOUT replacement (A-ES): 10 docs per source,
+    // selection biased by n_chars — longer docs proportionally likelier,
+    // but never certain; oracle replays scatter + quantized ln score +
+    // the (score DESC, id ASC) rank end to end
+    "q_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSampleK(T(s, d, "documents"), Seq("source"), k = 10,
+          Sampling.idKey(col("doc_id")), col("n_chars"), col("doc_id"), salt = 6)
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")),
     // context-window chunking: 64-token chunks per doc; the rollup checks
     // the invariants (token totals preserved, chunks capped) plus a
     // replayable fingerprint checksum of every chunk text
@@ -1259,6 +1267,14 @@ object CurationQueries {
         + " rk AS (SELECT doc_id, lang,"
         + " row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn FROM b)"
         + " SELECT doc_id, lang FROM rk WHERE rn <= 20 ORDER BY doc_id"),
+    "q_weighted_sample" ->
+      ("WITH t AS (SELECT doc_id, source, n_chars,"
+        + s" round(ln(((${Sampling.bucketSql("doc_id", 6)}) + 0.5) / ${Sampling.M}.0)"
+        + " / n_chars::DOUBLE, 6) AS sc FROM documents"
+        + " WHERE n_chars IS NOT NULL AND n_chars > 0),"
+        + " r AS (SELECT doc_id, source, n_chars,"
+        + " row_number() OVER (PARTITION BY source ORDER BY sc DESC, doc_id) AS rk FROM t)"
+        + " SELECT doc_id, source, n_chars FROM r WHERE rk <= 10 ORDER BY doc_id"),
     "q_chunk" ->
       ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),"
         + " c AS (SELECT doc_id, source, unnest("

@@ -166,6 +166,47 @@ object Sampling {
       .drop("__u")
   }
 
+  /** Exact WEIGHTED sampling without replacement, k per group — the
+    * Efraimidis-Spirakis A-ES scheme ("Weighted random sampling with a
+    * reservoir", IPL 2006) under the keyed-hash regime: each row draws
+    * u ∈ (0,1) from its key's scatter and scores ln(u)/w; the k LARGEST
+    * scores are exactly a weighted without-replacement sample (first
+    * pick lands on row i with probability w_i/Σw, then recursively on
+    * the remainder). rand()-free like every sampler here — reproducible
+    * across runs, retries and partitionings, and content-keyed sampling
+    * keeps duplicate documents together. The training-data use: "pick
+    * the k docs per source, biased by quality/length" without a global
+    * sort or a second pass to normalize weights.
+    *
+    * Determinism contract: u = (scatter + 0.5)/M (never 0 or 1), the
+    * score is ln-quantized to the decimal(18,6) grid (the
+    * [[graft.operators.TextAnalysis.lnQ]] oracle-parity convention),
+    * and ties break by pos (TopKByScore's score DESC, id ASC order) —
+    * a total order both engines replay. Rows with NULL or non-positive
+    * weight never sample (the A-ES w→0 limit); NULL keys drop.
+    *
+    * Plan shape = [[sampleKPerGroup]]'s: per-row scatter expression +
+    * the k-bounded topk heap aggregation + broadcast semi join-back —
+    * the corpus is scanned, never shuffled or sorted. */
+  def weightedSampleK(
+      df: DataFrame,
+      by: Seq[String],
+      k: Int,
+      key: Column,
+      weight: Column,
+      pos: Column,
+      salt: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(!df.columns.contains("__es"),
+      "weightedSampleK reserves column name __es; rename it in the input")
+    val u = (bucket(key, salt).cast("double") + lit(0.5)) / lit(M.toDouble)
+    val w = weight.cast("double")
+    val withS = df.where(w.isNotNull && w > 0.0)
+      .withColumn("__es", round(log(u) / w, 6))
+    GroupByReduce.topKRows(withS, by, "__es", k, pos, largest = true)
+      .drop("__es")
+  }
+
   /** Downsample to a target source mixture, exactly and deterministically.
     *
     * `target` gives integer mixture weights per source (e.g. web:7,

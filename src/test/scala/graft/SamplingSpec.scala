@@ -145,4 +145,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(infeasible.count() == 0,
       "a target source with no rows makes the mixture infeasible (K=0)")
   }
+
+  test("weightedSampleK: exact k per group, weight bias, zero/NULL weights out, partition-invariant") {
+    import spark.implicits._
+    val df = (0L until 400L).map { i =>
+      val w: java.lang.Double =
+        if (i % 97 == 0) null
+        else if (i % 13 == 0) 0.0
+        else if (i < 200L) 1000.0 else 0.01 // group g0 heavy first half, g1 same shape
+      (i, if (i % 2 == 0) "g0" else "g1", w)
+    }.toDF("id", "grp", "w")
+    def sel(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSampleK(d, Seq("grp"), k = 15,
+        Sampling.idKey(col("id")), col("w"), col("id"), salt = 3)
+    val got = sel(df).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // exactly k per group
+    assert(got.count(_._2 == "g0") == 15 && got.count(_._2 == "g1") == 15)
+    // NULL and zero weights never sample
+    assert(got.forall { case (i, _) => i % 97 != 0 && i % 13 != 0 })
+    // weight bias: heavy rows (w=1000, ids < 200) dominate picks — with a
+    // 100000x weight ratio the chance of even ONE light row in a 15-pick
+    // sample is ~1%; allow 2 as deterministic slack for this fixed salt
+    assert(got.count(_._1 >= 200L) <= 2,
+      s"light rows over-selected: ${got.filter(_._1 >= 200L)}")
+    // keyed-hash determinism: same result from any partitioning
+    assert(sel(df.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == got)
+    // k > eligible group size: min(k, eligible) rows, no padding
+    val tiny = Seq((1L, "x", 5.0), (2L, "x", 1.0)).toDF("id", "grp", "w")
+    assert(Sampling.weightedSampleK(tiny, Seq("grp"), k = 10,
+      Sampling.idKey(col("id")), col("w"), col("id")).count() == 2)
+  }
 }
