@@ -462,19 +462,22 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("ccStarContraction equals dupClustersConverged at both fixpoints; empty and multi-component inputs") {
-    // deterministic pseudo-random sparse graph over 40 nodes: ids hashed
-    // into pairs, several components of assorted shapes
-    val pairs = (1 to 60).map { i =>
-      val a = (i * 2654435761L) % 40
-      val b = (i * 40503L + 7) % 40
-      (a.min(b), a.max(b))
-    }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
-    val (star, _, cs) = Dedup.ccStarContraction(pairs, maxIters = 20)
-    val (prop, _, cp) = Dedup.dupClustersConverged(pairs, maxIters = 50)
-    assert(cs && cp)
-    val sm = star.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val pm = prop.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(sm == pm, "star-contraction and converged propagation must agree exactly")
+    // deterministic pseudo-random graphs over varied density (sparse
+    // forest fragments through near-connected): ids hashed into pairs
+    for ((nEdges, seed) <- Seq((12, 1L), (30, 2L), (60, 3L), (90, 4L))) {
+      val pairs = (1 to nEdges).map { i =>
+        val a = (i * 2654435761L + seed * 977L) % 40
+        val b = (i * 40503L + 7 + seed * 131L) % 40
+        (a.min(b), a.max(b))
+      }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      val (star, _, cs) = Dedup.ccStarContraction(pairs, maxIters = 20)
+      val (prop, _, cp) = Dedup.dupClustersConverged(pairs, maxIters = 50)
+      assert(cs && cp)
+      val sm = star.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val pm = prop.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sm == pm,
+        s"star vs propagation disagree on graph(seed=$seed, edges=$nEdges)")
+    }
     // self-loop-only input: no cross-id edge -> every node a singleton,
     // zero rounds, immediately converged
     val (empty, r0, c0) = Dedup.ccStarContraction(
