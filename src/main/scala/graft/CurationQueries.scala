@@ -23,7 +23,7 @@ object CurationQueries {
 
   // q_bm25's literal query-term set — single-sourced so the Spark
   // projection and the oracle replay score the same query
-  private val Bm25Terms = Seq("spark", "vector", "hash")
+  private[graft] val Bm25Terms = Seq("spark", "vector", "hash")
 
   // q_winsorize's build-once bounds cache, keyed by the immutable data
   // dir (the qcutEdgeCache convention in SparkEntry): the bounds are the

@@ -396,6 +396,22 @@ object LlmQueries {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id", "rank")
     }),
+    // hybrid retrieval: BM25 keyword top-50 + embedding-cosine top-50
+    // (query = vec 0) fused by reciprocal rank — the standard RAG
+    // combiner; ids are shared across the two tables by construction
+    // (vec_id == doc_id in the fixtures). Oracle replays both component
+    // rankers (both already bit-exact elsewhere) + the fusion join.
+    "q_hybrid_rrf" -> ((s, d) => {
+      val kw = TextAnalysis.bm25TopK(T(s, d, "documents"), "doc_id", "text",
+          CurationQueries.Bm25Terms, k = 50)
+        .select(col("doc_id"), col("rank"))
+      val e = T(s, d, "embeddings")
+      val sem = Similarity.topK(e, e.where(col("vec_id") === 0),
+          "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(kw, sem), "doc_id", "rank", k = 20)
+        .orderBy("rank")
+    }),
     // planes auto-sized from a cheap corpus count (occupancy-targeted,
     // Similarity.autoPlanes) so the bucket cost stays bounded as the
     // corpus grows; dim passed explicitly (no derive-from-first-row job).
@@ -1501,6 +1517,24 @@ object LlmQueries {
           + " list_dot_product(a.q, b.q) / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE)) DESC, b.vec_id) AS rank"
           + " FROM n a JOIN n b ON a.vec_id != b.vec_id WHERE a.vec_id < 50)"
           + " WHERE rank <= 5 ORDER BY id, rank"),
+      // both component rankers replayed (the q_bm25 and q_ann_topk
+      // recipes), then the RRF join: 1/(60+rank) contributions, left
+      // ranking first, ties by id
+      "q_hybrid_rrf" -> {
+        val bm = TextAnalysis.bm25Sql("doc_id", "text", "documents",
+          CurationQueries.Bm25Terms, k = 50)
+        (s"WITH kw AS ($bm), n AS $qn,"
+          + " sem AS (SELECT neighbor_id AS doc_id, rank FROM ("
+          + " SELECT b.vec_id AS neighbor_id, row_number() OVER (ORDER BY"
+          + " list_dot_product(a.q, b.q) / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE)) DESC, b.vec_id) AS rank"
+          + " FROM n a JOIN n b ON a.vec_id != b.vec_id WHERE a.vec_id = 0)"
+          + " WHERE rank <= 50),"
+          + " j AS (SELECT coalesce(kw.doc_id, sem.doc_id) AS doc_id,"
+          + " coalesce(1.0 / (60 + kw.rank), 0.0) + coalesce(1.0 / (60 + sem.rank), 0.0) AS rrf"
+          + " FROM kw FULL OUTER JOIN sem ON kw.doc_id = sem.doc_id)"
+          + " SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank, rrf"
+          + " FROM j ORDER BY rrf DESC, doc_id LIMIT 20")
+      },
       "q_ann_lsh" -> {
         // Deterministic replay of lshNeighbors: the splitmix hyperplanes
         // are fixed literals (quantized to the same 1e-6 grid), the plane

@@ -112,6 +112,47 @@ object Similarity {
       .select("id", "rank", "neighbor_id", "cos")
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
+    * hybrid-retrieval combiner: given N rankings of the same id space
+    * (BM25 keyword top-k, embedding-cosine top-k, ...), each id scores
+    * Σ_i 1/(c + rank_i) over the rankings that contain it, and the k
+    * best fused ids win. Rank-based, so the component scores never need
+    * calibrating against each other — the reason RRF is the default
+    * fuser in every hybrid RAG stack. c=60 is the paper's constant:
+    * large enough that tail ranks still contribute, small enough that
+    * rank 1 dominates.
+    *
+    * Determinism: contributions are exact IEEE doubles (1/(c+r) with
+    * integer r), summed in the CALLER'S ranking order (left fold), ties
+    * broken by id — an oracle replays the same join + arithmetic bit
+    * for bit. Missing ids contribute 0 from that ranking (full-outer
+    * join semantics).
+    *
+    * Plan shape: rankings are k-bounded tables, so the N-way full-outer
+    * join and the final sort touch at most N·k rows — driver-safe
+    * whatever the corpus size behind the rankings; the corpus itself
+    * was already reduced by the component retrievers. */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      rankCol: String,
+      k: Int,
+      c: Int = 60): DataFrame = {
+    require(rankings.size >= 2, s"rrfFuse needs >= 2 rankings (got ${rankings.size})")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val norm = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol).cast("long").as("id"),
+        (lit(1.0) / (lit(c.toDouble) + col(rankCol).cast("double"))).as(s"__c$i"))
+    }
+    val joined = norm.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val score = norm.indices.map(i => coalesce(col(s"__c$i"), lit(0.0))).reduce(_ + _)
+    val w = Window.orderBy(col("rrf").desc, col("id"))
+    joined.withColumn("rrf", score)
+      .orderBy(col("rrf").desc, col("id")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("id").as(idCol), col("rank"), col("rrf"))
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes: `tables` tables of
     * `planes` hyperplanes over `dim` dims, as literal arrays baked into the
     * plan (a tiny constant: tables x planes x dim doubles). Components are

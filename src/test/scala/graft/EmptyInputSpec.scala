@@ -153,4 +153,24 @@ class EmptyInputSpec extends AnyFunSuite {
     val d = Seq.empty[(String, java.sql.Timestamp, Double)].toDF("user_id", "t", "v")
     assert(Sessionize.sessions(d, Seq("user_id"), "t", 600, "v").count() == 0)
   }
+
+  test("r8 operators on empty input return empty (or immediate fixpoint) without error") {
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val (lbl, rounds, conv) = Dedup.ccStarContraction(emptyPairs, maxIters = 3)
+    assert(conv && rounds == 0 && lbl.count() == 0)
+    assert(Dedup.clusterSizeHistogram(
+      Seq.empty[(Long, Long)].toDF("id", "cluster_id")).count() == 0)
+    assert(Dedup.dedupIncrementalBloom(emptyDocs, emptyDocs, "doc_id", "text").count() == 0)
+    // empty-batch probe of a non-empty index; empty-corpus index build
+    val idx = Dedup.buildNearDupIndex(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(Dedup.dedupIncrementalNear(idx, emptyDocs, "doc_id", "text").count() == 0)
+    val rolled = Dedup.appendToIndex(idx, emptyDocs, "doc_id", "text")
+    assert(rolled.buckets.count() == idx.buckets.count())
+    assert(Sampling.weightedSampleK(emptyDocs, Seq("text"), 3,
+      Sampling.idKey(col("doc_id")), col("doc_id"), col("doc_id")).count() == 0)
+    assert(Similarity.rrfFuse(Seq(
+      Seq.empty[(Long, Long)].toDF("doc_id", "rank"),
+      Seq.empty[(Long, Long)].toDF("doc_id", "rank")), "doc_id", "rank", 5).count() == 0)
+  }
 }
