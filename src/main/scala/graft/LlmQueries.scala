@@ -412,6 +412,18 @@ object LlmQueries {
       Similarity.rrfFuse(Seq(kw, sem), "doc_id", "rank", k = 20)
         .orderBy("rank")
     }),
+    // MMR diversified top-10 from a cosine top-30 candidate set: greedy
+    // 0.5*rel - 0.5*maxSim selection (exact power-of-two lambda over
+    // round-6 sims), oracle replays the whole greedy trajectory as 10
+    // unrolled argmax rounds
+    "q_mmr" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val cand = Similarity.topK(e, e.where(col("vec_id") === 0),
+          "vec_id", "embedding", k = 30)
+        .select(col("neighbor_id").as("vec_id"), round(col("cos"), 6).as("rel"))
+      Similarity.mmrSelect(cand, e, "vec_id", "embedding", "rel", k = 10)
+        .orderBy("rank")
+    }),
     // planes auto-sized from a cheap corpus count (occupancy-targeted,
     // Similarity.autoPlanes) so the bucket cost stays bounded as the
     // corpus grows; dim passed explicitly (no derive-from-first-row job).
@@ -1534,6 +1546,43 @@ object LlmQueries {
           + " FROM kw FULL OUTER JOIN sem ON kw.doc_id = sem.doc_id)"
           + " SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank, rrf"
           + " FROM j ORDER BY rrf DESC, doc_id LIMIT 20")
+      },
+      // the greedy MMR trajectory unrolled: candidate top-30 (the
+      // q_ann_topk recipe for query 0), pairwise round-6 sims among
+      // candidates, then 10 argmax rounds each excluding the
+      // accumulated picks and penalizing by max sim to them
+      "q_mmr" -> {
+        val cos = "list_dot_product(a.q, b.q) / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE))"
+        // every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+        // acc_r chain references acc_{r-1} three times per round — an
+        // inlined unroll expands exponentially (measured: exhausts file
+        // handles re-scanning the parquet); materialization makes each
+        // round evaluate once, like the Spark side's greedy loop
+        val rounds = (2 to 10).map { r =>
+          (s"scr$r AS MATERIALIZED (SELECT c.id, c.rel, max(s2.cs) AS ms"
+            + " FROM cand c JOIN sims2 s2 ON s2.ia = c.id"
+            + s" WHERE c.id NOT IN (SELECT id FROM acc${r - 1})"
+            + s" AND s2.ib IN (SELECT id FROM acc${r - 1})"
+            + " GROUP BY c.id, c.rel),"
+            + s" sel$r AS MATERIALIZED (SELECT id, 0.5*rel - 0.5*ms AS sc"
+            + s" FROM scr$r ORDER BY sc DESC, id LIMIT 1),"
+            + s" acc$r AS MATERIALIZED (SELECT id FROM acc${r - 1} UNION ALL SELECT id FROM sel$r)")
+        }.mkString(", ")
+        val outs = (1 to 10).map(r => s"SELECT id, $r AS rank, sc FROM sel$r")
+          .mkString(" UNION ALL ")
+        (s"WITH n AS MATERIALIZED $qn,"
+          + " cand AS MATERIALIZED (SELECT neighbor_id AS id, rel FROM ("
+          + s" SELECT b.vec_id AS neighbor_id, round($cos, 6) AS rel,"
+          + s" row_number() OVER (ORDER BY $cos DESC, b.vec_id) AS rank"
+          + " FROM n a JOIN n b ON a.vec_id != b.vec_id WHERE a.vec_id = 0) WHERE rank <= 30),"
+          + s" sims AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib, round($cos, 6) AS cs"
+          + " FROM n a JOIN n b ON a.vec_id < b.vec_id"
+          + " JOIN cand ca ON ca.id = a.vec_id JOIN cand cb ON cb.id = b.vec_id),"
+          + " sims2 AS MATERIALIZED (SELECT ia, ib, cs FROM sims UNION ALL SELECT ib, ia, cs FROM sims),"
+          + " sel1 AS MATERIALIZED (SELECT id, rel AS sc FROM cand ORDER BY rel DESC, id LIMIT 1),"
+          + " acc1 AS MATERIALIZED (SELECT id FROM sel1),"
+          + s" $rounds"
+          + s" SELECT id AS vec_id, rank::BIGINT AS rank, sc AS mmr FROM ($outs) ORDER BY rank")
       },
       "q_ann_lsh" -> {
         // Deterministic replay of lshNeighbors: the splitmix hyperplanes

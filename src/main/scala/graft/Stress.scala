@@ -269,6 +269,26 @@ object Stress {
       println(s"[stress]   (rounds=$rounds converged=$conv)")
       n
     }
+    // Bloom-pruned vs plain incremental dedup on the replica corpus
+    // (worst case for the prune: EVERY batch row is a duplicate, so
+    // nothing bypasses the verify join — the win shows in the corpus
+    // side never shuffling beyond the sketch build)
+    time("dedupIncremental") {
+      graft.operators.Dedup.dedupIncremental(
+        spark.read.parquet(s"$sfDir/documents.parquet"), docs,
+        "doc_id", "text").count()
+    }
+    time("dedupIncrBloom") {
+      graft.operators.Dedup.dedupIncrementalBloom(
+        spark.read.parquet(s"$sfDir/documents.parquet"), docs,
+        "doc_id", "text").count()
+    }
+    // weighted WOR sampling: k-bounded heap, wall ~ one scan
+    time("weightedSampleK") {
+      graft.operators.Sampling.weightedSampleK(docs, Seq("source"), 50,
+        graft.operators.Sampling.idKey(col("doc_id")), col("n_chars"),
+        col("doc_id")).count()
+    }
     // star contraction on the same clique-heavy replica pair graph —
     // rounds should match propagation's here (diameter-1 cliques give
     // neither algorithm work); the topology receipt is the chain below

@@ -153,6 +153,73 @@ object Similarity {
       .select(col("id").as(idCol), col("rank"), col("rrf"))
   }
 
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    * Goldstein, SIGIR'98) — the post-retrieval diversifier that keeps a
+    * result list from collapsing onto near-duplicate hits: greedy
+    * selection where the first pick maximizes relevance and each later
+    * pick maximizes `0.5·rel − 0.5·maxSim(selected)` (λ fixed at 1/2 —
+    * a power of two, so the scaling is IEEE-exact and, with rel and the
+    * pairwise cosines both quantized to the 1e-6 grid, the whole greedy
+    * trajectory is replayable bit for bit; ties break by id).
+    *
+    * `candidates` is (idCol, relCol) and must be K-BOUNDED BY CONTRACT
+    * — the output of [[topK]] / [[graft.operators.TextAnalysis.bm25TopK]]
+    * / [[rrfFuse]] — because MMR is inherently sequential: the pairwise
+    * sim matrix is one bounded join (≤ K² rows) and the greedy loop
+    * runs driver-side over the collected scores (the kmeans/qcut
+    * bounded-collect convention; `maxCandidates` enforces the bound,
+    * default 1024 → ≤ ~0.5M sim rows). Corpus scale lives in the
+    * retriever that produced the candidates, not here. Candidates
+    * missing from `embeddings` contribute similarity 0 (never
+    * penalized — pass a complete embedding table). Output: (idCol,
+    * rank, mmr) in selection order; fewer than k rows when the
+    * candidate set is smaller. */
+  def mmrSelect(
+      candidates: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      relCol: String,
+      k: Int,
+      maxCandidates: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val spark = candidates.sparkSession
+    val cand = candidates
+      .select(col(idCol).cast("long").as("id"), col(relCol).cast("double").as("rel"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    require(cand.length <= maxCandidates,
+      s"mmrSelect candidates must be k-bounded (got ${cand.length} > $maxCandidates)" +
+        " — retrieve a top-k first")
+    val ids = cand.map(_._1).toSet
+    val p = prepared(
+      embeddings.where(col(idCol).isInCollection(ids)), idCol, embCol)
+    val sims = p.as("a").join(p.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        round(cosineQ(dotQ(col("a.q"), col("b.q")), col("a.nsq"), col("b.nsq")), 6))
+      .collect()
+      .flatMap { r =>
+        val (x, y, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((x, y) -> c, (y, x) -> c)
+      }.toMap
+    val remaining = scala.collection.mutable.LinkedHashMap(cand.sortBy(c => (-c._2, c._1)): _*)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    while (picked.length < k && remaining.nonEmpty) {
+      val best =
+        if (picked.isEmpty)
+          remaining.map { case (id, rel) => (id, rel) }
+            .minBy { case (id, sc) => (-sc, id) }
+        else remaining.map { case (id, rel) =>
+          val ms = picked.map(s => sims.getOrElse((id, s._1), 0.0)).max
+          (id, 0.5 * rel - 0.5 * ms)
+        }.minBy { case (id, sc) => (-sc, id) }
+      picked += ((best._1, picked.length + 1L, best._2))
+      remaining.remove(best._1)
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("__id", "rank", "mmr")
+      .select(col("__id").as(idCol), col("rank"), col("mmr"))
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes: `tables` tables of
     * `planes` hyperplanes over `dim` dims, as literal arrays baked into the
     * plan (a tiny constant: tables x planes x dim doubles). Components are

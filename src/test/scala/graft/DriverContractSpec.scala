@@ -118,9 +118,11 @@ class DriverContractSpec extends AnyFunSuite {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       // subquery openers (FROM/JOIN followed by a paren) are not captured
       val refs = ident.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      // CTE names, with or without an explicit column list: "x AS (" and
-      // "x(c1, c2) AS ("
-      val cteNames = """(?i)(?:WITH|,)\s*([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(""".r
+      // CTE names, with or without an explicit column list or the
+      // MATERIALIZED keyword: "x AS (", "x(c1, c2) AS (",
+      // "x AS MATERIALIZED (" (q_mmr's unrolled rounds need
+      // materialization — DuckDB inlines plain CTEs)
+      val cteNames = """(?i)(?:WITH|,)\s*([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s+(?:MATERIALIZED\s*)?\(""".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = refs -- tables -- cteNames
       assert(unknown.isEmpty, s"$k references unknown tables: $unknown")

@@ -293,4 +293,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.semanticDedup(d.where(lit(false)), "vec_id", "embedding",
       threshold = 0.9, k = 2).count() == 0)
   }
+
+  test("mmrSelect: diversity beats raw relevance order; ties and bounds honored") {
+    // 1 and 2 nearly parallel (redundant), 3 orthogonal with lower rel,
+    // 4 close to 1: relevance order is 1,2,4,3 but MMR must interleave
+    // the orthogonal doc second
+    val e = vecs(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.9f, 0.1f)))
+    val cand = Seq((1L, 0.99), (2L, 0.98), (3L, 0.60), (4L, 0.97))
+      .toDF("vec_id", "rel")
+    val got = Similarity.mmrSelect(cand, e, "vec_id", "embedding", "rel", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(_._1) == Seq(1L, 3L, 2L),
+      s"expected diversity pick order 1,3,2 got $got")
+    assert(got.map(_._2) == Seq(1L, 2L, 3L))
+    // k beyond candidates: all of them, once each
+    assert(Similarity.mmrSelect(cand, e, "vec_id", "embedding", "rel", k = 10)
+      .count() == 4)
+    // candidate bound enforced
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(cand, e, "vec_id", "embedding", "rel", k = 2,
+        maxCandidates = 3)
+    }
+  }
 }
