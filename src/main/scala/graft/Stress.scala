@@ -269,18 +269,14 @@ object Stress {
       println(s"[stress]   (rounds=$rounds converged=$conv)")
       n
     }
-    // Bloom-pruned vs plain incremental dedup on the replica corpus
-    // (worst case for the prune: EVERY batch row is a duplicate, so
-    // nothing bypasses the verify join — the win shows in the corpus
-    // side never shuffling beyond the sketch build)
-    time("dedupIncremental") {
-      graft.operators.Dedup.dedupIncremental(
-        spark.read.parquet(s"$sfDir/documents.parquet"), docs,
-        "doc_id", "text").count()
-    }
+    // Bloom-pruned incremental dedup, SAME setup as the dedupIncremental
+    // probe above (even-id corpus, full expansion as batch) so the two
+    // numbers compare directly: even contents all bloom-positive (verify
+    // join at its densest), odd contents bloom-negative and skip it
     time("dedupIncrBloom") {
       graft.operators.Dedup.dedupIncrementalBloom(
-        spark.read.parquet(s"$sfDir/documents.parquet"), docs,
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .where(col("doc_id") % 2 === 0), docs,
         "doc_id", "text").count()
     }
     // weighted WOR sampling: k-bounded heap, wall ~ one scan
