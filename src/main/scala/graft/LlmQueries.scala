@@ -539,6 +539,15 @@ object LlmQueries {
         Seq(Agg("count", "doc_id", "n", fill = Some(0L))),
         expected = Some(Binning.binsDf(s, "qbin", (0 to 11).map(_ * 100.0))))
     }),
+    // exact AUC of the quality score predicting lang='en' (the English
+    // stopword component makes it a real, better-than-chance signal) —
+    // the classifier-evaluation gate: one hash agg to distinct scores,
+    // one distinct-score window, exact-decimal U statistic
+    "q_auc" -> ((s, d) =>
+      FeatureScaling.aucScore(
+        T(s, d, "documents").where(col("text").isNotNull),
+        TextAnalysis.qualityScore(col("text")),
+        col("lang") === lit("en"))),
     "q_fingerprint" -> ((s, d) =>
       { graft.expressions.GraftFunctions.register(s); T(s, d, "documents") }
         .withColumn("fp", TextAnalysis.fingerprintFast(col("text")))
@@ -1658,6 +1667,21 @@ object LlmQueries {
           + s" SELECT $scoreExpr AS score FROM"
           + " (SELECT text, string_split(text, ' ') w FROM documents)) GROUP BY 1) r"
           + " USING (qbin) ORDER BY 1"),
+      // Mann-Whitney AUC with tie correction: distinct-score groups,
+      // cumulative negatives strictly below, ties at half weight; the
+      // U statistic is an exact integer sum finalized to double once
+      "q_auc" ->
+        (s"WITH b AS (SELECT $scoreExpr AS s, (lang = 'en') AS y FROM"
+          + " (SELECT text, lang, string_split(text, ' ') w FROM documents"
+          + " WHERE text IS NOT NULL) WHERE lang IS NOT NULL),"
+          + " g AS (SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS np,"
+          + " sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS nn FROM b GROUP BY s),"
+          + " c AS (SELECT s, np, nn, coalesce(sum(nn) OVER (ORDER BY s"
+          + " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM g)"
+          + " SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,"
+          + " CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN"
+          + " sum(np * (2 * cum + nn))::DOUBLE / (sum(np)::DOUBLE * sum(nn)::DOUBLE * 2.0)"
+          + " END AS auc FROM c"),
       "q_fingerprint" ->
         ("SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct_fp, min(fp) AS min_fp FROM ("
           + " SELECT source, " + TextAnalysis.fingerprintSql("text") + " AS fp FROM documents)"

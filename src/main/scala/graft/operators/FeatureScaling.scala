@@ -436,4 +436,40 @@ object FeatureScaling {
     s"round(1.0 / (1.0 + exp(-($zExpr))), 6)::DECIMAL(18,6)"
   def logitSql(b0: String, bx: Seq[(String, String)]): String =
     bx.foldLeft(b0) { case (acc, (b, x)) => s"$acc + $b * ($x)" }
+
+  /** EXACT AUC-ROC — the evaluation gate for a quality classifier
+    * ([[logisticFit]]'s natural companion: fit → score → AUC before the
+    * scores filter a corpus). Mann-Whitney formulation with full tie
+    * correction: AUC = [Σ_s nPos(s)·(2·cumNeg(<s) + nNeg(=s))] /
+    * (2·nPos·nNeg) — ties contribute exactly ½, matching
+    * sklearn.roc_auc_score. NULL score or label rows are excluded; with
+    * no positives or no negatives AUC is undefined → NULL.
+    *
+    * Scale shape: ONE hash aggregation collapses the corpus to
+    * (distinct score, nPos, nNeg), then ONE value-ordered window runs
+    * over DISTINCT scores only (the [[Quantiles]] spilling-window
+    * convention — bounded by score cardinality, never row count; a
+    * quantized/integer score keeps it trivially small). The U statistic
+    * accumulates in decimal(38,0) (exact to 10^38 — n² safe to ~10^19
+    * rows) and finalizes to double ONCE, so the oracle replays it bit
+    * for bit. Output: one row (n_pos, n_neg, auc). */
+  def aucScore(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val base = df.where(score.isNotNull && label.isNotNull)
+      .select(score.as("__s"), label.cast("boolean").as("__y"))
+    val g = base.groupBy(col("__s"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__np"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__nn"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("__cum", coalesce(sum(col("__nn")).over(w), lit(0L)))
+      .agg(
+        sum(col("__np")).as("n_pos"),
+        sum(col("__nn")).as("n_neg"),
+        sum((col("__np") * (col("__cum") * 2 + col("__nn"))).cast(DecimalType(38, 0))).as("__u2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("__u2").cast("double") /
+            (col("n_pos").cast("double") * col("n_neg").cast("double") * lit(2.0)))
+          .as("auc"))
+  }
 }

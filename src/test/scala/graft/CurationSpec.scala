@@ -974,4 +974,31 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(got(6L) == ((None, None)), "all-NaN frame -> NULL quantiles")
   }
+
+  test("aucScore equals brute-force pair counting with ties; degenerate label -> NULL") {
+    import spark.implicits._
+    // scores with heavy ties across both classes
+    val rows = Seq(
+      (1.0, true), (1.0, false), (2.0, true), (2.0, true), (2.0, false),
+      (3.0, false), (4.0, true), (4.0, false), (4.0, false), (5.0, true),
+      (0.5, false), (0.5, true))
+    val df = rows.toDF("s", "y")
+    val r = FeatureScaling.aucScore(df, col("s"), col("y")).head()
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val brute = (for { p <- pos; n <- neg } yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum / (pos.size * neg.size)
+    assert(r.getLong(0) == pos.size && r.getLong(1) == neg.size)
+    assert(math.abs(r.getDouble(2) - brute) < 1e-15,
+      s"auc ${r.getDouble(2)} != brute $brute")
+    // one-class input: AUC undefined -> NULL, counts still reported
+    val one = FeatureScaling.aucScore(
+      Seq((1.0, true), (2.0, true)).toDF("s", "y"), col("s"), col("y")).head()
+    assert(one.getLong(0) == 2 && one.getLong(1) == 0 && one.isNullAt(2))
+    // perfect separation -> 1.0
+    val perfect = FeatureScaling.aucScore(
+      Seq((9.0, true), (8.0, true), (1.0, false)).toDF("s", "y"),
+      col("s"), col("y")).head()
+    assert(perfect.getDouble(2) == 1.0)
+  }
 }
