@@ -412,6 +412,16 @@ object LlmQueries {
       Similarity.rrfFuse(Seq(kw, sem), "doc_id", "rank", k = 20)
         .orderBy("rank")
     }),
+    // product-quantization ANN: 4 sub-codebooks (16 dims x 16 cells,
+    // the replayable Lloyd fit per subspace), corpus compressed to 4
+    // codes/vector, query scored by exact-integer ADC table lookups —
+    // the oracle replays fit + encode + ADC + rank bit for bit
+    "q_ann_pq" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.pqTopK(e.where(col("vec_id") =!= 0), e.where(col("vec_id") === 0),
+          "vec_id", "embedding", dim = 64, m = 4, k = 16, iters = 2, topK = 20)
+        .orderBy("rank")
+    }),
     // MMR diversified top-10 from a cosine top-30 candidate set: greedy
     // 0.5*rel - 0.5*maxSim selection (exact power-of-two lambda over
     // round-6 sims), oracle replays the whole greedy trajectory as 10
@@ -1158,6 +1168,34 @@ object LlmQueries {
       asg("a3", "c2")).mkString(", ")
   }
 
+  /** Per-subspace replay of [[Similarity.pqTopK]]'s sub-codebook fit:
+    * the [[kmeansFitReplayCtes]] shape parameterized by (suffix,
+    * 1-based slice bounds, k). Expects a CTE `nc` of (vec_id, q) — the
+    * full quantized corpus with the query row excluded. Final
+    * assignment lands in a3`sfx`; final codebook in c2`sfx`. */
+  private def pqSubFitCtes(sfx: String, lo: Int, hi: Int, k: Int): String = {
+    val subLen = hi - lo + 1
+    def asg(a: String, c: String) =
+      (s"$a AS (SELECT vec_id, q, cell FROM ("
+        + " SELECT e.vec_id, e.q, c.cell, row_number() OVER (PARTITION BY e.vec_id"
+        + s" ORDER BY CAST(list_dot_product(c.cw, c.cw) AS BIGINT) - 2 * list_dot_product(e.q, c.cw), c.cell) AS rk"
+        + s" FROM n$sfx e CROSS JOIN $c c) WHERE rk = 1)")
+    def upd(s0: String, cl: String, a: String, prev: String) =
+      (s"$s0 AS (SELECT cell, i, count(*) AS nn, sum(q[i])::BIGINT AS s"
+        + s" FROM $a, (SELECT unnest(range(1, ${subLen + 1})) AS i) GROUP BY 1, 2),"
+        + s" ${cl}l AS (SELECT cell, list(floor(s::DOUBLE / nn + 0.5)::BIGINT ORDER BY i) AS cw"
+        + s" FROM $s0 GROUP BY 1),"
+        + s" $cl AS (SELECT p.cell, coalesce(u.cw, p.cw) AS cw"
+        + s" FROM $prev p LEFT JOIN ${cl}l u USING (cell))")
+    val n0 = s"n$sfx AS (SELECT vec_id, q[$lo:$hi] AS q FROM nc)"
+    val c0 = (s"c0$sfx AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS cw"
+      + s" FROM n$sfx ORDER BY vec_id LIMIT $k)")
+    Seq(n0, c0,
+      asg(s"a1$sfx", s"c0$sfx"), upd(s"s1$sfx", s"c1$sfx", s"a1$sfx", s"c0$sfx"),
+      asg(s"a2$sfx", s"c1$sfx"), upd(s"s2$sfx", s"c2$sfx", s"a2$sfx", s"c1$sfx"),
+      asg(s"a3$sfx", s"c2$sfx")).mkString(", ")
+  }
+
   def oracleSql: Map[String, String] = {
     val shingleCte =
       ("WITH s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN"
@@ -1538,6 +1576,32 @@ object LlmQueries {
           + " list_dot_product(a.q, b.q) / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE)) DESC, b.vec_id) AS rank"
           + " FROM n a JOIN n b ON a.vec_id != b.vec_id WHERE a.vec_id < 50)"
           + " WHERE rank <= 5 ORDER BY id, rank"),
+      // PQ replay: the four sub-codebook fits (pqSubFitCtes), the ADC
+      // distance table per subspace (exact BIGINT ||q_i - c||^2), codes
+      // joined to tables, summed, ranked — bit for bit vs pqTopK
+      "q_ann_pq" -> {
+        val m = 4; val sub = 16
+        val subs = (0 until m).map(i =>
+          pqSubFitCtes(s"_$i", i * sub + 1, (i + 1) * sub, 16)).mkString(", ")
+        val dts = (0 until m).map { i =>
+          (s"dt_$i AS (SELECT c.cell, CAST(list_dot_product(qq.q, qq.q) AS BIGINT)"
+            + s" - 2 * CAST(list_dot_product(qq.q, c.cw) AS BIGINT)"
+            + s" + CAST(list_dot_product(c.cw, c.cw) AS BIGINT) AS d"
+            + s" FROM c2_$i c, (SELECT q[${i * sub + 1}:${(i + 1) * sub}] AS q"
+            + " FROM n WHERE vec_id = 0) qq)")
+        }.mkString(", ")
+        val joins = (1 until m).map(i =>
+          s"JOIN a3_$i x$i ON x$i.vec_id = x0.vec_id JOIN dt_$i d$i ON d$i.cell = x$i.cell")
+          .mkString(" ")
+        val score = (0 until m).map(i => s"d$i.d").mkString(" + ")
+        (s"WITH n AS $qn,"
+          + " nc AS (SELECT vec_id, q FROM n WHERE vec_id != 0),"
+          + s" $subs, $dts,"
+          + s" sc AS (SELECT x0.vec_id AS vec_id, $score AS adc"
+          + s" FROM a3_0 x0 JOIN dt_0 d0 ON d0.cell = x0.cell $joins)"
+          + " SELECT vec_id, row_number() OVER (ORDER BY adc, vec_id) AS rank, adc"
+          + " FROM sc ORDER BY adc, vec_id LIMIT 20")
+      },
       // both component rankers replayed (the q_bm25 and q_ann_topk
       // recipes), then the RRF join: 1/(60+rank) contributions, left
       // ranking first, ties by id

@@ -424,10 +424,15 @@ object Similarity {
     * constant per row and drops out of the argmin), ties toward the
     * smaller index. Centroids travel as plan literals (k x dim longs);
     * the scan is one codegen'd pass, no join, no UDF. */
-  private def nearestCellExpr(centroidsQ: Array[Seq[Long]]): Column = {
+  private def nearestCellExpr(centroidsQ: Array[Seq[Long]]): Column =
+    nearestCellExprOn(col("q"), centroidsQ)
+
+  /** [[nearestCellExpr]] over an explicit quantized-vector column —
+    * exact integer argmin (c·c − 2 q·c, ties to the smaller cell). */
+  private def nearestCellExprOn(qc: Column, centroidsQ: Array[Seq[Long]]): Column = {
     val cellScores = array(centroidsQ.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       val cc = c.map(x => x * x).sum
-      struct((lit(cc) - lit(2L) * dotQ(col("q"), typedlit(c))).as("d"), lit(i).as("cell"))
+      struct((lit(cc) - lit(2L) * dotQ(qc, typedlit(c))).as("d"), lit(i).as("cell"))
     }: _*)
     element_at(array_sort(cellScores), 1).getField("cell")
   }
@@ -516,6 +521,76 @@ object Similarity {
     prepared(df, idCol, embCol)
       .withColumn(as, nearestCellExpr(centroids))
       .select(col("id").as(idCol), col(as))
+  }
+
+  /** Product-quantization ANN top-k (Jégou, Douze, Schmid — "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011): the
+    * MEMORY-scale path past IVF. `dim` splits into `m` subspaces; each
+    * trains its own deterministic [[kmeansFit]] sub-codebook (k cells,
+    * smallest-id init); every corpus vector compresses to m small codes
+    * (m bytes at k ≤ 256: a 64-dim float vector becomes 4-8 bytes — a
+    * 10B-vector corpus fits cluster memory as codes when raw vectors
+    * never could); queries never touch corpus vectors again —
+    * Asymmetric Distance Computation scores each row as a sum of m
+    * LITERAL table lookups (per subspace, the exact integer squared
+    * distance from the query subvector to every centroid), a pure
+    * codegen projection over the codes table.
+    *
+    * Determinism contract: fit, encode, distance tables, and the ADC
+    * sum are all exact integer arithmetic on the 1e-6 quantized grid,
+    * ties rank by id — the oracle replays fit + encode + ADC + rank
+    * bit for bit. Approximation lives ONLY in the quantization itself
+    * (scores are distances to centroids, not to vectors) — the
+    * standard PQ trade, recall tunable by m·k.
+    *
+    * Scale shape: m bounded [[kmeansFit]] driver loops (k·sub longs of
+    * state each), ONE encode scan emitting m codes per row, then a
+    * codes-table scan per query. `query` must be a single row (ADC
+    * tables are per query; loop or [[topK]]-broadcast for batches). */
+  def pqTopK(
+      corpus: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      m: Int,
+      k: Int = 16,
+      iters: Int = 2,
+      topK: Int = 10): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m must divide dim (got dim=$dim, m=$m)")
+    require(topK >= 1, s"topK must be >= 1 (got $topK)")
+    GraftFunctions.register(corpus.sparkSession)
+    val sub = dim / m
+    def slices(c: Column, i: Int): Column = slice(c, i * sub + 1, sub)
+    val books = (0 until m).map { i =>
+      kmeansFit(corpus.select(col(idCol), slices(col(embCol), i).as("__sub")),
+        idCol, "__sub", k, iters)
+    }
+    val qRow = query.select(quantize(col(embCol))).collect()
+    require(qRow.length == 1, s"pqTopK expects exactly ONE query row (got ${qRow.length})")
+    val qv = qRow(0).getSeq[Long](0)
+    require(qv.length == dim, s"query dim ${qv.length} != declared dim $dim")
+    // per-subspace ADC tables: exact ||q_i − c||² for every centroid
+    val dts: Seq[Seq[Long]] = (0 until m).map { i =>
+      val qi = qv.slice(i * sub, (i + 1) * sub)
+      val qq = qi.map(x => x * x).sum
+      books(i).toSeq.map { cw =>
+        val cc = cw.map(x => x * x).sum
+        val qc = qi.zip(cw).map { case (a, b) => a * b }.sum
+        qq - 2L * qc + cc
+      }
+    }
+    val codes = corpus.select(
+      col(idCol) +:
+        (0 until m).map(i =>
+          nearestCellExprOn(quantize(slices(col(embCol), i)), books(i)).as(s"__c$i")): _*)
+    val adcScore = (0 until m).map(i =>
+      element_at(typedlit(dts(i)), col(s"__c$i").cast("int") + 1)).reduce(_ + _)
+    val w = Window.orderBy(col("adc"), col(idCol))
+    codes.withColumn("adc", adcScore)
+      .orderBy(col("adc"), col(idCol)).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col(idCol), col("rank"), col("adc"))
   }
 
   /** Within-cell near-duplicate pairs against a fixed coarse quantizer:

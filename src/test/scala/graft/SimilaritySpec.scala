@@ -294,6 +294,37 @@ class SimilaritySpec extends AnyFunSuite {
       threshold = 0.9, k = 2).count() == 0)
   }
 
+  test("pqTopK: codebook-of-the-corpus degenerates to exact NN ranking; subspaces agree") {
+    // with k = n and iters = 0 every vector IS a centroid, its own code
+    // has distance 0, and ADC(row) = ||q - row||^2 exactly — so PQ must
+    // reproduce the exact nearest-neighbor order, ties by id
+    val e = vecs(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)), (4L, Seq(0.5f, 0.5f, 0.0f, 0.0f)),
+      (5L, Seq(1.0f, 0.1f, 0.0f, 0.1f)), (6L, Seq(0.0f, 0.0f, 1.0f, 0.0f)))
+    val q = vecs((0L, Seq(1.0f, 0.1f, 0.0f, 0.0f)))
+    def qz(v: Seq[Float]): Seq[Long] = v.map(x => math.round(x.toDouble * 1e6))
+    val qv = qz(Seq(1.0f, 0.1f, 0.0f, 0.0f))
+    val exact = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)), (4L, Seq(0.5f, 0.5f, 0.0f, 0.0f)),
+      (5L, Seq(1.0f, 0.1f, 0.0f, 0.1f)), (6L, Seq(0.0f, 0.0f, 1.0f, 0.0f)))
+      .map { case (id, v) =>
+        val d = qz(v).zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        (id, d)
+      }.sortBy { case (id, d) => (d, id) }
+    val got = Similarity.pqTopK(e, q, "vec_id", "embedding",
+        dim = 4, m = 1, k = 6, iters = 0, topK = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == exact, s"degenerate PQ must equal exact NN: $got vs $exact")
+    // m=2 with k >= distinct subvectors is equally lossless — pins the
+    // subspace slicing/encoding plumbing against the m=1 result
+    val got2 = Similarity.pqTopK(e, q, "vec_id", "embedding",
+        dim = 4, m = 2, k = 6, iters = 0, topK = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got2 == exact, s"lossless m=2 PQ must equal exact NN: $got2")
+  }
+
   test("mmrSelect: diversity beats raw relevance order; ties and bounds honored") {
     // 1 and 2 nearly parallel (redundant), 3 orthogonal with lower rel,
     // 4 close to 1: relevance order is 1,2,4,3 but MMR must interleave
