@@ -547,6 +547,26 @@ object Similarity {
     * state each), ONE encode scan emitting m codes per row, then a
     * codes-table scan per query. `query` must be a single row (ADC
     * tables are per query; loop or [[topK]]-broadcast for batches). */
+  /** The m sub-codebooks of [[pqTopK]]'s quantizer, exposed separately
+    * so they can be fitted ONCE and persisted beside the corpus (the
+    * [[ivfTrain]]/[[kmeansFit]] index-at-rest convention) — repeated
+    * queries then pay only the codes scan, never the fits. */
+  def pqFit(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      m: Int,
+      k: Int = 16,
+      iters: Int = 2): Seq[Array[Seq[Long]]] = {
+    require(m >= 1 && dim % m == 0, s"m must divide dim (got dim=$dim, m=$m)")
+    val sub = dim / m
+    (0 until m).map { i =>
+      kmeansFit(corpus.select(col(idCol), slice(col(embCol), i * sub + 1, sub).as("__sub")),
+        idCol, "__sub", k, iters)
+    }
+  }
+
   def pqTopK(
       corpus: DataFrame,
       query: DataFrame,
@@ -556,16 +576,16 @@ object Similarity {
       m: Int,
       k: Int = 16,
       iters: Int = 2,
-      topK: Int = 10): DataFrame = {
+      topK: Int = 10,
+      codebooks: Option[Seq[Array[Seq[Long]]]] = None): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m must divide dim (got dim=$dim, m=$m)")
     require(topK >= 1, s"topK must be >= 1 (got $topK)")
     GraftFunctions.register(corpus.sparkSession)
     val sub = dim / m
     def slices(c: Column, i: Int): Column = slice(c, i * sub + 1, sub)
-    val books = (0 until m).map { i =>
-      kmeansFit(corpus.select(col(idCol), slices(col(embCol), i).as("__sub")),
-        idCol, "__sub", k, iters)
-    }
+    val books = codebooks.getOrElse(pqFit(corpus, idCol, embCol, dim, m, k, iters))
+    require(books.length == m && books.forall(_.forall(_.length == sub)),
+      s"codebooks must be $m books of $sub-dim centroids")
     val qRow = query.select(quantize(col(embCol))).collect()
     require(qRow.length == 1, s"pqTopK expects exactly ONE query row (got ${qRow.length})")
     val qv = qRow(0).getSeq[Long](0)
