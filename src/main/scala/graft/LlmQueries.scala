@@ -569,6 +569,15 @@ object LlmQueries {
         T(s, d, "documents").where(col("text").isNotNull),
         TextAnalysis.qualityScore(col("text")),
         col("lang") === lit("en"))),
+    // grouped AUC: the same exact Mann-Whitney statistic per SOURCE —
+    // the per-domain classifier-evaluation gate; the distinct-score
+    // window partitions by source so the sort parallelizes across groups
+    "q_auc_by" -> ((s, d) =>
+      FeatureScaling.aucScoreBy(
+        T(s, d, "documents").where(col("text").isNotNull),
+        TextAnalysis.qualityScore(col("text")),
+        col("lang") === lit("en"),
+        Seq("source"))),
     "q_fingerprint" -> ((s, d) =>
       { graft.expressions.GraftFunctions.register(s); T(s, d, "documents") }
         .withColumn("fp", TextAnalysis.fingerprintFast(col("text")))
@@ -1757,6 +1766,20 @@ object LlmQueries {
           + " CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN"
           + " sum(np * (2 * cum + nn))::DOUBLE / (sum(np)::DOUBLE * sum(nn)::DOUBLE * 2.0)"
           + " END AS auc FROM c"),
+      // the q_auc replay with a source dimension threaded through every
+      // stage and the cumulative window partitioned per group
+      "q_auc_by" ->
+        (s"WITH b AS (SELECT source, $scoreExpr AS s, (lang = 'en') AS y FROM"
+          + " (SELECT source, text, lang, string_split(text, ' ') w FROM documents"
+          + " WHERE text IS NOT NULL) WHERE lang IS NOT NULL),"
+          + " g AS (SELECT source, s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS np,"
+          + " sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS nn FROM b GROUP BY source, s),"
+          + " c AS (SELECT source, s, np, nn, coalesce(sum(nn) OVER (PARTITION BY source"
+          + " ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM g)"
+          + " SELECT source, sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,"
+          + " CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN"
+          + " sum(np * (2 * cum + nn))::DOUBLE / (sum(np)::DOUBLE * sum(nn)::DOUBLE * 2.0)"
+          + " END AS auc FROM c GROUP BY source ORDER BY source"),
       "q_fingerprint" ->
         ("SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct_fp, min(fp) AS min_fp FROM ("
           + " SELECT source, " + TextAnalysis.fingerprintSql("text") + " AS fp FROM documents)"

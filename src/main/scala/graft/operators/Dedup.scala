@@ -119,8 +119,12 @@ object Dedup {
     * table every day (a corpus-sized shuffle even when the batch is
     * tiny); here the corpus fingerprints fold into a Bloom filter
     * (~11.6 BITS per doc at Spark's default 3% fpp vs 16 bytes for the
-    * fingerprint pair — at 10B corpus docs: ~14 GB of sketch vs 160 GB
-    * of shuffle keys), the batch probes it per-row with the codegen'd
+    * fingerprint pair — an order of magnitude less state than the
+    * shuffle keys it replaces, though still a single resident blob:
+    * size it like a broadcast, mind BloomFilterAggregate's
+    * spark.sql.optimizer.runtime.bloomFilter.maxNumBits clamp, and
+    * shard the corpus into per-shard sketches past that budget), the
+    * batch probes it per-row with the codegen'd
     * [[graft.expressions.GraftFunctions.BloomContains]], and only
     * bloom-POSITIVE rows (true duplicates + the fpp sliver) enter the
     * exact anti-join that kills every false positive. Bloom NEGATIVES
@@ -141,41 +145,67 @@ object Dedup {
       corpus: DataFrame,
       batch: DataFrame,
       idCol: String,
-      contentCol: String): DataFrame = {
+      contentCol: String): DataFrame =
+    dedupIncrementalBloomManaged(corpus, batch, idCol, contentCol)._1
+
+  /** [[dedupIncrementalBloom]] plus the release handle for the persisted
+    * corpus-fingerprint table — the `*Managed` cache-lifecycle contract
+    * (ADVICE r8): a long-lived daily-loop session calls the Managed form
+    * and releases after the day's survivors are materialized. */
+  def dedupIncrementalBloomManaged(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      contentCol: String): (DataFrame, () => Unit) = {
     graft.expressions.GraftFunctions.register(batch.sparkSession)
     val (h1, h2) = contentKey(col(contentCol))
     val seen = corpus.where(col(contentCol).isNotNull)
       .select(h1.as("__h1"), h2.as("__h2")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val release = () => { seen.unpersist(false); () }
     // exact count sizes the filter — no caller estimate to get wrong
-    // (the contaminatedDocsBloom sizing rule)
+    // (the contaminatedDocsBloom sizing rule); also warms `seen`
     val nCorpus = seen.count()
-    val bloomBytes =
-      if (nCorpus == 0) null
-      else seen.agg(call_function(graft.expressions.GraftFunctions.BloomAgg,
-          col("__h1"), lit(nCorpus)).as("bf"))
-        .head().getAs[Array[Byte]](0)
     val keyed = batch.where(col(contentCol).isNotNull)
       .withColumn("__h1", h1).withColumn("__h2", h2)
-    val mightBeSeen: Column =
-      if (bloomBytes == null) lit(false)
-      else call_function(graft.expressions.GraftFunctions.BloomContains,
-        lit(bloomBytes), col("__h1"))
-    // positives verify exactly (anti-join eats the fpp sliver);
-    // negatives are fresh by the no-false-negative guarantee
-    val fresh = keyed.where(!mightBeSeen)
-      .unionByName(keyed.where(mightBeSeen).join(seen, Seq("__h1", "__h2"), "left_anti"))
-    val winners = fresh
+    // The sketch rides a SCALAR SUBQUERY — the exact mechanism Spark's
+    // own runtime row-level bloom pruning injects (InjectRuntimeFilter
+    // builds the same bloom_filter_agg-under-ScalarSubquery shape, and
+    // might_contain REQUIRES constant-or-subquery input): the sketch is
+    // built lazily inside the plan, never head()-collected into a
+    // lit() at plan-construction time (ADVICE r8). Catalyst dedups the
+    // identical subquery across the two probe branches (ReusedSubquery).
+    // Size bound: BloomFilterAggregate clamps to spark.sql.optimizer
+    // .runtime.bloomFilter.maxNumBits (default 8M bits = 1 MB) — raise
+    // it (engine cap 300 GB... practically executor-memory-bounded) for
+    // bigger corpora, or shard the corpus and union per-shard probes;
+    // the sketch is driver/executor-resident state either way, so size
+    // it like any broadcast.
+    val fresh =
+      if (nCorpus == 0) keyed // empty corpus: everything is fresh
+      else {
+        val sketch = seen.agg(call_function(
+          graft.expressions.GraftFunctions.BloomAgg,
+          col("__h1"), lit(nCorpus)).as("__bf")).scalar()
+        val mightBeSeen = call_function(
+          graft.expressions.GraftFunctions.BloomContains,
+          sketch, col("__h1"))
+        // positives verify exactly (anti-join eats the fpp sliver);
+        // negatives are fresh by the no-false-negative guarantee
+        keyed.where(!mightBeSeen)
+          .unionByName(keyed.where(mightBeSeen)
+            .join(seen, Seq("__h1", "__h2"), "left_anti"))
+      }
+    // keep-first as ONE min_by-struct aggregation (the segmentDedup
+    // winner pattern) rather than a winners join-back: the probed frame
+    // is consumed exactly once, so the subquery-backed bloom filter
+    // isn't replicated across self-join branches by pushdown
+    (fresh
       .groupBy(col("__h1"), col("__h2"))
-      .agg(min(col(idCol)).as("__wid"))
-      .select(col("__h1").as("__w1"), col("__h2").as("__w2"), col("__wid"))
-    // seen stays persisted for the verify anti-join's evaluation (it
-    // already fed the eager sketch build); release via the session's
-    // cache lifecycle like the other non-Managed persisting operators
-    fresh.join(winners,
-        col("__h1") === col("__w1") && col("__h2") === col("__w2")
-          && col(idCol) === col("__wid"))
-      .select(batch.columns.toIndexedSeq.map(fresh(_)): _*)
+      .agg(min_by(
+        struct(batch.columns.toIndexedSeq.map(c => fresh(c)): _*),
+        col(idCol)).as("__w"))
+      .select(col("__w.*")), release)
   }
 
   /** Persistable MinHash-LSH index of a corpus — the state that makes
@@ -1079,7 +1109,16 @@ object Dedup {
     val labels = edges.select(col("hi").as("id"), col("lo").as("__lbl"))
       .unionByName(edges.select(col("lo").as("id"), col("lo").as("__lbl")))
       .groupBy(col("id")).agg(min(col("__lbl")).as("cluster_id"))
-    (labels, rounds, converged)
+    // ids present ONLY as self-pairs are singleton components: label
+    // them with themselves so the output contract truly equals
+    // dupClustersConverged's (which reaches the same rows via injected
+    // self-loops; ADVICE r8). The anti-join is bounded by the
+    // self-pair id count — empty for nearDupPairs-shaped inputs.
+    val selfOnly = pairs.where(col(idA) === col(idB))
+      .select(col(idA).as("id")).distinct()
+      .join(labels, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    (labels.unionByName(selfOnly), rounds, converged)
   }
 
   /** Cluster-level keep-first near-dup dedup: [[nearDupDedup]]'s

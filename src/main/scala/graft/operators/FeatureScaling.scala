@@ -448,28 +448,101 @@ object FeatureScaling {
     * Scale shape: ONE hash aggregation collapses the corpus to
     * (distinct score, nPos, nNeg), then ONE value-ordered window runs
     * over DISTINCT scores only (the [[Quantiles]] spilling-window
-    * convention — bounded by score cardinality, never row count; a
-    * quantized/integer score keeps it trivially small). The U statistic
-    * accumulates in decimal(38,0) (exact to 10^38 — n² safe to ~10^19
-    * rows) and finalizes to double ONCE, so the oracle replays it bit
-    * for bit. Output: one row (n_pos, n_neg, auc). */
-  def aucScore(df: DataFrame, score: Column, label: Column): DataFrame = {
+    * convention — bounded by score cardinality, never row count). That
+    * window is GLOBAL (single-task) in the ungrouped form, so distinct
+    * cardinality is a contract, not a hope: `maxDistinctScores`
+    * fail-fasts (one cheap distinct-count aggregation, the qcutByEdges
+    * maxGroups convention) before the sort can become a one-task
+    * bottleneck — on a raw continuous double score either quantize
+    * first (`round(score, 6)` — the lnQ grid keeps AUC exact for any
+    * score whose meaningful precision fits it) or raise the bound
+    * deliberately. Per-score-tie counts multiply as decimal(38,0)
+    * (each factor cast BEFORE the product, so no intermediate Long
+    * overflow) and the U statistic sums in decimal(38,0) — exact while
+    * 2·nPos·nNeg < 10^38, i.e. to ~7·10^18 rows per class — finalized
+    * to double ONCE, so the oracle replays it bit for bit. Output: one
+    * row (n_pos, n_neg, auc). */
+  def aucScore(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      maxDistinctScores: Long = 1L << 22): DataFrame = {
     val base = df.where(score.isNotNull && label.isNotNull)
       .select(score.as("__s"), label.cast("boolean").as("__y"))
-    val g = base.groupBy(col("__s"))
+    if (maxDistinctScores > 0) {
+      val nd = base.agg(count_distinct(col("__s"))).head().getLong(0)
+      require(nd <= maxDistinctScores,
+        s"aucScore's distinct-score window is global: $nd distinct scores >" +
+          s" maxDistinctScores=$maxDistinctScores — quantize the score" +
+          " (round(score, 6)) or raise the bound deliberately")
+    }
+    aucAgg(grouped(base, Nil), Nil)
+  }
+
+  /** Grouped AUC — [[aucScore]] per key (per-source / per-domain /
+    * per-language classifier evaluation, the [[graft.operators
+    * .TextAnalysis]] heavyHittersBy twin): one row (by..., n_pos,
+    * n_neg, auc) per group, same exact-decimal Mann-Whitney statistic.
+    * The distinct-score window partitions by the group keys, so the
+    * sort parallelizes across groups and `maxDistinctScores` bounds the
+    * per-GROUP distinct cardinality (checked as the max over groups in
+    * the same fail-fast pre-aggregation). Groups with NULL keys
+    * aggregate as their own group (SQL GROUP BY semantics). */
+  def aucScoreBy(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      by: Seq[String],
+      maxDistinctScores: Long = 1L << 22): DataFrame = {
+    require(by.nonEmpty, "aucScoreBy needs >= 1 group column (use aucScore)")
+    val base = df.where(score.isNotNull && label.isNotNull)
+      .select(by.map(col) :+ score.as("__s") :+ label.cast("boolean").as("__y"): _*)
+    if (maxDistinctScores > 0) {
+      val nd = base.groupBy(by.map(col): _*)
+        .agg(count_distinct(col("__s")).as("__nd"))
+        .agg(max(col("__nd"))).head()
+      val worst = if (nd.isNullAt(0)) 0L else nd.getLong(0)
+      require(worst <= maxDistinctScores,
+        s"aucScoreBy's per-group window sorts per-group distinct scores:" +
+          s" worst group has $worst distinct scores >" +
+          s" maxDistinctScores=$maxDistinctScores — quantize the score" +
+          " (round(score, 6)) or raise the bound deliberately")
+    }
+    aucAgg(grouped(base, by), by).orderBy(by.map(col): _*)
+  }
+
+  /** (by..., __s) → (by..., __s, __np, __nn, __cum): the shared
+    * distinct-score collapse + cumulative-negatives window behind both
+    * AUC forms. */
+  private def grouped(base: DataFrame, by: Seq[String]): DataFrame = {
+    val keys = by.map(col) :+ col("__s")
+    val g = base.groupBy(keys: _*)
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__np"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("__nn"))
-    val w = Window.orderBy(col("__s"))
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     g.withColumn("__cum", coalesce(sum(col("__nn")).over(w), lit(0L)))
-      .agg(
-        sum(col("__np")).as("n_pos"),
-        sum(col("__nn")).as("n_neg"),
-        sum((col("__np") * (col("__cum") * 2 + col("__nn"))).cast(DecimalType(38, 0))).as("__u2"))
-      .select(col("n_pos"), col("n_neg"),
-        when(col("n_pos") > 0 && col("n_neg") > 0,
-          col("__u2").cast("double") /
-            (col("n_pos").cast("double") * col("n_neg").cast("double") * lit(2.0)))
-          .as("auc"))
+  }
+
+  private def aucAgg(cum: DataFrame, by: Seq[String]): DataFrame = {
+    // every factor is decimal BEFORE the multiply: a Long product
+    // np*(2*cum+nn) would silently wrap past ~3e9 rows per class
+    // (non-ANSI), while the decimal product is exact to 10^38
+    val u = col("__np").cast(DecimalType(38, 0)) *
+      (col("__cum").cast(DecimalType(38, 0)) * lit(2) +
+        col("__nn").cast(DecimalType(38, 0)))
+    val aggd =
+      if (by.isEmpty)
+        cum.agg(sum(col("__np")).as("n_pos"), sum(col("__nn")).as("n_neg"),
+          sum(u).as("__u2"))
+      else
+        cum.groupBy(by.map(col): _*)
+          .agg(sum(col("__np")).as("n_pos"), sum(col("__nn")).as("n_neg"),
+            sum(u).as("__u2"))
+    aggd.select(by.map(col) ++ Seq(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        col("__u2").cast("double") /
+          (col("n_pos").cast("double") * col("n_neg").cast("double") * lit(2.0)))
+        .as("auc")): _*)
   }
 }

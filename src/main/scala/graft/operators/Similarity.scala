@@ -184,11 +184,15 @@ object Similarity {
       maxCandidates: Int = 1024): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val spark = candidates.sparkSession
+    // limit BEFORE collect: the guard must fire from maxCandidates+1
+    // fetched rows, not after an unbounded candidate set already landed
+    // on the driver (ADVICE r8)
     val cand = candidates
       .select(col(idCol).cast("long").as("id"), col(relCol).cast("double").as("rel"))
+      .limit(maxCandidates + 1)
       .collect().map(r => r.getLong(0) -> r.getDouble(1))
     require(cand.length <= maxCandidates,
-      s"mmrSelect candidates must be k-bounded (got ${cand.length} > $maxCandidates)" +
+      s"mmrSelect candidates must be k-bounded (got > $maxCandidates)" +
         " — retrieve a top-k first")
     val ids = cand.map(_._1).toSet
     val p = prepared(

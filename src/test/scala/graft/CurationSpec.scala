@@ -1001,4 +1001,50 @@ class CurationSpec extends AnyFunSuite {
       col("s"), col("y")).head()
     assert(perfect.getDouble(2) == 1.0)
   }
+
+  test("aucScore distinct-score guard trips on a raw high-cardinality score; quantized passes") {
+    import spark.implicits._
+    // 5000 distinct raw doubles: a continuous score with no quantization
+    val raw = (0 until 5000).map(i => (i * 0.000137 + 1.0 / (i + 3), i % 2 == 0))
+      .toDF("s", "y")
+    val ex = intercept[IllegalArgumentException] {
+      FeatureScaling.aucScore(raw, col("s"), col("y"), maxDistinctScores = 1000)
+    }
+    assert(ex.getMessage.contains("distinct scores"), ex.getMessage)
+    // quantizing to 2 decimals collapses cardinality under the bound
+    assert(!FeatureScaling.aucScore(raw, round(col("s"), 2), col("y"),
+      maxDistinctScores = 1000).head().isNullAt(2))
+    // maxDistinctScores = 0 disables the guard (documented escape hatch)
+    assert(!FeatureScaling.aucScore(raw, col("s"), col("y"),
+      maxDistinctScores = 0).head().isNullAt(2))
+  }
+
+  test("aucScoreBy equals per-group aucScore; per-group guard uses the worst group") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1.0, true), ("a", 1.0, false), ("a", 2.0, true), ("a", 3.0, false),
+      ("a", 2.0, false), ("b", 5.0, true), ("b", 4.0, false), ("b", 5.0, false),
+      ("b", 6.0, true), ("c", 1.0, true), ("c", 2.0, true)) // c: one class
+    val df = rows.toDF("src", "s", "y")
+    val by = FeatureScaling.aucScoreBy(df, col("s"), col("y"), Seq("src"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    for (g <- Seq("a", "b", "c")) {
+      val solo = FeatureScaling.aucScore(
+        df.where(col("src") === g), col("s"), col("y")).head()
+      val want = (solo.getLong(0), solo.getLong(1),
+        if (solo.isNullAt(2)) None else Some(solo.getDouble(2)))
+      assert(by(g) == want, s"group $g: ${by(g)} != $want")
+    }
+    // the guard keys off the WORST group's distinct count
+    val skew = ((0 until 50).map(i => ("hot", i * 1.0 + 0.5, i % 2 == 0))
+      :+ (("cold", 1.0, true))).toDF("src", "s", "y")
+    intercept[IllegalArgumentException] {
+      FeatureScaling.aucScoreBy(skew, col("s"), col("y"), Seq("src"),
+        maxDistinctScores = 10)
+    }
+    assert(FeatureScaling.aucScoreBy(skew, col("s"), col("y"), Seq("src"),
+      maxDistinctScores = 50).count() == 2)
+  }
 }

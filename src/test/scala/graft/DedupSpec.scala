@@ -478,11 +478,22 @@ class DedupSpec extends AnyFunSuite {
       assert(sm == pm,
         s"star vs propagation disagree on graph(seed=$seed, edges=$nEdges)")
     }
-    // self-loop-only input: no cross-id edge -> every node a singleton,
-    // zero rounds, immediately converged
-    val (empty, r0, c0) = Dedup.ccStarContraction(
+    // self-loop-only input: no cross-id edge -> every node a singleton
+    // labeled with itself (the dupClustersConverged contract — its
+    // injected self-loops produce the same rows), zero rounds,
+    // immediately converged
+    val (selfOnly, r0, c0) = Dedup.ccStarContraction(
       Seq((1L, 1L), (2L, 2L)).toDF("id_a", "id_b"), maxIters = 3)
-    assert(c0 && r0 == 0 && empty.count() == 0)
+    assert(c0 && r0 == 0)
+    assert(selfOnly.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(1L -> 1L, 2L -> 2L))
+    // mixed: a self-pair id that ALSO has a real edge keeps its edge
+    // label; a self-pair-only id labels itself
+    val (mixed, _, cm) = Dedup.ccStarContraction(
+      Seq((5L, 5L), (5L, 3L), (9L, 9L)).toDF("id_a", "id_b"), maxIters = 5)
+    assert(cm)
+    assert(mixed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(3L -> 3L, 5L -> 3L, 9L -> 9L))
   }
 
   test("appendToIndex: rolled-forward index probes identically to a from-scratch build on the union") {
@@ -540,6 +551,24 @@ class DedupSpec extends AnyFunSuite {
     val b2 = big.where(col("doc_id") % 3 =!= 0)
     assert(ids(Dedup.dedupIncrementalBloom(c2, b2, "doc_id", "text"))
       == ids(Dedup.dedupIncremental(c2, b2, "doc_id", "text")))
+  }
+
+  test("dedupIncrementalBloomManaged: release frees the cache; sketch ships broadcast, not as a literal") {
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val corpus = (0L until 50L).map(i => (i, s"corpus doc $i")).toDF("doc_id", "text")
+    val batch = Seq((100L, "corpus doc 7"), (101L, "fresh")).toDF("doc_id", "text")
+    val (out, release) = Dedup.dedupIncrementalBloomManaged(corpus, batch, "doc_id", "text")
+    assert(out.collect().map(_.getLong(0)).toSet == Set(101L))
+    assert(!cm.isEmpty, "corpus fingerprints should be persisted during the probe")
+    // the sketch bytes must ride a scalar subquery (the InjectRuntimeFilter
+    // shape, built lazily in-plan) — never a plan literal head()-collected
+    // at plan-construction time
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("Subquery"),
+      s"expected the Bloom sketch behind a scalar subquery:\n$p")
+    release()
+    assert(cm.isEmpty, "release() must unpersist the fingerprint table")
   }
 
   test("clusterSizeHistogram folds labels to (size, n_clusters, n_docs)") {

@@ -39,11 +39,58 @@ class PlanGoldenSpec extends AnyFunSuite {
     def tsv: String = s"$shuffles\t$sorts\t$broadcasts\t$products"
   }
 
-  private def shapeOf(p: String): Shape = Shape(
-    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r.findAllIn(p).length,
-    """(?m)^\s*(\+-|:-)?\s*\*?\(?\d*\)?\s*Sort\s\[""".r.findAllIn(p).length,
-    "BroadcastExchange".r.findAllIn(p).length,
-    "(CartesianProduct|BroadcastNestedLoopJoin)".r.findAllIn(p).length)
+  // Counts by TREE TRAVERSAL, not plan-string regex (r9): toString
+  // reprints an InMemoryRelation's cached plan at every reference and
+  // echoes both the Final and Initial plan of executed AQE subtrees, so
+  // string counts inflate with print artifacts (q_dedup_incr_bloom
+  // "gained" 30 phantom exchanges when its sketch moved behind a scalar
+  // subquery). Here each operator counts ONCE: cached plans dedup by
+  // relation identity, subquery plans are walked (they hold real
+  // exchanges, e.g. the Bloom sketch aggregate), Reused* nodes don't
+  // recurse, and an AdaptiveSparkPlanExec contributes its CURRENT plan
+  // only.
+  private def flatOps(
+      p: org.apache.spark.sql.execution.SparkPlan,
+      seenCached: scala.collection.mutable.Set[Any])
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution._
+    val extra: Seq[SparkPlan] = p match {
+      case a: adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: adaptive.QueryStageExec => Seq(q.plan)
+      case _: exchange.ReusedExchangeExec => Nil
+      case _: ReusedSubqueryExec => Nil
+      case i: columnar.InMemoryTableScanExec =>
+        // each scan gets a fresh InMemoryRelation instance; the shared
+        // CachedRDDBuilder is the identity of the cache entry
+        val key = i.relation.cacheBuilder
+        if (!seenCached.add(key)) Nil else Seq(i.relation.cachedPlan)
+      case _ => Nil
+    }
+    // identical subqueries replicated by pushdown (e.g. a bloom-sketch
+    // scalar subquery inferred onto both sides of a join) share one
+    // runtime shuffle stage via the AQE stage cache — count the
+    // canonical plan once, like ReusedSubqueryExec would
+    val subqueries = p.expressions.flatMap(_.collect {
+      case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+        pe.plan
+    }).collect { case sp: SparkPlan => sp }
+      .filter { sp =>
+        seenCached.add(sp.canonicalized)
+      }
+    p +: (p.children ++ extra ++ subqueries).flatMap(flatOps(_, seenCached))
+  }
+
+  private def shapeOf(df: org.apache.spark.sql.DataFrame): Shape = {
+    import org.apache.spark.sql.execution._
+    val ops = flatOps(df.queryExecution.executedPlan,
+      scala.collection.mutable.Set.empty[Any])
+    Shape(
+      ops.count(_.isInstanceOf[exchange.ShuffleExchangeLike]),
+      ops.count(_.isInstanceOf[SortExec]),
+      ops.count(_.isInstanceOf[exchange.BroadcastExchangeLike]),
+      ops.count(o => o.isInstanceOf[joins.CartesianProductExec]
+        || o.isInstanceOf[joins.BroadcastNestedLoopJoinExec]))
+  }
 
   test("every query's plan shape matches the golden file (shuffles/sorts/broadcasts/products)") {
     val spark = TestSpark.spark
@@ -51,7 +98,7 @@ class PlanGoldenSpec extends AnyFunSuite {
     val actual = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, q) =>
       spark.sharedState.cacheManager.clearCache()
       val df = q(spark, dir)
-      name -> shapeOf(df.queryExecution.executedPlan.toString)
+      name -> shapeOf(df)
     }
     spark.sharedState.cacheManager.clearCache()
     val lines = actual.map { case (n, s) => s"$n\t${s.tsv}" }
