@@ -617,6 +617,144 @@ object Similarity {
       .select(col(idCol), col("rank"), col("adc"))
   }
 
+  /** The IVFADC index table (Jégou et al., TPAMI'11 §IV — the FAISS
+    * IVF+PQ composition): every corpus vector hard-assigned its coarse
+    * IVF cell ([[nearestCellExprOn]] against `centroids`) and compressed
+    * to `m` PQ codes (one [[pqFit]] sub-codebook argmin per subspace).
+    * ONE codegen scan, no joins, no shuffle: (idCol, cell, codes) where
+    * `codes` is array<int> of length m.
+    *
+    * This is PERSISTED INDEX STATE — the [[graft.operators.Dedup
+    * .NearDupIndex]] convention: encode once, write beside the corpus
+    * (partition by `cell` so probes co-locate), and feed it to
+    * [[ivfPqTopK]] via `codes` for every subsequent query batch. Both
+    * quantizers are REQUIRED inputs (fit once with [[ivfTrain]] /
+    * [[kmeansFit]] and [[pqFit]], persist, reuse) so a query path can
+    * never silently re-fit. */
+  def ivfPqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      m: Int,
+      centroids: Array[Seq[Long]],
+      codebooks: Seq[Array[Seq[Long]]]): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m must divide dim (got dim=$dim, m=$m)")
+    require(centroids.nonEmpty, "ivfPqEncode needs >= 1 coarse centroid")
+    val sub = dim / m
+    require(codebooks.length == m && codebooks.forall(_.forall(_.length == sub)),
+      s"codebooks must be $m books of $sub-dim centroids")
+    GraftFunctions.register(corpus.sparkSession)
+    prepared(corpus, idCol, embCol)
+      .select(col("id").as(idCol),
+        nearestCellExprOn(col("q"), centroids).as("cell"),
+        array((0 until m).map(i =>
+          nearestCellExprOn(slice(col("q"), i * sub + 1, sub), codebooks(i))
+            .cast("int")): _*).as("codes"))
+  }
+
+  /** BATCH-QUERY IVFADC top-k (VERDICT r8 #1): a query SET scores
+    * against nprobe-bounded candidate lists — the retrieval/eval
+    * pipeline shape ([[pqTopK]] is the single-query exhaustive-scan
+    * form; this removes both its one-query `require` and its
+    * full-corpus codes scan per query).
+    *
+    * Plan shape, in order:
+    *   - corpus → [[ivfPqEncode]] codes table (or pass a PERSISTED one
+    *     via `codes` — the index-at-rest path; the corpus is then never
+    *     read at all);
+    *   - queries → ONE projection computing, per query row: its
+    *     `nprobe` nearest coarse cells AND its m per-subspace ADC
+    *     distance tables (array<long> of k exact integer ||q_i − c||²
+    *     entries — the Jégou asymmetric-distance tables, built by a
+    *     zip_with over the codebook literal);
+    *   - candidates = codes ⋈ exploded query cells on `cell` — a
+    *     bucketed equality join (query side broadcast by default; a
+    *     corpus row sits in exactly ONE cell, so each (query, corpus)
+    *     pair appears at most once — no dedup pass);
+    *   - scoring = m array lookups per candidate (element_at into the
+    *     query row's ADC tables — pure codegen, the corpus vectors are
+    *     never touched);
+    *   - top-k per query via the k-bounded [[graft.expressions
+    *     .TopKByScore]] heap aggregation (map-side combine ships ≤ k
+    *     rows per query per partition — no window sort of the
+    *     candidate set).
+    *
+    * Cost per query: nprobe · (n/cells) candidate rows — vs n for
+    * [[pqTopK]] — and the whole batch shares one candidate join.
+    * Determinism: all-integer ADC on the 1e-6 grid, ranks by
+    * (adc ASC, id ASC); the q_ann_ivfpq oracle replays fit + both
+    * assignments + tables + lookups + rank bit for bit. The adc→double
+    * heap score stays exact while adc < 2^53, i.e. while
+    * dim · (2 · Quant · maxAbs)² < 9e15 — 64-dim unit-scale embeddings
+    * sit ~2.6e14, 30× under the edge; re-scale before quantizing if
+    * your embedding values run past ~5.
+    *
+    * Recall: tunable by `nprobe` (monotone — a superset of probed
+    * cells can only add better candidates; pinned in SimilaritySpec)
+    * and by the PQ resolution m·k, exactly the FAISS trade. Queries
+    * whose probed cells hold no corpus rows are absent from the
+    * output; ranks are dense per query. Output: (qid, rank, idCol,
+    * adc). */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      m: Int,
+      centroids: Array[Seq[Long]],
+      codebooks: Seq[Array[Seq[Long]]],
+      nprobe: Int = 2,
+      topK: Int = 10,
+      codes: Option[DataFrame] = None,
+      broadcastQueries: Boolean = true): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m must divide dim (got dim=$dim, m=$m)")
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    require(topK >= 1, s"topK must be >= 1 (got $topK)")
+    require(centroids.nonEmpty, "ivfPqTopK needs >= 1 coarse centroid")
+    val sub = dim / m
+    require(codebooks.length == m && codebooks.forall(_.forall(_.length == sub)),
+      s"codebooks must be $m books of $sub-dim centroids")
+    GraftFunctions.register(corpus.sparkSession)
+    val codesTbl = codes.getOrElse(
+      ivfPqEncode(corpus, idCol, embCol, dim, m, centroids, codebooks))
+    // nprobe nearest coarse cells by the exact integer rank (c·c − 2q·c,
+    // ties to the smaller cell) — the nearestCellExpr order, kept as a
+    // sorted slice instead of rank 1
+    val cellScores = array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x * x).sum
+      struct((lit(cc) - lit(2L) * dotQ(col("q"), typedlit(c))).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    // per-subspace ADC tables: dt_i[c] = ||q_i − book_i[c]||² exactly,
+    // built ONCE per query row (k integer dots of length `sub` per
+    // subspace), so candidate scoring is pure lookups
+    val dts = (0 until m).map { i =>
+      val qi = slice(col("q"), i * sub + 1, sub)
+      val bookLit = typedlit(codebooks(i).toSeq.map(_.toSeq))
+      val ccLit = typedlit(codebooks(i).toSeq.map(_.map(x => x * x).sum))
+      zip_with(bookLit, ccLit,
+        (cw, cc) => dotQ(qi, qi) - lit(2L) * dotQ(qi, cw) + cc).as(s"__dt$i")
+    }
+    val qexp0 = prepared(queries, idCol, embCol)
+      .select(col("id").as("qid") +:
+        explode(slice(array_sort(cellScores), 1, nprobe).getField("cell"))
+          .as("cell") +: dts: _*)
+    val qexp = if (broadcastQueries) broadcast(qexp0) else qexp0
+    val adc = (0 until m).map(i =>
+      element_at(col(s"__dt$i"), element_at(col("codes"), i + 1) + 1))
+      .reduce(_ + _)
+    codesTbl.join(qexp, "cell")
+      .select(col("qid"), col(idCol), adc.as("__adc"))
+      .groupBy(col("qid"))
+      .agg(call_function(GraftFunctions.TopK,
+        -col("__adc").cast("double"), col(idCol).cast("long"), lit(topK)).as("__top"))
+      .select(col("qid"), posexplode(col("__top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), (-col("col.score")).cast("long").as("adc"))
+  }
+
   /** Within-cell near-duplicate pairs against a fixed coarse quantizer:
     * every vector is hard-assigned its nearest centroid
     * ([[nearestCellExpr]] — the [[kmeansAssign]] argmin), and candidate
