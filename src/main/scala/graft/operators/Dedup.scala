@@ -287,6 +287,49 @@ object Dedup {
       index.n, index.bands, index.rows)
   }
 
+  /** Delete documents from a [[NearDupIndex]] — the maintenance half of
+    * the daily loop (VERDICT r8 #3: takedowns, GDPR erasure, licensing
+    * pull-backs). Drops every bucket and shingle row of the given ids
+    * with two anti-joins; because the index is strictly per-row state
+    * (signatures and banding are content-keyed, no cross-document
+    * aggregates), removal is EXACT: the result is row-identical to an
+    * index that never contained those documents, so
+    * removed-then-probed ≡ never-present (pinned in DedupSpec). Ids
+    * absent from the index are a no-op.
+    *
+    * The returned frames carry the anti-join lazily — cheap to probe a
+    * few times, but a long chain of daily deletions accumulates
+    * lineage and keeps dead rows on disk. Fold it flat with
+    * [[compactIndex]] at whatever cadence the storage budget sets.
+    * `removeIds` is typically a small takedown list — Catalyst/AQE
+    * broadcasts it; for a bulk purge the anti-joins shuffle on id,
+    * which is exactly the rewrite compaction would pay anyway. */
+  def removeFromIndex(
+      index: NearDupIndex,
+      removeIds: DataFrame,
+      idCol: String): NearDupIndex = {
+    val ids = removeIds.select(col(idCol).as("id")).distinct()
+    NearDupIndex(
+      index.buckets.join(ids, Seq("id"), "left_anti"),
+      index.shingles.join(ids, Seq("id"), "left_anti"),
+      index.n, index.bands, index.rows)
+  }
+
+  /** Rewrite-compaction for a [[NearDupIndex]]: materialize the current
+    * (post-[[removeFromIndex]] / post-[[appendToIndex]]) state as plain
+    * parquet at `dir` and return the re-read index — dead rows gone
+    * from disk, lineage truncated to a scan. `dir` must differ from the
+    * directory the index was read from (Spark cannot overwrite a
+    * parquet source it is reading); production keeps the usual
+    * versioned-directory swap. One exchange-free write per table at
+    * 100 TB — both tables rewrite as partition-local scans (partition
+    * the buckets table by `bucket` on the way out so probes co-locate,
+    * as the [[NearDupIndex]] docstring prescribes). */
+  def compactIndex(index: NearDupIndex, dir: String): NearDupIndex = {
+    index.write(dir)
+    NearDupIndex.read(index.buckets.sparkSession, dir)
+  }
+
   /** Incremental-ingestion NEAR-dup dedup — the daily MinHash shape
     * (VERDICT r7 #4), the near-dup twin of [[dedupIncremental]]: the
     * rows of `batch` that are near-duplicates (shingle-Jaccard >=

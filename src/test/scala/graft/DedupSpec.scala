@@ -526,6 +526,50 @@ class DedupSpec extends AnyFunSuite {
     assert(viaRolled == Set(33L, 35L))
   }
 
+  test("removeFromIndex: removed-then-probed equals never-present; compaction is a no-op rewrite") {
+    val corpus = Seq((10L, base), (11L, unrelated)).toDF("doc_id", "text")
+    val extra = Seq((50L, "takedown me now"), (51L, "and me too please")).toDF("doc_id", "text")
+    val withExtra = Dedup.buildNearDupIndex(corpus.union(extra), "doc_id", "text")
+    val neverHad = Dedup.buildNearDupIndex(corpus, "doc_id", "text")
+    val removed = Dedup.removeFromIndex(withExtra, extra.select("doc_id"), "doc_id")
+    // table-level identity: exact same bucket and shingle rows
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case s: scala.collection.Seq[_] => s.toSeq; case x => x
+      }).toSet
+    assert(rows(removed.buckets) == rows(neverHad.buckets))
+    assert(rows(removed.shingles) == rows(neverHad.shingles))
+    // probe-level identity on a batch that near-dups BOTH a kept and a
+    // removed doc: the removed doc must no longer block its near-dup
+    val batch = Seq(
+      (90L, nearDup),                 // near-dups kept corpus doc 10 -> rejected
+      (91L, "takedown me now"),       // dup of REMOVED 50 -> must now survive
+      (92L, "wholly novel stuff")
+    ).toDF("doc_id", "text")
+    def probe(ix: Dedup.NearDupIndex) =
+      Dedup.dedupIncrementalNear(ix, batch, "doc_id", "text", threshold = 0.5)
+        .collect().map(_.getLong(0)).toSet
+    assert(probe(removed) == Set(91L, 92L))
+    assert(probe(removed) == probe(neverHad))
+    // unknown ids are a no-op
+    val noop = Dedup.removeFromIndex(withExtra,
+      Seq(999L).toDF("doc_id"), "doc_id")
+    assert(rows(noop.buckets) == rows(withExtra.buckets))
+    // compaction: parquet rewrite probes identically and drops lineage
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndidx-compact").toString
+    val compacted = Dedup.compactIndex(removed, dir)
+    assert(probe(compacted) == Set(91L, 92L))
+    assert(compacted.n == removed.n && compacted.bands == removed.bands
+      && compacted.rows == removed.rows)
+    // remove everything: probe accepts all but batch-internal near-dups
+    val empty = Dedup.removeFromIndex(neverHad,
+      corpus.select("doc_id"), "doc_id")
+    val all = Seq((90L, nearDup), (93L, nearDup), (92L, "wholly novel stuff"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dedupIncrementalNear(empty, all, "doc_id", "text", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet == Set(90L, 92L))
+  }
+
   test("dedupIncrementalBloom equals dedupIncremental: mixed batch, empty corpus, all-dup batch") {
     val corpus = Seq(
       (10L, "old news"), (11L, "shared boilerplate"), (12L, null: String)
