@@ -464,9 +464,44 @@ object LlmQueries {
         Similarity.pqFit(corpus, "vec_id", "embedding", dim = 64, m = 4,
           k = 16, iters = 2))
       Similarity.pqTopK(corpus, e.where(col("vec_id") === 0),
-          "vec_id", "embedding", dim = 64, m = 4, k = 16, iters = 2,
-          topK = 20, codebooks = Some(books))
+          "vec_id", "embedding", dim = 64, m = 4, codebooks = books,
+          topK = 20)
         .orderBy("rank")
+    }),
+    // per-QUERY-SET hybrid retrieval (VERDICT r8 stretch #8): queries
+    // 0-2 fused across two rankers — cosine top-50 (angle) and exact-L2
+    // top-50 (magnitude-aware) — in ONE rrfFuseBy plan; the per-query
+    // top-10 rides the k-bounded heap. Oracle replays both rankers and
+    // the per-group fusion.
+    "q_hybrid_rrf_by" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val qs = e.where(col("vec_id") < 3)
+      val cosR = Similarity.topK(e, qs, "vec_id", "embedding", k = 50)
+        .select(col("id").as("qid"), col("neighbor_id").as("doc_id"), col("rank"))
+      val p = Similarity.prepared(e, "vec_id", "embedding")
+      val q = Similarity.prepared(qs, "vec_id", "embedding")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("d2"), col("doc_id"))
+      val l2R = broadcast(q.as("a")).join(p.as("b"), col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("qid"), col("b.id").as("doc_id"),
+          (col("a.nsq") + col("b.nsq")
+            - lit(2L) * Similarity.dotQ(col("a.q"), col("b.q"))).as("d2"))
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= 50)
+        .select("qid", "doc_id", "rank")
+      Similarity.rrfFuseBy(Seq(cosR, l2R), "qid", "doc_id", "rank", k = 10)
+        .orderBy("qid", "rank")
+    }),
+    // per-QUERY-SET MMR: queries 0-2, each diversifying its cosine
+    // top-20 candidates to 5 picks — one bounded sim join + per-group
+    // greedy; oracle unrolls every query's 5 argmax rounds
+    "q_mmr_by" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val cand = Similarity.topK(e, e.where(col("vec_id") < 3),
+          "vec_id", "embedding", k = 20)
+        .select(col("id").as("qid"), col("neighbor_id").as("vec_id"),
+          round(col("cos"), 6).as("rel"))
+      Similarity.mmrSelectBy(cand, e, "qid", "vec_id", "embedding", "rel", k = 5)
+        .orderBy("qid", "rank")
     }),
     // BATCH-QUERY IVFADC (VERDICT r8 #1, FAISS IVF+PQ): queries 0-4 as a
     // SET against the vec_id>=5 corpus — coarse cells route candidates
@@ -1757,6 +1792,67 @@ object LlmQueries {
           + " FROM kw FULL OUTER JOIN sem ON kw.doc_id = sem.doc_id)"
           + " SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank, rrf"
           + " FROM j ORDER BY rrf DESC, doc_id LIMIT 20")
+      },
+      // per-query replay of q_hybrid_rrf_by: both rankers windowed per
+      // qid, full-outer fusion on (qid, doc_id), rank per group
+      "q_hybrid_rrf_by" -> {
+        val cos = "list_dot_product(a.q, b.q) / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE))"
+        (s"WITH n AS $qn,"
+          + " cosr AS (SELECT qid, doc_id, rank FROM ("
+          + s" SELECT a.vec_id AS qid, b.vec_id AS doc_id,"
+          + s" row_number() OVER (PARTITION BY a.vec_id ORDER BY $cos DESC, b.vec_id) AS rank"
+          + " FROM n a JOIN n b ON a.vec_id != b.vec_id WHERE a.vec_id < 3) WHERE rank <= 50),"
+          + " l2r AS (SELECT qid, doc_id, rank FROM ("
+          + " SELECT a.vec_id AS qid, b.vec_id AS doc_id,"
+          + " row_number() OVER (PARTITION BY a.vec_id ORDER BY"
+          + " a.nsq + b.nsq - 2 * list_dot_product(a.q, b.q), b.vec_id) AS rank"
+          + " FROM n a JOIN n b ON a.vec_id != b.vec_id WHERE a.vec_id < 3) WHERE rank <= 50),"
+          + " j AS (SELECT coalesce(c.qid, l.qid) AS qid,"
+          + " coalesce(c.doc_id, l.doc_id) AS doc_id,"
+          + " coalesce(1.0 / (60 + c.rank), 0.0) + coalesce(1.0 / (60 + l.rank), 0.0) AS rrf"
+          + " FROM cosr c FULL OUTER JOIN l2r l ON c.qid = l.qid AND c.doc_id = l.doc_id)"
+          + " SELECT qid, rank::BIGINT AS rank, doc_id, rrf FROM ("
+          + " SELECT qid, doc_id, rrf, row_number() OVER (PARTITION BY qid"
+          + " ORDER BY rrf DESC, doc_id) AS rank FROM j)"
+          + " WHERE rank <= 10 ORDER BY qid, rank")
+      },
+      // per-query unrolled MMR greedy (the q_mmr recipe with a qid
+      // dimension threaded through every MATERIALIZED round)
+      "q_mmr_by" -> {
+        val cos = "list_dot_product(a.q, b.q) / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE))"
+        val rounds = (2 to 5).map { r =>
+          (s"scr$r AS MATERIALIZED (SELECT c.qid, c.id, c.rel, max(s2.cs) AS ms"
+            + " FROM cand c JOIN sims2 s2 ON s2.qid = c.qid AND s2.ia = c.id"
+            + s" JOIN acc${r - 1} a ON a.qid = c.qid AND a.id = s2.ib"
+            + s" WHERE NOT EXISTS (SELECT 1 FROM acc${r - 1} x"
+            + " WHERE x.qid = c.qid AND x.id = c.id)"
+            + " GROUP BY c.qid, c.id, c.rel),"
+            + s" sel$r AS MATERIALIZED (SELECT qid, id, sc FROM ("
+            + " SELECT qid, id, 0.5*rel - 0.5*ms AS sc,"
+            + " row_number() OVER (PARTITION BY qid ORDER BY 0.5*rel - 0.5*ms DESC, id) AS rn"
+            + s" FROM scr$r) WHERE rn = 1),"
+            + s" acc$r AS MATERIALIZED (SELECT qid, id FROM acc${r - 1}"
+            + s" UNION ALL SELECT qid, id FROM sel$r)")
+        }.mkString(", ")
+        val outs = (1 to 5).map(r => s"SELECT qid, id, $r AS rank, sc FROM sel$r")
+          .mkString(" UNION ALL ")
+        (s"WITH n AS MATERIALIZED $qn,"
+          + " cand AS MATERIALIZED (SELECT qid, neighbor_id AS id, rel FROM ("
+          + s" SELECT a.vec_id AS qid, b.vec_id AS neighbor_id, round($cos, 6) AS rel,"
+          + s" row_number() OVER (PARTITION BY a.vec_id ORDER BY $cos DESC, b.vec_id) AS rank"
+          + " FROM n a JOIN n b ON a.vec_id != b.vec_id WHERE a.vec_id < 3) WHERE rank <= 20),"
+          + s" sims AS MATERIALIZED (SELECT ca.qid, a.vec_id AS ia, b.vec_id AS ib, round($cos, 6) AS cs"
+          + " FROM n a JOIN n b ON a.vec_id < b.vec_id"
+          + " JOIN cand ca ON ca.id = a.vec_id JOIN cand cb ON cb.id = b.vec_id AND cb.qid = ca.qid),"
+          + " sims2 AS MATERIALIZED (SELECT qid, ia, ib, cs FROM sims"
+          + " UNION ALL SELECT qid, ib, ia, cs FROM sims),"
+          + " sel1 AS MATERIALIZED (SELECT qid, id, sc FROM ("
+          + " SELECT qid, id, rel AS sc, row_number() OVER (PARTITION BY qid"
+          + " ORDER BY rel DESC, id) AS rn FROM cand) WHERE rn = 1),"
+          + " acc1 AS MATERIALIZED (SELECT qid, id FROM sel1),"
+          + s" $rounds"
+          + s" SELECT qid, rank::BIGINT AS rank, id AS vec_id, sc AS mmr FROM ($outs)"
+          + " ORDER BY qid, rank")
       },
       // the greedy MMR trajectory unrolled: candidate top-30 (the
       // q_ann_topk recipe for query 0), pairwise round-6 sims among

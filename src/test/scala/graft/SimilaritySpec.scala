@@ -313,14 +313,18 @@ class SimilaritySpec extends AnyFunSuite {
         val d = qz(v).zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
         (id, d)
       }.sortBy { case (id, d) => (d, id) }
+    val books1 = Similarity.pqFit(e, "vec_id", "embedding",
+      dim = 4, m = 1, k = 6, iters = 0)
     val got = Similarity.pqTopK(e, q, "vec_id", "embedding",
-        dim = 4, m = 1, k = 6, iters = 0, topK = 6)
+        dim = 4, m = 1, codebooks = books1, topK = 6)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(got == exact, s"degenerate PQ must equal exact NN: $got vs $exact")
     // m=2 with k >= distinct subvectors is equally lossless — pins the
     // subspace slicing/encoding plumbing against the m=1 result
+    val books2 = Similarity.pqFit(e, "vec_id", "embedding",
+      dim = 4, m = 2, k = 6, iters = 0)
     val got2 = Similarity.pqTopK(e, q, "vec_id", "embedding",
-        dim = 4, m = 2, k = 6, iters = 0, topK = 6)
+        dim = 4, m = 2, codebooks = books2, topK = 6)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(got2 == exact, s"lossless m=2 PQ must equal exact NN: $got2")
   }
@@ -440,6 +444,67 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"query side should broadcast:\n$plan")
     assert(plan.contains("partial_graft_topk"),
       s"per-query top-k must ride the k-bounded heap aggregation:\n$plan")
+  }
+
+  test("rrfFuseBy equals per-query rrfFuse; heap plan, no window sort") {
+    val e = TestSpark.table("0.001", "embeddings")
+    val qs = e.where(col("vec_id") < 3)
+    val r1 = Similarity.topK(e, qs, "vec_id", "embedding", k = 20)
+      .select(col("id").as("qid"), col("neighbor_id").as("doc_id"), col("rank"))
+    // a second ranking that genuinely disagrees: reversed-id order of
+    // the same candidate lists
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("doc_id").desc)
+    val r2 = r1.withColumn("rank", row_number().over(w))
+    val fused = Similarity.rrfFuseBy(Seq(r1, r2), "qid", "doc_id", "rank", k = 5)
+    val got = fused.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    for (q <- 0L until 3L) {
+      val solo = Similarity.rrfFuse(
+        Seq(r1.where(col("qid") === q).drop("qid"),
+          r2.where(col("qid") === q).drop("qid")),
+        "doc_id", "rank", k = 5)
+        .collect().map(r => (q, r.getLong(1), r.getLong(0), r.getDouble(2))).toSeq
+      assert(got(q).sortBy(_._2).toSeq == solo.sortBy(_._2),
+        s"grouped vs solo RRF disagree for query $q")
+    }
+    // the fusion's own top-k must ride the heap agg (the input rankings
+    // may legitimately carry their own windows below the join)
+    val plan = fused.queryExecution.sparkPlan.toString
+    assert(plan.contains("partial_graft_topk"),
+      s"per-query fusion top-k must ride the heap agg:\n$plan")
+    val aboveJoin = plan.substring(0, plan.indexOf("Join"))
+    assert(!aboveJoin.contains("Window"),
+      s"no window sort above the fusion join:\n$plan")
+  }
+
+  test("mmrSelectBy equals per-query mmrSelect; bounds fail fast") {
+    val e = TestSpark.table("0.001", "embeddings")
+    val cand = Similarity.topK(e, e.where(col("vec_id") < 3),
+        "vec_id", "embedding", k = 10)
+      .select(col("id").as("qid"), col("neighbor_id").as("vec_id"),
+        round(col("cos"), 6).as("rel"))
+    val got = Similarity.mmrSelectBy(cand, e, "qid", "vec_id", "embedding",
+        "rel", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    for (q <- 0L until 3L) {
+      val solo = Similarity.mmrSelect(
+        cand.where(col("qid") === q).drop("qid"), e,
+        "vec_id", "embedding", "rel", k = 4)
+        .collect().map(r => (q, r.getLong(1), r.getLong(0), r.getDouble(2))).toSeq
+      assert(got(q).sortBy(_._2).toSeq == solo.sortBy(_._2),
+        s"grouped vs solo MMR disagree for query $q")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelectBy(cand, e, "qid", "vec_id", "embedding", "rel",
+        k = 2, maxCandidates = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelectBy(cand, e, "qid", "vec_id", "embedding", "rel",
+        k = 2, maxGroups = 2)
+    }
   }
 
   test("mmrSelect: diversity beats raw relevance order; ties and bounds honored") {
