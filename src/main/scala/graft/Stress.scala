@@ -279,6 +279,24 @@ object Stress {
           .where(col("doc_id") % 2 === 0), docs,
         "doc_id", "text").count()
     }
+    // r9 CROSSOVER probe (VERDICT r8 #7): FIXED small mostly-fresh batch
+    // vs the GROWING xN corpus — the daily-ingestion geometry where
+    // corpus-side probe traffic dominates and the bloom prune's value is
+    // decided (the r8 probes grew the BATCH, so fixed cost dominated and
+    // the claim stayed argued, not measured). Batch = un-expanded odd-id
+    // docs, 90% content-mangled (fresh), 10% verbatim (true dups).
+    val smallBatch = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") % 2 === 1 && col("text").isNotNull)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 1, col("text"))
+          .otherwise(concat(col("text"), lit(" r9-fresh-suffix"))))
+    time("incrPlain corpusXn")(
+      Dedup.dedupIncremental(docs, smallBatch, "doc_id", "text").count())
+    time("incrBloom corpusXn") {
+      val (out, release) = Dedup.dedupIncrementalBloomManaged(
+        docs, smallBatch, "doc_id", "text")
+      val c = out.count(); release(); c
+    }
     // weighted WOR sampling: k-bounded heap, wall ~ one scan
     time("weightedSampleK") {
       graft.operators.Sampling.weightedSampleK(docs, Seq("source"), 50,
