@@ -50,6 +50,24 @@ object LlmQueries {
     new java.util.concurrent.ConcurrentHashMap[
       String, (Array[Seq[Long]], Seq[Array[Seq[Long]]])]()
 
+  /** The shared q_ann_ivfpq / q_ann_recall approximate ranking: queries
+    * 0-4 through the fit-once IVFADC index (16 replayable first-by-id
+    * coarse cells, 4 pqFit sub-codebooks) at nprobe=2, top-10. */
+  private def ivfPqApprox(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings")
+    val corpus = e.where(col("vec_id") >= 5)
+    val (cents, books) = ivfPqIndexCache.computeIfAbsent(d, _ => {
+      val c = corpus.orderBy("vec_id").limit(16)
+        .select(Similarity.quantize(col("embedding")))
+        .collect().map(r => r.getSeq[Long](0): Seq[Long])
+      (c, Similarity.pqFit(corpus, "vec_id", "embedding", dim = 64, m = 4,
+        k = 16, iters = 2))
+    })
+    Similarity.ivfPqTopK(corpus, e.where(col("vec_id") < 5),
+      "vec_id", "embedding", dim = 64, m = 4,
+      centroids = cents, codebooks = books, nprobe = 2, topK = 10)
+  }
+
   // q_dedup_incremental_near's build-once-per-dir corpus index (the
   // starLayoutCache convention: the index is PERSISTED corpus state —
   // repeated executions probe it, never rebuild it)
@@ -478,16 +496,8 @@ object LlmQueries {
       val qs = e.where(col("vec_id") < 3)
       val cosR = Similarity.topK(e, qs, "vec_id", "embedding", k = 50)
         .select(col("id").as("qid"), col("neighbor_id").as("doc_id"), col("rank"))
-      val p = Similarity.prepared(e, "vec_id", "embedding")
-      val q = Similarity.prepared(qs, "vec_id", "embedding")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("d2"), col("doc_id"))
-      val l2R = broadcast(q.as("a")).join(p.as("b"), col("a.id") =!= col("b.id"))
-        .select(col("a.id").as("qid"), col("b.id").as("doc_id"),
-          (col("a.nsq") + col("b.nsq")
-            - lit(2L) * Similarity.dotQ(col("a.q"), col("b.q"))).as("d2"))
-        .withColumn("rank", row_number().over(w)).where(col("rank") <= 50)
-        .select("qid", "doc_id", "rank")
+      val l2R = Similarity.topKL2(e, qs, "vec_id", "embedding", k = 50)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
       Similarity.rrfFuseBy(Seq(cosR, l2R), "qid", "doc_id", "rank", k = 10)
         .orderBy("qid", "rank")
     }),
@@ -509,20 +519,18 @@ object LlmQueries {
     // them via per-query exact-integer ADC tables, the k-bounded heap
     // ranks. The oracle replays the 4 sub-fits + both assignments + the
     // ADC tables + the rank bit for bit.
-    "q_ann_ivfpq" -> ((s, d) => {
+    "q_ann_ivfpq" -> ((s, d) =>
+      ivfPqApprox(s, d).orderBy("qid", "rank")),
+    // the ANN index-health gate: exact-L2 top-10 (bounded brute force
+    // on the 5-query sample) vs the SAME ivfPqTopK ranking, recall per
+    // query — the deploy-time check on (nprobe, m·k) before an index
+    // parameterization ships. Oracle replays both rankings (the full
+    // IVFADC replay rides as a subquery) and the intersection count.
+    "q_ann_recall" -> ((s, d) => {
       val e = T(s, d, "embeddings")
-      val corpus = e.where(col("vec_id") >= 5)
-      val (cents, books) = ivfPqIndexCache.computeIfAbsent(d, _ => {
-        val c = corpus.orderBy("vec_id").limit(16)
-          .select(Similarity.quantize(col("embedding")))
-          .collect().map(r => r.getSeq[Long](0): Seq[Long])
-        (c, Similarity.pqFit(corpus, "vec_id", "embedding", dim = 64, m = 4,
-          k = 16, iters = 2))
-      })
-      Similarity.ivfPqTopK(corpus, e.where(col("vec_id") < 5),
-          "vec_id", "embedding", dim = 64, m = 4,
-          centroids = cents, codebooks = books, nprobe = 2, topK = 10)
-        .orderBy("qid", "rank")
+      val exact = Similarity.topKL2(e.where(col("vec_id") >= 5),
+        e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      Similarity.recallAtK(exact, ivfPqApprox(s, d), "qid", "vec_id", k = 10)
     }),
     // MMR diversified top-10 from a cosine top-30 candidate set: greedy
     // 0.5*rel - 0.5*maxSim selection (exact power-of-two lambda over
@@ -1307,6 +1315,49 @@ object LlmQueries {
       asg(s"a3$sfx", s"c2$sfx")).mkString(", ")
   }
 
+  /** The full q_ann_ivfpq IVFADC replay (fits + assignments + ADC +
+    * rank), parameterized by the prepared-embeddings CTE body so
+    * q_ann_recall can embed it as a subquery. */
+  private def ivfPqReplaySql(qn: String): String = {
+
+        val m = 4; val sub = 16
+        val subs = (0 until m).map(i =>
+          pqSubFitCtes(s"_$i", i * sub + 1, (i + 1) * sub, 16)).mkString(", ")
+        val dts = (0 until m).map { i =>
+          (s"dt_$i AS (SELECT qq.vec_id AS qid, c.cell,"
+            + " CAST(list_dot_product(qq.sq, qq.sq) AS BIGINT)"
+            + " - 2 * CAST(list_dot_product(qq.sq, c.cw) AS BIGINT)"
+            + " + CAST(list_dot_product(c.cw, c.cw) AS BIGINT) AS d"
+            + s" FROM c2_$i c, (SELECT vec_id, q[${i * sub + 1}:${(i + 1) * sub}] AS sq"
+            + " FROM qs) qq)")
+        }.mkString(", ")
+        val joins = (0 until m).map(i =>
+          s"JOIN a3_$i x$i ON x$i.vec_id = cand.id"
+            + s" JOIN dt_$i d$i ON d$i.cell = x$i.cell AND d$i.qid = cand.qid")
+          .mkString(" ")
+        val score = (0 until m).map(i => s"d$i.d").mkString(" + ")
+        (s"WITH n AS ${qn},"
+          + " nc AS (SELECT vec_id, q FROM n WHERE vec_id >= 5),"
+          + " qs AS (SELECT vec_id, q FROM n WHERE vec_id < 5),"
+          + " cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS cw"
+          + " FROM (SELECT vec_id, q FROM nc ORDER BY vec_id LIMIT 16)),"
+          + " casg AS (SELECT vec_id, cell FROM ("
+          + " SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id"
+          + " ORDER BY CAST(list_dot_product(c.cw, c.cw) AS BIGINT) - 2 * list_dot_product(e.q, c.cw), c.cell) AS rk"
+          + " FROM nc e CROSS JOIN cc c) WHERE rk = 1),"
+          + " qasg AS (SELECT vec_id, cell FROM ("
+          + " SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id"
+          + " ORDER BY CAST(list_dot_product(c.cw, c.cw) AS BIGINT) - 2 * list_dot_product(e.q, c.cw), c.cell) AS rk"
+          + " FROM qs e CROSS JOIN cc c) WHERE rk <= 2),"
+          + s" $subs, $dts,"
+          + " cand AS (SELECT qa.vec_id AS qid, ca.vec_id AS id"
+          + " FROM qasg qa JOIN casg ca ON qa.cell = ca.cell),"
+          + s" sc AS (SELECT cand.qid, cand.id, $score AS adc FROM cand $joins)"
+          + " SELECT qid, rank::BIGINT AS rank, id AS vec_id, adc FROM ("
+          + " SELECT qid, id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS rank"
+          + " FROM sc) WHERE rank <= 10 ORDER BY qid, rank")
+        }
+
   def oracleSql: Map[String, String] = {
     val shingleCte =
       ("WITH s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN"
@@ -1737,44 +1788,25 @@ object LlmQueries {
       // q_ann_pq pqSubFitCtes over this corpus; per-(query, subspace)
       // ADC tables as exact BIGINT ||q_i − c||²; candidates share a
       // cell; score = 4 table lookups; rank per query by (adc, id).
-      "q_ann_ivfpq" -> {
-        val m = 4; val sub = 16
-        val subs = (0 until m).map(i =>
-          pqSubFitCtes(s"_$i", i * sub + 1, (i + 1) * sub, 16)).mkString(", ")
-        val dts = (0 until m).map { i =>
-          (s"dt_$i AS (SELECT qq.vec_id AS qid, c.cell,"
-            + " CAST(list_dot_product(qq.sq, qq.sq) AS BIGINT)"
-            + " - 2 * CAST(list_dot_product(qq.sq, c.cw) AS BIGINT)"
-            + " + CAST(list_dot_product(c.cw, c.cw) AS BIGINT) AS d"
-            + s" FROM c2_$i c, (SELECT vec_id, q[${i * sub + 1}:${(i + 1) * sub}] AS sq"
-            + " FROM qs) qq)")
-        }.mkString(", ")
-        val joins = (0 until m).map(i =>
-          s"JOIN a3_$i x$i ON x$i.vec_id = cand.id"
-            + s" JOIN dt_$i d$i ON d$i.cell = x$i.cell AND d$i.qid = cand.qid")
-          .mkString(" ")
-        val score = (0 until m).map(i => s"d$i.d").mkString(" + ")
+      "q_ann_ivfpq" -> ivfPqReplaySql(qn),
+      // recall gate replay: exact L2 top-10 per query vs the FULL
+      // IVFADC replay (embedded as a subquery — DuckDB scopes its
+      // inner WITH), left-join intersection per query
+      "q_ann_recall" ->
         (s"WITH n AS $qn,"
-          + " nc AS (SELECT vec_id, q FROM n WHERE vec_id >= 5),"
-          + " qs AS (SELECT vec_id, q FROM n WHERE vec_id < 5),"
-          + " cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS cw"
-          + " FROM (SELECT vec_id, q FROM nc ORDER BY vec_id LIMIT 16)),"
-          + " casg AS (SELECT vec_id, cell FROM ("
-          + " SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id"
-          + " ORDER BY CAST(list_dot_product(c.cw, c.cw) AS BIGINT) - 2 * list_dot_product(e.q, c.cw), c.cell) AS rk"
-          + " FROM nc e CROSS JOIN cc c) WHERE rk = 1),"
-          + " qasg AS (SELECT vec_id, cell FROM ("
-          + " SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id"
-          + " ORDER BY CAST(list_dot_product(c.cw, c.cw) AS BIGINT) - 2 * list_dot_product(e.q, c.cw), c.cell) AS rk"
-          + " FROM qs e CROSS JOIN cc c) WHERE rk <= 2),"
-          + s" $subs, $dts,"
-          + " cand AS (SELECT qa.vec_id AS qid, ca.vec_id AS id"
-          + " FROM qasg qa JOIN casg ca ON qa.cell = ca.cell),"
-          + s" sc AS (SELECT cand.qid, cand.id, $score AS adc FROM cand $joins)"
-          + " SELECT qid, rank::BIGINT AS rank, id AS vec_id, adc FROM ("
-          + " SELECT qid, id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS rank"
-          + " FROM sc) WHERE rank <= 10 ORDER BY qid, rank")
-      },
+          + " ex AS (SELECT qid, id FROM ("
+          + " SELECT a.vec_id AS qid, b.vec_id AS id,"
+          + " row_number() OVER (PARTITION BY a.vec_id ORDER BY"
+          + " a.nsq + b.nsq - 2 * list_dot_product(a.q, b.q), b.vec_id) AS rank"
+          + " FROM n a JOIN n b ON a.vec_id != b.vec_id"
+          + " WHERE a.vec_id < 5 AND b.vec_id >= 5) WHERE rank <= 10),"
+          + s" ap AS (SELECT qid, vec_id AS id FROM (${ivfPqReplaySql(qn)}) WHERE rank <= 10)"
+          + " SELECT ex.qid, count(*)::BIGINT AS n_exact,"
+          + " coalesce(sum(CASE WHEN ap.id IS NOT NULL THEN 1 END), 0)::BIGINT AS n_hit,"
+          + " coalesce(sum(CASE WHEN ap.id IS NOT NULL THEN 1 END), 0)::DOUBLE"
+          + " / count(*)::DOUBLE AS recall"
+          + " FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.id = ap.id"
+          + " GROUP BY ex.qid ORDER BY ex.qid"),
       // both component rankers replayed (the q_bm25 and q_ann_topk
       // recipes), then the RRF join: 1/(60+rank) contributions, left
       // ranking first, ties by id

@@ -112,6 +112,68 @@ object Similarity {
       .select("id", "rank", "neighbor_id", "cos")
   }
 
+  /** Exact top-k by EUCLIDEAN distance — the L2 twin of [[topK]] and
+    * the honest baseline for the PQ/IVF family (ADC approximates L2,
+    * the FAISS metric; on unnormalized vectors L2 and cosine rank
+    * differently). ||a−b||² = nsqA + nsqB − 2·a·b in exact integers on
+    * the quantized grid; ties by neighbor id. Same shape as [[topK]]:
+    * query side broadcast, corpus streamed once, per-query window.
+    * Output: (qid, rank, neighbor idCol, d2). */
+  def topKL2(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val c = prepared(corpus, idCol, embCol)
+    val q = prepared(queries, idCol, embCol)
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col(idCol))
+    broadcast(q.as("a")).join(c.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as(idCol),
+        (col("a.nsq") + col("b.nsq")
+          - lit(2L) * dotQ(col("a.q"), col("b.q"))).as("d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol), col("d2"))
+  }
+
+  /** Recall@k between two ranking tables — the INDEX-HEALTH gate every
+    * production ANN deployment runs (FAISS benchmarking convention):
+    * sample queries, rank them exactly ([[topKL2]] / [[topK]] — a
+    * bounded brute-force since the sample is small), rank them through
+    * the index ([[ivfPqTopK]] / [[lshNeighbors]]-derived), and measure
+    * per-query |exact top-k ∩ approx top-k| / |exact top-k| before the
+    * index parameters (nprobe, m·k, planes) ship. Pure set arithmetic
+    * on two k-bounded tables: one inner join + one aggregation,
+    * nothing corpus-sized. The denominator is the EXACT list's size
+    * (≤ k — short lists happen when the corpus is small), so recall 1
+    * means "found everything findable". Queries absent from `approx`
+    * score 0 (left join semantics); queries absent from `exact` are
+    * not audited. Output: (queryCol, n_exact, n_hit, recall) per
+    * query, ordered. */
+  def recallAtK(
+      exact: DataFrame,
+      approx: DataFrame,
+      queryCol: String,
+      idCol: String,
+      k: Int,
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val e = exact.where(col(rankCol) <= k)
+      .select(col(queryCol).cast("long").as("qid"), col(idCol).cast("long").as("id"))
+    val a = approx.where(col(rankCol) <= k)
+      .select(col(queryCol).cast("long").as("qid"), col(idCol).cast("long").as("id"),
+        lit(1L).as("__hit"))
+    e.join(a, Seq("qid", "id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col("qid").as(queryCol), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
+      .orderBy(queryCol)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
     * hybrid-retrieval combiner: given N rankings of the same id space
     * (BM25 keyword top-k, embedding-cosine top-k, ...), each id scores

@@ -446,6 +446,31 @@ class SimilaritySpec extends AnyFunSuite {
       s"per-query top-k must ride the k-bounded heap aggregation:\n$plan")
   }
 
+  test("topKL2: exact euclidean order with id ties; recallAtK arithmetic incl. missing queries") {
+    val corpus = vecs(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),   // both at d2=0 from query
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.9f, 0.0f)))
+    val q = vecs((10L, Seq(1.0f, 0.0f)))
+    val got = Similarity.topKL2(corpus, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    // ties at distance 0 break by id; then 4 at (0.1e6)^2
+    assert(got == Seq((1L, 1L, 0L), (2L, 2L, 0L), (3L, 4L, 100000L * 100000L)),
+      s"got $got")
+    import spark.implicits._
+    val exact = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L),
+      (1L, 1L, 7L), (1L, 2L, 8L)).toDF("qid", "rank", "id")
+    val approx = Seq((0L, 1L, 2L), (0L, 2L, 9L), (0L, 3L, 7L), (0L, 4L, 3L))
+      .toDF("qid", "rank", "id")
+    val r = Similarity.recallAtK(exact, approx, "qid", "id", k = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .toSeq
+    // q0: exact {1,2,3}, approx top-3 {2,9,7} -> 1 hit (id 3 is approx
+    // rank 4, outside k); q1: exact {7,8}, no approx rows -> recall 0
+    // over n_exact=2 (short exact lists use their own size)
+    assert(r == Seq((0L, 3L, 1L, 1.0 / 3.0), (1L, 2L, 0L, 0.0)), s"got $r")
+  }
+
   test("rrfFuseBy equals per-query rrfFuse; heap plan, no window sort") {
     val e = TestSpark.table("0.001", "embeddings")
     val qs = e.where(col("vec_id") < 3)
