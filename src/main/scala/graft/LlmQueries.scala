@@ -53,16 +53,35 @@ object LlmQueries {
   /** The shared q_ann_ivfpq / q_ann_recall approximate ranking: queries
     * 0-4 through the fit-once IVFADC index (16 replayable first-by-id
     * coarse cells, 4 pqFit sub-codebooks) at nprobe=2, top-10. */
-  private def ivfPqApprox(s: SparkSession, d: String): DataFrame = {
-    val e = T(s, d, "embeddings")
-    val corpus = e.where(col("vec_id") >= 5)
-    val (cents, books) = ivfPqIndexCache.computeIfAbsent(d, _ => {
+  private def ivfPqIndexOf(d: String, corpus: DataFrame)
+      : (Array[Seq[Long]], Seq[Array[Seq[Long]]]) =
+    ivfPqIndexCache.computeIfAbsent(d, _ => {
       val c = corpus.orderBy("vec_id").limit(16)
         .select(Similarity.quantize(col("embedding")))
         .collect().map(r => r.getSeq[Long](0): Seq[Long])
       (c, Similarity.pqFit(corpus, "vec_id", "embedding", dim = 64, m = 4,
         k = 16, iters = 2))
     })
+
+  // q_ann_ivfpq_res's fit-once RESIDUAL sub-codebooks (same coarse cells)
+  private val ivfPqResBooksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Seq[Long]]]]()
+
+  /** q_bpe_* merge-rule count, single-sourced with the oracle replay. */
+  private[graft] val BpeMerges = 8
+
+  // q_bpe_*'s fit-once merge rules per data dir (a tokenizer is index
+  // state at rest: train once, tokenize every downstream query)
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
+  private def bpeMergesOf(s: SparkSession, d: String): Seq[Bpe.Merge] =
+    bpeMergesCache.computeIfAbsent(d, _ =>
+      Bpe.bpeLearn(T(s, d, "documents"), "text", merges = BpeMerges))
+
+  private def ivfPqApprox(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings")
+    val corpus = e.where(col("vec_id") >= 5)
+    val (cents, books) = ivfPqIndexOf(d, corpus)
     Similarity.ivfPqTopK(corpus, e.where(col("vec_id") < 5),
       "vec_id", "embedding", dim = 64, m = 4,
       centroids = cents, codebooks = books, nprobe = 2, topK = 10)
@@ -521,6 +540,37 @@ object LlmQueries {
     // ADC tables + the rank bit for bit.
     "q_ann_ivfpq" -> ((s, d) =>
       ivfPqApprox(s, d).orderBy("qid", "rank")),
+    // the FAISS-default RESIDUAL variant: PQ encodes x − c(x) with
+    // pqFitResidual codebooks (same coarse cells, same m·k budget) and
+    // the ADC reference point is q − c(probed cell); the oracle replay
+    // threads the residual tables through fits, codes, and per-(query,
+    // cell) distance tables
+    "q_ann_ivfpq_res" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val corpus = e.where(col("vec_id") >= 5)
+      val (cents, _) = ivfPqIndexOf(d, corpus)
+      val books = ivfPqResBooksCache.computeIfAbsent(d, _ =>
+        Similarity.pqFitResidual(corpus, "vec_id", "embedding",
+          dim = 64, m = 4, cents, k = 16, iters = 2))
+      Similarity.ivfPqTopK(corpus, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", dim = 64, m = 4,
+          centroids = cents, codebooks = books, nprobe = 2, topK = 10,
+          residual = true)
+        .orderBy("qid", "rank")
+    }),
+    // FAISS IndexRefineFlat: ADC nominates 20 candidates/query, only
+    // those 100 pairs pay exact integer L2 against raw vectors, final
+    // rank by (d2, id) — repairs quantization inversions near the top
+    "q_ann_ivfpq_refine" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val corpus = e.where(col("vec_id") >= 5)
+      val (cents, books) = ivfPqIndexOf(d, corpus)
+      Similarity.ivfPqTopKRefine(corpus, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", dim = 64, m = 4,
+          centroids = cents, codebooks = books, nprobe = 2, topK = 10,
+          refine = 20)
+        .orderBy("qid", "rank")
+    }),
     // the ANN index-health gate: exact-L2 top-10 (bounded brute force
     // on the 5-query sample) vs the SAME ivfPqTopK ranking, recall per
     // query — the deploy-time check on (nprobe, m·k) before an index
@@ -640,6 +690,18 @@ object LlmQueries {
           (sum("sw").cast("double") / sum("nt")).as("stopword_ratio"))
         .orderBy("lang")
     }),
+    // BPE vocabulary learning (Sennrich ACL'16): 8 merge rules over the
+    // word-frequency table — ONE corpus scan, then vocab-sized
+    // iterations; argmax by (count desc, pair asc), exact integer sums
+    "q_bpe_learn" -> ((s, d) =>
+      s.createDataFrame(bpeMergesOf(s, d))
+        .select(col("iter"), col("left_sym"), col("right_sym"), col("cnt"))
+        .orderBy("iter")),
+    // per-document subword token counts under the fit-once rules — the
+    // replace-chain tokenizer is pure codegen, zero shuffle
+    "q_bpe_tokens" -> ((s, d) =>
+      Bpe.bpeTokenCounts(T(s, d, "documents"), "doc_id", "text",
+        bpeMergesOf(s, d)).orderBy("doc_id")),
     "q_langid" -> ((s, d) =>
       T(s, d, "documents")
         .withColumn("pred_lang", TextAnalysis.langId(TextAnalysis.tokens(col("text"))))
@@ -1292,7 +1354,8 @@ object LlmQueries {
     * 1-based slice bounds, k). Expects a CTE `nc` of (vec_id, q) — the
     * full quantized corpus with the query row excluded. Final
     * assignment lands in a3`sfx`; final codebook in c2`sfx`. */
-  private def pqSubFitCtes(sfx: String, lo: Int, hi: Int, k: Int): String = {
+  private def pqSubFitCtes(sfx: String, lo: Int, hi: Int, k: Int,
+      src: String = "nc"): String = {
     val subLen = hi - lo + 1
     def asg(a: String, c: String) =
       (s"$a AS (SELECT vec_id, q, cell FROM ("
@@ -1306,7 +1369,7 @@ object LlmQueries {
         + s" FROM $s0 GROUP BY 1),"
         + s" $cl AS (SELECT p.cell, coalesce(u.cw, p.cw) AS cw"
         + s" FROM $prev p LEFT JOIN ${cl}l u USING (cell))")
-    val n0 = s"n$sfx AS (SELECT vec_id, q[$lo:$hi] AS q FROM nc)"
+    val n0 = s"n$sfx AS (SELECT vec_id, q[$lo:$hi] AS q FROM $src)"
     val c0 = (s"c0$sfx AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS cw"
       + s" FROM n$sfx ORDER BY vec_id LIMIT $k)")
     Seq(n0, c0,
@@ -1318,22 +1381,37 @@ object LlmQueries {
   /** The full q_ann_ivfpq IVFADC replay (fits + assignments + ADC +
     * rank), parameterized by the prepared-embeddings CTE body so
     * q_ann_recall can embed it as a subquery. */
-  private def ivfPqReplaySql(qn: String): String = {
+  private def ivfPqReplaySql(qn: String, residual: Boolean = false,
+      k: Int = 10): String = {
 
         val m = 4; val sub = 16
+        val fitSrc = if (residual) "ncr" else "nc"
         val subs = (0 until m).map(i =>
-          pqSubFitCtes(s"_$i", i * sub + 1, (i + 1) * sub, 16)).mkString(", ")
-        val dts = (0 until m).map { i =>
-          (s"dt_$i AS (SELECT qq.vec_id AS qid, c.cell,"
-            + " CAST(list_dot_product(qq.sq, qq.sq) AS BIGINT)"
-            + " - 2 * CAST(list_dot_product(qq.sq, c.cw) AS BIGINT)"
-            + " + CAST(list_dot_product(c.cw, c.cw) AS BIGINT) AS d"
-            + s" FROM c2_$i c, (SELECT vec_id, q[${i * sub + 1}:${(i + 1) * sub}] AS sq"
-            + " FROM qs) qq)")
-        }.mkString(", ")
+          pqSubFitCtes(s"_$i", i * sub + 1, (i + 1) * sub, 16, fitSrc)).mkString(", ")
+        // residual mode: the ADC reference point is q − c(probed cell),
+        // so tables carry a pcell dimension and the fits read residuals
+        val dts =
+          if (residual) (0 until m).map { i =>
+            val sl = s"qr[${i * sub + 1}:${(i + 1) * sub}]"
+            (s"dt_$i AS (SELECT dq.qid, dq.pcell, c.cell,"
+              + s" CAST(list_dot_product(dq.$sl, dq.$sl) AS BIGINT)"
+              + s" - 2 * CAST(list_dot_product(dq.$sl, c.cw) AS BIGINT)"
+              + " + CAST(list_dot_product(c.cw, c.cw) AS BIGINT) AS d"
+              + s" FROM dtq dq, c2_$i c)")
+          }.mkString(", ")
+          else (0 until m).map { i =>
+            (s"dt_$i AS (SELECT qq.vec_id AS qid, c.cell,"
+              + " CAST(list_dot_product(qq.sq, qq.sq) AS BIGINT)"
+              + " - 2 * CAST(list_dot_product(qq.sq, c.cw) AS BIGINT)"
+              + " + CAST(list_dot_product(c.cw, c.cw) AS BIGINT) AS d"
+              + s" FROM c2_$i c, (SELECT vec_id, q[${i * sub + 1}:${(i + 1) * sub}] AS sq"
+              + " FROM qs) qq)")
+          }.mkString(", ")
+        val pcellEq = if (residual) " AND d%d.pcell = cand.pcell" else ""
         val joins = (0 until m).map(i =>
           s"JOIN a3_$i x$i ON x$i.vec_id = cand.id"
-            + s" JOIN dt_$i d$i ON d$i.cell = x$i.cell AND d$i.qid = cand.qid")
+            + s" JOIN dt_$i d$i ON d$i.cell = x$i.cell AND d$i.qid = cand.qid"
+            + pcellEq.replace("%d", i.toString))
           .mkString(" ")
         val score = (0 until m).map(i => s"d$i.d").mkString(" + ")
         (s"WITH n AS ${qn},"
@@ -1349,14 +1427,53 @@ object LlmQueries {
           + " SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id"
           + " ORDER BY CAST(list_dot_product(c.cw, c.cw) AS BIGINT) - 2 * list_dot_product(e.q, c.cw), c.cell) AS rk"
           + " FROM qs e CROSS JOIN cc c) WHERE rk <= 2),"
+          + (if (residual)
+               (" ncr AS (SELECT e.vec_id, [e.q[i] - cc.cw[i] for i in range(1, 65)] AS q"
+                 + " FROM nc e JOIN casg a ON a.vec_id = e.vec_id JOIN cc ON cc.cell = a.cell),"
+                 + " dtq AS (SELECT qa.vec_id AS qid, qa.cell AS pcell,"
+                 + " [q.q[i] - cc.cw[i] for i in range(1, 65)] AS qr"
+                 + " FROM qasg qa JOIN qs q ON q.vec_id = qa.vec_id JOIN cc ON cc.cell = qa.cell),")
+             else "")
           + s" $subs, $dts,"
-          + " cand AS (SELECT qa.vec_id AS qid, ca.vec_id AS id"
-          + " FROM qasg qa JOIN casg ca ON qa.cell = ca.cell),"
+          + (if (residual)
+               (" cand AS (SELECT qa.vec_id AS qid, qa.cell AS pcell, ca.vec_id AS id"
+                 + " FROM qasg qa JOIN casg ca ON qa.cell = ca.cell),")
+             else
+               (" cand AS (SELECT qa.vec_id AS qid, ca.vec_id AS id"
+                 + " FROM qasg qa JOIN casg ca ON qa.cell = ca.cell),"))
           + s" sc AS (SELECT cand.qid, cand.id, $score AS adc FROM cand $joins)"
           + " SELECT qid, rank::BIGINT AS rank, id AS vec_id, adc FROM ("
           + " SELECT qid, id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS rank"
-          + " FROM sc) WHERE rank <= 10 ORDER BY qid, rank")
+          + s" FROM sc) WHERE rank <= $k ORDER BY qid, rank")
         }
+
+  /** The q_bpe_learn replay: w0 = the padded-symbol word-frequency
+    * table (single-space pad, double-space separator — the boundary
+    * trick [[graft.operators.Bpe]] documents), then per iteration a
+    * MATERIALIZED pair-count CTE, a one-row argmax CTE b`i` (count
+    * desc, pair asc — binary collation both engines) carrying the
+    * replace pattern/replacement, and the merged vocab w`i`. DuckDB's
+    * `replace` shares Spark's left-to-right non-overlapping scan, so
+    * the merge application is bit-identical. */
+  private def bpeLearnCtes(iters: Int): String = {
+    val w0 = ("w0 AS MATERIALIZED (SELECT"
+      + " ' ' || array_to_string([w[i] for i in range(1, len(w)+1)], '  ') || ' ' AS sym,"
+      + " count(*)::BIGINT AS f FROM"
+      + " (SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
+      + " WHERE len(w) > 0 GROUP BY 1)")
+    val its = (1 to iters).map { i =>
+      (s"pc$i AS MATERIALIZED (SELECT p AS pair, sum(f)::BIGINT AS cnt FROM"
+        + s" (SELECT unnest([l[j] || ' ' || l[j+1] for j in range(1, len(l))]) AS p, f FROM"
+        + s" (SELECT string_split(trim(sym), '  ') AS l, f FROM w${i - 1})) GROUP BY 1),"
+        + s" b$i AS MATERIALIZED (SELECT pair, cnt,"
+        + " ' ' || replace(pair, ' ', '  ') || ' ' AS pat,"
+        + " ' ' || replace(pair, ' ', '') || ' ' AS rep"
+        + s" FROM pc$i ORDER BY cnt DESC, pair LIMIT 1),"
+        + s" w$i AS MATERIALIZED (SELECT replace(w.sym, b.pat, b.rep) AS sym, w.f"
+        + s" FROM w${i - 1} w CROSS JOIN b$i b)")
+    }.mkString(", ")
+    s"$w0, $its"
+  }
 
   def oracleSql: Map[String, String] = {
     val shingleCte =
@@ -1789,6 +1906,20 @@ object LlmQueries {
       // ADC tables as exact BIGINT ||q_i − c||²; candidates share a
       // cell; score = 4 table lookups; rank per query by (adc, id).
       "q_ann_ivfpq" -> ivfPqReplaySql(qn),
+      "q_ann_ivfpq_res" -> ivfPqReplaySql(qn, residual = true),
+      // refine replay: the full IVFADC replay at rank <= 20 nominates,
+      // then exact integer L2 against the prepared vectors re-ranks;
+      // final rank by (d2, id)
+      "q_ann_ivfpq_refine" ->
+        (s"WITH n AS $qn,"
+          + s" apc AS (SELECT qid, vec_id AS id FROM (${ivfPqReplaySql(qn, k = 20)})),"
+          + " rsc AS (SELECT apc.qid, apc.id,"
+          + " qq.nsq + c.nsq - 2 * CAST(list_dot_product(qq.q, c.q) AS BIGINT) AS d2"
+          + " FROM apc JOIN n c ON c.vec_id = apc.id"
+          + " JOIN n qq ON qq.vec_id = apc.qid)"
+          + " SELECT qid, rank::BIGINT AS rank, id AS vec_id, d2 FROM ("
+          + " SELECT qid, id, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rank"
+          + " FROM rsc) WHERE rank <= 10 ORDER BY qid, rank"),
       // recall gate replay: exact L2 top-10 per query vs the FULL
       // IVFADC replay (embedded as a subquery — DuckDB scopes its
       // inner WITH), left-join intersection per query
@@ -1969,6 +2100,28 @@ object LlmQueries {
           + " SELECT lang, len(w)::BIGINT nt, list_sum(list_transform(w, x -> len(x)::BIGINT))::BIGINT tc,"
           + s" $swHits::BIGINT sw FROM (SELECT lang, text, string_split(text, ' ') w FROM documents))"
           + " GROUP BY 1 ORDER BY 1"),
+      "q_bpe_learn" ->
+        (s"WITH ${bpeLearnCtes(BpeMerges)}"
+          + " SELECT * FROM ("
+          + (1 to BpeMerges).map(i =>
+              s"SELECT $i::BIGINT AS iter, string_split(pair, ' ')[1] AS left_sym,"
+                + s" string_split(pair, ' ')[2] AS right_sym, cnt FROM b$i")
+            .mkString(" UNION ALL ")
+          + ") ORDER BY iter"),
+      "q_bpe_tokens" -> {
+        // the learned chain applied per word: pad → b1..b8 replaces in
+        // rule order → split on the double-space separator
+        val chain = (1 to BpeMerges).foldLeft(
+          "' ' || array_to_string([w[i] for i in range(1, len(w)+1)], '  ') || ' '")(
+          (acc, i) => s"replace($acc, b$i.pat, b$i.rep)")
+        (s"WITH ${bpeLearnCtes(BpeMerges)}"
+          + " SELECT doc_id, len(flatten(list_transform("
+          + " list_filter(string_split(text, ' '), w -> len(w) > 0),"
+          + s" w -> string_split(trim($chain), '  '))))::BIGINT AS n_tokens"
+          + " FROM documents"
+          + (1 to BpeMerges).map(i => s" CROSS JOIN b$i").mkString
+          + " ORDER BY doc_id")
+      },
       "q_langid" ->
         (s"SELECT $predCase AS pred_lang, lang, count(*) AS n FROM ("
           + s" SELECT lang, $markerScores, $bestExpr AS best FROM ("

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+
+class BpeSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("bpeLearn: the Sennrich hand example — merge order, counts, and merged-symbol reuse") {
+    // low x3, lower x2, newest x1: pair counts by hand —
+    //   (l,o)=5 ties (o,w)=5, 'l o' < 'o w' -> merge 1 = (l,o,5)
+    //   then (lo,w)=5 -> merge 2; then (e,r)=2 ties (low,e)=2,
+    //   'e r' < 'low e' -> merge 3 = (e,r,2); then (low,er)=2
+    val df = corpus("low low low lower lower newest")
+    val m = Bpe.bpeLearn(df, "text", merges = 4)
+    assert(m.map(x => (x.iter, x.left_sym, x.right_sym, x.cnt)) == Seq(
+      (1L, "l", "o", 5L),
+      (2L, "lo", "w", 5L),
+      (3L, "e", "r", 2L),
+      (4L, "low", "er", 2L)))
+  }
+
+  test("bpeLearn: left-to-right non-overlapping merge application (the Sennrich convention)") {
+    // 'aaaa' + merge (a,a) must become (aa, aa) — NOT (aa, a, a) — and
+    // 'aaa' becomes (aa, a); round 2's top pair proves the application
+    val df = corpus("aaaa aaa")
+    val m = Bpe.bpeLearn(df, "text", merges = 2)
+    assert(m(0).left_sym == "a" && m(0).right_sym == "a" && m(0).cnt == 5L)
+    // after the merge: aaaa -> (aa, aa), aaa -> (aa, a):
+    // pairs (aa,aa)=1 and (aa,a)=1 tie; 'aa a' < 'aa aa'
+    assert((m(1).left_sym, m(1).right_sym, m(1).cnt) == ("aa", "a", 1L))
+  }
+
+  test("bpeTokenize: symbol-boundary safety — a merged symbol never false-matches a prefix") {
+    // merges [(b,c), (a,b)] on 'abc': after (b,c) the word is (a, bc);
+    // the (a,b) pattern must NOT match inside ' a  bc '
+    val ms = Seq(Bpe.Merge(1, "b", "c", 1), Bpe.Merge(2, "a", "b", 1))
+    val toks = corpus("abc ab cab")
+      .select(Bpe.bpeTokenize(col("text"), ms).as("t"))
+      .head().getSeq[String](0)
+    assert(toks == Seq("a", "bc", "ab", "c", "ab"),
+      s"boundary violation: got $toks")
+  }
+
+  test("bpeTokenCounts: counts match tokenize sizes; single-char and unmerged words") {
+    val ms = Seq(Bpe.Merge(1, "e", "r", 1), Bpe.Merge(2, "m", "er", 1))
+    val df = corpus("the merger a", "mere er")
+    val got = Bpe.bpeTokenCounts(df, "doc_id", "text", ms)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the->(t,h,e)=3, merger->(mer,g,er)=3, a->1 : 7
+    // mere->(m,e,r,e)->(m,er,e)->(mer,e)=2, er->(er)=1 : 3
+    assert(got.toSeq == Seq((0L, 7L), (1L, 3L)))
+  }
+
+  test("bpeLearn: early stop when fully merged; fail-fast bounds") {
+    // single repeated word 'ab': merge 1 = (a,b); afterwards no pairs
+    // remain anywhere -> learn stops early instead of erroring
+    val df = corpus("ab ab ab")
+    val m = Bpe.bpeLearn(df, "text", merges = 5)
+    assert(m.map(x => (x.left_sym, x.right_sym, x.cnt)) == Seq(("a", "b", 3L)))
+    intercept[IllegalArgumentException] { Bpe.bpeLearn(df, "text", 0) }
+    intercept[IllegalArgumentException] { Bpe.bpeLearn(df, "text", 65) }
+    intercept[IllegalArgumentException] { Bpe.bpeTokenize(col("text"), Seq.empty) }
+  }
+
+  test("bpeLearn: determinism under repartitioning (exact integer counts, total-order argmax)") {
+    val texts = (0 until 50).map(i => s"alpha beta gamma delta w${i % 7}")
+    val a = Bpe.bpeLearn(corpus(texts: _*), "text", 6)
+    val b = Bpe.bpeLearn(corpus(texts: _*).repartition(13), "text", 6)
+    assert(a == b)
+  }
+}

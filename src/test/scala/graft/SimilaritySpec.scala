@@ -446,6 +446,101 @@ class SimilaritySpec extends AnyFunSuite {
       s"per-query top-k must ride the k-bounded heap aggregation:\n$plan")
   }
 
+  test("residual IVFPQ: full-codebook degenerate == exact L2; residual recall >= raw on clustered data") {
+    // 3 well-separated clusters with small deterministic within-cluster
+    // offsets — the geometry where residual encoding earns its keep:
+    // raw PQ spends its m·k resolution separating CLUSTERS, residual PQ
+    // spends it on the within-cell offsets that decide the ranking
+    val dim = 8
+    val centers = Seq(
+      Seq(10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 10.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    def v(i: Int): Seq[Float] = centers(i % 3).zipWithIndex.map {
+      case (c, j) => (c + (((i * 31 + j * 7) % 11) - 5) * 0.02).toFloat
+    }
+    val all = (0 until 30).map(i => (i.toLong, v(i)))
+    val corpus = vecs(all.filter(_._1 >= 3): _*)
+    val queries = vecs(all.filter(_._1 < 3): _*)
+    val cents: Array[Seq[Long]] =
+      centers.map(_.map(x => math.round(x * 1e6)): Seq[Long]).toArray
+    val exact = Similarity.topKL2(corpus, queries, "vec_id", "embedding", k = 5)
+    // degenerate pin: every residual its own code, all cells probed ->
+    // ADC(q, x) = ||q − x||² exactly, so the ranking IS topKL2's
+    val booksFull = Similarity.pqFitResidual(corpus, "vec_id", "embedding",
+      dim, m = 2, cents, k = 27, iters = 0)
+    val degen = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      dim, m = 2, centroids = cents, codebooks = booksFull,
+      nprobe = 3, topK = 27, residual = true)
+    val exactFull = Similarity.topKL2(corpus, queries, "vec_id", "embedding", k = 27)
+    assert(degen.select("qid", "rank", "vec_id").collect().map(_.toSeq).toSet
+      == exactFull.select("qid", "rank", "vec_id").collect().map(_.toSeq).toSet,
+      "full-codebook residual IVFPQ must reproduce the exact L2 ranking")
+    // recall: residual codebooks at the same m·k budget must do at
+    // least as well as raw ones (here: strictly better by construction)
+    def recallOf(residual: Boolean): Double = {
+      val books =
+        if (residual) Similarity.pqFitResidual(corpus, "vec_id", "embedding",
+          dim, m = 2, cents, k = 4, iters = 2)
+        else Similarity.pqFit(corpus, "vec_id", "embedding",
+          dim, m = 2, k = 4, iters = 2)
+      val approx = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        dim, m = 2, centroids = cents, codebooks = books,
+        nprobe = 1, topK = 5, residual = residual)
+      val r = Similarity.recallAtK(exact, approx, "qid", "vec_id", k = 5)
+        .agg(avg(col("recall"))).head().getDouble(0)
+      r
+    }
+    val (raw, res) = (recallOf(false), recallOf(true))
+    assert(res >= raw, s"residual recall $res < raw recall $raw")
+    assert(res >= 0.6, s"residual recall $res too low on clustered data (raw $raw)")
+  }
+
+  test("ivfPqTopKRefine: all-candidates degenerate == exact topKL2 rows; refined recall >= plain ADC recall") {
+    // same clustered geometry as the residual test: lossy raw PQ makes
+    // ADC inversions near the top, which exact re-ranking must repair
+    val dim = 8
+    val centers = Seq(
+      Seq(10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 10.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    def v(i: Int): Seq[Float] = centers(i % 3).zipWithIndex.map {
+      case (c, j) => (c + (((i * 31 + j * 7) % 11) - 5) * 0.02).toFloat
+    }
+    val all = (0 until 30).map(i => (i.toLong, v(i)))
+    val corpus = vecs(all.filter(_._1 >= 3): _*)
+    val queries = vecs(all.filter(_._1 < 3): _*)
+    val cents: Array[Seq[Long]] =
+      centers.map(_.map(x => math.round(x * 1e6)): Seq[Long]).toArray
+    val books = Similarity.pqFit(corpus, "vec_id", "embedding",
+      dim, m = 2, k = 4, iters = 2)
+    // degenerate pin: all cells probed, every candidate refined ->
+    // the exact re-rank IS brute force; rows (incl. d2) must match
+    val exact = Similarity.topKL2(corpus, queries, "vec_id", "embedding", k = 5)
+    val degen = Similarity.ivfPqTopKRefine(corpus, queries, "vec_id", "embedding",
+      dim, m = 2, centroids = cents, codebooks = books,
+      nprobe = 3, topK = 5, refine = 27)
+    assert(degen.collect().map(_.toSeq).toSet == exact.collect().map(_.toSeq).toSet,
+      "all-candidate refine must reproduce exact topKL2 rows (rank AND d2)")
+    // recall: exact re-ranking of an ADC candidate superset can only
+    // keep or improve the plain ADC top-k's recall at the same params
+    def recallAvg(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(exact, approx, "qid", "vec_id", k = 5)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    val plain = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      dim, m = 2, centroids = cents, codebooks = books, nprobe = 1, topK = 5)
+    val refined = Similarity.ivfPqTopKRefine(corpus, queries, "vec_id", "embedding",
+      dim, m = 2, centroids = cents, codebooks = books,
+      nprobe = 1, topK = 5, refine = 9)
+    val (rp, rr) = (recallAvg(plain), recallAvg(refined))
+    assert(rr >= rp, s"refined recall $rr < plain ADC recall $rp")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKRefine(corpus, queries, "vec_id", "embedding",
+        dim, m = 2, centroids = cents, codebooks = books,
+        nprobe = 1, topK = 5, refine = 4)
+    }
+  }
+
   test("topKL2: exact euclidean order with id ties; recallAtK arithmetic incl. missing queries") {
     val corpus = vecs(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),   // both at d2=0 from query
