@@ -563,6 +563,28 @@ object SparkEntry {
       AggState.finalize(AggState.merge(monthly, Seq("l_returnflag")), ddof = 1)
         .orderBy("l_returnflag")
     }),
+    // EXACT order statistics join the state family: monthly
+    // distinct-value histograms merge down the partition axis, then the
+    // exact-quantile ranking finalizes — the oracle is the DIRECT
+    // quantile over the union, so the hash match proves the state path
+    // invisible (power sums can't carry quantiles; sketches only
+    // approximate them; the histogram state is exact AND mergeable)
+    "q_quantile_state" -> ((s, d) => {
+      val liM = li(s, d)
+        .withColumn("ship_month", date_trunc("month", col("l_shipdate")))
+      val monthly = AggState.stateQuantile(liM,
+        Seq("l_returnflag", "ship_month"), "l_extendedprice")
+      val merged = AggState.mergeQuantile(monthly, Seq("l_returnflag"),
+        "l_extendedprice")
+      AggState.finalizeQuantile(merged, Seq("l_returnflag"),
+          "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.9), as = "qs")
+        .select(col("l_returnflag"),
+          round(element_at(col("qs"), 1), 6).as("q25"),
+          round(element_at(col("qs"), 2), 6).as("q50"),
+          round(element_at(col("qs"), 3), 6).as("q75"),
+          round(element_at(col("qs"), 4), 6).as("q90"))
+        .orderBy("l_returnflag")
+    }),
     // state COMPACTION down a merge tree (VERDICT r7 #10): daily states
     // roll to monthly, monthly to per-flag totals — two merge levels,
     // the retention pattern of a real state store (keep days hot,
@@ -951,6 +973,14 @@ object SparkEntry {
         + " / (CAST(count(l_extendedprice) AS DOUBLE) - 1.0), 0.0) END) AS std"
         + " FROM lineitem GROUP BY 1 ORDER BY 1")
     },
+    // the histogram state is invisible by construction — the oracle is
+    // the DIRECT quantile over the union (quantile_cont == the
+    // Percentile interpolation, the q_quantile_scalable convention)
+    "q_quantile_state" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,"
+        + " round(quantile_cont(l_extendedprice, 0.5), 6) AS q50,"
+        + " round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,"
+        + " round(quantile_cont(l_extendedprice, 0.9), 6) AS q90 FROM lineitem GROUP BY 1 ORDER BY 1"),
     // compaction: both the merge tree and the sketches are invisible by
     // construction — the oracle is the direct aggregate plus TRUE pins
     // for the tree-invariance and accuracy booleans

@@ -112,6 +112,42 @@ object AggState {
   def estimateDistinct(states: DataFrame, as: String = "nd_estimate"): DataFrame =
     states.withColumn(as, hll_sketch_estimate(col("nd_sketch")))
 
+  /** EXACT-quantile STATE: the (keys, value, cnt) DISTINCT-VALUE
+    * histogram of `valueCol` — the mergeable form of the memory-safe
+    * exact quantile ([[Quantiles.exactQuantile]]), completing the
+    * incremental-rollup family for order statistics, which power sums
+    * cannot carry at all and sketches only approximate. NULL/NaN rows
+    * drop (nanquantile semantics). State size is bounded by DISTINCT
+    * values per group — the contract the exact-quantile engine already
+    * rides (decimal/integer-grid columns stay bounded at 100 TB; a raw
+    * continuous double is the wrong input for BOTH forms — quantize to
+    * the decimal grid first, the qcut/tf-idf convention). */
+  def stateQuantile(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "stateQuantile needs at least one grouping key")
+    Quantiles.countsState(df, keys, valueCol)
+  }
+
+  /** Merge quantile states down to `keys` — ONE hash aggregation
+    * re-summing counts per (keys, value). Exact, associative,
+    * commutative (integer sums), so every merge tree yields the
+    * identical histogram — unlike the HLL states there is no
+    * band-associativity caveat here. */
+  def mergeQuantile(states: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "mergeQuantile needs at least one grouping key")
+    states.groupBy(keys.map(col) :+ col(valueCol): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Finalize a quantile state into per-group quantiles —
+    * [[Quantiles.exactQuantile]]'s ranking and Percentile-exact
+    * interpolation over the histogram, so
+    * finalizeQuantile(mergeQuantile(day states)) equals exactQuantile
+    * over the raw union BIT FOR BIT (AggStateSpec and the
+    * q_quantile_state oracle both pin it) — history never rescans. */
+  def finalizeQuantile(states: DataFrame, keys: Seq[String], valueCol: String,
+      qs: Seq[Double], as: String = "q"): DataFrame =
+    Quantiles.quantileOfCounts(states, keys, valueCol, qs, as)
+
   /** Finalize a state table into the registry statistics: count, mean,
     * var, std (ddof-adjusted, clamped — the [[Aggregations]] variance
     * decomposition verbatim), min, max. A pure projection: states are

@@ -287,6 +287,41 @@ object Quantiles {
     * count (0 for non-float dtypes, which cannot hold a NaN — the group
     * still stays present, with a NULL result); it sorts first and never
     * covers a rank. */
+  /** Distinct-value histogram — the EXACT mergeable quantile STATE
+    * behind [[AggState.stateQuantile]]: (keys, value, cnt) with
+    * NULL/NaN rows dropped (nanquantile semantics). Merging re-sums
+    * `cnt` per (keys, value); [[quantileOfCounts]] then finalizes
+    * bit-identically to [[exactQuantile]] over the raw union, because
+    * the ranked distinct table it feeds [[finish]] is the SAME table
+    * exactQuantile builds from raw rows. */
+  private[operators] def countsState(
+      df: DataFrame, by: Seq[String], valueCol: String): DataFrame = {
+    validate(by, Seq(0.5), valueCol)
+    counts(df, by, valueCol, propagate = false)
+      .select(by.map(col) :+ col(valueCol) :+ col("__cnt").as("cnt"): _*)
+  }
+
+  /** [[exactQuantile]]'s ranking + Percentile-exact interpolation over
+    * a (keys, value, cnt) histogram instead of raw rows. Re-aggregates
+    * per (keys, value) first, so merged AND freshly-unioned state
+    * tables are both accepted. */
+  private[operators] def quantileOfCounts(
+      c: DataFrame, by: Seq[String], valueCol: String,
+      qs: Seq[Double], as: String = "q"): DataFrame = {
+    validate(by, qs, valueCol)
+    val keyCols = by.map(col)
+    val v       = col(valueCol)
+    val h = c.groupBy(keyCols :+ v: _*).agg(sum(col("cnt")).as("__cnt"))
+      .withColumn("__nan", lit(0L))
+    val byVal = Window.partitionBy(keyCols: _*).orderBy(v)
+    val total = Window.partitionBy(keyCols: _*)
+    val t = h
+      .withColumn("__cum", sum("__cnt").over(
+        byVal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum("__cnt").over(total))
+    finish(t, by, valueCol, qs, as, propagate = false)
+  }
+
   /** Raw-row twin of [[counts]] for `dedup = false`: same
     * (keys, value, __cnt, __nan) shape with one row PER INPUT ROW
     * (__cnt 1, or 0 for propagate's kept NULL/NaN rows) — no shuffle at

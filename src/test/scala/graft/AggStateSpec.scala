@@ -74,4 +74,36 @@ class AggStateSpec extends AnyFunSuite {
     assert(AggState.merge(stage, Seq("k")).schema ==
       AggState.merge(daily, Seq("k")).schema)
   }
+
+  test("quantile state: finalize(merge(per-day histograms)) == exactQuantile direct, bit for bit") {
+    import graft.operators.Quantiles
+    // ties across days (10.5 on days 1 and 2), NULL/NaN drops, an
+    // all-invalid group that must vanish entirely (nanquantile drops it)
+    val df = Seq(
+      ("a", 1, Some(10.5)), ("a", 1, Some(11.25)), ("a", 2, Some(10.5)),
+      ("a", 2, Some(9.0)), ("a", 3, None), ("a", 3, Some(Double.NaN)),
+      ("b", 1, Some(100.0)), ("b", 2, Some(100.0)), ("b", 3, Some(1.0)),
+      ("c", 1, None), ("c", 2, Some(Double.NaN))
+    ).toDF("k", "day", "v")
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val daily = AggState.stateQuantile(df, Seq("k", "day"), "v")
+    val got = AggState.finalizeQuantile(
+      AggState.mergeQuantile(daily, Seq("k"), "v"), Seq("k"), "v", qs, as = "q")
+    val want = Quantiles.exactQuantile(df, Seq("k"), "v", qs, as = "q")
+    assert(got.orderBy("k").collect().toSeq == want.orderBy("k").collect().toSeq,
+      "state path must be bit-identical to the direct exact quantile")
+    // every merge tree yields the identical histogram (integer sums)
+    val stage = AggState.mergeQuantile(daily.where(col("day") <= 2), Seq("k"), "v")
+      .unionByName(daily.where(col("day") === 3).drop("day"))
+    val a = AggState.finalizeQuantile(
+      AggState.mergeQuantile(stage, Seq("k"), "v"), Seq("k"), "v", qs, as = "q")
+    assert(a.orderBy("k").collect().toSeq == got.orderBy("k").collect().toSeq)
+    // finalize also accepts an UNMERGED union of states (re-aggregates)
+    val c = AggState.finalizeQuantile(daily.drop("day"), Seq("k"), "v", qs, as = "q")
+    assert(c.orderBy("k").collect().toSeq == got.orderBy("k").collect().toSeq)
+    // state size is the distinct-value count, not the row count
+    assert(daily.where(col("k") === "a" && col("day") === 2).count() == 2)
+    assert(AggState.mergeQuantile(daily, Seq("k"), "v")
+      .where(col("k") === "a").count() == 3) // {9.0, 10.5, 11.25}
+  }
 }
