@@ -694,9 +694,7 @@ object LlmQueries {
     // word-frequency table — ONE corpus scan, then vocab-sized
     // iterations; argmax by (count desc, pair asc), exact integer sums
     "q_bpe_learn" -> ((s, d) =>
-      s.createDataFrame(bpeMergesOf(s, d))
-        .select(col("iter"), col("left_sym"), col("right_sym"), col("cnt"))
-        .orderBy("iter")),
+      Bpe.mergesDf(s, bpeMergesOf(s, d)).orderBy("iter")),
     // per-document subword token counts under the fit-once rules — the
     // replace-chain tokenizer is pure codegen, zero shuffle
     "q_bpe_tokens" -> ((s, d) =>
@@ -930,6 +928,32 @@ object LlmQueries {
         "graft_stream_dedup_near")
       parts.reduceOption(_ unionByName _).getOrElse(docs.where(lit(false)))
         .select("doc_id", "source").orderBy("doc_id")
+    }),
+    // streaming maintenance of the EXACT quantile state: per batch the
+    // corpus histogram rolls forward (foreachBatch corpus state — the
+    // dedupNearIngest boundary), finalize at the last batch == the
+    // direct quantile over EVERYTHING (initial even-id state + streamed
+    // odd-id rows), certified by the shared quantile_cont oracle
+    "q_stream_quantile_state" -> ((s, d) => {
+      val evB = T(s, d, "events")
+      val raw = s.readStream.schema(evB.schema)
+        .parquet(s"$d/{events.parquet}")
+        .where(col("event_id") % 2 === 1)
+      val init = AggState.stateQuantile(evB.where(col("event_id") % 2 === 0),
+        Seq("event_type"), "value").localCheckpoint()
+      val states = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      runForeachBatchReplay(
+        StreamingOps.quantileStateIngest(raw, init, Seq("event_type"), "value")(
+          st => states.synchronized { states += st; () }),
+        "graft_stream_quantile_state")
+      AggState.finalizeQuantile(states.synchronized(states.last),
+          Seq("event_type"), "value", Seq(0.25, 0.5, 0.75, 0.9), as = "qs")
+        .select(col("event_type"),
+          round(element_at(col("qs"), 1), 6).as("q25"),
+          round(element_at(col("qs"), 2), 6).as("q50"),
+          round(element_at(col("qs"), 3), 6).as("q75"),
+          round(element_at(col("qs"), 4), 6).as("q90"))
+        .orderBy("event_type")
     }),
     // streaming windowed TOP-K: the k-bounded heap aggregate rides the
     // same incremental window state as any registry reduction (explicit
@@ -2325,6 +2349,14 @@ object LlmQueries {
       // null-equal -> one survivor, counted but not summed), so DISTINCT
       // replays it regardless of which physical row survived
       "q_stream_upsert" -> SparkEntry.UpsertOracleSql,
+      // the rolled histogram is invisible by construction — the oracle
+      // is the DIRECT quantile over all events (initial + streamed)
+      "q_stream_quantile_state" ->
+        ("SELECT event_type, round(quantile_cont(value, 0.25), 6) AS q25,"
+          + " round(quantile_cont(value, 0.5), 6) AS q50,"
+          + " round(quantile_cont(value, 0.75), 6) AS q75,"
+          + " round(quantile_cont(value, 0.9), 6) AS q90"
+          + " FROM events GROUP BY 1 ORDER BY 1"),
       "q_stream_dedup" ->
         ("SELECT count(*) AS n_unique,"
           + s" sum(${TextAnalysis.fingerprintSql("text")})::BIGINT AS checksum,"

@@ -96,9 +96,11 @@ object Bpe {
     out.toSeq
   }
 
-  /** [[bpeLearn]] as a DataFrame — (iter, left_sym, right_sym, cnt). */
-  def bpeLearnDf(df: DataFrame, textCol: String, merges: Int): DataFrame =
-    df.sparkSession.createDataFrame(bpeLearn(df, textCol, merges))
+  /** Learned rules as a DataFrame — (iter, left_sym, right_sym, cnt);
+    * the persistable index-at-rest form (train once, save, reload for
+    * [[bpeTokenize]]). */
+  def mergesDf(spark: org.apache.spark.sql.SparkSession, rules: Seq[Merge]): DataFrame =
+    spark.createDataFrame(rules)
       .select(col("iter"), col("left_sym"), col("right_sym"), col("cnt"))
 
   /** Subword tokens of `text` under learned merge rules, as a pure

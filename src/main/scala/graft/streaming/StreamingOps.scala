@@ -171,6 +171,44 @@ object StreamingOps {
     }
   }
 
+  /** Continuous maintenance of the EXACT quantile state
+    * ([[graft.operators.AggState.stateQuantile]]): every micro-batch
+    * folds ONCE to its own (keys, value, cnt) histogram and merges
+    * into the running state — one vocab-sized hash aggregation per
+    * batch, the batch rows never touched again. `emit` receives the
+    * rolled state after each batch, so any batch boundary can
+    * [[graft.operators.AggState.finalizeQuantile]] exact order
+    * statistics over ALL history without rescanning a row.
+    *
+    * Streamability boundary (the [[dedupNearIngest]] entry): the
+    * histogram is CORPUS state, not watermark state — an
+    * over-all-history quantile can never evict anything, so this is a
+    * foreachBatch operator whose state belongs in corpus storage (at
+    * scale: MERGE INTO the persisted state table keyed on
+    * (keys, value)), not in the state store. Here the rolled state is
+    * localCheckpoint-ed per batch so plans stay flat and the consumed
+    * micro-batch frame is never referenced after its call returns.
+    * Exactness: merge order across batches is invisible (integer
+    * count sums are associative/commutative — the AggStateSpec
+    * merge-tree pin), so the replayed stream hash-matches the direct
+    * batch quantile. */
+  def quantileStateIngest(
+      stream: DataFrame,
+      initial: DataFrame,
+      keys: Seq[String],
+      valueCol: String)(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var state = initial
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = graft.operators.AggState.stateQuantile(batch.toDF(), keys, valueCol)
+        state = graft.operators.AggState
+          .mergeQuantile(state.unionByName(b), keys, valueCol)
+          .localCheckpoint()
+        emit(state)
+    }
+  }
+
   /** Stateless curation pass for streaming ingest: deterministic hash
     * sampling, quality scoring + threshold, and PII scan/redaction
     * composed as pure per-row expressions. Appends `quality`, the

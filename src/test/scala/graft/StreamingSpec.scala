@@ -328,4 +328,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == want, s"streamed per-batch survivors $got != sequential loop $want")
     assert(want == Seq(Set(12L), Set(22L), Set(33L)))
   }
+
+  test("quantileStateIngest: 3-batch rolled histogram finalizes to the direct quantile, bit for bit") {
+    import graft.operators.{AggState, Quantiles}
+    // three "days" with ties across batches and a NaN/NULL to drop;
+    // the merge across batches must be invisible in the finalize
+    val days = Seq(
+      Seq(("a", Some(1.0)), ("a", Some(2.0)), ("b", Some(10.0))),
+      Seq(("a", Some(2.0)), ("a", Some(3.0)), ("b", Some(Double.NaN))),
+      Seq(("a", Some(4.0)), ("b", None), ("b", Some(20.0))))
+      .map(_.toDF("k", "v"))
+    val dir = tmpDir("graft-stream-qs")
+    days.zipWithIndex.foreach { case (df, i) =>
+      val tmp = tmpDir("graft-qs-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val dst = new java.io.File(dir, s"day$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(days.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val init = AggState.stateQuantile(
+      Seq(("a", Some(0.0))).toDF("k", "v"), Seq("k"), "v").localCheckpoint()
+    val states = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    StreamingOps.quantileStateIngest(stream, init, Seq("k"), "v")(
+        st => states.synchronized { states += st; () })
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .start().awaitTermination()
+    assert(states.size == 3, s"expected one state per file batch, got ${states.size}")
+    val qs = Seq(0.0, 0.5, 0.75, 1.0)
+    val got = AggState.finalizeQuantile(states.last, Seq("k"), "v", qs, as = "q")
+      .orderBy("k").collect().toSeq
+    val all = Seq(("a", Some(0.0))).toDF("k", "v")
+      .unionByName(days.reduce(_ unionByName _))
+    val want = Quantiles.exactQuantile(all, Seq("k"), "v", qs, as = "q")
+      .orderBy("k").collect().toSeq
+    assert(got == want, s"rolled-state finalize $got != direct $want")
+    // intermediate states are valid prefixes: batch-1 state == direct
+    // over init + day 1 (arrival-prefix semantics)
+    val got1 = AggState.finalizeQuantile(states.head, Seq("k"), "v", qs, as = "q")
+      .orderBy("k").collect().toSeq
+    val want1 = Quantiles.exactQuantile(
+        Seq(("a", Some(0.0))).toDF("k", "v").unionByName(days.head),
+        Seq("k"), "v", qs, as = "q")
+      .orderBy("k").collect().toSeq
+    assert(got1 == want1)
+  }
 }
