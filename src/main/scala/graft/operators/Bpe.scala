@@ -103,6 +103,20 @@ object Bpe {
     spark.createDataFrame(rules)
       .select(col("iter"), col("left_sym"), col("right_sym"), col("cnt"))
 
+  /** Reload persisted rules ([[mergesDf]] written to parquet — the
+    * index-at-rest round trip): a bounded collect (≤ [[MaxMerges]]
+    * rows, fail-fast), re-ordered by `iter` since application order IS
+    * the tokenizer. */
+  def mergesFrom(df: DataFrame): Seq[Merge] = {
+    val rows = df.select(col("iter").cast("long"), col("left_sym"),
+        col("right_sym"), col("cnt").cast("long"))
+      .limit(MaxMerges + 1).collect()
+    require(rows.length <= MaxMerges,
+      s"merge-rule table exceeds $MaxMerges rows — not a bpeLearn output")
+    rows.map(r => Merge(r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.iter).toSeq
+  }
+
   /** Subword tokens of `text` under learned merge rules, as a pure
     * Column expression (whole-stage codegen, zero shuffle): each word
     * folds through the literal replace chain in rule order, then

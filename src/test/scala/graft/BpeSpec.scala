@@ -68,6 +68,19 @@ class BpeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Bpe.bpeTokenize(col("text"), Seq.empty) }
   }
 
+  test("tokenizer at rest: mergesDf -> parquet -> mergesFrom round-trips the exact rules") {
+    val df = corpus("low low low lower lower newest")
+    val learned = Bpe.bpeLearn(df, "text", merges = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Bpe.mergesDf(spark, learned).write.mode("overwrite").parquet(dir)
+    // shuffle the stored order — application order must come from iter
+    val loaded = Bpe.mergesFrom(spark.read.parquet(dir).orderBy(col("left_sym")))
+    assert(loaded == learned)
+    val a = df.select(Bpe.bpeTokenize(col("text"), learned)).head().getSeq[String](0)
+    val b = df.select(Bpe.bpeTokenize(col("text"), loaded)).head().getSeq[String](0)
+    assert(a == b)
+  }
+
   test("bpeLearn: determinism under repartitioning (exact integer counts, total-order argmax)") {
     val texts = (0 until 50).map(i => s"alpha beta gamma delta w${i % 7}")
     val a = Bpe.bpeLearn(corpus(texts: _*), "text", 6)

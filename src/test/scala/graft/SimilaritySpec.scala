@@ -541,6 +541,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("flat batch PQ: ivfPqTopK with ONE zero coarse centroid == pqTopK per query") {
+    // the batch form of the flat PQ index: a single all-zero centroid
+    // puts every corpus row and every query in the same cell, so the
+    // candidate set is the whole corpus and ADC == pqTopK's, per query
+    val dim = 8
+    def v(i: Int): Seq[Float] =
+      (0 until dim).map(j => (((i * 37 + j * 11) % 17) - 8) * 0.25f)
+    val corpus = vecs((5L to 24L).map(i => (i, v(i.toInt))): _*)
+    val queries = vecs((0L to 2L).map(i => (i, v(i.toInt))): _*)
+    val books = Similarity.pqFit(corpus, "vec_id", "embedding", dim, m = 2, k = 4, iters = 2)
+    val zero: Array[Seq[Long]] = Array(Seq.fill(dim)(0L))
+    val batch = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      dim, m = 2, centroids = zero, codebooks = books, nprobe = 1, topK = 7)
+    for (q <- 0L to 2L) {
+      val one = Similarity.pqTopK(corpus, queries.where(col("vec_id") === q),
+          "vec_id", "embedding", dim, m = 2, codebooks = books, topK = 7)
+        .select("vec_id", "rank", "adc").collect().map(_.toSeq).toSet
+      val got = batch.where(col("qid") === q)
+        .select("vec_id", "rank", "adc").collect().map(_.toSeq).toSet
+      assert(got == one, s"query $q: batch flat-PQ != pqTopK")
+    }
+  }
+
   test("topKL2: exact euclidean order with id ties; recallAtK arithmetic incl. missing queries") {
     val corpus = vecs(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),   // both at d2=0 from query
