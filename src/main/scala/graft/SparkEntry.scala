@@ -105,6 +105,43 @@ object SparkEntry {
         .select(col("c_custkey"), lit("TIE0").as("seg"), lit(0L).as("ver")))
     (base, ups)
   }
+  /** q_scd2 / q_scd2_rolling changelog: v0 = every customer's segment;
+    * v1 = the %3 slice updates — but %15 RE-STATES the v0 value (the
+    * run-collapse pin: no new interval may open); v2 = the %6 slice to
+    * NEWER. Shared by both rows so the rolled and from-scratch paths
+    * see the identical change stream. */
+  private[graft] def scd2Changelog(c: DataFrame): Seq[DataFrame] = {
+    val v0 = c.select(col("c_custkey"), col("c_mktsegment").as("seg"),
+      lit(0L).as("ver"))
+    val v1 = c.where(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 15 === 0, col("c_mktsegment"))
+          .otherwise(concat(lit("UPD"), (col("c_custkey") % 5).cast("string")))
+          .as("seg"),
+        lit(1L).as("ver"))
+    val v2 = c.where(col("c_custkey") % 6 === 0)
+      .select(col("c_custkey"), lit("NEWER").as("seg"), lit(2L).as("ver"))
+    Seq(v0, v1, v2)
+  }
+
+  /** Shared by q_scd2 and q_scd2_rolling: the incremental merge must
+    * hash-match the SAME from-scratch oracle — that equality IS the
+    * rolled == from-scratch invariant. */
+  private[graft] val Scd2OracleSql =
+    ("WITH ch AS (SELECT c_custkey, c_mktsegment AS seg, 0::BIGINT AS ver FROM customer"
+      + " UNION ALL SELECT c_custkey, CASE WHEN c_custkey % 15 = 0 THEN c_mktsegment"
+      + " ELSE 'UPD' || (c_custkey % 5) END, 1::BIGINT FROM customer WHERE c_custkey % 3 = 0"
+      + " UNION ALL SELECT c_custkey, 'NEWER', 2::BIGINT FROM customer WHERE c_custkey % 6 = 0),"
+      + " d AS (SELECT *, lag(seg) OVER (PARTITION BY c_custkey ORDER BY ver) AS prev FROM ch),"
+      // no NULL segs in this fixture, so plain <> is the null-safe
+      // run-collapse (IS DISTINCT FROM would trip the crude FROM-scan
+      // in DriverContractSpec)
+      + " f AS (SELECT c_custkey, seg, ver AS valid_from FROM d"
+      + " WHERE prev IS NULL OR prev <> seg)"
+      + " SELECT c_custkey, seg, valid_from,"
+      + " lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from) AS valid_to"
+      + " FROM f ORDER BY c_custkey, valid_from")
+
   private val EVAL  = "CASE WHEN event_type = 'error' THEN NULL ELSE value END"
 
   private def reduceRF(s: SparkSession, dir: String, aggs: Agg*): DataFrame =
@@ -524,6 +561,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("c_custkey").as("sum_key"),
           sum("ver").as("sum_ver"))
         .orderBy("seg")
+    }),
+    // SCD2 history build: a keyed changelog collapses to validity
+    // intervals — one shared exchange, two same-order window passes;
+    // a version re-stating the previous payload opens NO new interval
+    "q_scd2" -> ((s, d) => {
+      val days = scd2Changelog(T(s, d, "customer"))
+      Upsert.scd2Intervals(days.reduce(_ unionByName _),
+          Seq("c_custkey"), "ver", Seq("seg"))
+        .orderBy("c_custkey", "valid_from")
+    }),
+    // SCD2 incremental merge, day by day: only the OPEN slice joins
+    // each batch; the oracle is the SAME from-scratch interval SQL —
+    // the hash match IS the rolled == from-scratch invariant
+    "q_scd2_rolling" -> ((s, d) => {
+      val days = scd2Changelog(T(s, d, "customer"))
+      val init = Upsert.scd2Intervals(days.head, Seq("c_custkey"), "ver", Seq("seg"))
+      days.tail.foldLeft(init)((h, b) =>
+          Upsert.scd2Upsert(h, b, Seq("c_custkey"), "ver", Seq("seg")))
+        .orderBy("c_custkey", "valid_from")
     }),
     // distinct-count states: per-month HLL sketches merged to flags;
     // merged and direct estimates agree within half the accuracy band
@@ -949,6 +1005,8 @@ object SparkEntry {
         + " ORDER BY 1"),
     // latest-wins replayed as a rank-1 window over the tagged union
     "q_upsert" -> UpsertOracleSql,
+    "q_scd2" -> Scd2OracleSql,
+    "q_scd2_rolling" -> Scd2OracleSql,
     "q_distinct_state" ->
       ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_nd,"
         + " TRUE AS merge_close, TRUE AS approx_ok"

@@ -51,6 +51,101 @@ object Upsert {
       .drop("__side")
   }
 
+  /** SCD-TYPE-2 history build: collapse a keyed CHANGELOG
+    * (keys, version, payload) into validity intervals — one row per
+    * (key, consecutive-distinct payload run): (keys, payload,
+    * valid_from, valid_to), half-open [from, to), valid_to NULL for
+    * the current row. A version that re-states the previous payload
+    * opens NO new interval (null-safe struct comparison, so NULL
+    * payload fields compare equal — the run-collapse rule every
+    * warehouse SCD2 loader implements).
+    *
+    * Plan: ONE shuffle by key feeding two same-order window passes
+    * (change-point lag filter, then interval lead) — the exchange is
+    * shared. Contract: (keys, version) unique, versions non-NULL;
+    * duplicate versions would make the run order ill-defined.
+    *
+    * At 100 TB: the changelog shuffles by key once; day-partitioned
+    * arrivals should prefer [[scd2Upsert]], which touches only the
+    * OPEN slice of history per batch. */
+  def scd2Intervals(
+      changelog: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && payloadCols.nonEmpty,
+      "scd2Intervals needs keys and payload columns")
+    val pay = struct(payloadCols.map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(versionCol))
+    val changes = changelog
+      .withColumn("__prev", lag(pay, 1).over(w))
+      .where(col("__prev").isNull || !(col("__prev") <=> pay))
+      .withColumn("valid_from", col(versionCol))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("valid_from"))
+    changes
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .select((keys ++ payloadCols).map(col) :+ col("valid_from") :+ col("valid_to"): _*)
+  }
+
+  /** SCD-TYPE-2 incremental MERGE: roll a history table (the
+    * [[scd2Intervals]] shape) forward with one update batch at version
+    * T — close open rows whose payload changed (valid_to = T), open new
+    * rows for changed/new keys (valid_from = T), keep everything else.
+    * Keys absent from the batch are UNCHANGED (CDC batches are
+    * partial; a full-snapshot delete pass is [[graft.operators.Validate.snapshotDiff]]'s
+    * job). Day-by-day rolls are EQUIVALENT to one [[scd2Intervals]]
+    * over the full changelog — the rolled == from-scratch invariant
+    * (UpsertSpec + the q_scd2_rolling oracle pin it), including the
+    * run-collapse rule: a batch re-stating the open payload changes
+    * nothing.
+    *
+    * Plan: closed history passes through untouched; ONE full-outer
+    * key join between the OPEN slice and the batch, then a single
+    * projection explodes each joined row into its 1-2 output rows —
+    * the join is never re-executed per case. At scale the open slice
+    * is the small working set (≤ one row per live key) and the batch
+    * is a day; neither is history-sized. Contract: one row per key in
+    * the batch; batch version T must exceed every open valid_from. */
+  def scd2Upsert(
+      history: DataFrame,
+      batch: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && payloadCols.nonEmpty,
+      "scd2Upsert needs keys and payload columns")
+    val outCols = (keys ++ payloadCols).map(col) :+ col("valid_from") :+ col("valid_to")
+    val closed = history.where(col("valid_to").isNotNull).select(outCols: _*)
+    val open = history.where(col("valid_to").isNull)
+      .select((keys ++ payloadCols).map(col) :+ col("valid_from") :+
+        lit(true).as("__hasOpen"): _*)
+    val b = batch.select(keys.map(col) ++
+      payloadCols.map(c => col(c).as(s"__b_$c")) :+
+      col(versionCol).as("__bver") :+ lit(true).as("__hasBatch"): _*)
+    val j = open.join(b, keys, "full_outer")
+    val oPay = struct(payloadCols.map(col): _*)
+    val bPay = struct(payloadCols.map(c => col(s"__b_$c").as(c)): _*)
+    val hasOpen = col("__hasOpen") <=> lit(true)
+    val hasBatch = col("__hasBatch") <=> lit(true)
+    val differs = !(oPay <=> bPay)
+    val keepOrClose = when(hasOpen,
+      struct(oPay.as("p"), col("valid_from").as("f"),
+        when(hasBatch && differs, col("__bver"))
+          .otherwise(lit(null).cast(j.schema("valid_from").dataType)).as("t")))
+    val openNew = when(hasBatch && (!hasOpen || differs),
+      struct(bPay.as("p"), col("__bver").as("f"),
+        lit(null).cast(j.schema("valid_from").dataType).as("t")))
+    val rolled = j
+      .select(keys.map(col) :+ explode(array(keepOrClose, openNew)).as("__r"): _*)
+      .where(col("__r").isNotNull)
+      .select(keys.map(col) ++
+        payloadCols.map(c => col(s"__r.p.$c").as(c)) :+
+        col("__r.f").as("valid_from") :+ col("__r.t").as("valid_to"): _*)
+    closed.unionByName(rolled)
+  }
+
   /** The winner kernel: one row per key — the max of
     * `struct(order..., payload...)` (payload = every input column, so
     * the comparison is total and the survivor deterministic under any

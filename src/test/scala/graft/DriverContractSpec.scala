@@ -113,8 +113,12 @@ class DriverContractSpec extends AnyFunSuite {
   test("oracle SQL references only driver-provided tables") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    // crude FROM/JOIN scan — catches typos like 'document' or a temp name
-    val ident = """(?i)(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)\b""".r
+    // crude FROM/JOIN scan — catches typos like 'document' or a temp
+    // name. \b guards the keyword itself (a column like valid_from
+    // followed by a real FROM would otherwise capture the keyword);
+    // the IS DISTINCT FROM phrase still trips it, so oracles use
+    // "x IS NULL OR x <> y" instead (q_scd2's run-collapse predicate)
+    val ident = """(?i)\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)\b""".r
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       // subquery openers (FROM/JOIN followed by a paren) are not captured
       val refs = ident.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet

@@ -52,4 +52,44 @@ class UpsertSpec extends AnyFunSuite {
       Upsert.upsertLatest(b2, u2.drop("tb"), Seq("k"), "ver")
     }
   }
+
+  test("scd2Intervals: run-collapse, NULL payload equality, half-open intervals") {
+    val log = Seq(
+      (1L, Some("x"), 0L), (1L, Some("x"), 1L), (1L, Some("y"), 2L), // re-state at v1 collapses
+      (2L, None, 0L), (2L, None, 1L), (2L, Some("z"), 2L),           // NULL == NULL collapses
+      (3L, Some("q"), 5L)                                            // single row -> open interval
+    ).toDF("k", "v", "ver")
+    val got = Upsert.scd2Intervals(log, Seq("k"), "ver", Seq("v"))
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2), Option(r.get(3)))).toSeq
+    assert(got == Seq(
+      (1L, Some("x"), 0L, Some(2L)), (1L, Some("y"), 2L, None),
+      (2L, None, 0L, Some(2L)), (2L, Some("z"), 2L, None),
+      (3L, Some("q"), 5L, None)))
+  }
+
+  test("scd2Upsert: day-by-day roll == scd2Intervals from scratch; absent keys untouched") {
+    // day 0: keys 1-3; day 1: 1 changes, 2 re-states (must NOT open an
+    // interval), 4 is new; day 2: 1 changes back, 4 changes, 3 absent
+    val days = Seq(
+      Seq((1L, Some("a"), 0L), (2L, Some("b"), 0L), (3L, Some("c"), 0L)),
+      Seq((1L, Some("a2"), 1L), (2L, Some("b"), 1L), (4L, Some("d"), 1L)),
+      Seq((1L, Some("a"), 2L), (4L, Some("d2"), 2L)))
+      .map(_.toDF("k", "v", "ver"))
+    val scratch = Upsert.scd2Intervals(days.reduce(_ unionByName _),
+      Seq("k"), "ver", Seq("v"))
+    val rolled = days.tail.foldLeft(
+      Upsert.scd2Intervals(days.head, Seq("k"), "ver", Seq("v")))(
+      (h, b) => Upsert.scd2Upsert(h, b, Seq("k"), "ver", Seq("v")))
+    val cols = Seq("k", "v", "valid_from", "valid_to")
+    assert(rolled.select(cols.map(col): _*).orderBy("k", "valid_from").collect().toSeq
+      == scratch.select(cols.map(col): _*).orderBy("k", "valid_from").collect().toSeq,
+      "incremental SCD2 must equal the from-scratch interval build")
+    // spot facts: key 2 has ONE open interval (re-state collapsed);
+    // key 3 untouched open; key 1 has three intervals
+    val byK = rolled.orderBy("k", "valid_from").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byK == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
 }
