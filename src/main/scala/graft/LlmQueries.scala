@@ -67,6 +67,14 @@ object LlmQueries {
   private val ivfPqResBooksCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Seq[Long]]]]()
 
+  // q_ann_pq_opq's fit-once index state: the variance-balanced dim
+  // permutation (OPQ-lite), plus coarse cells and sub-codebooks fitted
+  // in the PERMUTED space (permutation preserves L2, so the assignment
+  // and recall contracts are unchanged — only quantization error moves)
+  private val opqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Seq[Int], Array[Seq[Long]], Seq[Array[Seq[Long]]])]()
+
   /** q_bpe_* merge-rule count, single-sourced with the oracle replay. */
   private[graft] val BpeMerges = 8
 
@@ -556,6 +564,28 @@ object LlmQueries {
           "vec_id", "embedding", dim = 64, m = 4,
           centroids = cents, codebooks = books, nprobe = 2, topK = 10,
           residual = true)
+        .orderBy("qid", "rank")
+    }),
+    // OPQ-lite IVFADC: dims deal into subspaces by a variance-balanced
+    // snake draft (Ge et al. CVPR'13 non-parametric init) before the
+    // PQ fits — same m*k budget, quantization error redistributed
+    "q_ann_pq_opq" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val corpus0 = e.where(col("vec_id") >= 5)
+      val (perm, cents, books) = opqIndexCache.computeIfAbsent(d, _ => {
+        val p = Similarity.pqVarianceAlloc(corpus0, "embedding", dim = 64, m = 4)
+        val cP = corpus0.withColumn("embP",
+          Similarity.permuteVec(col("embedding"), p))
+        val c = cP.orderBy("vec_id").limit(16)
+          .select(Similarity.quantize(col("embP")))
+          .collect().map(r => r.getSeq[Long](0): Seq[Long])
+        (p, c, Similarity.pqFit(cP, "vec_id", "embP", dim = 64, m = 4,
+          k = 16, iters = 2))
+      })
+      val eP = e.withColumn("embP", Similarity.permuteVec(col("embedding"), perm))
+      Similarity.ivfPqTopK(eP.where(col("vec_id") >= 5),
+          eP.where(col("vec_id") < 5), "vec_id", "embP", dim = 64, m = 4,
+          centroids = cents, codebooks = books, nprobe = 2, topK = 10)
         .orderBy("qid", "rank")
     }),
     // FAISS IndexRefineFlat: ADC nominates 20 candidates/query, only
@@ -1931,6 +1961,25 @@ object LlmQueries {
       // cell; score = 4 table lookups; rank per query by (adc, id).
       "q_ann_ivfpq" -> ivfPqReplaySql(qn),
       "q_ann_ivfpq_res" -> ivfPqReplaySql(qn, residual = true),
+      // OPQ-lite replay: per-dim exact power sums over the CORPUS
+      // (vec_id >= 5), snake-draft allocation in one window (rank r ->
+      // cycle r mod 8 -> subspace, m=4), the permutation applied to
+      // EVERY vector, then the stock IVFADC replay runs in the
+      // permuted space — fits, cells, ADC, rank, bit for bit
+      "q_ann_pq_opq" -> {
+        val permSql =
+          ("SELECT list(i ORDER BY sub, r) AS perm FROM ("
+            + " SELECT i, r, CASE WHEN (r % 8) < 4 THEN (r % 8) ELSE 7 - (r % 8) END AS sub FROM ("
+            + " SELECT i, row_number() OVER (ORDER BY n * s2 - s1 * s1 DESC, i) - 1 AS r FROM ("
+            + s" SELECT i, count(*) AS n, sum(q[i]) AS s1, sum(q[i] * q[i]) AS s2 FROM"
+            + s" (SELECT $QuantSqlDouble q FROM embeddings WHERE vec_id >= 5),"
+            + " (SELECT unnest(range(1, 65)) AS i) GROUP BY i)))")
+        val qnPerm =
+          ("(SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) nsq FROM"
+            + " (SELECT vec_id, [q0[p] for p in perm] AS q FROM"
+            + s" (SELECT vec_id, $QuantSqlDouble q0 FROM embeddings) CROSS JOIN ($permSql)))")
+        ivfPqReplaySql(qnPerm)
+      },
       // refine replay: the full IVFADC replay at rank <= 20 nominates,
       // then exact integer L2 against the prepared vectors re-ranks;
       // final rank by (d2, id)

@@ -996,6 +996,59 @@ object Similarity {
         col("col.id").as(idCol), (-col("col.score")).cast("long").as("adc"))
   }
 
+  /** Variance-balanced dimension allocation for PQ — the deterministic,
+    * replayable slice of OPQ's non-parametric initialization (Ge,
+    * He, Ke & Sun, CVPR'13 "Optimized Product Quantization", §IV:
+    * balance the variance mass across subspaces so no codebook wastes
+    * its k codes on near-constant dims while another drowns; the full
+    * learned ROTATION needs an SVD per iteration — out of scope
+    * without linear algebra, and the allocation step is where most of
+    * the non-isotropic win lives). Per-dimension variance is computed
+    * as exact decimal power sums on the quantized grid (ONE aggregation
+    * pass, 2·dim decimal sums — no row explosion); dims rank by
+    * n·s2 − s1² (exact integers, ties to the lower dim) and deal into
+    * subspaces in a SNAKE draft (rank r → cycle c = r mod 2m, subspace
+    * c < m ? c : 2m−1−c) — the snake is what makes the allocation
+    * SQL-replayable in one window, where OPQ's greedy bin-packing
+    * would need dim unrolled iterations. Returns the 0-based source
+    * index for each output slot, grouped by subspace, variance-
+    * descending within. Permutation preserves L2, so every downstream
+    * contract (exact recall gates, ADC integer distances) is unchanged
+    * — only the quantization error moves. */
+  def pqVarianceAlloc(
+      corpus: DataFrame,
+      embCol: String,
+      dim: Int,
+      m: Int): Seq[Int] = {
+    require(m >= 1 && dim % m == 0, s"m must divide dim (got dim=$dim, m=$m)")
+    val q = quantize(col(embCol))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val exprs = (0 until dim).flatMap { j =>
+      val x = element_at(q, j + 1)
+      Seq(sum(x.cast(dec)).as(s"__s1_$j"), sum((x * x).cast(dec)).as(s"__s2_$j"))
+    } :+ count(lit(1)).cast(dec).as("__n")
+    val row = corpus.agg(exprs.head, exprs.tail: _*).head()
+    val n = BigDecimal(row.getDecimal(2 * dim))
+    val metric = (0 until dim).map { j =>
+      val s1 = BigDecimal(row.getDecimal(2 * j))
+      val s2 = BigDecimal(row.getDecimal(2 * j + 1))
+      n * s2 - s1 * s1
+    }
+    val ranked = (0 until dim).sortBy(j => (-metric(j), j)) // rank r -> dim
+    def subOf(r: Int): Int = {
+      val c = r % (2 * m); if (c < m) c else 2 * m - 1 - c
+    }
+    ranked.zipWithIndex.sortBy { case (_, r) => (subOf(r), r) }.map(_._1)
+  }
+
+  /** Apply a [[pqVarianceAlloc]] permutation to a vector column (works
+    * on the raw float array or the quantized long array — elementwise,
+    * so the orders commute). */
+  def permuteVec(c: Column, perm: Seq[Int]): Column = {
+    require(perm.sorted == perm.indices, "perm must be a permutation of 0..dim-1")
+    array(perm.map(j => element_at(c, j + 1)): _*)
+  }
+
   /** FAISS-style exact re-ranking stage over [[ivfPqTopK]] (the
     * `IndexRefineFlat` wrapper): the ADC ranking nominates `refine`
     * candidates per query, and ONLY those refine·|queries| (query,

@@ -541,6 +541,57 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pqVarianceAlloc: snake draft on ranked variances; permutation preserves exact L2; anisotropic recall >= contiguous") {
+    val dim = 8
+    // variance strictly decreasing in dim index: dim j alternates
+    // 0 / A_j with A_j shrinking, so the rank order IS the index order
+    val varied = vecs((0L until 16L).map { i =>
+      (i + 100L, (0 until dim).map(j =>
+        if (i % 2 == 0) 0.0f else (8 - j) * 1.0f): Seq[Float])
+    }: _*)
+    val perm = Similarity.pqVarianceAlloc(varied, "embedding", dim, m = 2)
+    // ranks 0..7 -> cycle r%4 -> subspace (0,1,1,0,0,1,1,0); grouped by
+    // (subspace, rank): dims (0,3,4,7) then (1,2,5,6)
+    assert(perm == Seq(0, 3, 4, 7, 1, 2, 5, 6), s"snake allocation broke: $perm")
+    // anisotropic corpus: all signal lives in dims 0-3 — a contiguous
+    // m=2 split crams every informative dim into ONE subspace, the
+    // snake deals two to each
+    def v(i: Int): Seq[Float] = (0 until dim).map { j =>
+      if (j < 4) (((i * (j + 3) * 7) % 13) - 6) * 0.5f
+      else (((i + j) % 3) - 1) * 0.01f
+    }
+    val all = (0 until 33).map(i => (i.toLong, v(i)))
+    val corpus = vecs(all.filter(_._1 >= 3): _*)
+    val queries = vecs(all.filter(_._1 < 3): _*)
+    val exact = Similarity.topKL2(corpus, queries, "vec_id", "embedding", k = 5)
+    val p = Similarity.pqVarianceAlloc(corpus, "embedding", dim, m = 2)
+    assert(p.sorted == (0 until dim), "must be a permutation")
+    val zero: Array[Seq[Long]] = Array(Seq.fill(dim)(0L))
+    def recallOf(permOpt: Option[Seq[Int]]): Double = {
+      val emb = permOpt.map(pp => Similarity.permuteVec(col("embedding"), pp))
+        .getOrElse(col("embedding"))
+      val c = corpus.withColumn("e2", emb)
+      val q = queries.withColumn("e2", emb)
+      val books = Similarity.pqFit(c, "vec_id", "e2", dim, m = 2, k = 4, iters = 2)
+      val approx = Similarity.ivfPqTopK(c, q, "vec_id", "e2", dim, m = 2,
+        centroids = zero, codebooks = books, nprobe = 1, topK = 5)
+      Similarity.recallAtK(exact, approx, "qid", "vec_id", k = 5)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    }
+    // degenerate permuted pin: full codebooks in the PERMUTED space
+    // reproduce the exact L2 ranking of the ORIGINAL vectors
+    val cP = corpus.withColumn("e2", Similarity.permuteVec(col("embedding"), p))
+    val qP = queries.withColumn("e2", Similarity.permuteVec(col("embedding"), p))
+    val booksFull = Similarity.pqFit(cP, "vec_id", "e2", dim, m = 2, k = 30, iters = 0)
+    val degen = Similarity.ivfPqTopK(cP, qP, "vec_id", "e2", dim, m = 2,
+      centroids = zero, codebooks = booksFull, nprobe = 1, topK = 5)
+    assert(degen.select("qid", "rank", "vec_id").collect().map(_.toSeq).toSet
+      == exact.select("qid", "rank", "vec_id").collect().map(_.toSeq).toSet,
+      "permutation must preserve exact L2 ranking")
+    val (raw, opq) = (recallOf(None), recallOf(Some(p)))
+    assert(opq >= raw, s"variance-balanced recall $opq < contiguous recall $raw")
+  }
+
   test("flat batch PQ: ivfPqTopK with ONE zero coarse centroid == pqTopK per query") {
     // the batch form of the flat PQ index: a single all-zero centroid
     // puts every corpus row and every query in the same cell, so the
