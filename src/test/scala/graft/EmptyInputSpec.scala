@@ -173,4 +173,31 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("doc_id", "rank"),
       Seq.empty[(Long, Long)].toDF("doc_id", "rank")), "doc_id", "rank", 5).count() == 0)
   }
+
+  test("r9 operators on empty input return empty (or no rules) without error") {
+    // BPE: empty corpus learns nothing (early stop on the first round)
+    assert(Bpe.bpeLearn(emptyDocs, "text", merges = 3).isEmpty)
+    assert(Bpe.bpeTokenCounts(emptyDocs, "doc_id", "text",
+      Seq(Bpe.Merge(1, "a", "b", 1))).count() == 0)
+    // quantile state: empty raw -> empty state -> empty finalize; an
+    // empty merged state finalizes empty too
+    val st = AggState.stateQuantile(emptyVals, Seq("label"), "v")
+    assert(st.count() == 0)
+    assert(AggState.finalizeQuantile(
+      AggState.mergeQuantile(st, Seq("label"), "v"),
+      Seq("label"), "v", Seq(0.5)).count() == 0)
+    // SCD2: empty changelog -> empty history; empty batch leaves
+    // history untouched; empty history + batch -> all-open rows
+    val emptyLog = Seq.empty[(Long, String, Long)].toDF("k", "v", "ver")
+    assert(Upsert.scd2Intervals(emptyLog, Seq("k"), "ver", Seq("v")).count() == 0)
+    val hist = Upsert.scd2Intervals(
+      Seq((1L, "a", 0L)).toDF("k", "v", "ver"), Seq("k"), "ver", Seq("v"))
+    assert(Upsert.scd2Upsert(hist, emptyLog, Seq("k"), "ver", Seq("v"))
+      .collect().toSeq == hist.collect().toSeq)
+    val fromEmpty = Upsert.scd2Upsert(
+      Upsert.scd2Intervals(emptyLog, Seq("k"), "ver", Seq("v")),
+      Seq((2L, "b", 1L)).toDF("k", "v", "ver"), Seq("k"), "ver", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.isNullAt(3)))
+    assert(fromEmpty.toSeq == Seq((2L, "b", 1L, true)))
+  }
 }
