@@ -325,6 +325,30 @@ object Stress {
       println(s"[stress]   (rounds=$rounds converged=$conv)")
       c
     }
+
+    // r9 wave-2 probes. bpeLearn: the corpus scan (word freq) scales
+    // with n but the 8 merge iterations run on the FIXED vocab — wall
+    // should approach the one-scan cost, not 8x it
+    time("bpeLearn m=8 corpusXn") {
+      graft.operators.Bpe.bpeLearn(docs, "text", merges = 8).size.toLong
+    }
+    // quantile state: build scales with rows; merge + finalize run on
+    // the distinct-value histogram, so the roll is ~flat in n
+    time("quantileState+finalize") {
+      val st = graft.operators.AggState.stateQuantile(
+        docs.withColumn("day", col("doc_id") % 7), Seq("source", "day"), "n_chars")
+      graft.operators.AggState.finalizeQuantile(
+        graft.operators.AggState.mergeQuantile(st, Seq("source"), "n_chars"),
+        Seq("source"), "n_chars", Seq(0.25, 0.5, 0.9)).count()
+    }
+    // SCD2: one exchange + two same-order windows over the changelog
+    time("scd2Intervals") {
+      val log = docs.select(col("doc_id").as("k"), col("source").as("v"),
+          (col("doc_id") % 3).as("ver"))
+        .unionByName(docs.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("k"), lit("CHG").as("v"), lit(5L).as("ver")))
+      graft.operators.Upsert.scd2Intervals(log, Seq("k"), "ver", Seq("v")).count()
+    }
     spark.stop()
   }
 }

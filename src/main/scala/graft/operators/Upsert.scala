@@ -106,8 +106,14 @@ object Upsert {
     * projection explodes each joined row into its 1-2 output rows —
     * the join is never re-executed per case. At scale the open slice
     * is the small working set (≤ one row per live key) and the batch
-    * is a day; neither is history-sized. Contract: one row per key in
-    * the batch; batch version T must exceed every open valid_from. */
+    * is a day; neither is history-sized. A long daily loop should
+    * persist (or localCheckpoint) each rolled history before the next
+    * roll — the NearDupIndex/quantileStateIngest corpus-state
+    * convention — so lineage stays one day deep; at rest, keep closed
+    * and open slices as separate partitions and this operator's
+    * closed-slice pass-through becomes a no-op read. Contract: one row
+    * per key in the batch; batch version T must exceed every open
+    * valid_from. */
   def scd2Upsert(
       history: DataFrame,
       batch: DataFrame,
