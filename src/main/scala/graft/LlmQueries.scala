@@ -730,6 +730,20 @@ object LlmQueries {
     "q_bpe_tokens" -> ((s, d) =>
       Bpe.bpeTokenCounts(T(s, d, "documents"), "doc_id", "text",
         bpeMergesOf(s, d)).orderBy("doc_id")),
+    // the tokenizer feeding the shard sizer: sequence packing by the
+    // LEARNED token counts (q_pack's Blelloch-capable prefix-sum shape,
+    // toks from the codegen replace chain) — the composition a training
+    // pipeline actually ships
+    "q_pack_bpe" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("source"),
+        size(Bpe.bpeTokenize(col("text"), bpeMergesOf(s, d)))
+          .cast("long").as("toks"))
+      Packing.packSequences(docs, Seq("source"), Seq(col("doc_id")), "toks", 128)
+        .groupBy("source", "seq")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_tokens"),
+          max("seq_offset").as("last_offset"), sum("n_splits").as("n_straddles"))
+        .orderBy("source", "seq")
+    }),
     "q_langid" -> ((s, d) =>
       T(s, d, "documents")
         .withColumn("pred_lang", TextAnalysis.langId(TextAnalysis.tokens(col("text"))))
@@ -1529,6 +1543,20 @@ object LlmQueries {
     s"$w0, $its"
   }
 
+  /** The q_bpe_tokens / q_pack_bpe token-count expression: each word
+    * pads to the symbol string, folds through the b1..b8 replace chain
+    * in rule order, splits on the double-space separator; the doc's
+    * count is the flattened length. Requires the b`i` one-row rule
+    * tables cross-joined into scope. */
+  private def bpeTokCountSql: String = {
+    val chain = (1 to BpeMerges).foldLeft(
+      "' ' || array_to_string([w[i] for i in range(1, len(w)+1)], '  ') || ' '")(
+      (acc, i) => s"replace($acc, b$i.pat, b$i.rep)")
+    ("len(flatten(list_transform("
+      + "list_filter(string_split(text, ' '), w -> len(w) > 0), "
+      + s"w -> string_split(trim($chain), '  '))))::BIGINT")
+  }
+
   def oracleSql: Map[String, String] = {
     val shingleCte =
       ("WITH s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN"
@@ -2181,20 +2209,28 @@ object LlmQueries {
                 + s" string_split(pair, ' ')[2] AS right_sym, cnt FROM b$i")
             .mkString(" UNION ALL ")
           + ") ORDER BY iter"),
-      "q_bpe_tokens" -> {
-        // the learned chain applied per word: pad → b1..b8 replaces in
-        // rule order → split on the double-space separator
-        val chain = (1 to BpeMerges).foldLeft(
-          "' ' || array_to_string([w[i] for i in range(1, len(w)+1)], '  ') || ' '")(
-          (acc, i) => s"replace($acc, b$i.pat, b$i.rep)")
+      "q_bpe_tokens" ->
         (s"WITH ${bpeLearnCtes(BpeMerges)}"
-          + " SELECT doc_id, len(flatten(list_transform("
-          + " list_filter(string_split(text, ' '), w -> len(w) > 0),"
-          + s" w -> string_split(trim($chain), '  '))))::BIGINT AS n_tokens"
+          + s" SELECT doc_id, $bpeTokCountSql AS n_tokens"
           + " FROM documents"
           + (1 to BpeMerges).map(i => s" CROSS JOIN b$i").mkString
-          + " ORDER BY doc_id")
-      },
+          + " ORDER BY doc_id"),
+      // packing driven by the LEARNED tokenizer's counts — the sizing
+      // pass a training-shard writer actually runs; same packing replay
+      // as q_pack with toks = the full BPE chain
+      "q_pack_bpe" ->
+        (s"WITH ${bpeLearnCtes(BpeMerges)},"
+          + s" t AS (SELECT source, doc_id, $bpeTokCountSql AS toks"
+          + " FROM documents"
+          + (1 to BpeMerges).map(i => s" CROSS JOIN b$i").mkString + "),"
+          + " c AS (SELECT source, doc_id, toks, sum(toks) OVER (PARTITION BY source ORDER BY doc_id"
+          + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e FROM t),"
+          + " a AS (SELECT source, toks, ((e - toks) // 128)::BIGINT AS seq,"
+          + " ((e - toks) % 128)::BIGINT AS seq_offset,"
+          + " ((e - 1) // 128 - (e - toks) // 128)::BIGINT AS n_splits FROM c)"
+          + " SELECT source, seq, count(*) AS n_docs, sum(toks)::BIGINT AS sum_tokens,"
+          + " max(seq_offset) AS last_offset, sum(n_splits)::BIGINT AS n_straddles"
+          + " FROM a GROUP BY 1, 2 ORDER BY 1, 2"),
       "q_langid" ->
         (s"SELECT $predCase AS pred_lang, lang, count(*) AS n FROM ("
           + s" SELECT lang, $markerScores, $bestExpr AS best FROM ("
