@@ -781,6 +781,21 @@ object LlmQueries {
         TextAnalysis.qualityScore(col("text")),
         col("lang") === lit("en"),
         Seq("source"))),
+    // average precision (area under the PR curve, sklearn step
+    // definition): the imbalanced-label evaluation gate next to q_auc —
+    // same distinct-score table, descending TP/PP windows, per-term
+    // 1e-12 grid quantization so the sum is order-independent
+    "q_ap" -> ((s, d) =>
+      FeatureScaling.apScore(
+        T(s, d, "documents").where(col("text").isNotNull),
+        TextAnalysis.qualityScore(col("text")),
+        col("lang") === lit("en"))),
+    "q_ap_by" -> ((s, d) =>
+      FeatureScaling.apScoreBy(
+        T(s, d, "documents").where(col("text").isNotNull),
+        TextAnalysis.qualityScore(col("text")),
+        col("lang") === lit("en"),
+        Seq("source"))),
     "q_fingerprint" -> ((s, d) =>
       { graft.expressions.GraftFunctions.register(s); T(s, d, "documents") }
         .withColumn("fp", TextAnalysis.fingerprintFast(col("text")))
@@ -2288,6 +2303,37 @@ object LlmQueries {
           + " CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN"
           + " sum(np * (2 * cum + nn))::DOUBLE / (sum(np)::DOUBLE * sum(nn)::DOUBLE * 2.0)"
           + " END AS auc FROM c GROUP BY source ORDER BY source"),
+      // step-wise average precision: the q_auc distinct-score table,
+      // descending TP/PP window sums, the SAME IEEE term shape
+      // (np*TP/PP) rounded to 1e-12 and summed as exact decimals
+      "q_ap" ->
+        (s"WITH b AS (SELECT $scoreExpr AS s, (lang = 'en') AS y FROM"
+          + " (SELECT text, lang, string_split(text, ' ') w FROM documents"
+          + " WHERE text IS NOT NULL) WHERE lang IS NOT NULL),"
+          + " g AS (SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS np,"
+          + " sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS nn FROM b GROUP BY s),"
+          + " c AS (SELECT s, np, nn, sum(np) OVER (ORDER BY s DESC"
+          + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,"
+          + " sum(np + nn) OVER (ORDER BY s DESC"
+          + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp FROM g)"
+          + " SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,"
+          + " CASE WHEN sum(np) > 0 THEN"
+          + " sum(round(np::DOUBLE * tp::DOUBLE / pp::DOUBLE, 12)::DECIMAL(38,12))::DOUBLE"
+          + " / sum(np)::DOUBLE END AS ap FROM c"),
+      "q_ap_by" ->
+        (s"WITH b AS (SELECT source, $scoreExpr AS s, (lang = 'en') AS y FROM"
+          + " (SELECT source, text, lang, string_split(text, ' ') w FROM documents"
+          + " WHERE text IS NOT NULL) WHERE lang IS NOT NULL),"
+          + " g AS (SELECT source, s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS np,"
+          + " sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS nn FROM b GROUP BY source, s),"
+          + " c AS (SELECT source, s, np, nn, sum(np) OVER (PARTITION BY source ORDER BY s DESC"
+          + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,"
+          + " sum(np + nn) OVER (PARTITION BY source ORDER BY s DESC"
+          + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp FROM g)"
+          + " SELECT source, sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,"
+          + " CASE WHEN sum(np) > 0 THEN"
+          + " sum(round(np::DOUBLE * tp::DOUBLE / pp::DOUBLE, 12)::DECIMAL(38,12))::DOUBLE"
+          + " / sum(np)::DOUBLE END AS ap FROM c GROUP BY source ORDER BY source"),
       "q_fingerprint" ->
         ("SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct_fp, min(fp) AS min_fp FROM ("
           + " SELECT source, " + TextAnalysis.fingerprintSql("text") + " AS fp FROM documents)"

@@ -511,6 +511,91 @@ object FeatureScaling {
     aucAgg(grouped(base, by), by).orderBy(by.map(col): _*)
   }
 
+  /** Exact-grid AVERAGE PRECISION (area under the precision-recall
+    * curve, step-wise — the sklearn `average_precision_score`
+    * definition, no interpolation): AP = Σ_s (ΔTP_s / P)·(TP_s / PP_s)
+    * over DISTINCT scores descending, where TP/PP are the positive and
+    * total counts at-or-above each threshold and a tie block moves
+    * atomically (exactly sklearn's distinct-threshold sweep). The
+    * PR-curve gate complements [[aucScore]]'s ROC on imbalanced
+    * labels, where ROC-AUC saturates but precision does not.
+    *
+    * Determinism: TP/PP are exact integer window sums on the SAME
+    * distinct-score table as [[aucScore]]; each term is one fixed-shape
+    * IEEE expression (np·TP/PP, both engines evaluate the identical
+    * tree) quantized to the decimal(38,12) grid and summed as exact
+    * decimals — order-independent across partitionings and engines —
+    * then divided by the positive count ONCE. Same
+    * `maxDistinctScores` fail-fast as AUC (the descending window is
+    * global here, per-group in [[apScoreBy]]). Output: (n_pos, n_neg,
+    * ap); ap NULL when no positives. */
+  def apScore(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      maxDistinctScores: Long = 1L << 22): DataFrame = {
+    val base = df.where(score.isNotNull && label.isNotNull)
+      .select(score.as("__s"), label.cast("boolean").as("__y"))
+    if (maxDistinctScores > 0) {
+      val nd = base.agg(count_distinct(col("__s"))).head().getLong(0)
+      require(nd <= maxDistinctScores,
+        s"apScore's distinct-score window is global: $nd distinct scores >" +
+          s" maxDistinctScores=$maxDistinctScores — quantize the score" +
+          " (round(score, 6)) or raise the bound deliberately")
+    }
+    apAgg(grouped(base, Nil), Nil)
+  }
+
+  /** Grouped [[apScore]] — per-key PR-curve evaluation, the
+    * [[aucScoreBy]] twin: same per-group fail-fast, the descending
+    * window partitions by the keys. */
+  def apScoreBy(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      by: Seq[String],
+      maxDistinctScores: Long = 1L << 22): DataFrame = {
+    require(by.nonEmpty, "apScoreBy needs >= 1 group column (use apScore)")
+    val base = df.where(score.isNotNull && label.isNotNull)
+      .select(by.map(col) :+ score.as("__s") :+ label.cast("boolean").as("__y"): _*)
+    if (maxDistinctScores > 0) {
+      val nd = base.groupBy(by.map(col): _*)
+        .agg(count_distinct(col("__s")).as("__nd"))
+        .agg(max(col("__nd"))).head()
+      val worst = if (nd.isNullAt(0)) 0L else nd.getLong(0)
+      require(worst <= maxDistinctScores,
+        s"apScoreBy's per-group window sorts per-group distinct scores:" +
+          s" worst group has $worst distinct scores >" +
+          s" maxDistinctScores=$maxDistinctScores — quantize the score" +
+          " (round(score, 6)) or raise the bound deliberately")
+    }
+    apAgg(grouped(base, by), by).orderBy(by.map(col): _*)
+  }
+
+  private def apAgg(cum: DataFrame, by: Seq[String]): DataFrame = {
+    val wd = Window.partitionBy(by.map(col): _*).orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tp = sum(col("__np")).over(wd)
+    val pp = sum(col("__np") + col("__nn")).over(wd)
+    // fixed-shape IEEE term (np·TP)/PP quantized to the 1e-12 grid,
+    // then an EXACT decimal sum — order-independent; /n_pos happens once
+    val term = round(col("__np").cast("double") * tp.cast("double")
+        / pp.cast("double"), 12)
+      .cast(DecimalType(38, 12))
+    val t = cum.withColumn("__t", term)
+    val aggd =
+      if (by.isEmpty)
+        t.agg(sum(col("__np")).as("n_pos"), sum(col("__nn")).as("n_neg"),
+          sum(col("__t")).as("__ts"))
+      else
+        t.groupBy(by.map(col): _*)
+          .agg(sum(col("__np")).as("n_pos"), sum(col("__nn")).as("n_neg"),
+            sum(col("__t")).as("__ts"))
+    aggd.select(by.map(col) ++ Seq(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0,
+        col("__ts").cast("double") / col("n_pos").cast("double")).as("ap")): _*)
+  }
+
   /** (by..., __s) → (by..., __s, __np, __nn, __cum): the shared
     * distinct-score collapse + cumulative-negatives window behind both
     * AUC forms. */

@@ -1047,4 +1047,53 @@ class CurationSpec extends AnyFunSuite {
     assert(FeatureScaling.aucScoreBy(skew, col("s"), col("y"), Seq("src"),
       maxDistinctScores = 50).count() == 2)
   }
+
+  test("apScore: sklearn step definition (classic example), ties atomic, brute parity; grouped == per-group") {
+    import spark.implicits._
+    def bruteAp(rows: Seq[(Double, Boolean)]): Double = {
+      val nPos = rows.count(_._2)
+      var prevTp = 0; var ap = 0.0
+      for (s <- rows.map(_._1).distinct.sorted(Ordering[Double].reverse)) {
+        val tp = rows.count(r => r._1 >= s && r._2)
+        val pp = rows.count(r => r._1 >= s)
+        ap += (tp - prevTp).toDouble / nPos * (tp.toDouble / pp)
+        prevTp = tp
+      }
+      ap
+    }
+    // the sklearn docs example: y=[0,0,1,1], scores=[0.1,0.4,0.35,0.8] -> 0.8333...
+    val classic = Seq((0.1, false), (0.4, false), (0.35, true), (0.8, true))
+    val r = FeatureScaling.apScore(classic.toDF("s", "y"), col("s"), col("y")).head()
+    assert(math.abs(r.getDouble(2) - (0.5 + 1.0 / 3.0)) < 1e-9, s"ap=${r.getDouble(2)}")
+    // heavy ties across both classes — the tie block moves atomically
+    val tied = Seq(
+      (1.0, true), (1.0, false), (2.0, true), (2.0, true), (2.0, false),
+      (3.0, false), (4.0, true), (4.0, false), (4.0, false), (5.0, true),
+      (0.5, false), (0.5, true))
+    val rt = FeatureScaling.apScore(tied.toDF("s", "y"), col("s"), col("y")).head()
+    assert(rt.getLong(0) == tied.count(_._2) && rt.getLong(1) == tied.count(!_._2))
+    assert(math.abs(rt.getDouble(2) - bruteAp(tied)) < 1e-9)
+    // perfect separation -> 1.0; all-positive -> 1.0; no positives -> NULL
+    assert(FeatureScaling.apScore(
+      Seq((9.0, true), (8.0, true), (1.0, false)).toDF("s", "y"),
+      col("s"), col("y")).head().getDouble(2) == 1.0)
+    assert(FeatureScaling.apScore(
+      Seq((1.0, true), (2.0, true)).toDF("s", "y"),
+      col("s"), col("y")).head().getDouble(2) == 1.0)
+    assert(FeatureScaling.apScore(
+      Seq((1.0, false), (2.0, false)).toDF("s", "y"),
+      col("s"), col("y")).head().isNullAt(2))
+    // grouped == per-group solo; guard trips on the worst group
+    val g = (tied.map { case (s, y) => ("a", s, y) }
+      ++ classic.map { case (s, y) => ("b", s, y) }).toDF("src", "s", "y")
+    val by = FeatureScaling.apScoreBy(g, col("s"), col("y"), Seq("src"))
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(math.abs(by("a") - bruteAp(tied)) < 1e-9)
+    assert(math.abs(by("b") - bruteAp(classic)) < 1e-9)
+    intercept[IllegalArgumentException] {
+      FeatureScaling.apScore(
+        (0 until 50).map(i => (i * 1.37, i % 2 == 0)).toDF("s", "y"),
+        col("s"), col("y"), maxDistinctScores = 10)
+    }
+  }
 }
