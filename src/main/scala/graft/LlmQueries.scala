@@ -1014,6 +1014,34 @@ object LlmQueries {
           round(element_at(col("qs"), 4), 6).as("q90"))
         .orderBy("event_type")
     }),
+    // streaming SCD2 maintenance: the v1/v2 changelog days arrive as
+    // one-file-per-trigger micro-batches and roll the open slice
+    // forward (scd2Ingest, the corpus-state family); the oracle is the
+    // SAME from-scratch interval SQL as q_scd2 — the hash match IS the
+    // streamed-roll == from-scratch invariant
+    "q_stream_scd2" -> ((s, d) => {
+      val days = SparkEntry.scd2Changelog(T(s, d, "customer"))
+      val init = Upsert.scd2Intervals(days.head, Seq("c_custkey"), "ver", Seq("seg"))
+        .localCheckpoint()
+      val dir = java.nio.file.Files.createTempDirectory("graft-scd2-days")
+      days.tail.zipWithIndex.foreach { case (df, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+        val dst = new java.io.File(dir.toFile, s"day$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L) // drain order pin
+      }
+      val stream = s.readStream.schema(days.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      val hist = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      runForeachBatchReplay(
+        StreamingOps.scd2Ingest(stream, init, Seq("c_custkey"), "ver", Seq("seg"))(
+          h => hist.synchronized { hist += h; () }),
+        "graft_stream_scd2")
+      hist.synchronized(hist.last).orderBy("c_custkey", "valid_from")
+    }),
     // streaming windowed TOP-K: the k-bounded heap aggregate rides the
     // same incremental window state as any registry reduction (explicit
     // pos makes it an order-independent (value, pos) selection — the
@@ -2480,6 +2508,7 @@ object LlmQueries {
       // null-equal -> one survivor, counted but not summed), so DISTINCT
       // replays it regardless of which physical row survived
       "q_stream_upsert" -> SparkEntry.UpsertOracleSql,
+      "q_stream_scd2" -> SparkEntry.Scd2OracleSql,
       // the rolled histogram is invisible by construction — the oracle
       // is the DIRECT quantile over all events (initial + streamed)
       "q_stream_quantile_state" ->

@@ -209,6 +209,37 @@ object StreamingOps {
     }
   }
 
+  /** Continuous SCD2 maintenance — the third member of the
+    * must-not-evict corpus-state family ([[dedupNearIngest]],
+    * [[quantileStateIngest]]): each micro-batch rolls the dimension
+    * history forward with [[graft.operators.Upsert.scd2Upsert]] (only
+    * the OPEN slice joins the batch; closed intervals pass through),
+    * and `emit` receives the rolled history. Validity intervals over
+    * all time can never watermark-evict, so the history belongs in
+    * corpus storage (MERGE INTO at scale), not the state store; here
+    * each roll localCheckpoints so per-batch plans stay one day deep
+    * (the [[graft.operators.Upsert.scd2Upsert]] daily-loop note).
+    * Batch-boundary semantics: each micro-batch is one SCD2 version
+    * step — day-by-day rolls are equivalent to the from-scratch
+    * interval build over the concatenated changelog (the shared
+    * q_scd2 oracle pins exactly that through q_stream_scd2). */
+  def scd2Ingest(
+      stream: DataFrame,
+      initial: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      payloadCols: Seq[String])(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var history = initial
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        history = graft.operators.Upsert
+          .scd2Upsert(history, batch.toDF(), keys, versionCol, payloadCols)
+          .localCheckpoint()
+        emit(history)
+    }
+  }
+
   /** Stateless curation pass for streaming ingest: deterministic hash
     * sampling, quality scoring + threshold, and PII scan/redaction
     * composed as pure per-row expressions. Appends `quality`, the
