@@ -810,6 +810,17 @@ object CurationQueries {
         .withColumn("cov", round(col("cov"), 6))
         .withColumn("corr", round(col("corr"), 6))
         .orderBy("l_returnflag", "col_x", "col_y")),
+    // Spearman rank-correlation matrix: average ranks (tie runs share
+    // their mean position — half-integers, exact on the decimal grid)
+    // through the SAME one-pass corr aggregation; catches monotone-
+    // but-nonlinear dependence Pearson under-reads
+    "q_spearman" -> ((s, d) =>
+      FeatureScaling.corrMatrixSpearmanBy(
+          T(s, d, "lineitem"),
+          Seq("l_returnflag"), Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .withColumn("cov", round(col("cov"), 6))
+        .withColumn("corr", round(col("corr"), 6))
+        .orderBy("l_returnflag", "col_x", "col_y")),
     // Z-order layout: events clustered on (value, user_id) via Morton
     // interleaving with declared bounds; per-256-cell tile stats show
     // each tile covering a small (value, user_id) rectangle — the
@@ -1654,6 +1665,41 @@ object CurationQueries {
           + " GROUP BY 1))")
       }
       parts.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY 1, 2, 3")
+    },
+    // the q_corr_matrix finalize over AVERAGE ranks (rank() +
+    // (ties-1)/2, the same window arithmetic as the engine), decimal
+    // scale 1 since ranks are half-integers; no NaN masks needed —
+    // ranks are never NULL after the shared listwise row set
+    "q_spearman" -> {
+      val n = "CAST(n_pairs AS DOUBLE)"
+      def d1(e: String) = s"CAST($e AS DECIMAL(18,1))"
+      val covE = s"CASE WHEN n_pairs > 1 THEN (sxy - sx * sy / $n) / ($n - 1.0) END"
+      def varE(sq: String, s0: String) =
+        s"CASE WHEN n_pairs > 1 THEN greatest(($sq - $s0 * $s0 / $n) / ($n - 1.0), 0.0) END"
+      val colsSp = Seq("l_quantity", "l_extendedprice", "l_discount")
+      def rk(c: String) =
+        (s"rank() OVER (PARTITION BY l_returnflag ORDER BY $c)::DOUBLE"
+          + s" + (count(*) OVER (PARTITION BY l_returnflag, $c)::DOUBLE - 1.0) / 2.0")
+      val rCte = ("WITH rnk AS (SELECT l_returnflag, "
+        + colsSp.zipWithIndex.map { case (c, i) => s"${rk(c)} AS c$i" }.mkString(", ")
+        + " FROM lineitem)")
+      val parts = for {
+        i <- colsSp.indices
+        j <- (i + 1) until colsSp.size
+      } yield {
+        (s"SELECT l_returnflag, '${colsSp(i)}' AS col_x, '${colsSp(j)}' AS col_y, n_pairs,"
+          + " round(cov, 6) AS cov,"
+          + " round(CASE WHEN vx > 0 AND vy > 0 THEN cov / sqrt(vx * vy) END, 6) AS corr"
+          + s" FROM (SELECT l_returnflag, n_pairs, $covE AS cov,"
+          + s" ${varE("sxx", "sx")} AS vx, ${varE("syy", "sy")} AS vy"
+          + " FROM (SELECT l_returnflag, count(*) AS n_pairs,"
+          + s" CAST(sum(${d1(s"c$i")}) AS DOUBLE) AS sx, CAST(sum(${d1(s"c$j")}) AS DOUBLE) AS sy,"
+          + s" CAST(sum(${d1(s"c$i")} * ${d1(s"c$j")}) AS DOUBLE) AS sxy,"
+          + s" CAST(sum(${d1(s"c$i")} * ${d1(s"c$i")}) AS DOUBLE) AS sxx,"
+          + s" CAST(sum(${d1(s"c$j")} * ${d1(s"c$j")}) AS DOUBLE) AS syy"
+          + " FROM rnk GROUP BY 1))")
+      }
+      rCte + parts.mkString(" SELECT * FROM (", " UNION ALL ", ") ORDER BY 1, 2, 3")
     },
     // replays zValue's quantize + interleave bit-for-bit (SQL generated
     // from the same (bits, dims) loop shape as the Spark expression)

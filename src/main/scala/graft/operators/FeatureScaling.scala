@@ -201,6 +201,40 @@ object FeatureScaling {
         col("__r.n_pairs"), col("__r.cov"), col("__r.corr")): _*)
   }
 
+  /** Spearman rank-correlation matrix per group — [[corrMatrixBy]]
+    * over AVERAGE ranks (the standard tie treatment: a tie run shares
+    * the mean of its positions, rank + (ties−1)/2 — half-integers,
+    * exact in IEEE doubles and on the decimal(18,1) grid, so the
+    * power sums stay exact). Listwise deletion: rows with NULL/NaN in
+    * ANY of `cols` drop before ranking (the scipy.spearmanr matrix
+    * convention), so every column ranks over the same row set and
+    * n_pairs is shared across pairs. Catches monotone-but-nonlinear
+    * dependence (doc length vs quality score, rank effects) that
+    * Pearson under-reads. Plan: k window sorts sharing ONE exchange on
+    * the group keys, then corrMatrixBy's single k(k−1)/2-sum hash
+    * agg. */
+  def corrMatrixSpearmanBy(
+      df: DataFrame,
+      by: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(by.nonEmpty, "corrMatrixSpearmanBy needs at least one grouping column")
+    require(cols.size >= 2, "corrMatrixSpearmanBy needs at least two value columns")
+    val valid = cols
+      .map(c => graft.functions.NanOps.isValid(col(c), df.schema(c).dataType))
+      .reduce(_ && _)
+    val base = df.where(valid).select((by ++ cols).map(col): _*)
+    val ranked = cols.foldLeft(base) { (acc, c) =>
+      val w = Window.partitionBy(by.map(col): _*).orderBy(col(c))
+      val tie = Window.partitionBy(by.map(col) :+ col(c): _*)
+      acc.withColumn(s"__rk_$c",
+        rank().over(w).cast(DoubleType) +
+          (count(lit(1)).over(tie).cast(DoubleType) - lit(1.0)) / lit(2.0))
+    }
+    corrMatrixBy(
+      ranked.select(by.map(col) ++ cols.map(c => col(s"__rk_$c").as(c)): _*),
+      by, cols, exactScale = 1)
+  }
+
   /** Per-group ordinary-least-squares line fit y = slope*x + intercept —
     * the regression member of the cross-moment family ([[covCorrBy]]'s
     * sums with the OLS finalize; DuckDB's regr_slope/regr_intercept/

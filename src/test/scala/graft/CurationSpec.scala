@@ -1048,6 +1048,41 @@ class CurationSpec extends AnyFunSuite {
       maxDistinctScores = 50).count() == 2)
   }
 
+  test("corrMatrixSpearmanBy: monotone map gives rho 1 where Pearson < 1; average ranks match brute") {
+    import spark.implicits._
+    val df = (1 to 20).map(i =>
+      ("g", i.toDouble, math.pow(i.toDouble, 3), (i % 5).toDouble))
+      .toDF("g", "x", "y", "z")
+    def corrOf(m: org.apache.spark.sql.DataFrame): Map[(String, String), Double] =
+      m.collect().map(r => (r.getString(1), r.getString(2)) -> r.getDouble(5)).toMap
+    val sp = corrOf(FeatureScaling.corrMatrixSpearmanBy(df, Seq("g"), Seq("x", "y", "z")))
+    val pe = corrOf(FeatureScaling.corrMatrixBy(df, Seq("g"), Seq("x", "y", "z")))
+    assert(sp(("x", "y")) == 1.0, s"monotone x->x^3 must give rho 1, got ${sp(("x", "y"))}")
+    assert(pe(("x", "y")) < 0.95, s"cubic Pearson should be < 1, got ${pe(("x", "y"))}")
+    // brute average-rank Pearson for the tie-heavy (x, z) pair
+    def avgRanks(v: Seq[Double]): Seq[Double] =
+      v.map(x => v.count(_ < x) + (v.count(_ == x) + 1) / 2.0)
+    val (xs, zs) = ((1 to 20).map(_.toDouble), (1 to 20).map(i => (i % 5).toDouble))
+    val (rx, rz) = (avgRanks(xs), avgRanks(zs))
+    val n = rx.size.toDouble
+    val (mx, mz) = (rx.sum / n, rz.sum / n)
+    val cov = rx.zip(rz).map { case (a, b) => (a - mx) * (b - mz) }.sum / (n - 1)
+    val (vx, vz) = (rx.map(a => (a - mx) * (a - mx)).sum / (n - 1),
+      rz.map(b => (b - mz) * (b - mz)).sum / (n - 1))
+    val brute = cov / math.sqrt(vx * vz)
+    assert(math.abs(sp(("x", "z")) - brute) < 1e-9,
+      s"tie-averaged rho ${sp(("x", "z"))} != brute $brute")
+    // NaN/NULL rows drop LISTWISE: injecting a NaN into z removes that
+    // whole row from every pair's rank set
+    val dfn = df.withColumn("z",
+      when(col("x") === 1.0, lit(Double.NaN)).otherwise(col("z")))
+    val spn = corrOf(FeatureScaling.corrMatrixSpearmanBy(dfn, Seq("g"), Seq("x", "y", "z")))
+    assert(spn(("x", "y")) == 1.0)
+    val want19 = FeatureScaling.corrMatrixSpearmanBy(
+      df.where(col("x") =!= 1.0), Seq("g"), Seq("x", "y", "z"))
+    assert(corrOf(want19) == spn, "listwise deletion must equal pre-filtered input")
+  }
+
   test("apScore: sklearn step definition (classic example), ties atomic, brute parity; grouped == per-group") {
     import spark.implicits._
     def bruteAp(rows: Seq[(Double, Boolean)]): Double = {
