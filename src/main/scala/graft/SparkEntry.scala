@@ -127,8 +127,8 @@ object SparkEntry {
   /** Shared by q_scd2 and q_scd2_rolling: the incremental merge must
     * hash-match the SAME from-scratch oracle — that equality IS the
     * rolled == from-scratch invariant. */
-  private[graft] val Scd2OracleSql =
-    ("WITH ch AS (SELECT c_custkey, c_mktsegment AS seg, 0::BIGINT AS ver FROM customer"
+  private[graft] val Scd2IntervalsCtes =
+    ("ch AS (SELECT c_custkey, c_mktsegment AS seg, 0::BIGINT AS ver FROM customer"
       + " UNION ALL SELECT c_custkey, CASE WHEN c_custkey % 15 = 0 THEN c_mktsegment"
       + " ELSE 'UPD' || (c_custkey % 5) END, 1::BIGINT FROM customer WHERE c_custkey % 3 = 0"
       + " UNION ALL SELECT c_custkey, 'NEWER', 2::BIGINT FROM customer WHERE c_custkey % 6 = 0),"
@@ -137,10 +137,14 @@ object SparkEntry {
       // run-collapse (IS DISTINCT FROM would trip the crude FROM-scan
       // in DriverContractSpec)
       + " f AS (SELECT c_custkey, seg, ver AS valid_from FROM d"
-      + " WHERE prev IS NULL OR prev <> seg)"
-      + " SELECT c_custkey, seg, valid_from,"
+      + " WHERE prev IS NULL OR prev <> seg),"
+      + " iv AS (SELECT c_custkey, seg, valid_from,"
       + " lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from) AS valid_to"
-      + " FROM f ORDER BY c_custkey, valid_from")
+      + " FROM f)")
+
+  private[graft] val Scd2OracleSql =
+    (s"WITH $Scd2IntervalsCtes SELECT c_custkey, seg, valid_from, valid_to"
+      + " FROM iv ORDER BY c_custkey, valid_from")
 
   private val EVAL  = "CASE WHEN event_type = 'error' THEN NULL ELSE value END"
 
@@ -581,6 +585,24 @@ object SparkEntry {
           Upsert.scd2Upsert(h, b, Seq("c_custkey"), "ver", Seq("seg")))
         .orderBy("c_custkey", "valid_from")
     }),
+    // fact-to-SCD2 point-in-time join: each order joins the segment
+    // that was valid at ITS OWN version (o_orderkey % 4 spans the
+    // changelog versions AND one step past — current rows serve it);
+    // one equality join on the key, interval predicate as the filter
+    "q_scd2_asof" -> ((s, d) => {
+      val days = scd2Changelog(T(s, d, "customer"))
+      val hist = Upsert.scd2Intervals(days.reduce(_ unionByName _),
+        Seq("c_custkey"), "ver", Seq("seg"))
+      val facts = T(s, d, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        (col("o_orderkey") % 4).cast("long").as("fver"),
+        col("o_totalprice"))
+      Upsert.scd2JoinAsOf(facts, hist, Seq("c_custkey"), "fver")
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("sum_key"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy("seg")
+    }),
     // distinct-count states: per-month HLL sketches merged to flags;
     // merged and direct estimates agree within half the accuracy band
     // (merged = composite estimator, direct = HIP — DataSketches
@@ -1007,6 +1029,17 @@ object SparkEntry {
     "q_upsert" -> UpsertOracleSql,
     "q_scd2" -> Scd2OracleSql,
     "q_scd2_rolling" -> Scd2OracleSql,
+    // the interval build replayed, then the point-in-time predicate as
+    // a plain join filter — one row per (fact, valid interval) pair
+    "q_scd2_asof" ->
+      (s"WITH $Scd2IntervalsCtes,"
+        + " fx AS (SELECT o_custkey AS k, (o_orderkey % 4)::BIGINT AS fver,"
+        + " o_totalprice FROM orders)"
+        + " SELECT iv.seg, count(*)::BIGINT AS n, sum(fx.k)::BIGINT AS sum_key,"
+        + " CAST(sum(CAST(fx.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price"
+        + " FROM fx JOIN iv ON iv.c_custkey = fx.k AND iv.valid_from <= fx.fver"
+        + " AND (iv.valid_to IS NULL OR fx.fver < iv.valid_to)"
+        + " GROUP BY 1 ORDER BY 1"),
     "q_distinct_state" ->
       ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_nd,"
         + " TRUE AS merge_close, TRUE AS approx_ok"

@@ -152,6 +152,44 @@ object Upsert {
     closed.unionByName(rolled)
   }
 
+  /** Point-in-time read of an SCD2 history ([[scd2Intervals]] shape):
+    * the dimension snapshot valid AT version/time `asOf` — one
+    * codegen filter over the half-open intervals, ≤ one row per key
+    * by construction. */
+  def scd2SnapshotAt(history: DataFrame, asOf: Column): DataFrame =
+    history.where(col("valid_from") <= asOf &&
+      (col("valid_to").isNull || asOf < col("valid_to")))
+
+  /** Fact-to-SCD2 dimension join: each fact row joins the dimension
+    * row that was valid AT the fact's own `asOfCol` — the
+    * point-in-time join every warehouse fact table runs against its
+    * type-2 dimensions. ONE equality join on the keys with the
+    * interval predicate as a post-join filter (per-key history is a
+    * handful of rows, so this is join-selectivity, not a range-join
+    * blowup); facts whose version predates the key's first interval —
+    * or whose key has no history — drop (inner semantics). Output:
+    * every fact column plus the dimension payload and its
+    * valid_from/valid_to. At 100 TB the shuffle is the fact side's
+    * key exchange; bucket both at rest and it disappears (the
+    * writeBucketed contract). */
+  def scd2JoinAsOf(
+      facts: DataFrame,
+      history: DataFrame,
+      keys: Seq[String],
+      asOfCol: String): DataFrame = {
+    require(keys.nonEmpty, "scd2JoinAsOf needs at least one key column")
+    require(facts.columns.contains(asOfCol),
+      s"asOf column $asOfCol must exist in the fact side")
+    val f = facts.as("__f")
+    val h = history.as("__h")
+    val asOf = col(s"__f.$asOfCol")
+    val cond = keys.map(k => col(s"__f.$k") === col(s"__h.$k")).reduce(_ && _) &&
+      col("__h.valid_from") <= asOf &&
+      (col("__h.valid_to").isNull || asOf < col("__h.valid_to"))
+    f.join(h, cond).select(col("__f.*") +:
+      history.columns.filterNot(keys.contains).map(c => col(s"__h.$c")): _*)
+  }
+
   /** The winner kernel: one row per key — the max of
     * `struct(order..., payload...)` (payload = every input column, so
     * the comparison is total and the survivor deterministic under any

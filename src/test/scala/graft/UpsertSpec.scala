@@ -92,4 +92,29 @@ class UpsertSpec extends AnyFunSuite {
       .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
     assert(byK == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2))
   }
+
+  test("scd2SnapshotAt == latest-changelog-at-t; scd2JoinAsOf covers each fact's own version") {
+    val days = Seq(
+      Seq((1L, "a", 0L), (2L, "b", 0L)),
+      Seq((1L, "a2", 1L), (3L, "c", 1L)),
+      Seq((1L, "a3", 2L)))
+      .map(_.toDF("k", "v", "ver"))
+    val log = days.reduce(_ unionByName _)
+    val hist = Upsert.scd2Intervals(log, Seq("k"), "ver", Seq("v"))
+    // point-in-time snapshot == SCD1 latest over the changelog prefix
+    for (t <- 0L to 2L) {
+      val snap = Upsert.scd2SnapshotAt(hist, lit(t))
+        .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = Upsert.latestByOrder(log.where(col("ver") <= t), Seq("k"), Seq(col("ver")))
+        .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(snap == want, s"t=$t: $snap != $want")
+    }
+    // facts: version 3 (past the last change) reads the open row;
+    // key 3 at version 0 predates its history -> drops (inner)
+    val facts = Seq((1L, 0L), (1L, 1L), (1L, 3L), (2L, 2L), (3L, 0L)).toDF("k", "fver")
+    val j = Upsert.scd2JoinAsOf(facts, hist, Seq("k"), "fver")
+      .select("k", "fver", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(j == Set((1L, 0L, "a"), (1L, 1L, "a2"), (1L, 3L, "a3"), (2L, 2L, "b")))
+  }
 }
