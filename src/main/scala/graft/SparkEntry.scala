@@ -146,6 +146,22 @@ object SparkEntry {
     (s"WITH $Scd2IntervalsCtes SELECT c_custkey, seg, valid_from, valid_to"
       + " FROM iv ORDER BY c_custkey, valid_from")
 
+  /** Shared by q_weighted_quantile and q_weighted_quantile_state: the
+    * state row hash-matching the DIRECT selection IS the
+    * merge-invariance proof. */
+  private[graft] val WeightedQuantileOracleSql =
+    ("WITH r AS (SELECT l_returnflag AS k, l_extendedprice AS v, l_quantity AS w"
+      + " FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity > 0),"
+      + " c AS (SELECT k, v,"
+      + " sum(w::DECIMAL(18,6)) OVER (PARTITION BY k ORDER BY v"
+      + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,"
+      + " sum(w::DECIMAL(18,6)) OVER (PARTITION BY k)::DECIMAL(18,6) AS totw FROM r)"
+      + " SELECT k AS l_returnflag,"
+      + " min(CASE WHEN cumw >= totw * 0.250000 THEN v END) AS wq25,"
+      + " min(CASE WHEN cumw >= totw * 0.500000 THEN v END) AS wq50,"
+      + " min(CASE WHEN cumw >= totw * 0.900000 THEN v END) AS wq90"
+      + " FROM c GROUP BY 1 ORDER BY 1")
+
   private val EVAL  = "CASE WHEN event_type = 'error' THEN NULL ELSE value END"
 
   private def reduceRF(s: SparkSession, dir: String, aggs: Agg*): DataFrame =
@@ -244,6 +260,22 @@ object SparkEntry {
           "l_extendedprice", "l_quantity",
           Seq(0.25 -> "wq25", 0.5 -> "wq50", 0.9 -> "wq90"))
         .orderBy("l_returnflag")),
+    // importance-weighted quantiles in the state family: monthly
+    // weight histograms merge down the partition axis, the exact
+    // decimal inverted-CDF finalizes — oracle = the DIRECT weighted
+    // selection (shared with q_weighted_quantile), state invisible
+    "q_weighted_quantile_state" -> ((s, d) => {
+      val liM = li(s, d)
+        .withColumn("ship_month", date_trunc("month", col("l_shipdate")))
+      val monthly = AggState.stateQuantileWeighted(liM,
+        Seq("l_returnflag", "ship_month"), "l_extendedprice", "l_quantity")
+      AggState.finalizeQuantileWeighted(
+          AggState.mergeQuantileWeighted(monthly, Seq("l_returnflag"),
+            "l_extendedprice"),
+          Seq("l_returnflag"), "l_extendedprice",
+          Seq(0.25 -> "wq25", 0.5 -> "wq50", 0.9 -> "wq90"))
+        .orderBy("l_returnflag")
+    }),
     // bounded grouped top-k (TopKByScore): k-bounded shuffle vs the
     // row_number window idiom's full shuffle+sort
     "q_topk" -> ((s, d) =>
@@ -925,18 +957,10 @@ object SparkEntry {
         + " round(quantile_cont(l_extendedprice, 0.5), 6) AS q50,"
         + " round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,"
         + " round(quantile_cont(l_extendedprice, 0.9), 6) AS q90 FROM lineitem GROUP BY 1 ORDER BY 1"),
-    "q_weighted_quantile" ->
-      ("WITH r AS (SELECT l_returnflag AS k, l_extendedprice AS v, l_quantity AS w"
-        + " FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity > 0),"
-        + " c AS (SELECT k, v,"
-        + " sum(w::DECIMAL(18,6)) OVER (PARTITION BY k ORDER BY v"
-        + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,"
-        + " sum(w::DECIMAL(18,6)) OVER (PARTITION BY k)::DECIMAL(18,6) AS totw FROM r)"
-        + " SELECT k AS l_returnflag,"
-        + " min(CASE WHEN cumw >= totw * 0.250000 THEN v END) AS wq25,"
-        + " min(CASE WHEN cumw >= totw * 0.500000 THEN v END) AS wq50,"
-        + " min(CASE WHEN cumw >= totw * 0.900000 THEN v END) AS wq90"
-        + " FROM c GROUP BY 1 ORDER BY 1"),
+    "q_weighted_quantile" -> WeightedQuantileOracleSql,
+    // the weight-histogram state path is invisible by construction —
+    // shared oracle, like the q_quantile_state / q_scd2 conventions
+    "q_weighted_quantile_state" -> WeightedQuantileOracleSql,
     "q_mode" ->
       ("SELECT l_returnflag, min(v) AS mode_qty FROM ("
         + "SELECT l_returnflag, v, c, max(c) OVER (PARTITION BY l_returnflag) AS mx FROM ("

@@ -148,6 +148,38 @@ object AggState {
       qs: Seq[Double], as: String = "q"): DataFrame =
     Quantiles.quantileOfCounts(states, keys, valueCol, qs, as)
 
+  /** WEIGHTED-quantile STATE — the importance-weighted twin of
+    * [[stateQuantile]] ([[graft.operators.TextAnalysis]] DSIR weights,
+    * mixture sampling rates, rolled daily): (keys, value, w) with w =
+    * the exact decimal(18,6)-grid weight sum per distinct value.
+    * Merge re-sums exactly (associative — every merge tree identical);
+    * finalize runs [[Quantiles.weightedQuantile]]'s inverted-CDF
+    * selection on the decimal grid over the histogram, equal to the
+    * direct weighted quantile over the raw union bit for bit
+    * (AggStateSpec + the q_weighted_quantile_state oracle pin it). */
+  def stateQuantileWeighted(df: DataFrame, keys: Seq[String],
+      valueCol: String, weightCol: String): DataFrame = {
+    require(keys.nonEmpty, "stateQuantileWeighted needs at least one grouping key")
+    Quantiles.weightedCountsState(df, keys, valueCol, weightCol)
+  }
+
+  /** Merge weighted-quantile states down to `keys` — one hash agg
+    * re-summing the exact decimal weights per (keys, value). */
+  def mergeQuantileWeighted(states: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "mergeQuantileWeighted needs at least one grouping key")
+    states.groupBy(keys.map(col) :+ col(valueCol): _*)
+      .agg(sum(col("w")).cast(DecimalType(38, 6)).as("w"))
+  }
+
+  /** Finalize a weighted-quantile state — the exact-decimal
+    * inverted-CDF selection per group; `qs` = (quantile on the 1e-6
+    * grid, output column) pairs, the [[Quantiles.weightedQuantile]]
+    * contract. */
+  def finalizeQuantileWeighted(states: DataFrame, keys: Seq[String],
+      valueCol: String, qs: Seq[(Double, String)]): DataFrame =
+    Quantiles.weightedQuantileOfCounts(states, keys, valueCol, qs)
+
   /** Finalize a state table into the registry statistics: count, mean,
     * var, std (ddof-adjusted, clamped — the [[Aggregations]] variance
     * decomposition verbatim), min, max. A pure projection: states are

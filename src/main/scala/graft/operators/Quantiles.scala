@@ -322,6 +322,56 @@ object Quantiles {
     finish(t, by, valueCol, qs, as, propagate = false)
   }
 
+  /** Weight-histogram twin of [[countsState]] — the EXACT mergeable
+    * WEIGHTED-quantile state behind [[AggState.stateQuantileWeighted]]:
+    * (keys, value, w) with w = the exact decimal(18,6)-grid weight sum
+    * per distinct value (NULL/NaN values and NULL/non-positive weights
+    * take no part — the [[weightedQuantile]] contract). Collapsing a
+    * tie run to one summed row preserves the inverted-CDF selection
+    * exactly: the running weight at each run's END is unchanged, and
+    * the selection min over a run returns the same value either way
+    * (the tie argument in [[weightedQuantile]]'s doc). */
+  private[operators] def weightedCountsState(
+      df: DataFrame, by: Seq[String], valueCol: String, weightCol: String): DataFrame = {
+    validate(by, Seq(0.5), valueCol)
+    val v = NanOps.nanToNull(col(valueCol), df.schema(valueCol).dataType)
+      .cast("double")
+    val wRaw = NanOps.nanToNull(col(weightCol), df.schema(weightCol).dataType)
+      .cast("double")
+    val w = when(v.isNotNull && wRaw > 0.0, wRaw.cast("decimal(18,6)"))
+    df.select(by.map(col) :+ v.as(valueCol) :+ w.as("__w"): _*)
+      .where(col("__w").isNotNull)
+      .groupBy(by.map(col) :+ col(valueCol): _*)
+      .agg(sum(col("__w")).cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("w"))
+  }
+
+  /** [[weightedQuantile]]'s exact-decimal inverted-CDF selection over a
+    * (keys, value, w) weight histogram. Re-aggregates per (keys, value)
+    * first, so merged AND unioned states are both accepted. */
+  private[operators] def weightedQuantileOfCounts(
+      c: DataFrame, by: Seq[String], valueCol: String,
+      qs: Seq[(Double, String)]): DataFrame = {
+    require(by.nonEmpty && qs.nonEmpty, "need grouping columns and quantiles")
+    qs.foreach { case (q, _) =>
+      require(q >= 0.0 && q <= 1.0 && (q * 1e6).round.toDouble == q * 1e6,
+        s"quantile must sit on the 1e-6 grid in [0, 1] (got $q)")
+    }
+    val keyCols = by.map(col)
+    val h = c.groupBy(keyCols :+ col(valueCol): _*)
+      .agg(sum(col("w")).cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("__ww"))
+    val byVal = Window.partitionBy(keyCols: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val total = Window.partitionBy(keyCols: _*)
+    val staged = h
+      .withColumn("__cumw", sum(col("__ww")).over(byVal))
+      .withColumn("__totw", sum(col("__ww")).over(total))
+    val aggExprs = qs.map { case (q, name) =>
+      val target = col("__totw") * lit(BigDecimal(q).setScale(6))
+      min(when(col("__cumw") >= target, col(valueCol))).as(name)
+    }
+    staged.groupBy(keyCols: _*).agg(aggExprs.head, aggExprs.tail: _*)
+  }
+
   /** Raw-row twin of [[counts]] for `dedup = false`: same
     * (keys, value, __cnt, __nan) shape with one row PER INPUT ROW
     * (__cnt 1, or 0 for propagate's kept NULL/NaN rows) — no shuffle at

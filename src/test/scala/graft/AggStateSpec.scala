@@ -106,4 +106,30 @@ class AggStateSpec extends AnyFunSuite {
     assert(AggState.mergeQuantile(daily, Seq("k"), "v")
       .where(col("k") === "a").count() == 3) // {9.0, 10.5, 11.25}
   }
+
+  test("weighted quantile state: finalize(merge(per-day weight histograms)) == weightedQuantile direct") {
+    import graft.operators.Quantiles
+    val df = Seq(
+      ("a", 1, 10.5, 2.0), ("a", 1, 11.25, 1.0), ("a", 2, 10.5, 3.0),
+      ("a", 2, 9.0, 0.0),                       // zero weight takes no part
+      ("a", 3, Double.NaN, 5.0),                // NaN value takes no part
+      ("b", 1, 100.0, 1.5), ("b", 2, 100.0, 2.5), ("b", 3, 1.0, 4.0)
+    ).toDF("k", "day", "v", "w")
+    val qs = Seq(0.25 -> "w25", 0.5 -> "w50", 1.0 -> "w100")
+    val daily = AggState.stateQuantileWeighted(df, Seq("k", "day"), "v", "w")
+    val got = AggState.finalizeQuantileWeighted(
+      AggState.mergeQuantileWeighted(daily, Seq("k"), "v"), Seq("k"), "v", qs)
+    val want = Quantiles.weightedQuantile(df, Seq("k"), "v", "w", qs)
+    assert(got.orderBy("k").collect().toSeq == want.orderBy("k").collect().toSeq,
+      "weighted state path must equal the direct weighted quantile")
+    // merge-tree invariance (exact decimal weight sums)
+    val stage = AggState.mergeQuantileWeighted(daily.where(col("day") <= 2), Seq("k"), "v")
+      .unionByName(daily.where(col("day") === 3).drop("day"))
+    val b2 = AggState.finalizeQuantileWeighted(
+      AggState.mergeQuantileWeighted(stage, Seq("k"), "v"), Seq("k"), "v", qs)
+    assert(b2.orderBy("k").collect().toSeq == got.orderBy("k").collect().toSeq)
+    // ties across days collapse to ONE weighted row
+    assert(AggState.mergeQuantileWeighted(daily, Seq("k"), "v")
+      .where(col("k") === "b").count() == 2) // {100.0 (w=4.0), 1.0}
+  }
 }
