@@ -612,6 +612,21 @@ object LlmQueries {
         e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
       Similarity.recallAtK(exact, ivfPqApprox(s, d), "qid", "vec_id", k = 10)
     }),
+    // the recall gate over the REFINED ranking — the deploy-time check
+    // on (nprobe, m*k, refine) as one parameterization; paired with
+    // q_ann_recall it certifies the re-rank never costs recall
+    "q_ann_recall_refined" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val corpus = e.where(col("vec_id") >= 5)
+      val exact = Similarity.topKL2(corpus,
+        e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      val (cents, books) = ivfPqIndexOf(d, corpus)
+      val refined = Similarity.ivfPqTopKRefine(corpus,
+        e.where(col("vec_id") < 5), "vec_id", "embedding", dim = 64, m = 4,
+        centroids = cents, codebooks = books, nprobe = 2, topK = 10,
+        refine = 20)
+      Similarity.recallAtK(exact, refined, "qid", "vec_id", k = 10)
+    }),
     // MMR diversified top-10 from a cosine top-30 candidate set: greedy
     // 0.5*rel - 0.5*maxSim selection (exact power-of-two lambda over
     // round-6 sims), oracle replays the whole greedy trajectory as 10
@@ -1600,6 +1615,20 @@ object LlmQueries {
       + s"w -> string_split(trim($chain), '  '))))::BIGINT")
   }
 
+  /** The q_ann_ivfpq_refine replay, parameterized by the prepared-
+    * embeddings CTE body so q_ann_recall_refined can embed it as a
+    * subquery (the ivfPqReplaySql convention). */
+  private def refineReplaySql(qn: String): String =
+    (s"WITH n AS $qn,"
+      + s" apc AS (SELECT qid, vec_id AS id FROM (${ivfPqReplaySql(qn, k = 20)})),"
+      + " rsc AS (SELECT apc.qid, apc.id,"
+      + " qq.nsq + c.nsq - 2 * CAST(list_dot_product(qq.q, c.q) AS BIGINT) AS d2"
+      + " FROM apc JOIN n c ON c.vec_id = apc.id"
+      + " JOIN n qq ON qq.vec_id = apc.qid)"
+      + " SELECT qid, rank::BIGINT AS rank, id AS vec_id, d2 FROM ("
+      + " SELECT qid, id, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rank"
+      + " FROM rsc) WHERE rank <= 10 ORDER BY qid, rank")
+
   def oracleSql: Map[String, String] = {
     val shingleCte =
       ("WITH s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN"
@@ -2054,16 +2083,26 @@ object LlmQueries {
       // refine replay: the full IVFADC replay at rank <= 20 nominates,
       // then exact integer L2 against the prepared vectors re-ranks;
       // final rank by (d2, id)
-      "q_ann_ivfpq_refine" ->
+      "q_ann_ivfpq_refine" -> refineReplaySql(qn),
+      // the recall gate OVER THE REFINED ranking: exact L2 top-10 vs
+      // the embedded refine replay — the parameterization check a
+      // deploy runs on (nprobe, m·k, refine) together; paired with
+      // q_ann_recall it also certifies refine's recall never drops
+      "q_ann_recall_refined" ->
         (s"WITH n AS $qn,"
-          + s" apc AS (SELECT qid, vec_id AS id FROM (${ivfPqReplaySql(qn, k = 20)})),"
-          + " rsc AS (SELECT apc.qid, apc.id,"
-          + " qq.nsq + c.nsq - 2 * CAST(list_dot_product(qq.q, c.q) AS BIGINT) AS d2"
-          + " FROM apc JOIN n c ON c.vec_id = apc.id"
-          + " JOIN n qq ON qq.vec_id = apc.qid)"
-          + " SELECT qid, rank::BIGINT AS rank, id AS vec_id, d2 FROM ("
-          + " SELECT qid, id, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rank"
-          + " FROM rsc) WHERE rank <= 10 ORDER BY qid, rank"),
+          + " ex AS (SELECT qid, id FROM ("
+          + " SELECT a.vec_id AS qid, b.vec_id AS id,"
+          + " row_number() OVER (PARTITION BY a.vec_id ORDER BY"
+          + " a.nsq + b.nsq - 2 * list_dot_product(a.q, b.q), b.vec_id) AS rank"
+          + " FROM n a JOIN n b ON a.vec_id != b.vec_id"
+          + " WHERE a.vec_id < 5 AND b.vec_id >= 5) WHERE rank <= 10),"
+          + s" ap AS (SELECT qid, vec_id AS id FROM (${refineReplaySql(qn)}) WHERE rank <= 10)"
+          + " SELECT ex.qid, count(*)::BIGINT AS n_exact,"
+          + " coalesce(sum(CASE WHEN ap.id IS NOT NULL THEN 1 END), 0)::BIGINT AS n_hit,"
+          + " coalesce(sum(CASE WHEN ap.id IS NOT NULL THEN 1 END), 0)::DOUBLE"
+          + " / count(*)::DOUBLE AS recall"
+          + " FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.id = ap.id"
+          + " GROUP BY ex.qid ORDER BY ex.qid"),
       // recall gate replay: exact L2 top-10 per query vs the FULL
       // IVFADC replay (embedded as a subquery — DuckDB scopes its
       // inner WITH), left-join intersection per query
