@@ -199,5 +199,19 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq((2L, "b", 1L)).toDF("k", "v", "ver"), Seq("k"), "ver", Seq("v"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.isNullAt(3)))
     assert(fromEmpty.toSeq == Seq((2L, "b", 1L, true)))
+    // point-in-time reads over empty history; facts against empty -> empty
+    assert(Upsert.scd2SnapshotAt(
+      Upsert.scd2Intervals(emptyLog, Seq("k"), "ver", Seq("v")), lit(1L)).count() == 0)
+    assert(Upsert.scd2JoinAsOf(
+      Seq((1L, 0L)).toDF("k", "fver"),
+      Upsert.scd2Intervals(emptyLog, Seq("k"), "ver", Seq("v")),
+      Seq("k"), "fver").count() == 0)
+    // weighted quantile state: empty raw / all-invalid-weight -> empty
+    val wEmpty = Seq.empty[(Int, Double, Double)].toDF("label", "v", "w")
+    assert(AggState.stateQuantileWeighted(wEmpty, Seq("label"), "v", "w").count() == 0)
+    assert(AggState.finalizeQuantileWeighted(
+      AggState.stateQuantileWeighted(
+        Seq((1, 2.0, 0.0)).toDF("label", "v", "w"), Seq("label"), "v", "w"),
+      Seq("label"), "v", Seq(0.5 -> "w50")).count() == 0)
   }
 }
