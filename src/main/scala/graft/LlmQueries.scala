@@ -33,6 +33,11 @@ object LlmQueries {
   private[graft] def evalSrcSqlList: String =
     EvalSources.map("'" + _ + "'").mkString(",")
 
+  /** q_substr_search_multi's pattern set — single-sourced so the Spark
+    * probe and the oracle scan cannot drift. */
+  private[graft] val SearchPatterns =
+    Seq("spark hash", "window merge", "stream filter")
+
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Seq[Long]]]()
 
@@ -85,6 +90,18 @@ object LlmQueries {
   private def bpeMergesOf(s: SparkSession, d: String): Seq[Bpe.Merge] =
     bpeMergesCache.computeIfAbsent(d, _ =>
       Bpe.bpeLearn(T(s, d, "documents"), "text", merges = BpeMerges))
+
+  // q_substr_search's build-once-per-dir trigram posting table (index
+  // at rest: ONE explode pass, persisted, probed by every search row)
+  private val postingsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def postingsOf(s: SparkSession, d: String): DataFrame =
+    postingsCache.computeIfAbsent(d, _ => {
+      val p = Search.trigramPostings(T(s, d, "documents"), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count() // materialize once; session-lifetime index state
+      p
+    })
 
   private def ivfPqApprox(s: SparkSession, d: String): DataFrame = {
     val e = T(s, d, "embeddings")
@@ -396,6 +413,39 @@ object LlmQueries {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 5)
         .select("doc_id", "rep_id", "split").orderBy("doc_id")
     }),
+    // Leakage-free k-fold CV: fold by dup-cluster representative, so
+    // near-duplicates never straddle a fold boundary (q_cluster_split's
+    // cross-validation twin).
+    "q_cv_folds" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Dedup.clusterKFold(docs, "doc_id",
+          Dedup.dupClusters(
+            Dedup.nearDupPairs(docs, "doc_id", "text",
+              n = 3, threshold = 0.5, bands = 32, rows = 4),
+            iterations = 3),
+          k = 5, salt = 7)
+        .select("doc_id", "rep_id", "fold").orderBy("doc_id")
+    }),
+    // Edit-distance (typo-level) near-dup pairs on the 24-char prefix
+    // key: FastSS deletion-neighborhood candidates + exact levenshtein
+    // verify. The oracle is the BRUTE-FORCE all-pairs rule — the hash
+    // match certifies recall 1, not just precision.
+    "q_dedup_editdist" -> ((s, d) =>
+      Dedup.editDistancePairs(T(s, d, "documents"), "doc_id",
+          substring(col("text"), 1, 24), maxDist = 1)
+        .orderBy("id_a", "id_b")),
+    // Index-accelerated exact substring search (trigram postings prune,
+    // exact contains verifies — oracle replays the naive scan, so the
+    // index is invisible by construction).
+    "q_substr_search" -> ((s, d) =>
+      Search.substrSearch(T(s, d, "documents"), postingsOf(s, d),
+          "doc_id", "text", "spark hash")
+        .select("doc_id").orderBy("doc_id")),
+    // Multi-pattern form: k patterns share ONE pass over the postings.
+    "q_substr_search_multi" -> ((s, d) =>
+      Search.substrSearchMulti(T(s, d, "documents"), postingsOf(s, d),
+          "doc_id", "text", SearchPatterns)
+        .select("pattern", "doc_id").orderBy("pattern", "doc_id")),
     // Train/test decontamination: "eval" docs (sources src0-src2) that
     // near-duplicate a "train" doc from any other source.
     "q_decontaminate" -> ((s, d) => {
@@ -1905,6 +1955,45 @@ object LlmQueries {
           + s" b AS (SELECT doc_id, rep_id, ${Sampling.bucketSql("rep_id", 5)} AS u FROM r)"
           + s" SELECT doc_id, rep_id, $cases AS split FROM b ORDER BY doc_id")
       },
+      "q_cv_folds" -> {
+        // the q_cluster_split label replay, folded mod 5 instead of the
+        // interval rule
+        val jacExpr = ("len(list_intersect(a.sh, b.sh))::DOUBLE"
+          + " / len(list_distinct(list_concat(a.sh, b.sh)))")
+        val rounds = (1 to 3).map { k =>
+          (s"l$k AS (SELECT e.src AS id, least(min(lv.lbl), min(lu.lbl)) AS lbl"
+            + s" FROM e JOIN l${k - 1} lv ON lv.id = e.src"
+            + s" JOIN l${k - 1} lu ON lu.id = e.dst GROUP BY e.src)")
+        }.mkString(", ")
+        (shingleCte
+          + " , p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b"
+          + s" ON a.doc_id < b.doc_id AND $jacExpr >= 0.5),"
+          + " e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),"
+          + " l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),"
+          + s" $rounds,"
+          + " r AS (SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS rep_id"
+          + " FROM documents d LEFT JOIN l3 l ON l.id = d.doc_id)"
+          + s" SELECT doc_id, rep_id, ${Sampling.bucketSql("rep_id", 7)} % 5 AS fold"
+          + " FROM r ORDER BY doc_id")
+      },
+      // brute-force all-pairs levenshtein on the 24-char prefix — the
+      // strongest oracle form: the hash match certifies the FastSS
+      // candidate step has recall 1, not merely that verify is exact
+      "q_dedup_editdist" ->
+        ("SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+          + " levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24))::BIGINT AS dist"
+          + " FROM documents a JOIN documents b ON a.doc_id < b.doc_id"
+          + " WHERE levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) <= 1"
+          + " ORDER BY 1, 2"),
+      // the naive scan the trigram index must be invisible against
+      "q_substr_search" ->
+        ("SELECT doc_id FROM documents WHERE contains(text, 'spark hash')"
+          + " ORDER BY doc_id"),
+      "q_substr_search_multi" ->
+        ("SELECT p.pattern, d.doc_id FROM (SELECT unnest(["
+          + SearchPatterns.map("'" + _ + "'").mkString(",")
+          + "]) AS pattern) p JOIN documents d ON contains(d.text, p.pattern)"
+          + " ORDER BY 1, 2"),
       "q_decontaminate" ->
         (shingleCte.replace("FROM documents",
             s"FROM documents WHERE source NOT IN ($evalSrcSqlList)")

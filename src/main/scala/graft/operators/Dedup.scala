@@ -1266,6 +1266,141 @@ object Dedup {
       .groupBy(col("__sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"), sum(col("__sz")).as("n_docs"))
 
+  /** Leakage-free K-FOLD assignment — the cross-validation twin of
+    * [[clusterSplit]]: every row folds by its duplicate-cluster
+    * representative, so near-duplicates can never straddle a fold
+    * boundary (the eval-contamination failure mode k-fold CV inherits
+    * from naive per-document hashing). `labels` is any (id, cluster_id)
+    * table; absent ids are singletons and represent themselves. The
+    * fold is the [[Sampling.bucket]] quadratic scatter of the
+    * representative id, mod k — deterministic, retry-safe, replayable,
+    * and uniform across folds (the scatter is 3-wise independent, so
+    * residues mod small k are balanced; M mod k bias is ≤ k/M ≈ 1e-8).
+    *
+    * Scale shape: identical to [[clusterSplit]] — one label join (AQE
+    * broadcasts the pair-participating minority) plus a per-row
+    * projection; nothing else moves. Same audit advice: gate on
+    * [[dupClustersAudited]] / [[clusterSizeHistogram]] first. */
+  def clusterKFold(
+      df: DataFrame,
+      idCol: String,
+      labels: DataFrame,
+      k: Int,
+      as: String = "fold",
+      salt: Int = 0): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2 (got $k)")
+    require(!df.columns.contains("__rep"),
+      "clusterKFold reserves column name __rep; rename it in the input")
+    val rep = labels.select(col("id").as("__cid"), col("cluster_id").as("__rep"))
+    df.join(rep, col(idCol) === col("__cid"), "left")
+      .withColumn("__rep", coalesce(col("__rep"), col(idCol).cast("long")))
+      .withColumn(as, Sampling.bucket(Sampling.idKey(col("__rep")), salt) % k)
+      .withColumnRenamed("__rep", "rep_id")
+      .drop("__cid")
+  }
+
+  /** Edit-distance near-duplicate PAIRS on a short key column — FastSS
+    * deletion-neighborhood candidates + exact Levenshtein verify
+    * (Bocek, Hunt & Stiller, "Fast Similarity Search in Large
+    * Dictionaries", TR ifi-2007.02, Univ. of Zurich — public). Output:
+    * (id_a, id_b, dist) with id_a < id_b and
+    * levenshtein(key_a, key_b) <= maxDist — EXACTLY the brute-force
+    * all-pairs rule (the q_dedup_editdist oracle IS the brute force;
+    * the hash match certifies recall 1).
+    *
+    * Why candidates are a superset (recall 1): if edit(s, t) = e <=
+    * maxDist, an optimal alignment touches e positions; deleting the
+    * substituted/inserted characters on each side yields a COMMON
+    * string reachable from both s and t by <= maxDist deletions — so
+    * the <=maxDist-deletion neighborhoods intersect, and the pair
+    * meets in the variant equality join. Precision comes from the
+    * exact `levenshtein` verify (codegen'd builtin) on the candidate
+    * set only.
+    *
+    * The key is a caller expression (typically a normalized prefix —
+    * `substring(text, 1, 24)`, a title, a URL path): neighborhood size
+    * is C(len, maxDist)-ish per row (len+1 at maxDist=1), so keys must
+    * be SHORT; `maxKeyLen` fail-fasts the contract. Scale shape: the
+    * join moves (variant, id, key) rows — (len+1)·rows of ~key-size
+    * bytes at d=1, an equality shuffle like any LSH bucket join; a
+    * boilerplate shared prefix is a hot variant key, capped by
+    * `maxBucketSize` like [[nearDupPairs]]' [[oversizedBuckets]]
+    * (opt-in, because dropping a bucket trades recall for skew
+    * safety). NULL keys are absent (the [[dedupIncremental]]
+    * convention). */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      keyCol: Column,
+      maxDist: Int = 1,
+      maxKeyLen: Int = 64,
+      maxBucketSize: Int = 0): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"editDistancePairs supports maxDist 1..2 (got $maxDist); " +
+        "the deletion neighborhood is C(len, d)-sized — past d=2 use " +
+        "nearDupPairs/simhashPairs on token sets instead")
+    val keyed = df.select(col(idCol).as("id"), keyCol.as("__k"))
+      .where(col("__k").isNotNull)
+      .withColumn("__len", length(col("__k")))
+    // fail fast instead of silently exploding the neighborhood
+    val guarded = keyed.withColumn("__k",
+      when(col("__len") > maxKeyLen,
+        raise_error(concat(
+          lit(s"editDistancePairs key exceeds maxKeyLen=$maxKeyLen (len="),
+          col("__len").cast("string"), lit("); shorten the key expression"))))
+        .otherwise(col("__k")))
+    // single-deletion step: s -> [s minus char i, for each i]
+    def delStep(c: Column): Column =
+      transform(sequence(lit(1), length(c)),
+        i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c))))
+    // <=maxDist-deletion neighborhood, self included
+    val nbh0 = array(col("__k"))
+    val nbh1 = array_union(nbh0, delStep(col("__k")))
+    val nbh =
+      if (maxDist == 1) nbh1
+      else array_union(nbh1,
+        array_distinct(flatten(transform(delStep(col("__k")), v => delStep(v)))))
+    val variants = guarded.select(col("id"), col("__k"),
+      explode(nbh).as("__v"))
+    val pruned =
+      if (maxBucketSize <= 0) variants
+      else {
+        val hot = variants.groupBy(col("__v"))
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") > maxBucketSize)
+          .select(col("__v"))
+        variants.join(hot, Seq("__v"), "left_anti")
+      }
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.__v") === col("b.__v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.__k").as("__ka"), col("b.__k").as("__kb"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("__ka"), col("__kb")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Edit-distance near-duplicate dedup, keep-smallest-id: the
+    * row-preserving keep-first form over [[editDistancePairs]],
+    * completing the family (exact / MinHash / SimHash / embedding /
+    * edit-distance). Because the candidate step has recall 1 and the
+    * verify is exact, the result EQUALS the all-pairs
+    * levenshtein-keep-first rule — no S-curve caveat. */
+  def editDistanceDedup(
+      df: DataFrame,
+      idCol: String,
+      keyCol: Column,
+      maxDist: Int = 1,
+      maxKeyLen: Int = 64): DataFrame = {
+    require(!df.columns.contains("__dup_id"),
+      "editDistanceDedup reserves column name __dup_id; rename it in the input")
+    val dropped = editDistancePairs(df, idCol, keyCol, maxDist, maxKeyLen)
+      .select(col("id_b").as("__dup_id")).distinct()
+    df.join(dropped, col(idCol) === col("__dup_id"), "left_anti")
+  }
+
   /** SimHash near-duplicate dedup, keep-smallest-id: the row-preserving
     * keep-first form for the SimHash family, completing the set (exact =
     * [[dropDuplicatesKeepFirst]], MinHash = [[nearDupDedup]], embedding =

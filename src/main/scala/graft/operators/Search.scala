@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Substring search over a document corpus via a character-trigram
+  * posting-list index — the "grep at scale" operator (Cox, "Regular
+  * Expression Matching with a Trigram Index", 2012 — the Google Code
+  * Search design; public write-up). The index PRUNES, a final exact
+  * `contains` verify decides: any document containing the pattern
+  * necessarily contains every trigram of the pattern, so the
+  * conjunctive posting intersection is a candidate SUPERSET and the
+  * result is bit-identical to the naive full scan (the oracle replays
+  * the scan — the index is invisible, the Bloom-dedup convention).
+  *
+  * Scale shape at 100 TB:
+  *   - the posting table is (gram, id) with ~n_chars rows per document
+  *     — large but 3-byte-key columnar rows that compress hard; build
+  *     is ONE projection + explode, no shuffle, and at rest it
+  *     partitions/buckets by `gram` so a probe's equality semi-joins
+  *     co-locate (the [[Dedup.NearDupIndex]] at-rest convention);
+  *   - a probe touches |pattern| − 2 gram partitions (equality
+  *     pushdown — the scan reads ONLY the probed grams' row groups),
+  *     intersects by a count aggregation on doc id, and reads corpus
+  *     TEXT only for the surviving candidates;
+  *   - stop-gram skew (a gram present in most documents drags its
+  *     whole posting list through the join) is capped by `maxDocFreq`:
+  *     over-frequent grams drop out of the conjunction — dropping a
+  *     conjunct only widens the candidate set, so recall is untouched
+  *     and the verify restores exactness. If every gram is hot the
+  *     least-frequent one is kept so the probe never degenerates to a
+  *     full scan.
+  *
+  * Patterns shorter than [[Search.GramLen]] have no trigram and cannot
+  * use the index — callers run [[Search.substrScan]] (the same verify
+  * predicate as a plain filter) for those. */
+object Search {
+
+  /** Character n-gram width of the posting index. */
+  val GramLen = 3
+
+  /** The (gram, id) posting table: distinct character trigrams per
+    * document, one explode — no shuffle, no aggregation. Documents
+    * shorter than [[GramLen]] characters contribute no postings (they
+    * can never contain a ≥3-char pattern); NULL text contributes
+    * nothing (the [[Dedup.dedupIncremental]] convention). Persist
+    * partitioned by `gram` for co-located probes. */
+  def trigramPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull && length(col(textCol)) >= GramLen)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col(textCol)) - (GramLen - 1)),
+          i => col(textCol).substr(i, lit(GramLen))))).as("gram"))
+      .select(col("gram"), col("id"))
+
+  /** The distinct trigrams of a pattern (driver-side; patterns are
+    * query-sized literals). */
+  private[graft] def patternGrams(pattern: String): Seq[String] = {
+    require(pattern.length >= GramLen,
+      s"pattern must be >= $GramLen chars for the trigram index " +
+        s"(got '$pattern'); use substrScan for shorter patterns")
+    pattern.sliding(GramLen).toSeq.distinct
+  }
+
+  /** Candidate document ids for ONE pattern: ids whose posting rows
+    * cover ALL retained pattern trigrams (a count == n conjunction —
+    * one small aggregation over the probed grams' postings, never the
+    * full table). With `maxDocFreq > 0`, grams whose document
+    * frequency exceeds the cap leave the conjunction (see class doc);
+    * the returned frame is always a superset of the true match set. */
+  def substrCandidates(
+      postings: DataFrame,
+      pattern: String,
+      maxDocFreq: Long = 0L): DataFrame = {
+    val grams = patternGrams(pattern)
+    val probed = postings.where(col("gram").isin(grams: _*))
+    val use: Seq[String] =
+      if (maxDocFreq <= 0) grams
+      else {
+        // df per probed gram: a |grams|-row aggregate (bounded by the
+        // pattern length — safe to collect, the qcut-edges convention)
+        val dfs = probed.groupBy("gram").agg(count(lit(1)).as("df"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val kept = grams.filter(g => dfs.getOrElse(g, 0L) <= maxDocFreq)
+        if (kept.nonEmpty) kept
+        else Seq(grams.minBy(g => (dfs.getOrElse(g, 0L), g))) // never full-scan
+      }
+    probed.where(col("gram").isin(use: _*))
+      .groupBy(col("id"))
+      .agg(count_distinct(col("gram")).as("__ng"))
+      .where(col("__ng") === lit(use.length))
+      .select(col("id"))
+  }
+
+  /** Index-accelerated exact substring search: candidates from
+    * [[substrCandidates]], then the exact `contains` verify over ONLY
+    * the candidate rows — result rows are `df` rows, bit-identical to
+    * [[substrScan]]. */
+  def substrSearch(
+      df: DataFrame,
+      postings: DataFrame,
+      idCol: String,
+      textCol: String,
+      pattern: String,
+      maxDocFreq: Long = 0L): DataFrame =
+    df.join(substrCandidates(postings, pattern, maxDocFreq)
+        .withColumnRenamed("id", "__cand_id"),
+        col(idCol) === col("__cand_id"), "left_semi")
+      .where(col(textCol).contains(pattern))
+
+  /** The naive exact scan — the baseline [[substrSearch]] must equal,
+    * and the path for patterns shorter than [[GramLen]]. */
+  def substrScan(df: DataFrame, textCol: String, pattern: String): DataFrame =
+    df.where(col(textCol).contains(pattern))
+
+  /** Multi-pattern search: (pattern, id) matches for a query-sized
+    * pattern list in ONE probe. The pattern→gram table is a driver
+    * literal (broadcast by size); candidates fall out of one grouped
+    * count over the union of all probed grams, so k patterns share a
+    * single pass over the postings instead of k. Verify joins
+    * candidates back to the corpus and applies the exact per-pair
+    * `contains`. */
+  def substrSearchMulti(
+      df: DataFrame,
+      postings: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pg = patterns.flatMap { p =>
+      val gs = patternGrams(p)
+      gs.map(g => (p, g, gs.length))
+    }.toDF("pattern", "gram", "__need")
+    val allGrams = pg.select("gram").as[String].collect().toSeq.distinct
+    val cand = postings.where(col("gram").isin(allGrams: _*))
+      .join(broadcast(pg), Seq("gram"))
+      .groupBy(col("pattern"), col("id"), col("__need"))
+      .agg(count_distinct(col("gram")).as("__ng"))
+      .where(col("__ng") === col("__need"))
+      .select(col("pattern"), col("id").as("__cand_id"))
+    df.join(cand, col(idCol) === col("__cand_id"))
+      .where(col(textCol).contains(col("pattern")))
+      .drop("__cand_id")
+  }
+}

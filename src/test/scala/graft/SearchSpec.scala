@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Search
+
+/** Trigram-index substring search: the index may only PRUNE — every
+  * result must be bit-identical to the naive contains() scan, for any
+  * pattern, any doc-frequency cap, and the multi-pattern form. */
+class SearchSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs"),
+    (3L, "the quick onyx goblin jumps over the lazy dwarf"),
+    (4L, "quick quick quick"),          // repeated grams
+    (5L, "ab"),                          // shorter than a trigram
+    (6L, ""),                            // empty
+    (7L, null.asInstanceOf[String]),     // null text
+    (8L, "aaaaaa")                       // single distinct trigram
+  ).toDF("id", "text")
+
+  private val postings = Search.trigramPostings(docs, "id", "text")
+
+  private def scanIds(p: String): Seq[Long] =
+    Search.substrScan(docs, "text", p).select("id").as[Long].collect().sorted.toSeq
+
+  private def idxIds(p: String, cap: Long = 0L): Seq[Long] =
+    Search.substrSearch(docs, postings, "id", "text", p, cap)
+      .select("id").as[Long].collect().sorted.toSeq
+
+  test("index search == naive scan for a spread of patterns") {
+    for (p <- Seq("quick", "the lazy", "jumps over the lazy d", "aaa",
+        "aaaa", "zzz", "box with", "quick quick"))
+      assert(idxIds(p) == scanIds(p), s"pattern '$p'")
+  }
+
+  test("candidates are a superset of true matches") {
+    for (p <- Seq("quick", "lazy", "aaaa")) {
+      val cand = Search.substrCandidates(postings, p)
+        .as[Long].collect().toSet
+      val truth = scanIds(p).toSet
+      assert(truth.subsetOf(cand), s"pattern '$p': $truth vs $cand")
+    }
+  }
+
+  test("hot-gram cap drops conjuncts but never results (recall intact)") {
+    // cap=1 makes nearly every gram "hot": the conjunction degenerates
+    // toward the rarest gram, and the verify restores exactness
+    for (p <- Seq("quick", "the lazy", "aaaa"))
+      assert(idxIds(p, cap = 1L) == scanIds(p), s"pattern '$p' capped")
+  }
+
+  test("patterns shorter than GramLen fail fast; substrScan handles them") {
+    intercept[IllegalArgumentException] {
+      Search.substrCandidates(postings, "ab")
+    }
+    assert(Search.substrScan(docs, "text", "ab")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(5L))
+  }
+
+  test("multi-pattern == per-pattern union, one probe") {
+    val pats = Seq("quick", "the lazy", "zzz", "aaaa")
+    val got = Search.substrSearchMulti(docs, postings, "id", "text", pats)
+      .select("pattern", "id").as[(String, Long)].collect().toSet
+    val want = pats.flatMap(p => scanIds(p).map(p -> _)).toSet
+    assert(got == want)
+  }
+
+  test("short/empty/null docs contribute no postings but scan still finds short docs") {
+    val ids = postings.select("id").distinct().as[Long].collect().toSet
+    assert(!ids.contains(5L) && !ids.contains(6L) && !ids.contains(7L))
+  }
+}
