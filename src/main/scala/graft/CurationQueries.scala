@@ -176,6 +176,22 @@ object CurationQueries {
       NgramOverlap.duplicateSpans(T(s, d, "documents"), "doc_id", "text",
         windowTokens = 5, tokenizer = NgramOverlap.retokenize())
         .orderBy("doc_id", "span_start")),
+    // Winnowing (MOSS) fingerprint contamination screen: train docs
+    // sharing >= 3 winnowed fingerprints with an eval doc. The cheap
+    // cross-set front half of q_contaminated_spans — fingerprint sets
+    // are 2/(w+1)-dense, and the winnowing guarantee makes any >= 7
+    // shared consecutive tokens impossible to miss.
+    "q_winnow_contam" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val evalSrc = LlmQueries.EvalSources
+      NgramOverlap.winnowOverlap(
+          docs.where(!col("source").isin(evalSrc: _*)),
+          docs.where(col("source").isin(evalSrc: _*)),
+          "doc_id", "text", windowTokens = 4, winnowWindow = 4,
+          minShared = 3L)
+        .select(col("id_train"), col("id_eval"), col("n_shared"))
+        .orderBy("id_train", "id_eval")
+    }),
     // the removal applied: per-source doc counts, fully-emptied docs,
     // surviving-token mass, and an exact clean-text checksum
     "q_substr_clean" -> ((s, d) => {
@@ -921,6 +937,26 @@ object CurationQueries {
       + " SELECT doc_id, min(pos)::BIGINT AS span_start,"
       + " (max(pos) + 5 - min(pos))::BIGINT AS span_tokens"
       + " FROM isl GROUP BY doc_id, g ORDER BY 1, 2"),
+    // winnowing replay: 4-token window f1 hashes, the 4-window min
+    // (full windows only), distinct per doc, then the cross-set
+    // fingerprint join
+    "q_winnow_contam" -> {
+      val winStr = "array_to_string(w[i:i+3], ' ')"
+      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') w FROM documents),"
+        + " wins AS (SELECT doc_id, source, unnest(range(0, len(w) - 3)) AS pos,"
+        + s" unnest([${fpSql(winStr)} for i in range(1, len(w) - 2)]) AS f1"
+        + " FROM t WHERE len(w) >= 4),"
+        + " sel AS (SELECT doc_id, source, pos,"
+        + " min(f1) OVER (PARTITION BY doc_id ORDER BY pos"
+        + " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM wins),"
+        + " fps AS (SELECT DISTINCT doc_id, source, fp FROM sel WHERE pos >= 3)"
+        + " SELECT tr.doc_id AS id_train, ev.doc_id AS id_eval,"
+        + " count(*)::BIGINT AS n_shared"
+        + " FROM fps tr JOIN fps ev ON tr.fp = ev.fp"
+        + s" WHERE tr.source NOT IN (${LlmQueries.evalSrcSqlList})"
+        + s" AND ev.source IN (${LlmQueries.evalSrcSqlList})"
+        + " GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2")
+    },
     "q_decontam_clean" -> (CrossSpanCtes
       + ", spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 5 - min(pos) AS n"
       + " FROM isl GROUP BY doc_id, g),"

@@ -112,6 +112,16 @@ object LlmQueries {
       centroids = cents, codebooks = books, nprobe = 2, topK = 10)
   }
 
+  // q_ann_index_rt's write-once-per-dir persisted IVFADC index (the
+  // ndIndexCache convention: the index lives on disk; repeated
+  // executions read + probe, never re-encode)
+  private val annIndexDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // q_ann_index_delete's build-delete-compact-once-per-dir index
+  private val annDelIndexDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // q_dedup_incremental_near's build-once-per-dir corpus index (the
   // starLayoutCache convention: the index is PERSISTED corpus state —
   // repeated executions probe it, never rebuild it)
@@ -598,6 +608,99 @@ object LlmQueries {
     // ADC tables + the rank bit for bit.
     "q_ann_ivfpq" -> ((s, d) =>
       ivfPqApprox(s, d).orderBy("qid", "rank")),
+    // the PERSISTED index round-trip: encode once, WRITE the four index
+    // tables (codes + both quantizers + meta) to parquet, re-READ, and
+    // probe through AnnIndex.annTopK. The oracle is q_ann_ivfpq's
+    // replay unchanged — the hash match certifies the at-rest
+    // round-trip is invisible.
+    "q_ann_index_rt" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val corpus = e.where(col("vec_id") >= 5)
+      val dir = annIndexDirCache.computeIfAbsent(d, { _ =>
+        val p = s"/tmp/graft_annidx_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        val (cents, books) = ivfPqIndexOf(d, corpus)
+        Similarity.buildAnnIndex(corpus, "vec_id", "embedding",
+          dim = 64, m = 4, cents, books).write(p)
+        p
+      })
+      Similarity.annTopK(Similarity.AnnIndex.read(s, dir),
+          e.where(col("vec_id") < 5), "embedding", nprobe = 2, topK = 10)
+        .orderBy("qid", "rank")
+    }),
+    // the daily-ingest loop: day-1 vectors build the index, day-2
+    // vectors APPEND through the frozen quantizers (history never
+    // re-encoded). Encoding is per-row and quantizer-keyed, so the
+    // probe hash-matches the from-scratch q_ann_ivfpq replay exactly.
+    "q_ann_index_append" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val corpus = e.where(col("vec_id") >= 5)
+      val (cents, books) = ivfPqIndexOf(d, corpus)
+      val idx = Similarity.appendToAnnIndex(
+        Similarity.buildAnnIndex(corpus.where(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", dim = 64, m = 4, cents, books),
+        corpus.where(col("vec_id") % 3 === 0), "embedding")
+      Similarity.annTopK(idx, e.where(col("vec_id") < 5), "embedding",
+          nprobe = 2, topK = 10)
+        .orderBy("qid", "rank")
+    }),
+    // index MAINTENANCE: bulk-delete the %7==0 vectors (a takedown),
+    // compact the survivors to parquet, probe the compacted index. The
+    // quantizers deliberately stay frozen (no refit after a takedown);
+    // the oracle replays the SAME fits with only the candidate corpus
+    // filtered — removed-then-probed ≡ never-present.
+    "q_ann_index_delete" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val corpus = e.where(col("vec_id") >= 5)
+      val dir = annDelIndexDirCache.computeIfAbsent(d, { _ =>
+        val p = s"/tmp/graft_annidx_del_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        val (cents, books) = ivfPqIndexOf(d, corpus)
+        val full = Similarity.buildAnnIndex(corpus, "vec_id", "embedding",
+          dim = 64, m = 4, cents, books)
+        Similarity.compactAnnIndex(
+          Similarity.removeFromAnnIndex(full,
+            corpus.where(col("vec_id") % 7 === 0).select("vec_id")), p)
+        p
+      })
+      Similarity.annTopK(Similarity.AnnIndex.read(s, dir),
+          e.where(col("vec_id") < 5), "embedding", nprobe = 2, topK = 10)
+        .orderBy("qid", "rank")
+    }),
+    // STREAMING ANN-index maintenance (corpus-state family #4): day-1
+    // vectors build the index; the rest arrive as one-file-per-trigger
+    // micro-batches that roll the codes forward through the frozen
+    // quantizers. Probing the final rolled index hash-matches the
+    // from-scratch q_ann_ivfpq replay — batch boundaries are invisible
+    // because encoding is per-row and quantizer-keyed.
+    "q_stream_ann" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val corpus = e.where(col("vec_id") >= 5)
+      val (cents, books) = ivfPqIndexOf(d, corpus)
+      val init = Similarity.buildAnnIndex(corpus.where(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", dim = 64, m = 4, cents, books)
+      val init2 = init.copy(codes = init.codes.localCheckpoint())
+      val days = Seq(
+        corpus.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0),
+        corpus.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 1))
+      val dir = java.nio.file.Files.createTempDirectory("graft-ann-days")
+      days.zipWithIndex.foreach { case (df, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ann-part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+        val dst = new java.io.File(dir.toFile, s"day$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L) // drain order pin
+      }
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      var last: Similarity.AnnIndex = init2
+      runForeachBatchReplay(
+        StreamingOps.annIngest(stream, init2, "embedding")(idx => { last = idx; () }),
+        "graft_stream_ann")
+      Similarity.annTopK(last, e.where(col("vec_id") < 5), "embedding",
+          nprobe = 2, topK = 10)
+        .orderBy("qid", "rank")
+    }),
     // the FAISS-default RESIDUAL variant: PQ encodes x − c(x) with
     // pqFitResidual codebooks (same coarse cells, same m·k budget) and
     // the ADC reference point is q − c(probed cell); the oracle replay
@@ -1558,7 +1661,8 @@ object LlmQueries {
     * rank), parameterized by the prepared-embeddings CTE body so
     * q_ann_recall can embed it as a subquery. */
   private def ivfPqReplaySql(qn: String, residual: Boolean = false,
-      k: Int = 10): String = {
+      k: Int = 10, candFilter: String = ""): String = {
+    val candAnd = if (candFilter.isEmpty) "" else s" AND $candFilter"
 
         val m = 4; val sub = 16
         val fitSrc = if (residual) "ncr" else "nc"
@@ -1613,10 +1717,10 @@ object LlmQueries {
           + s" $subs, $dts,"
           + (if (residual)
                (" cand AS (SELECT qa.vec_id AS qid, qa.cell AS pcell, ca.vec_id AS id"
-                 + " FROM qasg qa JOIN casg ca ON qa.cell = ca.cell),")
+                 + s" FROM qasg qa JOIN casg ca ON qa.cell = ca.cell$candAnd),")
              else
                (" cand AS (SELECT qa.vec_id AS qid, ca.vec_id AS id"
-                 + " FROM qasg qa JOIN casg ca ON qa.cell = ca.cell),"))
+                 + s" FROM qasg qa JOIN casg ca ON qa.cell = ca.cell$candAnd),"))
           + s" sc AS (SELECT cand.qid, cand.id, $score AS adc FROM cand $joins)"
           + " SELECT qid, rank::BIGINT AS rank, id AS vec_id, adc FROM ("
           + " SELECT qid, id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS rank"
@@ -2149,6 +2253,13 @@ object LlmQueries {
       // ADC tables as exact BIGINT ||q_i − c||²; candidates share a
       // cell; score = 4 table lookups; rank per query by (adc, id).
       "q_ann_ivfpq" -> ivfPqReplaySql(qn),
+      // the persisted round-trip and the append loop are INVISIBLE by
+      // contract: both replay the from-scratch ranking verbatim
+      "q_ann_index_rt" -> ivfPqReplaySql(qn),
+      "q_ann_index_append" -> ivfPqReplaySql(qn),
+      "q_stream_ann" -> ivfPqReplaySql(qn),
+      // delete: same frozen fits, candidate corpus filtered
+      "q_ann_index_delete" -> ivfPqReplaySql(qn, candFilter = "ca.vec_id % 7 <> 0"),
       "q_ann_ivfpq_res" -> ivfPqReplaySql(qn, residual = true),
       // OPQ-lite replay: per-dim exact power sums over the CORPUS
       // (vec_id >= 5), snake-draft allocation in one window (rank r ->

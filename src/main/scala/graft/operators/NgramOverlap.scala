@@ -245,7 +245,80 @@ object NgramOverlap {
   }
 
   private val SpanReserved = Seq("__pos", "__g", "__f1", "__f2", "__f3", "__nocc",
-    "__new", "__isl", "span_start", "span_tokens")
+    "__new", "__isl", "__minh", "span_start", "span_tokens")
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD'03 — the
+    * MOSS algorithm): per document, hash every `windowTokens`-token
+    * window (the [[duplicateSpans]] fingerprint table), then keep only
+    * each `winnowWindow`-consecutive-hash window's MINIMUM — the
+    * distinct kept hashes are the document's fingerprint set. Output:
+    * (idCol, fp) distinct rows.
+    *
+    * The winnowing GUARANTEE (paper §3, pinned in WinnowSpec): any
+    * token run of length >= windowTokens + winnowWindow − 1 shared by
+    * two documents contributes at least one SHARED fingerprint — so
+    * substring-level overlap detection cannot miss long matches —
+    * while expected density is only 2/(winnowWindow+1) of windows (the
+    * storage/recall dial; winnowWindow = 1 keeps every window). Versus
+    * [[duplicateSpans]]' exact positional table this trades
+    * exact-extent localization for a ~(w+1)/2× smaller index — the
+    * right half of the pair for corpus-scale CROSS-set screening.
+    *
+    * Scale shape: the per-token window pass is the linear
+    * [[duplicateSpans]] scan; the winnow min is ONE ordered window per
+    * document (same exchange class as the island merge); what leaves
+    * the document is only the winnowed (id, fp) rows — 2/(w+1) of the
+    * window count, 16 bytes each. The fp is the SQL-replayable __f1
+    * fold ([[TextAnalysis.fingerprintSql]]) — fine for SCREENING
+    * statistics (the duplicateGramStats argument); removal decisions
+    * should re-verify through the span machinery's triple. */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 4,
+      winnowWindow: Int = 4,
+      tokenizer: Column => Column = identity): DataFrame = {
+    require(winnowWindow >= 1, s"winnowWindow must be >= 1 (got $winnowWindow)")
+    requireNoSpanClash("winnowFingerprints", idCol, textCol)
+    val wins = windowTable(df, idCol, textCol, windowTokens, tokenizer)
+    val byId = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy("__pos").rowsBetween(-(winnowWindow - 1), 0)
+    wins.withColumn("__minh", min(col("__f1")).over(byId))
+      .where(col("__pos") >= winnowWindow - 1) // full winnow windows only
+      .select(col("id").as(idCol), col("__minh").as("fp"))
+      .distinct()
+  }
+
+  /** Cross-corpus winnowing overlap — fingerprint-level contamination
+    * screening ([[contaminatedSpans]]' cheap front half): (id_train,
+    * id_eval, n_shared) for every train/eval pair sharing at least
+    * `minShared` winnowed fingerprints. One equality join on `fp` +
+    * one count aggregation; by the winnowing guarantee a pair sharing
+    * any >= windowTokens + winnowWindow − 1 token run ALWAYS appears
+    * at minShared = 1. Scale: the join moves the winnowed sets
+    * (2/(w+1) density), never windows or text; the eval side is
+    * usually the small broadcast side. */
+  def winnowOverlap(
+      train: DataFrame,
+      eval_ : DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 4,
+      winnowWindow: Int = 4,
+      minShared: Long = 1L,
+      tokenizer: Column => Column = identity): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1 (got $minShared)")
+    val tf = winnowFingerprints(train, idCol, textCol, windowTokens,
+      winnowWindow, tokenizer).withColumnRenamed(idCol, "id_train")
+    val ef = winnowFingerprints(eval_, idCol, textCol, windowTokens,
+      winnowWindow, tokenizer).withColumnRenamed(idCol, "id_eval")
+    tf.join(ef, "fp")
+      .groupBy(col("id_train"), col("id_eval"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 
   private def requireNoSpanClash(op: String, idCol: String, textCol: String): Unit = {
     val clashes = Seq(idCol, textCol).intersect(SpanReserved)

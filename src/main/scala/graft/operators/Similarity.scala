@@ -1098,6 +1098,132 @@ object Similarity {
         col("col.id").as(idCol), (-col("col.score")).cast("long").as("d2"))
   }
 
+  /** Persisted IVFADC index — the ANN twin of [[graft.operators.Dedup
+    * .NearDupIndex]]: everything a query batch needs, at rest. Four
+    * parquet tables: `codes` (id, cell, codes — the [[ivfPqEncode]]
+    * output; at 100 TB partition/bucket by `cell` so probes co-locate),
+    * `centroids` (cell, cw) and `codebooks` (book, code, cw) — the two
+    * quantizers, cells × dim and m·k × (dim/m) longs of bounded index
+    * metadata — and `meta` (id_col, dim, m, residual) so a probe cannot
+    * silently mismatch the encoding. Because encoding is a pure per-row
+    * function of the FROZEN quantizers, maintenance is exact and
+    * per-row: append ≡ re-encode-from-scratch on the union, delete ≡
+    * never-present (both pinned in AnnIndexSpec) — a 100 TB corpus
+    * encodes each vector once, on arrival, and takedowns drop rows
+    * without a refit. Re-FITTING the quantizers (after drift) is the
+    * one rebuild-the-world operation, by design. */
+  final case class AnnIndex(
+      centroids: Array[Seq[Long]],
+      codebooks: Seq[Array[Seq[Long]]],
+      codes: DataFrame,
+      idCol: String,
+      dim: Int,
+      m: Int,
+      residual: Boolean) {
+    def write(dir: String): Unit = {
+      val s = codes.sparkSession
+      import s.implicits._
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      centroids.toSeq.zipWithIndex.map { case (cw, i) => (i, cw) }
+        .toDF("cell", "cw").write.mode("overwrite").parquet(s"$dir/centroids")
+      codebooks.zipWithIndex.flatMap { case (book, b) =>
+        book.toSeq.zipWithIndex.map { case (cw, c) => (b, c, cw) } }
+        .toDF("book", "code", "cw")
+        .write.mode("overwrite").parquet(s"$dir/codebooks")
+      Seq((idCol, dim, m, residual)).toDF("id_col", "dim", "m", "residual")
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  object AnnIndex {
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String): AnnIndex = {
+      val meta = spark.read.parquet(s"$dir/meta").head()
+      // quantizer tables are bounded index metadata (cells × dim,
+      // m·k × sub) — the kmeansFit k×dim driver-state convention
+      val cents = spark.read.parquet(s"$dir/centroids").orderBy("cell")
+        .collect().map(r => r.getSeq[Long](r.fieldIndex("cw")): Seq[Long])
+      val m = meta.getAs[Int]("m")
+      val bookRows = spark.read.parquet(s"$dir/codebooks")
+        .orderBy("book", "code").collect()
+      val books = (0 until m).map(b =>
+        bookRows.filter(_.getAs[Int]("book") == b)
+          .map(r => r.getSeq[Long](r.fieldIndex("cw")): Seq[Long]))
+      AnnIndex(cents, books, spark.read.parquet(s"$dir/codes"),
+        meta.getAs[String]("id_col"), meta.getAs[Int]("dim"), m,
+        meta.getAs[Boolean]("residual"))
+    }
+  }
+
+  /** Build an [[AnnIndex]] over a corpus with FITTED quantizers (fit
+    * once with [[ivfTrain]]/[[kmeansFit]] + [[pqFit]] /
+    * [[pqFitResidual]], then build) — ONE codegen encode scan, no
+    * shuffle. The returned codes frame is lazy: `write` it (the
+    * at-rest path) before repeated probing. */
+  def buildAnnIndex(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      m: Int,
+      centroids: Array[Seq[Long]],
+      codebooks: Seq[Array[Seq[Long]]],
+      residual: Boolean = false): AnnIndex =
+    AnnIndex(centroids, codebooks,
+      ivfPqEncode(corpus, idCol, embCol, dim, m, centroids, codebooks, residual),
+      idCol, dim, m, residual)
+
+  /** Roll an [[AnnIndex]] forward with a batch of new vectors: encode
+    * the batch against the index's FROZEN quantizers and append — the
+    * [[graft.operators.Dedup.appendToIndex]] daily-loop shape. Because
+    * encoding is per-row and quantizer-keyed, append ≡ from-scratch
+    * encode of the union, row for row (AnnIndexSpec pins it); history
+    * is never re-encoded, and on disk this is a parquet APPEND of the
+    * codes table only. */
+  def appendToAnnIndex(
+      index: AnnIndex,
+      batch: DataFrame,
+      embCol: String): AnnIndex =
+    index.copy(codes = index.codes.unionByName(
+      ivfPqEncode(batch, index.idCol, embCol, index.dim, index.m,
+        index.centroids, index.codebooks, index.residual)))
+
+  /** Delete vectors from an [[AnnIndex]] — takedowns/GDPR erasure, the
+    * [[graft.operators.Dedup.removeFromIndex]] convention: one anti-join
+    * on the codes table. Codes are strictly per-row state, so removal
+    * is EXACT: removed-then-probed ≡ never-present (pinned). The
+    * quantizers deliberately do NOT change — they are fit-time state,
+    * and re-fitting would re-encode the world. Fold the lazy anti-join
+    * flat with [[compactAnnIndex]] at storage cadence. */
+  def removeFromAnnIndex(index: AnnIndex, removeIds: DataFrame): AnnIndex = {
+    val ids = removeIds.toDF(index.idCol).select(col(index.idCol)).distinct()
+    index.copy(codes = index.codes.join(ids, Seq(index.idCol), "left_anti"))
+  }
+
+  /** Rewrite-compaction: materialize the current codes (post-remove /
+    * post-append) at `dir` and re-read — dead rows gone from disk,
+    * lineage truncated to a scan. Same contract as
+    * [[graft.operators.Dedup.compactIndex]]. */
+  def compactAnnIndex(index: AnnIndex, dir: String): AnnIndex = {
+    index.write(dir)
+    AnnIndex.read(index.codes.sparkSession, dir)
+  }
+
+  /** Batch-query top-k against a persisted [[AnnIndex]]: exactly
+    * [[ivfPqTopK]] riding the index's codes table — the corpus is
+    * never read. For the exact re-rank tail, use [[ivfPqTopKRefine]]
+    * directly (it needs the corpus vectors, which the index — by
+    * design — does not carry). */
+  def annTopK(
+      index: AnnIndex,
+      queries: DataFrame,
+      embCol: String,
+      nprobe: Int = 2,
+      topK: Int = 10,
+      broadcastQueries: Boolean = true): DataFrame =
+    ivfPqTopK(index.codes, queries, index.idCol, embCol, index.dim, index.m,
+      index.centroids, index.codebooks, nprobe, topK, Some(index.codes),
+      broadcastQueries, index.residual)
+
   /** Within-cell near-duplicate pairs against a fixed coarse quantizer:
     * every vector is hard-assigned its nearest centroid
     * ([[nearestCellExpr]] — the [[kmeansAssign]] argmin), and candidate

@@ -240,6 +240,41 @@ object StreamingOps {
     }
   }
 
+  /** Continuous ANN-index maintenance — the FOURTH member of the
+    * must-not-evict corpus-state family ([[dedupNearIngest]],
+    * [[quantileStateIngest]], [[scd2Ingest]]): each micro-batch of new
+    * vectors encodes against the index's FROZEN quantizers
+    * ([[graft.operators.Similarity.appendToAnnIndex]] — one codegen
+    * projection, history never re-encoded) and appends its codes;
+    * `emit` receives the rolled index after each batch, so any batch
+    * boundary can serve query traffic over ALL ingested vectors.
+    *
+    * Streamability boundary: codes are CORPUS state — a searchable
+    * index can never watermark-evict its corpus — so this is a
+    * foreachBatch operator whose state belongs in corpus storage (at
+    * scale: parquet APPEND of the cell-partitioned codes table, the
+    * [[graft.operators.Similarity.AnnIndex.write]] layout), not the
+    * state store. Here each roll localCheckpoints so per-batch plans
+    * stay flat and the consumed micro-batch frame is never referenced
+    * after its call returns. Because encoding is per-row and
+    * quantizer-keyed, the replayed stream hash-matches the
+    * from-scratch batch encode (the q_ann_ivfpq oracle, via
+    * q_stream_ann) regardless of batch boundaries. */
+  def annIngest(
+      stream: DataFrame,
+      initial: graft.operators.Similarity.AnnIndex,
+      embCol: String)(
+      emit: graft.operators.Similarity.AnnIndex => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var index = initial
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rolled = graft.operators.Similarity
+          .appendToAnnIndex(index, batch.toDF(), embCol)
+        index = rolled.copy(codes = rolled.codes.localCheckpoint())
+        emit(index)
+    }
+  }
+
   /** Stateless curation pass for streaming ingest: deterministic hash
     * sampling, quality scoring + threshold, and PII scan/redaction
     * composed as pure per-row expressions. Appends `quality`, the
