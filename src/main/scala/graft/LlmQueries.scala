@@ -444,6 +444,23 @@ object LlmQueries {
       Dedup.editDistancePairs(T(s, d, "documents"), "doc_id",
           substring(col("text"), 1, 24), maxDist = 1)
         .orderBy("id_a", "id_b")),
+    // Sorted-neighborhood blocking (merge/purge): candidates are the
+    // rank-window neighbors in 24-char-prefix sort order — the chunked
+    // global rank, never a single-task corpus sort — verified with the
+    // banded levenshtein. A second, skew-free blocking strategy beside
+    // the FastSS neighborhood (q_dedup_editdist).
+    "q_blocking" -> ((s, d) => {
+      val cands = Blocking.sortedNeighborhoodPairs(
+        T(s, d, "documents"), "doc_id", substring(col("text"), 1, 24),
+        window = 10)
+      cands
+        .withColumn("dist",
+          levenshtein(col("key_a"), col("key_b"), 2).cast("long"))
+        .where(col("dist") >= 0)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+        .orderBy("id_a", "id_b")
+    }),
     // Index-accelerated exact substring search (trigram postings prune,
     // exact contains verifies — oracle replays the naive scan, so the
     // index is invisible by construction).
@@ -2089,6 +2106,18 @@ object LlmQueries {
           + " FROM documents a JOIN documents b ON a.doc_id < b.doc_id"
           + " WHERE levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) <= 1"
           + " ORDER BY 1, 2"),
+      // sorted-neighborhood replay: the oracle's GLOBAL row_number must
+      // equal the chunked rank bit for bit (binary collation both
+      // engines; (key, id) is a total order)
+      "q_blocking" ->
+        ("WITH k AS (SELECT doc_id, substr(text, 1, 24) AS k FROM documents"
+          + " WHERE text IS NOT NULL),"
+          + " r AS (SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) AS rn FROM k),"
+          + " c AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.k AS ka, b.k AS kb"
+          + " FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 10)"
+          + " SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,"
+          + " levenshtein(ka, kb)::BIGINT AS dist FROM c"
+          + " WHERE levenshtein(ka, kb) <= 2 ORDER BY 1, 2"),
       // the naive scan the trigram index must be invisible against
       "q_substr_search" ->
         ("SELECT doc_id FROM documents WHERE contains(text, 'spark hash')"

@@ -1377,8 +1377,11 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.__k").as("__ka"), col("b.__k").as("__kb"))
       .distinct()
-      .withColumn("dist", levenshtein(col("__ka"), col("__kb")).cast("long"))
-      .where(col("dist") <= maxDist)
+      // threshold form: the DP early-exits outside the ±maxDist band
+      // (returns -1 past it) — O(len·d) per verify instead of O(len²)
+      .withColumn("dist",
+        levenshtein(col("__ka"), col("__kb"), maxDist).cast("long"))
+      .where(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
