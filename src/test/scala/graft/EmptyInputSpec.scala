@@ -214,4 +214,55 @@ class EmptyInputSpec extends AnyFunSuite {
         Seq((1, 2.0, 0.0)).toDF("label", "v", "w"), Seq("label"), "v", "w"),
       Seq("label"), "v", Seq(0.5 -> "w50")).count() == 0)
   }
+
+  test("r9 wave-4 operators on empty input return empty without error") {
+    // trigram search: empty corpus -> empty postings -> empty results
+    val posts = Search.trigramPostings(emptyDocs, "doc_id", "text")
+    assert(posts.count() == 0)
+    assert(Search.substrCandidates(posts, "abc").count() == 0)
+    assert(Search.substrSearch(emptyDocs, posts, "doc_id", "text", "abc").count() == 0)
+    assert(Search.substrSearchMulti(emptyDocs, posts, "doc_id", "text",
+      Seq("abc", "defg")).count() == 0)
+    // hot-gram cap on empty postings: the least-frequent fallback still
+    // returns empty, not an error
+    assert(Search.substrCandidates(posts, "abc", maxDocFreq = 1).count() == 0)
+    // edit-distance pairs/dedup on empty or all-null keys
+    assert(Dedup.editDistancePairs(emptyDocs, "doc_id",
+      col("text"), maxDist = 1).count() == 0)
+    val allNull = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(allNull, "doc_id",
+      col("text"), maxDist = 2).count() == 0)
+    assert(Dedup.editDistanceDedup(allNull, "doc_id",
+      col("text")).count() == 1) // null-key row survives
+    // k-fold over empty corpus / empty labels
+    val emptyLabels = Seq.empty[(Long, Long)].toDF("id", "cluster_id")
+    assert(Dedup.clusterKFold(emptyDocs, "doc_id", emptyLabels, k = 3).count() == 0)
+    val folded = Dedup.clusterKFold(Seq((7L, "t")).toDF("doc_id", "text"),
+      "doc_id", emptyLabels, k = 3).select("rep_id").as[Long].collect()
+    assert(folded.toSeq == Seq(7L)) // singleton represents itself
+    // blocking: empty and all-null keys
+    assert(Blocking.sortedNeighborhoodPairs(emptyDocs, "doc_id",
+      col("text"), window = 3).count() == 0)
+    assert(Blocking.sortedNeighborhoodPairs(allNull, "doc_id",
+      col("text"), window = 3).count() == 0)
+    // winnowing: empty corpus; overlap of empty sides
+    assert(NgramOverlap.winnowFingerprints(emptyDocs, "doc_id", "text").count() == 0)
+    assert(NgramOverlap.winnowOverlap(emptyDocs, emptyDocs,
+      "doc_id", "text").count() == 0)
+    // ANN index: empty corpus encodes to an empty codes table; probing
+    // it returns no candidates; append onto empty == build
+    val dim = 4; val m = 2
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("id", "emb")
+    val oneVec = Seq((1L, Seq(1.0f, 0.5f, -0.25f, 2.0f))).toDF("id", "emb")
+    val cents = Array[Seq[Long]](Seq(0L, 0L, 0L, 0L))
+    val books = Similarity.pqFit(oneVec, "id", "emb", dim, m, k = 1, iters = 1)
+    val emptyIdx = Similarity.buildAnnIndex(emptyVecs, "id", "emb", dim, m, cents, books)
+    assert(emptyIdx.codes.count() == 0)
+    assert(Similarity.annTopK(emptyIdx, oneVec, "emb", nprobe = 1, topK = 3).count() == 0)
+    val grown = Similarity.appendToAnnIndex(emptyIdx, oneVec, "emb")
+    assert(Similarity.annTopK(grown, oneVec, "emb", nprobe = 1, topK = 3).count() == 1)
+    // removing from an empty index is a no-op
+    assert(Similarity.removeFromAnnIndex(emptyIdx,
+      Seq(1L).toDF("id")).codes.count() == 0)
+  }
 }
