@@ -461,6 +461,22 @@ object LlmQueries {
           greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
         .orderBy("id_a", "id_b")
     }),
+    // MULTI-PASS merge/purge: forward-prefix and reversed-prefix sort
+    // orders union their rank-window candidates — a leading-character
+    // typo that buries a pair in one order is adjacent in the other.
+    "q_blocking_multi" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val key = substring(col("text"), 1, 24)
+      val cands = Blocking.multiPassPairs(docs, "doc_id",
+        Seq(key, reverse(key)), window = 10)
+      val keyed = docs.select(col("doc_id"), key.as("__key"))
+      cands.join(keyed.as("ka"), col("id_a") === col("ka.doc_id"))
+        .join(keyed.as("kb"), col("id_b") === col("kb.doc_id"))
+        .withColumn("dist",
+          levenshtein(col("ka.__key"), col("kb.__key"), 2).cast("long"))
+        .where(col("dist") >= 0)
+        .select("id_a", "id_b", "dist").orderBy("id_a", "id_b")
+    }),
     // Index-accelerated exact substring search (trigram postings prune,
     // exact contains verifies — oracle replays the naive scan, so the
     // index is invisible by construction).
@@ -2118,6 +2134,19 @@ object LlmQueries {
           + " SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,"
           + " levenshtein(ka, kb)::BIGINT AS dist FROM c"
           + " WHERE levenshtein(ka, kb) <= 2 ORDER BY 1, 2"),
+      "q_blocking_multi" ->
+        ("WITH k AS (SELECT doc_id, substr(text, 1, 24) AS k,"
+          + " reverse(substr(text, 1, 24)) AS rk FROM documents"
+          + " WHERE text IS NOT NULL),"
+          + " r1 AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rn FROM k),"
+          + " r2 AS (SELECT doc_id, row_number() OVER (ORDER BY rk, doc_id) AS rn FROM k),"
+          + " c AS (SELECT least(a.doc_id, b.doc_id) AS ia, greatest(a.doc_id, b.doc_id) AS ib"
+          + " FROM r1 a JOIN r1 b ON b.rn > a.rn AND b.rn - a.rn < 10"
+          + " UNION SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)"
+          + " FROM r2 a JOIN r2 b ON b.rn > a.rn AND b.rn - a.rn < 10)"
+          + " SELECT ia AS id_a, ib AS id_b, levenshtein(ka.k, kb.k)::BIGINT AS dist"
+          + " FROM c JOIN k ka ON ka.doc_id = c.ia JOIN k kb ON kb.doc_id = c.ib"
+          + " WHERE levenshtein(ka.k, kb.k) <= 2 ORDER BY 1, 2"),
       // the naive scan the trigram index must be invisible against
       "q_substr_search" ->
         ("SELECT doc_id FROM documents WHERE contains(text, 'spark hash')"

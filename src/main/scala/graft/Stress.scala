@@ -349,6 +349,72 @@ object Stress {
           .select(col("doc_id").as("k"), lit("CHG").as("v"), lit(5L).as("ver")))
       graft.operators.Upsert.scd2Intervals(log, Seq("k"), "ver", Seq("v")).count()
     }
+
+    // r9 wave-4 probes. Replica caveat throughout: exact duplicate
+    // content means clique-quadratic TRUE pairs for the dedup-shaped
+    // ops (the nearDupPairs note above) — the check is wall tracking
+    // the candidate/pair count, not staying flat.
+    // editDistancePairs: variant join input is linear ((len+1)·rows);
+    // every 24-prefix collides n ways, so pairs grow ~C(n,2)·docs
+    time("editDistPairs d=1") {
+      Dedup.editDistancePairs(docs, "doc_id",
+        substring(col("text"), 1, 24), maxDist = 1).count()
+    }
+    // sorted-neighborhood blocking: candidates are EXACTLY n(w−1)−w(w−1)/2
+    // no matter how many keys collide — the skew-free contrast to the
+    // variant/bucket blockers under boilerplate keys
+    time("sortedNbhd w=10 d<=2") {
+      val c = graft.operators.Blocking.sortedNeighborhoodPairs(
+        docs, "doc_id", substring(col("text"), 1, 24), window = 10)
+      c.where(levenshtein(col("key_a"), col("key_b"), 2) >= 0).count()
+    }
+    // trigram index: build is one explode pass (linear); the probe reads
+    // only the probed grams' postings + verifies candidates
+    time("trigramPostings build") {
+      val p = graft.operators.Search.trigramPostings(docs, "doc_id", "text")
+        .persist()
+      val c = p.count(); stressPostings = Some(p); c
+    }
+    time("substrSearch probe") {
+      graft.operators.Search.substrSearch(docs, stressPostings.get,
+        "doc_id", "text", "spark hash").count()
+    }
+    time("substrSearch multi-3") {
+      graft.operators.Search.substrSearchMulti(docs, stressPostings.get,
+        "doc_id", "text", Seq("spark hash", "window merge", "stream filter")).count()
+    }
+    // winnowing: the window-fp pass is duplicateSpans-linear; the
+    // fingerprint SET is what leaves the doc (~2/(w+1) of windows)
+    time("winnowFingerprints") {
+      NgramOverlap.winnowFingerprints(docs, "doc_id", "text").count()
+    }
+    // overlap vs the FIXED base eval slice: train side grows with n,
+    // output grows with the train replicas of true pairs (~linear)
+    time("winnowOverlap evalBase") {
+      NgramOverlap.winnowOverlap(
+        docs.where(!col("source").isin("src0", "src1", "src2")),
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .where(col("source").isin("src0", "src1", "src2")),
+        "doc_id", "text", minShared = 3L).count()
+    }
+    // ANN index probe through persisted codes: encode is one projection
+    // (linear); the probe is nprobe-bounded candidates per query
+    time("annTopK 5q nprobe=2") {
+      val corpus = embs.where(col("vec_id") >= 5)
+      val cents = corpus.orderBy("vec_id").limit(16)
+        .select(Similarity.quantize(col("embedding")))
+        .collect().map(r => r.getSeq[Long](0): Seq[Long])
+      val books = Similarity.pqFit(corpus, "vec_id", "embedding", 64, 4)
+      val idx = Similarity.buildAnnIndex(corpus, "vec_id", "embedding",
+        64, 4, cents, books)
+      val idx2 = idx.copy(codes = idx.codes.persist())
+      val c = Similarity.annTopK(idx2,
+        embs.where(col("vec_id") < 5), "embedding", nprobe = 2, topK = 10).count()
+      idx2.codes.unpersist(false); c
+    }
     spark.stop()
   }
+
+  // holds the stress postings between the build and probe timings
+  private var stressPostings: Option[DataFrame] = None
 }

@@ -76,6 +76,30 @@ object Blocking {
     * n·(window−1) − (window·(window−1))/2 pairs pre-filter, skew-free
     * regardless of key distribution — the property hash blocking
     * cannot offer under boilerplate keys. */
+  /** MULTI-PASS merge/purge (the Hernández-Stolfo full recipe): union
+    * the sorted-neighborhood candidates of several independent blocking
+    * keys — a true match missed by one sort order (a typo in the
+    * leading character buries a pair hundreds of positions apart) is
+    * usually adjacent under another (a reversed key, a different
+    * field). Output is id-NORMALIZED distinct (id_a < id_b) candidate
+    * pairs; callers join their fields back for the exact verify. Each
+    * pass is one [[sortedNeighborhoodPairs]] plan; the union moves id
+    * pairs only. */
+  def multiPassPairs(
+      df: DataFrame,
+      idCol: String,
+      keys: Seq[Column],
+      window: Int,
+      chunkOf: Column => Column = k => substring(k, 1, 1)): DataFrame = {
+    require(keys.nonEmpty, "multiPassPairs needs at least one blocking key")
+    keys.map(k =>
+        sortedNeighborhoodPairs(df, idCol, k, window, chunkOf)
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b")))
+      .reduce(_ unionByName _)
+      .distinct()
+  }
+
   def sortedNeighborhoodPairs(
       df: DataFrame,
       idCol: String,

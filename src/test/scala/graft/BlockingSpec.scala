@@ -59,6 +59,27 @@ class BlockingSpec extends AnyFunSuite {
     assert(got.contains((1L, 7L))) // the two "apple" rows
   }
 
+  test("multi-pass union: normalized, distinct, and a superset of each pass") {
+    val keys = Seq(col("k"), reverse(col("k")))
+    val multi = Blocking.multiPassPairs(rows, "id", keys, window = 3)
+      .as[(Long, Long)].collect().toSet
+    for (k <- keys) {
+      val pass = Blocking.sortedNeighborhoodPairs(rows, "id", k, 3)
+        .select(least(col("id_a"), col("id_b")), greatest(col("id_a"), col("id_b")))
+        .as[(Long, Long)].collect().toSet
+      assert(pass.subsetOf(multi))
+    }
+    assert(multi.forall(p => p._1 < p._2))
+    // the reversed pass must contribute pairs the forward pass misses:
+    // "band"/"bandit" sort adjacent forward; "apple"/"apply" adjacent
+    // both ways; but e.g. keys ending alike meet only reversed — just
+    // pin the union is strictly larger than the forward pass here
+    val fwd = Blocking.sortedNeighborhoodPairs(rows, "id", col("k"), 3)
+      .select(least(col("id_a"), col("id_b")), greatest(col("id_a"), col("id_b")))
+      .as[(Long, Long)].collect().toSet
+    assert(multi.size > fwd.size)
+  }
+
   test("reserved-name guard trips") {
     val bad = Seq((1L, "x", 0L)).toDF("id", "k", "rn")
     intercept[IllegalArgumentException] {
