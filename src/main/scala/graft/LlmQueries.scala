@@ -91,17 +91,22 @@ object LlmQueries {
     bpeMergesCache.computeIfAbsent(d, _ =>
       Bpe.bpeLearn(T(s, d, "documents"), "text", merges = BpeMerges))
 
-  // q_substr_search's build-once-per-dir trigram posting table (index
-  // at rest: ONE explode pass, persisted, probed by every search row)
-  private val postingsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def postingsOf(s: SparkSession, d: String): DataFrame =
-    postingsCache.computeIfAbsent(d, _ => {
-      val p = Search.trigramPostings(T(s, d, "documents"), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count() // materialize once; session-lifetime index state
+  // q_substr_search's build-once-per-dir trigram posting table, WRITTEN
+  // to parquet and re-read (the ndIndexCache convention): the index at
+  // rest survives the bench's cross-query clearCache isolation — a
+  // cache-persisted frame would silently re-explode the corpus on every
+  // probe after eviction
+  private val postingsDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def postingsOf(s: SparkSession, d: String): DataFrame = {
+    val dir = postingsDirCache.computeIfAbsent(d, _ => {
+      val p = s"/tmp/graft_postings_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      Search.trigramPostings(T(s, d, "documents"), "doc_id", "text")
+        .write.mode("overwrite").parquet(p)
       p
     })
+    s.read.parquet(dir)
+  }
 
   private def ivfPqApprox(s: SparkSession, d: String): DataFrame = {
     val e = T(s, d, "embeddings")
