@@ -489,6 +489,13 @@ object LlmQueries {
       Search.substrSearch(T(s, d, "documents"), postingsOf(s, d),
           "doc_id", "text", "spark hash")
         .select("doc_id").orderBy("doc_id")),
+    // Regex through the same index (the Cox query algebra core):
+    // alternation of wildcard-joined literals → per-alternative gram
+    // conjunctions, unioned, rlike-verified.
+    "q_regex_search" -> ((s, d) =>
+      Search.regexSearch(T(s, d, "documents"), postingsOf(s, d),
+          "doc_id", "text", "spark hash.*table|window merge")
+        .select("doc_id").orderBy("doc_id")),
     // Multi-pattern form: k patterns share ONE pass over the postings.
     "q_substr_search_multi" -> ((s, d) =>
       Search.substrSearchMulti(T(s, d, "documents"), postingsOf(s, d),
@@ -2155,6 +2162,10 @@ object LlmQueries {
       // the naive scan the trigram index must be invisible against
       "q_substr_search" ->
         ("SELECT doc_id FROM documents WHERE contains(text, 'spark hash')"
+          + " ORDER BY doc_id"),
+      "q_regex_search" ->
+        ("SELECT doc_id FROM documents"
+          + " WHERE regexp_matches(text, 'spark hash.*table|window merge')"
           + " ORDER BY doc_id"),
       "q_substr_search_multi" ->
         ("SELECT p.pattern, d.doc_id FROM (SELECT unnest(["

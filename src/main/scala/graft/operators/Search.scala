@@ -113,6 +113,50 @@ object Search {
   def substrScan(df: DataFrame, textCol: String, pattern: String): DataFrame =
     df.where(col(textCol).contains(pattern))
 
+  /** Index-accelerated REGEX search for the Cox query algebra's core
+    * (the write-up's central construction: a regex implies a boolean
+    * query over required trigrams). Supported subset — alternations of
+    * wildcard-joined literals, `lit(.*lit)* ( | lit(.*lit)* )*` — the
+    * shape corpus-grep queries overwhelmingly take; anything richer
+    * belongs to a parser, not this operator ([[substrScan]]-style
+    * `rlike` full scan is the honest fallback and the verify predicate
+    * here). Why candidates are a superset: a document matching an
+    * alternative contains EVERY literal segment of it as a substring,
+    * hence all their trigrams — so the per-alternative candidate set is
+    * the segments' gram CONJUNCTION, and the pattern's is the UNION
+    * over alternatives. The final `rlike` verify restores exactness
+    * (ordering of segments, overlaps — everything the gram query
+    * cannot see).
+    *
+    * Contract: every literal segment must be >= [[GramLen]] chars and
+    * regex-metacharacter-free (fail-fast — a too-short segment would
+    * silently degrade the conjunction to a scan). */
+  def regexSearch(
+      df: DataFrame,
+      postings: DataFrame,
+      idCol: String,
+      textCol: String,
+      pattern: String,
+      maxDocFreq: Long = 0L): DataFrame = {
+    val alternatives = pattern.split("\\|", -1).toSeq
+    require(alternatives.forall(_.nonEmpty),
+      s"empty alternative in '$pattern'")
+    val meta = "\\^$()[]{}?+".toSet
+    val cand = alternatives.map { alt =>
+      val segs = alt.split("\\.\\*", -1).toSeq
+      require(segs.forall(s => s.length >= GramLen && !s.exists(meta.contains)),
+        s"regexSearch supports literal segments >= $GramLen chars joined " +
+          s"by .* and | (got alternative '$alt'); use an rlike scan for more")
+      // conjunction across segments: ids covering ALL grams of ALL
+      // segments of this alternative
+      segs.map(s => substrCandidates(postings, s, maxDocFreq))
+        .reduce(_.intersect(_))
+    }.reduce(_ union _).distinct()
+    df.join(cand.withColumnRenamed("id", "__cand_id"),
+        col(idCol) === col("__cand_id"), "left_semi")
+      .where(col(textCol).rlike(pattern))
+  }
+
   /** Multi-pattern search: (pattern, id) matches for a query-sized
     * pattern list in ONE probe. The pattern→gram table is a driver
     * literal (broadcast by size); candidates fall out of one grouped

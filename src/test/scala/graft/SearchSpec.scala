@@ -61,6 +61,28 @@ class SearchSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq == Seq(5L))
   }
 
+  test("regexSearch == rlike scan for the supported algebra") {
+    def scan(p: String): Seq[Long] =
+      docs.where(col("text").rlike(p)).select("id").as[Long]
+        .collect().sorted.toSeq
+    for (p <- Seq("quick.*lazy", "quick.*lazy|five dozen",
+        "the quick.*jumps.*lazy", "zzz.*yyy|aaaa", "quick"))
+      assert(Search.regexSearch(docs, postings, "id", "text", p)
+        .select("id").as[Long].collect().sorted.toSeq == scan(p), s"'$p'")
+  }
+
+  test("regexSearch fail-fasts on short segments and metacharacters") {
+    intercept[IllegalArgumentException] {
+      Search.regexSearch(docs, postings, "id", "text", "ab.*quick")
+    }
+    intercept[IllegalArgumentException] {
+      Search.regexSearch(docs, postings, "id", "text", "qui(ck)")
+    }
+    intercept[IllegalArgumentException] {
+      Search.regexSearch(docs, postings, "id", "text", "quick|")
+    }
+  }
+
   test("multi-pattern == per-pattern union, one probe") {
     val pats = Seq("quick", "the lazy", "zzz", "aaaa")
     val got = Search.substrSearchMulti(docs, postings, "id", "text", pats)
