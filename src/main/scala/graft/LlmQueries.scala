@@ -994,6 +994,38 @@ object LlmQueries {
         TextAnalysis.qualityScore(col("text")),
         col("lang") === lit("en"),
         Seq("source"))),
+    // day-over-day distribution drift (PSI, Laplace-smoothed) between
+    // the even- and odd-id snapshot slices over 60-char n_chars bins —
+    // the scorecard-monitoring gate (< 0.1 stable, > 0.25 action)
+    "q_drift_psi" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Drift.psi(docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1),
+          least(expr("n_chars div 60"), lit(9L)))
+        .orderBy("bin")
+    }),
+    // exact two-sample KS distance between the slices' quality-score
+    // distributions — the distribution-shift alarm with a hard max
+    // statistic; the integer score keeps the distinct-value window
+    // trivially bounded (the aucScore convention)
+    "q_drift_ks" -> ((s, d) => {
+      val docs = T(s, d, "documents").where(col("text").isNotNull)
+      Drift.ksDistance(docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        TextAnalysis.qualityScore(col("text")))
+    }),
+    // reliability bins: is the quality score (as a [0,1] pseudo-prob)
+    // calibrated against lang='en'? avg_pred vs frac_pos per decile
+    "q_calibration" -> ((s, d) =>
+      Drift.calibrationBins(T(s, d, "documents").where(col("text").isNotNull),
+          TextAnalysis.qualityScore(col("text")).cast("double") / 1000.0,
+          col("lang") === lit("en"))
+        .orderBy("bin")),
+    // the composite calibration gate: exact-decimal Brier score
+    "q_brier" -> ((s, d) =>
+      Drift.brierScore(T(s, d, "documents").where(col("text").isNotNull),
+        TextAnalysis.qualityScore(col("text")).cast("double") / 1000.0,
+        col("lang") === lit("en"))),
     // average precision (area under the PR curve, sklearn step
     // definition): the imbalanced-label evaluation gate next to q_auc —
     // same distinct-score table, descending TP/PP windows, per-term
@@ -2630,6 +2662,57 @@ object LlmQueries {
           + " CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN"
           + " sum(np * (2 * cum + nn))::DOUBLE / (sum(np)::DOUBLE * sum(nn)::DOUBLE * 2.0)"
           + " END AS auc FROM c"),
+      // PSI replay: both probability grids and all four quantized lns
+      // mirrored term for term (the psi docstring's fixed IEEE shape)
+      "q_drift_psi" ->
+        ("WITH a AS (SELECT least(n_chars // 60, 9) AS bin, count(*) AS na"
+          + " FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),"
+          + " b2 AS (SELECT least(n_chars // 60, 9) AS bin, count(*) AS nb"
+          + " FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),"
+          + " j AS (SELECT coalesce(a.bin, b2.bin) AS bin,"
+          + " coalesce(na, 0)::BIGINT AS n_base, coalesce(nb, 0)::BIGINT AS n_cur"
+          + " FROM a FULL JOIN b2 ON a.bin = b2.bin),"
+          + " t AS (SELECT sum(n_base) AS ta, sum(n_cur) AS tb, count(*) AS k FROM j)"
+          + " SELECT bin, n_base, n_cur, round("
+          + " (round((n_base + 1)::DOUBLE / (ta + k), 12)::DECIMAL(14,12)"
+          + "  - round((n_cur + 1)::DOUBLE / (tb + k), 12)::DECIMAL(14,12))::DOUBLE"
+          + " * ((round(ln(n_base + 1), 6)::DECIMAL(12,6)"
+          + "     - round(ln(ta + k), 6)::DECIMAL(12,6)"
+          + "     - (round(ln(n_cur + 1), 6)::DECIMAL(12,6)"
+          + "        - round(ln(tb + k), 6)::DECIMAL(12,6)))::DOUBLE), 12)"
+          + " AS psi_term FROM j, t ORDER BY bin"),
+      "q_drift_ks" ->
+        (s"WITH q AS (SELECT doc_id, $scoreExpr AS s FROM"
+          + " (SELECT doc_id, text, string_split(text, ' ') w FROM documents"
+          + " WHERE text IS NOT NULL)),"
+          + " va AS (SELECT s AS v, count(*) AS ca FROM q WHERE doc_id % 2 = 0 GROUP BY 1),"
+          + " vb AS (SELECT s AS v, count(*) AS cb FROM q WHERE doc_id % 2 = 1 GROUP BY 1),"
+          + " j AS (SELECT coalesce(va.v, vb.v) AS v, coalesce(ca, 0)::BIGINT AS ca,"
+          + " coalesce(cb, 0)::BIGINT AS cb FROM va FULL JOIN vb ON va.v = vb.v),"
+          + " c AS (SELECT v, sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED"
+          + " PRECEDING AND CURRENT ROW) AS cuma, sum(cb) OVER (ORDER BY v ROWS"
+          + " BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb FROM j),"
+          + " t AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM j)"
+          + " SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b,"
+          + " max(abs(round(cuma::DOUBLE / ta, 12)::DECIMAL(14,12)"
+          + " - round(cumb::DOUBLE / tb, 12)::DECIMAL(14,12)))::DOUBLE AS ks"
+          + " FROM c, t GROUP BY 1, 2"),
+      "q_calibration" ->
+        (s"WITH q AS (SELECT round(($scoreExpr) / 1000, 6)::DECIMAL(18,6) AS p,"
+          + " (lang = 'en')::INT AS y FROM (SELECT text, lang,"
+          + " string_split(text, ' ') w FROM documents WHERE text IS NOT NULL))"
+          + " SELECT least(floor(p * 10)::BIGINT, 9) AS bin, count(*)::BIGINT AS n,"
+          + " round(sum(p)::DOUBLE / count(*), 12) AS avg_pred,"
+          + " round(sum(y)::DOUBLE / count(*), 12) AS frac_pos"
+          + " FROM q GROUP BY 1 ORDER BY 1"),
+      "q_brier" ->
+        (s"WITH q AS (SELECT round(($scoreExpr) / 1000, 6)::DECIMAL(12,6) AS p,"
+          + " (lang = 'en')::INT AS y FROM (SELECT text, lang,"
+          + " string_split(text, ' ') w FROM documents WHERE text IS NOT NULL)),"
+          + " e AS (SELECT (((p - y::DECIMAL(12,6))::DECIMAL(12,6))"
+          + " * ((p - y::DECIMAL(12,6))::DECIMAL(12,6)))::DECIMAL(25,12) AS sq FROM q)"
+          + " SELECT count(*)::BIGINT AS n,"
+          + " round(sum(sq)::DOUBLE / count(*), 12) AS brier FROM e"),
       // the q_auc replay with a source dimension threaded through every
       // stage and the cumulative window partitioned per group
       "q_auc_by" ->

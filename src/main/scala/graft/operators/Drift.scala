@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distribution-drift and calibration MONITORING — the gates a
+  * production corpus pipeline runs day-over-day (is today's crawl
+  * distributed like yesterday's? is the quality classifier still
+  * calibrated?) before any downstream decision acts on the batch.
+  * Everything here follows the exact-decimal evaluation conventions of
+  * [[FeatureScaling.aucScore]]: integer counts, round(x, 12) /
+  * quantized-ln(6dp) term grids, exact decimal sums — so two engines
+  * agree bit for bit and a drift alert can never be FP noise.
+  *
+  * All three statistics are ONE or two hash aggregations over bins /
+  * distinct values — nothing document-sized moves, and nothing here
+  * needs the corpus sorted. */
+object Drift {
+
+  /** Quantized natural log: round(ln x, 6) as decimal(12,6) — the
+    * [[TextAnalysis]] idf convention (documented accepted risk: a raw
+    * ln within an ulp of a rounding boundary). */
+  private def lnQ(x: Column): Column =
+    round(log(x), 6).cast(DecimalType(12, 6))
+
+  /** Population Stability Index between a BASE and a CURRENT slice
+    * over a caller-provided integer bin expression (a uniform-width
+    * bucket, a [[Binning]] label...): per-bin rows (bin, n_base,
+    * n_cur, psi_term) with PSI = sum(psi_term). Laplace(+1) smoothing
+    * keeps every term defined on bins one side never hit — the
+    * standard scorecard-monitoring recipe (PSI < 0.1 stable, > 0.25
+    * action); the smoothed probabilities use the bin count of the
+    * UNION so both sides share one denominator shift.
+    *
+    * Exactness: p = round(c'/t', 12) on the decimal grid, the log
+    * ratio is a difference of quantized integer lns, and the product
+    * rounds once more to the 12dp grid — every step either exact
+    * decimal arithmetic or a fixed-IEEE-shape round, so the oracle
+    * replays it bit for bit. Plan: two count aggregations + one
+    * full-outer bin join + one one-row totals broadcast. */
+  def psi(
+      base: DataFrame,
+      current: DataFrame,
+      binCol: Column): DataFrame = {
+    val ca = base.select(binCol.as("bin")).groupBy("bin")
+      .agg(count(lit(1)).as("__na"))
+    val cb = current.select(binCol.as("bin")).groupBy("bin")
+      .agg(count(lit(1)).as("__nb"))
+    val joined = ca.join(cb, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("__na"), lit(0L)).as("n_base"),
+        coalesce(col("__nb"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_base")).as("__ta"),
+      sum(col("n_cur")).as("__tb"), count(lit(1)).as("__k"))
+    val pA = round((col("n_base") + 1).cast("double") /
+      (col("__ta") + col("__k")), 12).cast(DecimalType(14, 12))
+    val pB = round((col("n_cur") + 1).cast("double") /
+      (col("__tb") + col("__k")), 12).cast(DecimalType(14, 12))
+    val lnA = lnQ(col("n_base") + 1) - lnQ(col("__ta") + col("__k"))
+    val lnB = lnQ(col("n_cur") + 1) - lnQ(col("__tb") + col("__k"))
+    joined.crossJoin(broadcast(totals)) // one-row totals
+      // fixed IEEE shape: both factors are exact decimal grid points,
+      // cast to double (correctly rounded, engine-independent),
+      // multiplied once, rounded once — the apScore term convention
+      .withColumn("psi_term",
+        round((pA - pB).cast("double") * (lnA - lnB).cast("double"), 12))
+      .select(col("bin"), col("n_base"), col("n_cur"), col("psi_term"))
+  }
+
+  /** Exact two-sample Kolmogorov-Smirnov distance between slice A and
+    * slice B of `valueCol`: one row (n_a, n_b, ks) with
+    * ks = max over distinct values of |cdfA − cdfB| on the round(,12)
+    * grid. The cumulative window runs over DISTINCT values only, with
+    * the [[FeatureScaling.aucScore]] fail-fast: a raw continuous
+    * double would make it a single-task sort, so `maxDistinct` trips
+    * unless the caller quantizes deliberately. */
+  def ksDistance(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: Column,
+      maxDistinct: Long = 1L << 22): DataFrame = {
+    val va = a.select(valueCol.as("__v")).where(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__ca"))
+    val vb = b.select(valueCol.as("__v")).where(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__cb"))
+    val joined = va.join(vb, Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    if (maxDistinct > 0) {
+      val nd = joined.count()
+      require(nd <= maxDistinct,
+        s"ksDistance's distinct-value window is global: $nd distinct" +
+          s" values > maxDistinct=$maxDistinct — quantize the value" +
+          " (round(v, 6)) or raise the bound deliberately")
+    }
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = joined
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+    val totals = joined.agg(sum(col("__ca")).as("__ta"),
+      sum(col("__cb")).as("__tb"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("__ta").as("n_a"), col("__tb").as("n_b"),
+        abs(round(col("__cuma").cast("double") / col("__ta"), 12)
+            .cast(DecimalType(14, 12))
+          - round(col("__cumb").cast("double") / col("__tb"), 12)
+            .cast(DecimalType(14, 12))).as("__d"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("__d")).cast("double").as("ks"))
+  }
+
+  /** Reliability-diagram bins for a [0,1] prediction against a boolean
+    * label: (bin, n, avg_pred, frac_pos) per occupied decile-style bin
+    * (bin = floor(pred·nBins) clamped to nBins−1). A calibrated
+    * classifier has avg_pred ≈ frac_pos per bin — the drift gate for a
+    * quality model scoring today's crawl. ONE hash aggregation; preds
+    * ride the 6dp decimal grid so the per-bin means are exact sums
+    * with one final rounded division each. */
+  def calibrationBins(
+      df: DataFrame,
+      pred: Column,
+      label: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2 (got $nBins)")
+    val p = round(pred, 6).cast(DecimalType(18, 6))
+    val y = label.cast("boolean")
+    df.where(pred.isNotNull && label.isNotNull)
+      .select(least(floor(p * nBins).cast("long"), lit(nBins - 1L)).as("bin"),
+        p.as("__p"), y.cast("long").as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__p")).cast("double") / count(lit(1)), 12).as("avg_pred"),
+        round(sum(col("__y")).cast("double") / count(lit(1)), 12).as("frac_pos"))
+  }
+
+  /** Brier score (mean squared error of a [0,1] prediction against the
+    * boolean outcome): one row (n, brier). Terms square on the exact
+    * decimal grid — (p − y) as decimal(12,6), squared to
+    * decimal(25,12), summed exactly — with ONE final rounded division;
+    * the composite calibration gate next to [[calibrationBins]]. */
+  def brierScore(df: DataFrame, pred: Column, label: Column): DataFrame = {
+    val p = round(pred, 6).cast(DecimalType(12, 6))
+    val e = (p - label.cast("boolean").cast("int").cast(DecimalType(12, 6)))
+      .cast(DecimalType(12, 6))
+    df.where(pred.isNotNull && label.isNotNull)
+      .select((e * e).cast(DecimalType(25, 12)).as("__sq"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__sq")).cast("double") / count(lit(1)), 12).as("brier"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Drift
+
+/** Drift/calibration monitoring: PSI, exact KS distance, reliability
+  * bins, Brier — hand-computed pins and the degenerate anchors
+  * (identical distributions score zero; disjoint ones score max). */
+class DriftSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def dfOf(xs: Seq[Long]) = xs.map(Tuple1(_)).toDF("v")
+
+  test("PSI of identical distributions is exactly zero, term by term") {
+    val a = dfOf(Seq(1, 1, 2, 2, 3, 3, 3))
+    val terms = Drift.psi(a, a, col("v"))
+      .select("psi_term").as[Double].collect()
+    assert(terms.nonEmpty && terms.forall(_ == 0.0))
+  }
+
+  test("PSI grows with shift; empty bins are smoothed, not NaN/Inf") {
+    val base = dfOf(Seq.fill(50)(0L) ++ Seq.fill(50)(1L))
+    val mild = dfOf(Seq.fill(60)(0L) ++ Seq.fill(40)(1L))
+    val wild = dfOf(Seq.fill(100)(2L)) // bin the base never saw
+    def total(b: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      Drift.psi(b, c, col("v")).agg(sum("psi_term")).head().getDouble(0)
+    val tMild = total(base, mild); val tWild = total(base, wild)
+    assert(tMild > 0.0 && tWild > tMild)
+    assert(!tWild.isNaN && !tWild.isInfinite)
+    // the scorecard reading: a wholesale shift is deep in action range
+    assert(tWild > 0.25)
+  }
+
+  test("KS: identical -> 0, disjoint -> 1, interleaved hand case") {
+    val a = dfOf(Seq(1, 2, 3, 4))
+    assert(Drift.ksDistance(a, a, col("v"))
+      .select("ks").as[Double].head() == 0.0)
+    val b = dfOf(Seq(10, 11, 12))
+    val r = Drift.ksDistance(a, b, col("v"))
+      .select("n_a", "n_b", "ks").as[(Long, Long, Double)].head()
+    assert(r == ((4L, 3L, 1.0)))
+    // A={1,2,3,4} B={3,4,4,4}: max gap at v=2 -> |2/4 - 0| = 0.5
+    val c = dfOf(Seq(3, 4, 4, 4))
+    assert(Drift.ksDistance(a, c, col("v"))
+      .select("ks").as[Double].head() == 0.5)
+  }
+
+  test("KS distinct-value guard trips on a raw high-cardinality column") {
+    val a = spark.range(100).select((col("id") * 1.000001).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Drift.ksDistance(a, a, col("v"), maxDistinct = 10)
+    }
+    assert(e.getMessage.contains("maxDistinct"))
+  }
+
+  test("calibration bins: hand case, clamping, and exact means") {
+    // preds 0.05(x2,y=0/1), 0.95(y=1), 1.0 (clamps to bin 9, y=1)
+    val df = Seq((0.05, false), (0.05, true), (0.95, true), (1.0, true))
+      .toDF("p", "y")
+    val bins = Drift.calibrationBins(df, col("p"), col("y"), nBins = 10)
+      .orderBy("bin")
+      .select("bin", "n", "avg_pred", "frac_pos")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(bins == Seq((0L, 2L, 0.05, 0.5), (9L, 2L, 0.975, 1.0)))
+  }
+
+  test("Brier: perfect -> 0, inverted -> 1, p=0.5 -> 0.25") {
+    val perfect = Seq((1.0, true), (0.0, false)).toDF("p", "y")
+    assert(Drift.brierScore(perfect, col("p"), col("y"))
+      .select("brier").as[Double].head() == 0.0)
+    val inverted = Seq((1.0, false), (0.0, true)).toDF("p", "y")
+    assert(Drift.brierScore(inverted, col("p"), col("y"))
+      .select("brier").as[Double].head() == 1.0)
+    val coin = Seq((0.5, true), (0.5, false)).toDF("p", "y")
+    assert(Drift.brierScore(coin, col("p"), col("y"))
+      .select("brier").as[Double].head() == 0.25)
+  }
+
+  test("drift ops ignore NULL values/labels") {
+    val withNull = Seq(Some(1.0), None, Some(2.0)).toDF("v")
+    assert(Drift.ksDistance(withNull, withNull, col("v"))
+      .select("n_a").as[Long].head() == 2L)
+    val preds = Seq((Some(0.5), Some(true)), (None, Some(true)),
+      (Some(0.5), None)).toDF("p", "y")
+    assert(Drift.brierScore(preds, col("p"), col("y"))
+      .select("n").as[Long].head() == 1L)
+  }
+}
