@@ -1014,6 +1014,23 @@ object LlmQueries {
         docs.where(col("doc_id") % 2 === 1),
         TextAnalysis.qualityScore(col("text")))
     }),
+    // grouped drift: PSI per LANGUAGE (drift usually hits one domain
+    // first; corpus-wide PSI dilutes it k ways) and KS per SOURCE —
+    // the aucScoreBy twins with per-group totals and windows
+    "q_drift_psi_by" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Drift.psiBy(docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1),
+          least(expr("n_chars div 60"), lit(9L)), Seq("lang"))
+        .orderBy("lang", "bin")
+    }),
+    "q_drift_ks_by" -> ((s, d) => {
+      val docs = T(s, d, "documents").where(col("text").isNotNull)
+      Drift.ksDistanceBy(docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1),
+          TextAnalysis.qualityScore(col("text")), Seq("source"))
+        .orderBy("source")
+    }),
     // reliability bins: is the quality score (as a [0,1] pseudo-prob)
     // calibrated against lang='en'? avg_pred vs frac_pos per decile
     "q_calibration" -> ((s, d) =>
@@ -2681,6 +2698,49 @@ object LlmQueries {
           + "     - (round(ln(n_cur + 1), 6)::DECIMAL(12,6)"
           + "        - round(ln(tb + k), 6)::DECIMAL(12,6)))::DOUBLE), 12)"
           + " AS psi_term FROM j, t ORDER BY bin"),
+      "q_drift_psi_by" ->
+        ("WITH a AS (SELECT lang, least(n_chars // 60, 9) AS bin, count(*) AS na"
+          + " FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2),"
+          + " b2 AS (SELECT lang, least(n_chars // 60, 9) AS bin, count(*) AS nb"
+          + " FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2),"
+          + " j AS (SELECT coalesce(a.lang, b2.lang) AS lang,"
+          + " coalesce(a.bin, b2.bin) AS bin,"
+          + " coalesce(na, 0)::BIGINT AS n_base, coalesce(nb, 0)::BIGINT AS n_cur"
+          + " FROM a FULL JOIN b2 ON a.lang = b2.lang AND a.bin = b2.bin),"
+          + " t AS (SELECT lang, sum(n_base) AS ta, sum(n_cur) AS tb,"
+          + " count(*) AS k FROM j GROUP BY 1)"
+          + " SELECT j.lang, bin, n_base, n_cur, round("
+          + " (round((n_base + 1)::DOUBLE / (ta + k), 12)::DECIMAL(14,12)"
+          + "  - round((n_cur + 1)::DOUBLE / (tb + k), 12)::DECIMAL(14,12))::DOUBLE"
+          + " * ((round(ln(n_base + 1), 6)::DECIMAL(12,6)"
+          + "     - round(ln(ta + k), 6)::DECIMAL(12,6)"
+          + "     - (round(ln(n_cur + 1), 6)::DECIMAL(12,6)"
+          + "        - round(ln(tb + k), 6)::DECIMAL(12,6)))::DOUBLE), 12)"
+          + " AS psi_term FROM j JOIN t ON j.lang = t.lang ORDER BY 1, 2"),
+      "q_drift_ks_by" ->
+        (s"WITH q AS (SELECT doc_id, source, $scoreExpr AS s FROM"
+          + " (SELECT doc_id, source, text, string_split(text, ' ') w FROM documents"
+          + " WHERE text IS NOT NULL)),"
+          + " va AS (SELECT source, s AS v, count(*) AS ca FROM q"
+          + " WHERE doc_id % 2 = 0 GROUP BY 1, 2),"
+          + " vb AS (SELECT source, s AS v, count(*) AS cb FROM q"
+          + " WHERE doc_id % 2 = 1 GROUP BY 1, 2),"
+          + " j AS (SELECT coalesce(va.source, vb.source) AS source,"
+          + " coalesce(va.v, vb.v) AS v, coalesce(ca, 0)::BIGINT AS ca,"
+          + " coalesce(cb, 0)::BIGINT AS cb FROM va FULL JOIN vb"
+          + " ON va.source = vb.source AND va.v = vb.v),"
+          + " c AS (SELECT source, v, ca, cb,"
+          + " sum(ca) OVER (PARTITION BY source ORDER BY v ROWS BETWEEN"
+          + " UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,"
+          + " sum(cb) OVER (PARTITION BY source ORDER BY v ROWS BETWEEN"
+          + " UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb FROM j),"
+          + " t AS (SELECT source, sum(ca) AS ta, sum(cb) AS tb FROM j GROUP BY 1)"
+          + " SELECT c.source, ta::BIGINT AS n_a, tb::BIGINT AS n_b,"
+          + " max(abs((CASE WHEN ta > 0 THEN round(cuma::DOUBLE / ta, 12)"
+          + " ELSE 0.0 END)::DECIMAL(14,12)"
+          + " - (CASE WHEN tb > 0 THEN round(cumb::DOUBLE / tb, 12)"
+          + " ELSE 0.0 END)::DECIMAL(14,12)))::DOUBLE AS ks"
+          + " FROM c JOIN t ON c.source = t.source GROUP BY 1, 2, 3 ORDER BY 1"),
       "q_drift_ks" ->
         (s"WITH q AS (SELECT doc_id, $scoreExpr AS s FROM"
           + " (SELECT doc_id, text, string_split(text, ' ') w FROM documents"

@@ -68,6 +68,99 @@ object Drift {
       .select(col("bin"), col("n_base"), col("n_cur"), col("psi_term"))
   }
 
+  /** Grouped PSI — [[psi]] per key (per-language / per-source drift,
+    * the [[FeatureScaling.aucScoreBy]] twin): drift usually hits ONE
+    * domain first, and a corpus-wide PSI dilutes it k ways. Same
+    * smoothing and term grids, with the totals (and the bin-count
+    * shift) computed PER GROUP through one aggregation + one group
+    * join instead of the one-row broadcast. Groups present in only one
+    * slice still emit rows (full-outer on the group+bin key; their
+    * other side smooths from zero). */
+  def psiBy(
+      base: DataFrame,
+      current: DataFrame,
+      binCol: Column,
+      by: Seq[String]): DataFrame = {
+    require(by.nonEmpty, "psiBy needs >= 1 group column (use psi)")
+    val keys = by.map(col)
+    val ca = base.select(keys :+ binCol.as("bin"): _*)
+      .groupBy(keys :+ col("bin"): _*).agg(count(lit(1)).as("__na"))
+    val cb = current.select(keys :+ binCol.as("bin"): _*)
+      .groupBy(keys :+ col("bin"): _*).agg(count(lit(1)).as("__nb"))
+    val joined = ca.join(cb, by :+ "bin", "full_outer")
+      .select(keys :+ col("bin") :+
+        coalesce(col("__na"), lit(0L)).as("n_base") :+
+        coalesce(col("__nb"), lit(0L)).as("n_cur"): _*)
+    val totals = joined.groupBy(keys: _*)
+      .agg(sum(col("n_base")).as("__ta"), sum(col("n_cur")).as("__tb"),
+        count(lit(1)).as("__k"))
+    val pA = round((col("n_base") + 1).cast("double") /
+      (col("__ta") + col("__k")), 12).cast(DecimalType(14, 12))
+    val pB = round((col("n_cur") + 1).cast("double") /
+      (col("__tb") + col("__k")), 12).cast(DecimalType(14, 12))
+    val lnA = lnQ(col("n_base") + 1) - lnQ(col("__ta") + col("__k"))
+    val lnB = lnQ(col("n_cur") + 1) - lnQ(col("__tb") + col("__k"))
+    joined.join(totals, by)
+      .withColumn("psi_term",
+        round((pA - pB).cast("double") * (lnA - lnB).cast("double"), 12))
+      .select(keys :+ col("bin") :+ col("n_base") :+ col("n_cur") :+
+        col("psi_term"): _*)
+  }
+
+  /** Grouped KS — [[ksDistance]] per key: the cumulative window
+    * partitions by the group columns, so the distinct-value sort
+    * parallelizes across groups and `maxDistinct` bounds the per-GROUP
+    * cardinality (checked as the max over groups, the
+    * [[FeatureScaling.aucScoreBy]] fail-fast). Output one row
+    * (by..., n_a, n_b, ks) per group present in EITHER slice; a group
+    * absent from one side has an empty CDF there, so ks = 1 whenever
+    * the present side is non-empty. */
+  def ksDistanceBy(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: Column,
+      by: Seq[String],
+      maxDistinct: Long = 1L << 22): DataFrame = {
+    require(by.nonEmpty, "ksDistanceBy needs >= 1 group column (use ksDistance)")
+    val keys = by.map(col)
+    val va = a.select(keys :+ valueCol.as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .groupBy(keys :+ col("__v"): _*).agg(count(lit(1)).as("__ca"))
+    val vb = b.select(keys :+ valueCol.as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .groupBy(keys :+ col("__v"): _*).agg(count(lit(1)).as("__cb"))
+    val joined = va.join(vb, by :+ "__v", "full_outer")
+      .select(keys :+ col("__v") :+
+        coalesce(col("__ca"), lit(0L)).as("__ca") :+
+        coalesce(col("__cb"), lit(0L)).as("__cb"): _*)
+    if (maxDistinct > 0) {
+      val nd = joined.groupBy(keys: _*).agg(count(lit(1)).as("__nd"))
+        .agg(max(col("__nd"))).head()
+      val worst = if (nd.isNullAt(0)) 0L else nd.getLong(0)
+      require(worst <= maxDistinct,
+        s"ksDistanceBy's per-group window sorts per-group distinct values:" +
+          s" worst group has $worst > maxDistinct=$maxDistinct — quantize" +
+          " the value (round(v, 6)) or raise the bound deliberately")
+    }
+    val w = Window.partitionBy(keys: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = joined
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+    val totals = joined.groupBy(keys: _*)
+      .agg(sum(col("__ca")).as("__ta"), sum(col("__cb")).as("__tb"))
+    cum.join(totals, by)
+      .select(keys :+ col("__ta").as("n_a") :+ col("__tb").as("n_b") :+
+        abs(when(col("__ta") > 0,
+              round(col("__cuma").cast("double") / col("__ta"), 12))
+              .otherwise(lit(0.0)).cast(DecimalType(14, 12))
+          - when(col("__tb") > 0,
+              round(col("__cumb").cast("double") / col("__tb"), 12))
+              .otherwise(lit(0.0)).cast(DecimalType(14, 12))).as("__d"): _*)
+      .groupBy(keys.map(k => k) :+ col("n_a") :+ col("n_b"): _*)
+      .agg(max(col("__d")).cast("double").as("ks"))
+  }
+
   /** Exact two-sample Kolmogorov-Smirnov distance between slice A and
     * slice B of `valueCol`: one row (n_a, n_b, ks) with
     * ks = max over distinct values of |cdfA − cdfB| on the round(,12)

@@ -78,6 +78,35 @@ class DriftSpec extends AnyFunSuite {
       .select("brier").as[Double].head() == 0.25)
   }
 
+  test("psiBy == per-group psi; one-sided groups still emit smoothed rows") {
+    val a = Seq(("en", 1L), ("en", 1L), ("en", 2L), ("de", 5L)).toDF("g", "v")
+    val b = Seq(("en", 1L), ("en", 2L), ("en", 2L), ("fr", 9L)).toDF("g", "v")
+    val grouped = Drift.psiBy(a, b, col("v"), Seq("g"))
+      .select("g", "bin", "n_base", "n_cur", "psi_term")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    for (g <- Seq("en", "de", "fr")) {
+      val single = Drift.psi(a.where(col("g") === g), b.where(col("g") === g),
+          col("v"))
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => (g, r._1, r._2, r._3, r._4)).toSet
+      assert(grouped.filter(_._1 == g) == single, s"group $g")
+    }
+  }
+
+  test("ksDistanceBy == per-group ksDistance; absent side scores 1") {
+    val a = Seq(("x", 1L), ("x", 2L), ("y", 5L)).toDF("g", "v")
+    val b = Seq(("x", 2L), ("x", 3L), ("z", 9L)).toDF("g", "v")
+    val grouped = Drift.ksDistanceBy(a, b, col("v"), Seq("g"))
+      .select("g", "n_a", "n_b", "ks")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val x = Drift.ksDistance(a.where(col("g") === "x"),
+        b.where(col("g") === "x"), col("v"))
+      .select("n_a", "n_b", "ks").as[(Long, Long, Double)].head()
+    assert(grouped("x") == (("x", x._1, x._2, x._3)))
+    assert(grouped("y") == (("y", 1L, 0L, 1.0)))
+    assert(grouped("z") == (("z", 0L, 1L, 1.0)))
+  }
+
   test("drift ops ignore NULL values/labels") {
     val withNull = Seq(Some(1.0), None, Some(2.0)).toDF("v")
     assert(Drift.ksDistance(withNull, withNull, col("v"))
