@@ -1014,6 +1014,25 @@ object LlmQueries {
         docs.where(col("doc_id") % 2 === 1),
         TextAnalysis.qualityScore(col("text")))
     }),
+    // the drift-metric trio closes: Wasserstein-1 integrates the CDF
+    // gap the KS max ignores (a small shift of a LOT of mass), in the
+    // value's own units
+    "q_drift_w1" -> ((s, d) => {
+      val docs = T(s, d, "documents").where(col("text").isNotNull)
+      Drift.wasserstein1(docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        TextAnalysis.qualityScore(col("text")))
+    }),
+    // Jensen-Shannon divergence over the same bins as q_drift_psi —
+    // the symmetric, always-finite [0, ln 2] statistic data cards
+    // report where PSI's scorecard bands don't apply
+    "q_drift_jsd" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Drift.jsd(docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1),
+          least(expr("n_chars div 60"), lit(9L)))
+        .orderBy("bin")
+    }),
     // grouped drift: PSI per LANGUAGE (drift usually hits one domain
     // first; corpus-wide PSI dilutes it k ways) and KS per SOURCE —
     // the aucScoreBy twins with per-group totals and windows
@@ -2698,6 +2717,41 @@ object LlmQueries {
           + "     - (round(ln(n_cur + 1), 6)::DECIMAL(12,6)"
           + "        - round(ln(tb + k), 6)::DECIMAL(12,6)))::DOUBLE), 12)"
           + " AS psi_term FROM j, t ORDER BY bin"),
+      "q_drift_w1" ->
+        (s"WITH q AS (SELECT doc_id, $scoreExpr AS s FROM"
+          + " (SELECT doc_id, text, string_split(text, ' ') w FROM documents"
+          + " WHERE text IS NOT NULL)),"
+          + " va AS (SELECT s AS v, count(*) AS ca FROM q WHERE doc_id % 2 = 0 GROUP BY 1),"
+          + " vb AS (SELECT s AS v, count(*) AS cb FROM q WHERE doc_id % 2 = 1 GROUP BY 1),"
+          + " j AS (SELECT coalesce(va.v, vb.v) AS v, coalesce(ca, 0)::BIGINT AS ca,"
+          + " coalesce(cb, 0)::BIGINT AS cb FROM va FULL JOIN vb ON va.v = vb.v),"
+          + " c AS (SELECT v, sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED"
+          + " PRECEDING AND CURRENT ROW) AS cuma, sum(cb) OVER (ORDER BY v ROWS"
+          + " BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,"
+          + " lead(v) OVER (ORDER BY v) - v AS gap FROM j),"
+          + " t AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM j)"
+          + " SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b,"
+          + " sum(round(abs(round(cuma::DOUBLE / ta, 12)::DECIMAL(14,12)"
+          + " - round(cumb::DOUBLE / tb, 12)::DECIMAL(14,12))::DOUBLE"
+          + " * gap::DOUBLE, 12)::DECIMAL(38,12))::DOUBLE AS w1"
+          + " FROM c, t WHERE gap IS NOT NULL GROUP BY 1, 2"),
+      "q_drift_jsd" ->
+        ("WITH a AS (SELECT least(n_chars // 60, 9) AS bin, count(*) AS na"
+          + " FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),"
+          + " b2 AS (SELECT least(n_chars // 60, 9) AS bin, count(*) AS nb"
+          + " FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),"
+          + " j AS (SELECT coalesce(a.bin, b2.bin) AS bin,"
+          + " coalesce(na, 0)::BIGINT AS n_base, coalesce(nb, 0)::BIGINT AS n_cur"
+          + " FROM a FULL JOIN b2 ON a.bin = b2.bin),"
+          + " t AS (SELECT sum(n_base) AS ta, sum(n_cur) AS tb, count(*) AS k FROM j)"
+          + " SELECT bin, n_base, n_cur, round(0.5 * ("
+          + " round((n_base + 1)::DOUBLE / (ta + k), 12)::DECIMAL(14,12)::DOUBLE"
+          + " * (round(ln((n_base + 1) * (tb + k) * 2), 6)::DECIMAL(12,6)"
+          + "    - round(ln((n_base + 1) * (tb + k) + (n_cur + 1) * (ta + k)), 6)::DECIMAL(12,6))::DOUBLE"
+          + " + round((n_cur + 1)::DOUBLE / (tb + k), 12)::DECIMAL(14,12)::DOUBLE"
+          + " * (round(ln((n_cur + 1) * (ta + k) * 2), 6)::DECIMAL(12,6)"
+          + "    - round(ln((n_base + 1) * (tb + k) + (n_cur + 1) * (ta + k)), 6)::DECIMAL(12,6))::DOUBLE"
+          + " ), 12) AS jsd_term FROM j, t ORDER BY bin"),
       "q_drift_psi_by" ->
         ("WITH a AS (SELECT lang, least(n_chars // 60, 9) AS bin, count(*) AS na"
           + " FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2),"

@@ -204,6 +204,98 @@ object Drift {
       .agg(max(col("__d")).cast("double").as("ks"))
   }
 
+  /** Exact 1-D Wasserstein-1 (earth-mover) distance between slice A
+    * and slice B of `valueCol`: one row (n_a, n_b, w1) with
+    * W1 = Σ_i |cdfA(v_i) − cdfB(v_i)| · (v_{i+1} − v_i) over sorted
+    * distinct values — the integral the KS max ignores: a small shift
+    * of a LOT of mass moves W1 but barely moves KS, and vice versa;
+    * monitoring wants both. Same distinct-value machinery and
+    * fail-fast as [[ksDistance]]; each term quantizes to the
+    * round(,12) grid and the terms sum as exact decimals (the apScore
+    * order-independence convention), so the statistic is engine-exact.
+    * Unit: `valueCol`'s (W1 of distributions shifted by c is c —
+    * pinned in DriftSpec). */
+  def wasserstein1(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: Column,
+      maxDistinct: Long = 1L << 22): DataFrame = {
+    val va = a.select(valueCol.as("__v")).where(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__ca"))
+    val vb = b.select(valueCol.as("__v")).where(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__cb"))
+    val joined = va.join(vb, Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    if (maxDistinct > 0) {
+      val nd = joined.count()
+      require(nd <= maxDistinct,
+        s"wasserstein1's distinct-value window is global: $nd distinct" +
+          s" values > maxDistinct=$maxDistinct — quantize the value" +
+          " (round(v, 6)) or raise the bound deliberately")
+    }
+    val w = Window.orderBy(col("__v"))
+    val cumW = w.rowsBetween(Window.unboundedPreceding, 0)
+    val cum = joined
+      .withColumn("__cuma", sum(col("__ca")).over(cumW))
+      .withColumn("__cumb", sum(col("__cb")).over(cumW))
+      .withColumn("__gap", lead(col("__v"), 1).over(w) - col("__v"))
+    val totals = joined.agg(sum(col("__ca")).as("__ta"),
+      sum(col("__cb")).as("__tb"))
+    val dcdf = abs(
+      round(col("__cuma").cast("double") / col("__ta"), 12)
+        .cast(DecimalType(14, 12))
+      - round(col("__cumb").cast("double") / col("__tb"), 12)
+        .cast(DecimalType(14, 12)))
+    cum.where(col("__gap").isNotNull) // the last value closes no interval
+      .crossJoin(broadcast(totals))
+      .select(col("__ta").as("n_a"), col("__tb").as("n_b"),
+        round(dcdf.cast("double") * col("__gap").cast("double"), 12)
+          .cast(DecimalType(38, 12)).as("__t"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("__t")).cast("double").as("w1"))
+  }
+
+  /** Jensen-Shannon divergence between a BASE and a CURRENT slice over
+    * a caller-provided bin expression (tokens, buckets...): per-bin
+    * rows (bin, n_base, n_cur, jsd_term) with JSD = sum(jsd_term) ∈
+    * [0, ln 2] — the symmetric, always-finite drift statistic data
+    * cards report where PSI's scorecard bands don't apply. Same
+    * Laplace(+1) smoothing as [[psi]]. Exactness: with
+    * pX = cX'/tX' and m = (pA+pB)/2, the log ratios reduce to integer
+    * arguments — ln(pA/m) = ln(2·cA'·tB') − ln(cA'·tB' + cB'·tA') —
+    * so both lns ride the quantized-integer grid and each term is one
+    * fixed-IEEE product rounded to the 12dp grid. */
+  def jsd(
+      base: DataFrame,
+      current: DataFrame,
+      binCol: Column): DataFrame = {
+    val ca = base.select(binCol.as("bin")).groupBy("bin")
+      .agg(count(lit(1)).as("__na"))
+    val cb = current.select(binCol.as("bin")).groupBy("bin")
+      .agg(count(lit(1)).as("__nb"))
+    val joined = ca.join(cb, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("__na"), lit(0L)).as("n_base"),
+        coalesce(col("__nb"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_base")).as("__ta"),
+      sum(col("n_cur")).as("__tb"), count(lit(1)).as("__k"))
+    val cA = col("n_base") + 1; val cB = col("n_cur") + 1
+    val tA = col("__ta") + col("__k"); val tB = col("__tb") + col("__k")
+    // products ride decimals: long counts at 10B-doc scale would push
+    // cA·tB past 2^63 (silent wraparound — the r9 aucScore ADVICE class)
+    def d(c: Column): Column = c.cast(DecimalType(19, 0))
+    val mix = d(cA) * d(tB) + d(cB) * d(tA)
+    val pA = round(cA.cast("double") / tA, 12).cast(DecimalType(14, 12))
+    val pB = round(cB.cast("double") / tB, 12).cast(DecimalType(14, 12))
+    val lnRA = lnQ(d(cA) * d(tB) * lit(2)) - lnQ(mix)
+    val lnRB = lnQ(d(cB) * d(tA) * lit(2)) - lnQ(mix)
+    joined.crossJoin(broadcast(totals))
+      .withColumn("jsd_term",
+        round(lit(0.5) * (pA.cast("double") * lnRA.cast("double")
+          + pB.cast("double") * lnRB.cast("double")), 12))
+      .select(col("bin"), col("n_base"), col("n_cur"), col("jsd_term"))
+  }
+
   /** Reliability-diagram bins for a [0,1] prediction against a boolean
     * label: (bin, n, avg_pred, frac_pos) per occupied decile-style bin
     * (bin = floor(pred·nBins) clamped to nBins−1). A calibrated

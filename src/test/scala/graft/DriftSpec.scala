@@ -55,6 +55,33 @@ class DriftSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxDistinct"))
   }
 
+  test("W1: identical -> 0; shift by c -> c; mass-shift case KS underweights") {
+    val a = dfOf(Seq(1, 2, 3, 4))
+    assert(Drift.wasserstein1(a, a, col("v"))
+      .select("w1").as[Double].head() == 0.0)
+    // shift by 10: W1 = 10 exactly, in value units
+    val shifted = dfOf(Seq(11L, 12L, 13L, 14L))
+    assert(Drift.wasserstein1(a, shifted, col("v"))
+      .select("w1").as[Double].head() == 10.0)
+    // half the mass moves far: KS = 0.5 but W1 = 0.5 * 96 = 48
+    val far = dfOf(Seq(1, 2, 99, 100))
+    val w1 = Drift.wasserstein1(a, far, col("v"))
+      .select("w1").as[Double].head()
+    val ks = Drift.ksDistance(a, far, col("v"))
+      .select("ks").as[Double].head()
+    assert(ks == 0.5 && w1 > 40.0)
+  }
+
+  test("JSD: identical -> 0 term-by-term; bounded by ln 2; disjoint approaches it") {
+    val a = dfOf(Seq(1, 1, 2, 2))
+    val self = Drift.jsd(a, a, col("v")).select("jsd_term").as[Double].collect()
+    assert(self.nonEmpty && self.forall(_ == 0.0))
+    val b = dfOf(Seq.fill(100)(9L))
+    val a2 = dfOf(Seq.fill(100)(1L))
+    val tot = Drift.jsd(a2, b, col("v")).agg(sum("jsd_term")).head().getDouble(0)
+    assert(tot > 0.5 && tot <= math.log(2) + 1e-9)
+  }
+
   test("calibration bins: hand case, clamping, and exact means") {
     // preds 0.05(x2,y=0/1), 0.95(y=1), 1.0 (clamps to bin 9, y=1)
     val df = Seq((0.05, false), (0.05, true), (0.95, true), (1.0, true))
