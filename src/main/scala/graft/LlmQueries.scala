@@ -38,6 +38,11 @@ object LlmQueries {
   private[graft] val SearchPatterns =
     Seq("spark hash", "window merge", "stream filter")
 
+  /** q_token_budget's mixture weights — single-sourced with the oracle. */
+  private[graft] val TokenBudgetWeights = Seq(
+    "src0" -> 4L, "src1" -> 2L, "src2" -> 1L, "src3" -> 2L,
+    "src4" -> 1L, "src5" -> 3L, "src6" -> 1L, "src7" -> 2L)
+
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Seq[Long]]]()
 
@@ -1673,6 +1678,22 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_doc_id"))
         .orderBy("source")
     }),
+    // TOKEN-budget mixture (the data-mixing allocator): 8000 tokens
+    // split 4:2:1:2:1:3:1:2 across eight sources — src0's fair share
+    // exceeds its inventory (the self-capping case), the rest sample
+    // down; unlisted sources drop. Exact integer cross-multiplication,
+    // content-keyed.
+    "q_token_budget" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val docs = T(s, d, "documents").where(col("text").isNotNull)
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      Sampling.tokenBudgetSample(docs, "source", "toks", budget = 8000L,
+          weights = TokenBudgetWeights, key = Sampling.textKey(col("text")),
+          salt = 9)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("toks").as("tokens_kept"))
+        .orderBy("source")
+    }),
     // GPT-style concat-then-chunk packing into capacity-128 sequences,
     // rolled up per (source, seq); the skew-safe chunked form is pinned
     // equal in PackingSpec
@@ -1965,6 +1986,23 @@ object LlmQueries {
           + " r.tw, r.n, m.tm, m.nm FROM f JOIN rates r USING (source) CROSS JOIN m)"
           + s" SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_doc_id FROM sel"
           + s" WHERE u::HUGEINT * tm * n < ${Sampling.M}::HUGEINT * tw * nm"
+          + " GROUP BY 1 ORDER BY 1")
+      },
+      "q_token_budget" -> {
+        val vals = TokenBudgetWeights
+          .map { case (s0, w) => s"('$s0', ${w}::BIGINT)" }.mkString(", ")
+        val wsum = TokenBudgetWeights.map(_._2).sum
+        ("WITH f AS (SELECT doc_id, source,"
+          + " len(string_split(text, ' '))::BIGINT AS toks, "
+          + TextAnalysis.fingerprintSql("text")
+          + " AS h FROM documents WHERE text IS NOT NULL),"
+          + s" w(source, tw) AS (VALUES $vals),"
+          + " ts AS (SELECT source, sum(toks)::BIGINT AS t FROM f GROUP BY 1),"
+          + " r AS (SELECT w.source, w.tw, ts.t FROM w JOIN ts USING (source)),"
+          + s" sel AS (SELECT f.source, f.toks, ${Sampling.bucketSql("f.h", 9)} AS u,"
+          + " r.tw, r.t FROM f JOIN r USING (source))"
+          + " SELECT source, count(*) AS n_kept, sum(toks)::BIGINT AS tokens_kept"
+          + s" FROM sel WHERE u::HUGEINT * t * $wsum < ${Sampling.M}::HUGEINT * 8000 * tw"
           + " GROUP BY 1 ORDER BY 1")
       },
       "q_pack" ->

@@ -308,4 +308,56 @@ object Sampling {
           .otherwise(array().cast("array<long>"))))
       .drop("__rm")
   }
+
+  /** Deterministic TOKEN-budget mixture sampling — the data-mixing
+    * allocator: keep rows so each source contributes ≈
+    * budget · w_s / Σw TOKENS (not rows — documents differ in length,
+    * and a pretraining budget is a token budget). Per source the keep
+    * rule is the [[sampleToMixture]] exact cross-multiplication,
+    * u · T_s · Σw < M · budget · w_s over the keyed-hash scatter, with
+    * T_s = the source's total tokens — all integer products carried as
+    * decimal(38,0), so there is no FP anywhere and any engine replays
+    * the kept set row for row. A source whose fair share exceeds its
+    * inventory (budget·w_s/Σw ≥ T_s) keeps everything — the inequality
+    * caps itself, no branch. Sources absent from `weights` are DROPPED
+    * (the mixture defines the output); rows with NULL token counts are
+    * absent (unaccountable against a budget). Keyed by content
+    * ([[textKey]]) the selection is decontamination-safe and
+    * retry-safe like every Sampling operator.
+    *
+    * Expected kept tokens per source is exact in expectation; the
+    * realized sum concentrates like any Bernoulli total (CLT band —
+    * pinned loosely in SamplingSpec). Plan: one token-sum aggregation
+    * + one broadcast rates join + a per-row predicate. */
+  def tokenBudgetSample(
+      df: DataFrame,
+      sourceCol: String,
+      tokenCol: String,
+      budget: Long,
+      weights: Seq[(String, Long)],
+      key: Column,
+      salt: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be > 0 (got $budget)")
+    require(weights.nonEmpty, "need at least one weighted source")
+    require(weights.forall(_._2 > 0), s"weights must be > 0: $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate weighted sources: $weights")
+    val reserved = Seq("__w", "__ts")
+    val clashes = df.columns.toSeq.intersect(reserved)
+    require(clashes.isEmpty,
+      s"tokenBudgetSample reserves ${reserved.mkString("/")}; rename ${clashes.mkString(", ")} in the input")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wsum = weights.map(_._2).sum
+    val wdf = weights.toDF(sourceCol, "__w")
+    val toks = df.where(col(tokenCol).isNotNull)
+    val ts = toks.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__ts"))
+    val rates = wdf.join(ts, Seq(sourceCol))
+    val dec = DecimalType(38, 0)
+    toks.join(broadcast(rates), Seq(sourceCol))
+      .where(bucket(key, salt).cast(dec) * col("__ts").cast(dec) * lit(wsum).cast(dec) <
+        lit(M).cast(dec) * lit(budget).cast(dec) * col("__w").cast(dec))
+      .drop("__w", "__ts")
+  }
 }

@@ -176,4 +176,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.weightedSampleK(tiny, Seq("grp"), k = 10,
       Sampling.idKey(col("id")), col("w"), col("id")).count() == 2)
   }
+
+  test("tokenBudgetSample: self-capping, budget bands, unlisted sources drop") {
+    // a: 100 docs x 10 tokens = 1000; b: 400 x 10 = 4000; c unlisted
+    val rows = (1L to 100L).map(i => (i, "a", 10L)) ++
+      (101L to 500L).map(i => (i, "b", 10L)) ++
+      (501L to 520L).map(i => (i, "c", 10L))
+    val df = rows.toDF("id", "src", "toks")
+    // budget 2000 split 1:1 -> a's share 1000 >= inventory (keep ALL),
+    // b samples toward 1000 of its 4000
+    val kept = Sampling.tokenBudgetSample(df, "src", "toks", budget = 2000L,
+      weights = Seq("a" -> 1L, "b" -> 1L), key = Sampling.idKey(col("id")),
+      salt = 4)
+    val bySrc = kept.groupBy("src").agg(sum("toks").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("a") == 1000L)                    // self-capped: everything
+    assert(!bySrc.contains("c"))                   // unlisted drops
+    val b = bySrc("b").toDouble                    // Bernoulli(0.25) x 400
+    assert(b > 1000 * 0.5 && b < 1000 * 1.6, s"b kept $b")
+    // deterministic: same call, same rows
+    val again = Sampling.tokenBudgetSample(df.repartition(7), "src", "toks",
+      2000L, Seq("a" -> 1L, "b" -> 1L), Sampling.idKey(col("id")), salt = 4)
+    assert(again.select("id").as[Long].collect().sorted.toSeq ==
+      kept.select("id").as[Long].collect().sorted.toSeq)
+    // the keep rule replayed by hand for source b
+    val expectB = df.where(col("src") === "b")
+      .withColumn("u", Sampling.bucket(Sampling.idKey(col("id")), 4))
+      .where(col("u") * lit(4000L) * lit(2L) <
+        lit(Sampling.M) * lit(2000L) * lit(1L))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept.where(col("src") === "b")
+      .select("id").as[Long].collect().sorted.toSeq == expectB)
+    // NULL token rows are absent
+    val withNull = Seq((1L, "a", Some(10L)), (2L, "a", None)).toDF("id", "src", "toks")
+    assert(Sampling.tokenBudgetSample(withNull, "src", "toks", 1000L,
+      Seq("a" -> 1L), Sampling.idKey(col("id"))).count() == 1)
+  }
 }
