@@ -1038,6 +1038,37 @@ object LlmQueries {
           least(expr("n_chars div 60"), lit(9L)))
         .orderBy("bin")
     }),
+    // STREAMING drift monitoring: the odd-id slice arrives as
+    // one-file-per-trigger micro-batches; each batch folds into the
+    // running histogram and the emitted PSI vs the frozen even-id base
+    // hash-matches the batch q_drift_psi replay — batch boundaries are
+    // invisible because integer counts merge associatively.
+    "q_stream_drift" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val bins = least(expr("n_chars div 60"), lit(9L))
+      val baseCounts = Drift.binCounts(
+        docs.where(col("doc_id") % 2 === 0), bins).localCheckpoint()
+      val days = Seq(
+        docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 4 === 1),
+        docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 4 === 3))
+      val dir = java.nio.file.Files.createTempDirectory("graft-drift-days")
+      days.zipWithIndex.foreach { case (df, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft-drift-part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+        val dst = new java.io.File(dir.toFile, s"day$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L) // drain order pin
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      var last: DataFrame = null
+      runForeachBatchReplay(
+        StreamingOps.driftIngest(stream, baseCounts, bins)(p => { last = p; () }),
+        "graft_stream_drift")
+      last.orderBy("bin")
+    }),
     // grouped drift: PSI per LANGUAGE (drift usually hits one domain
     // first; corpus-wide PSI dilutes it k ways) and KS per SOURCE —
     // the aucScoreBy twins with per-group totals and windows
@@ -2790,6 +2821,25 @@ object LlmQueries {
           + " * (round(ln((n_cur + 1) * (ta + k) * 2), 6)::DECIMAL(12,6)"
           + "    - round(ln((n_base + 1) * (tb + k) + (n_cur + 1) * (ta + k)), 6)::DECIMAL(12,6))::DOUBLE"
           + " ), 12) AS jsd_term FROM j, t ORDER BY bin"),
+      // streaming form: the SAME batch replay — the emitted cumulative
+      // histogram must equal the one-shot count
+      "q_stream_drift" ->
+        ("WITH a AS (SELECT least(n_chars // 60, 9) AS bin, count(*) AS na"
+          + " FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),"
+          + " b2 AS (SELECT least(n_chars // 60, 9) AS bin, count(*) AS nb"
+          + " FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),"
+          + " j AS (SELECT coalesce(a.bin, b2.bin) AS bin,"
+          + " coalesce(na, 0)::BIGINT AS n_base, coalesce(nb, 0)::BIGINT AS n_cur"
+          + " FROM a FULL JOIN b2 ON a.bin = b2.bin),"
+          + " t AS (SELECT sum(n_base) AS ta, sum(n_cur) AS tb, count(*) AS k FROM j)"
+          + " SELECT bin, n_base, n_cur, round("
+          + " (round((n_base + 1)::DOUBLE / (ta + k), 12)::DECIMAL(14,12)"
+          + "  - round((n_cur + 1)::DOUBLE / (tb + k), 12)::DECIMAL(14,12))::DOUBLE"
+          + " * ((round(ln(n_base + 1), 6)::DECIMAL(12,6)"
+          + "     - round(ln(ta + k), 6)::DECIMAL(12,6)"
+          + "     - (round(ln(n_cur + 1), 6)::DECIMAL(12,6)"
+          + "        - round(ln(tb + k), 6)::DECIMAL(12,6)))::DOUBLE), 12)"
+          + " AS psi_term FROM j, t ORDER BY bin"),
       "q_drift_psi_by" ->
         ("WITH a AS (SELECT lang, least(n_chars // 60, 9) AS bin, count(*) AS na"
           + " FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2),"

@@ -43,11 +43,22 @@ object Drift {
   def psi(
       base: DataFrame,
       current: DataFrame,
-      binCol: Column): DataFrame = {
-    val ca = base.select(binCol.as("bin")).groupBy("bin")
-      .agg(count(lit(1)).as("__na"))
-    val cb = current.select(binCol.as("bin")).groupBy("bin")
-      .agg(count(lit(1)).as("__nb"))
+      binCol: Column): DataFrame =
+    psiFromCounts(binCounts(base, binCol), binCounts(current, binCol))
+
+  /** The (bin, n) histogram [[psi]]/[[jsd]] compare — exposed because
+    * the histogram IS the mergeable monitoring state: integer counts
+    * sum associatively, so a streaming monitor rolls batches into one
+    * histogram and compares against a FROZEN base without ever
+    * rescanning rows ([[graft.streaming.StreamingOps.driftIngest]]). */
+  def binCounts(df: DataFrame, binCol: Column): DataFrame =
+    df.select(binCol.as("bin")).groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+
+  /** [[psi]] over precomputed (bin, n) count tables. */
+  def psiFromCounts(baseCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val ca = baseCounts.select(col("bin"), col("n").as("__na"))
+    val cb = curCounts.select(col("bin"), col("n").as("__nb"))
     val joined = ca.join(cb, Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("__na"), lit(0L)).as("n_base"),
         coalesce(col("__nb"), lit(0L)).as("n_cur"))

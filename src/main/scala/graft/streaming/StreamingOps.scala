@@ -275,6 +275,38 @@ object StreamingOps {
     }
   }
 
+  /** Continuous drift monitoring — the streaming form of
+    * [[graft.operators.Drift.psi]]: each micro-batch folds ONCE into
+    * the running (bin, n) histogram (integer counts sum associatively
+    * — the [[quantileStateIngest]] argument) and `emit` receives the
+    * PSI of the CUMULATIVE stream against a FROZEN base histogram, so
+    * any batch boundary can gate the pipeline ("stop ingesting, the
+    * distribution moved") over ALL arrived rows without rescanning
+    * one. The histogram is bin-bounded mergeable state (corpus-state
+    * family, but tiny); pass `baseCounts` precomputed and persisted /
+    * parquet-backed ([[graft.operators.Drift.binCounts]]) — a lazy
+    * base would rescan its corpus on every batch's emit. Batch
+    * boundaries are invisible by construction: counts merged in any
+    * grouping equal the one-shot count (q_stream_drift hash-matches
+    * the batch PSI replay). */
+  def driftIngest(
+      stream: DataFrame,
+      baseCounts: DataFrame,
+      binCol: org.apache.spark.sql.Column)(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var state = baseCounts.limit(0).localCheckpoint()
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bc = graft.operators.Drift.binCounts(batch.toDF(), binCol)
+        state = state.unionByName(bc)
+          .groupBy(org.apache.spark.sql.functions.col("bin"))
+          .agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("n")).as("n"))
+          .localCheckpoint()
+        emit(graft.operators.Drift.psiFromCounts(baseCounts, state))
+    }
+  }
+
   /** Stateless curation pass for streaming ingest: deterministic hash
     * sampling, quality scoring + threshold, and PII scan/redaction
     * composed as pure per-row expressions. Appends `quality`, the
