@@ -117,7 +117,11 @@ object LlmQueries {
     val e = T(s, d, "embeddings")
     val corpus = e.where(col("vec_id") >= 5)
     val (cents, books) = ivfPqIndexOf(d, corpus)
-    Similarity.ivfPqTopK(corpus, e.where(col("vec_id") < 5),
+    // encode is an EXPLICIT step — ivfPqTopK requires the codes table
+    // (VERDICT r9 #4); at rest this would be the persisted AnnIndex
+    val codes = Similarity.ivfPqEncode(corpus, "vec_id", "embedding",
+      dim = 64, m = 4, centroids = cents, codebooks = books)
+    Similarity.ivfPqTopK(codes, e.where(col("vec_id") < 5),
       "vec_id", "embedding", dim = 64, m = 4,
       centroids = cents, codebooks = books, nprobe = 2, topK = 10)
   }
@@ -763,7 +767,9 @@ object LlmQueries {
       val books = ivfPqResBooksCache.computeIfAbsent(d, _ =>
         Similarity.pqFitResidual(corpus, "vec_id", "embedding",
           dim = 64, m = 4, cents, k = 16, iters = 2))
-      Similarity.ivfPqTopK(corpus, e.where(col("vec_id") < 5),
+      val codes = Similarity.ivfPqEncode(corpus, "vec_id", "embedding",
+        dim = 64, m = 4, centroids = cents, codebooks = books, residual = true)
+      Similarity.ivfPqTopK(codes, e.where(col("vec_id") < 5),
           "vec_id", "embedding", dim = 64, m = 4,
           centroids = cents, codebooks = books, nprobe = 2, topK = 10,
           residual = true)
@@ -786,7 +792,9 @@ object LlmQueries {
           k = 16, iters = 2))
       })
       val eP = e.withColumn("embP", Similarity.permuteVec(col("embedding"), perm))
-      Similarity.ivfPqTopK(eP.where(col("vec_id") >= 5),
+      val codes = Similarity.ivfPqEncode(eP.where(col("vec_id") >= 5),
+        "vec_id", "embP", dim = 64, m = 4, centroids = cents, codebooks = books)
+      Similarity.ivfPqTopK(codes,
           eP.where(col("vec_id") < 5), "vec_id", "embP", dim = 64, m = 4,
           centroids = cents, codebooks = books, nprobe = 2, topK = 10)
         .orderBy("qid", "rank")
@@ -798,10 +806,12 @@ object LlmQueries {
       val e = T(s, d, "embeddings")
       val corpus = e.where(col("vec_id") >= 5)
       val (cents, books) = ivfPqIndexOf(d, corpus)
+      val codes = Similarity.ivfPqEncode(corpus, "vec_id", "embedding",
+        dim = 64, m = 4, centroids = cents, codebooks = books)
       Similarity.ivfPqTopKRefine(corpus, e.where(col("vec_id") < 5),
           "vec_id", "embedding", dim = 64, m = 4,
-          centroids = cents, codebooks = books, nprobe = 2, topK = 10,
-          refine = 20)
+          centroids = cents, codebooks = books, codes = codes,
+          nprobe = 2, topK = 10, refine = 20)
         .orderBy("qid", "rank")
     }),
     // the ANN index-health gate: exact-L2 top-10 (bounded brute force
@@ -824,10 +834,12 @@ object LlmQueries {
       val exact = Similarity.topKL2(corpus,
         e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
       val (cents, books) = ivfPqIndexOf(d, corpus)
+      val codes = Similarity.ivfPqEncode(corpus, "vec_id", "embedding",
+        dim = 64, m = 4, centroids = cents, codebooks = books)
       val refined = Similarity.ivfPqTopKRefine(corpus,
         e.where(col("vec_id") < 5), "vec_id", "embedding", dim = 64, m = 4,
-        centroids = cents, codebooks = books, nprobe = 2, topK = 10,
-        refine = 20)
+        centroids = cents, codebooks = books, codes = codes,
+        nprobe = 2, topK = 10, refine = 20)
       Similarity.recallAtK(exact, refined, "qid", "vec_id", k = 10)
     }),
     // MMR diversified top-10 from a cosine top-30 candidate set: greedy

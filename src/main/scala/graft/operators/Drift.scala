@@ -205,12 +205,17 @@ object Drift {
       .withColumn("__cumb", sum(col("__cb")).over(w))
     val totals = joined.agg(sum(col("__ca")).as("__ta"),
       sum(col("__cb")).as("__tb"))
+    // the >0 guard of ksDistanceBy (ADVICE r9): an EMPTY side has cdf 0
+    // everywhere, so ks = 1 against any non-empty side — without it the
+    // division by 0 would bubble a NULL ks
     cum.crossJoin(broadcast(totals))
       .select(col("__ta").as("n_a"), col("__tb").as("n_b"),
-        abs(round(col("__cuma").cast("double") / col("__ta"), 12)
-            .cast(DecimalType(14, 12))
-          - round(col("__cumb").cast("double") / col("__tb"), 12)
-            .cast(DecimalType(14, 12))).as("__d"))
+        abs(when(col("__ta") > 0,
+              round(col("__cuma").cast("double") / col("__ta"), 12))
+              .otherwise(lit(0.0)).cast(DecimalType(14, 12))
+          - when(col("__tb") > 0,
+              round(col("__cumb").cast("double") / col("__tb"), 12))
+              .otherwise(lit(0.0)).cast(DecimalType(14, 12))).as("__d"))
       .groupBy(col("n_a"), col("n_b"))
       .agg(max(col("__d")).cast("double").as("ks"))
   }
@@ -253,16 +258,24 @@ object Drift {
       .withColumn("__gap", lead(col("__v"), 1).over(w) - col("__v"))
     val totals = joined.agg(sum(col("__ca")).as("__ta"),
       sum(col("__cb")).as("__tb"))
+    // empty-side guard (the ksDistance convention, ADVICE r9): an empty
+    // side's cdf is 0 everywhere, so w1 degenerates to the present
+    // side's mean-vs-min mass — never a NULL from a 0 divide
     val dcdf = abs(
-      round(col("__cuma").cast("double") / col("__ta"), 12)
-        .cast(DecimalType(14, 12))
-      - round(col("__cumb").cast("double") / col("__tb"), 12)
-        .cast(DecimalType(14, 12)))
-    cum.where(col("__gap").isNotNull) // the last value closes no interval
-      .crossJoin(broadcast(totals))
+      when(col("__ta") > 0,
+          round(col("__cuma").cast("double") / col("__ta"), 12))
+        .otherwise(lit(0.0)).cast(DecimalType(14, 12))
+      - when(col("__tb") > 0,
+          round(col("__cumb").cast("double") / col("__tb"), 12))
+        .otherwise(lit(0.0)).cast(DecimalType(14, 12)))
+    // the last value closes no interval: its term is 0 (NOT a dropped
+    // row — a single-distinct-value union must still yield the
+    // (n_a, n_b, 0.0) row, ADVICE r9)
+    cum.crossJoin(broadcast(totals))
       .select(col("__ta").as("n_a"), col("__tb").as("n_b"),
-        round(dcdf.cast("double") * col("__gap").cast("double"), 12)
-          .cast(DecimalType(38, 12)).as("__t"))
+        when(col("__gap").isNotNull,
+            round(dcdf.cast("double") * col("__gap").cast("double"), 12))
+          .otherwise(lit(0)).cast(DecimalType(38, 12)).as("__t"))
       .groupBy(col("n_a"), col("n_b"))
       .agg(sum(col("__t")).cast("double").as("w1"))
   }

@@ -141,7 +141,12 @@ object Search {
     val alternatives = pattern.split("\\|", -1).toSeq
     require(alternatives.forall(_.nonEmpty),
       s"empty alternative in '$pattern'")
-    val meta = "\\^$()[]{}?+".toSet
+    // '.' and '*' are legitimate ONLY inside the '.*' separator the
+    // split just consumed — a lone '.' or '*' surviving in a segment
+    // (e.g. 'a.c') would be indexed as a literal trigram while the
+    // rlike verify treats it as regex, so candidates would no longer
+    // be a superset and matches would silently drop (ADVICE r9).
+    val meta = "\\^$()[]{}?+.*".toSet
     val cand = alternatives.map { alt =>
       val segs = alt.split("\\.\\*", -1).toSeq
       require(segs.forall(s => s.length >= GramLen && !s.exists(meta.contains)),
@@ -171,13 +176,21 @@ object Search {
       textCol: String,
       patterns: Seq[String]): DataFrame = {
     require(patterns.nonEmpty, "need at least one pattern")
+    val clashes = df.columns.toSet
+      .intersect(Set("pattern", "__cand_id", "__need", "__ng"))
+    require(clashes.isEmpty,
+      s"input columns ${clashes.mkString(", ")} clash with substrSearchMulti's " +
+        "output/internal names — rename them first (the tokenBudgetSample convention)")
     val spark = df.sparkSession
     import spark.implicits._
-    val pg = patterns.flatMap { p =>
+    val triples = patterns.flatMap { p =>
       val gs = patternGrams(p)
       gs.map(g => (p, g, gs.length))
-    }.toDF("pattern", "gram", "__need")
-    val allGrams = pg.select("gram").as[String].collect().toSeq.distinct
+    }
+    val pg = triples.toDF("pattern", "gram", "__need")
+    // driver-side, NOT a collect round-trip through Spark: the pattern
+    // list is the query, already in hand (ADVICE r9)
+    val allGrams = triples.map(_._2).distinct
     val cand = postings.where(col("gram").isin(allGrams: _*))
       .join(broadcast(pg), Seq("gram"))
       .groupBy(col("pattern"), col("id"), col("__need"))

@@ -885,9 +885,12 @@ object Similarity {
     * full-corpus codes scan per query).
     *
     * Plan shape, in order:
-    *   - corpus → [[ivfPqEncode]] codes table (or pass a PERSISTED one
-    *     via `codes` — the index-at-rest path; the corpus is then never
-    *     read at all);
+    *   - `codes` is the [[ivfPqEncode]] output (or [[AnnIndex]].codes —
+    *     the index-at-rest path), REQUIRED: a probe never touches the
+    *     raw corpus, and there is deliberately no encode-on-the-fly
+    *     default — a caller who forgot to persist the codes would
+    *     otherwise pay a silent full-corpus encode scan per query batch
+    *     (VERDICT r9 #4, the pqTopK-codebooks precedent);
     *   - queries → ONE projection computing, per query row: its
     *     `nprobe` nearest coarse cells AND its m per-subspace ADC
     *     distance tables (array<long> of k exact integer ||q_i − c||²
@@ -926,7 +929,7 @@ object Similarity {
     * the output; ranks are dense per query. Output: (qid, rank,
     * idCol, adc). */
   def ivfPqTopK(
-      corpus: DataFrame,
+      codes: DataFrame,
       queries: DataFrame,
       idCol: String,
       embCol: String,
@@ -936,19 +939,22 @@ object Similarity {
       codebooks: Seq[Array[Seq[Long]]],
       nprobe: Int = 2,
       topK: Int = 10,
-      codes: Option[DataFrame] = None,
       broadcastQueries: Boolean = true,
       residual: Boolean = false): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m must divide dim (got dim=$dim, m=$m)")
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
     require(topK >= 1, s"topK must be >= 1 (got $topK)")
     require(centroids.nonEmpty, "ivfPqTopK needs >= 1 coarse centroid")
+    require(Set("cell", "codes").subsetOf(codes.columns.toSet) &&
+        codes.columns.contains(idCol),
+      s"codes must be an ivfPqEncode output with ($idCol, cell, codes) — " +
+        s"got [${codes.columns.mkString(", ")}]; encode once with " +
+        "ivfPqEncode/buildAnnIndex and persist, never per query batch")
     val sub = dim / m
     require(codebooks.length == m && codebooks.forall(_.forall(_.length == sub)),
       s"codebooks must be $m books of $sub-dim centroids")
-    GraftFunctions.register(corpus.sparkSession)
-    val codesTbl = codes.getOrElse(
-      ivfPqEncode(corpus, idCol, embCol, dim, m, centroids, codebooks, residual))
+    GraftFunctions.register(codes.sparkSession)
+    val codesTbl = codes
     // nprobe nearest coarse cells by the exact integer rank (c·c − 2q·c,
     // ties to the smaller cell) — the nearestCellExpr order, kept as a
     // sorted slice instead of rank 1
@@ -1025,7 +1031,10 @@ object Similarity {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val exprs = (0 until dim).flatMap { j =>
       val x = element_at(q, j + 1)
-      Seq(sum(x.cast(dec)).as(s"__s1_$j"), sum((x * x).cast(dec)).as(s"__s2_$j"))
+      // cast BEFORE the product (the aucAgg/jsd convention, ADVICE r9):
+      // a long×long square wraps silently past ~3e9 quantized units
+      Seq(sum(x.cast(dec)).as(s"__s1_$j"),
+        sum(x.cast(dec) * x.cast(dec)).as(s"__s2_$j"))
     } :+ count(lit(1)).cast(dec).as("__n")
     val row = corpus.agg(exprs.head, exprs.tail: _*).head()
     val n = BigDecimal(row.getDecimal(2 * dim))
@@ -1051,11 +1060,11 @@ object Similarity {
 
   /** FAISS-style exact re-ranking stage over [[ivfPqTopK]] (the
     * `IndexRefineFlat` wrapper): the ADC ranking nominates `refine`
-    * candidates per query, and ONLY those refine·|queries| (query,
-    * candidate) pairs pay an exact integer L2 against the raw corpus
-    * vectors — the corpus is still scanned once (the codes scan inside
-    * [[ivfPqTopK]]) plus one candidate-bounded broadcast join to fetch
-    * the nominated vectors. This repairs ADC's quantization-error
+    * candidates per query (riding the REQUIRED persisted `codes` table
+    * — the [[ivfPqTopK]] contract), and ONLY those refine·|queries|
+    * (query, candidate) pairs pay an exact integer L2 against the raw
+    * corpus vectors — one candidate-bounded broadcast join fetches the
+    * nominated vectors; the raw corpus is read for nothing else. This repairs ADC's quantization-error
     * inversions near the top: any true top-k neighbor that survives
     * into the candidate set is guaranteed a final slot (its exact
     * distance beats every non-top-k candidate's by definition), so
@@ -1072,16 +1081,16 @@ object Similarity {
       m: Int,
       centroids: Array[Seq[Long]],
       codebooks: Seq[Array[Seq[Long]]],
+      codes: DataFrame,
       nprobe: Int = 2,
       topK: Int = 10,
       refine: Int = 40,
-      codes: Option[DataFrame] = None,
       broadcastQueries: Boolean = true,
       residual: Boolean = false): DataFrame = {
     require(refine >= topK,
       s"refine must be >= topK (got refine=$refine, topK=$topK)")
-    val cand = ivfPqTopK(corpus, queries, idCol, embCol, dim, m, centroids,
-        codebooks, nprobe, refine, codes, broadcastQueries, residual)
+    val cand = ivfPqTopK(codes, queries, idCol, embCol, dim, m, centroids,
+        codebooks, nprobe, refine, broadcastQueries, residual)
       .select(col("qid"), col(idCol).as("__cid"))
     val c = prepared(corpus, idCol, embCol)
     val q = prepared(queries, idCol, embCol)
@@ -1221,7 +1230,7 @@ object Similarity {
       topK: Int = 10,
       broadcastQueries: Boolean = true): DataFrame =
     ivfPqTopK(index.codes, queries, index.idCol, embCol, index.dim, index.m,
-      index.centroids, index.codebooks, nprobe, topK, Some(index.codes),
+      index.centroids, index.codebooks, nprobe, topK,
       broadcastQueries, index.residual)
 
   /** Within-cell near-duplicate pairs against a fixed coarse quantizer:

@@ -134,6 +134,25 @@ class DriftSpec extends AnyFunSuite {
     assert(grouped("z") == (("z", 0L, 1L, 1.0)))
   }
 
+  test("KS/W1 degenerate anchors: empty side -> ks=1 not NULL; one distinct value -> W1 emits (n_a, n_b, 0.0)") {
+    // ADVICE r9: the ungrouped forms must match ksDistanceBy's empty-
+    // side contract (cdf of an empty side is 0 everywhere) instead of
+    // bubbling a NULL from the 0 divide, and a single-distinct-value
+    // union must still yield W1's one row, not an empty frame
+    val a = dfOf(Seq(1, 2, 3))
+    val empty = dfOf(Seq.empty[Long])
+    assert(Drift.ksDistance(a, empty, col("v"))
+      .select("n_a", "n_b", "ks").as[(Long, Long, Double)].head()
+      == ((3L, 0L, 1.0)))
+    assert(Drift.wasserstein1(dfOf(Seq(7, 7, 7)), dfOf(Seq(7L)), col("v"))
+      .select("n_a", "n_b", "w1").as[(Long, Long, Double)].head()
+      == ((3L, 1L, 0.0)))
+    // W1 vs an empty side integrates the present side's cdf: 1/3 + 2/3
+    assert(Drift.wasserstein1(a, empty, col("v"))
+      .select("n_a", "n_b", "w1").as[(Long, Long, Double)].head()
+      == ((3L, 0L, 1.0)))
+  }
+
   test("drift ops ignore NULL values/labels") {
     val withNull = Seq(Some(1.0), None, Some(2.0)).toDF("v")
     assert(Drift.ksDistance(withNull, withNull, col("v"))

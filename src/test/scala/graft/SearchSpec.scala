@@ -81,6 +81,16 @@ class SearchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Search.regexSearch(docs, postings, "id", "text", "quick|")
     }
+    // ADVICE r9: a lone '.' or '*' in a segment (outside the '.*'
+    // separator) would index as a literal trigram while rlike treats it
+    // as regex — the superset contract demands a fail-fast, not a
+    // silent drop
+    intercept[IllegalArgumentException] {
+      Search.regexSearch(docs, postings, "id", "text", "qu.ck")
+    }
+    intercept[IllegalArgumentException] {
+      Search.regexSearch(docs, postings, "id", "text", "quicc*k.*lazy")
+    }
   }
 
   test("multi-pattern == per-pattern union, one probe") {
@@ -89,6 +99,45 @@ class SearchSpec extends AnyFunSuite {
       .select("pattern", "id").as[(String, Long)].collect().toSet
     val want = pats.flatMap(p => scanIds(p).map(p -> _)).toSet
     assert(got == want)
+  }
+
+  test("substrSearchMulti: reserved output columns fail fast") {
+    val clash = docs.withColumn("pattern", lit("x"))
+    val e = intercept[IllegalArgumentException] {
+      Search.substrSearchMulti(clash, postings, "id", "text", Seq("quick"))
+    }
+    assert(e.getMessage.contains("pattern"))
+  }
+
+  test("substrSearchMulti: plan construction launches zero Spark jobs (grams derive driver-side)") {
+    // VERDICT r9 #5: the pattern->gram table used to round-trip a
+    // driver literal through a collect — one pointless job per probe.
+    // Pin: constructing the probe frame schedules NO job; a sentinel
+    // job fences the (FIFO) listener bus so the assertion is not racy.
+    import scala.jdk.CollectionConverters._
+    val sc = spark.sparkContext
+    val seen = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        seen.add(Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id", "")).getOrElse(""))
+    }
+    sc.addSparkListener(l)
+    try {
+      Search.substrSearchMulti(docs, postings, "id", "text",
+        Seq("quick", "the lazy"))
+      sc.setJobGroup("graft_sentinel", "listener fence")
+      try sc.parallelize(1 to 1, 1).count()
+      finally sc.clearJobGroup()
+      val deadline = System.currentTimeMillis() + 30000
+      while (!seen.asScala.contains("graft_sentinel")
+          && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      val groups = seen.asScala.toList
+      assert(groups.contains("graft_sentinel"), s"sentinel never observed: $groups")
+      assert(groups.forall(_ == "graft_sentinel"),
+        s"probe construction must schedule no Spark jobs, saw: $groups")
+    } finally sc.removeSparkListener(l)
   }
 
   test("short/empty/null docs contribute no postings but scan still finds short docs") {
