@@ -88,6 +88,19 @@ object LlmQueries {
   /** q_bpe_* merge-rule count, single-sourced with the oracle replay. */
   private[graft] val BpeMerges = 8
 
+  /** q_bpe_learn_deep's merge CAP — the production-shaped run (VERDICT
+    * r9 #1): [[graft.operators.Bpe.bpeLearnDelta]] trains until the
+    * documents vocabulary EXHAUSTS (every word fully merged, ~89 rounds
+    * at sf0.01), far under this cap, at zero Spark jobs per round. */
+  private[graft] val BpeDeepMerges = 512
+
+  /** Unrolled oracle rounds for the deep replay — must exceed the
+    * exhaustion point (the extra rounds see an empty pair table and
+    * emit nothing, exactly like the trainer's early stop) while staying
+    * under DuckDB's expression-depth limit (the chain binds ~4 CTEs per
+    * round; ≥250 rounds trips the 1000 cap). */
+  private[graft] val BpeDeepOracleRounds = 100
+
   // q_bpe_*'s fit-once merge rules per data dir (a tokenizer is index
   // state at rest: train once, tokenize every downstream query)
   private val bpeMergesCache =
@@ -955,6 +968,14 @@ object LlmQueries {
     // iterations; argmax by (count desc, pair asc), exact integer sums
     "q_bpe_learn" -> ((s, d) =>
       Bpe.mergesDf(s, bpeMergesOf(s, d)).orderBy("iter")),
+    // the PRODUCTION trainer at a 512-merge cap: delta-maintained pair
+    // counts over the one-scan vocab statistic (zero Spark jobs per
+    // round) running to full vocabulary exhaustion; the oracle replays
+    // the re-aggregating algorithm round by round, so the hash match IS
+    // the delta == reagg certificate at driver-gate level
+    "q_bpe_learn_deep" -> ((s, d) =>
+      Bpe.mergesDf(s, Bpe.bpeLearnDelta(T(s, d, "documents"), "text",
+        merges = BpeDeepMerges)).orderBy("iter")),
     // per-document subword token counts under the fit-once rules — the
     // replace-chain tokenizer is pure codegen, zero shuffle
     "q_bpe_tokens" -> ((s, d) =>
@@ -1932,6 +1953,39 @@ object LlmQueries {
     s"$w0, $its"
   }
 
+  /** The q_bpe_learn_deep replay: same per-round algebra as
+    * [[bpeLearnCtes]], but the merge HISTORY accumulates through a
+    * chained m`i` CTE (one shallow UNION ALL per round) instead of one
+    * [[BpeDeepOracleRounds]]-way UNION at the end — a 100+-branch union
+    * nests past DuckDB's expression-depth cap. Rounds past vocabulary
+    * exhaustion see an empty pc`i`, emit no b`i` row, and carry m`i`
+    * forward unchanged — exactly the trainer's early stop. */
+  private def bpeLearnDeepSql(iters: Int): String = {
+    val w0 = ("w0 AS MATERIALIZED (SELECT"
+      + " ' ' || array_to_string([w[i] for i in range(1, len(w)+1)], '  ') || ' ' AS sym,"
+      + " count(*)::BIGINT AS f FROM"
+      + " (SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
+      + " WHERE len(w) > 0 GROUP BY 1)")
+    val m0 = ("m0 AS (SELECT 0::BIGINT AS iter, '' AS left_sym,"
+      + " '' AS right_sym, 0::BIGINT AS cnt WHERE false)")
+    val its = (1 to iters).map { i =>
+      (s"pc$i AS MATERIALIZED (SELECT p AS pair, sum(f)::BIGINT AS cnt FROM"
+        + s" (SELECT unnest([l[j] || ' ' || l[j+1] for j in range(1, len(l))]) AS p, f FROM"
+        + s" (SELECT string_split(trim(sym), '  ') AS l, f FROM w${i - 1})) GROUP BY 1),"
+        + s" b$i AS MATERIALIZED (SELECT pair, cnt,"
+        + " ' ' || replace(pair, ' ', '  ') || ' ' AS pat,"
+        + " ' ' || replace(pair, ' ', '') || ' ' AS rep"
+        + s" FROM pc$i ORDER BY cnt DESC, pair LIMIT 1),"
+        + s" w$i AS MATERIALIZED (SELECT replace(w.sym, b.pat, b.rep) AS sym, w.f"
+        + s" FROM w${i - 1} w CROSS JOIN b$i b),"
+        + s" m$i AS MATERIALIZED (SELECT * FROM m${i - 1} UNION ALL"
+        + s" SELECT $i::BIGINT, string_split(pair, ' ')[1],"
+        + s" string_split(pair, ' ')[2], cnt FROM b$i)")
+    }.mkString(", ")
+    (s"WITH $w0, $m0, $its"
+      + s" SELECT iter, left_sym, right_sym, cnt FROM m$iters ORDER BY iter")
+  }
+
   /** The q_bpe_tokens / q_pack_bpe token-count expression: each word
     * pads to the symbol string, folds through the b1..b8 replace chain
     * in rule order, splits on the double-space separator; the doc's
@@ -2714,6 +2768,7 @@ object LlmQueries {
                 + s" string_split(pair, ' ')[2] AS right_sym, cnt FROM b$i")
             .mkString(" UNION ALL ")
           + ") ORDER BY iter"),
+      "q_bpe_learn_deep" -> bpeLearnDeepSql(BpeDeepOracleRounds),
       "q_bpe_tokens" ->
         (s"WITH ${bpeLearnCtes(BpeMerges)}"
           + s" SELECT doc_id, $bpeTokCountSql AS n_tokens"

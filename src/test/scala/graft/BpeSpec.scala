@@ -64,8 +64,48 @@ class BpeSpec extends AnyFunSuite {
     val m = Bpe.bpeLearn(df, "text", merges = 5)
     assert(m.map(x => (x.left_sym, x.right_sym, x.cnt)) == Seq(("a", "b", 3L)))
     intercept[IllegalArgumentException] { Bpe.bpeLearn(df, "text", 0) }
-    intercept[IllegalArgumentException] { Bpe.bpeLearn(df, "text", 65) }
+    intercept[IllegalArgumentException] { Bpe.bpeLearn(df, "text", Bpe.MaxMerges + 1) }
     intercept[IllegalArgumentException] { Bpe.bpeTokenize(col("text"), Seq.empty) }
+  }
+
+  test("bpeLearnDelta == bpeLearn through full vocabulary exhaustion (delta == reagg, the scanChunked convention)") {
+    // a letter-diverse fixture whose exhaustion takes >100 merges, so
+    // the delta paths (pair create/destroy, count decrement, stale-heap
+    // discard, tie-breaks) all exercise against the re-aggregating form
+    val abc = "abcdefghij"
+    val texts = (0 until 60).map { i =>
+      val w = (0 until 5 + i % 3).map(j => abc((i * 7 + j * 3) % abc.length)).mkString
+      Seq.fill(1 + i % 4)(w).mkString(" ")
+    }
+    val df = corpus(texts: _*)
+    val reagg = Bpe.bpeLearn(df, "text", merges = Bpe.MaxMerges)
+    val delta = Bpe.bpeLearnDelta(df, "text", merges = Bpe.MaxMerges)
+    assert(reagg.size > 30 && reagg.size < Bpe.MaxMerges,
+      s"fixture should exhaust mid-run, got ${reagg.size} merges")
+    assert(delta == reagg,
+      s"delta diverged from reagg at ${delta.zip(reagg).indexWhere(p => p._1 != p._2)}")
+  }
+
+  test("bpeLearnDelta == bpeLearn on the real documents table") {
+    val docs = TestSpark.table("0.001", "documents")
+    val reagg = Bpe.bpeLearn(docs, "text", merges = 24)
+    val delta = Bpe.bpeLearnDelta(docs, "text", merges = 24)
+    assert(delta == reagg)
+  }
+
+  test("bpeLearnDelta: minFreq prunes the noise tail; maxVocab fail-fast; cap bounds") {
+    // 'aa' x2 survives minFreq=2, singleton 'bb'/'cc' drop out
+    val df = corpus("aa aa bb cc")
+    val m = Bpe.bpeLearnDelta(df, "text", merges = 5, minFreq = 2L)
+    assert(m.map(x => (x.left_sym, x.right_sym, x.cnt)) == Seq(("a", "a", 2L)))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.bpeLearnDelta(df, "text", merges = 5, maxVocab = 2)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+    intercept[IllegalArgumentException] { Bpe.bpeLearnDelta(df, "text", 0) }
+    intercept[IllegalArgumentException] {
+      Bpe.bpeLearnDelta(df, "text", Bpe.MaxMergesDelta + 1)
+    }
   }
 
   test("tokenizer at rest: mergesDf -> parquet -> mergesFrom round-trips the exact rules") {
