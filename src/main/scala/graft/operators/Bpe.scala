@@ -177,7 +177,10 @@ object Bpe {
       merges: Int): Seq[Merge] = {
     import scala.collection.mutable
     val counts = mutable.HashMap.empty[String, Long]
-    val occurs = mutable.HashMap.empty[String, mutable.BitSet]
+    // sparse membership — a dense BitSet would size by the MAX word
+    // index per pair (~25 KB for a 3-member rare pair; the merged-
+    // symbol pair space grows into the 100k's and OOMs the driver)
+    val occurs = mutable.HashMap.empty[String, mutable.HashSet[Int]]
     // heap of (count, pairKey) snapshots; max = (count desc, key asc)
     val ord: Ordering[(Long, String)] = (p, q) =>
       if (p._1 != q._1) java.lang.Long.compare(p._1, q._1)
@@ -191,8 +194,8 @@ object Bpe {
       pairsOf(s).foreach { k =>
         val c = counts.getOrElse(k, 0L) + sign * freqs(idx)
         if (c == 0L) counts.remove(k) else counts(k) = c
-        val occ = occurs.getOrElseUpdate(k, mutable.BitSet.empty)
-        if (sign > 0) occ += idx
+        if (sign > 0)
+          occurs.getOrElseUpdate(k, mutable.HashSet.empty) += idx
         touched += k
       }
 
@@ -212,6 +215,7 @@ object Bpe {
         val touched = mutable.Set.empty[String]
         hit.foreach { idx =>
           val s = words(idx)
+          val before = pairsOf(s).toSet
           addWord(idx, s, -1L, touched)
           // left-to-right non-overlapping merge — the `replace` scan
           val b = Array.newBuilder[String]
@@ -223,17 +227,18 @@ object Bpe {
           }
           words(idx) = b.result()
           addWord(idx, words(idx), 1L, touched)
+          // membership diff PER WORD (a touched × hit sweep here is
+          // quadratic in pair density — the 2048-merge stress receipt
+          // caught it at 350 ms/merge): drop this word from the pairs
+          // it no longer contains
+          (before -- pairsOf(words(idx)).toSet)
+            .foreach(k => occurs.get(k).foreach(_ -= idx))
         }
-        // occurrence sets: drop words that no longer contain a touched
-        // pair (addWord only ever adds membership)
+        // refresh heap snapshots once per distinct touched pair; free
+        // dead pairs entirely
         touched.foreach { k =>
-          occurs.get(k).foreach { occ =>
-            hit.foreach { idx =>
-              if (occ.contains(idx) && !pairsOf(words(idx)).contains(k))
-                occ -= idx
-            }
-          }
-          counts.get(k).foreach(c2 => heap.enqueue((c2, k)))
+          if (!counts.contains(k)) occurs.remove(k)
+          else heap.enqueue((counts(k), k))
         }
         out += Merge(iter.toLong, l, r, c)
         iter += 1

@@ -280,6 +280,64 @@ object Drift {
       .agg(sum(col("__t")).cast("double").as("w1"))
   }
 
+  /** Grouped W1 — [[wasserstein1]] per key (the [[ksDistanceBy]] twin):
+    * per-source drift in the value's own units. The cumulative and
+    * lead windows partition by the group columns, `maxDistinct` bounds
+    * the per-GROUP distinct cardinality, and the empty-side /
+    * single-value guards match the ungrouped form (a group absent from
+    * one slice integrates the present side's cdf; a one-value group
+    * emits (by..., n_a, n_b, 0.0)). */
+  def wasserstein1By(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: Column,
+      by: Seq[String],
+      maxDistinct: Long = 1L << 22): DataFrame = {
+    require(by.nonEmpty, "wasserstein1By needs >= 1 group column (use wasserstein1)")
+    val keys = by.map(col)
+    val va = a.select(keys :+ valueCol.as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .groupBy(keys :+ col("__v"): _*).agg(count(lit(1)).as("__ca"))
+    val vb = b.select(keys :+ valueCol.as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .groupBy(keys :+ col("__v"): _*).agg(count(lit(1)).as("__cb"))
+    val joined = va.join(vb, by :+ "__v", "full_outer")
+      .select(keys :+ col("__v") :+
+        coalesce(col("__ca"), lit(0L)).as("__ca") :+
+        coalesce(col("__cb"), lit(0L)).as("__cb"): _*)
+    if (maxDistinct > 0) {
+      val nd = joined.groupBy(keys: _*).agg(count(lit(1)).as("__nd"))
+        .agg(max(col("__nd"))).head()
+      val worst = if (nd.isNullAt(0)) 0L else nd.getLong(0)
+      require(worst <= maxDistinct,
+        s"wasserstein1By's per-group window sorts per-group distinct values:" +
+          s" worst group has $worst > maxDistinct=$maxDistinct — quantize" +
+          " the value (round(v, 6)) or raise the bound deliberately")
+    }
+    val w = Window.partitionBy(keys: _*).orderBy(col("__v"))
+    val cumW = w.rowsBetween(Window.unboundedPreceding, 0)
+    val cum = joined
+      .withColumn("__cuma", sum(col("__ca")).over(cumW))
+      .withColumn("__cumb", sum(col("__cb")).over(cumW))
+      .withColumn("__gap", lead(col("__v"), 1).over(w) - col("__v"))
+    val totals = joined.groupBy(keys: _*)
+      .agg(sum(col("__ca")).as("__ta"), sum(col("__cb")).as("__tb"))
+    val dcdf = abs(
+      when(col("__ta") > 0,
+          round(col("__cuma").cast("double") / col("__ta"), 12))
+        .otherwise(lit(0.0)).cast(DecimalType(14, 12))
+      - when(col("__tb") > 0,
+          round(col("__cumb").cast("double") / col("__tb"), 12))
+        .otherwise(lit(0.0)).cast(DecimalType(14, 12)))
+    cum.join(totals, by)
+      .select(keys :+ col("__ta").as("n_a") :+ col("__tb").as("n_b") :+
+        when(col("__gap").isNotNull,
+            round(dcdf.cast("double") * col("__gap").cast("double"), 12))
+          .otherwise(lit(0)).cast(DecimalType(38, 12)).as("__t"): _*)
+      .groupBy(keys.map(k => k) :+ col("n_a") :+ col("n_b"): _*)
+      .agg(sum(col("__t")).cast("double").as("w1"))
+  }
+
   /** Jensen-Shannon divergence between a BASE and a CURRENT slice over
     * a caller-provided bin expression (tokens, buckets...): per-bin
     * rows (bin, n_base, n_cur, jsd_term) with JSD = sum(jsd_term) ∈
@@ -320,6 +378,45 @@ object Drift {
       .select(col("bin"), col("n_base"), col("n_cur"), col("jsd_term"))
   }
 
+  /** Grouped JSD — [[jsd]] per key (the [[psiBy]] twin): the data-card
+    * drift statistic per source/language. Same smoothing and quantized
+    * grids; per-group totals (and the bin-count shift) through one
+    * aggregation + one group join. Output (by..., bin, n_base, n_cur,
+    * jsd_term), JSD per group = sum(jsd_term) over its bins. */
+  def jsdBy(
+      base: DataFrame,
+      current: DataFrame,
+      binCol: Column,
+      by: Seq[String]): DataFrame = {
+    require(by.nonEmpty, "jsdBy needs >= 1 group column (use jsd)")
+    val keys = by.map(col)
+    val ca = base.select(keys :+ binCol.as("bin"): _*)
+      .groupBy(keys :+ col("bin"): _*).agg(count(lit(1)).as("__na"))
+    val cb = current.select(keys :+ binCol.as("bin"): _*)
+      .groupBy(keys :+ col("bin"): _*).agg(count(lit(1)).as("__nb"))
+    val joined = ca.join(cb, by :+ "bin", "full_outer")
+      .select(keys :+ col("bin") :+
+        coalesce(col("__na"), lit(0L)).as("n_base") :+
+        coalesce(col("__nb"), lit(0L)).as("n_cur"): _*)
+    val totals = joined.groupBy(keys: _*)
+      .agg(sum(col("n_base")).as("__ta"), sum(col("n_cur")).as("__tb"),
+        count(lit(1)).as("__k"))
+    val cA = col("n_base") + 1; val cB = col("n_cur") + 1
+    val tA = col("__ta") + col("__k"); val tB = col("__tb") + col("__k")
+    def d(c: Column): Column = c.cast(DecimalType(19, 0))
+    val mix = d(cA) * d(tB) + d(cB) * d(tA)
+    val pA = round(cA.cast("double") / tA, 12).cast(DecimalType(14, 12))
+    val pB = round(cB.cast("double") / tB, 12).cast(DecimalType(14, 12))
+    val lnRA = lnQ(d(cA) * d(tB) * lit(2)) - lnQ(mix)
+    val lnRB = lnQ(d(cB) * d(tA) * lit(2)) - lnQ(mix)
+    joined.join(totals, by)
+      .withColumn("jsd_term",
+        round(lit(0.5) * (pA.cast("double") * lnRA.cast("double")
+          + pB.cast("double") * lnRB.cast("double")), 12))
+      .select(keys :+ col("bin") :+ col("n_base") :+ col("n_cur") :+
+        col("jsd_term"): _*)
+  }
+
   /** Reliability-diagram bins for a [0,1] prediction against a boolean
     * label: (bin, n, avg_pred, frac_pos) per occupied decile-style bin
     * (bin = floor(pred·nBins) clamped to nBins−1). A calibrated
@@ -344,6 +441,31 @@ object Drift {
         round(sum(col("__y")).cast("double") / count(lit(1)), 12).as("frac_pos"))
   }
 
+  /** Grouped reliability bins — [[calibrationBins]] per key: the
+    * per-source calibration check (a classifier can be calibrated
+    * corpus-wide while badly off on one domain). ONE hash aggregation
+    * on (by..., bin). */
+  def calibrationBinsBy(
+      df: DataFrame,
+      pred: Column,
+      label: Column,
+      by: Seq[String],
+      nBins: Int = 10): DataFrame = {
+    require(by.nonEmpty, "calibrationBinsBy needs >= 1 group column (use calibrationBins)")
+    require(nBins >= 2, s"nBins must be >= 2 (got $nBins)")
+    val keys = by.map(col)
+    val p = round(pred, 6).cast(DecimalType(18, 6))
+    val y = label.cast("boolean")
+    df.where(pred.isNotNull && label.isNotNull)
+      .select(keys :+
+        least(floor(p * nBins).cast("long"), lit(nBins - 1L)).as("bin") :+
+        p.as("__p") :+ y.cast("long").as("__y"): _*)
+      .groupBy(keys :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__p")).cast("double") / count(lit(1)), 12).as("avg_pred"),
+        round(sum(col("__y")).cast("double") / count(lit(1)), 12).as("frac_pos"))
+  }
+
   /** Brier score (mean squared error of a [0,1] prediction against the
     * boolean outcome): one row (n, brier). Terms square on the exact
     * decimal grid — (p − y) as decimal(12,6), squared to
@@ -355,6 +477,25 @@ object Drift {
       .cast(DecimalType(12, 6))
     df.where(pred.isNotNull && label.isNotNull)
       .select((e * e).cast(DecimalType(25, 12)).as("__sq"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__sq")).cast("double") / count(lit(1)), 12).as("brier"))
+  }
+
+  /** Grouped Brier — [[brierScore]] per key: one row (by..., n, brier)
+    * per group, same exact-decimal term grid, ONE hash aggregation. */
+  def brierScoreBy(
+      df: DataFrame,
+      pred: Column,
+      label: Column,
+      by: Seq[String]): DataFrame = {
+    require(by.nonEmpty, "brierScoreBy needs >= 1 group column (use brierScore)")
+    val keys = by.map(col)
+    val p = round(pred, 6).cast(DecimalType(12, 6))
+    val e = (p - label.cast("boolean").cast("int").cast(DecimalType(12, 6)))
+      .cast(DecimalType(12, 6))
+    df.where(pred.isNotNull && label.isNotNull)
+      .select(keys :+ (e * e).cast(DecimalType(25, 12)).as("__sq"): _*)
+      .groupBy(keys: _*)
       .agg(count(lit(1)).as("n"),
         round(sum(col("__sq")).cast("double") / count(lit(1)), 12).as("brier"))
   }

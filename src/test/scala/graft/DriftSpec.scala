@@ -134,6 +134,64 @@ class DriftSpec extends AnyFunSuite {
     assert(grouped("z") == (("z", 0L, 1L, 1.0)))
   }
 
+  test("wasserstein1By == per-group wasserstein1 (incl. one-sided groups)") {
+    val a = Seq(("x", 1L), ("x", 2L), ("y", 5L)).toDF("g", "v")
+    val b = Seq(("x", 2L), ("x", 3L), ("z", 9L)).toDF("g", "v")
+    val grouped = Drift.wasserstein1By(a, b, col("v"), Seq("g"))
+      .select("g", "n_a", "n_b", "w1")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(grouped.keySet == Set("x", "y", "z"))
+    for (g <- Seq("x", "y", "z")) {
+      val single = Drift.wasserstein1(a.where(col("g") === g),
+          b.where(col("g") === g), col("v"))
+        .select("n_a", "n_b", "w1").as[(Long, Long, Double)].head()
+      assert(grouped(g) == ((g, single._1, single._2, single._3)), s"group $g")
+    }
+    // one-sided single-value groups emit the 0.0 row, not nothing
+    assert(grouped("y") == (("y", 1L, 0L, 0.0)))
+  }
+
+  test("jsdBy == per-group jsd; one-sided groups still emit smoothed rows") {
+    val a = Seq(("en", 1L), ("en", 1L), ("en", 2L), ("de", 5L)).toDF("g", "v")
+    val b = Seq(("en", 1L), ("en", 2L), ("en", 2L), ("fr", 9L)).toDF("g", "v")
+    val grouped = Drift.jsdBy(a, b, col("v"), Seq("g"))
+      .select("g", "bin", "n_base", "n_cur", "jsd_term")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    for (g <- Seq("en", "de", "fr")) {
+      val single = Drift.jsd(a.where(col("g") === g), b.where(col("g") === g),
+          col("v"))
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => (g, r._1, r._2, r._3, r._4)).toSet
+      assert(grouped.filter(_._1 == g) == single, s"group $g")
+    }
+  }
+
+  test("calibrationBinsBy/brierScoreBy == per-group singles") {
+    val df = Seq(("s0", 0.05, false), ("s0", 0.05, true), ("s0", 0.95, true),
+      ("s1", 1.0, true), ("s1", 0.5, false)).toDF("src", "p", "y")
+    val gb = Drift.calibrationBinsBy(df, col("p"), col("y"), Seq("src"))
+      .select("src", "bin", "n", "avg_pred", "frac_pos")
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    val gs = Seq("s0", "s1").flatMap { s =>
+      Drift.calibrationBins(df.where(col("src") === s), col("p"), col("y"))
+        .as[(Long, Long, Double, Double)].collect()
+        .map(r => (s, r._1, r._2, r._3, r._4))
+    }.toSet
+    assert(gb == gs)
+    val bb = Drift.brierScoreBy(df, col("p"), col("y"), Seq("src"))
+      .select("src", "n", "brier")
+      .as[(String, Long, Double)].collect().toSet
+    val bs = Seq("s0", "s1").map { s =>
+      val r = Drift.brierScore(df.where(col("src") === s), col("p"), col("y"))
+        .as[(Long, Double)].head()
+      (s, r._1, r._2)
+    }.toSet
+    assert(bb == bs)
+    intercept[IllegalArgumentException] {
+      Drift.brierScoreBy(df, col("p"), col("y"), Seq.empty)
+    }
+  }
+
   test("KS/W1 degenerate anchors: empty side -> ks=1 not NULL; one distinct value -> W1 emits (n_a, n_b, 0.0)") {
     // ADVICE r9: the ungrouped forms must match ksDistanceBy's empty-
     // side contract (cdf of an empty side is 0 everywhere) instead of

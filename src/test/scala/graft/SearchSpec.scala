@@ -140,6 +140,32 @@ class SearchSpec extends AnyFunSuite {
     } finally sc.removeSparkListener(l)
   }
 
+  test("PostingsIndex maintenance: append == rebuild; removed == never-present; parquet round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-postidx").toString
+    // append ≡ from-scratch build on the union, row for row
+    val rolled = Search.appendToPostings(
+      Search.buildPostingsIndex(docs.where(col("id") <= 4), "id", "text"),
+      docs.where(col("id") > 4), "text")
+    val full = Search.buildPostingsIndex(docs, "id", "text")
+    assert(rolled.postings.collect().map(_.toSeq).toSet
+      == full.postings.collect().map(_.toSeq).toSet)
+    // removed ≡ never-present: drop doc 1; a probe that WOULD match it
+    // ('quick') must no longer surface it, even though the corpus frame
+    // still carries its text
+    val removed = Search.removeFromPostings(full, Seq(1L).toDF("id"))
+    val neverPresent = Search.buildPostingsIndex(
+      docs.where(col("id") =!= 1L), "id", "text")
+    assert(removed.postings.collect().map(_.toSeq).toSet
+      == neverPresent.postings.collect().map(_.toSeq).toSet)
+    assert(Search.substrSearch(docs, removed.postings, "id", "text", "quick")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    // compaction round-trips the postings and the params meta
+    val compacted = Search.compactPostings(removed, dir)
+    assert(compacted.idCol == "id" && compacted.gramLen == Search.GramLen)
+    assert(compacted.postings.collect().map(_.toSeq).toSet
+      == removed.postings.collect().map(_.toSeq).toSet)
+  }
+
   test("short/empty/null docs contribute no postings but scan still finds short docs") {
     val ids = postings.select("id").distinct().as[Long].collect().toSet
     assert(!ids.contains(5L) && !ids.contains(6L) && !ids.contains(7L))
