@@ -127,6 +127,46 @@ object CurationQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // THE END-TO-END CURATION FLAGSHIP (VERDICT r9 #8) — one chained
+    // declarative plan, each stage consuming the previous stage's frame
+    // (never re-deriving it from the corpus):
+    //   gopher quality gate -> normalize + exact keep-first ->
+    //   near-dup keep-first -> eval decontamination ->
+    //   token-budget mixture sample -> shard layout rollup.
+    // Output: one row per shard with doc/token counts and a content
+    // checksum, so every upstream stage's effect is hash-visible. The
+    // oracle replays all six stages as one WITH chain (brute-force
+    // Jaccard for the near-dup stage — the LSH index must be invisible).
+    "q_curation_e2e" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val base = T(s, d, "documents").where(col("text").isNotNull)
+      val passed = TextAnalysis.gopherFlags(base, "text")
+        .where(col("gopher_pass"))
+        .select(base.columns.map(col).toIndexedSeq: _*)
+      val ex = Dedup.dropDuplicatesKeepFirst(
+        passed.withColumn("canon", TextAnalysis.normalizeText(col("text"))),
+        "doc_id", "canon").drop("canon")
+      val near = Dedup.nearDupDedup(ex, "doc_id", "text",
+        n = 3, threshold = 0.5, bands = 32, rows = 4)
+      val train = near.where(!col("source").isin(EvalSrc: _*))
+      val contam = NgramOverlap.contaminatedDocs(train,
+          base.where(col("source").isin(EvalSrc: _*)),
+          "doc_id", "text", n = 5, broadcastEval = true)
+        .select(col("doc_id").as("__contam_id"))
+      val decon = train.join(contam,
+        col("doc_id") === col("__contam_id"), "left_anti")
+      val sampled = Sampling.tokenBudgetSample(
+        decon.withColumn("toks", size(split(col("text"), " ")).cast("long")),
+        "source", "toks", budget = 8000L,
+        weights = LlmQueries.TokenBudgetWeights,
+        key = Sampling.textKey(col("text")), salt = 9)
+      Layout.shardAssign(sampled, Sampling.textKey(col("text")),
+          shards = 8, salt = 11)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_tokens"),
+          sum(Sampling.textKey(col("text"))).as("checksum"))
+        .orderBy("shard")
+    }),
     // exact 5-gram decontamination (GPT-3 style): train docs sharing any
     // exact word 5-gram with the eval sources; eval gram set broadcast
     "q_contaminated" -> ((s, d) => {
@@ -892,6 +932,54 @@ object CurationQueries {
       + " GROUP BY 1 ORDER BY 1")
 
   def oracleSql: Map[String, String] = Map(
+    // the six-stage flagship replayed as ONE WITH chain: gopher pass ->
+    // normalized keep-first -> brute-force-Jaccard near-dup keep-first
+    // (the LSH index must be invisible) -> 5-gram decontamination ->
+    // token-budget thresholds (exact HUGEINT cross-multiplication) ->
+    // shard rollup via the shared bucket/fingerprint fragments
+    "q_curation_e2e" -> {
+      val flags = TextAnalysis.gopherFlagsSql("text", "w")
+      val pass = flags.map(_._2).mkString("(", " AND ", ")")
+      val canon = TextAnalysis.normalizeTextSql("text")
+      val evalIn = EvalSrc.map("'" + _ + "'").mkString(",")
+      val vals = LlmQueries.TokenBudgetWeights
+        .map { case (s0, w) => s"('$s0', ${w}::BIGINT)" }.mkString(", ")
+      val wsum = LlmQueries.TokenBudgetWeights.map(_._2).sum
+      val jac = ("len(list_intersect(a.sh, b.sh))::DOUBLE"
+        + " / len(list_distinct(list_concat(a.sh, b.sh)))")
+      val gram5 = ("CASE WHEN len(w) >= 5 THEN"
+        + " list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)])"
+        + " ELSE [array_to_string(w, ' ')] END")
+      ("WITH b0 AS (SELECT doc_id, source, text, string_split(text, ' ') w"
+        + " FROM documents WHERE text IS NOT NULL),"
+        + s" gp AS (SELECT doc_id, source, text FROM b0 WHERE $pass),"
+        + " exd AS (SELECT doc_id, source, text FROM (SELECT doc_id, source, text,"
+        + s" min(doc_id) OVER (PARTITION BY $canon) AS k FROM gp) WHERE doc_id = k),"
+        + " sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN"
+        + " list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])"
+        + " ELSE [text] END AS sh FROM (SELECT doc_id, text, string_split(text, ' ') w FROM exd)),"
+        + s" dup AS (SELECT DISTINCT b.doc_id AS id FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND $jac >= 0.5),"
+        + " nr AS (SELECT doc_id, source, text FROM exd WHERE doc_id NOT IN (SELECT id FROM dup)),"
+        + s" tr AS (SELECT doc_id, source, text FROM nr WHERE source NOT IN ($evalIn)),"
+        + s" tg AS (SELECT doc_id, unnest($gram5) AS gr FROM"
+        + " (SELECT doc_id, string_split(text, ' ') w FROM tr)),"
+        + s" ev AS (SELECT DISTINCT unnest($gram5) AS gr FROM"
+        + " (SELECT string_split(text, ' ') w FROM documents"
+        + s" WHERE source IN ($evalIn) AND text IS NOT NULL)),"
+        + " ct AS (SELECT DISTINCT doc_id FROM tg SEMI JOIN ev USING (gr)),"
+        + " dc AS (SELECT doc_id, source, text FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM ct)),"
+        + " f AS (SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS toks,"
+        + s" ${fpSql("text")} AS h FROM dc),"
+        + s" w2(source, tw) AS (VALUES $vals),"
+        + " ts AS (SELECT source, sum(toks)::BIGINT AS t FROM f GROUP BY 1),"
+        + " r AS (SELECT w2.source, w2.tw, ts.t FROM w2 JOIN ts USING (source)),"
+        + s" sel AS (SELECT f.toks, f.h, ${Sampling.bucketSql("f.h", 9)} AS u,"
+        + " r.tw, r.t FROM f JOIN r USING (source)),"
+        + s" kept AS (SELECT * FROM sel WHERE u::HUGEINT * t * $wsum < ${Sampling.M}::HUGEINT * 8000 * tw)"
+        + s" SELECT (${Sampling.bucketSql("h", 11)}) % 8 AS shard, count(*) AS n_docs,"
+        + " sum(toks)::BIGINT AS sum_tokens, sum(h)::BIGINT AS checksum"
+        + " FROM kept GROUP BY 1 ORDER BY 1")
+    },
     "q_contaminated" -> ContaminatedSql,
     "q_contaminated_bloom" -> ContaminatedSql,
     "q_dupgrams" ->
