@@ -433,6 +433,64 @@ object Stress {
         embs.where(col("vec_id") < 5), "embedding", nprobe = 2, topK = 10).count()
       idx2.codes.unpersist(false); c
     }
+    // ANN tuning sweep at cells >> nprobe (VERDICT r9 #7): the
+    // deploy-time (nprobe, m*k, refine) table the recall gates feed.
+    // Corpus = 64 DISTINCT-vector replicas (per-replica, per-dim
+    // deterministic perturbation — duplicates would tie every top-k);
+    // probe cost per query is nprobe * occupancy candidates, NOT n.
+    if (opFilter("annSweep")) {
+      val eBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val reps = 64
+      val big = (0 until reps).map { i =>
+        eBase.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            (x + ((lit(i * 31) + j * lit(7)) % 11 - 5).cast("float") * lit(0.01f))
+              .cast("float")).as("embedding"))
+      }.reduce(_ unionByName _).persist()
+      val queries = big.where(col("vec_id") < 20)
+      val corpus = big.where(col("vec_id") >= 20)
+      val nCorpus = corpus.count()
+      val cents = Similarity.ivfTrain(corpus, "embedding", cells = 256, seed = 7L)
+      val occ = nCorpus / cents.length
+      val exact = Similarity.topKL2(corpus, queries, "vec_id", "embedding", k = 10)
+        .persist()
+      exact.count()
+      println(s"[stress] annSweep corpus=$nCorpus cells=${cents.length} occupancy~$occ")
+      for (m <- Seq(4, 8)) {
+        val books = Similarity.pqFit(corpus, "vec_id", "embedding",
+          dim = 64, m = m, k = 16, iters = 2)
+        val codes = Similarity.ivfPqEncode(corpus, "vec_id", "embedding",
+          64, m, cents, books).persist()
+        codes.count()
+        for (nprobe <- Seq(1, 2, 4, 8, 16)) {
+          val t0 = System.nanoTime()
+          val approx = Similarity.ivfPqTopK(codes, queries, "vec_id", "embedding",
+            64, m, cents, books, nprobe = nprobe, topK = 10).persist()
+          approx.count()
+          val ms = (System.nanoTime() - t0) / 1e6
+          val rec = Similarity.recallAtK(exact, approx, "qid", "vec_id", 10)
+            .agg(avg(col("recall"))).head().getDouble(0)
+          approx.unpersist(false)
+          val t1 = System.nanoTime()
+          val ref = Similarity.ivfPqTopKRefine(corpus, queries, "vec_id", "embedding",
+            64, m, cents, books, codes, nprobe = nprobe, topK = 10,
+            refine = 40).persist()
+          ref.count()
+          val msR = (System.nanoTime() - t1) / 1e6
+          val recR = Similarity.recallAtK(exact, ref, "qid", "vec_id", 10)
+            .agg(avg(col("recall"))).head().getDouble(0)
+          ref.unpersist(false)
+          // the SimilaritySpec contract, re-checked at scale: an exact
+          // re-rank of an ADC candidate superset never costs recall
+          assert(recR + 1e-9 >= rec,
+            s"refine lost recall at m=$m nprobe=$nprobe: $recR < $rec")
+          println(f"[stress] annSweep m=$m nprobe=$nprobe%2d cand/q=${nprobe * occ}%6d" +
+            f"  recall@10=$rec%.3f ($ms%6.0f ms)  +refine40=$recR%.3f ($msR%6.0f ms)")
+        }
+        codes.unpersist(false)
+      }
+      exact.unpersist(false); big.unpersist(false)
+    }
     spark.stop()
   }
 
