@@ -1050,6 +1050,113 @@ object Similarity {
     ranked.zipWithIndex.sortBy { case (_, r) => (subOf(r), r) }.map(_._1)
   }
 
+  /** Top covariance eigenvector (power iteration) folded into a
+    * HOUSEHOLDER reflection — the learned-rotation half of OPQ's
+    * non-parametric form (Ge, He, Ke & Sun, CVPR'13 §III), restricted
+    * to its first deflation step: align the corpus' top principal axis
+    * with dim 1, so [[pqVarianceAlloc]]'s snake draft then spreads the
+    * dominant variance direction instead of letting it straddle (or
+    * concentrate in) one subspace. R = I − 2·uuᵀ/(uᵀu) with
+    * u = v₁ − e₁ is EXACTLY orthogonal in real arithmetic (an improper
+    * rotation — L2-preserving, which is all the downstream contracts
+    * need) and needs no per-row sqrt.
+    *
+    * Replayability (the kmeans/logreg fit convention — every step
+    * mirrors a fixed SQL shape):
+    *   - covariance from ONE pass of exact integer/decimal power sums
+    *     over the quantized grid (cast-before-product), downscaled to
+    *     the round(·,6) grid;
+    *   - `iters` fixed power-iteration rounds from v₀ = round(1/√dim,
+    *     12)·1, each: exact decimal matvec, max-|component|
+    *     normalization (exact comparisons), round(·,12);
+    *   - unit-normalize once (exact Σx², one double sqrt/divide) onto
+    *     the 6dp grid, subtract e₁, quantize u to 1e-6 integers.
+    *
+    * Scale: the covariance pass reads `trainSample` rows under a total
+    * order (the [[ivfTrain]] deterministic-sample rule) and collects a
+    * dim² bounded statistic — index-build state, like the codebooks.
+    * Returns (u quantized at 1e6, uᵀu in quantized² units); uᵀu == 0
+    * means v₁ == e₁ already (identity rotation). */
+  def pcaHouseholder(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      iters: Int = 16,
+      trainSample: Int = 10000): (Seq[Long], Long) = {
+    require(dim >= 2, s"dim must be >= 2 (got $dim)")
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64] (got $iters)")
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    def rnd(d: Double, s: Int): JBD = JBD.valueOf(d).setScale(s, RM.HALF_UP)
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sample = corpus.orderBy(col(idCol)).limit(trainSample)
+      .select(quantize(col(embCol)).as("q"))
+    val is = broadcast(spark.range(1, dim + 1).select(col("id").cast("int").as("i")))
+    val js = broadcast(spark.range(1, dim + 1).select(col("id").cast("int").as("j")))
+    val rows = sample.crossJoin(is).crossJoin(js)
+      .select(col("i"), col("j"),
+        element_at(col("q"), col("i")).as("xi"),
+        element_at(col("q"), col("j")).as("xj"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("xi").cast(dec)).as("s1i"),
+        sum(col("xj").cast(dec)).as("s1j"),
+        sum(col("xi").cast(dec) * col("xj").cast(dec)).as("s2"))
+      .collect()
+    require(rows.nonEmpty, "pcaHouseholder needs a non-empty corpus")
+    // cov entries on the 6dp grid, units (n² · raw-embedding²). The
+    // n·s2 − s1i·s1j step runs in DOUBLE (fixed IEEE shape — a decimal
+    // product would exceed precision 38 in the replay): each factor is
+    // the correctly-rounded double of an exact integer sum, so both
+    // engines compute the identical value.
+    val c = Array.ofDim[JBD](dim, dim)
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0) - 1, r.getInt(1) - 1)
+      val n = new JBD(r.getDecimal(2).toBigInteger).doubleValue
+      val s1i = new JBD(r.getDecimal(3).toBigInteger).doubleValue
+      val s1j = new JBD(r.getDecimal(4).toBigInteger).doubleValue
+      val s2 = new JBD(r.getDecimal(5).toBigInteger).doubleValue
+      c(i)(j) = rnd((n * s2 - s1i * s1j) / 1e12, 6)
+    }
+    var v: Array[JBD] = Array.fill(dim)(rnd(1.0 / math.sqrt(dim.toDouble), 12))
+    (1 to iters).foreach { _ =>
+      val w = (0 until dim).map(i =>
+        (0 until dim).map(j => c(i)(j).multiply(v(j)))
+          .reduce(_.add(_))) // exact decimal matvec
+      val mx = w.map(_.abs).max // exact comparison
+      v = w.map(x => rnd(x.doubleValue / mx.doubleValue, 12)).toArray
+    }
+    val n2 = v.map(x => x.multiply(x)).reduce(_.add(_)) // exact Σx²
+    val u6 = v.map(x => rnd(x.doubleValue / math.sqrt(n2.doubleValue), 6))
+    val h = u6.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x.subtract(JBD.ONE) else x } // u = v₁ − e₁, exact
+    val uq = h.map(x => x.movePointRight(6).longValueExact).toSeq
+    (uq, uq.map(x => x * x).sum)
+  }
+
+  /** Apply a [[pcaHouseholder]] reflection to an embedding column:
+    * Rx = x − (2·u·x / uᵀu)·u computed on the quantized grid — the dot
+    * and uᵀu are exact integers (≤ ~2e14, double-exact), the ratio and
+    * the per-component update are ONE fixed-IEEE shape each, and the
+    * output re-rounds to the 1e-6 grid — so [[quantize]] of the result
+    * is bit-identical across engines and the rotated column composes
+    * with every existing ANN operator (pqFit, ivfPqEncode, ivfPqTopK).
+    * uᵀu == 0 is the identity (the vector passes through as double). */
+  def householderRotate(emb: Column, uq: Seq[Long], uu: Long): Column = {
+    require(uu >= 0L, s"uu must be >= 0 (got $uu)")
+    require(uu == uq.map(x => x * x).sum, "uu must equal Σ uq² (pass pcaHouseholder's pair)")
+    if (uu == 0L) transform(emb, x => x.cast("double"))
+    else {
+      val uLit = typedlit(uq)
+      val q0 = quantize(emb)
+      val r2 = (lit(2L) * dotQ(q0, uLit)).cast("double") / lit(uu).cast("double")
+      zip_with(q0, uLit, (x, u) =>
+        round(x.cast("double") - r2 * u.cast("double"), 0) / lit(Quant))
+    }
+  }
+
   /** Apply a [[pqVarianceAlloc]] permutation to a vector column (works
     * on the raw float array or the quantized long array — elementwise,
     * so the orders commute). */

@@ -617,6 +617,81 @@ class SimilaritySpec extends AnyFunSuite {
     assert(opq >= raw, s"variance-balanced recall $opq < contiguous recall $raw")
   }
 
+  test("pcaHouseholder: principal axis lands in dim 1; L2 preserved; deterministic; identity case") {
+    val dim = 8
+    // the geometry the single-reflection OPQ init wins: a BIG cluster
+    // direction w1 = (1,0,0,0,1,0,0,0)/sqrt(2) STRADDLING the m=2
+    // subspace split (t in {-5,0,5}), plus small independent signals in
+    // dims 5-7 that decide ranking WITHIN a cluster. Raw contiguous PQ:
+    // subspace 1's k=4 codebook must span the 3 t-levels AND the small
+    // dims — the small signal drowns. After the Householder (w1 -> e1)
+    // subspace 1 is freed of t and its codes resolve the small signal.
+    def v(i: Int): Seq[Float] = {
+      val t = ((i % 3) - 1) * 5.0f / 1.4142135f
+      (0 until dim).map { j =>
+        if (j == 0 || j == 4) t
+        else if (j >= 5) (((i * (j + 5) * 7) % 9) - 4) * 0.08f
+        else 0.0f
+      }
+    }
+    val all = (0 until 40).map(i => (i.toLong, v(i)))
+    val corpus = vecs(all.filter(_._1 >= 3): _*)
+    val queries = vecs(all.filter(_._1 < 3): _*)
+    val (uq, uu) = Similarity.pcaHouseholder(corpus, "vec_id", "embedding", dim)
+    assert(uu > 0L && uu == uq.map(x => x * x).sum)
+    // determinism: exact decimal sums -> repartition-invariant fit
+    val (uq2, uu2) = Similarity.pcaHouseholder(corpus.repartition(13),
+      "vec_id", "embedding", dim)
+    assert(uq2 == uq && uu2 == uu)
+    val rot = Similarity.householderRotate(col("embedding"), uq, uu)
+    val r = corpus.withColumn("e2", rot)
+    // alignment: rotated dim-1 variance dominates every other dim
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q2 = Similarity.quantize(col("e2"))
+    val stats = r.select((0 until dim).flatMap { j =>
+      val x = element_at(q2, j + 1)
+      Seq(sum(x.cast(dec)).as(s"s1_$j"), sum(x.cast(dec) * x.cast(dec)).as(s"s2_$j"))
+    } :+ count(lit(1)).cast(dec).as("n"): _*).head()
+    val n = BigDecimal(stats.getDecimal(2 * dim))
+    val vars = (0 until dim).map { j =>
+      val s1 = BigDecimal(stats.getDecimal(2 * j)); val s2 = BigDecimal(stats.getDecimal(2 * j + 1))
+      n * s2 - s1 * s1
+    }
+    assert(vars.tail.forall(_ <= vars.head),
+      s"dim-1 variance must dominate after rotation: $vars")
+    // L2 preservation: quantized squared norms match within grid error
+    val norms = r.select(
+        Similarity.dotQ(Similarity.quantize(col("embedding")),
+          Similarity.quantize(col("embedding"))).as("a"),
+        Similarity.dotQ(q2, q2).as("b"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    norms.foreach { case (a, b) =>
+      assert(math.abs(a - b) <= math.max(64L, (a * 1e-4).toLong),
+        s"reflection must preserve L2: $a vs $b") }
+    // recall: PCA-rotated PQ at the same m*k budget >= contiguous raw
+    val exact = Similarity.topKL2(corpus, queries, "vec_id", "embedding", k = 5)
+    val zero: Array[Seq[Long]] = Array(Seq.fill(dim)(0L))
+    def recallOf(useRot: Boolean): Double = {
+      val emb = if (useRot) rot else col("embedding")
+      val c = corpus.withColumn("eX", emb); val q = queries.withColumn("eX", emb)
+      val books = Similarity.pqFit(c, "vec_id", "eX", dim, m = 2, k = 4, iters = 2)
+      val approx = Similarity.ivfPqTopK(
+        Similarity.ivfPqEncode(c, "vec_id", "eX", dim, m = 2,
+          centroids = zero, codebooks = books),
+        q, "vec_id", "eX", dim, m = 2,
+        centroids = zero, codebooks = books, nprobe = 1, topK = 5)
+      Similarity.recallAtK(exact, approx, "qid", "vec_id", k = 5)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    }
+    val (raw, pca) = (recallOf(false), recallOf(true))
+    assert(pca >= raw, s"PCA-rotated recall $pca < contiguous recall $raw")
+    // identity case: uu = 0 passes the vector through
+    val id = vecs((1L, Seq(1.0f, 2.0f))).select(
+      Similarity.householderRotate(col("embedding"), Seq(0L, 0L), 0L).as("e"))
+      .head().getSeq[Double](0)
+    assert(id == Seq(1.0, 2.0))
+  }
+
   test("flat batch PQ: ivfPqTopK with ONE zero coarse centroid == pqTopK per query") {
     // the batch form of the flat PQ index: a single all-zero centroid
     // puts every corpus row and every query in the same cell, so the
