@@ -101,6 +101,19 @@ object LlmQueries {
     * round; ≥250 rounds trips the 1000 cap). */
   private[graft] val BpeDeepOracleRounds = 100
 
+  /** q_bpe_tokens_deep's rule-PREFIX length: tokenize with the first 24
+    * delta-learned rules (a merge-sequence prefix is itself a valid
+    * tokenizer; 24 < the sf0.01 exhaustion point, so every b`i` the
+    * oracle folds over is non-empty). */
+  private[graft] val BpeDeepTokRules = 24
+
+  // q_bpe_learn_deep / q_bpe_tokens_deep's fit-once DELTA-trained rules
+  private val bpeDeepMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
+  private def bpeDeepMergesOf(s: SparkSession, d: String): Seq[Bpe.Merge] =
+    bpeDeepMergesCache.computeIfAbsent(d, _ =>
+      Bpe.bpeLearnDelta(T(s, d, "documents"), "text", merges = BpeDeepMerges))
+
   // q_ann_pq_pca's fit-once index state: the power-iteration Householder
   // reflection (top principal axis -> dim 1), plus coarse cells and
   // sub-codebooks fitted in the ROTATED space (the reflection is exactly
@@ -1074,8 +1087,15 @@ object LlmQueries {
     // the re-aggregating algorithm round by round, so the hash match IS
     // the delta == reagg certificate at driver-gate level
     "q_bpe_learn_deep" -> ((s, d) =>
-      Bpe.mergesDf(s, Bpe.bpeLearnDelta(T(s, d, "documents"), "text",
-        merges = BpeDeepMerges)).orderBy("iter")),
+      Bpe.mergesDf(s, bpeDeepMergesOf(s, d)).orderBy("iter")),
+    // the DEEP tokenizer: rules applied imperatively per word in the
+    // mapPartitions slot (min-rank greedy == the sequential replace
+    // chain — see Bpe.tokenizeWord), so a 64k-rule vocabulary tokenizes
+    // without a 64k-deep codegen expression; here the first 24 delta-
+    // learned rules so the oracle folds non-empty one-row rule tables
+    "q_bpe_tokens_deep" -> ((s, d) =>
+      Bpe.bpeTokenCountsDeep(T(s, d, "documents"), "doc_id", "text",
+        bpeDeepMergesOf(s, d).take(BpeDeepTokRules)).orderBy("doc_id")),
     // per-document subword token counts under the fit-once rules — the
     // replace-chain tokenizer is pure codegen, zero shuffle
     "q_bpe_tokens" -> ((s, d) =>
@@ -2104,8 +2124,12 @@ object LlmQueries {
     * in rule order, splits on the double-space separator; the doc's
     * count is the flattened length. Requires the b`i` one-row rule
     * tables cross-joined into scope. */
-  private def bpeTokCountSql: String = {
-    val chain = (1 to BpeMerges).foldLeft(
+  private def bpeTokCountSql: String = bpeTokCountSqlN(BpeMerges)
+
+  /** The fold parameterized by rule count — q_bpe_tokens_deep folds the
+    * first [[BpeDeepTokRules]] rules of the DEEP training replay. */
+  private def bpeTokCountSqlN(n: Int): String = {
+    val chain = (1 to n).foldLeft(
       "' ' || array_to_string([w[i] for i in range(1, len(w)+1)], '  ') || ' '")(
       (acc, i) => s"replace($acc, b$i.pat, b$i.rep)")
     ("len(flatten(list_transform("
@@ -2936,6 +2960,16 @@ object LlmQueries {
             .mkString(" UNION ALL ")
           + ") ORDER BY iter"),
       "q_bpe_learn_deep" -> bpeLearnDeepSql(BpeDeepOracleRounds),
+      // deep-tokenizer replay: the REAGG CTE rounds reproduce the delta
+      // trainer's first 24 rules (delta == reagg), then the per-word
+      // fold runs over those 24 one-row rule tables exactly as
+      // q_bpe_tokens does over 8
+      "q_bpe_tokens_deep" ->
+        (s"WITH ${bpeLearnCtes(BpeDeepTokRules)}"
+          + s" SELECT doc_id, ${bpeTokCountSqlN(BpeDeepTokRules)} AS n_tokens"
+          + " FROM documents"
+          + (1 to BpeDeepTokRules).map(i => s" CROSS JOIN b$i").mkString
+          + " ORDER BY doc_id"),
       "q_bpe_tokens" ->
         (s"WITH ${bpeLearnCtes(BpeMerges)}"
           + s" SELECT doc_id, $bpeTokCountSql AS n_tokens"

@@ -289,4 +289,76 @@ object Bpe {
       merges: Seq[Merge]): DataFrame =
     df.select(col(idCol),
       size(bpeTokenize(col(textCol), merges)).cast("long").as("n_tokens"))
+
+  /** Tokenize ONE word (driver/executor Scala) under rules in iter
+    * order by min-RANK greedy merging — provably identical to applying
+    * the rules as sequential passes ([[bpeTokenize]]'s replace chain):
+    * a rule's pair can only become adjacent after both its symbols
+    * exist, and those are formed by strictly LOWER-ranked rules, so the
+    * lowest-ranked present pair is always the next sequential match.
+    * Each chosen rule merges left-to-right non-overlapping (the
+    * `replace` scan). */
+  private[graft] def tokenizeWord(
+      w: String, rank: collection.Map[(String, String), Int],
+      pairs: IndexedSeq[(String, String)]): Array[String] = {
+    var s: Array[String] = w.toCharArray.map(_.toString)
+    var done = false
+    while (!done && s.length > 1) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < s.length - 1) {
+        val r = rank.getOrElse((s(i), s(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (l, r) = pairs(best)
+        val b = Array.newBuilder[String]
+        var j = 0
+        while (j < s.length) {
+          if (j + 1 < s.length && s(j) == l && s(j + 1) == r) {
+            b += (l + r); j += 2
+          } else { b += s(j); j += 1 }
+        }
+        s = b.result()
+      }
+    }
+    s
+  }
+
+  /** [[bpeTokenCounts]] at PRODUCTION vocabulary sizes: the replace
+    * CHAIN of [[bpeTokenize]] is one codegen expression per rule — fine
+    * to [[MaxMerges]], hopeless at 32-64k — so the deep form applies the
+    * rules imperatively per word inside `mapPartitions` (the
+    * [[MultiModal.decodePartitioned]] last-resort slot, with the same
+    * batch contract: the rank map is per-partition state built once).
+    * Bit-identical to the chain form on any shared rule count (BpeSpec
+    * pins deep == chain; the q_bpe_tokens_deep oracle replays the SQL
+    * fold). Stays distributed and row-local — one projection-shaped
+    * pass, zero shuffle. */
+  def bpeTokenCountsDeep(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    require(merges.nonEmpty && merges.size <= MaxMergesDelta,
+      s"need 1..$MaxMergesDelta merge rules (got ${merges.size})")
+    val ordered = merges.sortBy(_.iter)
+    val pairs: IndexedSeq[(String, String)] =
+      ordered.map(m => (m.left_sym, m.right_sym)).toIndexedSeq
+    val ranks: Map[(String, String), Int] =
+      pairs.zipWithIndex.toMap
+    val out = df.select(col(idCol), col(textCol).as("__text"))
+    val schema = org.apache.spark.sql.types.StructType(out.schema.fields.init)
+      .add("n_tokens", org.apache.spark.sql.types.LongType)
+    out.mapPartitions { rows =>
+      rows.map { r =>
+        val t = r.getString(1)
+        // NULL text -> NULL count, the bpeTokenCounts/size(NULL) contract
+        val n: Any =
+          if (t == null) null
+          else t.split(" ").iterator.filter(_.nonEmpty)
+            .map(w => tokenizeWord(w, ranks, pairs).length.toLong).sum
+        org.apache.spark.sql.Row(r.get(0), n)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
 }

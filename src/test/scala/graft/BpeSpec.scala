@@ -93,6 +93,28 @@ class BpeSpec extends AnyFunSuite {
     assert(delta == reagg)
   }
 
+  test("bpeTokenCountsDeep == bpeTokenCounts (min-rank greedy == the sequential replace chain)") {
+    val docs = TestSpark.table("0.001", "documents")
+    val rules = Bpe.bpeLearnDelta(docs, "text", merges = 40)
+    val chain = Bpe.bpeTokenCounts(docs, "doc_id", "text", rules)
+      .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    val deep = Bpe.bpeTokenCountsDeep(docs, "doc_id", "text", rules)
+      .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    assert(deep == chain)
+    // rule-order independence of the INPUT SEQ (application order comes
+    // from iter) + the boundary-safety fixture from the chain pin
+    val ms = Seq(Bpe.Merge(2, "a", "b", 1), Bpe.Merge(1, "b", "c", 1))
+    val got = Bpe.bpeTokenCountsDeep(corpus("abc ab cab"), "doc_id", "text", ms)
+      .head().getLong(1)
+    assert(got == 5L) // (a, bc), (ab), (c, ab) — b,c merges first
+    // NULL text yields NULL (the size(NULL)/chain contract)
+    val withNull = Seq((0L, "ab"), (1L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val nn = Bpe.bpeTokenCountsDeep(withNull, "doc_id", "text", ms)
+      .orderBy("doc_id").collect()
+    assert(nn(0).getLong(1) == 1L && nn(1).isNullAt(1)) // 'ab' merges by rule (a,b)
+  }
+
   test("bpeLearnDelta: minFreq prunes the noise tail; maxVocab fail-fast; cap bounds") {
     // 'aa' x2 survives minFreq=2, singleton 'bb'/'cc' drop out
     val df = corpus("aa aa bb cc")
