@@ -905,11 +905,18 @@ object LlmQueries {
       graft.expressions.GraftFunctions.register(s)
       val e = T(s, d, "embeddings")
       val corpus0 = e.where(col("vec_id") >= 5)
+      // the rotated frame MATERIALIZES (localCheckpoint): rotation is an
+      // encode-time step — at 100 TB the rotated/encoded vectors persist
+      // beside the index, never recompute per probe — and lazily it
+      // would be worse than slow: CollapseProject inlines the rotation
+      // tree into every one of the ~80 centroid/codebook references
+      // downstream (measured 47 s/rep of pure planning at sf0.1)
       val (uq, uu, cents, books) = pcaIndexCache.computeIfAbsent(d, _ => {
         val (u, n) = Similarity.pcaHouseholder(corpus0, "vec_id", "embedding",
           dim = 64, iters = 16)
         val cR = corpus0.withColumn("embR",
           Similarity.householderRotate(col("embedding"), u, n))
+          .localCheckpoint()
         val c = cR.orderBy("vec_id").limit(16)
           .select(Similarity.quantize(col("embR")))
           .collect().map(r => r.getSeq[Long](0): Seq[Long])
@@ -918,6 +925,7 @@ object LlmQueries {
       })
       val eR = e.withColumn("embR",
         Similarity.householderRotate(col("embedding"), uq, uu))
+        .localCheckpoint()
       val codes = Similarity.ivfPqEncode(eR.where(col("vec_id") >= 5),
         "vec_id", "embR", dim = 64, m = 4, centroids = cents, codebooks = books)
       Similarity.ivfPqTopK(codes,
@@ -1260,6 +1268,27 @@ object LlmQueries {
       Drift.brierScore(T(s, d, "documents").where(col("text").isNotNull),
         TextAnalysis.qualityScore(col("text")).cast("double") / 1000.0,
         col("lang") === lit("en"))),
+    // STREAMING calibration monitoring: the odd-id slice arrives as
+    // one-file-per-trigger micro-batches, each folding (n, sum_p,
+    // sum_y, sum_sq) into the running per-bin state; the emitted
+    // cumulative reliability bins hash-match the batch one-shot replay
+    // (counts and exact decimal sums merge associatively)
+    "q_stream_calibration" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val dir = stageDays(d, "calib", Seq(
+        docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 4 === 1),
+        docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 4 === 3)))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .where(col("text").isNotNull)
+      var last: DataFrame = null
+      runForeachBatchReplay(
+        StreamingOps.calibIngest(stream,
+          TextAnalysis.qualityScore(col("text")).cast("double") / 1000.0,
+          col("lang") === lit("en"))(p => { last = p; () }),
+        "graft_stream_calib")
+      last.orderBy("bin")
+    }),
     // per-SOURCE reliability bins + Brier: a classifier can be
     // calibrated corpus-wide while badly off on one domain — the form
     // a per-source monitoring pipeline actually runs
@@ -3232,6 +3261,17 @@ object LlmQueries {
           + " * ((p - y::DECIMAL(12,6))::DECIMAL(12,6)))::DECIMAL(25,12) AS sq FROM q)"
           + " SELECT count(*)::BIGINT AS n,"
           + " round(sum(sq)::DOUBLE / count(*), 12) AS brier FROM e"),
+      // the one-shot batch replay over the streamed (odd-id) slice —
+      // batch boundaries must be invisible in the cumulative state
+      "q_stream_calibration" ->
+        (s"WITH q AS (SELECT round(($scoreExpr) / 1000, 6)::DECIMAL(18,6) AS p,"
+          + " (lang = 'en')::INT AS y FROM (SELECT text, lang,"
+          + " string_split(text, ' ') w FROM documents"
+          + " WHERE text IS NOT NULL AND doc_id % 2 = 1))"
+          + " SELECT least(floor(p * 10)::BIGINT, 9) AS bin, count(*)::BIGINT AS n,"
+          + " round(sum(p)::DOUBLE / count(*), 12) AS avg_pred,"
+          + " round(sum(y)::DOUBLE / count(*), 12) AS frac_pos"
+          + " FROM q GROUP BY 1 ORDER BY 1"),
       "q_calibration_by" ->
         (s"WITH q AS (SELECT source, round(($scoreExpr) / 1000, 6)::DECIMAL(18,6) AS p,"
           + " (lang = 'en')::INT AS y FROM (SELECT source, text, lang,"

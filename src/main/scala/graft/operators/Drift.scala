@@ -481,6 +481,60 @@ object Drift {
         round(sum(col("__sq")).cast("double") / count(lit(1)), 12).as("brier"))
   }
 
+  /** The MERGEABLE calibration state: per-bin (bin, n, sum_p, sum_y,
+    * sum_sq) — integer counts and exact decimal sums, so states merge
+    * associatively ([[mergeCalibrationStates]]) and batch boundaries
+    * are invisible (the [[binCounts]] argument): both the reliability
+    * bins ([[calibrationFromState]]) and the Brier score
+    * ([[brierFromState]]) finalize from the SAME state, which is the
+    * monitoring table a streaming ingest maintains
+    * ([[graft.streaming.StreamingOps.calibIngest]]). Sum types are
+    * pinned wide (38,6)/(38,12) so merged states keep one schema. */
+  def calibrationState(
+      df: DataFrame,
+      pred: Column,
+      label: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2 (got $nBins)")
+    val p = round(pred, 6).cast(DecimalType(18, 6))
+    val y = label.cast("boolean")
+    val e = (round(pred, 6).cast(DecimalType(12, 6))
+      - y.cast("int").cast(DecimalType(12, 6))).cast(DecimalType(12, 6))
+    df.where(pred.isNotNull && label.isNotNull)
+      .select(least(floor(p * nBins).cast("long"), lit(nBins - 1L)).as("bin"),
+        p.as("__p"), y.cast("long").as("__y"),
+        (e * e).cast(DecimalType(25, 12)).as("__sq"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__p")).cast(DecimalType(38, 6)).as("sum_p"),
+        sum(col("__y")).as("sum_y"),
+        sum(col("__sq")).cast(DecimalType(38, 12)).as("sum_sq"))
+  }
+
+  /** Merge two calibration states — exact integer/decimal sums per bin,
+    * order- and grouping-independent. */
+  def mergeCalibrationStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bin")
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_p")).cast(DecimalType(38, 6)).as("sum_p"),
+        sum(col("sum_y")).as("sum_y"),
+        sum(col("sum_sq")).cast(DecimalType(38, 12)).as("sum_sq"))
+
+  /** [[calibrationBins]]' rows from a [[calibrationState]] — identical
+    * finalize arithmetic (exact decimal totals, ONE rounded division
+    * each), so state-then-finalize ≡ the one-shot form (DriftSpec). */
+  def calibrationFromState(state: DataFrame): DataFrame =
+    state.select(col("bin"), col("n"),
+      round(col("sum_p").cast("double") / col("n"), 12).as("avg_pred"),
+      round(col("sum_y").cast("double") / col("n"), 12).as("frac_pos"))
+
+  /** [[brierScore]]'s row from a [[calibrationState]]: the per-bin
+    * squared-error sums total exactly (decimal, order-independent). */
+  def brierFromState(state: DataFrame): DataFrame =
+    state.agg(sum(col("n")).as("n"),
+      round(sum(col("sum_sq")).cast("double") /
+        sum(col("n")), 12).as("brier"))
+
   /** Grouped Brier — [[brierScore]] per key: one row (by..., n, brier)
     * per group, same exact-decimal term grid, ONE hash aggregation. */
   def brierScoreBy(

@@ -307,6 +307,34 @@ object StreamingOps {
     }
   }
 
+  /** Streaming CALIBRATION monitoring — the [[driftIngest]] twin for the
+    * classifier-quality gate: each micro-batch folds its per-bin
+    * (n, sum_p, sum_y, sum_sq) into the running
+    * [[graft.operators.Drift.calibrationState]], and `emit` receives the
+    * CUMULATIVE reliability bins — so any batch boundary can gate on
+    * "is the quality model still calibrated over everything arrived?"
+    * without rescanning a row ([[graft.operators.Drift.brierFromState]]
+    * reads the same state for the composite score). Counts and decimal
+    * sums merge associatively, so the emitted bins hash-match the batch
+    * one-shot replay (q_stream_calibration). */
+  def calibIngest(
+      stream: DataFrame,
+      pred: org.apache.spark.sql.Column,
+      label: org.apache.spark.sql.Column,
+      nBins: Int = 10)(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var state: DataFrame = null
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bs = graft.operators.Drift.calibrationState(
+          batch.toDF(), pred, label, nBins)
+        state = (if (state == null) bs
+          else graft.operators.Drift.mergeCalibrationStates(state, bs))
+          .localCheckpoint()
+        emit(graft.operators.Drift.calibrationFromState(state))
+    }
+  }
+
   /** Stateless curation pass for streaming ingest: deterministic hash
     * sampling, quality scoring + threshold, and PII scan/redaction
     * composed as pure per-row expressions. Appends `quality`, the

@@ -192,6 +192,23 @@ class DriftSpec extends AnyFunSuite {
     }
   }
 
+  test("calibration state merges associatively; finalize == one-shot bins and Brier") {
+    val df = Seq((0.05, false), (0.05, true), (0.95, true), (1.0, true),
+      (0.5, false), (0.31, true)).zipWithIndex
+      .map { case ((p, y), i) => (i.toLong, p, y) }.toDF("id", "p", "y")
+    val oneShot = Drift.calibrationBins(df, col("p"), col("y"))
+      .collect().map(_.toSeq).toSet
+    val merged = Drift.mergeCalibrationStates(
+      Drift.calibrationState(df.where(col("id") % 2 === 0), col("p"), col("y")),
+      Drift.calibrationState(df.where(col("id") % 2 === 1), col("p"), col("y")))
+    assert(Drift.calibrationFromState(merged).collect().map(_.toSeq).toSet
+      == oneShot, "state-then-finalize must equal the one-shot bins")
+    val b1 = Drift.brierScore(df, col("p"), col("y"))
+      .as[(Long, Double)].head()
+    val b2 = Drift.brierFromState(merged).as[(Long, Double)].head()
+    assert(b1 == b2, s"brierFromState $b2 != brierScore $b1")
+  }
+
   test("KS/W1 degenerate anchors: empty side -> ks=1 not NULL; one distinct value -> W1 emits (n_a, n_b, 0.0)") {
     // ADVICE r9: the ungrouped forms must match ksDistanceBy's empty-
     // side contract (cdf of an empty side is 0 everywhere) instead of
