@@ -265,4 +265,35 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.removeFromAnnIndex(emptyIdx,
       Seq(1L).toDF("id")).codes.count() == 0)
   }
+
+  test("r10 operators on empty input return empty (or fail fast with a contract) without error") {
+    // delta BPE trainer: empty corpus -> no pairs -> no rules
+    assert(Bpe.bpeLearnDelta(emptyDocs, "text", merges = 8).isEmpty)
+    // deep tokenizer over an empty corpus / all-null text
+    val ms = Seq(Bpe.Merge(1, "a", "b", 1))
+    assert(Bpe.bpeTokenCountsDeep(emptyDocs, "doc_id", "text", ms).count() == 0)
+    // postings maintenance: append/remove/compact degenerate gracefully
+    val pi = Search.buildPostingsIndex(emptyDocs, "doc_id", "text")
+    assert(pi.postings.count() == 0)
+    assert(Search.appendToPostings(pi, emptyDocs, "text").postings.count() == 0)
+    assert(Search.removeFromPostings(pi, Seq(1L).toDF("id")).postings.count() == 0)
+    // grouped drift twins on empty slices
+    val ev = Seq.empty[(String, Long)].toDF("g", "v")
+    assert(Drift.wasserstein1By(ev, ev, col("v"), Seq("g")).count() == 0)
+    assert(Drift.jsdBy(ev, ev, col("v"), Seq("g")).count() == 0)
+    val ep = Seq.empty[(String, Double, Boolean)].toDF("g", "p", "y")
+    assert(Drift.calibrationBinsBy(ep, col("p"), col("y"), Seq("g")).count() == 0)
+    assert(Drift.brierScoreBy(ep, col("p"), col("y"), Seq("g")).count() == 0)
+    // calibration state machinery on empty input
+    val es = Drift.calibrationState(ep.drop("g"), col("p"), col("y"))
+    assert(es.count() == 0)
+    assert(Drift.calibrationFromState(es).count() == 0)
+    // PCA fit fails fast on an empty corpus (a rotation needs data);
+    // the identity reflection passes vectors through
+    val emptyVecs2 = Seq.empty[(Long, Seq[Float])].toDF("id", "emb")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pcaHouseholder(emptyVecs2, "id", "emb", dim = 4)
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
 }
