@@ -585,6 +585,28 @@ object LlmQueries {
           "doc_id", "text", "spark hash")
         .select("doc_id").orderBy("doc_id")
     }),
+    // STREAMING postings ingestion: docs >= 400 arrive as one-file-per-
+    // trigger micro-batches appending their posting rows to the frozen
+    // history index; probing the drained index hash-matches the naive
+    // whole-corpus scan (append == rebuild, boundaries invisible)
+    "q_substr_index_stream" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val init = Search.buildPostingsIndex(
+        docs.where(col("doc_id") < 400), "doc_id", "text")
+      val init2 = init.copy(postings = init.postings.localCheckpoint())
+      val dir = stageDays(d, "postings", Seq(
+        docs.where(col("doc_id") >= 400 && col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") >= 400 && col("doc_id") % 2 === 1)))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      var last: Search.PostingsIndex = init2
+      runForeachBatchReplay(
+        StreamingOps.postingsIngest(stream, init2, "text")(
+          idx => { last = idx; () }),
+        "graft_stream_postings")
+      Search.substrSearch(docs, last.postings, "doc_id", "text", "spark hash")
+        .select("doc_id").orderBy("doc_id")
+    }),
     // Takedown erasure: every 10th doc removed from the postings and the
     // index compacted to disk — a dropped id can never surface again
     // even though the (stale) corpus frame still carries its text
@@ -2535,6 +2557,10 @@ object LlmQueries {
       // append == rebuild: the rolled index is invisible, the scan is
       // the whole-corpus truth
       "q_substr_index_append" ->
+        ("SELECT doc_id FROM documents WHERE contains(text, 'spark hash')"
+          + " ORDER BY doc_id"),
+      // streamed append == rebuild: the drained index is invisible too
+      "q_substr_index_stream" ->
         ("SELECT doc_id FROM documents WHERE contains(text, 'spark hash')"
           + " ORDER BY doc_id"),
       // removed == never-present: the scan truth excludes the taken-down ids

@@ -275,6 +275,34 @@ object StreamingOps {
     }
   }
 
+  /** Continuous search-index maintenance — the trigram-postings member
+    * of the corpus-state family ([[annIngest]]'s shape): each
+    * micro-batch of new documents explodes to its posting rows
+    * ([[graft.operators.Search.appendToPostings]] — grams are strictly
+    * per-document, history never re-exploded) and appends; `emit`
+    * receives the rolled index after each batch, so any boundary can
+    * serve substring/regex probes over ALL ingested documents. At scale
+    * the state is a parquet APPEND of the gram-partitioned postings
+    * (the [[graft.operators.Search.PostingsIndex.write]] layout); here
+    * each roll localCheckpoints so per-batch plans stay flat. Because
+    * append ≡ rebuild-on-union (per-row state), a probe of the drained
+    * stream hash-matches the naive whole-corpus scan
+    * (q_substr_index_stream) regardless of batch boundaries. */
+  def postingsIngest(
+      stream: DataFrame,
+      initial: graft.operators.Search.PostingsIndex,
+      textCol: String)(
+      emit: graft.operators.Search.PostingsIndex => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var index = initial
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rolled = graft.operators.Search
+          .appendToPostings(index, batch.toDF(), textCol)
+        index = rolled.copy(postings = rolled.postings.localCheckpoint())
+        emit(index)
+    }
+  }
+
   /** Continuous drift monitoring — the streaming form of
     * [[graft.operators.Drift.psi]]: each micro-batch folds ONCE into
     * the running (bin, n) histogram (integer counts sum associatively
