@@ -123,6 +123,18 @@ object LlmQueries {
     new java.util.concurrent.ConcurrentHashMap[
       String, (Seq[Long], Long, Array[Seq[Long]], Seq[Array[Seq[Long]]])]()
 
+  /** q_ann_pq_pca_k's deflation depth: 3 Householder steps — principal
+    * axes 1..3 land on dims 1..3 (the full non-parametric OPQ form,
+    * VERDICT r10 #2). The oracle replays every step's power iterations
+    * AND the exact-integer deflation algebra, so k is bounded by replay
+    * size, not the operator (pcaHouseholderK takes any k < dim). */
+  private[graft] val PcaKSteps = 3
+
+  // q_ann_pq_pca_k's fit-once index state (the pcaIndexCache convention)
+  private val pcaKIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Seq[(Seq[Long], Long)], Array[Seq[Long]], Seq[Array[Seq[Long]]])]()
+
   // q_bpe_*'s fit-once merge rules per data dir (a tokenizer is index
   // state at rest: train once, tokenize every downstream query)
   private val bpeMergesCache =
@@ -934,6 +946,14 @@ object LlmQueries {
       // tree into every one of the ~80 centroid/codebook references
       // downstream (measured 47 s/rep of pure planning at sf0.1)
       val (uq, uu, cents, books) = pcaIndexCache.computeIfAbsent(d, _ => {
+        // the DuckDB replay computes covariance over the WHOLE corpus
+        // while the fit samples the first 10k rows by id — parity
+        // relies on the corpus fitting inside the sample. Assert it so
+        // a data-dir scale bump fails loudly, not flaky (ADVICE r10).
+        val nCorpus = corpus0.count()
+        require(nCorpus <= 10000,
+          s"q_ann_pq_pca oracle replays the full corpus ($nCorpus rows) but " +
+            "pcaHouseholder samples 10000 — raise trainSample for this scale")
         val (u, n) = Similarity.pcaHouseholder(corpus0, "vec_id", "embedding",
           dim = 64, iters = 16)
         val cR = corpus0.withColumn("embR",
@@ -948,6 +968,43 @@ object LlmQueries {
       val eR = e.withColumn("embR",
         Similarity.householderRotate(col("embedding"), uq, uu))
         .localCheckpoint()
+      val codes = Similarity.ivfPqEncode(eR.where(col("vec_id") >= 5),
+        "vec_id", "embR", dim = 64, m = 4, centroids = cents, codebooks = books)
+      Similarity.ivfPqTopK(codes,
+          eR.where(col("vec_id") < 5), "vec_id", "embR", dim = 64, m = 4,
+          centroids = cents, codebooks = books, nprobe = 2, topK = 10)
+        .orderBy("qid", "rank")
+    }),
+    // FULL non-parametric OPQ (Ge CVPR'13 §III, VERDICT r10 #2): THREE
+    // Householder deflation steps place principal axes 1..3 on dims
+    // 1..3 before the PQ fits. The oracle replays the covariance, all
+    // 3×16 power iterations, the exact-integer deflation algebra
+    // between steps, the composed per-row rotations, and the stock
+    // IVFADC replay in the rotated space — bit for bit.
+    "q_ann_pq_pca_k" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val e = T(s, d, "embeddings")
+      val corpus0 = e.where(col("vec_id") >= 5)
+      val (refl, cents, books) = pcaKIndexCache.computeIfAbsent(d, _ => {
+        // oracle-parity bound: the replay covers the WHOLE corpus, the
+        // fit samples 10k (the q_ann_pq_pca convention, ADVICE r10)
+        val nCorpus = corpus0.count()
+        require(nCorpus <= 10000,
+          s"q_ann_pq_pca_k oracle replays the full corpus ($nCorpus rows) " +
+            "but pcaHouseholderK samples 10000 — raise trainSample")
+        val r = Similarity.pcaHouseholderK(corpus0, "vec_id", "embedding",
+          dim = 64, k = PcaKSteps, iters = 16)
+        // rotation is encode-time state; the STEP-WISE materialized
+        // form — a lazily chained k-rotation re-evaluates per element
+        // (CodegenFallback HOFs), ~dim² slower at k=3
+        val cR = Similarity.householderRotateAll(corpus0, "embedding", "embR", r)
+        val c = cR.orderBy("vec_id").limit(16)
+          .select(Similarity.quantize(col("embR")))
+          .collect().map(r2 => r2.getSeq[Long](0): Seq[Long])
+        (r, c, Similarity.pqFit(cR, "vec_id", "embR", dim = 64, m = 4,
+          k = 16, iters = 2))
+      })
+      val eR = Similarity.householderRotateAll(e, "embedding", "embR", refl)
       val codes = Similarity.ivfPqEncode(eR.where(col("vec_id") >= 5),
         "vec_id", "embR", dim = 64, m = 4, centroids = cents, codebooks = books)
       Similarity.ivfPqTopK(codes,
@@ -1116,8 +1173,18 @@ object LlmQueries {
     // round) running to full vocabulary exhaustion; the oracle replays
     // the re-aggregating algorithm round by round, so the hash match IS
     // the delta == reagg certificate at driver-gate level
-    "q_bpe_learn_deep" -> ((s, d) =>
-      Bpe.mergesDf(s, bpeDeepMergesOf(s, d)).orderBy("iter")),
+    "q_bpe_learn_deep" -> ((s, d) => {
+      val rules = bpeDeepMergesOf(s, d)
+      // the oracle unrolls only BpeDeepOracleRounds CTE rounds (DuckDB
+      // expression-depth cap) — parity relies on the vocabulary
+      // EXHAUSTING below that. Assert it so a data-dir scale bump fails
+      // loudly instead of hash-flaking (ADVICE r10).
+      require(rules.size < BpeDeepOracleRounds,
+        s"q_bpe_learn_deep oracle replays only $BpeDeepOracleRounds rounds but " +
+          s"the vocabulary yielded ${rules.size} merges — raise the oracle " +
+          "round count for this data scale")
+      Bpe.mergesDf(s, rules).orderBy("iter")
+    }),
     // the DEEP tokenizer: rules applied imperatively per word in the
     // mapPartitions slot (min-rank greedy == the sequential replace
     // chain — see Bpe.tokenizeWord), so a 64k-rule vocabulary tokenizes
@@ -2202,6 +2269,76 @@ object LlmQueries {
       + " SELECT qid, id, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rank"
       + " FROM rsc) WHERE rank <= 10 ORDER BY qid, rank")
 
+  /** q_ann_pq_pca_k's rotated-corpus subquery (the qnRot convention):
+    * per step t — covariance (step 0) or EXACT-INTEGER deflation
+    * (t > 0), `iters` materialized power iterations, the quantized
+    * Householder u — then the k rotations composed per row. Mirrors
+    * [[Similarity.pcaHouseholderK]]/deflateGrid shape for shape:
+    * HUGEINT sums ≡ BigInt (Cu, uᵀCu exact), ONE fixed-IEEE correction
+    * expression per entry rounded half-away-from-zero, and the
+    * DECIMAL(24,6) grid re-entry as an exact ×10⁻⁶ decimal product
+    * (a division would re-round differently). Every CTE MATERIALIZED —
+    * the q_ann_pq_pca 2^16-inlining lesson. */
+  private def pcaKRotQn(k: Int, iters: Int): String = {
+    val steps = (0 until k).map { t =>
+      val sub = 64 - t
+      val v0 = java.math.BigDecimal.valueOf(1.0 / math.sqrt(sub.toDouble))
+        .setScale(12, java.math.RoundingMode.HALF_UP).toPlainString
+      val covCte =
+        if (t == 0)
+          ("cov0 AS MATERIALIZED (SELECT i, j,"
+            + " round((n::DOUBLE * s2::DOUBLE - s1i::DOUBLE * s1j::DOUBLE) / 1e12, 6)::DECIMAL(24,6) AS v"
+            + " FROM (SELECT ii.k AS i, jj.k AS j, count(*) AS n,"
+            + " sum(q[ii.k]) AS s1i, sum(q[jj.k]) AS s1j,"
+            + " sum(q[ii.k] * q[jj.k]) AS s2"
+            + " FROM (SELECT q FROM nq WHERE vec_id >= 5), dims0 ii, dims0 jj"
+            + " GROUP BY 1, 2))")
+        else {
+          val p = t - 1
+          (s"ci$p AS MATERIALIZED (SELECT i, j, CAST(v * 1000000 AS HUGEINT) AS c FROM cov$p),"
+            + s" a$p AS MATERIALIZED (SELECT c.i, sum(c.c * u.u) AS a"
+            + s" FROM ci$p c JOIN ur$p u ON u.i = c.j GROUP BY c.i),"
+            + s" s$p AS MATERIALIZED (SELECT sum(u.u * a.a) AS s FROM ur$p u JOIN a$p a ON a.i = u.i),"
+            + s" cov$t AS MATERIALIZED (SELECT c.i - 1 AS i, c.j - 1 AS j,"
+            + s" CAST(CAST(CASE WHEN ul$p.uu = 0 THEN c.c ELSE c.c - CAST(round("
+            + s" (2 * (ui.u * aj.a + ai.a * uj.u))::DOUBLE / ul$p.uu::DOUBLE"
+            + s" - (4 * ui.u * uj.u)::DOUBLE * s$p.s::DOUBLE / (ul$p.uu::DOUBLE * ul$p.uu::DOUBLE), 0)"
+            + s" AS HUGEINT) END AS DECIMAL(30,0)) * CAST(0.000001 AS DECIMAL(8,6)) AS DECIMAL(24,6)) AS v"
+            + s" FROM ci$p c JOIN ur$p ui ON ui.i = c.i JOIN ur$p uj ON uj.i = c.j"
+            + s" JOIN a$p ai ON ai.i = c.i JOIN a$p aj ON aj.i = c.j, ul$p, s$p"
+            + s" WHERE c.i > 1 AND c.j > 1)")
+        }
+      val itCtes = (1 to iters).map { n =>
+        (s"w${t}_$n AS MATERIALIZED (SELECT c.i, sum(c.v * p.x) AS w FROM cov$t c"
+          + s" JOIN v${t}_${n - 1} p ON p.i = c.j GROUP BY c.i),"
+          + s" m${t}_$n AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w${t}_$n),"
+          + s" v${t}_$n AS MATERIALIZED (SELECT i, round(w::DOUBLE / mx::DOUBLE, 12)::DECIMAL(14,12) AS x"
+          + s" FROM w${t}_$n, m${t}_$n)")
+      }.mkString(", ")
+      (s"dims$t AS MATERIALIZED (SELECT unnest(range(1, ${sub + 1})) AS k), $covCte,"
+        + s" v${t}_0 AS MATERIALIZED (SELECT k AS i, ${v0}::DECIMAL(14,12) AS x FROM dims$t),"
+        + s" $itCtes,"
+        + s" n2$t AS MATERIALIZED (SELECT sum(x * x) AS n2 FROM v${t}_$iters),"
+        + s" u6$t AS MATERIALIZED (SELECT i, round(x::DOUBLE / sqrt(n2::DOUBLE), 6)::DECIMAL(10,6) AS x"
+        + s" FROM v${t}_$iters, n2$t),"
+        + s" hh$t AS MATERIALIZED (SELECT i, CASE WHEN i = 1 THEN x - 1 ELSE x END AS x FROM u6$t),"
+        + s" ur$t AS MATERIALIZED (SELECT i, (x * 1000000)::BIGINT AS u FROM hh$t),"
+        + s" ul$t AS MATERIALIZED (SELECT list(u ORDER BY i) AS ul, sum(u * u)::BIGINT AS uu FROM ur$t)")
+    }.mkString(", ")
+    val rots = (0 until k).map { t =>
+      val prev = if (t == 0) "nq" else s"rot${t - 1}"
+      (s"pd$t AS MATERIALIZED (SELECT list_concat([CAST(0 AS BIGINT) for z in range(1, ${t + 1})], ul) AS ulp,"
+        + s" uu FROM ul$t),"
+        + s" rot$t AS MATERIALIZED (SELECT vec_id, CASE WHEN pd$t.uu = 0 THEN q ELSE"
+        + s" [CAST(round(q[p] - ((2 * CAST(list_dot_product(pd$t.ulp, q) AS BIGINT))::DOUBLE"
+        + s" / pd$t.uu::DOUBLE) * pd$t.ulp[p], 0) AS BIGINT) for p in range(1, 65)] END AS q"
+        + s" FROM $prev, pd$t)")
+    }.mkString(", ")
+    (s"(WITH nq AS MATERIALIZED (SELECT vec_id, $QuantSqlDouble q FROM embeddings),"
+      + s" $steps, $rots"
+      + s" SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) nsq FROM rot${k - 1})")
+  }
+
   def oracleSql: Map[String, String] = {
     val shingleCte =
       ("WITH s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN"
@@ -2803,6 +2940,10 @@ object LlmQueries {
             + " SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) nsq FROM rot)")
         ivfPqReplaySql(qnRot)
       },
+      // full-OPQ replay: 3 deflation rounds, each = the PCA power
+      // chain above + the exact-integer HᵀCH deflation between rounds,
+      // the 3 rotations composed per row, then the stock IVFADC replay
+      "q_ann_pq_pca_k" -> ivfPqReplaySql(pcaKRotQn(PcaKSteps, 16)),
       // refine replay: the full IVFADC replay at rank <= 20 nominates,
       // then exact integer L2 against the prepared vectors re-ranks;
       // final rank by (d2, id)

@@ -491,6 +491,83 @@ object Stress {
       }
       exact.unpersist(false); big.unpersist(false)
     }
+    // pcaHouseholder fit at production dims (VERDICT r10 #1 receipt):
+    // the one-pass opsum aggregate moves O(sample) rows regardless of
+    // dim, so fit wall should stay near-flat from 64 → 512; the former
+    // crossJoin plan shuffled sample·dim² rows (timed below at dim=256
+    // as the labeled blow-up baseline — 41M+ intermediate rows for the
+    // same bounded 10k sample).
+    if (opFilter("pcaFit")) {
+      for (mult <- Seq(1, 4, 8)) { // dim 64, 256, 512
+        val dim = 64 * mult
+        val wide =
+          if (mult == 1) embs
+          else embs.withColumn("embedding",
+            flatten(array_repeat(col("embedding"), mult)))
+        time(s"pcaFit dim=$dim one-pass") {
+          val (uq, _) = Similarity.pcaHouseholder(
+            wide, "vec_id", "embedding", dim)
+          uq.length.toLong
+        }
+      }
+      time("pcaFit dim=256 EXPLODE-baseline (former plan)") {
+        val dim = 256
+        val wide = embs.withColumn("embedding",
+          flatten(array_repeat(col("embedding"), 4)))
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val sample = wide.orderBy(col("vec_id")).limit(10000)
+          .select(Similarity.quantize(col("embedding")).as("q"))
+        val is = broadcast(spark.range(1, dim + 1)
+          .select(col("id").cast("int").as("i")))
+        val js = broadcast(spark.range(1, dim + 1)
+          .select(col("id").cast("int").as("j")))
+        sample.crossJoin(is).crossJoin(js)
+          .select(col("i"), col("j"),
+            element_at(col("q"), col("i")).as("xi"),
+            element_at(col("q"), col("j")).as("xj"))
+          .groupBy("i", "j")
+          .agg(count(lit(1)).cast(dec).as("n"),
+            sum(col("xi").cast(dec)).as("s1i"),
+            sum(col("xj").cast(dec)).as("s1j"),
+            sum(col("xi").cast(dec) * col("xj").cast(dec)).as("s2"))
+          .count()
+      }
+    }
+    // full-OPQ recall receipt (VERDICT r10 #2): flat PQ (one zero
+    // coarse cell, m=4, k=16) at the same m·k budget with NO rotation,
+    // the single reflection, and the 3-step deflation — recall@10 of
+    // k-step must be >= single (the Ge §III claim, on real embeddings)
+    if (opFilter("pcaK")) {
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val corpus = base.where(col("vec_id") >= 5).localCheckpoint()
+      val queries = base.where(col("vec_id") < 5).localCheckpoint()
+      val exact = Similarity.topKL2(corpus, queries, "vec_id", "embedding", k = 10)
+        .persist()
+      val dim = 64
+      val zero: Array[Seq[Long]] = Array(Seq.fill(dim)(0L))
+      def recallOf(kSteps: Int): Double = {
+        val (c, q) =
+          if (kSteps == 0) (corpus.withColumn("eX", col("embedding")),
+            queries.withColumn("eX", col("embedding")))
+          else {
+            val refl = Similarity.pcaHouseholderK(corpus, "vec_id",
+              "embedding", dim, kSteps)
+            (Similarity.householderRotateAll(corpus, "embedding", "eX", refl),
+              Similarity.householderRotateAll(queries, "embedding", "eX", refl))
+          }
+        val books = Similarity.pqFit(c, "vec_id", "eX", dim, m = 4, k = 16, iters = 2)
+        val approx = Similarity.ivfPqTopK(
+          Similarity.ivfPqEncode(c, "vec_id", "eX", dim, m = 4,
+            centroids = zero, codebooks = books),
+          q, "vec_id", "eX", dim, m = 4,
+          centroids = zero, codebooks = books, nprobe = 1, topK = 10)
+        Similarity.recallAtK(exact, approx, "qid", "vec_id", k = 10)
+          .agg(avg(col("recall"))).head().getDouble(0)
+      }
+      val (r0, r1, r3) = (recallOf(0), recallOf(1), recallOf(3))
+      println(f"[stress] pcaK recall@10 m=4k=16: raw=$r0%.3f 1-step=$r1%.3f 3-step=$r3%.3f")
+      exact.unpersist(false)
+    }
     spark.stop()
   }
 

@@ -79,6 +79,7 @@ object GraftFunctions {
     * 1e9+7), fp2 (131, 998244353), fp3 (257, 1e9+9). */
   val FpFamilies: Seq[(Long, Long)] =
     Seq((31L, 1000000007L), (131L, 998244353L), (257L, 1000000009L))
+  val OpSum      = "graft_opsum"
   val TopK       = "graft_topk"
   val MgSketch   = "graft_mg"
   val WordNgramsF = "graft_word_ngrams"
@@ -99,6 +100,15 @@ object GraftFunctions {
     },
     VecSum -> { exprs =>
       arity(VecSum, exprs, 1); VectorSumLong(exprs.head).toAggregateExpression()
+    },
+    // one-pass (n, Σx, upper-triangle Σ x·xᵀ) second-moment statistic:
+    // (vector, dim literal) — pcaHouseholder's covariance pass
+    OpSum -> { exprs =>
+      arity(OpSum, exprs, 2)
+      if (!exprs(1).foldable) throw new IllegalArgumentException(
+        s"$OpSum's second argument (dim) must be a literal")
+      OuterProductSumLong(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
     },
     RollingFp -> { exprs =>
       arity(RollingFp, exprs, 1); RollingFingerprint(exprs.head)

@@ -290,25 +290,51 @@ object Bpe {
     df.select(col(idCol),
       size(bpeTokenize(col(textCol), merges)).cast("long").as("n_tokens"))
 
-  /** Tokenize ONE word (driver/executor Scala) under rules in iter
-    * order by min-RANK greedy merging — provably identical to applying
-    * the rules as sequential passes ([[bpeTokenize]]'s replace chain):
-    * a rule's pair can only become adjacent after both its symbols
-    * exist, and those are formed by strictly LOWER-ranked rules, so the
-    * lowest-ranked present pair is always the next sequential match.
-    * Each chosen rule merges left-to-right non-overlapping (the
-    * `replace` scan). */
+  /** Per-pair sorted rank lists (rule index in iter order) — the
+    * [[tokenizeWord]] lookup structure; duplicate (left,right) pairs
+    * at several ranks keep every rank. */
+  private[graft] def rankMap(
+      pairs: IndexedSeq[(String, String)]): Map[(String, String), Array[Int]] =
+    pairs.zipWithIndex.groupBy(_._1)
+      .map { case (p, xs) => p -> xs.map(_._2).sorted.toArray }
+
+  /** Tokenize ONE word (driver/executor Scala) with EXACT
+    * sequential-pass semantics — [[bpeTokenize]]'s replace chain, rule
+    * by rule — without paying O(rules) per word: repeatedly fire the
+    * minimum-rank adjacent pair whose rank is STRICTLY GREATER than
+    * the last fired rank, merging left-to-right non-overlapping (the
+    * `replace` scan).
+    *
+    * Why the monotone constraint is exactly the chain (ADVICE r10):
+    * the chain runs each rule as one pass in iter order, and a pass
+    * with no occurrence is a no-op — so the chain's state only changes
+    * at the ranks this loop fires, in the same order. Plain min-rank
+    * greedy (the former form) is NOT the chain: a pass can create a
+    * new adjacency for a LOWER-ranked pair (one whose pair string is
+    * also formed by a higher-ranked rule's output next to a live
+    * symbol — duplicate-output merges, realistic at 32–64k vocab);
+    * the chain never revisits a passed rule, so that pair must stay
+    * split. A pass never re-creates its OWN pair (lr == l·r would need
+    * an empty symbol), so one pass per rank suffices. Handles any
+    * `Seq[Merge]` — duplicate (left,right) pairs at several ranks each
+    * get their own pass via the per-pair sorted rank list. */
   private[graft] def tokenizeWord(
-      w: String, rank: collection.Map[(String, String), Int],
+      w: String, rank: collection.Map[(String, String), Array[Int]],
       pairs: IndexedSeq[(String, String)]): Array[String] = {
     var s: Array[String] = w.toCharArray.map(_.toString)
+    var last = -1
     var done = false
     while (!done && s.length > 1) {
       var best = Int.MaxValue
       var i = 0
       while (i < s.length - 1) {
-        val r = rank.getOrElse((s(i), s(i + 1)), Int.MaxValue)
-        if (r < best) best = r
+        val rs = rank.getOrElse((s(i), s(i + 1)), null)
+        if (rs != null) {
+          // smallest rank > last for this pair (sorted; len 1 typical)
+          var k = 0
+          while (k < rs.length && rs(k) <= last) k += 1
+          if (k < rs.length && rs(k) < best) best = rs(k)
+        }
         i += 1
       }
       if (best == Int.MaxValue) done = true
@@ -322,6 +348,7 @@ object Bpe {
           } else { b += s(j); j += 1 }
         }
         s = b.result()
+        last = best
       }
     }
     s
@@ -333,10 +360,13 @@ object Bpe {
     * rules imperatively per word inside `mapPartitions` (the
     * [[MultiModal.decodePartitioned]] last-resort slot, with the same
     * batch contract: the rank map is per-partition state built once).
-    * Bit-identical to the chain form on any shared rule count (BpeSpec
-    * pins deep == chain; the q_bpe_tokens_deep oracle replays the SQL
-    * fold). Stays distributed and row-local — one projection-shaped
-    * pass, zero shuffle. */
+    * Bit-identical to the chain form for ANY rule list at any shared
+    * rule count — [[tokenizeWord]] implements the chain's
+    * sequential-pass semantics exactly, including duplicate-output
+    * merge chains (BpeSpec pins deep == chain on a learned chain AND
+    * on the adversarial duplicate-output list; the q_bpe_tokens_deep
+    * oracle replays the SQL fold). Stays distributed and row-local —
+    * one projection-shaped pass, zero shuffle. */
   def bpeTokenCountsDeep(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge]): DataFrame = {
     require(merges.nonEmpty && merges.size <= MaxMergesDelta,
@@ -344,8 +374,7 @@ object Bpe {
     val ordered = merges.sortBy(_.iter)
     val pairs: IndexedSeq[(String, String)] =
       ordered.map(m => (m.left_sym, m.right_sym)).toIndexedSeq
-    val ranks: Map[(String, String), Int] =
-      pairs.zipWithIndex.toMap
+    val ranks: Map[(String, String), Array[Int]] = rankMap(pairs)
     val out = df.select(col(idCol), col(textCol).as("__text"))
     val schema = org.apache.spark.sql.types.StructType(out.schema.fields.init)
       .add("n_tokens", org.apache.spark.sql.types.LongType)

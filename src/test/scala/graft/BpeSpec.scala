@@ -93,7 +93,7 @@ class BpeSpec extends AnyFunSuite {
     assert(delta == reagg)
   }
 
-  test("bpeTokenCountsDeep == bpeTokenCounts (min-rank greedy == the sequential replace chain)") {
+  test("bpeTokenCountsDeep == bpeTokenCounts (sequential-pass semantics == the replace chain)") {
     val docs = TestSpark.table("0.001", "documents")
     val rules = Bpe.bpeLearnDelta(docs, "text", merges = 40)
     val chain = Bpe.bpeTokenCounts(docs, "doc_id", "text", rules)
@@ -113,6 +113,44 @@ class BpeSpec extends AnyFunSuite {
     val nn = Bpe.bpeTokenCountsDeep(withNull, "doc_id", "text", ms)
       .orderBy("doc_id").collect()
     assert(nn(0).getLong(1) == 1L && nn(1).isNullAt(1)) // 'ab' merges by rule (a,b)
+  }
+
+  test("bpeTokenCountsDeep == chain on duplicate-output merges (sequential-pass semantics, ADVICE r10)") {
+    // Adversarial chain where plain min-rank greedy DIVERGES from the
+    // sequential replace chain: "wxy" is producible two ways —
+    // (w,x)+(wx,y) at ranks 2-3 and (x,y)+(w,xy) at ranks 1,5 — and the
+    // consumer (wxy,z) sits at rank 4 BETWEEN them. On "wxyz" the chain
+    // runs: (x,y) -> [w, xy, z]; ranks 2-4 are no-ops ((w,x) gone, no
+    // "wxy" yet); (w,xy) -> [wxy, z]. Rank 4's pass is OVER when "wxy"
+    // finally forms, so the chain stops at 2 tokens; greedy would fire
+    // the already-passed rank 4 and collapse to 1. The deep tokenizer
+    // must match the chain.
+    val ms = Seq(
+      Bpe.Merge(1, "x", "y", 1), Bpe.Merge(2, "w", "x", 1),
+      Bpe.Merge(3, "wx", "y", 1), Bpe.Merge(4, "wxy", "z", 1),
+      Bpe.Merge(5, "w", "xy", 1))
+    val docs = corpus("wxyz")
+    val chainToks = docs.select(Bpe.bpeTokenize(col("text"), ms))
+      .head().getSeq[String](0)
+    assert(chainToks == Seq("wxy", "z"), s"chain fixture drifted: $chainToks")
+    val deep = Bpe.bpeTokenCountsDeep(docs, "doc_id", "text", ms)
+      .head().getLong(1)
+    assert(deep == 2L, s"deep tokenizer must follow the chain (got $deep tokens)")
+    // duplicate (left,right) PAIR at two ranks: each rank gets its own
+    // pass ("abab" -> (a,b)@1 merges both, so @4's pass is a no-op; but
+    // on "aabb" nothing fires until... (a,b)@1 merges the middle ->
+    // [a, ab, b] and stays — 3 tokens in chain AND deep)
+    val dup = Seq(
+      Bpe.Merge(1, "a", "b", 1), Bpe.Merge(2, "ab", "ab", 1),
+      Bpe.Merge(3, "c", "d", 1), Bpe.Merge(4, "a", "b", 1))
+    for (w <- Seq("abab", "aabb", "ababab")) {
+      val d = corpus(w)
+      val want = d.select(size(Bpe.bpeTokenize(col("text"), dup)).cast("long"))
+        .head().getLong(0)
+      val got = Bpe.bpeTokenCountsDeep(d, "doc_id", "text", dup)
+        .head().getLong(1)
+      assert(got == want, s"dup-pair chain parity on '$w': deep=$got chain=$want")
+    }
   }
 
   test("bpeLearnDelta: minFreq prunes the noise tail; maxVocab fail-fast; cap bounds") {

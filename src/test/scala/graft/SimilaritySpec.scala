@@ -692,6 +692,135 @@ class SimilaritySpec extends AnyFunSuite {
     assert(id == Seq(1.0, 2.0))
   }
 
+  test("pcaHouseholder fit: one-pass opsum aggregate, no crossJoin/explode in any executed plan") {
+    // VERDICT r10 #1: the fit used to shuffle sample·dim² rows through
+    // a dim-range crossJoin. Pin the repaired shape: every plan the fit
+    // executes carries the graft_opsum aggregate and NO row-expanding
+    // node. QueryExecutionListener is async — a sentinel query fences
+    // the bus (the SearchSpec listener-fence convention).
+    import scala.jdk.CollectionConverters._
+    val plans = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    val dim = 8
+    def v(i: Int): Seq[Float] =
+      (0 until dim).map(j => (((i * 37 + j * 11) % 17) - 8) * 0.25f)
+    val corpus = vecs((0L to 30L).map(i => (i, v(i.toInt))): _*)
+    spark.listenerManager.register(l)
+    try {
+      val (uq, uu) = Similarity.pcaHouseholder(corpus, "vec_id", "embedding", dim)
+      assert(uu == uq.map(x => x * x).sum)
+      spark.range(1).select(col("id").as("graft_pca_fence")).collect()
+      val deadline = System.currentTimeMillis() + 30000
+      while (!plans.asScala.exists(_.contains("graft_pca_fence"))
+          && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      val fit = plans.asScala.toList.takeWhile(!_.contains("graft_pca_fence"))
+      assert(fit.nonEmpty, "no fit plan captured")
+      assert(fit.exists(_.contains("graft_opsum")),
+        s"fit must run the one-pass opsum aggregate:\n${fit.mkString("\n---\n")}")
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Generate").foreach { bad =>
+        assert(!fit.exists(_.contains(bad)),
+          s"fit plan must not contain $bad:\n${fit.mkString("\n---\n")}")
+      }
+    } finally spark.listenerManager.unregister(l)
+  }
+
+  test("pcaHouseholder: zero-variance corpus yields the identity reflection (ADVICE r10)") {
+    // all-identical embeddings -> all-zero covariance -> no principal
+    // axis; the fit must return the documented uu == 0 identity pair
+    // (NOT throw NumberFormatException on a NaN ratio)
+    val same = vecs((0L to 9L).map(i => (i, Seq(0.5f, -0.25f, 1.0f, 0.0f))): _*)
+    val (uq, uu) = Similarity.pcaHouseholder(same, "vec_id", "embedding", dim = 4)
+    assert(uu == 0L && uq == Seq(0L, 0L, 0L, 0L))
+    val out = same.select(
+        Similarity.householderRotate(col("embedding"), uq, uu).as("e"))
+      .head().getSeq[Double](0)
+    assert(out == Seq(0.5, -0.25, 1.0, 0.0))
+    // one row is equally degenerate (covariance n·s2 − s1² == 0)
+    val one = vecs((1L, Seq(1.0f, 2.0f)))
+    assert(Similarity.pcaHouseholder(one, "vec_id", "embedding", dim = 2)._2 == 0L)
+  }
+
+  test("pcaHouseholderK: k-step deflation — leading axes land in dims 1..k; step 1 == single; L2 kept") {
+    val dim = 8
+    // three orthogonal non-axis-aligned directions with well-separated
+    // variances: w1=(e1+e5)/√2 scale 6, w2=(e2+e6)/√2 scale 3,
+    // w3=(e3+e7)/√2 scale 1.2 — a full-OPQ geometry where one
+    // reflection only rescues w1
+    def v(i: Int): Seq[Float] = {
+      val t1 = ((i % 3) - 1) * 6.0f
+      val t2 = (((i / 3) % 3) - 1) * 3.0f
+      val t3 = (((i / 9) % 3) - 1) * 1.2f
+      (0 until dim).map { j =>
+        val base =
+          if (j == 0 || j == 4) t1 / 1.4142135f
+          else if (j == 1 || j == 5) t2 / 1.4142135f
+          else if (j == 2 || j == 6) t3 / 1.4142135f
+          else 0.0f
+        base + (((i * (j + 3) * 13) % 7) - 3) * 0.02f
+      }
+    }
+    val corpus = vecs((0L until 54L).map(i => (i, v(i.toInt))): _*)
+    val k = 3
+    val refl = Similarity.pcaHouseholderK(corpus, "vec_id", "embedding", dim, k)
+    assert(refl.length == k)
+    // step 1 must be EXACTLY the single-reflection fit
+    val (uq1, uu1) = Similarity.pcaHouseholder(corpus, "vec_id", "embedding", dim)
+    assert(refl.head._1 == uq1 && refl.head._2 == uu1)
+    // step t's u is padded with t leading zeros (identity on placed axes)
+    refl.zipWithIndex.foreach { case ((uq, uu), t) =>
+      assert(uq.length == dim && uq.take(t).forall(_ == 0L))
+      assert(uu == uq.map(x => x * x).sum)
+    }
+    // determinism: repartition-invariant (exact sums + driver algebra)
+    assert(Similarity.pcaHouseholderK(corpus.repartition(13),
+      "vec_id", "embedding", dim, k) == refl)
+    val rot = Similarity.householderRotateK(col("embedding"), refl)
+    val r = corpus.withColumn("e2", rot)
+    // rotated variances: dims 1..3 dominate in order
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q2 = Similarity.quantize(col("e2"))
+    val stats = r.select((0 until dim).flatMap { j =>
+      val x = element_at(q2, j + 1)
+      Seq(sum(x.cast(dec)).as(s"s1_$j"), sum(x.cast(dec) * x.cast(dec)).as(s"s2_$j"))
+    } :+ count(lit(1)).cast(dec).as("n"): _*).head()
+    val n = BigDecimal(stats.getDecimal(2 * dim))
+    val vars = (0 until dim).map { j =>
+      val s1 = BigDecimal(stats.getDecimal(2 * j)); val s2 = BigDecimal(stats.getDecimal(2 * j + 1))
+      n * s2 - s1 * s1
+    }
+    assert(vars.drop(1).forall(_ <= vars(0)), s"dim-1 must dominate: $vars")
+    assert(vars.drop(2).forall(_ <= vars(1)), s"dim-2 must dominate the rest: $vars")
+    assert(vars.drop(3).forall(_ <= vars(2)), s"dim-3 must dominate the tail: $vars")
+    // L2 preserved through the composed rotation (grid error only)
+    val norms = r.select(
+        Similarity.dotQ(Similarity.quantize(col("embedding")),
+          Similarity.quantize(col("embedding"))).as("a"),
+        Similarity.dotQ(q2, q2).as("b"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    norms.foreach { case (a, b) =>
+      assert(math.abs(a - b) <= math.max(192L, (a * 3e-4).toLong),
+        s"composed reflections must preserve L2: $a vs $b") }
+    // materialized step-wise form == the lazy chain, row for row (each
+    // step re-rounds to the grid either way; only wall clock differs)
+    val mat = Similarity.householderRotateAll(corpus, "embedding", "e2", refl)
+      .select(col("vec_id"), col("e2"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Double](1)).toMap
+    val lzy = r.select(col("vec_id"), col("e2"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Double](1)).toMap
+    assert(mat == lzy, "householderRotateAll must equal the lazy chain")
+    // degenerate corpus: every step is the identity pair
+    val same = vecs((0L to 5L).map(i => (i, Seq(1.0f, 2.0f, 3.0f, 4.0f))): _*)
+    val dRefl = Similarity.pcaHouseholderK(same, "vec_id", "embedding", 4, 2)
+    assert(dRefl.forall(_._2 == 0L))
+  }
+
   test("flat batch PQ: ivfPqTopK with ONE zero coarse centroid == pqTopK per query") {
     // the batch form of the flat PQ index: a single all-zero centroid
     // puts every corpus row and every query in the same cell, so the
