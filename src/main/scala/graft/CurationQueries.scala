@@ -80,9 +80,9 @@ object CurationQueries {
     * same window/island replay runs over a regex retokenization
     * (q_dup_spans_bpe mirrors [[NgramOverlap.retokenize]] by splitting
     * the ' '-joined regexp_extract_all tokens). */
-  private def spanCtes(textExpr: String): String = {
+  private def spanCtes(textExpr: String, pre: String = "", joins: String = ""): String = {
     val winStr = "array_to_string(w[i:i+4], ' ')"
-    (s"WITH t AS (SELECT doc_id, string_split($textExpr, ' ') w FROM documents),"
+    (s"WITH $pre t AS (SELECT doc_id, string_split($textExpr, ' ') w FROM documents$joins),"
       + " wins AS (SELECT doc_id,"
       + " unnest(range(0, len(w) - 4)) AS pos,"
       + s" unnest([${fpSql(winStr)} for i in range(1, len(w) - 3)]) AS f1,"
@@ -215,6 +215,16 @@ object CurationQueries {
     "q_dup_spans_bpe" -> ((s, d) =>
       NgramOverlap.duplicateSpans(T(s, d, "documents"), "doc_id", "text",
         windowTokens = 5, tokenizer = NgramOverlap.retokenize())
+        .orderBy("doc_id", "span_start")),
+    // the span machinery over the LEARNED deep tokenizer (VERDICT r10
+    // #4): duplicateSpans' tokenizer slot rides Bpe.deepRetokenize —
+    // the BpeDeepTokenize scalar expression at the 24-rule deep prefix
+    // here (oracle replays the chain fold; the same slot takes a
+    // 64k-rule vocabulary, receipted in Stress bpeDeepTok)
+    "q_dup_spans_bpe_deep" -> ((s, d) =>
+      NgramOverlap.duplicateSpans(T(s, d, "documents"), "doc_id", "text",
+        windowTokens = 5, tokenizer = graft.operators.Bpe.deepRetokenize(
+          LlmQueries.bpeDeepMergesOf(s, d).take(LlmQueries.BpeDeepTokRules)))
         .orderBy("doc_id", "span_start")),
     // Winnowing (MOSS) fingerprint contamination screen: train docs
     // sharing >= 3 winnowed fingerprints with an eval doc. The cheap
@@ -998,6 +1008,17 @@ object CurationQueries {
       + " FROM isl GROUP BY doc_id, g ORDER BY 1, 2"),
     "q_dup_spans_bpe" -> (spanCtes(
       s"array_to_string(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}'), ' ')")
+      + " SELECT doc_id, min(pos)::BIGINT AS span_start,"
+      + " (max(pos) + 5 - min(pos))::BIGINT AS span_tokens"
+      + " FROM isl GROUP BY doc_id, g ORDER BY 1, 2"),
+    // deep-tokenizer span replay: the learning CTEs reproduce the
+    // 24-rule deep prefix (delta == reagg), each doc's token stream is
+    // the chain fold re-joined by spaces, then the identical
+    // window/island machinery runs over it
+    "q_dup_spans_bpe_deep" -> (spanCtes(
+      s"array_to_string(${LlmQueries.bpeTokensSqlN(LlmQueries.BpeDeepTokRules)}, ' ')",
+      pre = LlmQueries.bpeLearnCtes(LlmQueries.BpeDeepTokRules) + ",",
+      joins = (1 to LlmQueries.BpeDeepTokRules).map(i => s" CROSS JOIN b$i").mkString)
       + " SELECT doc_id, min(pos)::BIGINT AS span_start,"
       + " (max(pos) + 5 - min(pos))::BIGINT AS span_tokens"
       + " FROM isl GROUP BY doc_id, g ORDER BY 1, 2"),

@@ -110,7 +110,7 @@ object LlmQueries {
   // q_bpe_learn_deep / q_bpe_tokens_deep's fit-once DELTA-trained rules
   private val bpeDeepMergesCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
-  private def bpeDeepMergesOf(s: SparkSession, d: String): Seq[Bpe.Merge] =
+  private[graft] def bpeDeepMergesOf(s: SparkSession, d: String): Seq[Bpe.Merge] =
     bpeDeepMergesCache.computeIfAbsent(d, _ =>
       Bpe.bpeLearnDelta(T(s, d, "documents"), "text", merges = BpeDeepMerges))
 
@@ -1186,8 +1186,8 @@ object LlmQueries {
       Bpe.mergesDf(s, rules).orderBy("iter")
     }),
     // the DEEP tokenizer: rules applied imperatively per word in the
-    // mapPartitions slot (min-rank greedy == the sequential replace
-    // chain — see Bpe.tokenizeWord), so a 64k-rule vocabulary tokenizes
+    // mapPartitions slot (exact sequential-pass semantics == the
+    // replace chain — see Bpe.tokenizeWord), so a 64k-rule vocabulary tokenizes
     // without a 64k-deep codegen expression; here the first 24 delta-
     // learned rules so the oracle folds non-empty one-row rule tables
     "q_bpe_tokens_deep" -> ((s, d) =>
@@ -1205,6 +1205,23 @@ object LlmQueries {
     "q_pack_bpe" -> ((s, d) => {
       val docs = T(s, d, "documents").select(col("doc_id"), col("source"),
         size(Bpe.bpeTokenize(col("text"), bpeMergesOf(s, d)))
+          .cast("long").as("toks"))
+      Packing.packSequences(docs, Seq("source"), Seq(col("doc_id")), "toks", 128)
+        .groupBy("source", "seq")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_tokens"),
+          max("seq_offset").as("last_offset"), sum("n_splits").as("n_straddles"))
+        .orderBy("source", "seq")
+    }),
+    // the same sizing composition through the PRODUCTION-vocab deep
+    // tokenizer (VERDICT r10 #4): toks from the BpeDeepTokenize scalar
+    // expression over the delta-learned rule prefix — hash-matching the
+    // chain form at the shared rule count (the oracle replays the SQL
+    // fold), while the chain form is capped at 512 rules by construction
+    "q_pack_bpe_deep" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val docs = T(s, d, "documents").select(col("doc_id"), col("source"),
+        size(Bpe.bpeDeepTokens(col("text"),
+            bpeDeepMergesOf(s, d).take(BpeDeepTokRules)))
           .cast("long").as("toks"))
       Packing.packSequences(docs, Seq("source"), Seq(col("doc_id")), "toks", 128)
         .groupBy("source", "seq")
@@ -2184,7 +2201,7 @@ object LlmQueries {
     * replace pattern/replacement, and the merged vocab w`i`. DuckDB's
     * `replace` shares Spark's left-to-right non-overlapping scan, so
     * the merge application is bit-identical. */
-  private def bpeLearnCtes(iters: Int): String = {
+  private[graft] def bpeLearnCtes(iters: Int): String = {
     val w0 = ("w0 AS MATERIALIZED (SELECT"
       + " ' ' || array_to_string([w[i] for i in range(1, len(w)+1)], '  ') || ' ' AS sym,"
       + " count(*)::BIGINT AS f FROM"
@@ -2246,13 +2263,19 @@ object LlmQueries {
 
   /** The fold parameterized by rule count — q_bpe_tokens_deep folds the
     * first [[BpeDeepTokRules]] rules of the DEEP training replay. */
-  private def bpeTokCountSqlN(n: Int): String = {
+  private[graft] def bpeTokCountSqlN(n: Int): String =
+    s"len(${bpeTokensSqlN(n)})::BIGINT"
+
+  /** The token LIST under the n-rule chain (the count form's inner
+    * expression) — q_dup_spans_bpe_deep joins it back to a string for
+    * the span replay. */
+  private[graft] def bpeTokensSqlN(n: Int): String = {
     val chain = (1 to n).foldLeft(
       "' ' || array_to_string([w[i] for i in range(1, len(w)+1)], '  ') || ' '")(
       (acc, i) => s"replace($acc, b$i.pat, b$i.rep)")
-    ("len(flatten(list_transform("
+    ("flatten(list_transform("
       + "list_filter(string_split(text, ' '), w -> len(w) > 0), "
-      + s"w -> string_split(trim($chain), '  '))))::BIGINT")
+      + s"w -> string_split(trim($chain), '  ')))")
   }
 
   /** The q_ann_ivfpq_refine replay, parameterized by the prepared-
@@ -3180,6 +3203,21 @@ object LlmQueries {
           + s" t AS (SELECT source, doc_id, $bpeTokCountSql AS toks"
           + " FROM documents"
           + (1 to BpeMerges).map(i => s" CROSS JOIN b$i").mkString + "),"
+          + " c AS (SELECT source, doc_id, toks, sum(toks) OVER (PARTITION BY source ORDER BY doc_id"
+          + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e FROM t),"
+          + " a AS (SELECT source, toks, ((e - toks) // 128)::BIGINT AS seq,"
+          + " ((e - toks) % 128)::BIGINT AS seq_offset,"
+          + " ((e - 1) // 128 - (e - toks) // 128)::BIGINT AS n_splits FROM c)"
+          + " SELECT source, seq, count(*) AS n_docs, sum(toks)::BIGINT AS sum_tokens,"
+          + " max(seq_offset) AS last_offset, sum(n_splits)::BIGINT AS n_straddles"
+          + " FROM a GROUP BY 1, 2 ORDER BY 1, 2"),
+      // deep-tokenizer packing replay: the q_pack_bpe packing algebra
+      // with toks from the 24-rule deep-prefix fold (delta == reagg)
+      "q_pack_bpe_deep" ->
+        (s"WITH ${bpeLearnCtes(BpeDeepTokRules)},"
+          + s" t AS (SELECT source, doc_id, ${bpeTokCountSqlN(BpeDeepTokRules)} AS toks"
+          + " FROM documents"
+          + (1 to BpeDeepTokRules).map(i => s" CROSS JOIN b$i").mkString + "),"
           + " c AS (SELECT source, doc_id, toks, sum(toks) OVER (PARTITION BY source ORDER BY doc_id"
           + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e FROM t),"
           + " a AS (SELECT source, toks, ((e - toks) // 128)::BIGINT AS seq,"

@@ -418,6 +418,26 @@ object Stress {
       graft.operators.Bpe.bpeLearnDelta(rich, "text", merges = 2048,
         maxVocab = 1 << 19).size.toLong
     }
+    // the deep tokenizer CONSUMING a >=8k-rule vocabulary (VERDICT r10
+    // #4 receipt): bpeDeepTokens tokenizes the full doc corpus under
+    // 8192 delta-learned rules — the replace-chain form is capped at
+    // 512 rules by construction (one codegen replace per rule), so this
+    // path is the only way these vocabularies are usable at all
+    if (opFilter("bpeDeepTok")) {
+      val rich = spark.range(200000)
+        .select(md5(col("id").cast("string")).as("text"))
+      val rules8k = graft.operators.Bpe.bpeLearnDelta(
+        rich.unionByName(docs.select(col("text")).where(col("text").isNotNull)),
+        "text", merges = 8192, maxVocab = 1 << 19)
+      println(s"[stress] bpeDeepTok vocab=${rules8k.size} rules" +
+        s" (chain form caps at ${graft.operators.Bpe.MaxMerges})")
+      time("bpeDeepTokens 8k rules")(
+        docs.select(sum(size(graft.operators.Bpe.bpeDeepTokens(
+          col("text"), rules8k)))).head().getLong(0))
+      time("bpeDeepTok counts 8k")(
+        graft.operators.Bpe.bpeTokenCountsDeep(docs, "doc_id", "text", rules8k)
+          .agg(sum(col("n_tokens"))).head().getLong(0))
+    }
     // ANN index probe through persisted codes: encode is one projection
     // (linear); the probe is nprobe-bounded candidates per query
     time("annTopK 5q nprobe=2") {

@@ -80,6 +80,7 @@ object GraftFunctions {
   val FpFamilies: Seq[(Long, Long)] =
     Seq((31L, 1000000007L), (131L, 998244353L), (257L, 1000000009L))
   val OpSum      = "graft_opsum"
+  val BpeDeep    = "graft_bpe_deep"
   val TopK       = "graft_topk"
   val MgSketch   = "graft_mg"
   val WordNgramsF = "graft_word_ngrams"
@@ -100,6 +101,15 @@ object GraftFunctions {
     },
     VecSum -> { exprs =>
       arity(VecSum, exprs, 1); VectorSumLong(exprs.head).toAggregateExpression()
+    },
+    // production-vocab BPE tokens: (text, packed-rules literal) —
+    // Bpe.bpeDeepTokens builds the packed literal
+    BpeDeep -> { exprs =>
+      arity(BpeDeep, exprs, 2)
+      if (!exprs(1).foldable) throw new IllegalArgumentException(
+        s"$BpeDeep's second argument (packed rules) must be a literal")
+      BpeDeepTokenize(exprs(0),
+        exprs(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
     },
     // one-pass (n, Σx, upper-triangle Σ x·xᵀ) second-moment statistic:
     // (vector, dim literal) — pcaHouseholder's covariance pass

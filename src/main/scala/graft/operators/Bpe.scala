@@ -290,6 +290,45 @@ object Bpe {
     df.select(col(idCol),
       size(bpeTokenize(col(textCol), merges)).cast("long").as("n_tokens"))
 
+  /** [[packRules]]/[[graft.expressions.BpeDeepTokenize]] separators:
+    * left + FieldSep + right per rule, rules joined by RuleSep. */
+  private[graft] val FieldSep = '\u0000'
+  private[graft] val RuleSep = '\u0001'
+
+  /** Rules packed into ONE string literal (iter order) — how a 64k-rule
+    * vocabulary rides into [[graft.expressions.BpeDeepTokenize]] without
+    * a 64k-node expression tree. Fails fast if a symbol somehow contains
+    * a control separator (whitespace-split document words cannot). */
+  private[graft] def packRules(merges: Seq[Merge]): String = {
+    merges.foreach { m =>
+      require(!m.left_sym.exists(c => c == FieldSep || c == RuleSep)
+          && !m.right_sym.exists(c => c == FieldSep || c == RuleSep),
+        s"rule symbols must not contain control separators: $m")
+    }
+    merges.sortBy(_.iter)
+      .map(m => s"${m.left_sym}$FieldSep${m.right_sym}").mkString(RuleSep.toString)
+  }
+
+  /** [[bpeTokenize]] at PRODUCTION vocabulary sizes, as a composable
+    * Column: the [[graft.expressions.BpeDeepTokenize]] scalar expression
+    * (sequential-pass semantics, rules as one packed literal) — token
+    * for token the chain form at any shared rule count (BpeSpec pins),
+    * with no per-rule codegen. Callers must have
+    * [[graft.expressions.GraftFunctions.register]]ed the session. */
+  def bpeDeepTokens(text: Column, merges: Seq[Merge]): Column = {
+    require(merges.nonEmpty && merges.size <= MaxMergesDelta,
+      s"need 1..$MaxMergesDelta merge rules (got ${merges.size})")
+    call_function(graft.expressions.GraftFunctions.BpeDeep,
+      text, lit(packRules(merges)))
+  }
+
+  /** The deep tokenizer shaped for the `Column => Column` tokenizer
+    * slots ([[NgramOverlap.duplicateSpans]], gram tables): tokens
+    * re-joined by single spaces — lossless in token space since BPE
+    * symbols are substrings of whitespace-split words. */
+  def deepRetokenize(merges: Seq[Merge]): Column => Column =
+    t => array_join(bpeDeepTokens(t, merges), " ")
+
   /** Per-pair sorted rank lists (rule index in iter order) — the
     * [[tokenizeWord]] lookup structure; duplicate (left,right) pairs
     * at several ranks keep every rank. */

@@ -153,6 +153,39 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeDeepTokens Column == bpeTokenize token for token (learned chain + adversarial list)") {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = TestSpark.table("0.001", "documents")
+    val rules = Bpe.bpeLearnDelta(docs, "text", merges = 40)
+    val both = docs.select(col("doc_id"),
+        Bpe.bpeTokenize(col("text"), rules).as("chain"),
+        Bpe.bpeDeepTokens(col("text"), rules).as("deep"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}: chain != deep") }
+    // the duplicate-output adversarial chain (the sequential-pass case
+    // plain greedy gets wrong) — Column form must match the chain too
+    val ms = Seq(
+      Bpe.Merge(1, "x", "y", 1), Bpe.Merge(2, "w", "x", 1),
+      Bpe.Merge(3, "wx", "y", 1), Bpe.Merge(4, "wxy", "z", 1),
+      Bpe.Merge(5, "w", "xy", 1))
+    val adv = corpus("wxyz wxy xyz")
+      .select(Bpe.bpeDeepTokens(col("text"), ms).as("t")).head().getSeq[String](0)
+    assert(adv == Seq("wxy", "z", "wxy", "xy", "z"), s"got $adv")
+    // NULL text -> NULL array; empty/whitespace-only -> empty array
+    val nn = Seq((0L, "ab"), (1L, null.asInstanceOf[String]), (2L, "  "))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Bpe.bpeDeepTokens(col("text"), ms).as("t"))
+      .orderBy("doc_id").collect()
+    assert(nn(0).getSeq[String](1) == Seq("a", "b"))
+    assert(nn(1).isNullAt(1))
+    assert(nn(2).getSeq[String](1).isEmpty)
+    // deepRetokenize slots into the Column => Column tokenizer surface
+    val rt = Bpe.deepRetokenize(ms)(lit("wxyz"))
+    assert(corpus("x").select(rt).head().getString(0) == "wxy z")
+  }
+
   test("bpeLearnDelta: minFreq prunes the noise tail; maxVocab fail-fast; cap bounds") {
     // 'aa' x2 survives minFreq=2, singleton 'bb'/'cc' drop out
     val df = corpus("aa aa bb cc")
