@@ -597,26 +597,29 @@ object LlmQueries {
           "doc_id", "text", "spark hash")
         .select("doc_id").orderBy("doc_id")
     }),
-    // STREAMING postings ingestion: docs >= 400 arrive as one-file-per-
-    // trigger micro-batches appending their posting rows to the frozen
-    // history index; probing the drained index hash-matches the naive
-    // whole-corpus scan (append == rebuild, boundaries invisible)
+    // STREAMING postings ingestion through the AT-REST APPEND sink
+    // (VERDICT r10 #3): docs >= 400 arrive as one-file-per-trigger
+    // micro-batches whose posting rows parquet-APPEND under the seeded
+    // index dir — history never re-materialized, per-batch cost tracks
+    // the batch. Probing the drained DIRECTORY hash-matches the naive
+    // whole-corpus scan (append == rebuild, boundaries invisible). A
+    // fresh dir per call keeps bench reps from double-appending.
     "q_substr_index_stream" -> ((s, d) => {
       val docs = T(s, d, "documents")
-      val init = Search.buildPostingsIndex(
-        docs.where(col("doc_id") < 400), "doc_id", "text")
-      val init2 = init.copy(postings = init.postings.localCheckpoint())
-      val dir = stageDays(d, "postings", Seq(
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-postidx-stream").toString
+      Search.buildPostingsIndex(
+        docs.where(col("doc_id") < 400), "doc_id", "text").write(dir)
+      val days = stageDays(d, "postings", Seq(
         docs.where(col("doc_id") >= 400 && col("doc_id") % 2 === 0),
         docs.where(col("doc_id") >= 400 && col("doc_id") % 2 === 1)))
       val stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
-      var last: Search.PostingsIndex = init2
+        .option("maxFilesPerTrigger", "1").parquet(days)
       runForeachBatchReplay(
-        StreamingOps.postingsIngest(stream, init2, "text")(
-          idx => { last = idx; () }),
+        StreamingOps.postingsIngestAppend(stream, dir, "doc_id", "text"),
         "graft_stream_postings")
-      Search.substrSearch(docs, last.postings, "doc_id", "text", "spark hash")
+      Search.substrSearch(docs, Search.PostingsIndex.read(s, dir).postings,
+          "doc_id", "text", "spark hash")
         .select("doc_id").orderBy("doc_id")
     }),
     // Takedown erasure: every 10th doc removed from the postings and the
@@ -868,20 +871,24 @@ object LlmQueries {
       val e = T(s, d, "embeddings")
       val corpus = e.where(col("vec_id") >= 5)
       val (cents, books) = ivfPqIndexOf(d, corpus)
-      val init = Similarity.buildAnnIndex(corpus.where(col("vec_id") % 3 =!= 0),
-        "vec_id", "embedding", dim = 64, m = 4, cents, books)
-      val init2 = init.copy(codes = init.codes.localCheckpoint())
-      val dir = stageDays(d, "ann", Seq(
+      // AT-REST APPEND sink (VERDICT r10 #3): seed the index dir with
+      // day-1 codes + frozen quantizers, micro-batches append BATCH-ONLY
+      // code rows (history never re-encoded), probe reads the directory;
+      // fresh dir per call so bench reps never double-append
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-annidx-stream").toString
+      Similarity.buildAnnIndex(corpus.where(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", dim = 64, m = 4, cents, books).write(dir)
+      val days = stageDays(d, "ann", Seq(
         corpus.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0),
         corpus.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 1)))
       val stream = s.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
-      var last: Similarity.AnnIndex = init2
+        .option("maxFilesPerTrigger", "1").parquet(days)
       runForeachBatchReplay(
-        StreamingOps.annIngest(stream, init2, "embedding")(idx => { last = idx; () }),
+        StreamingOps.annIngestAppend(stream, dir, "embedding"),
         "graft_stream_ann")
-      Similarity.annTopK(last, e.where(col("vec_id") < 5), "embedding",
-          nprobe = 2, topK = 10)
+      Similarity.annTopK(Similarity.AnnIndex.read(s, dir),
+          e.where(col("vec_id") < 5), "embedding", nprobe = 2, topK = 10)
         .orderBy("qid", "rank")
     }),
     // the FAISS-default RESIDUAL variant: PQ encodes x − c(x) with

@@ -553,6 +553,30 @@ object Stress {
           .count()
       }
     }
+    // append-mode ingest receipt (VERDICT r10 #3): per-batch cost of
+    // the at-rest APPEND sink must be FLAT in the size of the already-
+    // drained corpus — the sink explodes and writes BATCH rows only,
+    // never reading accumulated state. Seed postings dirs at x1 and x64
+    // at-rest size, then time appending the SAME 1000-doc batch to each.
+    if (opFilter("ingestAppend")) {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val batch = base.where(col("doc_id") < 1000).localCheckpoint()
+      for (scale <- Seq(1, 64)) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-appendx$scale").toString
+        val rest = (0 until scale).map(i =>
+            base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _)
+        graft.operators.Search.buildPostingsIndex(rest, "doc_id", "text")
+          .write(dir)
+        val n = spark.read.parquet(s"$dir/postings").count()
+        time(s"ingestAppend batch @x$scale at-rest ($n rows)") {
+          graft.operators.Search.trigramPostings(batch, "doc_id", "text")
+            .write.mode("append").parquet(s"$dir/postings")
+          spark.read.parquet(s"$dir/postings").count() - n
+        }
+      }
+    }
     // full-OPQ recall receipt (VERDICT r10 #2): flat PQ (one zero
     // coarse cell, m=4, k=16) at the same m·k budget with NO rotation,
     // the single reflection, and the 3-step deflation — recall@10 of

