@@ -167,6 +167,40 @@ object CurationQueries {
           sum(Sampling.textKey(col("text"))).as("checksum"))
         .orderBy("shard")
     }),
+    // THE STREAMING CURATION FLAGSHIP (VERDICT r10 #6): the same six
+    // stages over three id-ordered day files drained one per trigger —
+    // gopher/normalize stateless per batch, exact + near-dup keep-first
+    // against rolled corpus state, decontamination against the frozen
+    // eval side, and the budget-sample + shard rollup run ON the
+    // drained frame. Hash-matches q_curation_e2e's batch oracle
+    // (streamed == batch; the shared SQL row pins it).
+    "q_stream_curation" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val base = T(s, d, "documents")
+      val days = LlmQueries.stageDays(d, "curation", Seq(
+        base.where(col("doc_id") < 170),
+        base.where(col("doc_id") >= 170 && col("doc_id") < 340),
+        base.where(col("doc_id") >= 340)))
+      val stream = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(days)
+      var last: DataFrame = null
+      LlmQueries.runForeachBatchReplay(
+        graft.streaming.StreamingOps.curationIngest(stream,
+          base.where(col("text").isNotNull && col("source").isin(EvalSrc: _*)),
+          EvalSrc, "doc_id", "text")(f => { last = f; () }),
+        "graft_stream_curation")
+      val sampled = Sampling.tokenBudgetSample(
+        last.withColumn("toks", size(split(col("text"), " ")).cast("long")),
+        "source", "toks", budget = 8000L,
+        weights = LlmQueries.TokenBudgetWeights,
+        key = Sampling.textKey(col("text")), salt = 9)
+      Layout.shardAssign(sampled, Sampling.textKey(col("text")),
+          shards = 8, salt = 11)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_tokens"),
+          sum(Sampling.textKey(col("text"))).as("checksum"))
+        .orderBy("shard")
+    }),
     // exact 5-gram decontamination (GPT-3 style): train docs sharing any
     // exact word 5-gram with the eval sources; eval gram set broadcast
     "q_contaminated" -> ((s, d) => {
@@ -941,7 +975,13 @@ object CurationQueries {
       + " SELECT tr.doc_id, count(*) AS n_hit_grams FROM tr JOIN ev USING (gr)"
       + " GROUP BY 1 ORDER BY 1")
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // the streamed flagship must hash-match the BATCH chain (streamed ==
+    // batch: arrival order refines id order, so every stage's drop rule
+    // coincides — see StreamingOps.curationIngest)
+    ("q_stream_curation" -> oracleSqlBase("q_curation_e2e"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     // the six-stage flagship replayed as ONE WITH chain: gopher pass ->
     // normalized keep-first -> brute-force-Jaccard near-dup keep-first
     // (the LSH index must be invisible) -> 5-gram decontamination ->

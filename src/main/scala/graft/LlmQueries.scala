@@ -253,7 +253,7 @@ object LlmQueries {
   /** Write `days` as one parquet file each (day`i`.parquet, mtime-pinned
     * so maxFilesPerTrigger=1 drains them in order) under a cached temp
     * dir keyed by (data dir, key). */
-  private def stageDays(d: String, key: String, days: => Seq[DataFrame]): String =
+  private[graft] def stageDays(d: String, key: String, days: => Seq[DataFrame]): String =
     stagedDaysCache.computeIfAbsent(s"$d#$key", _ => {
       val dir = java.nio.file.Files.createTempDirectory(s"graft-$key-days")
       days.zipWithIndex.foreach { case (df, i) =>
@@ -272,7 +272,7 @@ object LlmQueries {
     * operators ([[StreamingOps.dedupNearIngest]]): runs the writer with
     * an AvailableNow trigger and a cleaned-up temp checkpoint, returns
     * when the replay drains. */
-  private def runForeachBatchReplay(
+  private[graft] def runForeachBatchReplay(
       writer: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
       prefix: String): Unit = {
     import org.apache.spark.sql.streaming.Trigger

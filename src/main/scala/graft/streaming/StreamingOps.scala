@@ -361,6 +361,105 @@ object StreamingOps {
     }
   }
 
+  /** STREAMING CURATION FLAGSHIP (VERDICT r10 #6) — the six-stage
+    * q_curation_e2e chain over an unbounded document stream, stage by
+    * stage at micro-batch cadence:
+    *
+    *   1. gopher quality gate + 2. text normalization — stateless row
+    *      transforms, applied per batch;
+    *   3. exact keep-first — corpus state: one normalized key per
+    *      accepted doc; a batch doc whose key was ever seen (or that
+    *      loses the in-batch smaller-id race) drops;
+    *   4. near-dup keep-first — corpus state: the NearDupIndex rolled
+    *      with ALL exact-survivors (not just near-dup survivors),
+    *      because the batch rule drops the larger-id side of every
+    *      verified pair regardless of the smaller side's own fate —
+    *      indexing only survivors would re-admit chain cases
+    *      (A~B~C, A≁C: B drops on A, C must still drop on B);
+    *   5. eval decontamination — stateless against the FROZEN eval
+    *      side (eval sets are static reference data; pass them
+    *      materialized);
+    *   6. budget sample + shard rollup — end-of-pipeline
+    *      materialization: run on the frame `emit` hands you, exactly
+    *      as the batch flagship's tail does (sampling thresholds are
+    *      corpus-total-dependent, so they belong at rollup time, not
+    *      per batch).
+    *
+    * STREAMED ≡ BATCH: when arrival order refines id order (day files
+    * staged by id range), every stage's drop rule coincides with the
+    * batch chain's, so the drained frame — and therefore the sampled
+    * shard rollup — hash-matches q_curation_e2e's oracle
+    * (StreamingSpec pins it, including an A~B~C chain case).
+    *
+    * PARITY-HARNESS FORM (the [[postingsIngestAppend]] convention):
+    * state frames localCheckpoint per batch so `emit` serves live
+    * frames; the at-rest form appends the batch's canon keys, sketch
+    * rows, and decontaminated docs to parquet directories
+    * (NearDupIndex.write layout) with the rollup reading the
+    * directory. `emit` receives the CUMULATIVE decontaminated train
+    * frame after each batch. */
+  def curationIngest(
+      stream: DataFrame,
+      evalDocs: DataFrame,
+      evalSources: Seq[String],
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      bands: Int = 32,
+      rows: Int = 4,
+      ngram: Int = 5)(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.{Dedup, NgramOverlap, TextAnalysis}
+    val evalFrozen = evalDocs.localCheckpoint()
+    var canonSeen: DataFrame = null
+    var index: Dedup.NearDupIndex = null
+    var acc: DataFrame = null
+    stream.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batch = b.toDF()
+        val base = batch.where(col(textCol).isNotNull)
+        // 1-2: stateless gate + normalization
+        val passed = TextAnalysis.gopherFlags(base, textCol)
+          .where(col("gopher_pass"))
+          .select(base.columns.map(col).toIndexedSeq: _*)
+        val withCanon = passed.withColumn("__canon",
+          TextAnalysis.normalizeText(col(textCol)))
+        // 3: exact keep-first (in-batch smaller-id race, then history)
+        val exBatch = Dedup.dropDuplicatesKeepFirst(withCanon, idCol, "__canon")
+        val exNew = (if (canonSeen == null) exBatch
+          else exBatch.join(canonSeen, Seq("__canon"), "left_anti"))
+          .localCheckpoint()
+        canonSeen = (if (canonSeen == null) exNew.select("__canon")
+          else canonSeen.unionByName(exNew.select("__canon")))
+          .localCheckpoint()
+        val exDocs = exNew.drop("__canon")
+        // 4: near-dup against ALL earlier exact-survivors + in-batch
+        val surv =
+          if (index == null) Dedup.nearDupDedup(exDocs, idCol, textCol,
+            n, threshold, bands, rows)
+          else Dedup.dedupIncrementalNear(index, exDocs, idCol, textCol, threshold)
+        index = {
+          val rolled =
+            if (index == null) Dedup.buildNearDupIndex(exDocs, idCol, textCol,
+              n = n, bands = bands, rows = rows)
+            else Dedup.appendToIndex(index, exDocs, idCol, textCol)
+          rolled.copy(buckets = rolled.buckets.localCheckpoint(),
+            shingles = rolled.shingles.localCheckpoint())
+        }
+        // 5: decontaminate the train side against the frozen eval set
+        val trainB = surv.where(!col("source").isin(evalSources: _*))
+        val contam = NgramOverlap.contaminatedDocs(trainB, evalFrozen,
+            idCol, textCol, n = ngram, broadcastEval = true)
+          .select(col(idCol).as("__contam_id"))
+        val deconB = trainB.join(contam,
+          col(idCol) === col("__contam_id"), "left_anti")
+        acc = (if (acc == null) deconB else acc.unionByName(deconB))
+          .localCheckpoint()
+        emit(acc)
+    }
+  }
+
   /** Continuous drift monitoring — the streaming form of
     * [[graft.operators.Drift.psi]]: each micro-batch folds ONCE into
     * the running (bin, n) histogram (integer counts sum associatively

@@ -397,6 +397,77 @@ class StreamingSpec extends AnyFunSuite {
       "drained append-mode ANN dir must equal the from-scratch encode")
   }
 
+  test("curationIngest: streamed six-stage chain == batch chain, including the A~B~C near-dup chain case") {
+    import graft.operators.{Dedup, NgramOverlap, TextAnalysis}
+    // token stream with stopword hits every 5 tokens so any 60-token
+    // window passes gopher (>= 50 words, mean len 3-10, >= 2 stopwords)
+    val toks = (1 to 120).map { i =>
+      if (i % 10 == 0) "the" else if (i % 10 == 5) "and" else f"tok$i%03d"
+    }
+    def doc(lo: Int): String = toks.slice(lo - 1, lo + 59).mkString(" ")
+    // sliding windows: A~B and B~C share 42/60 tokens (J > 0.5), A and C
+    // only 24 (J < 0.5) — the chain case where survivor-index streaming
+    // would wrongly re-admit C (B drops on A; C must still drop on B)
+    val (a, b, c) = (doc(1), doc(19), doc(37))
+    val fresh1 = (1 to 60).map(i =>
+      if (i % 10 == 0) "the" else if (i % 10 == 5) "and" else f"fr$i%03d").mkString(" ")
+    val fresh2 = (1 to 60).map(i =>
+      if (i % 10 == 0) "the" else if (i % 10 == 5) "and" else f"gz$i%03d").mkString(" ")
+    val corpus = Seq(
+      (1L, "srcA", a), (2L, "srcA", b), (3L, "srcA", fresh1),
+      (4L, "srcB", c), (5L, "srcB", fresh2))
+      .toDF("doc_id", "source", "text")
+    // geometry self-check: pairs (A,B) and (B,C) verified, (A,C) not
+    val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.5, bands = 32, rows = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)) && !pairs.contains((1L, 4L)),
+      s"chain geometry drifted: $pairs")
+    // days split mid-chain: A, B, fresh1 on day 1; C, fresh2 on day 2
+    val days = Seq(corpus.where(col("doc_id") <= 3), corpus.where(col("doc_id") > 3))
+    val dir = tmpDir("graft-stream-cur")
+    days.zipWithIndex.foreach { case (df, i) =>
+      val tmp = tmpDir("graft-cur-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val dst = new java.io.File(dir, s"day$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val evalDocs = corpus.limit(0) // no eval sources in this corpus
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    var acc: DataFrame = null
+    StreamingOps.curationIngest(stream, evalDocs, Seq("srcEval"),
+        "doc_id", "text")(f => { acc = f; () })
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .start().awaitTermination()
+    val streamed = acc.select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch chain, stage for stage (the q_curation_e2e head)
+    val base = corpus.where(col("text").isNotNull)
+    val passed = TextAnalysis.gopherFlags(base, "text")
+      .where(col("gopher_pass"))
+      .select(base.columns.map(col).toIndexedSeq: _*)
+    val ex = Dedup.dropDuplicatesKeepFirst(
+      passed.withColumn("canon", TextAnalysis.normalizeText(col("text"))),
+      "doc_id", "canon").drop("canon")
+    val near = Dedup.nearDupDedup(ex, "doc_id", "text",
+      n = 3, threshold = 0.5, bands = 32, rows = 4)
+    val train = near.where(!col("source").isin("srcEval"))
+    val contam = NgramOverlap.contaminatedDocs(train, evalDocs,
+        "doc_id", "text", n = 5, broadcastEval = true)
+      .select(col("doc_id").as("__contam_id"))
+    val batchIds = train.join(contam,
+        col("doc_id") === col("__contam_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batchIds,
+      s"streamed chain $streamed != batch chain $batchIds")
+    // the chain case bit: B (2) dropped on A, C (4) STILL dropped on B
+    assert(batchIds == Set(1L, 3L, 5L), s"expected A+fresh survivors, got $batchIds")
+  }
+
   test("quantileStateIngest: 3-batch rolled histogram finalizes to the direct quantile, bit for bit") {
     import graft.operators.{AggState, Quantiles}
     // three "days" with ties across batches and a NaN/NULL to drop;
