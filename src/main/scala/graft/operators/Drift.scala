@@ -243,21 +243,32 @@ object Drift {
     val joined = va.join(vb, Seq("__v"), "full_outer")
       .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
-    if (maxDistinct > 0) {
-      val nd = joined.count()
-      require(nd <= maxDistinct,
-        s"wasserstein1's distinct-value window is global: $nd distinct" +
-          s" values > maxDistinct=$maxDistinct — quantize the value" +
-          " (round(v, 6)) or raise the bound deliberately")
-    }
+    // guard + totals in ONE pass (VERDICT r10 #8): the cardinality
+    // fail-fast rides the totals aggregate as a count column and the
+    // collected totals re-enter the plan as LITERALS — one driver
+    // action fewer per monitoring tick, and the final plan loses the
+    // totals subplan + its broadcast join entirely (DriftSpec pins
+    // one-job construction and the join-free shape)
     val w = Window.orderBy(col("__v"))
     val cumW = w.rowsBetween(Window.unboundedPreceding, 0)
-    val cum = joined
+    val cum0 = joined
       .withColumn("__cuma", sum(col("__ca")).over(cumW))
       .withColumn("__cumb", sum(col("__cb")).over(cumW))
       .withColumn("__gap", lead(col("__v"), 1).over(w) - col("__v"))
-    val totals = joined.agg(sum(col("__ca")).as("__ta"),
-      sum(col("__cb")).as("__tb"))
+    val cum =
+      if (maxDistinct > 0) {
+        val t = joined.agg(sum(col("__ca")).as("__ta"),
+          sum(col("__cb")).as("__tb"), count(lit(1)).as("__nd")).head()
+        require(t.getLong(2) <= maxDistinct,
+          s"wasserstein1's distinct-value window is global: ${t.getLong(2)} distinct" +
+            s" values > maxDistinct=$maxDistinct — quantize the value" +
+            " (round(v, 6)) or raise the bound deliberately")
+        cum0.withColumn("__ta",
+            lit(if (t.isNullAt(0)) 0L else t.getLong(0)))
+          .withColumn("__tb",
+            lit(if (t.isNullAt(1)) 0L else t.getLong(1)))
+      } else cum0.crossJoin(broadcast(
+        joined.agg(sum(col("__ca")).as("__ta"), sum(col("__cb")).as("__tb"))))
     // empty-side guard (the ksDistance convention, ADVICE r9): an empty
     // side's cdf is 0 everywhere, so w1 degenerates to the present
     // side's mean-vs-min mass — never a NULL from a 0 divide
@@ -271,7 +282,7 @@ object Drift {
     // the last value closes no interval: its term is 0 (NOT a dropped
     // row — a single-distinct-value union must still yield the
     // (n_a, n_b, 0.0) row, ADVICE r9)
-    cum.crossJoin(broadcast(totals))
+    cum
       .select(col("__ta").as("n_a"), col("__tb").as("n_b"),
         when(col("__gap").isNotNull,
             round(dcdf.cast("double") * col("__gap").cast("double"), 12))

@@ -69,6 +69,26 @@ object Search {
   final case class PostingsIndex(postings: DataFrame, idCol: String, gramLen: Int) {
     def write(dir: String): Unit = {
       postings.write.mode("overwrite").parquet(s"$dir/postings")
+      writeMeta(dir)
+    }
+
+    /** The class doc's at-rest prescription made concrete: postings
+      * PARTITIONED BY `gram` on disk, so a probe's literal
+      * `gram IN (...)` filter prunes the scan to exactly the pattern's
+      * |pattern| − [[GramLen]] + 1 gram directories — the corpus-sized
+      * remainder is never listed, read, or filtered (SearchSpec pins
+      * PartitionFilters + the pruned partition count). Layout trade vs
+      * [[write]]: one directory per distinct gram (bounded by the
+      * alphabet's trigram space), each internally id-clustered — right
+      * for the read-mostly probe path; use [[write]] for compaction
+      * intermediates. */
+    def writePartitioned(dir: String): Unit = {
+      postings.write.partitionBy("gram").mode("overwrite")
+        .parquet(s"$dir/postings")
+      writeMeta(dir)
+    }
+
+    private def writeMeta(dir: String): Unit = {
       val s = postings.sparkSession
       import s.implicits._
       Seq((idCol, gramLen)).toDF("id_col", "gram_len")
@@ -79,7 +99,9 @@ object Search {
   object PostingsIndex {
     def read(spark: org.apache.spark.sql.SparkSession, dir: String): PostingsIndex = {
       val m = spark.read.parquet(s"$dir/meta").head()
-      PostingsIndex(spark.read.parquet(s"$dir/postings"),
+      // normalize column order: a partitioned layout surfaces the
+      // partition column last — (gram, id) is the index contract
+      PostingsIndex(spark.read.parquet(s"$dir/postings").select("gram", "id"),
         m.getAs[String]("id_col"), m.getAs[Int]("gram_len"))
     }
   }

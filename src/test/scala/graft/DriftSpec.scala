@@ -228,6 +228,52 @@ class DriftSpec extends AnyFunSuite {
       == ((3L, 0L, 1.0)))
   }
 
+  test("wasserstein1: guard + totals fused into ONE pass; final plan join-free (VERDICT r10 #8)") {
+    // construction with the guard on must run exactly ONE action (the
+    // fused totals+cardinality aggregate; AQE may split it into several
+    // jobs, so the pin counts distinct SQL execution ids) — formerly
+    // the cardinality count was its own action — and the returned plan
+    // must carry the totals as LITERALS, not a broadcast-joined subplan
+    // that would rescan both sides at collect time. Sentinel-job fence
+    // per the SearchSpec listener convention.
+    import scala.jdk.CollectionConverters._
+    val a = Seq(1L, 2L, 2L, 5L).toDF("v")
+    val b = Seq(2L, 3L, 5L, 9L).toDF("v")
+    val sc = spark.sparkContext
+    val seen = java.util.Collections.synchronizedList(new java.util.ArrayList[(String, String)]())
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        seen.add((Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id", "")).getOrElse(""),
+          Option(js.properties)
+            .map(_.getProperty("spark.sql.execution.id", "")).getOrElse("")))
+    }
+    sc.addSparkListener(l)
+    val res =
+      try {
+        sc.setJobGroup("graft_w1_construct", "fused guard pass")
+        val r = try Drift.wasserstein1(a, b, col("v")) finally sc.clearJobGroup()
+        sc.setJobGroup("graft_sentinel", "listener fence")
+        try sc.parallelize(1 to 1, 1).count() finally sc.clearJobGroup()
+        val deadline = System.currentTimeMillis() + 30000
+        while (!seen.asScala.exists(_._1 == "graft_sentinel")
+            && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        val groups = seen.asScala.toList
+        val execs = groups.filter(_._1 == "graft_w1_construct").map(_._2).distinct
+        assert(execs.size == 1,
+          s"construction must run exactly ONE fused action, saw: $groups")
+        r
+      } finally sc.removeSparkListener(l)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"totals must enter as literals, not a broadcast/cross join:\n$plan")
+    // and the statistic itself is unchanged
+    assert(res.select("n_a", "n_b", "w1").as[(Long, Long, Double)].head()
+      == ((4L, 4L, Drift.wasserstein1(a, b, col("v"), maxDistinct = 0)
+        .select("w1").as[Double].head())))
+  }
+
   test("drift ops ignore NULL values/labels") {
     val withNull = Seq(Some(1.0), None, Some(2.0)).toDF("v")
     assert(Drift.ksDistance(withNull, withNull, col("v"))

@@ -140,6 +140,36 @@ class SearchSpec extends AnyFunSuite {
     } finally sc.removeSparkListener(l)
   }
 
+  test("gram-partitioned PostingsIndex: probe prunes to exactly the pattern's gram partitions (VERDICT r10 #7)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-postidx-part").toString
+    Search.buildPostingsIndex(docs, "id", "text").writePartitioned(dir)
+    val idx = Search.PostingsIndex.read(spark, dir)
+    val pattern = "quick brow"
+    val grams = Search.patternGrams(pattern)
+    val cand = Search.substrCandidates(idx.postings, pattern)
+    // the probe result is still exact (superset + conjunction semantics)
+    assert(cand.collect().map(_.getLong(0)).nonEmpty)
+    val scan = cand.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in the probe plan"))
+    // the gram IN (...) filter must ride the PARTITION column, not a
+    // post-scan data filter
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "gram")),
+      s"probe must carry a gram partition filter: ${scan.partitionFilters}")
+    val pruned = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).length
+    val total = scan.relation.location.listFiles(Nil, Nil).length
+    assert(pruned == grams.length,
+      s"probe must prune to ${grams.length} (=|pattern|-2) gram partitions, scanned $pruned")
+    assert(total > grams.length * 4,
+      s"fixture too small to prove pruning (total=$total partitions)")
+    // partitioned layout round-trips the probe results of the flat one
+    val flat = Search.buildPostingsIndex(docs, "id", "text")
+    assert(cand.collect().map(_.getLong(0)).toSet
+      == Search.substrCandidates(flat.postings, pattern)
+        .collect().map(_.getLong(0)).toSet)
+  }
+
   test("PostingsIndex maintenance: append == rebuild; removed == never-present; parquet round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft-postidx").toString
     // append ≡ from-scratch build on the union, row for row
