@@ -66,6 +66,19 @@ object Bench {
     // 190 neighbors' residency.
     def isolate(): Unit = {
       spark.sharedState.cacheManager.clearCache()
+      // RDD-LEVEL state isolation (VERDICT r10 #5): localCheckpoint
+      // pins its blocks in the block manager OUTSIDE the SQL cache, so
+      // clearCache() never releases them — 263 queries' worth of
+      // checkpoint blocks accumulated into storage/GC pressure that
+      // inflated top-decile rows up to 6.5x vs isolated receipts
+      // (q_curation_e2e 15.4 s captured vs 2.36 s isolated, r10).
+      // Dropping every persistent RDD between queries is safe here:
+      // all cross-query caches in this repo hold driver values or
+      // parquet directories, never live frames (audited r11; the
+      // ndIndexCache/postingsDirCache at-rest convention exists for
+      // exactly this reason).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc() // collect predecessors' garbage OUTSIDE the timed region
     }
     ordered.foreach { case (n, fn) => isolate(); once(n, fn) } // warmup pass
