@@ -1610,13 +1610,17 @@ object LlmQueries {
       val raw = s.readStream.schema(docs.schema)
         .parquet(s"$d/{documents.parquet}")
         .where(col("doc_id") % 2 === 1)
-      val idxRaw = Dedup.buildNearDupIndex(docs.where(col("doc_id") % 2 === 0),
-        "doc_id", "text", n = 3, bands = 32, rows = 4)
-      val idx = Dedup.NearDupIndex(idxRaw.buckets.cache(), idxRaw.shingles.cache(),
-        idxRaw.n, idxRaw.bands, idxRaw.rows)
+      // AT-REST APPEND sink (the postingsIngestAppend family): seed the
+      // index dir with the even-id corpus sketch; each batch probes the
+      // DIRECTORY and appends only its survivors' sketch rows; fresh
+      // dir per call so bench reps never double-append
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ndidx-stream").toString
+      Dedup.buildNearDupIndex(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3, bands = 32, rows = 4).write(dir)
       val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       runForeachBatchReplay(
-        StreamingOps.dedupNearIngest(raw, idx, "doc_id", "text",
+        StreamingOps.dedupNearIngestAppend(raw, dir, "doc_id", "text",
           threshold = 0.5)(surv => parts.synchronized { parts += surv; () }),
         "graft_stream_dedup_near")
       parts.reduceOption(_ unionByName _).getOrElse(docs.where(lit(false)))

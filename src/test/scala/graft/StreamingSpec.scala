@@ -329,6 +329,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(want == Seq(Set(12L), Set(22L), Set(33L)))
   }
 
+  test("dedupNearIngestAppend: directory probe == sequential daily loop; only survivor sketches appended") {
+    import graft.operators.Dedup
+    val base30 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 15).map(i => s"w$i") ++ Seq("CHANGED") ++ (17 to 30).map(i => s"w$i")).mkString(" ")
+    val fresh1 = (1 to 30).map(i => s"f$i").mkString(" ")
+    val fresh2 = (1 to 30).map(i => s"g$i").mkString(" ")
+    val corpus = Seq((1L, base30)).toDF("doc_id", "text")
+    val days = Seq(
+      Seq((11L, near), (12L, fresh1)),
+      Seq((21L, fresh1), (22L, fresh2)),
+      Seq((31L, near), (32L, fresh2), (33L, (1 to 30).map(i => s"z$i").mkString(" "))))
+      .map(_.toDF("doc_id", "text"))
+    val streamDir = tmpDir("graft-nda-days")
+    days.zipWithIndex.foreach { case (df, i) =>
+      val tmp = tmpDir("graft-nda-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val dst = new java.io.File(streamDir, s"day$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val dir = tmpDir("graft-nda-idx")
+    Dedup.buildNearDupIndex(corpus, "doc_id", "text", n = 3, bands = 32, rows = 4)
+      .write(dir)
+    val stream = spark.readStream.schema(days.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    StreamingOps.dedupNearIngestAppend(stream, dir, "doc_id", "text",
+        threshold = 0.5)(
+        surv => got.synchronized { got += surv.collect().map(_.getLong(0)).toSet; () })
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .start().awaitTermination()
+    // per-batch survivors equal the sequential daily loop
+    var index = Dedup.buildNearDupIndex(corpus, "doc_id", "text",
+      n = 3, bands = 32, rows = 4)
+    val want = days.map { day =>
+      val sv = Dedup.dedupIncrementalNear(index, day, "doc_id", "text", threshold = 0.5)
+      index = Dedup.appendToIndex(index, sv, "doc_id", "text")
+      sv.collect().map(_.getLong(0)).toSet
+    }
+    assert(got.toSeq == want, s"streamed per-batch survivors $got != daily loop $want")
+    assert(want == Seq(Set(12L), Set(22L), Set(33L)))
+    // the DIRECTORY holds exactly corpus + survivor sketches (never a
+    // rejected doc's) — row-identical to the sequential loop's index
+    val drained = Dedup.NearDupIndex.read(spark, dir)
+    assert(drained.shingles.select("id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L, 12L, 22L, 33L))
+    assert(drained.buckets.collect().map(_.toSeq).toSet
+      == index.buckets.collect().map(_.toSeq).toSet)
+  }
+
   test("append-mode ingest sinks: drained directory == from-scratch build on the union (postings + ANN)") {
     import graft.operators.{Search, Similarity}
     // postings: seed dir with docs 1-2, stream docs 3-4 as two
