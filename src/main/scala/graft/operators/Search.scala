@@ -83,7 +83,12 @@ object Search {
       * for the read-mostly probe path; use [[write]] for compaction
       * intermediates. */
     def writePartitioned(dir: String): Unit = {
-      postings.write.partitionBy("gram").mode("overwrite")
+      // an empty partitioned write leaves no schema-bearing file on
+      // disk (unreadable); an empty index has nothing to prune, so the
+      // plain layout is the degenerate form
+      if (postings.isEmpty)
+        postings.write.mode("overwrite").parquet(s"$dir/postings")
+      else postings.write.partitionBy("gram").mode("overwrite")
         .parquet(s"$dir/postings")
       writeMeta(dir)
     }

@@ -296,4 +296,31 @@ class EmptyInputSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("non-empty"))
   }
+
+  test("r11 operators degrade gracefully on empty input") {
+    import graft.operators.{Bpe, Similarity}
+    graft.expressions.GraftFunctions.register(spark)
+    // k-step fit fails fast on an empty corpus like the single-step form
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("id", "emb")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pcaHouseholderK(emptyVecs, "id", "emb", dim = 4, k = 2)
+    }
+    assert(e.getMessage.contains("non-empty"))
+    // rotation application over an empty frame stays empty (any k)
+    val refl = Seq((Seq(0L, 0L, 0L, 0L), 0L), (Seq(0L, 0L, 0L, 0L), 0L))
+    assert(Similarity.householderRotateAll(emptyVecs, "emb", "r", refl).count() == 0)
+    // deep-tokenizer Column: empty rule list fails fast; empty corpus empty
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Bpe.bpeDeepTokens(col("text"), Seq.empty)
+    }
+    val ms = Seq(Bpe.Merge(1, "a", "b", 1))
+    assert(emptyDocs.select(Bpe.bpeDeepTokens(col("text"), ms)).count() == 0)
+    // gram-partitioned postings: an empty index writes/reads/probes empty
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-postpart").toString
+    graft.operators.Search.buildPostingsIndex(emptyDocs, "doc_id", "text")
+      .writePartitioned(dir)
+    val idx = graft.operators.Search.PostingsIndex.read(spark, dir)
+    assert(graft.operators.Search.substrCandidates(idx.postings, "abc").count() == 0)
+  }
 }
