@@ -75,13 +75,43 @@ object NgramOverlap {
       n: Int = 5,
       broadcastEval: Boolean = false,
       tokenizer: Column => Column = identity): DataFrame = {
+    contaminatedDocsPre(train,
+      evalGramTable(eval_, idCol, textCol, n, tokenizer),
+      idCol, textCol, n, broadcastEval, tokenizer)
+  }
+
+  /** The distinct eval-side gram table [[contaminatedDocs]] probes —
+    * split out so a STREAMING consumer ([[graft.streaming.StreamingOps
+    * .curationIngest]]) can build it ONCE from the frozen eval
+    * reference set (localCheckpoint/parquet it) and reuse it every
+    * micro-batch via [[contaminatedDocsPre]], instead of re-deriving
+    * the same grams per batch. */
+  def evalGramTable(
+      eval_ : DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      tokenizer: Column => Column = identity): DataFrame =
+    gramTable(eval_, idCol, textCol, n, tokenizer)
+      .select(col("g").as("__eg")).distinct()
+
+  /** [[contaminatedDocs]] against a PRECOMPUTED [[evalGramTable]] —
+    * identical results (the same expressions, just with the eval grams
+    * handed in rather than derived). */
+  def contaminatedDocsPre(
+      train: DataFrame,
+      evalGrams: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      broadcastEval: Boolean = false,
+      tokenizer: Column => Column = identity): DataFrame = {
     // native codegen fold for the per-gram hash on the (big) train side —
     // identical values to the HOF fingerprint (TextMultiModalSpec pin)
     graft.expressions.GraftFunctions.register(train.sparkSession)
     val t = gramTable(train, idCol, textCol, n, tokenizer)
       .select(col("id"), col("g"), TextAnalysis.fingerprintFast(col("g")).as("__f"))
-    val e0 = gramTable(eval_, idCol, textCol, n, tokenizer)
-      .select(col("g").as("__eg")).distinct()
+    val e0 = evalGrams
       .select(col("__eg"), TextAnalysis.fingerprintFast(col("__eg")).as("__f"))
     val e = if (broadcastEval) broadcast(e0) else e0
     // probe on the 8-byte fingerprint, verify on the string: collisions

@@ -450,7 +450,11 @@ object StreamingOps {
       ngram: Int = 5)(
       emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.{Dedup, NgramOverlap, TextAnalysis}
-    val evalFrozen = evalDocs.localCheckpoint()
+    // eval sets are frozen reference data: derive their distinct gram
+    // table ONCE at sink construction — not once per micro-batch
+    val evalGrams = NgramOverlap
+      .evalGramTable(evalDocs, idCol, textCol, n = ngram)
+      .localCheckpoint()
     var canonSeen: DataFrame = null
     var index: Dedup.NearDupIndex = null
     var acc: DataFrame = null
@@ -488,7 +492,7 @@ object StreamingOps {
         }
         // 5: decontaminate the train side against the frozen eval set
         val trainB = surv.where(!col("source").isin(evalSources: _*))
-        val contam = NgramOverlap.contaminatedDocs(trainB, evalFrozen,
+        val contam = NgramOverlap.contaminatedDocsPre(trainB, evalGrams,
             idCol, textCol, n = ngram, broadcastEval = true)
           .select(col(idCol).as("__contam_id"))
         val deconB = trainB.join(contam,
