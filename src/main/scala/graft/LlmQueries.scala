@@ -135,6 +135,13 @@ object LlmQueries {
     new java.util.concurrent.ConcurrentHashMap[
       String, (Seq[(Seq[Long], Long)], Array[Seq[Long]], Seq[Array[Seq[Long]]])]()
 
+  // q_ann_pq_opq_full's fit-once state: k reflections + the permutation
+  // derived IN the rotated space + quantizers fitted after both
+  private val opqFullIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Seq[(Seq[Long], Long)], Seq[Int],
+        Array[Seq[Long]], Seq[Array[Seq[Long]]])]()
+
   // q_bpe_*'s fit-once merge rules per data dir (a tokenizer is index
   // state at rest: train once, tokenize every downstream query)
   private val bpeMergesCache =
@@ -1045,6 +1052,46 @@ object LlmQueries {
         "vec_id", "embR", dim = 64, m = 4, centroids = cents, codebooks = books)
       Similarity.ivfPqTopK(codes,
           eR.where(col("vec_id") < 5), "vec_id", "embR", dim = 64, m = 4,
+          centroids = cents, codebooks = books, nprobe = 2, topK = 10)
+        .orderBy("qid", "rank")
+    }),
+    // THE COMPLETE OPQ INIT (Ge CVPR'13 §III + §IV composed): k-step
+    // Householder rotation places principal axes 1..3 on dims 1..3,
+    // THEN the variance-balanced snake permutation is derived IN the
+    // rotated space and spreads what remains — rotation concentrates
+    // variance, permutation balances it across subspaces, exactly the
+    // preprocessing order FAISS's OPQ matrix plays. Both steps preserve
+    // L2, so every ANN contract is unchanged; the oracle replays the
+    // rotation chain, the power-sum snake draft over the ROTATED
+    // corpus, the composed per-row transform, and the IVFADC ranking.
+    "q_ann_pq_opq_full" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val e = T(s, d, "embeddings")
+      val corpus0 = e.where(col("vec_id") >= 5)
+      val (refl, perm, cents, books) = opqFullIndexCache.computeIfAbsent(d, _ => {
+        val nCorpus = corpus0.count()
+        require(nCorpus <= 10000,
+          s"q_ann_pq_opq_full oracle replays the full corpus ($nCorpus rows) " +
+            "but pcaHouseholderK samples 10000 — raise trainSample")
+        val r = Similarity.pcaHouseholderK(corpus0, "vec_id", "embedding",
+          dim = 64, k = PcaKSteps, iters = 16)
+        val cR = Similarity.householderRotateAll(corpus0, "embedding", "embR", r)
+        val p = Similarity.pqVarianceAlloc(cR, "embR", dim = 64, m = 4)
+        val cP = cR.withColumn("embP",
+          Similarity.permuteVec(col("embR"), p)).localCheckpoint()
+        val c = cP.orderBy("vec_id").limit(16)
+          .select(Similarity.quantize(col("embP")))
+          .collect().map(r2 => r2.getSeq[Long](0): Seq[Long])
+        (r, p, c, Similarity.pqFit(cP, "vec_id", "embP", dim = 64, m = 4,
+          k = 16, iters = 2))
+      })
+      val eP = Similarity.householderRotateAll(e, "embedding", "embR", refl)
+        .withColumn("embP", Similarity.permuteVec(col("embR"), perm))
+        .localCheckpoint()
+      val codes = Similarity.ivfPqEncode(eP.where(col("vec_id") >= 5),
+        "vec_id", "embP", dim = 64, m = 4, centroids = cents, codebooks = books)
+      Similarity.ivfPqTopK(codes,
+          eP.where(col("vec_id") < 5), "vec_id", "embP", dim = 64, m = 4,
           centroids = cents, codebooks = books, nprobe = 2, topK = 10)
         .orderBy("qid", "rank")
     }),
@@ -3006,6 +3053,26 @@ object LlmQueries {
       // chain above + the exact-integer HᵀCH deflation between rounds,
       // the 3 rotations composed per row, then the stock IVFADC replay
       "q_ann_pq_pca_k" -> ivfPqReplaySql(pcaKRotQn(PcaKSteps, 16)),
+      // complete OPQ init: the rotation replay feeds the q_ann_pq_opq
+      // power-sum snake draft (derived over the ROTATED corpus — DuckDB
+      // sums BIGINT into HUGEINT, exact like the decimal mirror), the
+      // permutation applies on top of the rotated vectors, then the
+      // stock IVFADC replay runs in the fully transformed space
+      "q_ann_pq_opq_full" -> {
+        val rotQn = pcaKRotQn(PcaKSteps, 16)
+        val permSql =
+          ("SELECT list(i ORDER BY sub, r) AS perm FROM ("
+            + " SELECT i, r, CASE WHEN (r % 8) < 4 THEN (r % 8) ELSE 7 - (r % 8) END AS sub FROM ("
+            + " SELECT i, row_number() OVER (ORDER BY n * s2 - s1 * s1 DESC, i) - 1 AS r FROM ("
+            + s" SELECT i, count(*) AS n, sum(q[i]) AS s1, sum(q[i] * q[i]) AS s2 FROM"
+            + s" (SELECT q FROM $rotQn WHERE vec_id >= 5),"
+            + " (SELECT unnest(range(1, 65)) AS i) GROUP BY i)))")
+        val qnPerm =
+          ("(SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) nsq FROM"
+            + " (SELECT vec_id, [q0[p] for p in perm] AS q FROM"
+            + s" (SELECT vec_id, q AS q0 FROM $rotQn) CROSS JOIN ($permSql)))")
+        ivfPqReplaySql(qnPerm)
+      },
       // refine replay: the full IVFADC replay at rank <= 20 nominates,
       // then exact integer L2 against the prepared vectors re-ranks;
       // final rank by (d2, id)
