@@ -541,6 +541,30 @@ object CurationQueries {
       TextAnalysis.bigramLogLoss(T(s, d, "documents"), "doc_id", "text")
         .withColumn("bigram_loss", round(col("bigram_loss"), 6))
         .orderBy("doc_id")),
+    // the grouped twin: one independent KN model PER LANGUAGE (fit on
+    // even ids, score odd) — every count table and scalar carries the
+    // group key, so the per-language fits are one hash-partitioned
+    // plan, not a driver loop
+    "q_kn_loss_by" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      LanguageModel.knBigramLogLossBy(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "lang", "doc_id", "text")
+        .withColumn("kn_loss", round(col("kn_loss"), 6))
+        .orderBy("lang", "doc_id")
+    }),
+    // held-out interpolated-Kneser-Ney scoring — the CCNet deployment
+    // shape: fit the bigram LM on the even-id half of the corpus, score
+    // the odd half (unseen words/contexts hit the continuation +
+    // uniform-OOV floor, never ln(0))
+    "q_kn_loss" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      LanguageModel.knBigramLogLoss(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .withColumn("kn_loss", round(col("kn_loss"), 6))
+        .orderBy("doc_id")
+    }),
     // Gopher/MassiveText rule flags: per-source counts of each published
     // heuristic (exact integer cross-multiplied thresholds — no FP
     // anywhere, so the oracle replays them bit-for-bit)
@@ -1429,6 +1453,18 @@ object CurationQueries {
       ("SELECT doc_id, n_trans, round(bigram_loss, 6) AS bigram_loss FROM ("
         + TextAnalysis.bigramLogLossSql("doc_id", "text", "documents")
         + ") ORDER BY 1"),
+    "q_kn_loss" ->
+      ("SELECT doc_id, n_trans, round(kn_loss, 6) AS kn_loss FROM ("
+        + LanguageModel.knBigramLogLossSql("doc_id", "text",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 1)")
+        + ") ORDER BY 1"),
+    "q_kn_loss_by" ->
+      ("SELECT lang, doc_id, n_trans, round(kn_loss, 6) AS kn_loss FROM ("
+        + LanguageModel.knBigramLogLossBySql("lang", "doc_id", "text",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 1)")
+        + ") ORDER BY 1, 2"),
     "q_gopher" -> {
       // flag SQL single-sourced from TextAnalysis.gopherFlagsSql; NULL
       // text yields NULL flags on both sides, counted 0 by the CASE

@@ -150,6 +150,43 @@ object LlmQueries {
     bpeMergesCache.computeIfAbsent(d, _ =>
       Bpe.bpeLearn(T(s, d, "documents"), "text", merges = BpeMerges))
 
+  /** q_wordpiece_* oracle unroll bound — the trainer runs to
+    * vocabulary exhaustion (101 rounds at sf0.01), which must stay
+    * UNDER this (extra rounds fold empty rule tables, the
+    * BpeDeepOracleRounds convention; 5 CTEs bind per round). */
+  private[graft] val WpOracleRounds = 110
+
+  /** q_wordpiece_tokens' greedy-match unroll depth — each step consumes
+    * ≥1 character, so this must cover the longest corpus word (8 at
+    * every shipped SF; asserted loudly at query build). */
+  private[graft] val WpTokSteps = 10
+
+  /** The scaled-integer score replay's validity bound: the DuckDB
+    * argmax ranks by (cnt·10³⁰) // (c_l·c_r), which separates any two
+    * distinct rationals iff corpus tokens ≤ 10^7.5 (WordPiece Scaladoc
+    * has the gap argument); beyond it the replay could tie two scores
+    * the exact BigInt compare distinguishes. */
+  private[graft] val WpMaxOracleTokens = 31622776L
+
+  // q_wordpiece_*'s fit-once model per data dir (the bpeMergesCache
+  // convention), with the oracle-validity asserts at build time
+  private val wpModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, WordPiece.WpModel]()
+  private[graft] def wpModelOf(s: SparkSession, d: String): WordPiece.WpModel =
+    wpModelCache.computeIfAbsent(d, _ => {
+      val m = WordPiece.wordpieceLearn(T(s, d, "documents"), "text",
+        merges = WordPiece.MaxMerges)
+      require(m.rules.size < WpOracleRounds,
+        s"q_wordpiece_learn oracle replays only $WpOracleRounds rounds but" +
+          s" the vocabulary yielded ${m.rules.size} merges — raise the" +
+          " oracle round count for this data scale")
+      require(m.totalTokens <= WpMaxOracleTokens,
+        s"corpus holds ${m.totalTokens} tokens > $WpMaxOracleTokens — the" +
+          " oracle's scaled-integer score ranking is only exact below 10^7.5" +
+          " tokens; shrink the corpus or widen the oracle scale factor")
+      m
+    })
+
   // q_substr_search's build-once-per-dir trigram posting table, WRITTEN
   // to parquet and re-read (the ndIndexCache convention): the index at
   // rest survives the bench's cross-query clearCache isolation — a
@@ -1281,6 +1318,30 @@ object LlmQueries {
     "q_bpe_tokens" -> ((s, d) =>
       Bpe.bpeTokenCounts(T(s, d, "documents"), "doc_id", "text",
         bpeMergesOf(s, d)).orderBy("doc_id")),
+    // WordPiece vocabulary learning (Schuster-Nakajima ICASSP'12; the
+    // BERT trainer): merges ranked by likelihood ratio cnt/(c_l·c_r)
+    // over the one-scan word-frequency statistic, to exhaustion; the
+    // oracle replays every round with the scaled-integer exact argmax
+    "q_wordpiece_learn" -> ((s, d) =>
+      WordPiece.rulesDf(s, wpModelOf(s, d)).orderBy("iter")),
+    // greedy longest-match tokenization under the learned vocabulary
+    // (BERT WordPieceTokenizer: ## continuations, whole-word [UNK]) —
+    // per-doc token + UNK counts in ONE row-local pass
+    "q_wordpiece_tokens" -> ((s, d) => {
+      val model = wpModelOf(s, d)
+      // the oracle unrolls WpTokSteps match steps, each consuming ≥1
+      // char — assert the corpus' longest word fits (ADVICE r10: scale
+      // assumptions fail loudly, never hash-flake)
+      val maxLen = T(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(coalesce(max(length(col("w"))), lit(0)).as("m"))
+        .head().getInt(0)
+      require(maxLen <= WpTokSteps,
+        s"q_wordpiece_tokens oracle unrolls only $WpTokSteps greedy steps" +
+          s" but the corpus holds a $maxLen-char word — raise WpTokSteps")
+      WordPiece.wordpieceTokenCounts(T(s, d, "documents"), "doc_id", "text",
+        model).orderBy("doc_id")
+    }),
     // the tokenizer feeding the shard sizer: sequence packing by the
     // LEARNED token counts (q_pack's Blelloch-capable prefix-sum shape,
     // toks from the codegen replace chain) — the composition a training
@@ -2314,6 +2375,89 @@ object LlmQueries {
     * nests past DuckDB's expression-depth cap. Rounds past vocabulary
     * exhaustion see an empty pc`i`, emit no b`i` row, and carry m`i`
     * forward unchanged — exactly the trainer's early stop. */
+  /** q_wordpiece_* oracle: the WordPiece merge loop unrolled round by
+    * round (the [[bpeLearnDeepSql]] convention, 5 CTEs per round —
+    * symbol counts, pair counts, scored argmax, replace, rule
+    * accumulator). The argmax ranks by the floor-scaled integer
+    * (cnt·10³⁰) // (c_l·c_r) — exact below [[WpMaxOracleTokens]]
+    * corpus tokens (asserted in [[wpModelOf]]) — then pair ascending,
+    * DuckDB's binary collation == the trainer's UTF-8 compare. */
+  private def wpLearnCtes(iters: Int): String = {
+    val w0 = ("w0 AS MATERIALIZED (SELECT ' ' || array_to_string("
+      + "[CASE WHEN i = 1 THEN substr(w, i, 1) ELSE '##' || substr(w, i, 1) END"
+      + " for i in range(1, len(w) + 1)], '  ') || ' ' AS sym,"
+      + " count(*)::BIGINT AS f FROM"
+      + " (SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
+      + " WHERE len(w) > 0 GROUP BY 1)")
+    val m0 = ("m0 AS (SELECT 0::BIGINT AS iter, '' AS left_sym, '' AS right_sym,"
+      + " 0::BIGINT AS cnt, 0::BIGINT AS cnt_left, 0::BIGINT AS cnt_right WHERE false)")
+    val its = (1 to iters).map { i =>
+      (s"sc$i AS MATERIALIZED (SELECT s, sum(f)::BIGINT AS c FROM"
+        + s" (SELECT unnest(string_split(trim(sym), '  ')) AS s, f FROM w${i - 1}) GROUP BY 1),"
+        + s" pc$i AS MATERIALIZED (SELECT p AS pair, sum(f)::BIGINT AS cnt FROM"
+        + s" (SELECT unnest([l[j] || ' ' || l[j+1] for j in range(1, len(l))]) AS p, f FROM"
+        + s" (SELECT string_split(trim(sym), '  ') AS l, f FROM w${i - 1})) GROUP BY 1),"
+        + s" b$i AS MATERIALIZED (SELECT pair, cnt, cl, cr,"
+        + " ' ' || replace(pair, ' ', '  ') || ' ' AS pat,"
+        + " ' ' || string_split(pair, ' ')[1] || substr(string_split(pair, ' ')[2], 3) || ' ' AS rep"
+        + s" FROM (SELECT pc.pair, pc.cnt, sl.c AS cl, sr.c AS cr FROM pc$i pc"
+        + s" JOIN sc$i sl ON string_split(pc.pair, ' ')[1] = sl.s"
+        + s" JOIN sc$i sr ON string_split(pc.pair, ' ')[2] = sr.s)"
+        + " ORDER BY (cnt::HUGEINT * 1000000000000000000000000000000)"
+        + " // (cl::HUGEINT * cr::HUGEINT) DESC, pair LIMIT 1),"
+        + s" w$i AS MATERIALIZED (SELECT replace(w.sym, b.pat, b.rep) AS sym, w.f"
+        + s" FROM w${i - 1} w CROSS JOIN b$i b),"
+        + s" m$i AS (SELECT * FROM m${i - 1} UNION ALL SELECT $i::BIGINT,"
+        + " string_split(pair, ' ')[1], string_split(pair, ' ')[2], cnt, cl, cr"
+        + s" FROM b$i)")
+    }.mkString(", ")
+    s"$w0, $m0, $its"
+  }
+
+  /** q_wordpiece_tokens' greedy replay: vocabulary = w0's base symbols
+    * ∪ the learned merges' outputs; each unrolled step advances every
+    * live DISTINCT word by its LONGEST vocabulary match (`##` entries
+    * match only at pos>1, bare entries only at pos 1), a no-match step
+    * collapses the word to one `[UNK]`; per-doc counts join back by
+    * word. NULL-text docs carry NULL counts, wordless docs 0 — the
+    * Spark side's contract. */
+  private def wpTokensOracleSql(learnRounds: Int, steps: Int): String = {
+    val voc = ("voc AS MATERIALIZED (SELECT DISTINCT s AS tok FROM"
+      + " (SELECT unnest(string_split(trim(sym), '  ')) AS s FROM w0)"
+      + s" UNION SELECT left_sym || substr(right_sym, 3) FROM m$learnRounds)")
+    val dw = ("dw AS (SELECT DISTINCT w FROM"
+      + " (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE text IS NOT NULL)"
+      + " WHERE len(w) > 0)")
+    val t0 = "t0 AS (SELECT w, 1::BIGINT AS pos, 0::BIGINT AS ntok, false AS unk FROM dw)"
+    val stepCtes = (1 to steps).map { k =>
+      (s"t$k AS (SELECT w,"
+        + " CASE WHEN bl IS NULL THEN pos ELSE pos + bl END AS pos,"
+        + " ntok + CASE WHEN bl IS NULL THEN 0 ELSE 1 END AS ntok,"
+        + " unk OR (live AND bl IS NULL) AS unk FROM ("
+        + " SELECT t.w, t.pos, t.ntok, t.unk, t.pos <= len(t.w) AND NOT t.unk AS live,"
+        + " max(CASE WHEN t.pos <= len(t.w) AND NOT t.unk THEN"
+        + " CASE WHEN t.pos = 1 AND substr(v.tok, 1, 2) <> '##'"
+        + " AND substr(t.w, 1, len(v.tok)) = v.tok THEN len(v.tok)"
+        + " WHEN t.pos > 1 AND substr(v.tok, 1, 2) = '##'"
+        + " AND substr(t.w, t.pos, len(v.tok) - 2) = substr(v.tok, 3) THEN len(v.tok) - 2"
+        + " END END)::BIGINT AS bl"
+        + s" FROM t${k - 1} t LEFT JOIN voc v ON true"
+        + " GROUP BY t.w, t.pos, t.ntok, t.unk))")
+    }.mkString(", ")
+    val per = (s"tw AS (SELECT w, CASE WHEN unk THEN 1 ELSE ntok END AS n, unk FROM t$steps),"
+      + " wc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM"
+      + " (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
+      + " WHERE text IS NOT NULL) WHERE len(w) > 0 GROUP BY 1, 2),"
+      + " agg AS (SELECT wc.doc_id, sum(wc.c * tw.n)::BIGINT AS n_tokens,"
+      + " sum(wc.c * CASE WHEN tw.unk THEN 1 ELSE 0 END)::BIGINT AS n_unk"
+      + " FROM wc JOIN tw ON wc.w = tw.w GROUP BY 1)")
+    (s"WITH ${wpLearnCtes(learnRounds)}, $voc, $dw, $t0, $stepCtes, $per"
+      + " SELECT d.doc_id,"
+      + " CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(agg.n_tokens, 0) END AS n_tokens,"
+      + " CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(agg.n_unk, 0) END AS n_unk"
+      + " FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY 1")
+  }
+
   private def bpeLearnDeepSql(iters: Int): String = {
     val w0 = ("w0 AS MATERIALIZED (SELECT"
       + " ' ' || array_to_string([w[i] for i in range(1, len(w)+1)], '  ') || ' ' AS sym,"
@@ -3285,6 +3429,11 @@ object LlmQueries {
             .mkString(" UNION ALL ")
           + ") ORDER BY iter"),
       "q_bpe_learn_deep" -> bpeLearnDeepSql(BpeDeepOracleRounds),
+      "q_wordpiece_learn" ->
+        (s"WITH ${wpLearnCtes(WpOracleRounds)}"
+          + " SELECT iter, left_sym, right_sym, cnt, cnt_left, cnt_right"
+          + s" FROM m$WpOracleRounds ORDER BY iter"),
+      "q_wordpiece_tokens" -> wpTokensOracleSql(WpOracleRounds, WpTokSteps),
       // deep-tokenizer replay: the REAGG CTE rounds reproduce the delta
       // trainer's first 24 rules (delta == reagg), then the per-word
       // fold runs over those 24 one-row rule tables exactly as

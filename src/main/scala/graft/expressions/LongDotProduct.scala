@@ -81,6 +81,7 @@ object GraftFunctions {
     Seq((31L, 1000000007L), (131L, 998244353L), (257L, 1000000009L))
   val OpSum      = "graft_opsum"
   val BpeDeep    = "graft_bpe_deep"
+  val WordPieceF = "graft_wordpiece"
   val TopK       = "graft_topk"
   val MgSketch   = "graft_mg"
   val WordNgramsF = "graft_word_ngrams"
@@ -109,6 +110,15 @@ object GraftFunctions {
       if (!exprs(1).foldable) throw new IllegalArgumentException(
         s"$BpeDeep's second argument (packed rules) must be a literal")
       BpeDeepTokenize(exprs(0),
+        exprs(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    },
+    // WordPiece greedy longest-match tokens: (text, packed-vocab
+    // literal) — WordPiece.wordpieceTokens builds the packed literal
+    WordPieceF -> { exprs =>
+      arity(WordPieceF, exprs, 2)
+      if (!exprs(1).foldable) throw new IllegalArgumentException(
+        s"$WordPieceF's second argument (packed vocab) must be a literal")
+      WordPieceTokenize(exprs(0),
         exprs(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
     },
     // one-pass (n, Σx, upper-triangle Σ x·xᵀ) second-moment statistic:

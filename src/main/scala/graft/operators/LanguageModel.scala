@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Held-out n-gram language-model scoring with interpolated Kneser-Ney
+  * smoothing — the CCNet-style perplexity quality filter in its REAL
+  * deployment shape (Wenzek et al., LREC 2020 fit a KenLM model on a
+  * clean reference corpus and score the crawl with it; Kneser & Ney,
+  * ICASSP 1995; Chen & Goodman 1998 §2.7 for the interpolated form).
+  * [[TextAnalysis.unigramLogLoss]]/[[TextAnalysis.bigramLogLoss]] fit
+  * on the scored corpus itself, which a contaminated crawl can game —
+  * this operator fits on a TRAIN frame and scores a SEPARATE frame, so
+  * unseen words and unseen contexts are first-class (absolute
+  * discounting + continuation counts + a uniform out-of-vocabulary
+  * floor keep every probability strictly positive).
+  *
+  * Model (bigram, discount D, training vocabulary of size V0,
+  * V = V0 + 1 with one OOV slot):
+  *
+  *   p1(w)    = (max(N1+(·w) − D, 0) + D·T/V) / B
+  *   p(w|v)   = (max(c(vw) − D, 0) + D·N1+(v·)·p1(w)) / c(v·)   if c(v·)>0
+  *            = p1(w)                                            otherwise
+  *
+  * with B = distinct bigram types, T = distinct continuation words
+  * N1+(·w)>0, N1+(v·)/N1+(·w) the left/right continuation type counts
+  * and c(v·) the count of transitions whose history is v. Both rows of
+  * the definition sum to 1 over the V-word vocabulary (each vocab word
+  * carries a D·T/(B·V) share of the unigram mass — the Chen-Goodman
+  * interpolated-KN normalization with a uniform base distribution).
+  *
+  * Determinism/oracle parity: every probability is ONE fixed-shape IEEE
+  * expression over exact integer counts (counts cast to double, D an
+  * exactly-representable literal), ln-quantized ([[TextAnalysis.lnQ]])
+  * and summed as exact decimals with one IEEE finalize — the
+  * [[TextAnalysis.bigramLogLoss]] convention; [[knBigramLogLossSql]]
+  * mirrors the expression token for token.
+  *
+  * Plan shape (the 100 TB story): the train corpus collapses into three
+  * vocabulary-sized count tables (bigram types, left-context stats,
+  * right-continuation stats) — hash aggregations, map-side combined;
+  * the scalar statistics (B, T, V) ride a one-row broadcast; score-side
+  * transition rows probe the count tables via LEFT joins on token keys.
+  * Document text never shuffles past its explode; no driver state holds
+  * data-sized anything (the one fail-fast probe is `limit(1)`-bounded).
+  */
+object LanguageModel {
+
+  import TextAnalysis.{tokens, lnQ}
+
+  /** (id, left, right) transition rows of every ≥2-token document —
+    * adjacent-token structs via one array transform (no self-join). */
+  private def transitions(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
+      .where(size(col("__w")) >= 2)
+      .select(col("__id"), explode(transform(
+        sequence(lit(0), size(col("__w")) - 2),
+        i => struct(element_at(col("__w"), i + 1).as("p"),
+          element_at(col("__w"), i + 2).as("c")))).as("__t"))
+      .select(col("__id"), col("__t.p").as("__p"), col("__t.c").as("__c"))
+
+  /** Score every ≥2-transition document of `score` under an
+    * interpolated-KN bigram model fit on `train`. Returns
+    * (idCol, n_trans, kn_loss) with kn_loss the per-transition
+    * cross-entropy in nats — high = implausible under the reference
+    * corpus (the CCNet "keep the low-perplexity tail" signal). Docs of
+    * `score` with <2 tokens or NULL text are absent (the
+    * [[TextAnalysis.bigramLogLoss]] convention). `train` must contain
+    * at least one transition (fail-fast — a bigram model needs a
+    * bigram). */
+  def knBigramLogLoss(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String,
+      d: Double = 0.75): DataFrame = {
+    require(d > 0 && d < 1, s"discount d must be in (0,1) (got $d)")
+    val tr = transitions(train, idCol, textCol)
+    val cb = tr.groupBy(col("__p").as("__bp"), col("__c").as("__bc"))
+      .agg(count(lit(1)).as("__cb"))
+    require(cb.limit(1).count() == 1L,
+      "knBigramLogLoss: train corpus has no transitions (every doc <2 tokens)" +
+        " — a bigram model needs at least one bigram")
+    // left-context stats: history count c(v·) and continuation types N1+(v·)
+    val lt = cb.groupBy(col("__bp").as("__lp"))
+      .agg(sum(col("__cb")).as("__cl"), count(lit(1)).as("__tl"))
+    // right-continuation types N1+(·w)
+    val rt = cb.groupBy(col("__bc").as("__rc")).agg(count(lit(1)).as("__tr"))
+    // scalar statistics: B bigram types, T continuation words, V = vocab+1
+    val bt = cb.agg(count(lit(1)).as("__b"), count_distinct(col("__bc")).as("__t"))
+    val vc = train.select(explode(tokens(col(textCol))).as("__u"))
+      .agg((count_distinct(col("__u")) + lit(1L)).as("__v"))
+    val totals = broadcast(bt.crossJoin(vc))
+
+    val sc = transitions(score, idCol, textCol)
+    val joined = sc
+      .join(cb, col("__p") === col("__bp") && col("__c") === col("__bc"), "left")
+      .join(lt, col("__p") === col("__lp"), "left")
+      .join(rt, col("__c") === col("__rc"), "left")
+      .crossJoin(totals)
+    val p1 = (greatest(coalesce(col("__tr"), lit(0L)).cast("double") - lit(d), lit(0.0))
+      + lit(d) * col("__t").cast("double") / col("__v").cast("double")) /
+      col("__b").cast("double")
+    val pc = when(col("__cl").isNull, p1).otherwise(
+      (greatest(coalesce(col("__cb"), lit(0L)).cast("double") - lit(d), lit(0.0))
+        + lit(d) * col("__tl").cast("double") * p1) / col("__cl").cast("double"))
+    joined
+      .select(col("__id"), lnQ(pc).as("__lp"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_trans"), sum(col("__lp")).as("__s"))
+      .withColumn("kn_loss",
+        -(col("__s").cast("double")) / col("n_trans").cast("double"))
+      .drop("__s")
+  }
+
+  /** (id, group, left, right) transition rows — [[transitions]] with
+    * the group key carried. */
+  private def transitionsBy(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), col(groupCol).as("__g"),
+        tokens(col(textCol)).as("__w"))
+      .where(size(col("__w")) >= 2)
+      .select(col("__id"), col("__g"), explode(transform(
+        sequence(lit(0), size(col("__w")) - 2),
+        i => struct(element_at(col("__w"), i + 1).as("p"),
+          element_at(col("__w"), i + 2).as("c")))).as("__t"))
+      .select(col("__id"), col("__g"), col("__t.p").as("__p"), col("__t.c").as("__c"))
+
+  /** Grouped twin of [[knBigramLogLoss]]: fit ONE independent KN model
+    * PER GROUP (per language, per source, …) on `train`, score each
+    * `score` document under ITS group's model. Returns
+    * (groupCol, idCol, n_trans, kn_loss). Score documents whose group
+    * has no train transitions are ABSENT (no model exists — the
+    * grouped-drift per-group contract), as are <2-token/NULL docs and
+    * NULL-group rows on either side (a group key of NULL names no
+    * model). Every count table and the (B, T, V) scalars carry the
+    * group key, so the whole fit+score is hash-partitioned by group —
+    * groups parallelize, no driver loop, no per-group job. */
+  def knBigramLogLossBy(
+      train: DataFrame,
+      score: DataFrame,
+      groupCol: String,
+      idCol: String,
+      textCol: String,
+      d: Double = 0.75): DataFrame = {
+    require(d > 0 && d < 1, s"discount d must be in (0,1) (got $d)")
+    val tr = transitionsBy(train, groupCol, idCol, textCol)
+      .where(col("__g").isNotNull)
+    val cb = tr.groupBy(col("__g").as("__bg"), col("__p").as("__bp"),
+        col("__c").as("__bc"))
+      .agg(count(lit(1)).as("__cb"))
+    val lt = cb.groupBy(col("__bg").as("__lg"), col("__bp").as("__lp"))
+      .agg(sum(col("__cb")).as("__cl"), count(lit(1)).as("__tl"))
+    val rt = cb.groupBy(col("__bg").as("__rg"), col("__bc").as("__rc"))
+      .agg(count(lit(1)).as("__tr"))
+    val bt = cb.groupBy(col("__bg").as("__tg"))
+      .agg(count(lit(1)).as("__b"), count_distinct(col("__bc")).as("__t"))
+    val vc = train.select(col(groupCol).as("__vg"),
+        explode(tokens(col(textCol))).as("__u"))
+      .where(col("__vg").isNotNull)
+      .groupBy(col("__vg"))
+      .agg((count_distinct(col("__u")) + lit(1L)).as("__v"))
+    val totals = bt.join(vc, col("__tg") === col("__vg"))
+
+    val sc = transitionsBy(score, groupCol, idCol, textCol)
+      .where(col("__g").isNotNull)
+    val joined = sc
+      // groups without a train model drop here (inner join on totals)
+      .join(totals, col("__g") === col("__tg"))
+      .join(cb, col("__g") === col("__bg") && col("__p") === col("__bp")
+        && col("__c") === col("__bc"), "left")
+      .join(lt, col("__g") === col("__lg") && col("__p") === col("__lp"), "left")
+      .join(rt, col("__g") === col("__rg") && col("__c") === col("__rc"), "left")
+    val p1 = (greatest(coalesce(col("__tr"), lit(0L)).cast("double") - lit(d), lit(0.0))
+      + lit(d) * col("__t").cast("double") / col("__v").cast("double")) /
+      col("__b").cast("double")
+    val pc = when(col("__cl").isNull, p1).otherwise(
+      (greatest(coalesce(col("__cb"), lit(0L)).cast("double") - lit(d), lit(0.0))
+        + lit(d) * col("__tl").cast("double") * p1) / col("__cl").cast("double"))
+    joined
+      .select(col("__g"), col("__id"), lnQ(pc).as("__lp"))
+      .groupBy(col("__g").as(groupCol), col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_trans"), sum(col("__lp")).as("__s"))
+      .withColumn("kn_loss",
+        -(col("__s").cast("double")) / col("n_trans").cast("double"))
+      .drop("__s")
+  }
+
+  /** DuckDB twin of [[knBigramLogLossBy]] — the [[knBigramLogLossSql]]
+    * algebra with the group key threaded through every table. */
+  def knBigramLogLossBySql(groupExpr: String, idExpr: String, textExpr: String,
+      trainFrom: String, scoreFrom: String, d: Double = 0.75): String = {
+    val p1 = ("(greatest(coalesce(rt.tr, 0)::DOUBLE - " + d + ", 0.0)"
+      + s" + $d * tot.t::DOUBLE / tot.v::DOUBLE) / tot.b::DOUBLE")
+    (s"WITH trd AS (SELECT $groupExpr AS g, string_split($textExpr, ' ') AS w"
+      + s" FROM $trainFrom WHERE $textExpr IS NOT NULL AND $groupExpr IS NOT NULL),"
+      + " trt AS (SELECT g, unnest([w[i] for i in range(1, len(w))]) AS p,"
+      + " unnest([w[i+1] for i in range(1, len(w))]) AS c FROM trd WHERE len(w) >= 2),"
+      + " cb AS (SELECT g, p, c, count(*)::BIGINT AS cb FROM trt GROUP BY 1, 2, 3),"
+      + " lt AS (SELECT g, p, sum(cb)::BIGINT AS cl, count(*)::BIGINT AS tl FROM cb GROUP BY 1, 2),"
+      + " rt AS (SELECT g, c, count(*)::BIGINT AS tr FROM cb GROUP BY 1, 2),"
+      + " bt AS (SELECT g, count(*)::BIGINT AS b, count(DISTINCT c)::BIGINT AS t FROM cb GROUP BY 1),"
+      + " vc AS (SELECT g, (count(DISTINCT u) + 1)::BIGINT AS v FROM"
+      + " (SELECT g, unnest(w) AS u FROM trd) GROUP BY 1),"
+      + " tot AS (SELECT bt.g, bt.b, bt.t, vc.v FROM bt JOIN vc ON bt.g = vc.g),"
+      + s" scd AS (SELECT $groupExpr AS g, $idExpr AS id, string_split($textExpr, ' ') AS w"
+      + s" FROM $scoreFrom WHERE $textExpr IS NOT NULL AND $groupExpr IS NOT NULL),"
+      + " sct AS (SELECT g, id, unnest([w[i] for i in range(1, len(w))]) AS p,"
+      + " unnest([w[i+1] for i in range(1, len(w))]) AS c FROM scd WHERE len(w) >= 2),"
+      + " pr AS (SELECT sct.g, sct.id,"
+      + s" CASE WHEN lt.cl IS NULL THEN $p1"
+      + s" ELSE (greatest(coalesce(cb.cb, 0)::DOUBLE - $d, 0.0)"
+      + s" + $d * lt.tl::DOUBLE * $p1) / lt.cl::DOUBLE END AS p"
+      + " FROM sct JOIN tot ON sct.g = tot.g"
+      + " LEFT JOIN cb ON sct.g = cb.g AND sct.p = cb.p AND sct.c = cb.c"
+      + " LEFT JOIN lt ON sct.g = lt.g AND sct.p = lt.p"
+      + " LEFT JOIN rt ON sct.g = rt.g AND sct.c = rt.c),"
+      + " sc AS (SELECT g, id, round(ln(p), 6)::DECIMAL(18,6) AS lp FROM pr)"
+      + s" SELECT g AS $groupExpr, id AS $idExpr, count(*)::BIGINT AS n_trans,"
+      + " -(sum(lp)::DOUBLE) / count(*)::DOUBLE AS kn_loss"
+      + " FROM sc GROUP BY 1, 2 ORDER BY 1, 2")
+  }
+
+  /** DuckDB twin of [[knBigramLogLoss]] — same discount literal, same
+    * count tables, same fixed-shape probability expression, same
+    * quantized-ln decimal sum. `trainFrom`/`scoreFrom` are FROM-clause
+    * bodies (table name or parenthesized subquery). */
+  def knBigramLogLossSql(idExpr: String, textExpr: String,
+      trainFrom: String, scoreFrom: String, d: Double = 0.75): String = {
+    val p1 = ("(greatest(coalesce(rt.tr, 0)::DOUBLE - " + d + ", 0.0)"
+      + s" + $d * tot.t::DOUBLE / tot.v::DOUBLE) / tot.b::DOUBLE")
+    (s"WITH trd AS (SELECT string_split($textExpr, ' ') AS w FROM $trainFrom"
+      + s" WHERE $textExpr IS NOT NULL),"
+      + " trt AS (SELECT unnest([w[i] for i in range(1, len(w))]) AS p,"
+      + " unnest([w[i+1] for i in range(1, len(w))]) AS c FROM trd WHERE len(w) >= 2),"
+      + " cb AS (SELECT p, c, count(*)::BIGINT AS cb FROM trt GROUP BY 1, 2),"
+      + " lt AS (SELECT p, sum(cb)::BIGINT AS cl, count(*)::BIGINT AS tl FROM cb GROUP BY 1),"
+      + " rt AS (SELECT c, count(*)::BIGINT AS tr FROM cb GROUP BY 1),"
+      + " tot AS (SELECT count(*)::BIGINT AS b, count(DISTINCT c)::BIGINT AS t,"
+      + " (SELECT count(DISTINCT u) + 1 FROM (SELECT unnest(w) AS u FROM trd))::BIGINT AS v"
+      + " FROM cb),"
+      + s" scd AS (SELECT $idExpr AS id, string_split($textExpr, ' ') AS w FROM $scoreFrom"
+      + s" WHERE $textExpr IS NOT NULL),"
+      + " sct AS (SELECT id, unnest([w[i] for i in range(1, len(w))]) AS p,"
+      + " unnest([w[i+1] for i in range(1, len(w))]) AS c FROM scd WHERE len(w) >= 2),"
+      + " pr AS (SELECT sct.id,"
+      + s" CASE WHEN lt.cl IS NULL THEN $p1"
+      + s" ELSE (greatest(coalesce(cb.cb, 0)::DOUBLE - $d, 0.0)"
+      + s" + $d * lt.tl::DOUBLE * $p1) / lt.cl::DOUBLE END AS p"
+      + " FROM sct LEFT JOIN cb ON sct.p = cb.p AND sct.c = cb.c"
+      + " LEFT JOIN lt ON sct.p = lt.p LEFT JOIN rt ON sct.c = rt.c CROSS JOIN tot),"
+      + " sc AS (SELECT id, round(ln(p), 6)::DECIMAL(18,6) AS lp FROM pr)"
+      + s" SELECT id AS $idExpr, count(*)::BIGINT AS n_trans,"
+      + " -(sum(lp)::DOUBLE) / count(*)::DOUBLE AS kn_loss"
+      + " FROM sc GROUP BY 1 ORDER BY 1")
+  }
+}

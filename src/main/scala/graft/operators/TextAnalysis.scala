@@ -375,7 +375,7 @@ object TextAnalysis {
     * over the quantized values ride exact decimal arithmetic, so two
     * engines agree bit-for-bit unless a raw ln lands within an ulp of a
     * rounding boundary (documented accepted risk, same as idf). */
-  private def lnQ(x: Column): Column =
+  private[operators] def lnQ(x: Column): Column =
     round(log(x), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6))
 
   /** Per-document Shannon token entropy (nats) — the information-density

@@ -1,0 +1,291 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WordPiece vocabulary learning + greedy longest-match tokenization —
+  * the BERT tokenizer family (Schuster & Nakajima, ICASSP 2012; Wu et
+  * al. 2016 §4.1), completing the tokenizer-training surface next to
+  * [[Bpe]]: BPE merges the MOST FREQUENT adjacent pair; WordPiece
+  * merges the pair with the highest LIKELIHOOD RATIO
+  * score(l,r) = count(lr) / (count(l) · count(r)) — the merge that most
+  * increases a unigram LM's corpus likelihood. Continuation symbols
+  * carry the `##` prefix (word-initial symbols don't), so the learned
+  * vocabulary drives greedy longest-match-first tokenization with
+  * whole-word `[UNK]` fallback — BERT's WordPieceTokenizer semantics.
+  *
+  * Scale shape (the [[Bpe.bpeLearnDelta]] contract): ONE corpus scan
+  * into the bounded (word, freq) sufficient statistic, then the merge
+  * loop runs in driver memory — pair/symbol counts delta-maintained
+  * (only words containing the merged pair change), zero Spark jobs per
+  * round. The argmax is a full scan of the live pair table each round
+  * — unlike BPE's lazy max-heap, a WordPiece merge changes the SCORE of
+  * every pair sharing a symbol with it (their unigram denominators
+  * moved), so a stale-entry heap can under-rank the true max; the scan
+  * is exact and costs O(live pairs) per round.
+  *
+  * Determinism/oracle parity: scores are compared as EXACT RATIONALS —
+  * cnt₁·(l₂·r₂) vs cnt₂·(l₁·r₁) in BigInt (a double prefilter skips the
+  * exact compare outside a 1e-9 relative band) — with ties broken by
+  * the pair string ascending in UTF-8 byte order; the DuckDB replay
+  * ranks by the floor-scaled integer (cnt·10³⁰) // (c_l·c_r), which
+  * distinguishes any two distinct rationals as long as the corpus
+  * holds < 3.16e7 tokens (gap ≥ 1/(c_l·c_r)² ≥ 10⁻³⁰ scaled to ≥ 1)
+  * — asserted by the query builder, the BpeDeepOracleRounds
+  * convention. Corpus words must not contain `#` (fail-fast): the `##`
+  * continuation marker must stay unambiguous, the BERT preprocessing
+  * assumption. */
+object WordPiece {
+
+  final case class WpMerge(iter: Long, left_sym: String, right_sym: String,
+      cnt: Long, cnt_left: Long, cnt_right: Long) {
+    /** The vocabulary entry this merge creates: left + right minus the
+      * right's `##` continuation marker (the right side of an adjacent
+      * pair is never word-initial, so it always carries one). */
+    def merged: String = left_sym + right_sym.substring(2)
+  }
+
+  /** A learned model: the base symbols of the training corpus (initial
+    * chars + `##`-prefixed continuation chars) plus the merge rules in
+    * application order; `totalTokens` is the training corpus' token
+    * total (the oracle-replay validity statistic). `vocab` is what the
+    * tokenizer matches against. */
+  final case class WpModel(baseSyms: Seq[String], rules: Seq[WpMerge],
+      totalTokens: Long) {
+    lazy val vocab: Seq[String] =
+      (baseSyms ++ rules.map(_.merged)).distinct
+  }
+
+  /** Driver-memory merge-loop cap — each round scans the live pair
+    * table for the exact-rational argmax. */
+  val MaxMerges = 4096
+
+  val Unk = "[UNK]"
+
+  /** UTF-8 unsigned byte order (Spark UTF8String / DuckDB collation). */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Exact rational score compare: sign of c1/(l1·r1) − c2/(l2·r2).
+    * Double prefilter outside a 1e-9 relative band (doubles carry
+    * ~1e-16 relative error; anything the filter passes is decided by
+    * the BigInt cross-multiplication, so the result is exact). */
+  private def cmpScore(c1: Long, l1: Long, r1: Long,
+      c2: Long, l2: Long, r2: Long): Int = {
+    val s1 = c1.toDouble / (l1.toDouble * r1.toDouble)
+    val s2 = c2.toDouble / (l2.toDouble * r2.toDouble)
+    if (s1 > s2 * (1 + 1e-9)) 1
+    else if (s2 > s1 * (1 + 1e-9)) -1
+    else (BigInt(c1) * (BigInt(l2) * BigInt(r2)))
+      .compare(BigInt(c2) * (BigInt(l1) * BigInt(r1)))
+  }
+
+  /** Learn a WordPiece model over the corpus' word-frequency statistic.
+    * Stops early when no adjacent pair remains (every word one symbol).
+    * The one distributed job is the (word, freq) aggregation — bounded
+    * by `maxVocab` (fail-fast) with `minFreq` pruning the noise tail,
+    * the [[Bpe.bpeLearnDelta]] contract. */
+  def wordpieceLearn(
+      df: DataFrame,
+      textCol: String,
+      merges: Int,
+      minFreq: Long = 1L,
+      maxVocab: Int = 1 << 20): WpModel = {
+    require(merges >= 1 && merges <= MaxMerges,
+      s"merges must be in [1, $MaxMerges] (got $merges)")
+    require(minFreq >= 1, s"minFreq must be >= 1 (got $minFreq)")
+    val wf = df.select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .where(col("f") >= minFreq)
+    val rows = wf.limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"distinct-word vocabulary exceeds maxVocab=$maxVocab — raise minFreq" +
+        " or the bound deliberately; the merge loop is driver-memory by design")
+    rows.foreach { r =>
+      require(!r.getString(0).contains('#'),
+        s"corpus words must not contain '#' (the ## continuation marker" +
+          s" must stay unambiguous — strip it in preprocessing): ${r.getString(0)}")
+    }
+    val words: Array[Array[String]] = rows.map { r =>
+      val cs = r.getString(0).toCharArray
+      cs.indices.map(i =>
+        if (i == 0) cs(i).toString else "##" + cs(i)).toArray
+    }
+    val freqs: Array[Long] = rows.map(_.getLong(1))
+    val base = words.flatten.distinct.sortWith(utf8Compare(_, _) < 0).toSeq
+    val total = words.indices.iterator
+      .map(i => words(i).length.toLong * freqs(i)).sum
+    WpModel(base, learnInMemory(words, freqs, merges), total)
+  }
+
+  /** The exact in-memory loop: pair + symbol counts delta-maintained
+    * via per-pair occurrence sets; argmax by full scan with the exact
+    * rational compare. */
+  private def learnInMemory(
+      words: Array[Array[String]],
+      freqs: Array[Long],
+      merges: Int): Seq[WpMerge] = {
+    val pairCnt = mutable.HashMap.empty[String, Long]
+    val symCnt = mutable.HashMap.empty[String, Long]
+    val occurs = mutable.HashMap.empty[String, mutable.HashSet[Int]]
+
+    def pairsOf(s: Array[String]): Iterator[String] =
+      (0 until s.length - 1).iterator.map(i => s(i) + " " + s(i + 1))
+    def addWord(idx: Int, s: Array[String], sign: Long): Unit = {
+      pairsOf(s).foreach { k =>
+        val c = pairCnt.getOrElse(k, 0L) + sign * freqs(idx)
+        if (c == 0L) pairCnt.remove(k) else pairCnt(k) = c
+        if (sign > 0)
+          occurs.getOrElseUpdate(k, mutable.HashSet.empty) += idx
+      }
+      s.foreach { t =>
+        val c = symCnt.getOrElse(t, 0L) + sign * freqs(idx)
+        if (c == 0L) symCnt.remove(t) else symCnt(t) = c
+      }
+    }
+    words.indices.foreach(i => addWord(i, words(i), 1L))
+
+    val out = mutable.ArrayBuffer.empty[WpMerge]
+    var iter = 1
+    var done = false
+    while (iter <= merges && !done) {
+      // exact-rational argmax over the live pair table
+      var bk: String = null
+      var bc, bl, br = 0L
+      pairCnt.foreach { case (k, c) =>
+        val sp = k.indexOf(' ')
+        val cl = symCnt(k.substring(0, sp))
+        val cr = symCnt(k.substring(sp + 1))
+        val d = if (bk == null) 1 else {
+          val s = cmpScore(c, cl, cr, bc, bl, br)
+          if (s != 0) s else utf8Compare(bk, k) // lower pair wins ties
+        }
+        if (d > 0) { bk = k; bc = c; bl = cl; br = cr }
+      }
+      if (bk == null) done = true
+      else {
+        val Array(l, r) = bk.split(" ", 2)
+        val merged = l + r.substring(2)
+        val hit = occurs(bk).toArray
+        hit.foreach { idx =>
+          val s = words(idx)
+          val before = pairsOf(s).toSet
+          addWord(idx, s, -1L)
+          val b = Array.newBuilder[String]
+          var i = 0
+          while (i < s.length) { // left-to-right non-overlapping scan
+            if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+              b += merged; i += 2
+            } else { b += s(i); i += 1 }
+          }
+          words(idx) = b.result()
+          addWord(idx, words(idx), 1L)
+          (before -- pairsOf(words(idx)).toSet)
+            .foreach(k => occurs.get(k).foreach(_ -= idx))
+        }
+        occurs.filterInPlace((k, _) => pairCnt.contains(k))
+        out += WpMerge(iter.toLong, l, r, bc, bl, br)
+        iter += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Learned rules as a DataFrame — the persistable at-rest form. */
+  def rulesDf(spark: org.apache.spark.sql.SparkSession, m: WpModel): DataFrame =
+    spark.createDataFrame(m.rules)
+      .select(col("iter"), col("left_sym"), col("right_sym"),
+        col("cnt"), col("cnt_left"), col("cnt_right"))
+
+  /** Greedy longest-match-first tokenization of ONE word (BERT
+    * WordPieceTokenizer): at each position take the LONGEST vocabulary
+    * match (`##`-prefixed when not word-initial); any position with no
+    * match collapses the WHOLE word to `[UNK]`. */
+  private[graft] def tokenizeWordWp(
+      w: String, vocab: collection.Set[String], maxTok: Int): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < w.length) {
+      var len = math.min(w.length - pos, maxTok)
+      var hit: String = null
+      while (len >= 1 && hit == null) {
+        val cand =
+          if (pos == 0) w.substring(0, len)
+          else "##" + w.substring(pos, pos + len)
+        if (vocab.contains(cand)) hit = cand else len -= 1
+      }
+      if (hit == null) return Array(Unk)
+      out += hit
+      pos += len
+    }
+    out.toArray
+  }
+
+  /** [[packVocab]]/[[graft.expressions.WordPieceTokenize]] separator. */
+  private[graft] val VocabSep = '\u0001'
+
+  private[graft] def packVocab(vocab: Seq[String]): String = {
+    require(vocab.nonEmpty, "need a non-empty vocabulary")
+    vocab.foreach(v => require(!v.exists(_ == VocabSep),
+      s"vocab entries must not contain the control separator: $v"))
+    vocab.mkString(VocabSep.toString)
+  }
+
+  /** WordPiece tokens of `text` under the learned model, as a
+    * composable Column ([[graft.expressions.WordPieceTokenize]]; the
+    * [[Bpe.bpeDeepTokens]] convention — vocab rides ONE packed literal,
+    * per-word greedy match runs imperatively, zero shuffle). Callers
+    * must have [[graft.expressions.GraftFunctions.register]]ed the
+    * session. */
+  def wordpieceTokens(text: Column, model: WpModel): Column =
+    call_function(graft.expressions.GraftFunctions.WordPieceF,
+      text, lit(packVocab(model.vocab)))
+
+  /** Per-document token statistics under the learned model:
+    * (idCol, n_tokens, n_unk) — the sizing + quality pass (a high
+    * `[UNK]` share flags vocabulary mismatch). NULL text → NULL counts
+    * (the [[Bpe.bpeTokenCounts]] convention). One `mapPartitions` pass
+    * (the [[Bpe.bpeTokenCountsDeep]] slot) so both statistics come from
+    * ONE tokenization — a two-column projection over the
+    * CodegenFallback array expression would re-tokenize per column
+    * (the r10 CollapseProject-inlining lesson). */
+  def wordpieceTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      model: WpModel): DataFrame = {
+    val vocab = model.vocab.toSet
+    val maxTok = model.vocab.iterator
+      .map(v => if (v.startsWith("##")) v.length - 2 else v.length).max
+    val out = df.select(col(idCol), col(textCol).as("__text"))
+    val schema = org.apache.spark.sql.types.StructType(out.schema.fields.init)
+      .add("n_tokens", org.apache.spark.sql.types.LongType)
+      .add("n_unk", org.apache.spark.sql.types.LongType)
+    out.mapPartitions { rows =>
+      rows.map { r =>
+        val t = r.getString(1)
+        if (t == null) org.apache.spark.sql.Row(r.get(0), null, null)
+        else {
+          var n = 0L
+          var u = 0L
+          t.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
+            val toks = tokenizeWordWp(w, vocab, maxTok)
+            n += toks.length
+            if (toks.length == 1 && toks(0) == Unk) u += 1L
+          }
+          org.apache.spark.sql.Row(r.get(0), n, u)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+}

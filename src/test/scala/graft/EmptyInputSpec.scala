@@ -322,5 +322,14 @@ class EmptyInputSpec extends AnyFunSuite {
       .writePartitioned(dir)
     val idx = graft.operators.Search.PostingsIndex.read(spark, dir)
     assert(graft.operators.Search.substrCandidates(idx.postings, "abc").count() == 0)
+    // held-out KN scoring: empty TRAIN fails fast (no bigram to fit);
+    // empty SCORE side yields an empty frame (LanguageModelSpec pins both
+    // with typed rows; this pins the schema-only frames)
+    val oneDoc = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.operators.LanguageModel.knBigramLogLoss(emptyDocs, oneDoc, "doc_id", "text")
+    }
+    assert(graft.operators.LanguageModel
+      .knBigramLogLoss(oneDoc, emptyDocs, "doc_id", "text").count() == 0)
   }
 }

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.LanguageModel
+
+/** Held-out interpolated-Kneser-Ney scoring: a full brute-force replay
+  * of the probability algebra (continuation counts, discount mass,
+  * uniform OOV floor), the unseen-word/unseen-context paths, and the
+  * normalization identity Σ_w p(w|v) = 1 over the padded vocabulary. */
+class LanguageModelSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val D = 0.75
+
+  /** Brute-force interpolated-KN from raw token seqs — independent of
+    * the operator's SQL shape. */
+  private def knModel(train: Seq[Seq[String]]) = {
+    val bigrams = train.flatMap(w => w.zip(w.tail))
+    val cb = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cl = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val tl = cb.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val tr = cb.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val b = cb.size.toLong
+    val t = cb.keys.map(_._2).toSet.size.toLong
+    val v = train.flatten.toSet.size.toLong + 1L
+    (p: String, c: String) => {
+      val p1 = (math.max(tr.getOrElse(c, 0L).toDouble - D, 0.0)
+        + D * t.toDouble / v.toDouble) / b.toDouble
+      cl.get(p) match {
+        case None => p1
+        case Some(n) =>
+          (math.max(cb.getOrElse((p, c), 0L).toDouble - D, 0.0)
+            + D * tl(p).toDouble * p1) / n.toDouble
+      }
+    }
+  }
+
+  private def lnQ(x: Double): BigDecimal =
+    BigDecimal(math.log(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  private def loss(w: Seq[String], p: (String, String) => Double): (Long, Double) = {
+    val lps = w.zip(w.tail).map { case (a, b) => lnQ(p(a, b)) }
+    (lps.size.toLong, -(lps.sum.toDouble) / lps.size)
+  }
+
+  test("knBigramLogLoss: brute-force replay incl. unseen word, unseen context") {
+    val train = Seq((10L, "a b a b c"), (11L, "b c a b"), (12L, "c a"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c a"),     // all seen
+      (2L, "a b z"),       // z: unseen word (OOV floor)
+      (3L, "z a b"),       // z as context: unseen history -> pure p1
+      (4L, "c"),           // single token -> absent
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val model = knModel(Seq("a b a b c", "b c a b", "c a").map(_.split(" ").toSeq))
+    val got = LanguageModel.knBigramLogLoss(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    for ((id, w) <- Seq(1L -> "a b c a", 2L -> "a b z", 3L -> "z a b"))
+      assert(got(id) == loss(w.split(" ").toSeq, model), s"doc $id")
+    // every probability strictly positive: no NaN/Inf losses
+    assert(got.values.forall { case (_, l) => !l.isNaN && !l.isInfinite })
+  }
+
+  test("knBigramLogLoss: p(.|v) sums to 1 over the padded vocabulary") {
+    val train = Seq("a b a b c", "b c a b", "c a").map(_.split(" ").toSeq)
+    val model = knModel(train)
+    val vocab = train.flatten.distinct :+ "__oov__"
+    for (ctx <- Seq("a", "b", "c", "__unseen_ctx__")) {
+      val total = vocab.map(w => model(ctx, w)).sum
+      assert(math.abs(total - 1.0) < 1e-12, s"context $ctx sums to $total")
+    }
+  }
+
+  test("knBigramLogLoss: clean text scores lower than garbled under a clean model") {
+    val train = (0 until 50).map(i => (i.toLong, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val score = Seq((1L, "the cat sat on the mat"),
+      (2L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val got = LanguageModel.knBigramLogLoss(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) < got(2L))
+  }
+
+  test("knBigramLogLossBy: per-group == independent ungrouped runs; modelless/NULL groups drop") {
+    val train = Seq(
+      ("en", 10L, "a b a b c"), ("en", 11L, "b c a b"),
+      ("fr", 20L, "x y x"), ("fr", 21L, "y x y y"),
+      (null.asInstanceOf[String], 30L, "a b c")
+    ).toDF("lang", "doc_id", "text")
+    val score = Seq(
+      ("en", 1L, "a b c"), ("fr", 2L, "x y z"),
+      ("de", 3L, "a b"),                        // no de model -> absent
+      (null.asInstanceOf[String], 4L, "a b")    // NULL group -> absent
+    ).toDF("lang", "doc_id", "text")
+    val got = LanguageModel.knBigramLogLossBy(train, score, "lang", "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(("en", 1L), ("fr", 2L)))
+    // each group matches its own ungrouped fit/score exactly
+    for (g <- Seq("en", "fr")) {
+      val solo = LanguageModel.knBigramLogLoss(
+        train.where($"lang" === g), score.where($"lang" === g), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      solo.foreach { case (id, v) => assert(got((g, id)) == v, s"group $g doc $id") }
+    }
+  }
+
+  test("knBigramLogLoss: train without transitions fails fast; empty score is empty") {
+    val noTrans = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val score = Seq((1L, "a b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.knBigramLogLoss(noTrans, score, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("no transitions"))
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      score.schema)
+    assert(LanguageModel.knBigramLogLoss(train, empty, "doc_id", "text").count() == 0L)
+  }
+}
