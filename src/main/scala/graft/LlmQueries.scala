@@ -168,6 +168,25 @@ object LlmQueries {
     * the exact BigInt compare distinguishes. */
   private[graft] val WpMaxOracleTokens = 31622776L
 
+  /** q_unigram_* parameters, single-sourced with the oracle replay:
+    * substring-seed length bound, noise floor for multi-char
+    * candidates, multi-piece vocabulary cap, and the Viterbi unroll
+    * depth (each position CTE binds one char; also the base-16
+    * piece-count encoding's word-length bound). */
+  private[graft] val UlmMaxPieceLen = 6
+  private[graft] val UlmMinFreq = 2L
+  private[graft] val UlmMaxMulti = 512
+  private[graft] val UlmTokSteps = 15
+
+  // q_unigram_*'s fit-once model per data dir
+  private val ulmModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, UnigramLm.UlmModel]()
+  private[graft] def ulmModelOf(s: SparkSession, d: String): UnigramLm.UlmModel =
+    ulmModelCache.computeIfAbsent(d, _ =>
+      UnigramLm.unigramLmLearn(T(s, d, "documents"), "text",
+        maxPieceLen = UlmMaxPieceLen, minFreq = UlmMinFreq,
+        maxMulti = UlmMaxMulti))
+
   // q_wordpiece_*'s fit-once model per data dir (the bpeMergesCache
   // convention), with the oracle-validity asserts at build time
   private val wpModelCache =
@@ -1318,6 +1337,29 @@ object LlmQueries {
     "q_bpe_tokens" -> ((s, d) =>
       Bpe.bpeTokenCounts(T(s, d, "documents"), "doc_id", "text",
         bpeMergesOf(s, d)).orderBy("doc_id")),
+    // unigram-LM piece vocabulary (SentencePiece seed, Kudo ACL'18):
+    // bounded-length substring harvest over the word-frequency
+    // statistic — chars unconditional, top-K multi by freq — with
+    // quantized integer costs −ln(freq/total)·1e6
+    "q_unigram_lm_learn" -> ((s, d) =>
+      UnigramLm.piecesDf(s, ulmModelOf(s, d)).orderBy("piece")),
+    // Viterbi decode under the fitted pieces: per-doc min-cost token
+    // count + total quantized cost (integer DP, fewer-pieces
+    // tie-break, UNK pseudo-token for uncovered words)
+    "q_unigram_segment" -> ((s, d) => {
+      val model = ulmModelOf(s, d)
+      // the oracle unrolls UlmTokSteps position CTEs and encodes piece
+      // counts base-16 — assert the corpus' longest word fits
+      val maxLen = T(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(coalesce(max(length(col("w"))), lit(0)).as("m"))
+        .head().getInt(0)
+      require(maxLen <= UlmTokSteps,
+        s"q_unigram_segment oracle unrolls only $UlmTokSteps positions" +
+          s" but the corpus holds a $maxLen-char word — raise UlmTokSteps")
+      UnigramLm.segmentCosts(T(s, d, "documents"), "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
     // WordPiece vocabulary learning (Schuster-Nakajima ICASSP'12; the
     // BERT trainer): merges ranked by likelihood ratio cnt/(c_l·c_r)
     // over the one-scan word-frequency statistic, to exhaustion; the
@@ -2375,6 +2417,69 @@ object LlmQueries {
     * nests past DuckDB's expression-depth cap. Rounds past vocabulary
     * exhaustion see an empty pc`i`, emit no b`i` row, and carry m`i`
     * forward unchanged — exactly the trainer's early stop. */
+  /** q_unigram_* oracle CTEs: substring-candidate harvest (nested list
+    * comprehension over the word-frequency table), char ∪ top-K-multi
+    * selection, and the quantized integer costs — mirroring
+    * [[graft.operators.UnigramLm.unigramLmLearn]] term for term. */
+  private def ulmLearnCtes: String = {
+    ("wf AS MATERIALIZED (SELECT w, count(*)::BIGINT AS f FROM"
+      + " (SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
+      + " WHERE len(w) > 0 GROUP BY 1),"
+      + " cand AS MATERIALIZED (SELECT piece, sum(f)::BIGINT AS freq FROM"
+      + " (SELECT unnest(flatten([[substr(w, i, l)"
+      + s" for l in range(1, least($UlmMaxPieceLen, len(w) - i + 1) + 1)]"
+      + " for i in range(1, len(w) + 1)])) AS piece, f FROM wf) GROUP BY 1),"
+      + " voc0 AS (SELECT piece, freq FROM cand WHERE len(piece) = 1"
+      + " UNION ALL SELECT piece, freq FROM"
+      + s" (SELECT piece, freq FROM cand WHERE len(piece) >= 2 AND freq >= $UlmMinFreq"
+      + s" ORDER BY freq DESC, piece LIMIT $UlmMaxMulti)),"
+      + " tot AS (SELECT sum(freq)::BIGINT AS t FROM voc0),"
+      + " voc AS MATERIALIZED (SELECT piece, freq,"
+      + " (round(-ln(freq::DOUBLE / tot.t::DOUBLE), 6)::DECIMAL(18,6)"
+      + " * 1000000)::BIGINT AS cost_micro FROM voc0 CROSS JOIN tot)")
+  }
+
+  /** q_unigram_segment's Viterbi replay: per DISTINCT word, position k
+    * holds the lexicographic-minimum (cost, pieces) state encoded as
+    * ONE integer key = cost_micro·16 + n (words ≤ 15 chars ⇒ n < 16,
+    * asserted at build), so extending a path is pure addition
+    * key + cost·16 + 1 and the DP minimum is `min(key)`. Uncovered
+    * words fall back to one UNK pseudo-token at −ln(1/(total+1)) —
+    * the model's contract. */
+  private def ulmSegmentSql(steps: Int): String = {
+    val a0 = ("dw AS MATERIALIZED (SELECT DISTINCT w FROM"
+      + " (SELECT unnest(string_split(text, ' ')) AS w FROM documents"
+      + " WHERE text IS NOT NULL) WHERE len(w) > 0),"
+      + " a0 AS (SELECT w, 0::BIGINT AS pos, 0::BIGINT AS key FROM dw)")
+    val stepCtes = (1 to steps).map { k =>
+      (s"u$k AS MATERIALIZED (SELECT a.w, $k::BIGINT AS pos,"
+        + " min(a.key + v.cost_micro * 16 + 1) AS key"
+        + s" FROM a${k - 1} a JOIN voc v ON a.pos = $k - len(v.piece)"
+        + s" AND $k <= len(a.w)"
+        + " AND substr(a.w, (a.pos + 1)::INT, len(v.piece)) = v.piece"
+        + " GROUP BY a.w),"
+        + s" a$k AS MATERIALIZED (SELECT * FROM a${k - 1} UNION ALL SELECT * FROM u$k)")
+    }.mkString(", ")
+    val per = ("ukc AS (SELECT (round(-ln(1.0 / (tot.t + 1)), 6)::DECIMAL(18,6)"
+      + " * 1000000)::BIGINT AS uc FROM tot),"
+      + " tw AS (SELECT dw.w,"
+      + " CASE WHEN fk.key IS NULL THEN 1 ELSE fk.key % 16 END AS n,"
+      + " CASE WHEN fk.key IS NULL THEN ukc.uc ELSE fk.key // 16 END AS cost"
+      + s" FROM dw LEFT JOIN (SELECT w, key FROM a$steps x WHERE x.pos = len(x.w)) fk"
+      + " ON dw.w = fk.w CROSS JOIN ukc),"
+      + " wc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM"
+      + " (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
+      + " WHERE text IS NOT NULL) WHERE len(w) > 0 GROUP BY 1, 2),"
+      + " agg AS (SELECT wc.doc_id, sum(wc.c * tw.n)::BIGINT AS n_tokens,"
+      + " sum(wc.c * tw.cost)::BIGINT AS cost_micro FROM wc JOIN tw ON wc.w = tw.w"
+      + " GROUP BY 1)")
+    (s"WITH $ulmLearnCtes, $a0, $stepCtes, $per"
+      + " SELECT d.doc_id,"
+      + " CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(agg.n_tokens, 0) END AS n_tokens,"
+      + " CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(agg.cost_micro, 0) END AS cost_micro"
+      + " FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY 1")
+  }
+
   /** q_wordpiece_* oracle: the WordPiece merge loop unrolled round by
     * round (the [[bpeLearnDeepSql]] convention, 5 CTEs per round —
     * symbol counts, pair counts, scored argmax, replace, rule
@@ -3434,6 +3539,9 @@ object LlmQueries {
           + " SELECT iter, left_sym, right_sym, cnt, cnt_left, cnt_right"
           + s" FROM m$WpOracleRounds ORDER BY iter"),
       "q_wordpiece_tokens" -> wpTokensOracleSql(WpOracleRounds, WpTokSteps),
+      "q_unigram_lm_learn" ->
+        (s"WITH $ulmLearnCtes SELECT piece, freq, cost_micro FROM voc ORDER BY piece"),
+      "q_unigram_segment" -> ulmSegmentSql(UlmTokSteps),
       // deep-tokenizer replay: the REAGG CTE rounds reproduce the delta
       // trainer's first 24 rules (delta == reagg), then the per-word
       // fold runs over those 24 one-row rule tables exactly as

@@ -1,0 +1,193 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword segmentation (the SentencePiece inference family
+  * — Kudo, ACL 2018 "Subword Regularization" §3; unigram pieces with a
+  * Viterbi decode), completing the tokenizer trio next to [[Bpe]]
+  * (merge-by-frequency) and [[WordPiece]] (merge-by-likelihood-ratio):
+  * here the vocabulary is SCORED, not merged — every piece carries a
+  * unigram cost −ln p(piece), and a word's tokenization is the
+  * segmentation minimizing total cost (Viterbi over the piece lattice),
+  * not a greedy scan.
+  *
+  * Vocabulary seeding follows SentencePiece's practice of harvesting
+  * frequent substrings (the ESA seed, Kudo §3.2, simplified to a
+  * bounded-length substring count): every substring of length ≤
+  * `maxPieceLen` of the (word, freq) statistic is a candidate; ALL
+  * single characters are kept (full coverage — the lattice always has
+  * a path), plus the top `maxMulti` longer pieces by (freq desc, piece
+  * asc). Piece costs are the QUANTIZED integers
+  * round(−ln(freq/total), 6)·10⁶ — exact longs, so Viterbi compares
+  * and sums are pure integer arithmetic and the DuckDB replay is
+  * bit-exact (the lnQ convention, one documented ulp risk at the
+  * rounding boundary). EM refinement is deliberately out of scope:
+  * the seed statistic is already deterministic and replayable; a
+  * soft-EM fit is float-iterative and belongs offline.
+  *
+  * Scale shape: ONE corpus scan into the bounded (word, freq)
+  * statistic ([[Bpe.bpeLearnDelta]]'s contract, maxVocab fail-fast);
+  * candidate harvesting + selection run in driver memory over it;
+  * segmentation is a row-local `mapPartitions` pass (zero shuffle)
+  * with the piece-cost map as per-partition state. */
+object UnigramLm {
+
+  final case class Piece(piece: String, freq: Long, cost_micro: Long)
+
+  /** A fitted model: selected pieces (sorted by piece, UTF-8), the
+    * normalization total, the seed's piece-length bound, and the cost
+    * charged to a word with NO lattice path (a character never seen in
+    * training): one pseudo-token at cost −ln(1/(total+1)) — strictly
+    * costlier than any real piece, the SentencePiece UNK convention. */
+  final case class UlmModel(pieces: Seq[Piece], totalFreq: Long, maxPieceLen: Int) {
+    lazy val costs: Map[String, Long] = pieces.map(p => p.piece -> p.cost_micro).toMap
+    lazy val unkCostMicro: Long = costMicro(1.0 / (totalFreq.toDouble + 1.0))
+  }
+
+  /** Quantized integer cost: round(−ln(p), 6)·10⁶ as an exact long —
+    * decimal quantization BEFORE the integer scale, so Spark and DuckDB
+    * land on the same grid point. */
+  private[graft] def costMicro(p: Double): Long =
+    (BigDecimal(-math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      * BigDecimal(1000000)).toLongExact
+
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Fit a unigram-LM piece vocabulary over the corpus' word-frequency
+    * statistic. All single characters are selected unconditionally;
+    * longer candidates need `freq >= minFreq` and rank in the top
+    * `maxMulti` by (freq desc, piece asc). An empty corpus yields an
+    * empty model (segmenting under it charges every word the UNK
+    * cost). */
+  def unigramLmLearn(
+      df: DataFrame,
+      textCol: String,
+      maxPieceLen: Int = 6,
+      minFreq: Long = 2L,
+      maxMulti: Int = 512,
+      maxVocab: Int = 1 << 20): UlmModel = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1 (got $maxPieceLen)")
+    require(minFreq >= 1 && maxMulti >= 0, "minFreq >= 1, maxMulti >= 0")
+    val wf = df.select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val rows = wf.limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"distinct-word vocabulary exceeds maxVocab=$maxVocab — the candidate" +
+        " harvest is driver-memory over this statistic by design")
+    val cand = mutable.HashMap.empty[String, Long]
+    rows.foreach { r =>
+      val w = r.getString(0)
+      val f = r.getLong(1)
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        val lim = math.min(maxPieceLen, w.length - i)
+        while (l <= lim) {
+          val p = w.substring(i, i + l)
+          cand(p) = cand.getOrElse(p, 0L) + f
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val chars = cand.iterator.filter(_._1.length == 1).toSeq
+    val multi = cand.iterator
+      .filter { case (p, f) => p.length >= 2 && f >= minFreq }.toSeq
+      .sortWith { case ((p1, f1), (p2, f2)) =>
+        if (f1 != f2) f1 > f2 else utf8Compare(p1, p2) < 0
+      }
+      .take(maxMulti)
+    val sel = chars ++ multi
+    val total = sel.iterator.map(_._2).sum
+    val pieces = sel
+      .map { case (p, f) => Piece(p, f, costMicro(f.toDouble / total.toDouble)) }
+      .sortWith((a, b) => utf8Compare(a.piece, b.piece) < 0)
+    UlmModel(pieces, total, maxPieceLen)
+  }
+
+  /** Fitted pieces as a DataFrame — the persistable at-rest form. */
+  def piecesDf(spark: org.apache.spark.sql.SparkSession, m: UlmModel): DataFrame =
+    spark.createDataFrame(m.pieces)
+      .select(col("piece"), col("freq"), col("cost_micro"))
+
+  /** Viterbi-segment ONE word: (n_pieces, total cost_micro) of the
+    * minimum-cost segmentation, ties broken by FEWER pieces (both
+    * statistics are the lexicographic DP minimum, so the result is
+    * unique even when paths tie). No lattice path → (1, unkCost). */
+  private[graft] def viterbiWord(w: String, costs: collection.Map[String, Long],
+      maxPieceLen: Int, unkCost: Long): (Long, Long) = {
+    val n = w.length
+    val bc = Array.fill(n + 1)(Long.MaxValue)
+    val bn = Array.fill(n + 1)(Long.MaxValue)
+    bc(0) = 0L
+    bn(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (bc(j) != Long.MaxValue) {
+          costs.get(w.substring(j, i)) match {
+            case Some(c) =>
+              val nc = bc(j) + c
+              val nn = bn(j) + 1L
+              if (nc < bc(i) || (nc == bc(i) && nn < bn(i))) {
+                bc(i) = nc; bn(i) = nn
+              }
+            case None =>
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (bc(n) == Long.MaxValue) (1L, unkCost) else (bn(n), bc(n))
+  }
+
+  /** Per-document Viterbi statistics under the fitted model:
+    * (idCol, n_tokens, cost_micro) — token count and total quantized
+    * cost (the corpus-compression quality signal: cost/token is the
+    * unigram-LM bits-per-token analog). NULL text → NULL counts, the
+    * [[WordPiece.wordpieceTokenCounts]] contract; one row-local
+    * `mapPartitions` pass, zero shuffle. */
+  def segmentCosts(df: DataFrame, idCol: String, textCol: String,
+      model: UlmModel): DataFrame = {
+    val costs = model.costs
+    val maxLen = model.maxPieceLen
+    val unk = model.unkCostMicro
+    val out = df.select(col(idCol), col(textCol).as("__text"))
+    val schema = org.apache.spark.sql.types.StructType(out.schema.fields.init)
+      .add("n_tokens", org.apache.spark.sql.types.LongType)
+      .add("cost_micro", org.apache.spark.sql.types.LongType)
+    out.mapPartitions { rows =>
+      rows.map { r =>
+        val t = r.getString(1)
+        if (t == null) org.apache.spark.sql.Row(r.get(0), null, null)
+        else {
+          var n = 0L
+          var c = 0L
+          t.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
+            val (wn, wc) = viterbiWord(w, costs, maxLen, unk)
+            n += wn
+            c += wc
+          }
+          org.apache.spark.sql.Row(r.get(0), n, c)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+}

@@ -331,5 +331,21 @@ class EmptyInputSpec extends AnyFunSuite {
     }
     assert(graft.operators.LanguageModel
       .knBigramLogLoss(oneDoc, emptyDocs, "doc_id", "text").count() == 0)
+    // grouped KN: empty either side yields empty (inner join on models)
+    val emptyG = Seq.empty[(String, Long, String)].toDF("lang", "doc_id", "text")
+    val oneG = Seq(("en", 1L, "a b")).toDF("lang", "doc_id", "text")
+    assert(graft.operators.LanguageModel
+      .knBigramLogLossBy(emptyG, oneG, "lang", "doc_id", "text").count() == 0)
+    assert(graft.operators.LanguageModel
+      .knBigramLogLossBy(oneG, emptyG, "lang", "doc_id", "text").count() == 0)
+    // WordPiece / unigram-LM: empty corpus -> empty model; tokenizing an
+    // empty frame under a real model stays empty
+    val wpm = graft.operators.WordPiece.wordpieceLearn(oneDoc, "text", merges = 5)
+    assert(graft.operators.WordPiece
+      .wordpieceTokenCounts(emptyDocs, "doc_id", "text", wpm).count() == 0)
+    val ulm = graft.operators.UnigramLm.unigramLmLearn(emptyDocs, "text")
+    assert(ulm.pieces.isEmpty)
+    assert(graft.operators.UnigramLm
+      .segmentCosts(emptyDocs, "doc_id", "text", ulm).count() == 0)
   }
 }

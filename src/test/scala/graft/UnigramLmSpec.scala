@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.UnigramLm
+
+/** Unigram-LM segmentation: vocabulary-seed pins (chars always kept,
+  * multi-piece top-K by freq), exact Viterbi semantics (min cost beats
+  * greedy, fewer-pieces tie-break, UNK fallback), and per-doc sums. */
+class UnigramLmSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("unigramLmLearn: chars unconditional, multi top-K by (freq desc, piece asc), exact costs") {
+    // "abab" x3, "abc" x2: candidates incl. ab(3*2+2=8), ba(3), bc(2), abc(2)...
+    val df = (Seq.fill(3)("abab") ++ Seq.fill(2)("abc"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val m = UnigramLm.unigramLmLearn(df, "text", maxPieceLen = 3,
+      minFreq = 2, maxMulti = 2)
+    val byPiece = m.pieces.map(p => p.piece -> p).toMap
+    // chars kept regardless of freq; c appears twice
+    assert(Set("a", "b", "c").subsetOf(byPiece.keySet))
+    // top-2 multi: ab freq 8, then aba/bab/ba tie at 3 -> aba wins (piece asc)
+    assert(byPiece.keySet == Set("a", "b", "c", "ab", "aba"))
+    assert(byPiece("ab").freq == 8L && byPiece("aba").freq == 3L)
+    // exact quantized cost replay
+    val total = m.pieces.map(_.freq).sum
+    m.pieces.foreach { p =>
+      val want = (BigDecimal(-math.log(p.freq.toDouble / total.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) * BigDecimal(1000000)).toLongExact
+      assert(p.cost_micro == want, p.piece)
+    }
+    // pieces sorted by piece ascending
+    assert(m.pieces.map(_.piece) == m.pieces.map(_.piece).sorted)
+  }
+
+  test("viterbiWord: min-cost beats greedy; fewer-pieces tie-break; UNK fallback") {
+    // greedy longest-first would take "ab" + unreachable; Viterbi finds a+bc
+    val costs = Map[String, Long]("a" -> 10L, "b" -> 10L, "c" -> 10L,
+      "ab" -> 5L, "bc" -> 3L)
+    assert(UnigramLm.viterbiWord("abc", costs, 2, 99L) == ((2L, 13L))) // a+bc
+    // exact cost tie (abz=15 vs ab+z=15): fewer pieces wins
+    assert(UnigramLm.viterbiWord("abz", costs ++ Map("z" -> 10L, "abz" -> 15L),
+      3, 99L) == ((1L, 15L)))
+    // unreachable char -> one UNK pseudo-token at the model's unk cost
+    assert(UnigramLm.viterbiWord("axb", costs, 2, 99L) == ((1L, 99L)))
+    assert(UnigramLm.viterbiWord("", costs, 2, 99L) == ((0L, 0L)))
+  }
+
+  test("segmentCosts: per-doc sums; NULL text -> NULL; empty text -> zero") {
+    val train = Seq((1L, "abab abc")).toDF("id", "text")
+    val m = UnigramLm.unigramLmLearn(train, "text", maxPieceLen = 3,
+      minFreq = 1, maxMulti = 8)
+    val docs = Seq((1L, "ab ab"), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "qq")).toDF("doc_id", "text")
+    val got = UnigramLm.segmentCosts(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getLong(1), r.getLong(2)))).toMap
+    val (n1, c1) = UnigramLm.viterbiWord("ab", m.costs, m.maxPieceLen, m.unkCostMicro)
+    assert(got(1L) == ((2 * n1, 2 * c1)))
+    assert(got(2L) == ((0L, 0L)))
+    assert(got(3L) == null)
+    // q unseen -> each word one UNK at unk cost, strictly costlier than any piece
+    assert(got(4L) == ((1L, m.unkCostMicro)))
+    assert(m.pieces.forall(_.cost_micro < m.unkCostMicro))
+  }
+
+  test("unigramLmLearn: empty corpus -> empty model; segmenting charges UNK") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    val m = UnigramLm.unigramLmLearn(empty, "text")
+    assert(m.pieces.isEmpty && m.totalFreq == 0L)
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    val got = UnigramLm.segmentCosts(docs, "doc_id", "text", m).collect()
+    assert(got.head.getLong(1) == 1L && got.head.getLong(2) == m.unkCostMicro)
+  }
+}
