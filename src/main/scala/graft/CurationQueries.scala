@@ -29,6 +29,15 @@ object CurationQueries {
   // dir (the qcutEdgeCache convention in SparkEntry): the bounds are the
   // INDEX-BUILD step — derive once per corpus, the query path measures
   // the clip + rollup
+  // q_stream_kn's fit-once KN model per data dir (even-id train slice,
+  // materialized count tables — the bpeMergesCache convention)
+  private val knModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LanguageModel.KnBigramModel]()
+  private def knModelOf(s: SparkSession, d: String): LanguageModel.KnBigramModel =
+    knModelCache.computeIfAbsent(d, _ =>
+      LanguageModel.knBigramFit(
+        T(s, d, "documents").where(col("doc_id") % 2 === 0), "text"))
+
   private val winsorBoundsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[(Double, Double)]]()
 
@@ -552,6 +561,29 @@ object CurationQueries {
           docs.where(col("doc_id") % 2 === 1), "lang", "doc_id", "text")
         .withColumn("kn_loss", round(col("kn_loss"), 6))
         .orderBy("lang", "doc_id")
+    }),
+    // STREAMING LM-perplexity monitoring: the odd-id slice arrives as
+    // one-file-per-trigger micro-batches, each scored statelessly under
+    // the FIT-ONCE even-id model (frozen materialized count tables);
+    // the drained union hash-matches the batch q_kn_loss oracle — the
+    // streamed==batch pin is structural because every doc's transitions
+    // come from its own row
+    "q_stream_kn" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val model = knModelOf(s, d)
+      val dir = LlmQueries.stageDays(d, "kn", Seq(
+        docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 4 === 1),
+        docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 4 === 3)))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      LlmQueries.runForeachBatchReplay(
+        graft.streaming.StreamingOps.knScoreIngest(stream, model, "doc_id", "text")(
+          p => { parts += p; () }),
+        "graft_stream_kn")
+      parts.reduce(_ unionByName _)
+        .withColumn("kn_loss", round(col("kn_loss"), 6))
+        .orderBy("doc_id")
     }),
     // held-out interpolated-Kneser-Ney scoring — the CCNet deployment
     // shape: fit the bigram LM on the even-id half of the corpus, score
@@ -1454,6 +1486,14 @@ object CurationQueries {
         + TextAnalysis.bigramLogLossSql("doc_id", "text", "documents")
         + ") ORDER BY 1"),
     "q_kn_loss" ->
+      ("SELECT doc_id, n_trans, round(kn_loss, 6) AS kn_loss FROM ("
+        + LanguageModel.knBigramLogLossSql("doc_id", "text",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 1)")
+        + ") ORDER BY 1"),
+    // streamed == batch: the drained stream IS the odd-id slice scored
+    // under the even-id fit, so the oracle is q_kn_loss's verbatim
+    "q_stream_kn" ->
       ("SELECT doc_id, n_trans, round(kn_loss, 6) AS kn_loss FROM ("
         + LanguageModel.knBigramLogLossSql("doc_id", "text",
             "(SELECT * FROM documents WHERE doc_id % 2 = 0)",

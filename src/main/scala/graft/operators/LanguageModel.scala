@@ -74,8 +74,43 @@ object LanguageModel {
       idCol: String,
       textCol: String,
       d: Double = 0.75): DataFrame = {
+    val (cb, lt, rt, totals) = fitTables(train, textCol, d)
+    scoreTables(cb, lt, rt, totals, score, idCol, textCol, d)
+  }
+
+  /** A FITTED KN bigram model as index state at rest: the three
+    * vocabulary-sized count tables plus the one-row scalars,
+    * MATERIALIZED (localCheckpoint), so a monitoring stream (or any
+    * number of scoring passes) probes frozen tables instead of
+    * re-deriving the fit per use — the AnnIndex/NearDupIndex
+    * train-once convention. */
+  final case class KnBigramModel(cb: DataFrame, lt: DataFrame, rt: DataFrame,
+      totals: DataFrame, d: Double)
+
+  /** Fit the model once, eagerly. Same algebra, fail-fast, and
+    * downstream hashes as [[knBigramLogLoss]]'s inline fit. */
+  def knBigramFit(train: DataFrame, textCol: String, d: Double = 0.75): KnBigramModel = {
+    val (cb, lt, rt, totals) = fitTables(train, textCol, d)
+    KnBigramModel(cb.localCheckpoint(), lt.localCheckpoint(),
+      rt.localCheckpoint(), broadcast(totals.localCheckpoint()), d)
+  }
+
+  /** Score a frame under a fitted model — stateless (one pass over
+    * `score`, probing the model's frozen tables). */
+  def knBigramScoreWith(model: KnBigramModel, score: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    scoreTables(model.cb, model.lt, model.rt, model.totals,
+      score, idCol, textCol, model.d)
+
+  /** The fit: bigram types, left-context stats, right-continuation
+    * types, and the (B, T, V) one-row scalars, as LAZY frames (the
+    * one-plan fused shape [[knBigramLogLoss]] ships; [[knBigramFit]]
+    * materializes them). */
+  private def fitTables(train: DataFrame, textCol: String, d: Double)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(d > 0 && d < 1, s"discount d must be in (0,1) (got $d)")
-    val tr = transitions(train, idCol, textCol)
+    // id slot unused by the fit (pruned by Catalyst after the groupBy)
+    val tr = transitions(train, textCol, textCol)
     val cb = tr.groupBy(col("__p").as("__bp"), col("__c").as("__bc"))
       .agg(count(lit(1)).as("__cb"))
     require(cb.limit(1).count() == 1L,
@@ -90,14 +125,20 @@ object LanguageModel {
     val bt = cb.agg(count(lit(1)).as("__b"), count_distinct(col("__bc")).as("__t"))
     val vc = train.select(explode(tokens(col(textCol))).as("__u"))
       .agg((count_distinct(col("__u")) + lit(1L)).as("__v"))
-    val totals = broadcast(bt.crossJoin(vc))
+    (cb, lt, rt, bt.crossJoin(vc))
+  }
 
+  /** The scoring algebra over fitted tables — shared by the fused
+    * one-plan form and the fit-once/score-many paths. */
+  private def scoreTables(cb: DataFrame, lt: DataFrame, rt: DataFrame,
+      totals: DataFrame, score: DataFrame, idCol: String, textCol: String,
+      d: Double): DataFrame = {
     val sc = transitions(score, idCol, textCol)
     val joined = sc
       .join(cb, col("__p") === col("__bp") && col("__c") === col("__bc"), "left")
       .join(lt, col("__p") === col("__lp"), "left")
       .join(rt, col("__c") === col("__rc"), "left")
-      .crossJoin(totals)
+      .crossJoin(broadcast(totals))
     val p1 = (greatest(coalesce(col("__tr"), lit(0L)).cast("double") - lit(d), lit(0.0))
       + lit(d) * col("__t").cast("double") / col("__v").cast("double")) /
       col("__b").cast("double")

@@ -596,6 +596,32 @@ object StreamingOps {
     graft.operators.Pii.scan(scored, textCol, piiPatterns)
   }
 
+  /** Streaming LM-perplexity monitoring: score each arriving
+    * micro-batch under a FITTED Kneser-Ney model
+    * ([[graft.operators.LanguageModel.knBigramFit]] — frozen,
+    * materialized count tables) and hand `emit` the BATCH-ONLY scored
+    * rows (idCol, n_trans, kn_loss). Scoring is STATELESS — every
+    * document's transitions come from its own row, so no document
+    * splits across batches and streamed ≡ batch is structural (the
+    * curationFilter argument); per-batch cost is batch-sized (the
+    * model tables are probed, never re-derived — the r10 append-sink
+    * lesson: no accumulated state re-materializes here). The emitted
+    * rows are localCheckpointed so callers may hold them past the
+    * batch's lifetime (union for a drained total, threshold for a
+    * keep/drop gate, bin for a drift feed). */
+  def knScoreIngest(
+      stream: DataFrame,
+      model: graft.operators.LanguageModel.KnBigramModel,
+      idCol: String,
+      textCol: String)(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        emit(graft.operators.LanguageModel
+          .knBigramScoreWith(model, batch.toDF(), idCol, textCol)
+          .localCheckpoint())
+    }
+
   /** Streaming per-key running sum (NaN-skipping): the streaming analog of
     * `groupby_scan`'s nancumsum (SURVEY §2.2), as explicit keyed state via
     * flatMapGroupsWithState — one double per key, the chunk-carry of the

@@ -521,6 +521,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchIds == Set(1L, 3L, 5L), s"expected A+fresh survivors, got $batchIds")
   }
 
+  test("knScoreIngest: per-batch stateless scoring == one-shot batch scoring, any split") {
+    import graft.operators.LanguageModel
+    val train = Seq((10L, "a b a b c"), (11L, "b c a b")).toDF("doc_id", "text")
+    val scoreDocs = Seq((1L, "a b c"), (2L, "c a b a"), (3L, "z a b"), (4L, "b c z"))
+      .toDF("doc_id", "text")
+    val model = LanguageModel.knBigramFit(train, "text")
+    // engineered 2-batch split of the score slice
+    val days = Seq(Seq((1L, "a b c"), (2L, "c a b a")), Seq((3L, "z a b"), (4L, "b c z")))
+      .map(_.toDF("doc_id", "text"))
+    val dir = tmpDir("graft-stream-kn")
+    days.zipWithIndex.foreach { case (df, i) =>
+      val tmp = tmpDir("graft-kn-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val dst = new java.io.File(dir, s"day$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(days.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    StreamingOps.knScoreIngest(stream, model, "doc_id", "text")(
+        p => parts.synchronized { parts += p; () })
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .start().awaitTermination()
+    assert(parts.size == 2) // one emit per day file, batch-only rows
+    val got = parts.reduce(_ unionByName _)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = LanguageModel.knBigramLogLoss(train, scoreDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    // each emitted frame holds ONLY its batch's docs (batch-sized cost pin)
+    assert(parts.map(_.collect().map(_.getLong(0)).toSet) ==
+      Seq(Set(1L, 2L), Set(3L, 4L)))
+  }
+
   test("quantileStateIngest: 3-batch rolled histogram finalizes to the direct quantile, bit for bit") {
     import graft.operators.{AggState, Quantiles}
     // three "days" with ties across batches and a NaN/NULL to drop;
