@@ -550,6 +550,24 @@ object CurationQueries {
       TextAnalysis.bigramLogLoss(T(s, d, "documents"), "doc_id", "text")
         .withColumn("bigram_loss", round(col("bigram_loss"), 6))
         .orderBy("doc_id")),
+    // the CCNet FILTER step itself: score the odd-id slice under the
+    // even-id model and keep the low-perplexity tail (kn_loss < 3.45,
+    // ~the sf0.01 median) — per-source survivor counts, transition
+    // volume, and an id checksum; the shape a crawl-cleaning pipeline
+    // actually ships (Wenzek LREC'20 keep the head/middle buckets)
+    "q_kn_filter" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val scored = LanguageModel.knBigramLogLoss(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+      docs.where(col("doc_id") % 2 === 1)
+        .join(scored.where(col("kn_loss") < 3.45), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_trans").as("sum_trans"),
+          sum("doc_id").as("id_checksum"))
+        .orderBy("source")
+    }),
     // the grouped twin: one independent KN model PER LANGUAGE (fit on
     // even ids, score odd) — every count table and scalar carries the
     // group key, so the per-language fits are one hash-partitioned
@@ -1491,6 +1509,15 @@ object CurationQueries {
             "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
             "(SELECT * FROM documents WHERE doc_id % 2 = 1)")
         + ") ORDER BY 1"),
+    "q_kn_filter" ->
+      ("WITH sc AS (" + LanguageModel.knBigramLogLossSql("doc_id", "text",
+          "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+          "(SELECT * FROM documents WHERE doc_id % 2 = 1)")
+        + ") SELECT d.source, count(*)::BIGINT AS n_kept,"
+        + " sum(sc.n_trans)::BIGINT AS sum_trans,"
+        + " sum(d.doc_id)::BIGINT AS id_checksum"
+        + " FROM documents d JOIN sc ON d.doc_id = sc.doc_id"
+        + " WHERE sc.kn_loss < 3.45 GROUP BY 1 ORDER BY 1"),
     // streamed == batch: the drained stream IS the odd-id slice scored
     // under the even-id fit, so the oracle is q_kn_loss's verbatim
     "q_stream_kn" ->
