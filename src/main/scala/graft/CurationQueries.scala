@@ -29,14 +29,22 @@ object CurationQueries {
   // dir (the qcutEdgeCache convention in SparkEntry): the bounds are the
   // INDEX-BUILD step — derive once per corpus, the query path measures
   // the clip + rollup
-  // q_stream_kn's fit-once KN model per data dir (even-id train slice,
-  // materialized count tables — the bpeMergesCache convention)
-  private val knModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, LanguageModel.KnBigramModel]()
-  private def knModelOf(s: SparkSession, d: String): LanguageModel.KnBigramModel =
-    knModelCache.computeIfAbsent(d, _ =>
-      LanguageModel.knBigramFit(
-        T(s, d, "documents").where(col("doc_id") % 2 === 0), "text"))
+  // q_stream_kn's fit-once KN model per data dir (even-id train slice),
+  // WRITTEN to parquet and re-read per use — the cache holds only the
+  // DIRECTORY (the ndIndexCache/postingsDirCache convention): a cached
+  // live frame's checkpoint blocks die under cross-query RDD isolation
+  private val knModelDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def knModelOf(s: SparkSession, d: String): LanguageModel.KnBigramModel = {
+    val dir = knModelDirCache.computeIfAbsent(d, _ => {
+      val p = s"/tmp/graft_knmodel_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      LanguageModel.KnBigramModel.write(
+        LanguageModel.knBigramFit(
+          T(s, d, "documents").where(col("doc_id") % 2 === 0), "text"), p)
+      p
+    })
+    LanguageModel.KnBigramModel.read(s, dir)
+  }
 
   private val winsorBoundsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[(Double, Double)]]()

@@ -612,6 +612,51 @@ object Stress {
       println(f"[stress] pcaK recall@10 m=4k=16: raw=$r0%.3f 1-step=$r1%.3f 3-step=$r3%.3f")
       exact.unpersist(false)
     }
+
+    // r11 tokenizer trio + held-out LM: trainers ride the bounded
+    // (word, freq) statistic (flat merge work under replication — only
+    // the one scan grows), tokenization/segmentation/scoring are
+    // row-local or probe-frozen-table passes (linear in rows)
+    val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    time("wordpieceLearn base") {
+      graft.operators.WordPiece.wordpieceLearn(baseDocs, "text",
+        merges = graft.operators.WordPiece.MaxMerges).rules.size.toLong
+    }
+    time("wordpieceLearn corpusXn") {
+      graft.operators.WordPiece.wordpieceLearn(docs, "text",
+        merges = graft.operators.WordPiece.MaxMerges).rules.size.toLong
+    }
+    // production merge count on the deterministic rich vocabulary (the
+    // bpeLearnDelta twin): WordPiece pays an O(live pairs) argmax
+    // RESCAN per round (a merge moves every sharing pair's denominator
+    // — Scaladoc), so this receipt prices the rescan at real merge
+    // counts, not the 31-word corpus vocab
+    time("wordpieceLearn 2048-merge rich vocab") {
+      val rich = spark.range(200000)
+        .select(md5(col("id").cast("string")).as("text"))
+      graft.operators.WordPiece.wordpieceLearn(rich, "text", merges = 2048,
+        maxVocab = 1 << 19).rules.size.toLong
+    }
+    val wpModel = graft.operators.WordPiece.wordpieceLearn(baseDocs, "text",
+      merges = graft.operators.WordPiece.MaxMerges)
+    time("wordpieceTokCounts Xn")(graft.operators.WordPiece
+      .wordpieceTokenCounts(docs, "doc_id", "text", wpModel).count())
+    time("unigramLmLearn base") {
+      graft.operators.UnigramLm.unigramLmLearn(baseDocs, "text").pieces.size.toLong
+    }
+    time("unigramLmLearn corpusXn") {
+      graft.operators.UnigramLm.unigramLmLearn(docs, "text").pieces.size.toLong
+    }
+    val ulmModel = graft.operators.UnigramLm.unigramLmLearn(baseDocs, "text")
+    time("ulmSegmentCosts Xn")(graft.operators.UnigramLm
+      .segmentCosts(docs, "doc_id", "text", ulmModel).count())
+    val knModel = graft.operators.LanguageModel.knBigramFit(
+      baseDocs.where(col("doc_id") % 2 === 0), "text")
+    time("knScore base")(graft.operators.LanguageModel
+      .knBigramScoreWith(knModel, baseDocs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text").count())
+    time("knScore Xn")(graft.operators.LanguageModel
+      .knBigramScoreWith(knModel, docs, "doc_id", "text").count())
     spark.stop()
   }
 

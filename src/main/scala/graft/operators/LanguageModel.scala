@@ -102,6 +102,35 @@ object LanguageModel {
     scoreTables(model.cb, model.lt, model.rt, model.totals,
       score, idCol, textCol, model.d)
 
+  object KnBigramModel {
+    /** Persist a fitted model under `dir` (cb/lt/rt/totals/meta parquet
+      * subdirectories) — the index-at-rest form. A model held across
+      * queries MUST ride this (the ndIndexCache convention): a cached
+      * localCheckpointed frame dies the moment any session-state
+      * isolation unpersists RDDs (the Bench isolate() audit —
+      * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on re-run), a directory
+      * doesn't. */
+    def write(model: KnBigramModel, dir: String): Unit = {
+      model.cb.write.mode("overwrite").parquet(s"$dir/cb")
+      model.lt.write.mode("overwrite").parquet(s"$dir/lt")
+      model.rt.write.mode("overwrite").parquet(s"$dir/rt")
+      model.totals.write.mode("overwrite").parquet(s"$dir/totals")
+      val spark = model.cb.sparkSession
+      spark.createDataFrame(Seq(Tuple1(model.d))).toDF("d")
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
+
+    /** Reload a persisted model: plain parquet-backed frames, freely
+      * re-readable across cache/RDD lifecycle events. */
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String): KnBigramModel = {
+      val d = spark.read.parquet(s"$dir/meta").head().getDouble(0)
+      KnBigramModel(spark.read.parquet(s"$dir/cb"),
+        spark.read.parquet(s"$dir/lt"),
+        spark.read.parquet(s"$dir/rt"),
+        spark.read.parquet(s"$dir/totals"), d)
+    }
+  }
+
   /** The fit: bigram types, left-context stats, right-continuation
     * types, and the (B, T, V) one-row scalars, as LAZY frames (the
     * one-plan fused shape [[knBigramLogLoss]] ships; [[knBigramFit]]
