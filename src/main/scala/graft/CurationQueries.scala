@@ -576,6 +576,17 @@ object CurationQueries {
           sum("doc_id").as("id_checksum"))
         .orderBy("source")
     }),
+    // the TRIGRAM form — two backoff levels of the Chen-Goodman
+    // recursion (continuation counts built from the level above's type
+    // table), the n-gram depth direction production filters ship
+    "q_kn3_loss" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      LanguageModel.knTrigramLogLoss(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .withColumn("kn3_loss", round(col("kn3_loss"), 6))
+        .orderBy("doc_id")
+    }),
     // the grouped twin: one independent KN model PER LANGUAGE (fit on
     // even ids, score odd) — every count table and scalar carries the
     // group key, so the per-language fits are one hash-partitioned
@@ -1514,6 +1525,12 @@ object CurationQueries {
     "q_kn_loss" ->
       ("SELECT doc_id, n_trans, round(kn_loss, 6) AS kn_loss FROM ("
         + LanguageModel.knBigramLogLossSql("doc_id", "text",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 1)")
+        + ") ORDER BY 1"),
+    "q_kn3_loss" ->
+      ("SELECT doc_id, n_trans, round(kn3_loss, 6) AS kn3_loss FROM ("
+        + LanguageModel.knTrigramLogLossSql("doc_id", "text",
             "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
             "(SELECT * FROM documents WHERE doc_id % 2 = 1)")
         + ") ORDER BY 1"),

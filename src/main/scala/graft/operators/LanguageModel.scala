@@ -291,6 +291,139 @@ object LanguageModel {
       + " FROM sc GROUP BY 1, 2 ORDER BY 1, 2")
   }
 
+  /** (id, u, v, w) trigram rows of every ≥3-token document. */
+  private def transitions3(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
+      .where(size(col("__w")) >= 3)
+      .select(col("__id"), explode(transform(
+        sequence(lit(0), size(col("__w")) - 3),
+        i => struct(element_at(col("__w"), i + 1).as("u"),
+          element_at(col("__w"), i + 2).as("v"),
+          element_at(col("__w"), i + 3).as("w")))).as("__t"))
+      .select(col("__id"), col("__t.u").as("__u"), col("__t.v").as("__v"),
+        col("__t.w").as("__tw"))
+
+  /** TRIGRAM interpolated Kneser-Ney — [[knBigramLogLoss]] at the
+    * n-gram depth production perplexity filters actually run (CCNet
+    * ships a 5-gram KenLM; the trigram shows the full Chen-Goodman
+    * recursion, which higher orders repeat mechanically):
+    *
+    *   p3(w|uv) = (max(c(uvw)−D,0) + D·N1+(uv·)·p2(w|v)) / c(uv·)
+    *   p2(w|v)  = (max(N1+(·vw)−D,0) + D·N1+(v·)·p1(w)) / N1+(·v·)
+    *   p1(w)    = (max(N1+(··w)−D,0) + D·T/V) / B
+    *
+    * with every lower level built from the level ABOVE's TYPE table
+    * (the Kneser-Ney continuation-count construction): N1+(·vw) counts
+    * distinct u with c(uvw)>0; N1+(··w) counts distinct v in the
+    * (v,w) projection; B = |distinct (v,w)|, T = |distinct w| there,
+    * V = train unigram vocab + 1. Unseen (u,v) context backs off to
+    * p2, unseen v to p1, unseen w to the uniform floor — every
+    * probability strictly positive. Score docs need ≥3 tokens
+    * (n_trans = n−2); shorter/NULL docs are absent.
+    *
+    * Same determinism scheme and plan shape as the bigram form: exact
+    * integer count tables (hash aggs, map-side combined), one-row
+    * broadcast scalars, score trigrams LEFT-joining five tables on
+    * token keys, quantized-ln exact decimal sums. */
+  def knTrigramLogLoss(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String,
+      d: Double = 0.75): DataFrame = {
+    require(d > 0 && d < 1, s"discount d must be in (0,1) (got $d)")
+    val tr = transitions3(train, textCol, textCol)
+    val c3 = tr.groupBy(col("__u").as("__3u"), col("__v").as("__3v"),
+        col("__tw").as("__3w"))
+      .agg(count(lit(1)).as("__c3"))
+    require(c3.limit(1).count() == 1L,
+      "knTrigramLogLoss: train corpus has no trigrams (every doc <3 tokens)")
+    val l3 = c3.groupBy(col("__3u").as("__lu"), col("__3v").as("__lv"))
+      .agg(sum(col("__c3")).as("__c3ctx"), count(lit(1)).as("__t3"))
+    // continuation level: the (v,w) projection of the trigram TYPE table
+    val c2 = c3.groupBy(col("__3v").as("__2v"), col("__3w").as("__2w"))
+      .agg(count(lit(1)).as("__c2"))
+    val l2 = c2.groupBy(col("__2v").as("__mv"))
+      .agg(sum(col("__c2")).as("__c2ctx"), count(lit(1)).as("__t2"))
+    val c1 = c2.groupBy(col("__2w").as("__1w")).agg(count(lit(1)).as("__c1"))
+    val bt = c2.agg(count(lit(1)).as("__b"), count_distinct(col("__2w")).as("__t"))
+    val vc = train.select(explode(tokens(col(textCol))).as("__uni"))
+      .agg((count_distinct(col("__uni")) + lit(1L)).as("__vv"))
+    val totals = bt.crossJoin(vc)
+
+    val sc = transitions3(score, idCol, textCol)
+    val joined = sc
+      .join(c3, col("__u") === col("__3u") && col("__v") === col("__3v")
+        && col("__tw") === col("__3w"), "left")
+      .join(l3, col("__u") === col("__lu") && col("__v") === col("__lv"), "left")
+      .join(c2, col("__v") === col("__2v") && col("__tw") === col("__2w"), "left")
+      .join(l2, col("__v") === col("__mv"), "left")
+      .join(c1, col("__tw") === col("__1w"), "left")
+      .crossJoin(broadcast(totals))
+    val p1 = (greatest(coalesce(col("__c1"), lit(0L)).cast("double") - lit(d), lit(0.0))
+      + lit(d) * col("__t").cast("double") / col("__vv").cast("double")) /
+      col("__b").cast("double")
+    val p2 = when(col("__c2ctx").isNull, p1).otherwise(
+      (greatest(coalesce(col("__c2"), lit(0L)).cast("double") - lit(d), lit(0.0))
+        + lit(d) * col("__t2").cast("double") * p1) / col("__c2ctx").cast("double"))
+    val p3 = when(col("__c3ctx").isNull, p2).otherwise(
+      (greatest(coalesce(col("__c3"), lit(0L)).cast("double") - lit(d), lit(0.0))
+        + lit(d) * col("__t3").cast("double") * p2) / col("__c3ctx").cast("double"))
+    joined
+      .select(col("__id"), lnQ(p3).as("__lp"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_trans"), sum(col("__lp")).as("__s"))
+      .withColumn("kn3_loss",
+        -(col("__s").cast("double")) / col("n_trans").cast("double"))
+      .drop("__s")
+  }
+
+  /** DuckDB twin of [[knTrigramLogLoss]] — the same five count tables
+    * and the three-level probability expression, token for token. */
+  def knTrigramLogLossSql(idExpr: String, textExpr: String,
+      trainFrom: String, scoreFrom: String, d: Double = 0.75): String = {
+    val p1 = ("(greatest(coalesce(c1.c1, 0)::DOUBLE - " + d + ", 0.0)"
+      + s" + $d * tot.t::DOUBLE / tot.v::DOUBLE) / tot.b::DOUBLE")
+    val p2 = (s"CASE WHEN l2.c2ctx IS NULL THEN $p1"
+      + s" ELSE (greatest(coalesce(c2.c2, 0)::DOUBLE - $d, 0.0)"
+      + s" + $d * l2.t2::DOUBLE * $p1) / l2.c2ctx::DOUBLE END")
+    (s"WITH trd AS (SELECT string_split($textExpr, ' ') AS w FROM $trainFrom"
+      + s" WHERE $textExpr IS NOT NULL),"
+      + " trt AS (SELECT unnest([w[i] for i in range(1, len(w) - 1)]) AS u,"
+      + " unnest([w[i+1] for i in range(1, len(w) - 1)]) AS v,"
+      + " unnest([w[i+2] for i in range(1, len(w) - 1)]) AS tw"
+      + " FROM trd WHERE len(w) >= 3),"
+      + " c3 AS (SELECT u, v, tw, count(*)::BIGINT AS c3 FROM trt GROUP BY 1, 2, 3),"
+      + " l3 AS (SELECT u, v, sum(c3)::BIGINT AS c3ctx, count(*)::BIGINT AS t3"
+      + " FROM c3 GROUP BY 1, 2),"
+      + " c2 AS (SELECT v, tw, count(*)::BIGINT AS c2 FROM c3 GROUP BY 1, 2),"
+      + " l2 AS (SELECT v, sum(c2)::BIGINT AS c2ctx, count(*)::BIGINT AS t2"
+      + " FROM c2 GROUP BY 1),"
+      + " c1 AS (SELECT tw, count(*)::BIGINT AS c1 FROM c2 GROUP BY 1),"
+      + " tot AS (SELECT count(*)::BIGINT AS b, count(DISTINCT tw)::BIGINT AS t,"
+      + " (SELECT count(DISTINCT uni) + 1 FROM (SELECT unnest(w) AS uni FROM trd))::BIGINT AS v"
+      + " FROM c2),"
+      + s" scd AS (SELECT $idExpr AS id, string_split($textExpr, ' ') AS w FROM $scoreFrom"
+      + s" WHERE $textExpr IS NOT NULL),"
+      + " sct AS (SELECT id, unnest([w[i] for i in range(1, len(w) - 1)]) AS u,"
+      + " unnest([w[i+1] for i in range(1, len(w) - 1)]) AS v,"
+      + " unnest([w[i+2] for i in range(1, len(w) - 1)]) AS tw"
+      + " FROM scd WHERE len(w) >= 3),"
+      + " pr AS (SELECT sct.id,"
+      + s" CASE WHEN l3.c3ctx IS NULL THEN $p2"
+      + s" ELSE (greatest(coalesce(c3.c3, 0)::DOUBLE - $d, 0.0)"
+      + s" + $d * l3.t3::DOUBLE * ($p2)) / l3.c3ctx::DOUBLE END AS p"
+      + " FROM sct LEFT JOIN c3 ON sct.u = c3.u AND sct.v = c3.v AND sct.tw = c3.tw"
+      + " LEFT JOIN l3 ON sct.u = l3.u AND sct.v = l3.v"
+      + " LEFT JOIN c2 ON sct.v = c2.v AND sct.tw = c2.tw"
+      + " LEFT JOIN l2 ON sct.v = l2.v"
+      + " LEFT JOIN c1 ON sct.tw = c1.tw CROSS JOIN tot),"
+      + " sc AS (SELECT id, round(ln(p), 6)::DECIMAL(18,6) AS lp FROM pr)"
+      + s" SELECT id AS $idExpr, count(*)::BIGINT AS n_trans,"
+      + " -(sum(lp)::DOUBLE) / count(*)::DOUBLE AS kn3_loss"
+      + " FROM sc GROUP BY 1 ORDER BY 1")
+  }
+
   /** DuckDB twin of [[knBigramLogLoss]] — same discount literal, same
     * count tables, same fixed-shape probability expression, same
     * quantized-ln decimal sum. `trainFrom`/`scoreFrom` are FROM-clause

@@ -85,6 +85,71 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(got(1L) < got(2L))
   }
 
+  /** Brute-force trigram KN — independent reconstruction from raw
+    * token seqs (type-table continuation counts at both lower levels). */
+  private def kn3Model(train: Seq[Seq[String]]) = {
+    val tris = train.filter(_.size >= 3)
+      .flatMap(w => (0 to w.size - 3).map(i => (w(i), w(i + 1), w(i + 2))))
+    val c3 = tris.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c3ctx = c3.toSeq.groupBy { case ((u, v, _), _) => (u, v) }
+      .view.mapValues(_.map(_._2).sum).toMap
+    val t3 = c3.keys.toSeq.groupBy { case (u, v, _) => (u, v) }
+      .view.mapValues(_.size.toLong).toMap
+    // .toSeq BEFORE the projection: mapping a key SET would dedupe the
+    // (v,w) pairs and undercount N1+(·vw)
+    val types2 = c3.keys.toSeq.map { case (_, v, w) => (v, w) }
+    val c2 = types2.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c2ctx = c2.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val t2 = c2.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val c1 = c2.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val b = c2.size.toLong
+    val t = c2.keys.map(_._2).toSet.size.toLong
+    val v = train.flatten.toSet.size.toLong + 1L
+    (uu: String, vv: String, ww: String) => {
+      val p1 = (math.max(c1.getOrElse(ww, 0L).toDouble - D, 0.0)
+        + D * t.toDouble / v.toDouble) / b.toDouble
+      val p2 = c2ctx.get(vv) match {
+        case None => p1
+        case Some(n) => (math.max(c2.getOrElse((vv, ww), 0L).toDouble - D, 0.0)
+          + D * t2(vv).toDouble * p1) / n.toDouble
+      }
+      c3ctx.get((uu, vv)) match {
+        case None => p2
+        case Some(n) => (math.max(c3.getOrElse((uu, vv, ww), 0L).toDouble - D, 0.0)
+          + D * t3((uu, vv)).toDouble * p2) / n.toDouble
+      }
+    }
+  }
+
+  test("knTrigramLogLoss: brute-force replay incl. unseen context/middle/word; Σp=1") {
+    val trainSeqs = Seq("a b a b c", "b c a b a", "c a b")
+    val train = trainSeqs.zipWithIndex.map { case (t, i) => (10L + i, t) }
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c a"),     // seen trigrams
+      (2L, "a b z b"),     // z unseen word
+      (3L, "z q a b c"),   // (z,q) unseen context, q unseen middle
+      (4L, "a b"),         // <3 tokens -> absent
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val model = kn3Model(trainSeqs.map(_.split(" ").toSeq))
+    def loss3(w: Seq[String]): (Long, Double) = {
+      val lps = (0 to w.size - 3).map(i => lnQ(model(w(i), w(i + 1), w(i + 2))))
+      (lps.size.toLong, -(lps.sum.toDouble) / lps.size)
+    }
+    val got = LanguageModel.knTrigramLogLoss(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    for ((id, t) <- Seq(1L -> "a b c a", 2L -> "a b z b", 3L -> "z q a b c"))
+      assert(got(id) == loss3(t.split(" ").toSeq), s"doc $id")
+    // normalization: Σ_w p(w|u,v) = 1 over the padded vocab, every context shape
+    val vocab = trainSeqs.flatMap(_.split(" ")).distinct :+ "__oov__"
+    for ((u, v) <- Seq(("a", "b"), ("b", "c"), ("__x__", "a"), ("__x__", "__y__"))) {
+      val tot = vocab.map(w => model(u, v, w)).sum
+      assert(math.abs(tot - 1.0) < 1e-12, s"context ($u,$v) sums to $tot")
+    }
+  }
+
   test("knBigramLogLossBy: per-group == independent ungrouped runs; modelless/NULL groups drop") {
     val train = Seq(
       ("en", 10L, "a b a b c"), ("en", 11L, "b c a b"),
