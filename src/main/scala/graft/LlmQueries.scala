@@ -1360,6 +1360,19 @@ object LlmQueries {
       UnigramLm.segmentCosts(T(s, d, "documents"), "doc_id", "text", model)
         .orderBy("doc_id")
     }),
+    // STREAMING tokenizer sizing: wordpieceTokenCounts is one stateless
+    // row-local mapPartitions pass, so it runs under readStream
+    // unchanged (the curationFilter structural argument — no watermark,
+    // no state store, no shuffle); the drained sink hash-matches the
+    // batch q_wordpiece_tokens oracle verbatim
+    "q_stream_wordpiece" -> ((s, d) => {
+      val model = wpModelOf(s, d)
+      val schema = T(s, d, "documents").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/{documents.parquet}")
+      val out = WordPiece.wordpieceTokenCounts(raw, "doc_id", "text", model)
+      replayAvailableNow(s, out, "graft_stream_wp", "append")(
+        _.orderBy("doc_id"))
+    }),
     // WordPiece vocabulary learning (Schuster-Nakajima ICASSP'12; the
     // BERT trainer): merges ranked by likelihood ratio cnt/(c_l·c_r)
     // over the one-scan word-frequency statistic, to exhaustion; the
@@ -3539,6 +3552,9 @@ object LlmQueries {
           + " SELECT iter, left_sym, right_sym, cnt, cnt_left, cnt_right"
           + s" FROM m$WpOracleRounds ORDER BY iter"),
       "q_wordpiece_tokens" -> wpTokensOracleSql(WpOracleRounds, WpTokSteps),
+      // streamed == batch is structural (stateless row-local pass):
+      // the drained sink replays the batch tokenization oracle verbatim
+      "q_stream_wordpiece" -> wpTokensOracleSql(WpOracleRounds, WpTokSteps),
       "q_unigram_lm_learn" ->
         (s"WITH $ulmLearnCtes SELECT piece, freq, cost_micro FROM voc ORDER BY piece"),
       "q_unigram_segment" -> ulmSegmentSql(UlmTokSteps),
