@@ -1360,6 +1360,23 @@ object LlmQueries {
       UnigramLm.segmentCosts(T(s, d, "documents"), "doc_id", "text", model)
         .orderBy("doc_id")
     }),
+    // the tokenizer DATA CARD: corpus token volume under all three
+    // trained tokenizer families side by side — the comparison a team
+    // runs before picking the tokenizer (token count drives training
+    // cost; BPE/WordPiece/unigram segment the same corpus differently)
+    "q_tok_compare" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      def roll(counts: DataFrame, name: String): DataFrame = counts
+        .agg(count(col("n_tokens")).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .select(lit(name).as("tokenizer"), col("n_docs"), col("total_tokens"))
+      roll(Bpe.bpeTokenCounts(docs, "doc_id", "text", bpeMergesOf(s, d)), "bpe")
+        .unionByName(roll(UnigramLm.segmentCosts(docs, "doc_id", "text",
+          ulmModelOf(s, d)).select(col("doc_id"), col("n_tokens")), "unigram"))
+        .unionByName(roll(WordPiece.wordpieceTokenCounts(docs, "doc_id", "text",
+          wpModelOf(s, d)).select(col("doc_id"), col("n_tokens")), "wordpiece"))
+        .orderBy("tokenizer")
+    }),
     // STREAMING tokenizer sizing: wordpieceTokenCounts is one stateless
     // row-local mapPartitions pass, so it runs under readStream
     // unchanged (the curationFilter structural argument — no watermark,
@@ -3555,6 +3572,21 @@ object LlmQueries {
       // streamed == batch is structural (stateless row-local pass):
       // the drained sink replays the batch tokenization oracle verbatim
       "q_stream_wordpiece" -> wpTokensOracleSql(WpOracleRounds, WpTokSteps),
+      // each arm's full replay runs as a parenthesized subquery with
+      // its OWN WITH scope, so the three builders' CTE names never meet
+      "q_tok_compare" -> {
+        def roll(name: String, sub: String) =
+          (s"SELECT '$name' AS tokenizer, count(n_tokens)::BIGINT AS n_docs,"
+            + s" sum(n_tokens)::BIGINT AS total_tokens FROM ($sub)")
+        (roll("bpe",
+            s"WITH ${bpeLearnCtes(BpeMerges)}"
+              + s" SELECT doc_id, $bpeTokCountSql AS n_tokens FROM documents"
+              + (1 to BpeMerges).map(i => s" CROSS JOIN b$i").mkString)
+          + " UNION ALL " + roll("unigram", ulmSegmentSql(UlmTokSteps))
+          + " UNION ALL " + roll("wordpiece",
+            wpTokensOracleSql(WpOracleRounds, WpTokSteps))
+          + " ORDER BY tokenizer")
+      },
       "q_unigram_lm_learn" ->
         (s"WITH $ulmLearnCtes SELECT piece, freq, cost_micro FROM voc ORDER BY piece"),
       "q_unigram_segment" -> ulmSegmentSql(UlmTokSteps),
