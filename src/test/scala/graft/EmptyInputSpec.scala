@@ -331,6 +331,15 @@ class EmptyInputSpec extends AnyFunSuite {
     }
     assert(graft.operators.LanguageModel
       .knBigramLogLoss(oneDoc, emptyDocs, "doc_id", "text").count() == 0)
+    // trigram KN: a train corpus with no trigram fails fast; empty
+    // score side stays empty
+    val twoTok = Seq((1L, "a b")).toDF("doc_id", "text")
+    val threeTok = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.operators.LanguageModel.knTrigramLogLoss(twoTok, threeTok, "doc_id", "text")
+    }
+    assert(graft.operators.LanguageModel
+      .knTrigramLogLoss(threeTok, emptyDocs, "doc_id", "text").count() == 0)
     // grouped KN: empty either side yields empty (inner join on models)
     val emptyG = Seq.empty[(String, Long, String)].toDF("lang", "doc_id", "text")
     val oneG = Seq(("en", 1L, "a b")).toDF("lang", "doc_id", "text")
