@@ -120,10 +120,33 @@ object UnigramLm {
     UlmModel(pieces, total, maxPieceLen)
   }
 
-  /** Fitted pieces as a DataFrame — the persistable at-rest form. */
+  /** Fitted pieces as a DataFrame — the persistable at-rest form.
+    * [[modelFrom]] reconstructs the model completely: `totalFreq` is
+    * the freq sum and `maxPieceLen` the longest piece, both derivable
+    * from the rows. */
   def piecesDf(spark: org.apache.spark.sql.SparkSession, m: UlmModel): DataFrame =
     spark.createDataFrame(m.pieces)
       .select(col("piece"), col("freq"), col("cost_micro"))
+
+  /** Max rows a reloaded piece table may hold. */
+  val MaxPieceRows = 1 << 20
+
+  /** Reload a persisted [[piecesDf]] — a bounded fail-fast collect;
+    * the round trip is exact ([[UnigramLmSpec]] pins segment-identical
+    * behavior incl. the UNK cost, which re-derives from the freq
+    * sum). */
+  def modelFrom(df: DataFrame): UlmModel = {
+    val rows = df.select(col("piece"), col("freq").cast("long"),
+        col("cost_micro").cast("long"))
+      .limit(MaxPieceRows + 1).collect()
+    require(rows.length <= MaxPieceRows,
+      s"piece table exceeds $MaxPieceRows rows — not a unigramLmLearn piecesDf")
+    val pieces = rows.map(r => Piece(r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortWith((a, b) => utf8Compare(a.piece, b.piece) < 0).toSeq
+    val total = pieces.iterator.map(_.freq).sum
+    val maxLen = if (pieces.isEmpty) 1 else pieces.iterator.map(_.piece.length).max
+    UlmModel(pieces, total, maxLen)
+  }
 
   /** Viterbi-segment ONE word: (n_pieces, total cost_micro) of the
     * minimum-cost segmentation, ties broken by FEWER pieces (both

@@ -210,6 +210,36 @@ object WordPiece {
       .select(col("iter"), col("left_sym"), col("right_sym"),
         col("cnt"), col("cnt_left"), col("cnt_right"))
 
+  /** The tokenizer's MATCH SET as a one-column DataFrame — what
+    * tokenization actually needs at rest (train once, write, reload
+    * anywhere; the [[Bpe.mergesDf]]/[[Bpe.mergesFrom]] round-trip
+    * convention). Base symbols and merge outputs ride together;
+    * [[vocabFrom]] reconstructs a tokenizer-equivalent model. */
+  def vocabDf(spark: org.apache.spark.sql.SparkSession, m: WpModel): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      m.vocab.map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("piece",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+  }
+
+  /** Max rows a reloaded vocabulary may hold (chars + [[MaxMerges]]
+    * merge outputs bounds any wordpieceLearn product far below this). */
+  val MaxVocabRows = 1 << 20
+
+  /** Reload a persisted [[vocabDf]]: a bounded fail-fast collect.
+    * The result tokenizes identically to the trained model (greedy
+    * matching reads only the vocab set); `rules` is empty and the
+    * training statistics are not retained. */
+  def vocabFrom(df: DataFrame): WpModel = {
+    val rows = df.select(col("piece")).limit(MaxVocabRows + 1).collect()
+    require(rows.length <= MaxVocabRows,
+      s"vocabulary table exceeds $MaxVocabRows rows — not a wordpieceLearn vocabDf")
+    val pieces = rows.map(_.getString(0)).toSeq
+    WpModel(pieces, Seq.empty, 0L)
+  }
+
   /** Greedy longest-match-first tokenization of ONE word (BERT
     * WordPieceTokenizer): at each position take the LONGEST vocabulary
     * match (`##`-prefixed when not word-initial); any position with no

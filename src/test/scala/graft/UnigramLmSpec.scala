@@ -64,6 +64,22 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(m.pieces.forall(_.cost_micro < m.unkCostMicro))
   }
 
+  test("piecesDf/modelFrom round trip: identical pieces, total, unk cost, segmentation") {
+    val train = Seq((1L, "abab abc bc")).toDF("id", "text")
+    val m = UnigramLm.unigramLmLearn(train, "text", maxPieceLen = 3,
+      minFreq = 1, maxMulti = 8)
+    val r = UnigramLm.modelFrom(UnigramLm.piecesDf(spark, m))
+    assert(r.pieces == m.pieces && r.totalFreq == m.totalFreq)
+    assert(r.unkCostMicro == m.unkCostMicro)
+    val docs = Seq((1L, "ab qq abc")).toDF("doc_id", "text")
+    val a = UnigramLm.segmentCosts(docs, "doc_id", "text", m).collect().toSeq.map(_.toSeq)
+    val b = UnigramLm.segmentCosts(docs, "doc_id", "text", r).collect().toSeq.map(_.toSeq)
+    assert(a == b)
+    // maxPieceLen re-derives as the longest piece: segmentation can
+    // never need a longer window than any piece it could match
+    assert(r.maxPieceLen == m.pieces.map(_.piece.length).max)
+  }
+
   test("unigramLmLearn: empty corpus -> empty model; segmenting charges UNK") {
     val empty = Seq.empty[(Long, String)].toDF("id", "text")
     val m = UnigramLm.unigramLmLearn(empty, "text")

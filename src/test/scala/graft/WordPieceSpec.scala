@@ -123,6 +123,19 @@ class WordPieceSpec extends AnyFunSuite {
     assert(counts(1L) == ((viaCol(1L).size.toLong, 1L)))
   }
 
+  test("vocabDf/vocabFrom round trip tokenizes identically") {
+    val train = Seq((1L, "abab abc bc cab")).toDF("id", "text")
+    val m = WordPiece.wordpieceLearn(train, "text", merges = 100)
+    val reloaded = WordPiece.vocabFrom(WordPiece.vocabDf(spark, m))
+    assert(reloaded.vocab.toSet == m.vocab.toSet)
+    val docs = Seq((1L, "abab xq bc"), (2L, "cab abc")).toDF("doc_id", "text")
+    val a = WordPiece.wordpieceTokenCounts(docs, "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = WordPiece.wordpieceTokenCounts(docs, "doc_id", "text", reloaded)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
   test("wordpieceLearn: '#' in corpus fails fast; empty corpus yields no pairs") {
     val bad = Seq((1L, "a#b")).toDF("id", "text")
     val e = intercept[IllegalArgumentException] {
