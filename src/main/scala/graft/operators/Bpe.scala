@@ -155,7 +155,7 @@ object Bpe {
 
   /** UTF-8 unsigned byte order — Spark UTF8String / DuckDB binary
     * collation (Java String.compareTo differs beyond ASCII). */
-  private def utf8Compare(a: String, b: String): Int = {
+  private[operators] def utf8Compare(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0

@@ -54,18 +54,9 @@ object UnigramLm {
     (BigDecimal(-math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       * BigDecimal(1000000)).toLongExact
 
-  private def utf8Compare(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
+  /** UTF-8 unsigned byte order (Spark UTF8String / DuckDB collation) —
+    * [[Bpe.utf8Compare]], the tokenizer family's shared order. */
+  private def utf8Compare(a: String, b: String): Int = Bpe.utf8Compare(a, b)
 
   /** Fit a unigram-LM piece vocabulary over the corpus' word-frequency
     * statistic. All single characters are selected unconditionally;

@@ -64,19 +64,9 @@ object WordPiece {
 
   val Unk = "[UNK]"
 
-  /** UTF-8 unsigned byte order (Spark UTF8String / DuckDB collation). */
-  private def utf8Compare(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
+  /** UTF-8 unsigned byte order (Spark UTF8String / DuckDB collation) —
+    * [[Bpe.utf8Compare]], the tokenizer family's shared order. */
+  private def utf8Compare(a: String, b: String): Int = Bpe.utf8Compare(a, b)
 
   /** Exact rational score compare: sign of c1/(l1·r1) − c2/(l2·r2).
     * Double prefilter outside a 1e-9 relative band (doubles carry
