@@ -35,6 +35,39 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SELF-DIAGNOSING CAPTURE (VERDICT r11 #6): the r11 driver capture
+    // arrived ~2× machine-inflated and was indistinguishable from a
+    // regression until a judge re-ran it. Two tells now ride the JSON:
+    //   - a CALIBRATION probe — a fixed-cost in-memory aggregation
+    //     (zero IO, zero shuffle reads beyond one exchange) timed as a
+    //     3-rep median BEFORE the warmup pass and again AFTER the timed
+    //     pass. Its cost is a pure function of machine headroom, so an
+    //     inflated capture self-identifies: compare calib_first_ms /
+    //     calib_last_ms against the idle reference in BENCH_NOTES
+    //     (§"reading the calibration fields"); first≠last also flags
+    //     load ARRIVING mid-run.
+    //   - the 1-minute system LOAD AVERAGE at start and end (JVM count
+    //     on this box is the other tell: >32 runnable threads on 32
+    //     cpus means someone else is timing too).
+    def calibrate(): Long = {
+      // untimed runs first: the probe must measure machine headroom,
+      // not its own JIT/codegen warmup (first-call cost measured 7x;
+      // three warm runs bring the early-JVM first probe within ~2x of
+      // the late one — the residual tier-up is why rule 2 in
+      // BENCH_NOTES reads calib_first/calib_last as a BAND, not equal)
+      (1 to 3).foreach(_ =>
+        spark.range(1L << 27).selectExpr("sum(id * 7L)").collect())
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(1L << 27).selectExpr("sum(id * 7L)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      math.round(ts(1) * 1000)
+    }
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+
     // dev-only filter: SPARK_GRAFT_ONLY=q_a,q_b times a subset (the driver
     // never sets it, so the reported bench always covers every query)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -81,6 +114,8 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       System.gc() // collect predecessors' garbage OUTSIDE the timed region
     }
+    val loadStart = loadAvg()
+    val calibFirst = calibrate()
     ordered.foreach { case (n, fn) => isolate(); once(n, fn) } // warmup pass
     failed.clear() // only timed-run failures count against the report
     // 5 reps (r8, was 3): with isolation the totals already agree within
@@ -92,6 +127,11 @@ object Bench {
       val ts = (1 to 5).map(_ => once(n, fn)).sorted
       n -> (if (ts.contains(-1.0)) -1.0 else ts(2))
     }
+    isolate()
+    val calibLast = calibrate()
+    val loadEnd = loadAvg()
+    val calib = (s""""calib_first_ms":$calibFirst,"calib_last_ms":$calibLast,"""
+      + s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"}""")
 
     // The driver captures only the last ~2000 chars of output and json-parses
     // the metric line, so the WHOLE line must survive tail truncation (r1-r3
@@ -125,11 +165,11 @@ object Bench {
     val subtotals = s""""batch_sec":${f"$batchSec%.3f"},"stream_harness_sec":${f"$streamSec%.3f"}"""
     val errs  = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullQs = medians.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$subtotals,"qunit":"ms","queries":$fullQs,"failed":$errs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$subtotals,$calib,"qunit":"ms","queries":$fullQs,"failed":$errs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$subtotals,"qunit":"ms","queries":$qs,"rest_n":${rest.size},"rest_ms":$restMs,"failed":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$subtotals,$calib,"qunit":"ms","queries":$qs,"rest_n":${rest.size},"rest_ms":$restMs,"failed":$errs,"sf":"$sfDir"}"""
     spark.stop()
     println(line)
   }

@@ -2593,6 +2593,49 @@ object LlmQueries {
       + " FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY 1")
   }
 
+  /** q_dup_spans_wp's token-STREAM replay (VERDICT r11 #4): the
+    * [[wpTokensOracleSql]] greedy unroll extended to accumulate each
+    * word's joined piece string — pos-1 matches land bare, later
+    * matches re-carry their `##` prefix, a no-match word collapses to
+    * `[UNK]` — then each doc's words re-join in order via a
+    * position-zipped unnest + ordered string_agg. CTE bodies only (no
+    * WITH), ending in `retok(doc_id, rt)`: the WordPiece twin of the
+    * deep-BPE rejoin the span machinery consumes. */
+  private[graft] def wpTokenStreamCtes(learnRounds: Int, steps: Int): String = {
+    val voc = ("voc AS MATERIALIZED (SELECT DISTINCT s AS tok FROM"
+      + " (SELECT unnest(string_split(trim(sym), '  ')) AS s FROM w0)"
+      + s" UNION SELECT left_sym || substr(right_sym, 3) FROM m$learnRounds)")
+    val dw = ("dw AS (SELECT DISTINCT w FROM"
+      + " (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE text IS NOT NULL)"
+      + " WHERE len(w) > 0)")
+    val t0 = "t0 AS (SELECT w, 1::BIGINT AS pos, '' AS ts, false AS unk FROM dw)"
+    val stepCtes = (1 to steps).map { k =>
+      (s"t$k AS (SELECT w,"
+        + " CASE WHEN bl IS NULL THEN pos ELSE pos + bl END AS pos,"
+        + " CASE WHEN bl IS NULL THEN ts"
+        + " WHEN pos = 1 THEN substr(w, 1, bl::INT)"
+        + " ELSE ts || ' ##' || substr(w, pos::INT, bl::INT) END AS ts,"
+        + " unk OR (live AND bl IS NULL) AS unk FROM ("
+        + " SELECT t.w, t.pos, t.ts, t.unk, t.pos <= len(t.w) AND NOT t.unk AS live,"
+        + " max(CASE WHEN t.pos <= len(t.w) AND NOT t.unk THEN"
+        + " CASE WHEN t.pos = 1 AND substr(v.tok, 1, 2) <> '##'"
+        + " AND substr(t.w, 1, len(v.tok)) = v.tok THEN len(v.tok)"
+        + " WHEN t.pos > 1 AND substr(v.tok, 1, 2) = '##'"
+        + " AND substr(t.w, t.pos, len(v.tok) - 2) = substr(v.tok, 3) THEN len(v.tok) - 2"
+        + " END END)::BIGINT AS bl"
+        + s" FROM t${k - 1} t LEFT JOIN voc v ON true"
+        + " GROUP BY t.w, t.pos, t.ts, t.unk))")
+    }.mkString(", ")
+    val tail = (s"tws AS (SELECT w, CASE WHEN unk THEN '[UNK]' ELSE ts END AS ts FROM t$steps),"
+      + " wpos AS (SELECT doc_id, unnest(ws) AS w,"
+      + " unnest(range(1, len(ws) + 1)) AS i FROM"
+      + " (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws"
+      + " FROM documents WHERE text IS NOT NULL)),"
+      + " retok AS (SELECT doc_id, string_agg(tws.ts, ' ' ORDER BY wpos.i) AS rt"
+      + " FROM wpos JOIN tws ON wpos.w = tws.w GROUP BY 1)")
+    s"${wpLearnCtes(learnRounds)}, $voc, $dw, $t0, $stepCtes, $tail"
+  }
+
   private def bpeLearnDeepSql(iters: Int): String = {
     val w0 = ("w0 AS MATERIALIZED (SELECT"
       + " ' ' || array_to_string([w[i] for i in range(1, len(w)+1)], '  ') || ' ' AS sym,"

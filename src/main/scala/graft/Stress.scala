@@ -577,6 +577,136 @@ object Stress {
         }
       }
     }
+    // OPQ alternation receipt (VERDICT r11 #5): after the complete init
+    // (k-step rotation + variance-balanced permutation), Ge CVPR'13 §IV
+    // alternates codebook refits against the fixed rotation — here the
+    // refit is extra Lloyd rounds per sub-codebook IN the rotated+
+    // permuted space at fixed m·k (iters=2 IS the shipped init; 4/8 are
+    // one/three extra alternations). The decision receipt: if recall@10
+    // gains < 1 point, init-as-final is documented in BENCH_NOTES.
+    if (opFilter("opqAlt")) {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val corpus = e.where(col("vec_id") >= 20).localCheckpoint()
+      val queries = e.where(col("vec_id") < 20).localCheckpoint()
+      val exact = Similarity.topKL2(corpus, queries, "vec_id", "embedding", k = 10)
+        .persist()
+      exact.count()
+      val refl = Similarity.pcaHouseholderK(corpus, "vec_id", "embedding",
+        dim = 64, k = 3)
+      val cR = Similarity.householderRotateAll(corpus, "embedding", "embR", refl)
+      val p = Similarity.pqVarianceAlloc(cR, "embR", dim = 64, m = 4)
+      val cP = cR.withColumn("embP", Similarity.permuteVec(col("embR"), p))
+        .localCheckpoint()
+      val qP = Similarity.householderRotateAll(queries, "embedding", "embR", refl)
+        .withColumn("embP", Similarity.permuteVec(col("embR"), p))
+        .localCheckpoint()
+      val cents = Similarity.ivfTrain(cP, "embP", cells = 16, seed = 7L)
+      for (iters <- Seq(2, 4, 8)) {
+        time(s"opqAlt pqFit iters=$iters recall") {
+          val books = Similarity.pqFit(cP, "vec_id", "embP", dim = 64, m = 4,
+            k = 16, iters = iters)
+          val codes = Similarity.ivfPqEncode(cP, "vec_id", "embP", dim = 64,
+            m = 4, centroids = cents, codebooks = books)
+          val approx = Similarity.ivfPqTopK(codes, qP, "vec_id", "embP",
+            dim = 64, m = 4, centroids = cents, codebooks = books,
+            nprobe = 2, topK = 10)
+          val rec = Similarity.recallAtK(exact, approx, "qid", "vec_id", 10)
+            .agg(avg(col("recall"))).head().getDouble(0)
+          println(f"[stress]   (opqAlt iters=$iters recall@10=$rec%.4f)")
+          math.round(rec * 10000)
+        }
+      }
+      exact.unpersist(false)
+    }
+    // fused Householder chain receipt (VERDICT r11 #7): k=8 reflections
+    // at dim=256 — the fused expression pays ONE pass + ONE
+    // materialization where the former path paid k localCheckpoints of
+    // the full frame; output certified identical by an exact quantized
+    // checksum (SimilaritySpec pins row-level equality)
+    if (opFilter("hhFused")) {
+      val wide = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .withColumn("embedding", flatten(array_repeat(col("embedding"), 4)))
+        .localCheckpoint()
+      val refl = Similarity.pcaHouseholderK(wide, "vec_id", "embedding",
+        dim = 256, k = 8)
+      def checksum(d: DataFrame): Long = d
+        .select(Similarity.dotQ(Similarity.quantize(col("eX")),
+          Similarity.quantize(col("eX"))).as("n2"))
+        .agg(sum(col("n2"))).head().getLong(0)
+      var csF = 0L
+      var csS = 0L
+      time("hhFused k=8 dim=256") {
+        val out = Similarity.householderRotateAll(wide, "embedding", "eX", refl)
+        csF = checksum(out); out.count()
+      }
+      time("hhFused-stepwise k=8 dim=256 (former path)") {
+        val out = refl.zipWithIndex.foldLeft(wide) { case (d, ((uq, uu), t)) =>
+          val in = if (t == 0) "embedding" else "eX"
+          d.withColumn("eX", Similarity.householderRotate(col(in), uq, uu))
+            .localCheckpoint()
+        }
+        csS = checksum(out); out.count()
+      }
+      assert(csF == csS, s"fused checksum $csF != stepwise $csS")
+    }
+    // at-rest curation flatness receipt (VERDICT r11 #1): the per-batch
+    // body of curationIngestAppend against seeded state directories at
+    // x1 and x64 at-rest size, SAME 1000-doc batch — per-batch cost is
+    // two directory probes (batch-keyed joins against at-rest tables) +
+    // three batch-sized appends, so wall must stay ~flat while the
+    // at-rest corpus grows 64x (the harness form grew linearly: it
+    // re-unioned and re-checkpointed full corpus state per batch)
+    if (opFilter("curationAppend")) {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val evalSrc = Seq("src0", "src1", "src2")
+      val evalDocs = base
+        .where(col("text").isNotNull && col("source").isin(evalSrc: _*))
+        .localCheckpoint()
+      val evalGrams = NgramOverlap
+        .evalGramTable(evalDocs, "doc_id", "text", n = 5).localCheckpoint()
+      // fresh batch content (suffix-mangled, offset ids) so survivors are
+      // real work at both scales, not instant at-rest-key drops
+      val batch = base.where(col("doc_id") < 1000 && col("text").isNotNull)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+        .withColumn("text", concat(col("text"), lit(" curation-fresh-suffix")))
+        .localCheckpoint()
+      // at-rest growth is DIRECT-seeded: replicate the x1 state rows with
+      // offset ids / bucket keys / canon suffixes — the state of a x64
+      // corpus of DISTINCT content (a real x64 crawl dedups; mangled
+      // replicas would near-dup-collide), so the batch's TRUE candidate
+      // count is identical at both scales and the receipt isolates the
+      // shape cost: directory probes + batch appends
+      for (scale <- Seq(1, 64)) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-curappx$scale").toString
+        graft.streaming.StreamingOps.curationSeed(base, evalDocs, evalSrc,
+          dir, "doc_id", "text")
+        if (scale > 1) {
+          def rep(t: String)(f: Int => DataFrame): Unit = {
+            val grown = (1 until scale).map(f).reduce(_ unionByName _)
+            grown.write.mode("append").parquet(s"$dir/$t")
+          }
+          val b0 = spark.read.parquet(s"$dir/buckets").localCheckpoint()
+          val s0 = spark.read.parquet(s"$dir/shingles").localCheckpoint()
+          val c0 = spark.read.parquet(s"$dir/canon").localCheckpoint()
+          val d0 = spark.read.parquet(s"$dir/decon").localCheckpoint()
+          rep("buckets")(i => b0.select(
+            (col("id") + lit(i.toLong * 10000000L)).as("id"), col("band"),
+            (col("bucket") + lit(i.toLong)).as("bucket")))
+          rep("shingles")(i => s0.select(
+            (col("id") + lit(i.toLong * 10000000L)).as("id"), col("sh")))
+          rep("canon")(i => c0.select(
+            concat(col("__canon"), lit(s"#rep$i")).as("__canon")))
+          rep("decon")(i =>
+            d0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+        }
+        val atRest = spark.read.parquet(s"$dir/decon").count()
+        time(s"curationAppend batch @x$scale at-rest ($atRest docs)") {
+          graft.streaming.StreamingOps.curationBatchAppend(batch, dir,
+            evalGrams, evalSrc, "doc_id", "text").count()
+        }
+      }
+    }
     // full-OPQ recall receipt (VERDICT r10 #2): flat PQ (one zero
     // coarse cell, m=4, k=16) at the same m·k budget with NO rotation,
     // the single reflection, and the 3-step deflation — recall@10 of

@@ -88,6 +88,7 @@ object GraftFunctions {
   val SearchSorted = "graft_searchsorted"
   val BloomAgg      = "graft_bloom_agg"
   val BloomContains = "graft_bloom_contains"
+  val HhChain       = "graft_householder_chain"
 
   private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
     if (exprs.length != n) throw new IllegalArgumentException(
@@ -119,6 +120,15 @@ object GraftFunctions {
       if (!exprs(1).foldable) throw new IllegalArgumentException(
         s"$WordPieceF's second argument (packed vocab) must be a literal")
       WordPieceTokenize(exprs(0),
+        exprs(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    },
+    // fused k-step Householder rotation: (vector, packed-reflections
+    // literal) — Similarity.householderRotateFused builds the literal
+    HhChain -> { exprs =>
+      arity(HhChain, exprs, 2)
+      if (!exprs(1).foldable) throw new IllegalArgumentException(
+        s"$HhChain's second argument (packed reflections) must be a literal")
+      HouseholderChainRotate(exprs(0),
         exprs(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
     },
     // one-pass (n, Σx, upper-triangle Σ x·xᵀ) second-moment statistic:

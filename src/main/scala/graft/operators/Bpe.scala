@@ -33,6 +33,10 @@ import org.apache.spark.sql.functions._
   * pattern " l  r " can only match at symbol boundaries (" a  bc "
   * never matches " a  b ") while the pad/separator spaces it consumes
   * are restored by the replacement " lr ".
+  *
+  * BMP-ONLY ASSUMPTION: character indexing is UTF-16 code units (see
+  * the [[WordPiece]] Scaladoc for the full convention note) — run
+  * astral text through a codepoint-aware pre-tokenizer first.
   */
 object Bpe {
 

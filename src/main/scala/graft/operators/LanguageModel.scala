@@ -214,7 +214,9 @@ object LanguageModel {
       textCol: String,
       d: Double = 0.75): DataFrame = {
     require(d > 0 && d < 1, s"discount d must be in (0,1) (got $d)")
-    val tr = transitionsBy(train, groupCol, idCol, textCol)
+    // id slot unused by the fit (the fitTables convention): pass textCol
+    // so the TRAIN frame never needs the score-side id column
+    val tr = transitionsBy(train, groupCol, textCol, textCol)
       .where(col("__g").isNotNull)
     val cb = tr.groupBy(col("__g").as("__bg"), col("__p").as("__bp"),
         col("__c").as("__bc"))
@@ -457,4 +459,235 @@ object LanguageModel {
       + " -(sum(lp)::DOUBLE) / count(*)::DOUBLE AS kn_loss"
       + " FROM sc GROUP BY 1 ORDER BY 1")
   }
+
+  /** (id, __g1..__gn) order-n gram rows of every ≥n-token document. */
+  private def transitionsN(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
+      .where(size(col("__w")) >= n)
+      .select(col("__id"), explode(transform(
+        sequence(lit(0), size(col("__w")) - n),
+        i => struct((1 to n).map(j =>
+          element_at(col("__w"), i + j).as(s"g$j")): _*))).as("__t"))
+      .select(col("__id") +: (1 to n).map(j =>
+        col(s"__t.g$j").as(s"__g$j")): _*)
+
+  /** ORDER-N interpolated Kneser-Ney — [[knTrigramLogLoss]]'s recursion
+    * generalized to arbitrary depth (VERDICT r11 #2: CCNet ships a
+    * 5-gram KenLM; `knNgramLogLoss(..., order = 5)` is that depth).
+    * The Chen-Goodman tower, every lower level built from the level
+    * ABOVE's TYPE table (the continuation-count construction — level
+    * k−1's table counts distinct leftmost extensions of level k's
+    * types):
+    *
+    *   p_k(w|h_k) = (max(c_k(h_k w)−D,0) + D·N1+(h_k ·)·p_{k−1}) / c_k(h_k ·)
+    *                for k = order..2, backing off to p_{k−1} on an
+    *                unseen level-k context
+    *   p1(w)      = (max(N1+(··w)−D,0) + D·T/V) / B
+    *
+    * with B/T taken from the LEVEL-2 type table and V = train unigram
+    * vocab + 1 — exactly the bigram/trigram forms at order 2/3
+    * (LanguageModelSpec pins both equalities row for row). Score docs
+    * need ≥order tokens (n_trans = n−order+1); shorter/NULL docs are
+    * absent. Output column `kn{order}_loss`.
+    *
+    * Plan shape unchanged by depth: 2·order−1 vocabulary-bounded count
+    * tables (hash aggs, map-side combined, each derived from the one
+    * above — the whole tower is ONE pass over train transitions plus
+    * type-table-sized regroups), one-row broadcast scalars, score rows
+    * LEFT-joining the tables on token keys. Depth adds joins against
+    * strictly SHRINKING tables, never another corpus scan. */
+  def knNgramLogLoss(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String,
+      order: Int,
+      d: Double = 0.75): DataFrame = {
+    require(order >= 2, s"knNgramLogLoss needs order >= 2 (got $order)")
+    require(d > 0 && d < 1, s"discount d must be in (0,1) (got $d)")
+    val n = order
+    val tr = transitionsN(train, textCol, textCol, n)
+    // level-n raw counts; level k's keys are the LAST k gram positions
+    var cks = Map.empty[Int, DataFrame]
+    var lks = Map.empty[Int, DataFrame]
+    cks += n -> tr
+      .groupBy((1 to n).map(j => col(s"__g$j").as(s"__c${n}k$j")): _*)
+      .agg(count(lit(1)).as(s"__cnt$n"))
+    require(cks(n).limit(1).count() == 1L,
+      s"knNgramLogLoss: train corpus has no $n-grams (every doc <$n tokens)")
+    for (k <- n to 2 by -1) {
+      lks += k -> cks(k)
+        .groupBy((1 until k).map(j => col(s"__c${k}k$j").as(s"__l${k}k$j")): _*)
+        .agg(sum(col(s"__cnt$k")).as(s"__ctx$k"), count(lit(1)).as(s"__t$k"))
+      if (k > 2)
+        // continuation types: distinct leftmost extensions of level k
+        cks += (k - 1) -> cks(k)
+          .groupBy((2 to k).map(j =>
+            col(s"__c${k}k$j").as(s"__c${k - 1}k${j - 1}")): _*)
+          .agg(count(lit(1)).as(s"__cnt${k - 1}"))
+    }
+    val c1 = cks(2).groupBy(col("__c2k2").as("__c1k1"))
+      .agg(count(lit(1)).as("__cnt1"))
+    val bt = cks(2).agg(count(lit(1)).as("__b"),
+      count_distinct(col("__c2k2")).as("__t"))
+    val vc = train.select(explode(tokens(col(textCol))).as("__uni"))
+      .agg((count_distinct(col("__uni")) + lit(1L)).as("__vv"))
+    val totals = bt.crossJoin(vc)
+
+    val sc = transitionsN(score, idCol, textCol, n)
+    // score gram j aligns with level-k key j at offset n-k
+    var joined = sc
+    for (k <- n to 2 by -1) {
+      joined = joined
+        .join(cks(k), (1 to k).map(j =>
+          col(s"__g${n - k + j}") === col(s"__c${k}k$j")).reduce(_ && _), "left")
+        .join(lks(k), (1 until k).map(j =>
+          col(s"__g${n - k + j}") === col(s"__l${k}k$j")).reduce(_ && _), "left")
+    }
+    joined = joined
+      .join(c1, col(s"__g$n") === col("__c1k1"), "left")
+      .crossJoin(broadcast(totals))
+    var p = (greatest(coalesce(col("__cnt1"), lit(0L)).cast("double") - lit(d),
+      lit(0.0)) + lit(d) * col("__t").cast("double") / col("__vv").cast("double")) /
+      col("__b").cast("double")
+    for (k <- 2 to n)
+      p = when(col(s"__ctx$k").isNull, p).otherwise(
+        (greatest(coalesce(col(s"__cnt$k"), lit(0L)).cast("double") - lit(d),
+          lit(0.0)) + lit(d) * col(s"__t$k").cast("double") * p) /
+          col(s"__ctx$k").cast("double"))
+    joined
+      .select(col("__id"), lnQ(p).as("__lp"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_trans"), sum(col("__lp")).as("__s"))
+      .withColumn(s"kn${n}_loss",
+        -(col("__s").cast("double")) / col("n_trans").cast("double"))
+      .drop("__s")
+  }
+
+  /** DuckDB twin of [[knNgramLogLoss]] — the tower generated at the same
+    * depth, token for token (nested CASE backoff, type tables derived
+    * level from level). */
+  def knNgramLogLossSql(idExpr: String, textExpr: String,
+      trainFrom: String, scoreFrom: String, order: Int,
+      d: Double = 0.75): String = {
+    require(order >= 2, s"knNgramLogLossSql needs order >= 2 (got $order)")
+    val n = order
+    def gramSelect = (1 to n).map(j =>
+      s"unnest([w[i+${j - 1}] for i in range(1, len(w) - ${n - 2})]) AS g$j")
+      .mkString(", ")
+    val levelCtes = (n to 2 by -1).flatMap { k =>
+      val ck =
+        if (k == n)
+          (s"c$n AS (SELECT " + (1 to n).map(j => s"g$j AS k$j").mkString(", ")
+            + s", count(*)::BIGINT AS cnt FROM trt GROUP BY "
+            + (1 to n).mkString(", ") + ")")
+        else
+          (s"c$k AS (SELECT " + (2 to k + 1).map(j => s"k$j AS k${j - 1}")
+            .mkString(", ") + s", count(*)::BIGINT AS cnt FROM c${k + 1}"
+            + " GROUP BY " + (1 to k).mkString(", ") + ")")
+      val lk = (s"l$k AS (SELECT " + (1 until k).map(j => s"k$j").mkString(", ")
+        + s", sum(cnt)::BIGINT AS ctx, count(*)::BIGINT AS t FROM c$k GROUP BY "
+        + (1 until k).mkString(", ") + ")")
+      Seq(ck, lk)
+    }
+    val c1 = "c1 AS (SELECT k2 AS k1, count(*)::BIGINT AS cnt FROM c2 GROUP BY 1)"
+    val tot = ("tot AS (SELECT count(*)::BIGINT AS b,"
+      + " count(DISTINCT k2)::BIGINT AS t,"
+      + " (SELECT count(DISTINCT u) + 1 FROM (SELECT unnest(w) AS u FROM trd))::BIGINT AS v"
+      + " FROM c2)")
+    val joins = (n to 2 by -1).map { k =>
+      val onC = (1 to k).map(j => s"sct.g${n - k + j} = c$k.k$j").mkString(" AND ")
+      val onL = (1 until k).map(j => s"sct.g${n - k + j} = l$k.k$j").mkString(" AND ")
+      s" LEFT JOIN c$k ON $onC LEFT JOIN l$k ON $onL"
+    }.mkString("") + s" LEFT JOIN c1 ON sct.g$n = c1.k1 CROSS JOIN tot"
+    var p = (s"(greatest(coalesce(c1.cnt, 0)::DOUBLE - $d, 0.0)"
+      + s" + $d * tot.t::DOUBLE / tot.v::DOUBLE) / tot.b::DOUBLE")
+    for (k <- 2 to n)
+      p = (s"CASE WHEN l$k.ctx IS NULL THEN $p"
+        + s" ELSE (greatest(coalesce(c$k.cnt, 0)::DOUBLE - $d, 0.0)"
+        + s" + $d * l$k.t::DOUBLE * ($p)) / l$k.ctx::DOUBLE END")
+    (s"WITH trd AS (SELECT string_split($textExpr, ' ') AS w FROM $trainFrom"
+      + s" WHERE $textExpr IS NOT NULL),"
+      + s" trt AS (SELECT $gramSelect FROM trd WHERE len(w) >= $n),"
+      + levelCtes.mkString(" ", ", ", ",")
+      + s" $c1, $tot,"
+      + s" scd AS (SELECT $idExpr AS id, string_split($textExpr, ' ') AS w"
+      + s" FROM $scoreFrom WHERE $textExpr IS NOT NULL),"
+      + s" sct AS (SELECT id, $gramSelect FROM scd WHERE len(w) >= $n),"
+      + s" pr AS (SELECT sct.id, $p AS p FROM sct$joins),"
+      + " sc AS (SELECT id, round(ln(p), 6)::DECIMAL(18,6) AS lp FROM pr)"
+      + s" SELECT id AS $idExpr, count(*)::BIGINT AS n_trans,"
+      + s" -(sum(lp)::DOUBLE) / count(*)::DOUBLE AS kn${n}_loss"
+      + " FROM sc GROUP BY 1 ORDER BY 1")
+  }
+
+  /** MERGEABLE KN-bigram model state (VERDICT r11 #3) — the
+    * [[graft.operators.AggState]] pattern applied to the fit: the ONLY
+    * corpus-sized derivations in [[knBigramFit]] are the raw bigram
+    * count table c(vw) and the unigram vocabulary, and both are exact
+    * integer counts — associative/commutative under summation — so a
+    * daily pipeline keeps (bigram, cnt) + (unigram, cnt) at rest, folds
+    * each day's increment in with ONE union+regroup of
+    * vocabulary-bounded tables (the day's text is scanned once, on its
+    * day), and [[knBigramFromState]] re-derives the type tables
+    * (lt/rt/B/T/V are TYPE counts over the merged bigram table —
+    * type-table-sized regroups, no corpus rescans). finalize ≡
+    * from-scratch fit on the union is exact, not approximate
+    * (q_kn_state shares q_kn_loss's oracle SQL; merge-order invariance
+    * and roll parity pinned in LanguageModelSpec/StreamingSpec). */
+  final case class KnBigramState(bigrams: DataFrame, unigrams: DataFrame)
+
+  /** Fold a train frame ONCE into its mergeable state: exact
+    * (p, c, cnt) bigram counts and (u, cnt) unigram counts. */
+  def knBigramState(train: DataFrame, textCol: String): KnBigramState = {
+    val tr = transitions(train, textCol, textCol)
+    KnBigramState(
+      tr.groupBy(col("__p"), col("__c")).agg(count(lit(1)).as("__cnt")),
+      train.select(explode(tokens(col(textCol))).as("__u"))
+        .groupBy(col("__u")).agg(count(lit(1)).as("__ucnt")))
+  }
+
+  /** Merge two states: union + regroup of the two count tables — the
+    * integer-sum fold, order-invariant by associativity. */
+  def mergeKnStates(a: KnBigramState, b: KnBigramState): KnBigramState =
+    KnBigramState(
+      a.bigrams.unionByName(b.bigrams)
+        .groupBy(col("__p"), col("__c")).agg(sum(col("__cnt")).as("__cnt")),
+      a.unigrams.unionByName(b.unigrams)
+        .groupBy(col("__u")).agg(sum(col("__ucnt")).as("__ucnt")))
+
+  /** Finalize a state into a scoring-ready [[KnBigramModel]]: re-derive
+    * the type tables from the merged bigram counts — bit-identical to
+    * [[knBigramFit]] on the concatenated corpus, because every fit
+    * table is a deterministic function of the raw counts. */
+  def knBigramFromState(state: KnBigramState, d: Double = 0.75): KnBigramModel = {
+    require(d > 0 && d < 1, s"discount d must be in (0,1) (got $d)")
+    val cb = state.bigrams.select(col("__p").as("__bp"), col("__c").as("__bc"),
+      col("__cnt").as("__cb"))
+    require(cb.limit(1).count() == 1L,
+      "knBigramFromState: state holds no bigrams — a bigram model needs" +
+        " at least one bigram")
+    val lt = cb.groupBy(col("__bp").as("__lp"))
+      .agg(sum(col("__cb")).as("__cl"), count(lit(1)).as("__tl"))
+    val rt = cb.groupBy(col("__bc").as("__rc")).agg(count(lit(1)).as("__tr"))
+    val bt = cb.agg(count(lit(1)).as("__b"), count_distinct(col("__bc")).as("__t"))
+    val vc = state.unigrams.agg((count(lit(1)) + lit(1L)).as("__v"))
+    KnBigramModel(cb.localCheckpoint(), lt.localCheckpoint(),
+      rt.localCheckpoint(),
+      broadcast(bt.crossJoin(vc).localCheckpoint()), d)
+  }
+
+  /** Persist/reload the mergeable state (the AggState-at-rest shape):
+    * two parquet tables under `dir` — the daily loop reads, merges the
+    * day's [[knBigramState]], rewrites. */
+  def writeKnState(state: KnBigramState, dir: String): Unit = {
+    state.bigrams.write.mode("overwrite").parquet(s"$dir/bigrams")
+    state.unigrams.write.mode("overwrite").parquet(s"$dir/unigrams")
+  }
+
+  def readKnState(spark: org.apache.spark.sql.SparkSession,
+      dir: String): KnBigramState =
+    KnBigramState(spark.read.parquet(s"$dir/bigrams"),
+      spark.read.parquet(s"$dir/unigrams"))
 }

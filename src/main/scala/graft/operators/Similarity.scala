@@ -1294,26 +1294,49 @@ object Similarity {
     refl.foldLeft(emb) { case (e, (uq, uu)) => householderRotate(e, uq, uu) }
   }
 
-  /** [[householderRotateK]] with a MATERIALIZATION BARRIER between
-    * steps (localCheckpoint — the r10 CollapseProject lesson in k-fold
-    * form): rotation is an encode-time step, so at 100 TB the rotated
-    * vectors persist beside the index and each step is one linear
-    * pass; lazily-chained steps re-expand per element instead (see the
-    * caution on householderRotateK). Returns `df` with `outCol`
-    * holding the fully rotated vector; step-t output is bit-identical
-    * to the lazy chain (each step re-rounds to the 1e-6 grid either
-    * way — SimilaritySpec pins chain == materialized). */
+  /** [[packReflections]]/[[graft.expressions.HouseholderChainRotate]]
+    * packed-literal format: steps `;`-separated, each `uu|u1,u2,...`. */
+  private[graft] def packReflections(refl: Seq[(Seq[Long], Long)]): String = {
+    refl.foreach { case (uq, uu) =>
+      require(uu >= 0L, s"uu must be >= 0 (got $uu)")
+      require(uu == uq.map(x => x * x).sum,
+        "uu must equal Σ uq² (pass pcaHouseholderK's pairs)")
+    }
+    refl.map { case (uq, uu) => s"$uu|${uq.mkString(",")}" }.mkString(";")
+  }
+
+  /** All k reflections of a [[pcaHouseholderK]] chain as ONE column —
+    * the [[graft.expressions.HouseholderChainRotate]] expression
+    * (VERDICT r11 #7): the k steps run in-loop over one primitive
+    * array per row, each re-quantizing to the 1e-6 grid exactly as the
+    * step-by-step chain does, so the output is bit-identical to
+    * [[householderRotateK]] at ~k× fewer passes (Stress `hhFused`
+    * receipt; SimilaritySpec pins fused == chain == materialized).
+    * Callers must have [[GraftFunctions.register]]ed the session. */
+  def householderRotateFused(emb: Column, refl: Seq[(Seq[Long], Long)]): Column = {
+    require(refl.nonEmpty, "need at least one reflection")
+    call_function(GraftFunctions.HhChain, emb, lit(packReflections(refl)))
+  }
+
+  /** The rotation chain applied with ONE materialization (localCheckpoint
+    * of the [[householderRotateFused]] projection — formerly one
+    * barrier PER STEP, k materializations of the full frame at encode
+    * time; the fused expression folds the k steps into one row-local
+    * loop, so a single barrier remains). The barrier still matters:
+    * the expression is CodegenFallback, and a downstream multi-column
+    * consumer would re-evaluate the whole chain per reference if the
+    * projection stayed lazy (the r10 CollapseProject lesson). Returns
+    * `df` with `outCol` holding the fully rotated vector, bit-identical
+    * to the lazy per-step chain (each step re-rounds to the 1e-6 grid
+    * either way — SimilaritySpec pins chain == fused == materialized). */
   def householderRotateAll(
       df: DataFrame,
       embCol: String,
       outCol: String,
       refl: Seq[(Seq[Long], Long)]): DataFrame = {
-    require(refl.nonEmpty, "need at least one reflection")
-    refl.zipWithIndex.foldLeft(df) { case (d, ((uq, uu), t)) =>
-      val in = if (t == 0) embCol else outCol
-      d.withColumn(outCol, householderRotate(col(in), uq, uu))
-        .localCheckpoint()
-    }
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn(outCol, householderRotateFused(col(embCol), refl))
+      .localCheckpoint()
   }
 
   /** Apply a [[pqVarianceAlloc]] permutation to a vector column (works

@@ -32,7 +32,12 @@ import org.apache.spark.sql.functions._
   * statistic ([[Bpe.bpeLearnDelta]]'s contract, maxVocab fail-fast);
   * candidate harvesting + selection run in driver memory over it;
   * segmentation is a row-local `mapPartitions` pass (zero shuffle)
-  * with the piece-cost map as per-partition state. */
+  * with the piece-cost map as per-partition state.
+  *
+  * BMP-ONLY ASSUMPTION: the substring harvest and Viterbi DP index by
+  * UTF-16 code units (see the [[WordPiece]] Scaladoc for the full
+  * convention note) — run astral text through a codepoint-aware
+  * pre-tokenizer first. */
 object UnigramLm {
 
   final case class Piece(piece: String, freq: Long, cost_micro: Long)

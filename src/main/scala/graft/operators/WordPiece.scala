@@ -36,7 +36,17 @@ import org.apache.spark.sql.functions._
   * — asserted by the query builder, the BpeDeepOracleRounds
   * convention. Corpus words must not contain `#` (fail-fast): the `##`
   * continuation marker must stay unambiguous, the BERT preprocessing
-  * assumption. */
+  * assumption.
+  *
+  * BMP-ONLY ASSUMPTION (the tokenizer family's shared convention, ADVICE
+  * r11): the learner and greedy matcher index by Java UTF-16 code units
+  * (`substring`/`length`), while the DuckDB oracles use codepoint
+  * `substr`/`len` — words containing surrogate pairs (emoji, astral CJK)
+  * would split mid-codepoint and silently diverge from the replay.
+  * Production text for this family is whitespace-split BMP tokens (the
+  * BERT basic-tokenizer precondition); run astral text through a
+  * codepoint-aware pre-tokenizer first. Same assumption in [[Bpe]] and
+  * [[UnigramLm]]. */
 object WordPiece {
 
   final case class WpMerge(iter: Long, left_sym: String, right_sym: String,
@@ -274,6 +284,15 @@ object WordPiece {
     call_function(graft.expressions.GraftFunctions.WordPieceF,
       text, lit(packVocab(model.vocab)))
 
+  /** The WordPiece tokenizer shaped for the `Column => Column` tokenizer
+    * slots ([[NgramOverlap.duplicateSpans]], gram tables) — the
+    * [[Bpe.deepRetokenize]] twin (VERDICT r11 #4): tokens re-joined by
+    * single spaces. Safe in token space: pieces are substrings of
+    * whitespace-split words (never contain spaces), `##` prefixes and
+    * `[UNK]` are ordinary tokens to the downstream window machinery. */
+  def wpRetokenize(model: WpModel): Column => Column =
+    t => array_join(wordpieceTokens(t, model), " ")
+
   /** Per-document token statistics under the learned model:
     * (idCol, n_tokens, n_unk) — the sizing + quality pass (a high
     * `[UNK]` share flags vocabulary mismatch). NULL text → NULL counts
@@ -284,6 +303,7 @@ object WordPiece {
     * (the r10 CollapseProject-inlining lesson). */
   def wordpieceTokenCounts(df: DataFrame, idCol: String, textCol: String,
       model: WpModel): DataFrame = {
+    require(model.vocab.nonEmpty, "need a non-empty vocabulary")
     val vocab = model.vocab.toSet
     val maxTok = model.vocab.iterator
       .map(v => if (v.startsWith("##")) v.length - 2 else v.length).max

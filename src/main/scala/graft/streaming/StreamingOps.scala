@@ -400,6 +400,168 @@ object StreamingOps {
     }
   }
 
+  /** Seed the at-rest state directory for [[curationIngestAppend]] by
+    * running the batch flagship's stages 1–5 over `history` (possibly an
+    * empty frame — the cold-start of a new crawl) and writing the three
+    * state families the streaming sink appends to:
+    *
+    *   - `dir/canon` — exact-survivor canon keys (`__canon`), the
+    *     exact-dedup probe's left-anti target;
+    *   - `dir/buckets`, `dir/shingles`, `dir/meta` — the
+    *     [[graft.operators.Dedup.NearDupIndex]] of ALL exact-survivors
+    *     (the curation index rule: near-dup REJECTS index too, because
+    *     the batch drop rule fires on the smaller side regardless of
+    *     that side's own fate — the A~B~C chain case);
+    *   - `dir/decon` — the decontaminated survivors, i.e. the cumulative
+    *     curated corpus the rollup reads.
+    *
+    * Everything written derives from `history`'s lineage only — no state
+    * directory is read — so the seed is safe to write into an empty dir. */
+  def curationSeed(
+      history: DataFrame,
+      evalDocs: DataFrame,
+      evalSources: Seq[String],
+      dir: String,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      bands: Int = 32,
+      rows: Int = 4,
+      ngram: Int = 5): Unit = {
+    import graft.operators.{Dedup, NgramOverlap, TextAnalysis}
+    val base = history.where(col(textCol).isNotNull)
+    val passed = TextAnalysis.gopherFlags(base, textCol)
+      .where(col("gopher_pass"))
+      .select(base.columns.map(col).toIndexedSeq: _*)
+    val ex = Dedup.dropDuplicatesKeepFirst(
+      passed.withColumn("__canon", TextAnalysis.normalizeText(col(textCol))),
+      idCol, "__canon")
+    ex.select("__canon").write.mode("overwrite").parquet(s"$dir/canon")
+    val exDocs = ex.drop("__canon")
+    Dedup.buildNearDupIndex(exDocs, idCol, textCol, n, bands, rows).write(dir)
+    val surv = Dedup.nearDupDedup(exDocs, idCol, textCol, n, threshold,
+      bands, rows)
+    val train = surv.where(!col("source").isin(evalSources: _*))
+    val contam = NgramOverlap.contaminatedDocs(train, evalDocs, idCol, textCol,
+        n = ngram, broadcastEval = true)
+      .select(col(idCol).as("__contam_id"))
+    train.join(contam, col(idCol) === col("__contam_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$dir/decon")
+  }
+
+  /** [[curationIngest]]'s AT-REST form (VERDICT r11 #1) — the production
+    * path the harness doc prescribes, completing the append-sink family
+    * ([[postingsIngestAppend]]/[[annIngestAppend]]/[[dedupNearIngestAppend]]).
+    * All corpus state lives in the [[curationSeed]] directory; per batch:
+    *
+    *   1-2. gopher gate + normalization — stateless;
+    *   3. exact keep-first: in-batch smaller-id race, then ONE left-anti
+    *      join against the at-rest `dir/canon` table (a directory read,
+    *      never an in-memory re-union of history keys); fresh keys
+    *      parquet-APPEND;
+    *   4. near-dup keep-first: probe a fresh [[graft.operators.Dedup.NearDupIndex.read]]
+    *      of the directory (the [[dedupNearIngestAppend]] argument: the
+    *      probe genuinely needs history, and a bucket-equality join
+    *      against at-rest tables is the 100 TB shape); the batch's
+    *      EXACT-survivor sketch rows parquet-APPEND — never the history's;
+    *   5. decontamination against the frozen eval gram table (derived
+    *      ONCE at sink construction);
+    *   6. the batch's decontaminated survivors parquet-APPEND under
+    *      `dir/decon` — the cumulative curated corpus is the DIRECTORY,
+    *      re-materialized by nobody.
+    *
+    * Per-batch cost = two directory probes (batch×at-rest joins) + three
+    * batch-sized appends; accumulated state is never rewritten, so
+    * per-batch wall is flat in corpus size (Stress `curationAppend`
+    * receipt) where the harness form grew linearly. The three per-batch
+    * localCheckpoints are batch-sized only: `exNew` materializes before
+    * its plan's own target (`dir/canon`) is appended to, survivors
+    * before their sketch append — the write-after-checkpoint rule.
+    *
+    * STREAMED ≡ BATCH exactly as [[curationIngest]]: when arrival order
+    * refines id order, the drained `dir/decon` row-matches the batch
+    * chain's decontaminated frame, so the budget-sample + shard rollup
+    * over the directory hash-matches q_curation_e2e's oracle
+    * (q_stream_curation pins it through this sink; StreamingSpec pins
+    * sink ≡ harness batch-for-batch, directory state included).
+    * `emit` receives each batch's decontaminated survivors. */
+  def curationIngestAppend(
+      stream: DataFrame,
+      dir: String,
+      evalDocs: DataFrame,
+      evalSources: Seq[String],
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      ngram: Int = 5)(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.{Dedup, NgramOverlap, TextAnalysis}
+    val evalGrams = NgramOverlap
+      .evalGramTable(evalDocs, idCol, textCol, n = ngram)
+      .localCheckpoint()
+    stream.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        emit(curationBatchAppend(b.toDF(), dir, evalGrams, evalSources,
+          idCol, textCol, threshold, ngram))
+    }
+  }
+
+  /** One micro-batch of [[curationIngestAppend]] — public so the Stress
+    * flatness receipt times EXACTLY the sink's per-batch body against
+    * seeded directories of different at-rest sizes. Returns the batch's
+    * decontaminated survivors (localCheckpointed; the directory already
+    * holds their append). `evalGrams` is the frozen
+    * [[graft.operators.NgramOverlap.evalGramTable]] (checkpointed once
+    * at sink construction). */
+  def curationBatchAppend(
+      batch: DataFrame,
+      dir: String,
+      evalGrams: DataFrame,
+      evalSources: Seq[String],
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      ngram: Int = 5): DataFrame = {
+    import graft.operators.{Dedup, NgramOverlap, TextAnalysis}
+    val spark = batch.sparkSession
+    val base = batch.where(col(textCol).isNotNull)
+    // 1-2: stateless gate + normalization
+    val passed = TextAnalysis.gopherFlags(base, textCol)
+      .where(col("gopher_pass"))
+      .select(base.columns.map(col).toIndexedSeq: _*)
+    val withCanon = passed.withColumn("__canon",
+      TextAnalysis.normalizeText(col(textCol)))
+    // 3: exact keep-first — in-batch race, then the at-rest canon table
+    val exBatch = Dedup.dropDuplicatesKeepFirst(withCanon, idCol, "__canon")
+    val exNew = exBatch
+      .join(spark.read.parquet(s"$dir/canon"), Seq("__canon"), "left_anti")
+      .localCheckpoint()
+    exNew.select("__canon").write.mode("append").parquet(s"$dir/canon")
+    val exDocs = exNew.drop("__canon")
+    // 4: near-dup probe against the directory; index rolls with ALL
+    // exact-survivors (the chain-case rule), append-only
+    val idx = Dedup.NearDupIndex.read(spark, dir)
+    val surv = Dedup
+      .dedupIncrementalNear(idx, exDocs, idCol, textCol, threshold)
+      .localCheckpoint()
+    val add = Dedup.buildNearDupIndex(exDocs, idCol, textCol,
+      idx.n, idx.bands, idx.rows)
+    add.buckets.write.mode("append").parquet(s"$dir/buckets")
+    add.shingles.write.mode("append").parquet(s"$dir/shingles")
+    // 5: decontaminate against the frozen eval side
+    val trainB = surv.where(!col("source").isin(evalSources: _*))
+    val contam = NgramOverlap.contaminatedDocsPre(trainB, evalGrams,
+        idCol, textCol, n = ngram, broadcastEval = true)
+      .select(col(idCol).as("__contam_id"))
+    val deconB = trainB.join(contam,
+        col(idCol) === col("__contam_id"), "left_anti")
+      .localCheckpoint()
+    // 6: the curated corpus IS the directory
+    deconB.write.mode("append").parquet(s"$dir/decon")
+    deconB
+  }
+
   /** STREAMING CURATION FLAGSHIP (VERDICT r10 #6) — the six-stage
     * q_curation_e2e chain over an unbounded document stream, stage by
     * stage at micro-batch cadence:
@@ -432,11 +594,14 @@ object StreamingOps {
     *
     * PARITY-HARNESS FORM (the [[postingsIngestAppend]] convention):
     * state frames localCheckpoint per batch so `emit` serves live
-    * frames; the at-rest form appends the batch's canon keys, sketch
-    * rows, and decontaminated docs to parquet directories
-    * (NearDupIndex.write layout) with the rollup reading the
-    * directory. `emit` receives the CUMULATIVE decontaminated train
-    * frame after each batch. */
+    * CUMULATIVE frames — per-batch cost grows with corpus size.
+    * Production ingestion is [[curationIngestAppend]] (canon keys,
+    * sketch rows, and decontaminated docs as per-batch parquet APPENDs
+    * under a [[curationSeed]] directory, per-batch cost flat in corpus
+    * size — the q_stream_curation path); this form remains as the
+    * live-frame parity harness StreamingSpec pins the sink against.
+    * `emit` receives the CUMULATIVE decontaminated train frame after
+    * each batch. */
   def curationIngest(
       stream: DataFrame,
       evalDocs: DataFrame,

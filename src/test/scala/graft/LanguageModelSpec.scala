@@ -174,6 +174,154 @@ class LanguageModelSpec extends AnyFunSuite {
     }
   }
 
+  /** Generic order-n brute force — the tower built level from level
+    * (keys.toSeq before every projection: a key SET would dedupe and
+    * undercount the continuation types). */
+  private def knNModel(train: Seq[Seq[String]], n: Int) = {
+    var cnts = Map(n -> train.filter(_.size >= n)
+      .flatMap(w => (0 to w.size - n).map(i => w.slice(i, i + n)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    var ctxs = Map.empty[Int, Map[Seq[String], Long]]
+    var ts = Map.empty[Int, Map[Seq[String], Long]]
+    for (k <- n to 2 by -1) {
+      ctxs += k -> cnts(k).toSeq.groupBy(_._1.init)
+        .view.mapValues(_.map(_._2).sum).toMap
+      ts += k -> cnts(k).keys.toSeq.groupBy(_.init)
+        .view.mapValues(_.size.toLong).toMap
+      if (k > 2) cnts += (k - 1) -> cnts(k).keys.toSeq.map(_.tail)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    val c1 = cnts(2).keys.toSeq.map(_.last).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val b = cnts(2).size.toLong
+    val t = cnts(2).keys.toSeq.map(_.last).toSet.size.toLong
+    val v = train.flatten.toSet.size.toLong + 1L
+    (gram: Seq[String]) => {
+      require(gram.size == n)
+      var p = (math.max(c1.getOrElse(gram.last, 0L).toDouble - D, 0.0)
+        + D * t.toDouble / v.toDouble) / b.toDouble
+      for (k <- 2 to n) {
+        val hk = gram.slice(n - k, n)
+        ctxs(k).get(hk.init).foreach { m =>
+          p = (math.max(cnts(k).getOrElse(hk, 0L).toDouble - D, 0.0)
+            + D * ts(k)(hk.init).toDouble * p) / m.toDouble
+        }
+      }
+      p
+    }
+  }
+
+  test("knNgramLogLoss: order 2/3 == the dedicated bigram/trigram forms, row for row") {
+    val train = Seq((10L, "a b a b c d e"), (11L, "b c a b a d"), (12L, "c a e b"))
+      .toDF("doc_id", "text")
+    val score = Seq((1L, "a b c a d"), (2L, "a b z e c"), (3L, "z q a b c"))
+      .toDF("doc_id", "text")
+    val bi = LanguageModel.knBigramLogLoss(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val g2 = LanguageModel.knNgramLogLoss(train, score, "doc_id", "text", order = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(g2 == bi, "order-2 generic != knBigramLogLoss")
+    val tri = LanguageModel.knTrigramLogLoss(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val g3 = LanguageModel.knNgramLogLoss(train, score, "doc_id", "text", order = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(g3 == tri, "order-3 generic != knTrigramLogLoss")
+  }
+
+  test("knNgramLogLoss order=5: brute-force replay, all backoff depths; Σp=1; clean<garbled") {
+    val trainSeqs = Seq("a b c d e a b c d f", "b c d e a b c d e b",
+      "c d e a b c", "e a b c d")
+    val train = trainSeqs.zipWithIndex.map { case (t, i) => (10L + i, t) }
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c d e a"),   // seen 5-grams
+      (2L, "a b c d z e"),   // unseen word mid-stream
+      (3L, "z q r s e a b c d e"), // unseen at every context depth
+      (4L, "a b c d"),       // <5 tokens -> absent
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val model = knNModel(trainSeqs.map(_.split(" ").toSeq), 5)
+    def loss5(w: Seq[String]): (Long, Double) = {
+      val lps = (0 to w.size - 5).map(i => lnQ(model(w.slice(i, i + 5))))
+      (lps.size.toLong, -(lps.sum.toDouble) / lps.size)
+    }
+    val got = LanguageModel.knNgramLogLoss(train, score, "doc_id", "text", order = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    for ((id, t) <- Seq(1L -> "a b c d e a", 2L -> "a b c d z e",
+        3L -> "z q r s e a b c d e"))
+      assert(got(id) == loss5(t.split(" ").toSeq), s"doc $id")
+    // normalization at every backoff shape: Σ_w p(w|h) = 1 over padded vocab
+    val vocab = trainSeqs.flatMap(_.split(" ")).distinct :+ "__oov__"
+    for (h <- Seq(Seq("a", "b", "c", "d"), Seq("b", "c", "d", "e"),
+        Seq("__x__", "b", "c", "d"), Seq("__x__", "__y__", "c", "d"),
+        Seq("__x__", "__y__", "__z__", "d"),
+        Seq("__x__", "__y__", "__z__", "__w__"))) {
+      val tot = vocab.map(w => model(h :+ w)).sum
+      assert(math.abs(tot - 1.0) < 1e-12, s"context $h sums to $tot")
+    }
+    // the CCNet ranking signal survives the depth: clean < shuffled
+    val cleanTrain = (0 until 50)
+      .map(i => (i.toLong, "the cat sat on the mat by the door"))
+      .toDF("doc_id", "text")
+    val rank = LanguageModel.knNgramLogLoss(cleanTrain,
+      Seq((1L, "the cat sat on the mat by the door"),
+        (2L, "door the by mat the on sat cat the")).toDF("doc_id", "text"),
+      "doc_id", "text", order = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rank(1L) < rank(2L))
+  }
+
+  test("KN state: merged daily states finalize == from-scratch fit; merge order invisible; at-rest round trip") {
+    val days = Seq(
+      Seq((10L, "a b a b c"), (11L, "b c a b")),
+      Seq((20L, "c a d b"), (21L, "a b c c a")),
+      Seq((30L, "d a b e"), (31L, "e b a"))).map(_.toDF("doc_id", "text"))
+    val score = Seq((1L, "a b c a"), (2L, "a e z b"), (3L, "z d a b"))
+      .toDF("doc_id", "text")
+    val all = days.reduce(_ unionByName _)
+    val direct = LanguageModel.knBigramLogLoss(all, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val states = days.map(d => LanguageModel.knBigramState(d, "text"))
+    // two different merge trees — integer-sum associativity makes the
+    // grouping invisible
+    val m1 = LanguageModel.mergeKnStates(
+      LanguageModel.mergeKnStates(states(0), states(1)), states(2))
+    val m2 = LanguageModel.mergeKnStates(states(0),
+      LanguageModel.mergeKnStates(states(2), states(1)))
+    for ((m, tag) <- Seq(m1 -> "left-fold", m2 -> "right-fold")) {
+      val got = LanguageModel.knBigramScoreWith(
+        LanguageModel.knBigramFromState(m), score, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == direct, s"$tag merged state != from-scratch fit")
+    }
+    // at-rest round trip: write day-1+2 state, read, fold day 3 in
+    val dir = java.nio.file.Files.createTempDirectory("graft-knstate").toString
+    LanguageModel.writeKnState(
+      LanguageModel.mergeKnStates(states(0), states(1)), dir)
+    val rolled = LanguageModel.mergeKnStates(
+      LanguageModel.readKnState(spark, dir), states(2))
+    val got = LanguageModel.knBigramScoreWith(
+      LanguageModel.knBigramFromState(rolled), score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == direct, "at-rest rolled state != from-scratch fit")
+    // empty state fails fast like the direct fit
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.knBigramFromState(LanguageModel.knBigramState(
+        Seq((1L, "a")).toDF("doc_id", "text"), "text"))
+    }
+    assert(e.getMessage.contains("no bigrams"))
+  }
+
+  test("knBigramLogLossBy: train frame needs only (group, text) — no score-side id column") {
+    val train = Seq(("en", "a b a b c"), ("en", "b c a b"))
+      .toDF("lang", "text")
+    val score = Seq(("en", 1L, "a b c")).toDF("lang", "doc_id", "text")
+    val got = LanguageModel.knBigramLogLossBy(train, score, "lang", "doc_id", "text")
+      .collect()
+    assert(got.length == 1 && got(0).getLong(2) == 2L)
+  }
+
   test("knBigramLogLoss: train without transitions fails fast; empty score is empty") {
     val noTrans = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val score = Seq((1L, "a b")).toDF("doc_id", "text")

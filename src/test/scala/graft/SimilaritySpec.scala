@@ -815,6 +815,20 @@ class SimilaritySpec extends AnyFunSuite {
     val lzy = r.select(col("vec_id"), col("e2"))
       .collect().map(x => x.getLong(0) -> x.getSeq[Double](1)).toMap
     assert(mat == lzy, "householderRotateAll must equal the lazy chain")
+    // fused Column form == the step-by-step chain on a MIXED sequence
+    // with a mid-chain identity step (uu == 0 must pass the running
+    // doubles through untouched inside the fused loop)
+    val mixed = refl.take(1) ++ Seq((Seq.fill(dim)(0L), 0L)) ++ refl.drop(1)
+    val fused = corpus
+      .withColumn("e2", Similarity.householderRotateFused(col("embedding"), mixed))
+      .select(col("vec_id"), col("e2"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Double](1)).toMap
+    val chained = corpus
+      .withColumn("e2", Similarity.householderRotateK(col("embedding"), mixed))
+      .select(col("vec_id"), col("e2"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Double](1)).toMap
+    assert(fused == chained,
+      "householderRotateFused must equal the lazy chain, identity step included")
     // degenerate corpus: every step is the identity pair
     val same = vecs((0L to 5L).map(i => (i, Seq(1.0f, 2.0f, 3.0f, 4.0f))): _*)
     val dRefl = Similarity.pcaHouseholderK(same, "vec_id", "embedding", 4, 2)

@@ -519,6 +519,42 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed chain $streamed != batch chain $batchIds")
     // the chain case bit: B (2) dropped on A, C (4) STILL dropped on B
     assert(batchIds == Set(1L, 3L, 5L), s"expected A+fresh survivors, got $batchIds")
+    // AT-REST sink (curationIngestAppend): the same days through a seeded
+    // state directory — drained decon dir == batch chain, per-batch emits
+    // carry the chain case, and the at-rest canon/sketch state == the
+    // batch chain's own stage outputs (directory state included)
+    val sDir = tmpDir("graft-cur-atrest")
+    StreamingOps.curationSeed(corpus.limit(0), evalDocs, Seq("srcEval"),
+      sDir, "doc_id", "text")
+    val stream2 = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    StreamingOps.curationIngestAppend(stream2, sDir, evalDocs, Seq("srcEval"),
+        "doc_id", "text")(f => {
+        val ids = f.select("doc_id").collect().map(_.getLong(0)).toSet
+        emitted.synchronized { emitted += ids; () }
+      })
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .start().awaitTermination()
+    val atRest = spark.read.parquet(s"$sDir/decon")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(atRest == batchIds, s"at-rest decon dir $atRest != batch $batchIds")
+    assert(emitted.toSeq == Seq(Set(1L, 3L), Set(5L)),
+      s"per-batch emits lost the chain case: $emitted")
+    // canon table == batch exact-survivor keys; the sketch index holds
+    // ALL exact survivors (B and C index even though they drop near-dup)
+    val batchCanon = Dedup.dropDuplicatesKeepFirst(
+        passed.withColumn("canon", TextAnalysis.normalizeText(col("text"))),
+        "doc_id", "canon")
+      .select("canon").collect().map(_.getString(0)).toSet
+    val atRestCanon = spark.read.parquet(s"$sDir/canon")
+      .collect().map(_.getString(0)).toSet
+    assert(atRestCanon == batchCanon, "at-rest canon keys != batch exact stage")
+    val indexedIds = spark.read.parquet(s"$sDir/shingles")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexedIds == Set(1L, 2L, 3L, 4L, 5L),
+      s"sketch index must hold ALL exact survivors, got $indexedIds")
   }
 
   test("knScoreIngest: per-batch stateless scoring == one-shot batch scoring, any split") {
