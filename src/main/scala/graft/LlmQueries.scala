@@ -1360,6 +1360,27 @@ object LlmQueries {
       UnigramLm.segmentCosts(T(s, d, "documents"), "doc_id", "text", model)
         .orderBy("doc_id")
     }),
+    // one PRUNING round of the unigram-LM vocabulary (Kudo §3.2 step 3,
+    // VERDICT r11 #8): multi-char pieces on NO lex-min segmentation of
+    // any corpus word drop (zero expected count — removal changes no
+    // optimal decode); chars always survive; survivor costs and the
+    // UNK floor renormalize over the pruned total. The oracle replays
+    // forward + backward packed-key DPs and the on-some-optimum test
+    "q_unigram_lm_prune" -> ((s, d) => {
+      val model = ulmModelOf(s, d)
+      // the replay packs (cost, n) into one integer key — exact below
+      // 16 pieces per word, i.e. the q_unigram_segment length bound
+      val maxLen = T(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(coalesce(max(length(col("w"))), lit(0)).as("m"))
+        .head().getInt(0)
+      require(maxLen <= UlmTokSteps,
+        s"q_unigram_lm_prune oracle unrolls only $UlmTokSteps positions" +
+          s" but the corpus holds a $maxLen-char word — raise UlmTokSteps")
+      UnigramLm.piecesDf(s,
+        UnigramLm.unigramLmPrune(T(s, d, "documents"), "text", model))
+        .orderBy("piece")
+    }),
     // the tokenizer DATA CARD: corpus token volume under all three
     // trained tokenizer families side by side — the comparison a team
     // runs before picking the tokenizer (token count drives training
@@ -2476,7 +2497,9 @@ object LlmQueries {
     * key + cost·16 + 1 and the DP minimum is `min(key)`. Uncovered
     * words fall back to one UNK pseudo-token at −ln(1/(total+1)) —
     * the model's contract. */
-  private def ulmSegmentSql(steps: Int): String = {
+  /** The shared forward-Viterbi CTEs (dw, a0..a`steps`): per distinct
+    * word, position k holds the packed lex-min key (cost·16 + n). */
+  private def ulmFwdCtes(steps: Int): String = {
     val a0 = ("dw AS MATERIALIZED (SELECT DISTINCT w FROM"
       + " (SELECT unnest(string_split(text, ' ')) AS w FROM documents"
       + " WHERE text IS NOT NULL) WHERE len(w) > 0),"
@@ -2490,6 +2513,10 @@ object LlmQueries {
         + " GROUP BY a.w),"
         + s" a$k AS MATERIALIZED (SELECT * FROM a${k - 1} UNION ALL SELECT * FROM u$k)")
     }.mkString(", ")
+    s"$a0, $stepCtes"
+  }
+
+  private def ulmSegmentSql(steps: Int): String = {
     val per = ("ukc AS (SELECT (round(-ln(1.0 / (tot.t + 1)), 6)::DECIMAL(18,6)"
       + " * 1000000)::BIGINT AS uc FROM tot),"
       + " tw AS (SELECT dw.w,"
@@ -2503,11 +2530,46 @@ object LlmQueries {
       + " agg AS (SELECT wc.doc_id, sum(wc.c * tw.n)::BIGINT AS n_tokens,"
       + " sum(wc.c * tw.cost)::BIGINT AS cost_micro FROM wc JOIN tw ON wc.w = tw.w"
       + " GROUP BY 1)")
-    (s"WITH $ulmLearnCtes, $a0, $stepCtes, $per"
+    (s"WITH $ulmLearnCtes, ${ulmFwdCtes(steps)}, $per"
       + " SELECT d.doc_id,"
       + " CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(agg.n_tokens, 0) END AS n_tokens,"
       + " CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(agg.cost_micro, 0) END AS cost_micro"
       + " FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY 1")
+  }
+
+  /** q_unigram_lm_prune's replay (VERDICT r11 #8): the forward DP, a
+    * mirrored BACKWARD DP (position indexed by remaining suffix length),
+    * the on-some-optimum piece test fwd + piece + bwd == opt on the
+    * packed key (exact below 16 pieces per word — the packing bound,
+    * asserted at build), then the pruned vocabulary re-costed over the
+    * surviving harvest frequencies. */
+  private def ulmPruneSql(steps: Int): String = {
+    val b0 = "b0 AS (SELECT w, len(w)::BIGINT AS pos, 0::BIGINT AS key FROM dw)"
+    val bwdCtes = (1 to steps).map { r =>
+      (s"v$r AS MATERIALIZED (SELECT b.w, (len(b.w) - $r)::BIGINT AS pos,"
+        + " min(b.key + v.cost_micro * 16 + 1) AS key"
+        + s" FROM b${r - 1} b JOIN voc v ON b.pos = len(b.w) - $r + len(v.piece)"
+        + s" AND $r <= len(b.w)"
+        + s" AND substr(b.w, (len(b.w) - $r + 1)::INT, len(v.piece)) = v.piece"
+        + " GROUP BY b.w),"
+        + s" b$r AS MATERIALIZED (SELECT * FROM b${r - 1} UNION ALL SELECT * FROM v$r)")
+    }.mkString(", ")
+    val tail = (s"opt AS (SELECT w, key FROM a$steps x WHERE x.pos = len(x.w)),"
+      + s" used AS (SELECT DISTINCT v.piece FROM a$steps f"
+      + " JOIN voc v ON f.pos + len(v.piece) <= len(f.w)"
+      + " AND substr(f.w, (f.pos + 1)::INT, len(v.piece)) = v.piece"
+      + s" JOIN b$steps b ON b.w = f.w AND b.pos = f.pos + len(v.piece)"
+      + " JOIN opt o ON o.w = f.w"
+      + " WHERE f.key + v.cost_micro * 16 + 1 + b.key = o.key),"
+      + " pruned0 AS (SELECT piece, freq FROM voc WHERE len(piece) = 1"
+      + " UNION ALL SELECT piece, freq FROM voc WHERE len(piece) >= 2"
+      + " AND piece IN (SELECT piece FROM used)),"
+      + " ptot AS (SELECT sum(freq)::BIGINT AS t FROM pruned0)")
+    (s"WITH $ulmLearnCtes, ${ulmFwdCtes(steps)}, $b0, $bwdCtes, $tail"
+      + " SELECT piece, freq,"
+      + " (round(-ln(freq::DOUBLE / ptot.t::DOUBLE), 6)::DECIMAL(18,6)"
+      + " * 1000000)::BIGINT AS cost_micro"
+      + " FROM pruned0 CROSS JOIN ptot ORDER BY piece")
   }
 
   /** q_wordpiece_* oracle: the WordPiece merge loop unrolled round by
@@ -3633,6 +3695,7 @@ object LlmQueries {
       "q_unigram_lm_learn" ->
         (s"WITH $ulmLearnCtes SELECT piece, freq, cost_micro FROM voc ORDER BY piece"),
       "q_unigram_segment" -> ulmSegmentSql(UlmTokSteps),
+      "q_unigram_lm_prune" -> ulmPruneSql(UlmTokSteps),
       // deep-tokenizer replay: the REAGG CTE rounds reproduce the delta
       // trainer's first 24 rules (delta == reagg), then the per-word
       // fold runs over those 24 one-row rule tables exactly as

@@ -177,6 +177,110 @@ object UnigramLm {
     if (bc(n) == Long.MaxValue) (1L, unkCost) else (bn(n), bc(n))
   }
 
+  /** One deterministic vocabulary-PRUNING round — the SentencePiece
+    * trainer's step the seed was missing (Kudo §3.2 step 3, VERDICT
+    * r11 #8), in the house EM-free form: SentencePiece prunes pieces
+    * whose removal least hurts corpus likelihood; under the integer
+    * Viterbi objective a multi-char piece that lies on NO
+    * lexicographic-minimum segmentation of ANY corpus word has zero
+    * expected count — removing it cannot change any optimal
+    * segmentation — so those are exactly the pieces one pruning round
+    * drops. Single characters always survive (full coverage: every
+    * corpus word keeps a lattice path). Survivor costs renormalize
+    * over the surviving harvest frequencies (the [[unigramLmLearn]]
+    * cost formula on the pruned set), and the UNK cost re-derives from
+    * the new total — so the pruned model is a complete [[UlmModel]],
+    * not a filtered view.
+    *
+    * "Lies on SOME optimal segmentation" is decided exactly, without
+    * enumerating paths: forward and backward lexicographic-min
+    * (cost, n) DP over each distinct word, then piece (j, i) is on an
+    * optimum iff fwd(j) + piece + bwd(i) equals the word's optimum in
+    * BOTH components (additivity + lex-minimality make the pair test
+    * sound and complete; UnigramLmSpec pins it against brute path
+    * enumeration). The DuckDB replay packs (cost, n) into the
+    * [[graft.LlmQueries]] single-integer key, identical below 16
+    * pieces per word (asserted at query build). Driver cost: the same
+    * bounded distinct-word statistic as the learner (maxVocab
+    * fail-fast), two O(len·maxPieceLen) DPs per word. */
+  def unigramLmPrune(
+      df: DataFrame,
+      textCol: String,
+      model: UlmModel,
+      maxVocab: Int = 1 << 20): UlmModel = {
+    val rows = df.select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0).distinct()
+      .limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"distinct-word vocabulary exceeds maxVocab=$maxVocab — the pruning" +
+        " pass is driver-memory over this statistic by design")
+    val costs = model.costs
+    val maxLen = model.maxPieceLen
+    val used = mutable.HashSet.empty[String]
+    val None_ = Long.MaxValue
+    rows.foreach { r =>
+      val w = r.getString(0)
+      val n = w.length
+      val fc = Array.fill(n + 1)(None_)
+      val fn = Array.fill(n + 1)(None_)
+      fc(0) = 0L; fn(0) = 0L
+      var i = 1
+      while (i <= n) {
+        var j = math.max(0, i - maxLen)
+        while (j < i) {
+          if (fc(j) != None_) costs.get(w.substring(j, i)).foreach { c =>
+            val nc = fc(j) + c
+            val nn = fn(j) + 1L
+            if (nc < fc(i) || (nc == fc(i) && nn < fn(i))) { fc(i) = nc; fn(i) = nn }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (fc(n) != None_) { // uncovered words use no piece at all
+        val bc = Array.fill(n + 1)(None_)
+        val bn = Array.fill(n + 1)(None_)
+        bc(n) = 0L; bn(n) = 0L
+        var j = n - 1
+        while (j >= 0) {
+          var k = j + 1
+          val lim = math.min(n, j + maxLen)
+          while (k <= lim) {
+            if (bc(k) != None_) costs.get(w.substring(j, k)).foreach { c =>
+              val nc = bc(k) + c
+              val nn = bn(k) + 1L
+              if (nc < bc(j) || (nc == bc(j) && nn < bn(j))) { bc(j) = nc; bn(j) = nn }
+            }
+            k += 1
+          }
+          j -= 1
+        }
+        j = 0
+        while (j < n) {
+          var k = j + 1
+          val lim = math.min(n, j + maxLen)
+          while (k <= lim) {
+            if (fc(j) != None_ && bc(k) != None_) {
+              val p = w.substring(j, k)
+              if (!used.contains(p)) costs.get(p).foreach { c =>
+                if (fc(j) + c + bc(k) == fc(n) && fn(j) + 1L + bn(k) == fn(n))
+                  used += p
+              }
+            }
+            k += 1
+          }
+          j += 1
+        }
+      }
+    }
+    val survivors = model.pieces.filter(p => p.piece.length == 1 || used(p.piece))
+    val total = survivors.iterator.map(_.freq).sum
+    val pieces = survivors
+      .map(p => Piece(p.piece, p.freq, costMicro(p.freq.toDouble / total.toDouble)))
+      .sortWith((a, b) => utf8Compare(a.piece, b.piece) < 0)
+    UlmModel(pieces, total, model.maxPieceLen)
+  }
+
   /** Per-document Viterbi statistics under the fitted model:
     * (idCol, n_tokens, cost_micro) — token count and total quantized
     * cost (the corpus-compression quality signal: cost/token is the

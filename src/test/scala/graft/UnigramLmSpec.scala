@@ -80,6 +80,52 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(r.maxPieceLen == m.pieces.map(_.piece.length).max)
   }
 
+  test("unigramLmPrune: used-set == brute path enumeration; chars survive; costs renormalize; decode preserved") {
+    val df = (Seq.fill(3)("abab") ++ Seq.fill(2)("abc") ++ Seq.fill(2)("ddd"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val m = UnigramLm.unigramLmLearn(df, "text", maxPieceLen = 3,
+      minFreq = 2, maxMulti = 8)
+    val pruned = UnigramLm.unigramLmPrune(df, "text", m)
+    // brute: enumerate ALL segmentations of each distinct word over the
+    // seed vocab, find the lex-min (cost, n) set, collect pieces on any
+    def segs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(m.maxPieceLen, w.length)).flatMap { l =>
+        val p = w.substring(0, l)
+        if (m.costs.contains(p)) segs(w.substring(l)).map(p +: _) else Seq.empty
+      }
+    val bruteUsed = Seq("abab", "abc", "ddd").flatMap { w =>
+      val all = segs(w).map(s => (s.map(m.costs).sum, s.size.toLong, s))
+      val opt = all.map(x => (x._1, x._2)).min
+      all.filter(x => (x._1, x._2) == opt).flatMap(_._3)
+    }.toSet
+    val expected = m.pieces.map(_.piece)
+      .filter(p => p.length == 1 || bruteUsed(p)).toSet
+    assert(pruned.pieces.map(_.piece).toSet == expected,
+      s"pruned ${pruned.pieces.map(_.piece)} != brute $expected")
+    // a dead multi-piece exists in this fixture (the seed holds more
+    // multi candidates than any optimal decode uses)
+    assert(pruned.pieces.size < m.pieces.size, "fixture must actually prune")
+    assert(Set("a", "b", "c", "d").subsetOf(pruned.pieces.map(_.piece).toSet))
+    // costs renormalize over the surviving harvest freqs; UNK re-derives
+    val total = pruned.pieces.map(_.freq).sum
+    assert(pruned.totalFreq == total)
+    pruned.pieces.foreach { p =>
+      val want = (BigDecimal(-math.log(p.freq.toDouble / total.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) * BigDecimal(1000000)).toLongExact
+      assert(p.cost_micro == want, p.piece)
+    }
+    // coverage preserved: every corpus word still decodes without UNK,
+    // and (with costs shifted by a constant renormalization offset per
+    // piece) the same corpus still segments into the same piece counts
+    val before = UnigramLm.segmentCosts(df, "id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = UnigramLm.segmentCosts(df, "id", "text", pruned)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.values.forall(_ > 0L))
+    assert(before == after, "pruning dead pieces must not change token counts here")
+  }
+
   test("unigramLmLearn: empty corpus -> empty model; segmenting charges UNK") {
     val empty = Seq.empty[(Long, String)].toDF("id", "text")
     val m = UnigramLm.unigramLmLearn(empty, "text")
