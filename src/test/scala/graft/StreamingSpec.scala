@@ -595,6 +595,55 @@ class StreamingSpec extends AnyFunSuite {
       Seq(Set(1L, 2L), Set(3L, 4L)))
   }
 
+  test("knStateIngest: 3-batch rolled KN state finalizes to the from-scratch fit, bit for bit") {
+    import graft.operators.LanguageModel
+    val days = Seq(
+      Seq((10L, "a b a b c"), (11L, "b c a b")),
+      Seq((20L, "c a d b"), (21L, "a b c c a")),
+      Seq((30L, "d a b e"), (31L, "e b a")))
+      .map(_.toDF("doc_id", "text"))
+    val dir = tmpDir("graft-stream-kns")
+    days.zipWithIndex.foreach { case (df, i) =>
+      val tmp = tmpDir("graft-kns-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val dst = new java.io.File(dir, s"day$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(days.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    // empty initial state (cold start): limit(0) frames with the state schema
+    val empty = LanguageModel.knBigramState(days.head.limit(0), "text")
+    val states = scala.collection.mutable.ArrayBuffer.empty[LanguageModel.KnBigramState]
+    StreamingOps.knStateIngest(stream, empty, "text")(
+        st => states.synchronized { states += st; () })
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .start().awaitTermination()
+    assert(states.size == 3, s"expected one state per file batch, got ${states.size}")
+    val score = Seq((1L, "a b c a"), (2L, "a e z b"), (3L, "z d a b"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.knBigramScoreWith(
+        LanguageModel.knBigramFromState(states.synchronized(states.last)),
+        score, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = LanguageModel.knBigramLogLoss(
+        days.reduce(_ unionByName _), score, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, "rolled streaming state must equal the from-scratch fit")
+    // a MID-STREAM boundary also serves: the day-2 state == fit on days 1-2
+    val mid = LanguageModel.knBigramScoreWith(
+        LanguageModel.knBigramFromState(states.synchronized(states(1))),
+        score, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val midWant = LanguageModel.knBigramLogLoss(
+        days.take(2).reduce(_ unionByName _), score, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mid == midWant, "mid-stream state must equal the fit on arrived days")
+  }
+
   test("quantileStateIngest: 3-batch rolled histogram finalizes to the direct quantile, bit for bit") {
     import graft.operators.{AggState, Quantiles}
     // three "days" with ties across batches and a NaN/NULL to drop;
