@@ -607,6 +607,23 @@ object CurationQueries {
           sum("doc_id").as("id_checksum"))
         .orderBy("source")
     }),
+    // the CCNet filter at PRODUCTION depth (VERDICT r11 #2 tail): the
+    // same keep-low-perplexity step as q_kn_filter but scored by the
+    // 5-gram tower — threshold ~the sf0.01 kn5_loss median, shared
+    // literal on both sides so the split can never drift
+    "q_kn5_filter" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val scored = LanguageModel.knNgramLogLoss(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text", order = 5)
+      docs.where(col("doc_id") % 2 === 1)
+        .join(scored.where(col("kn5_loss") < 3.69), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_trans").as("sum_trans"),
+          sum("doc_id").as("id_checksum"))
+        .orderBy("source")
+    }),
     // the TRIGRAM form — two backoff levels of the Chen-Goodman
     // recursion (continuation counts built from the level above's type
     // table), the n-gram depth direction production filters ship
@@ -1621,6 +1638,15 @@ object CurationQueries {
             "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
             "(SELECT * FROM documents WHERE doc_id % 2 = 1)")
         + ") ORDER BY 1"),
+    "q_kn5_filter" ->
+      ("WITH sc AS (" + LanguageModel.knNgramLogLossSql("doc_id", "text",
+          "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+          "(SELECT * FROM documents WHERE doc_id % 2 = 1)", order = 5)
+        + ") SELECT d.source, count(*)::BIGINT AS n_kept,"
+        + " sum(sc.n_trans)::BIGINT AS sum_trans,"
+        + " sum(d.doc_id)::BIGINT AS id_checksum"
+        + " FROM documents d JOIN sc ON d.doc_id = sc.doc_id"
+        + " WHERE sc.kn5_loss < 3.69 GROUP BY 1 ORDER BY 1"),
     "q_kn_filter" ->
       ("WITH sc AS (" + LanguageModel.knBigramLogLossSql("doc_id", "text",
           "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
