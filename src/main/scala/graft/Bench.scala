@@ -40,12 +40,13 @@ object Bench {
     // regression until a judge re-ran it. Two tells now ride the JSON:
     //   - a CALIBRATION probe — a fixed-cost in-memory aggregation
     //     (zero IO, zero shuffle reads beyond one exchange) timed as a
-    //     3-rep median BEFORE the warmup pass and again AFTER the timed
-    //     pass. Its cost is a pure function of machine headroom, so an
-    //     inflated capture self-identifies: compare calib_first_ms /
-    //     calib_last_ms against the idle reference in BENCH_NOTES
-    //     (§"reading the calibration fields"); first≠last also flags
-    //     load ARRIVING mid-run.
+    //     3-rep median AFTER the warmup pass and again AFTER the timed
+    //     pass, bracketing the timed region. Its cost is a pure
+    //     function of machine headroom, so an inflated capture
+    //     self-identifies: compare calib_first_ms / calib_last_ms
+    //     against the idle reference in BENCH_NOTES (§"reading the
+    //     calibration fields"); first≠last also flags load ARRIVING
+    //     mid-run.
     //   - the 1-minute system LOAD AVERAGE at start and end (JVM count
     //     on this box is the other tell: >32 runnable threads on 32
     //     cpus means someone else is timing too).
@@ -115,9 +116,15 @@ object Bench {
       System.gc() // collect predecessors' garbage OUTSIDE the timed region
     }
     val loadStart = loadAvg()
-    val calibFirst = calibrate()
     ordered.foreach { case (n, fn) => isolate(); once(n, fn) } // warmup pass
     failed.clear() // only timed-run failures count against the report
+    // calibrate AFTER the warmup pass: the probe brackets the TIMED
+    // region (first vs last), and firing it at session start measured
+    // the previous JVM's shutdown load + C2 tier-up, not headroom
+    // (calib_first read 374 ms and 1496 ms on two otherwise-idle runs
+    // whose post-warmup probes read 82-93 ms)
+    isolate()
+    val calibFirst = calibrate()
     // 5 reps (r8, was 3): with isolation the totals already agree within
     // ~2.5% across runs, but sub-second queries still saw 1.5-2.2x
     // per-query swings from single GC/JIT hiccups landing in a 3-sample

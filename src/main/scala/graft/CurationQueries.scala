@@ -599,7 +599,7 @@ object CurationQueries {
       val scored = LanguageModel.knBigramLogLoss(
         docs.where(col("doc_id") % 2 === 0),
         docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
-      docs.where(col("doc_id") % 2 === 1)
+      docs.where(col("doc_id") % 2 === 1).select("doc_id", "source")
         .join(scored.where(col("kn_loss") < 3.45), "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"),
@@ -616,7 +616,7 @@ object CurationQueries {
       val scored = LanguageModel.knNgramLogLoss(
         docs.where(col("doc_id") % 2 === 0),
         docs.where(col("doc_id") % 2 === 1), "doc_id", "text", order = 5)
-      docs.where(col("doc_id") % 2 === 1)
+      docs.where(col("doc_id") % 2 === 1).select("doc_id", "source")
         .join(scored.where(col("kn5_loss") < 3.69), "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"),

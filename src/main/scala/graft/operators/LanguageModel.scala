@@ -551,11 +551,25 @@ object LanguageModel {
     var p = (greatest(coalesce(col("__cnt1"), lit(0L)).cast("double") - lit(d),
       lit(0.0)) + lit(d) * col("__t").cast("double") / col("__vv").cast("double")) /
       col("__b").cast("double")
-    for (k <- 2 to n)
-      p = when(col(s"__ctx$k").isNull, p).otherwise(
-        (greatest(coalesce(col(s"__cnt$k"), lit(0L)).cast("double") - lit(d),
-          lit(0.0)) + lit(d) * col(s"__t$k").cast("double") * p) /
-          col(s"__ctx$k").cast("double"))
+    // LINEAR-TREE backoff: the naive when(null, p).otherwise(..p..)
+    // embeds p TWICE per level — 2^(order-1) copies of the unigram
+    // subtree, and Catalyst planning of the duplicated tree cost more
+    // than the query's data at order 5 (BENCH_NOTES r12 receipt). The
+    // (A + B·p)/C form references p ONCE per level and is BIT-IDENTICAL:
+    // the null-context branch sets A=0, B=1, C=1, and adding +0.0,
+    // multiplying by 1.0, and dividing by 1.0 are exact IEEE identities
+    // on a strictly positive p; the non-null branch keeps the original
+    // grouping ((d·t)·p — lit(d)*col(t)*p was already left-associated).
+    for (k <- 2 to n) {
+      val ctxNull = col(s"__ctx$k").isNull
+      val a = when(ctxNull, lit(0.0)).otherwise(
+        greatest(coalesce(col(s"__cnt$k"), lit(0L)).cast("double") - lit(d),
+          lit(0.0)))
+      val b = when(ctxNull, lit(1.0)).otherwise(
+        lit(d) * col(s"__t$k").cast("double"))
+      val c = when(ctxNull, lit(1.0)).otherwise(col(s"__ctx$k").cast("double"))
+      p = (a + b * p) / c
+    }
     joined
       .select(col("__id"), lnQ(p).as("__lp"))
       .groupBy(col("__id").as(idCol))
@@ -603,10 +617,15 @@ object LanguageModel {
     }.mkString("") + s" LEFT JOIN c1 ON sct.g$n = c1.k1 CROSS JOIN tot"
     var p = (s"(greatest(coalesce(c1.cnt, 0)::DOUBLE - $d, 0.0)"
       + s" + $d * tot.t::DOUBLE / tot.v::DOUBLE) / tot.b::DOUBLE")
+    // linear-tree backoff — the (A + B·p)/C form of the Spark side,
+    // token for token (see knNgramLogLoss: bit-identical to the nested
+    // CASE, one p reference per level)
     for (k <- 2 to n)
-      p = (s"CASE WHEN l$k.ctx IS NULL THEN $p"
-        + s" ELSE (greatest(coalesce(c$k.cnt, 0)::DOUBLE - $d, 0.0)"
-        + s" + $d * l$k.t::DOUBLE * ($p)) / l$k.ctx::DOUBLE END")
+      p = (s"((CASE WHEN l$k.ctx IS NULL THEN 0.0"
+        + s" ELSE greatest(coalesce(c$k.cnt, 0)::DOUBLE - $d, 0.0) END"
+        + s" + CASE WHEN l$k.ctx IS NULL THEN 1.0"
+        + s" ELSE $d * l$k.t::DOUBLE END * ($p))"
+        + s" / CASE WHEN l$k.ctx IS NULL THEN 1.0 ELSE l$k.ctx::DOUBLE END)")
     (s"WITH trd AS (SELECT string_split($textExpr, ' ') AS w FROM $trainFrom"
       + s" WHERE $textExpr IS NOT NULL),"
       + s" trt AS (SELECT $gramSelect FROM trd WHERE len(w) >= $n),"

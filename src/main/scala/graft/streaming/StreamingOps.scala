@@ -478,6 +478,10 @@ object StreamingOps {
     * localCheckpoints are batch-sized only: `exNew` materializes before
     * its plan's own target (`dir/canon`) is appended to, survivors
     * before their sketch append — the write-after-checkpoint rule.
+    * At 100 TB, bucket the canon table by hash(`__canon`) and partition
+    * the buckets table by `bucket` (the [[graft.operators.Dedup.NearDupIndex]]
+    * prescription) so both probes co-locate instead of shuffling the
+    * at-rest side; the append-only layout is unchanged by either.
     *
     * STREAMED ≡ BATCH exactly as [[curationIngest]]: when arrival order
     * refines id order, the drained `dir/decon` row-matches the batch
