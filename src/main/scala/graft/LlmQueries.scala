@@ -1055,18 +1055,19 @@ object LlmQueries {
             "pcaHouseholder samples 10000 — raise trainSample for this scale")
         val (u, n) = Similarity.pcaHouseholder(corpus0, "vec_id", "embedding",
           dim = 64, iters = 16)
-        val cR = corpus0.withColumn("embR",
-          Similarity.householderRotate(col("embedding"), u, n))
-          .localCheckpoint()
+        // fused expression even at k=1: the zip_with form re-evaluates
+        // the dot subexpression per output element (dim² interpreted
+        // ops per row — ~2.5 s/rep at sf0.1; BENCH_NOTES r12)
+        val cR = Similarity.householderRotateAll(corpus0, "embedding", "embR",
+          Seq((u, n)))
         val c = cR.orderBy("vec_id").limit(16)
           .select(Similarity.quantize(col("embR")))
           .collect().map(r => r.getSeq[Long](0): Seq[Long])
         (u, n, c, Similarity.pqFit(cR, "vec_id", "embR", dim = 64, m = 4,
           k = 16, iters = 2))
       })
-      val eR = e.withColumn("embR",
-        Similarity.householderRotate(col("embedding"), uq, uu))
-        .localCheckpoint()
+      val eR = Similarity.householderRotateAll(e, "embedding", "embR",
+        Seq((uq, uu)))
       val codes = Similarity.ivfPqEncode(eR.where(col("vec_id") >= 5),
         "vec_id", "embR", dim = 64, m = 4, centroids = cents, codebooks = books)
       Similarity.ivfPqTopK(codes,
