@@ -582,6 +582,66 @@ object CurationQueries {
         .withColumn("b2", lit(betas(2)))
         .orderBy("source")
     }),
+    // fastText-style HASHED-feature quality classifier (Joulin et al.
+    // EACL'17; the DCLM/FineWeb-Edu filter shape): token bigrams hashed
+    // by the replayable rolling fold into 8 buckets — vocabulary-free
+    // integer counts feeding the same exact-gradient logisticFit; the
+    // oracle replays fold + bucketing + the unrolled 2-step fit
+    "q_logreg_hash" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val B = 8
+      // hash each bigram ONCE (projected bucket array), then count —
+      // the fit-side shape hashedBigramCounts' Scaladoc prescribes
+      val feat = T(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          (col("lang") === "en").as("y"),
+          TextAnalysis.hashedBigramBuckets(col("text"), B).as("__hb"))
+        .select(Seq(col("doc_id"), col("source"), col("y")) ++
+          TextAnalysis.hashedCountsFrom(col("__hb"), B): _*)
+      val features = (0 until B).map(h => col(s"xh$h") -> 10.0)
+      val betas = FeatureScaling.logisticFit(feat, features, col("y"), iters = 2)
+      val rolled = FeatureScaling.logisticScore(feat, features, betas)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("prob") >= 0.5, 1L).otherwise(0L)).as("n_pred_en"),
+          sum(col("prob")).cast("double").as("sum_prob"))
+      betas.zipWithIndex.foldLeft(rolled) { case (df, (b, i)) =>
+        df.withColumn(s"b$i", lit(b))
+      }.orderBy("source")
+    }),
+    // STREAMING quality monitoring: the odd-id slice arrives as
+    // one-file-per-trigger micro-batches, each scored statelessly under
+    // the hashed-feature classifier FIT ONCE on the full corpus (9
+    // frozen doubles as plan literals); streamed == batch is structural
+    // (row-local features), and the oracle replays fit + per-doc score
+    "q_stream_quality" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val docs = T(s, d, "documents")
+      val B = 8
+      val xs = TextAnalysis.hashedBigramCounts(col("text"), B)
+      val feat = docs.where(col("text").isNotNull)
+        .select(col("doc_id"), (col("lang") === "en").as("y"),
+          TextAnalysis.hashedBigramBuckets(col("text"), B).as("__hb"))
+        .select(Seq(col("doc_id"), col("y")) ++
+          TextAnalysis.hashedCountsFrom(col("__hb"), B): _*)
+      val betas = FeatureScaling.logisticFit(feat,
+        (0 until B).map(h => col(s"xh$h") -> 10.0), col("y"), iters = 2)
+      val dir = LlmQueries.stageDays(d, "qual", Seq(
+        docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 4 === 1),
+        docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 4 === 3)))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      LlmQueries.runForeachBatchReplay(
+        graft.streaming.StreamingOps.qualityScoreIngest(
+          stream, xs.map(_ -> 10.0), betas)(
+          p => parts.synchronized { parts += p.select("doc_id", "prob"); () }),
+        "graft_stream_quality")
+      parts.reduce(_ unionByName _)
+        .select(col("doc_id"), col("prob").cast("double").as("prob"))
+        .orderBy("doc_id")
+    }),
     // per-doc cross-entropy under a Jelinek-Mercer-interpolated bigram
     // MLE (unigramLogLoss with one token of context): garbled sequences
     // of plausible words now score high too
@@ -623,6 +683,54 @@ object CurationQueries {
           sum("n_trans").as("sum_trans"),
           sum("doc_id").as("id_checksum"))
         .orderBy("source")
+    }),
+    // CCNet head/middle/tail bucketing (Wenzek et al. LREC 2020 §4.4):
+    // rank the odd-id docs by KN perplexity WITHIN each source, cut the
+    // ranking into exact thirds (integer rank arithmetic, id-tiebroken),
+    // and report each (source, bucket) cell — the mixture-construction
+    // step that follows the LM score in the real pipeline
+    "q_ccnet_buckets" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val scored = LanguageModel.knBigramLogLoss(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .withColumn("kn_loss", round(col("kn_loss"), 6))
+        .join(docs.select("doc_id", "source"), "doc_id")
+      LanguageModel.perplexityBuckets(scored, "source", "doc_id", "kn_loss")
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_trans").as("sum_trans"),
+          sum("doc_id").as("id_checksum"))
+        .orderBy("source", "bucket")
+    }),
+    // the per-LANGUAGE CCNet composition (Wenzek et al. fit one KenLM
+    // PER language and bucket within it): one hash-partitioned plan
+    // fits every language's KN model (knBigramLogLossBy), then the
+    // rank-exact thirds cut WITHIN each language
+    "q_ccnet_buckets_by" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val scored = LanguageModel.knBigramLogLossBy(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "lang", "doc_id", "text")
+        .withColumn("kn_loss", round(col("kn_loss"), 6))
+      LanguageModel.perplexityBuckets(scored, "lang", "doc_id", "kn_loss")
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_trans").as("sum_trans"),
+          sum("doc_id").as("id_checksum"))
+        .orderBy("lang", "bucket")
+    }),
+    // STUPID BACKOFF at trigram depth (Brants et al. EMNLP 2007 §4) —
+    // the web-scale alternative to KN: raw relative frequencies with a
+    // fixed 0.4 backoff penalty, no continuation-count tables; the fit
+    // is one hash agg per level and mergeable by integer summation
+    "q_sb_loss" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      LanguageModel.sbNgramLogLoss(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text", order = 3)
+        .withColumn("sb3_loss", round(col("sb3_loss"), 6))
+        .orderBy("doc_id")
     }),
     // the TRIGRAM form — two backoff levels of the Chen-Goodman
     // recursion (continuation counts built from the level above's type
@@ -1154,6 +1262,55 @@ object CurationQueries {
     // coincides — see StreamingOps.curationIngest)
     ("q_stream_curation" -> oracleSqlBase("q_curation_e2e"))
 
+  /** Shared replay of the hashed-feature logistic fit (q_logreg_hash /
+    * q_stream_quality — ONE source so the two oracles cannot drift):
+    * returns (fit CTE chain `d0..c2` as a WITH body fragment, the
+    * final-model quantized-sigmoid score expression over `xh*` columns
+    * CROSS JOINed with c2). Fit side = full corpus, text non-null, the
+    * logisticFit row-exclusion rule in the grads WHERE. */
+  private def hashLrFitReplay(B: Int): (String, String) = {
+    import graft.operators.FeatureScaling.{sigmoidQSql, logitSql}
+    val xs = (0 until B).map(h => s"xh$h::DOUBLE / 10.0")
+    def grads(s0: String, src: String) =
+      (s"SELECT count(*)::BIGINT AS n,"
+        + s" sum(y::DECIMAL(18,6) - $s0) AS g0,"
+        + (0 until B).map(h =>
+          s" sum((y::DECIMAL(18,6) - $s0) * xh$h::DECIMAL(18,0)) AS g${h + 1}")
+          .mkString(",")
+        + s" FROM $src WHERE y IS NOT NULL"
+        + (0 until B).map(h => s" AND xh$h IS NOT NULL").mkString)
+    def step(prev: Seq[String]): Seq[String] =
+      s"${prev(0)} + 0.1 * (g0::DOUBLE / n::DOUBLE)" +:
+        (0 until B).map(h =>
+          s"${prev(h + 1)} + 0.1 * ((g${h + 1}::DOUBLE / 10.0) / n::DOUBLE)")
+    val s0 = sigmoidQSql(logitSql("0.0", xs.map("0.0" -> _)))
+    val b1 = step(Seq.fill(B + 1)("0.0"))
+    val s1 = sigmoidQSql(logitSql("c.b0",
+      (0 until B).map(h => s"c.b${h + 1}" -> xs(h))))
+    val b2 = step((0 to B).map(h => s"c.b$h"))
+    val s2 = sigmoidQSql(logitSql("c2.b0",
+      (0 until B).map(h => s"c2.b${h + 1}" -> xs(h))))
+    val ctes = ("d0 AS (SELECT doc_id, source,"
+      + " CASE WHEN lang IS NULL THEN NULL WHEN lang = 'en' THEN 1 ELSE 0 END AS y,"
+      + " string_split(text, ' ') AS w FROM documents WHERE text IS NOT NULL),"
+      + " bg AS (SELECT doc_id,"
+      + " unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g"
+      + " FROM d0 WHERE len(w) >= 2),"
+      + s" hb AS (SELECT doc_id, ${TextAnalysis.hashedBigramBucketSql("g", B)} AS h FROM bg),"
+      + " xc AS (SELECT doc_id,"
+      + (0 until B).map(h =>
+        s" sum(CASE WHEN h = $h THEN 1 ELSE 0 END)::BIGINT AS xh$h").mkString(",")
+      + " FROM hb GROUP BY doc_id),"
+      + " f AS (SELECT d0.doc_id, d0.source, d0.y,"
+      + (0 until B).map(h => s" coalesce(xc.xh$h, 0)::BIGINT AS xh$h").mkString(",")
+      + " FROM d0 LEFT JOIN xc ON d0.doc_id = xc.doc_id),"
+      + s" i1 AS (${grads(s0, "f")}),"
+      + s" c AS (SELECT ${b1.zipWithIndex.map { case (e, i) => s"$e AS b$i" }.mkString(", ")} FROM i1),"
+      + s" i2 AS (${grads(s1, "f CROSS JOIN c")}),"
+      + s" c2 AS (SELECT ${b2.zipWithIndex.map { case (e, i) => s"$e AS b$i" }.mkString(", ")} FROM i2 CROSS JOIN c)")
+    (ctes, s2)
+  }
+
   private def oracleSqlBase: Map[String, String] = Map(
     // the six-stage flagship replayed as ONE WITH chain: gopher pass ->
     // normalized keep-first -> brute-force-Jaccard near-dup keep-first
@@ -1609,6 +1766,40 @@ object CurationQueries {
         + " any_value(c2.b0) AS b0, any_value(c2.b1) AS b1, any_value(c2.b2) AS b2"
         + " FROM f CROSS JOIN c2 GROUP BY source ORDER BY source")
     },
+    "q_logreg_hash" -> {
+      val B = 8
+      val (ctes, s2) = hashLrFitReplay(B)
+      (s"WITH $ctes"
+        + " SELECT source, count(*)::BIGINT AS n_docs,"
+        + s" sum(CASE WHEN $s2 >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_pred_en,"
+        + s" sum($s2)::DOUBLE AS sum_prob,"
+        + (0 to B).map(h => s" any_value(c2.b$h) AS b$h").mkString(",")
+        + " FROM f CROSS JOIN c2 GROUP BY source ORDER BY source")
+    },
+    // streamed == batch: the drained stream IS the odd-id slice scored
+    // under the full-corpus fit — fit CTEs shared with q_logreg_hash's
+    // replay, score side per-doc (NULL-text docs score at all-zero
+    // features, the hashedBigramCounts contract)
+    "q_stream_quality" -> {
+      val B = 8
+      val (ctes, s2) = hashLrFitReplay(B)
+      (s"WITH $ctes,"
+        + " sd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents"
+        + " WHERE doc_id % 2 = 1),"
+        + " sbg AS (SELECT doc_id,"
+        + " unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g"
+        + " FROM sd WHERE len(w) >= 2),"
+        + s" shb AS (SELECT doc_id, ${TextAnalysis.hashedBigramBucketSql("g", B)} AS h FROM sbg),"
+        + " sxc AS (SELECT doc_id,"
+        + (0 until B).map(h =>
+          s" sum(CASE WHEN h = $h THEN 1 ELSE 0 END)::BIGINT AS xh$h").mkString(",")
+        + " FROM shb GROUP BY doc_id),"
+        + " sf AS (SELECT sd.doc_id,"
+        + (0 until B).map(h => s" coalesce(sxc.xh$h, 0)::BIGINT AS xh$h").mkString(",")
+        + " FROM sd LEFT JOIN sxc ON sd.doc_id = sxc.doc_id)"
+        + s" SELECT doc_id, ($s2)::DOUBLE AS prob"
+        + " FROM sf CROSS JOIN c2 ORDER BY doc_id")
+    },
     "q_bigram_ll" ->
       ("SELECT doc_id, n_trans, round(bigram_loss, 6) AS bigram_loss FROM ("
         + TextAnalysis.bigramLogLossSql("doc_id", "text", "documents")
@@ -1618,6 +1809,39 @@ object CurationQueries {
         + LanguageModel.knBigramLogLossSql("doc_id", "text",
             "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
             "(SELECT * FROM documents WHERE doc_id % 2 = 1)")
+        + ") ORDER BY 1"),
+    "q_ccnet_buckets" ->
+      ("WITH sc AS (" + LanguageModel.knBigramLogLossSql("doc_id", "text",
+          "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+          "(SELECT * FROM documents WHERE doc_id % 2 = 1)")
+        + "), j AS (SELECT d.source, sc.doc_id, sc.n_trans,"
+        + " round(sc.kn_loss, 6) AS l FROM documents d"
+        + " JOIN sc ON d.doc_id = sc.doc_id),"
+        + " r AS (SELECT source, doc_id, n_trans, l,"
+        + " row_number() OVER (PARTITION BY source ORDER BY l, doc_id) AS rn,"
+        + " count(*) OVER (PARTITION BY source) AS cnt FROM j)"
+        + " SELECT source, CASE WHEN rn * 3 <= cnt THEN 'head'"
+        + " WHEN rn * 3 <= cnt * 2 THEN 'middle' ELSE 'tail' END AS bucket,"
+        + " count(*)::BIGINT AS n_docs, sum(n_trans)::BIGINT AS sum_trans,"
+        + " sum(doc_id)::BIGINT AS id_checksum"
+        + " FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_ccnet_buckets_by" ->
+      ("WITH sc AS (" + LanguageModel.knBigramLogLossBySql("lang", "doc_id", "text",
+          "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+          "(SELECT * FROM documents WHERE doc_id % 2 = 1)")
+        + "), r AS (SELECT lang, doc_id, n_trans, round(kn_loss, 6) AS l,"
+        + " row_number() OVER (PARTITION BY lang ORDER BY round(kn_loss, 6), doc_id) AS rn,"
+        + " count(*) OVER (PARTITION BY lang) AS cnt FROM sc)"
+        + " SELECT lang, CASE WHEN rn * 3 <= cnt THEN 'head'"
+        + " WHEN rn * 3 <= cnt * 2 THEN 'middle' ELSE 'tail' END AS bucket,"
+        + " count(*)::BIGINT AS n_docs, sum(n_trans)::BIGINT AS sum_trans,"
+        + " sum(doc_id)::BIGINT AS id_checksum"
+        + " FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_sb_loss" ->
+      ("SELECT doc_id, n_trans, round(sb3_loss, 6) AS sb3_loss FROM ("
+        + LanguageModel.sbNgramLogLossSql("doc_id", "text",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 1)", order = 3)
         + ") ORDER BY 1"),
     "q_kn3_loss" ->
       ("SELECT doc_id, n_trans, round(kn3_loss, 6) AS kn3_loss FROM ("

@@ -52,6 +52,11 @@ object LlmQueries {
   private val pqBooksCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Seq[Long]]]]()
 
+  // q_ann_sq8's build-once-per-dir quantizer bounds (same index-at-rest
+  // convention: dim (min, max) pairs, fitted once)
+  private val sq8BoundsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long)]]()
+
   // q_ann_ivfpq's build-once-per-dir index state: the coarse quantizer
   // (first-16-corpus-vectors, the q_ann_ivf replayable convention) and
   // the m PQ sub-codebooks — both REQUIRED inputs of ivfPqTopK, fitted
@@ -860,6 +865,20 @@ object LlmQueries {
       Similarity.pqTopK(corpus, e.where(col("vec_id") === 0),
           "vec_id", "embedding", dim = 64, m = 4, codebooks = books,
           topK = 20)
+        .orderBy("rank")
+    }),
+    // SQ8 scalar-quantized ANN (FAISS ScalarQuantizer QT_8bit): the
+    // 8-bits-per-dim compression point next to PQ — per-dim (min, max)
+    // bounds fitted once on the corpus (index state), every vector
+    // encoded to uint8 codes in the SAME projection that scores it
+    // against the query's 255x fixed-point decode; exact int64 ADC
+    "q_ann_sq8" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val corpus = e.where(col("vec_id") =!= 0)
+      val bounds = sq8BoundsCache.computeIfAbsent(d, _ =>
+        Similarity.sq8Fit(corpus, "vec_id", "embedding", dim = 64))
+      Similarity.sq8TopK(corpus, e.where(col("vec_id") === 0),
+          "vec_id", "embedding", dim = 64, bounds = bounds, topK = 20)
         .orderBy("rank")
     }),
     // per-QUERY-SET hybrid retrieval (VERDICT r8 stretch #8): queries
@@ -3328,6 +3347,32 @@ object LlmQueries {
           + " list_dot_product(a.q, b.q) / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE)) DESC, b.vec_id) AS rank"
           + " FROM n a JOIN n b ON a.vec_id != b.vec_id WHERE a.vec_id < 50)"
           + " WHERE rank <= 5 ORDER BY id, rank"),
+      // SQ8 replay: per-dim min/max fit over the corpus, round-half-up
+      // 8-bit encode (the divisible-exact (t - t%dd)/dd division), the
+      // 255x fixed-point ADC sum, ranked — bit for bit vs sq8TopK
+      "q_ann_sq8" -> {
+        val dim = 64
+        // term for dimension i inside a list comprehension: the encode
+        // expression appears twice (diff * diff — no let-binding in SQL)
+        val tExpr = "((nc.q[i] - bl.mns[i]) * 510 + bl.dens[i])"
+        val codeExpr = (s"(CASE WHEN bl.dens[i] = 0 THEN 0"
+          + s" ELSE least(255, greatest(0, CAST(($tExpr - ($tExpr % (2 * bl.dens[i])))"
+          + s" / (2 * bl.dens[i]) AS BIGINT))) END)")
+        val diffExpr = s"(ql.al[i] - $codeExpr * bl.dens[i])"
+        (s"WITH n AS $qn,"
+          + " nc AS (SELECT vec_id, q FROM n WHERE vec_id != 0),"
+          + s" b AS (SELECT i, min(q[i]) AS mn, max(q[i]) AS mx"
+          + s" FROM nc, range(1, ${dim + 1}) t(i) GROUP BY i),"
+          + " bl AS (SELECT list(mn ORDER BY i) AS mns,"
+          + " list(mx - mn ORDER BY i) AS dens FROM b),"
+          + s" ql AS (SELECT [255 * (qq.q[i] - bl.mns[i]) for i in range(1, ${dim + 1})] AS al"
+          + " FROM (SELECT q FROM n WHERE vec_id = 0) qq, bl),"
+          + s" sc AS (SELECT nc.vec_id, CAST(list_sum("
+          + s"[$diffExpr * $diffExpr for i in range(1, ${dim + 1})]) AS BIGINT) AS d2"
+          + " FROM nc, bl, ql)"
+          + " SELECT vec_id, row_number() OVER (ORDER BY d2, vec_id) AS rank, d2"
+          + " FROM sc ORDER BY d2, vec_id LIMIT 20")
+      },
       // PQ replay: the four sub-codebook fits (pqSubFitCtes), the ADC
       // distance table per subspace (exact BIGINT ||q_i - c||^2), codes
       // joined to tables, summed, ranked — bit for bit vs pqTopK

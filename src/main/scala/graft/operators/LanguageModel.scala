@@ -709,4 +709,191 @@ object LanguageModel {
       dir: String): KnBigramState =
     KnBigramState(spark.read.parquet(s"$dir/bigrams"),
       spark.read.parquet(s"$dir/unigrams"))
+
+  /** STUPID BACKOFF n-gram scoring (Brants, Popat, Xu, Och & Dean,
+    * "Large Language Models in Machine Translation", EMNLP 2007 §4) —
+    * the smoothing web-scale LMs actually ship when Kneser-Ney's
+    * continuation-count tables are too expensive to build at corpus
+    * size. No discounting, no normalization — seen n-grams score by
+    * raw relative frequency, unseen ones back off with a fixed penalty:
+    *
+    *   S_k(w|h) = c_k(hw) / c_k(h·)    if c_k(hw) > 0
+    *            = α · S_{k−1}(w|h')    otherwise        (α = 0.4, Brants §4)
+    *   S_1(w)   = c_1(w) / N           if c_1(w) > 0
+    *            = 1 / N                otherwise (OOV floor: one unseen
+    *                                   token-occurrence of mass; Brants
+    *                                   leave OOV to the consumer — this
+    *                                   floor keeps every score strictly
+    *                                   positive, the kn-family contract)
+    *
+    * S is a SCORE, not a probability (it does not sum to 1 — Brants §4
+    * note "not normalized"); `sb{order}_loss` = −mean ln S is therefore
+    * a ranking signal comparable only under the same model, which is
+    * exactly how the perplexity-filter deployment uses it.
+    *
+    * KN-family contrast (why both exist): [[knNgramLogLoss]] needs the
+    * continuation TYPE tables (distinct-count regroups per level);
+    * stupid backoff needs only RAW count tables — each level is one
+    * hash agg, map-side combined, and the whole fit is mergeable by
+    * integer summation (the [[KnBigramState]] pattern applies verbatim
+    * to every level's table). Note the levels are NOT derivable from
+    * the top table alone: a doc with k ≤ len < order tokens contributes
+    * level-k grams but no order-grams (and every doc's last positions
+    * contribute short grams only), so each level aggregates its own
+    * explode of the same token arrays — `order` passes over the text
+    * column at fit time, each a projection-only scan; a fit-once
+    * deployment persists the count tables (the [[KnBigramModel]]
+    * at-rest convention) and never rescans.
+    *
+    * Score docs need ≥order tokens (n_trans = n−order+1); shorter/NULL
+    * docs are absent. Determinism: every score is one fixed-shape IEEE
+    * expression over exact integer counts, ln-quantized and summed as
+    * exact decimals ([[TextAnalysis.lnQ]]); backoff builds as the
+    * LINEAR tree (A + B·S)/1 with exact identity branches (B=0 kills
+    * the unused lower level exactly; A=0 passes α·S through exactly) —
+    * one S reference per level, the knNgramLogLoss planning fix.
+    * [[sbNgramLogLossSql]] mirrors it token for token. */
+  def sbNgramLogLoss(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String,
+      order: Int,
+      alpha: Double = 0.4): DataFrame = {
+    require(order >= 2, s"sbNgramLogLoss needs order >= 2 (got $order)")
+    require(alpha > 0 && alpha < 1, s"backoff alpha must be in (0,1) (got $alpha)")
+    val n = order
+    // level-k RAW counts, each from its own explode of the train text
+    // (levels are not marginals of the top table — see Scaladoc)
+    val cks = (2 to n).map { k =>
+      k -> transitionsN(train, textCol, textCol, k)
+        .groupBy((1 to k).map(j => col(s"__g$j").as(s"__s${k}k$j")): _*)
+        .agg(count(lit(1)).as(s"__scnt$k"))
+    }.toMap
+    require(cks(n).limit(1).count() == 1L,
+      s"sbNgramLogLoss: train corpus has no $n-grams (every doc <$n tokens)")
+    // level-k context sums c_k(h·) — a regroup of the level table
+    val lks = (2 to n).map { k =>
+      k -> cks(k)
+        .groupBy((1 until k).map(j => col(s"__s${k}k$j").as(s"__x${k}k$j")): _*)
+        .agg(sum(col(s"__scnt$k")).as(s"__sctx$k"))
+    }.toMap
+    val c1 = train.select(explode(tokens(col(textCol))).as("__s1k1"))
+      .groupBy(col("__s1k1")).agg(count(lit(1)).as("__scnt1"))
+    val totals = c1.agg(sum(col("__scnt1")).as("__nn"))
+
+    val sc = transitionsN(score, idCol, textCol, n)
+    var joined = sc
+    for (k <- n to 2 by -1) {
+      joined = joined
+        .join(cks(k), (1 to k).map(j =>
+          col(s"__g${n - k + j}") === col(s"__s${k}k$j")).reduce(_ && _), "left")
+        .join(lks(k), (1 until k).map(j =>
+          col(s"__g${n - k + j}") === col(s"__x${k}k$j")).reduce(_ && _), "left")
+    }
+    joined = joined
+      .join(c1, col(s"__g$n") === col("__s1k1"), "left")
+      .crossJoin(broadcast(totals))
+    var sS = coalesce(col("__scnt1"), lit(1L)).cast("double") /
+      col("__nn").cast("double")
+    for (k <- 2 to n) {
+      val seen = col(s"__scnt$k").isNotNull
+      val a = when(seen, col(s"__scnt$k").cast("double") /
+        col(s"__sctx$k").cast("double")).otherwise(lit(0.0))
+      val b = when(seen, lit(0.0)).otherwise(lit(alpha))
+      sS = a + b * sS
+    }
+    joined
+      .select(col("__id"), lnQ(sS).as("__lp"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_trans"), sum(col("__lp")).as("__s"))
+      .withColumn(s"sb${n}_loss",
+        -(col("__s").cast("double")) / col("n_trans").cast("double"))
+      .drop("__s")
+  }
+
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al., LREC
+    * 2020 §4.4) — the step AFTER the LM score: within each group
+    * (CCNet: per language), rank documents by perplexity and cut the
+    * ranking into three equal parts; "head" (most fluent third) feeds
+    * high-quality training mixes, "tail" is dropped or down-weighted.
+    * Composes with any scorer (the tokenizer-slot convention): pass the
+    * frame [[knBigramLogLoss]] / [[knNgramLogLoss]] / [[sbNgramLogLoss]]
+    * returned, joined with its group column.
+    *
+    * Exact rank arithmetic, not approximate percentiles: rn =
+    * row_number over (group, ORDER BY loss, id), cnt = group size,
+    * bucket = head iff 3·rn ≤ cnt, middle iff 3·rn ≤ 2·cnt, else tail —
+    * all integer comparisons, deterministic under loss ties (id breaks
+    * them). Output = input columns + `bucket`.
+    *
+    * Scale shape: the window partitions by group and sorts SCORE rows —
+    * (group, id, loss) scalars, never document text (the text never
+    * survives past its scorer's explode), so a 100 TB corpus buckets by
+    * sorting ~16-byte pairs; one shuffle by group. Groups are
+    * CCNet-coarse (languages/sources), so per-group sort is the
+    * documented cost — a giant single group degrades to one sorted
+    * partition of scalar pairs, the same bound as any exact ranking. */
+  def perplexityBuckets(scored: DataFrame, groupCol: String, idCol: String,
+      lossCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(lossCol), col(idCol))
+    val wc = Window.partitionBy(col(groupCol))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wc))
+      .withColumn("bucket",
+        when(col("__rn") * 3 <= col("__cnt"), lit("head"))
+          .when(col("__rn") * 3 <= col("__cnt") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__rn", "__cnt")
+  }
+
+  /** DuckDB twin of [[sbNgramLogLoss]] — per-level raw count tables
+    * from their own unnests, the same linear backoff expression token
+    * for token. */
+  def sbNgramLogLossSql(idExpr: String, textExpr: String,
+      trainFrom: String, scoreFrom: String, order: Int,
+      alpha: Double = 0.4): String = {
+    require(order >= 2, s"sbNgramLogLossSql needs order >= 2 (got $order)")
+    val n = order
+    def gramSelect(k: Int) = (1 to k).map(j =>
+      s"unnest([w[i+${j - 1}] for i in range(1, len(w) - ${k - 2})]) AS g$j")
+      .mkString(", ")
+    val levelCtes = (2 to n).flatMap { k =>
+      val tk = s"trt$k AS (SELECT ${gramSelect(k)} FROM trd WHERE len(w) >= $k)"
+      val sk = (s"s$k AS (SELECT " + (1 to k).map(j => s"g$j AS k$j").mkString(", ")
+        + s", count(*)::BIGINT AS cnt FROM trt$k GROUP BY "
+        + (1 to k).mkString(", ") + ")")
+      val xk = (s"x$k AS (SELECT " + (1 until k).map(j => s"k$j").mkString(", ")
+        + s", sum(cnt)::BIGINT AS ctx FROM s$k GROUP BY "
+        + (1 until k).mkString(", ") + ")")
+      Seq(tk, sk, xk)
+    }
+    val s1 = ("s1 AS (SELECT u AS k1, count(*)::BIGINT AS cnt FROM"
+      + " (SELECT unnest(w) AS u FROM trd) GROUP BY 1)")
+    val tot = "tot AS (SELECT sum(cnt)::BIGINT AS n FROM s1)"
+    val joins = (n to 2 by -1).map { k =>
+      val onS = (1 to k).map(j => s"sct.g${n - k + j} = s$k.k$j").mkString(" AND ")
+      val onX = (1 until k).map(j => s"sct.g${n - k + j} = x$k.k$j").mkString(" AND ")
+      s" LEFT JOIN s$k ON $onS LEFT JOIN x$k ON $onX"
+    }.mkString("") + s" LEFT JOIN s1 ON sct.g$n = s1.k1 CROSS JOIN tot"
+    var p = "coalesce(s1.cnt, 1)::DOUBLE / tot.n::DOUBLE"
+    for (k <- 2 to n)
+      p = (s"(CASE WHEN s$k.cnt IS NULL THEN 0.0"
+        + s" ELSE s$k.cnt::DOUBLE / x$k.ctx::DOUBLE END"
+        + s" + CASE WHEN s$k.cnt IS NULL THEN $alpha ELSE 0.0 END * ($p))")
+    (s"WITH trd AS (SELECT string_split($textExpr, ' ') AS w FROM $trainFrom"
+      + s" WHERE $textExpr IS NOT NULL),"
+      + levelCtes.mkString(" ", ", ", ",")
+      + s" $s1, $tot,"
+      + s" scd AS (SELECT $idExpr AS id, string_split($textExpr, ' ') AS w"
+      + s" FROM $scoreFrom WHERE $textExpr IS NOT NULL),"
+      + s" sct AS (SELECT id, ${gramSelect(n)} FROM scd WHERE len(w) >= $n),"
+      + s" pr AS (SELECT sct.id, $p AS p FROM sct$joins),"
+      + " sc AS (SELECT id, round(ln(p), 6)::DECIMAL(18,6) AS lp FROM pr)"
+      + s" SELECT id AS $idExpr, count(*)::BIGINT AS n_trans,"
+      + s" -(sum(lp)::DOUBLE) / count(*)::DOUBLE AS sb${n}_loss"
+      + " FROM sc GROUP BY 1 ORDER BY 1")
+  }
 }

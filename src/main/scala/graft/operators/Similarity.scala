@@ -803,6 +803,107 @@ object Similarity {
       .select(col(idCol), col("rank"), col("adc"))
   }
 
+  /** SQ8 scalar-quantizer training — per-dimension (min, max) bounds on
+    * the 1e-6 grid, the 8-bit uniform quantizer FAISS ships as
+    * `ScalarQuantizer(QT_8bit)`: the OTHER standard compression point
+    * next to PQ (4 bits/dim of codebook structure vs SQ8's 8 bits/dim
+    * of per-dim range) — SQ8 loses less per dimension, PQ compresses
+    * harder; real deployments pick per corpus. ONE map-side-combined
+    * hash agg over (dim, value) pairs → `dim` rows collected (bounded,
+    * fail-fast) — the pqFit/ivfTrain index-state convention: fit once,
+    * persist, reuse. Fails fast on ragged corpora (a vector shorter
+    * than `dim` leaves a dimension with no rows). */
+  def sq8Fit(corpus: DataFrame, idCol: String, embCol: String, dim: Int)
+      : Seq[(Long, Long)] = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096] (got $dim)")
+    val rows = corpus
+      .select(posexplode(quantize(col(embCol))).as(Seq("__pos", "__x")))
+      .groupBy(col("__pos"))
+      .agg(min(col("__x")).as("__mn"), max(col("__x")).as("__mx"))
+      .collect()
+    require(rows.length == dim,
+      s"sq8Fit: corpus has ${rows.length} populated dimensions, expected $dim" +
+        " (ragged or empty corpus)")
+    rows.sortBy(_.getInt(0)).map(r => (r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  /** SQ8 ANN top-k by Asymmetric Distance Computation over 8-bit codes
+    * (FAISS `IndexScalarQuantizer` search): every corpus vector encodes
+    * to dim uint8 codes, code_d = round(255·(x_d − mn_d)/(mx_d − mn_d))
+    * clamped to [0, 255]; the query scores each row at the DECODED
+    * point x̂_d = mn_d + code_d·den_d/255 — held in 255× fixed point so
+    * the whole distance stays exact int64:
+    *
+    *   d2 = Σ_d (255·(q_d − mn_d) − code_d·den_d)²   (den = mx − mn)
+    *
+    * Every step is exact integer arithmetic on the quantized grid
+    * (round-half-up via the Ewm `(t − pmod(t, dd))/dd` divisible-exact
+    * division; the corpus side never sees a negative numerator because
+    * its values DEFINE the bounds); an int64 overflow bound is checked
+    * against the actual query/bounds literals in exact BigInt before
+    * the plan builds. Ties rank by id; the oracle replays fit + encode
+    * + ADC + rank bit for bit.
+    *
+    * Scale shape: the fit is index state (one agg, dim rows); encode +
+    * score is ONE codegen projection over the corpus — constant-size
+    * expressions via array lambdas (codes and terms are `transform`s
+    * over the embedding array with per-dim literal lookups), no joins,
+    * no shuffle before the k-bounded ordering. A 10B-vector corpus
+    * scores as a linear scan of 64-byte codes. `query` must be a single
+    * row (per-dim query literals ride the plan, the pqTopK convention). */
+  def sq8TopK(
+      corpus: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      bounds: Seq[(Long, Long)],
+      topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1 (got $topK)")
+    require(bounds.length == dim, s"bounds must have $dim entries (got ${bounds.length})")
+    require(bounds.forall(b => b._2 >= b._1), "each bound needs max >= min")
+    GraftFunctions.register(corpus.sparkSession)
+    val qRow = query.select(quantize(col(embCol))).collect()
+    require(qRow.length == 1, s"sq8TopK expects exactly ONE query row (got ${qRow.length})")
+    val qv = qRow(0).getSeq[Long](0)
+    require(qv.length == dim, s"query dim ${qv.length} != declared dim $dim")
+    val mins = bounds.map(_._1)
+    val dens = bounds.map(b => b._2 - b._1)
+    val aArr = (0 until dim).map(d => 255L * (qv(d) - mins(d)))
+    // exact overflow audit on the actual literals: per-dim worst |diff|
+    // is at code 0 or 255
+    val worst = (0 until dim).map { d =>
+      val a = BigInt(aArr(d))
+      val w = a.abs.max((a - BigInt(255) * dens(d)).abs)
+      w * w
+    }.sum
+    require(worst <= BigInt(Long.MaxValue),
+      s"sq8TopK: ADC distance could overflow int64 for this query/bounds" +
+        s" (worst-case sum $worst) — reduce dim or value range")
+    val minsL = typedlit(mins)
+    val densL = typedlit(dens)
+    val aL = typedlit(aArr.toSeq)
+    val codes = transform(quantize(col(embCol)), (x, i) => {
+      val mn = element_at(minsL, i + 1)
+      val den = element_at(densL, i + 1)
+      val t = (x - mn) * lit(510L) + den
+      val dd = den * lit(2L)
+      when(den === 0L, lit(0L)).otherwise(
+        least(lit(255L), greatest(lit(0L),
+          ((t - pmod(t, dd)) / dd).cast("long"))))
+    })
+    val terms = transform(codes, (c, i) => {
+      val diff = element_at(aL, i + 1) - c * element_at(densL, i + 1)
+      diff * diff
+    })
+    val d2 = aggregate(terms, lit(0L), (acc, t) => acc + t)
+    val w = Window.orderBy(col("d2"), col(idCol))
+    corpus.select(col(idCol), d2.as("d2"))
+      .orderBy(col("d2"), col(idCol)).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col(idCol), col("rank"), col("d2"))
+  }
+
   /** The IVFADC index table (Jégou et al., TPAMI'11 §IV — the FAISS
     * IVF+PQ composition): every corpus vector hard-assigned its coarse
     * IVF cell ([[nearestCellExprOn]] against `centroids`) and compressed

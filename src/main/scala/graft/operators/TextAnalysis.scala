@@ -249,6 +249,72 @@ object TextAnalysis {
       + s" list_transform(string_split($expr, ''), c -> ascii(c)::BIGINT)),"
       + " (a, b) -> (a * 31 + b) % 1000000007)")
 
+  /** fastText-style hashed bigram bag (Joulin, Grave, Bojanowski &
+    * Mikolov, "Bag of Tricks for Efficient Text Classification", EACL
+    * 2017 §2: n-gram features hashed into a fixed bucket table) — the
+    * feature map of the production quality classifiers (the
+    * DCLM/FineWeb-Edu shape): VOCABULARY-FREE, so the feature space is
+    * fixed at `buckets` regardless of corpus size; no fit pass, no
+    * driver state, no OOV handling. Returns `buckets` integer count
+    * columns — x_h = how many of the document's token bigrams hash to
+    * bucket h under the [[fingerprint]] rolling fold mod `buckets` —
+    * ready to feed [[FeatureScaling.logisticFit]] as (count, divisor)
+    * pairs (integer-raw, so the fit's gradient sums stay exact and the
+    * oracle replays the fold + bucket + fit bit for bit; xxhash64
+    * would not replay). Docs with <2 tokens (or NULL text) get all-zero
+    * counts. Row-local array lambdas — zero shuffle, zero UDF; the
+    * per-bigram fold is the NATIVE [[fingerprintFast]] loop (requires
+    * [[graft.expressions.GraftFunctions.register]] on the session —
+    * the HOF fold interpreted one lambda per CHARACTER and cost ~40×
+    * on the sf0.1 fit, BENCH_NOTES r12 receipt).
+    *
+    * Each returned column embeds its own copy of the bucket-array
+    * expression, so a SELECT of all `buckets` counts re-hashes every
+    * bigram `buckets` times — fine for micro-batch scoring; a FIT over
+    * a corpus should project [[hashedBigramBuckets]] once and derive
+    * the counts from that column ([[hashedCountsFrom]]) — Catalyst
+    * does not collapse the two projections because the array alias is
+    * non-cheap and referenced `buckets` times. */
+  def hashedBigramCounts(text: Column, buckets: Int): Seq[Column] =
+    hashedCountsFrom(hashedBigramBuckets(text, buckets), buckets)
+
+  /** The per-bigram bucket array of [[hashedBigramCounts]]: bucket =
+    * [[fingerprintFast]](w_i ++ " " ++ w_{i+1}) mod `buckets` for every
+    * adjacent token pair; empty for <2-token/NULL docs.
+    *
+    * Built with `zip_with(w, shift(w))`, NOT the index-lambda
+    * `transform(sequence(...), i => element_at(w, i+1)...)` form: a
+    * lambda BODY referencing `w` re-evaluates the split per ELEMENT
+    * (HOFs interpret their lambda subtree on every element — the
+    * reason [[LanguageModel]]'s transitions() projects the token array
+    * before exploding), turning a 54-token doc into ~108 re-splits per
+    * row; zip_with evaluates both array arguments once per ROW and
+    * hands the lambda bound element values (measured 6× on the sf0.1
+    * fit, BENCH_NOTES r12 receipt). The zip pads the shifted side with
+    * one trailing null → one null gram, filtered before hashing. */
+  def hashedBigramBuckets(text: Column, buckets: Int): Column = {
+    require(buckets >= 2 && buckets <= 64,
+      s"buckets must be in [2, 64] (got $buckets)")
+    val w = tokens(text)
+    val grams = zip_with(w, slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val hs = transform(filter(grams, g => g.isNotNull),
+      g => fingerprintFast(g) % buckets)
+    coalesce(hs, typedlit(Seq.empty[Long]))
+  }
+
+  /** Per-bucket counts from a (projected) [[hashedBigramBuckets]]
+    * column — the fit-side form: hash once per bigram, count from the
+    * small in-memory array. */
+  def hashedCountsFrom(bucketArr: Column, buckets: Int): Seq[Column] =
+    (0 until buckets).map(h =>
+      size(filter(bucketArr, x => x === h)).cast("long").as(s"xh$h"))
+
+  /** DuckDB twin of [[hashedBigramCounts]]'s per-bigram bucket: the
+    * [[fingerprintSql]] fold mod `buckets` over a bigram expression. */
+  def hashedBigramBucketSql(gramExpr: String, buckets: Int): String =
+    s"(${fingerprintSql(gramExpr)}) % $buckets"
+
   /** Oracle-SQL twin of [[fingerprint2]]. */
   def fingerprint2Sql(expr: String): String =
     ("list_reduce(list_prepend(0::BIGINT,"

@@ -791,6 +791,28 @@ object StreamingOps {
           .localCheckpoint())
     }
 
+  /** Stateless streaming quality-classifier scoring — the
+    * [[knScoreIngest]] shape for a fitted
+    * [[graft.operators.FeatureScaling.logisticFit]] model: the
+    * coefficient vector is d+1 frozen doubles (riding the plan as
+    * literals — no broadcast, no state), each micro-batch scores as ONE
+    * codegen projection, and streamed ≡ batch is structural because
+    * every row's features are row-local. The monitoring tail of the
+    * classifier pipeline: fit once on the curated reference, watch live
+    * ingest quality drift. */
+  def qualityScoreIngest(
+      stream: DataFrame,
+      features: Seq[(org.apache.spark.sql.Column, Double)],
+      betas: Array[Double],
+      as: String = "prob")(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        emit(graft.operators.FeatureScaling
+          .logisticScore(batch.toDF(), features, betas, as)
+          .localCheckpoint())
+    }
+
   /** Continuous KN-model maintenance — the [[quantileStateIngest]]
     * shape for the language model (VERDICT r11 #3): each micro-batch
     * folds ONCE into its own bounded

@@ -357,4 +357,38 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.operators.UnigramLm
       .segmentCosts(emptyDocs, "doc_id", "text", ulm).count() == 0)
   }
+
+  test("r12-continuation operators degrade gracefully on empty input") {
+    import graft.operators.{LanguageModel, Similarity, TextAnalysis}
+    graft.expressions.GraftFunctions.register(spark)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val threeTok = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // stupid backoff: train without an order-gram fails fast; empty
+    // score side stays empty
+    intercept[IllegalArgumentException] {
+      LanguageModel.sbNgramLogLoss(emptyDocs, threeTok, "doc_id", "text", order = 3)
+    }
+    assert(LanguageModel
+      .sbNgramLogLoss(threeTok, emptyDocs, "doc_id", "text", order = 3)
+      .count() == 0)
+    // perplexity buckets over an empty scored frame: empty, no error
+    val emptyScored = Seq.empty[(String, Long, Double)]
+      .toDF("source", "doc_id", "kn_loss")
+    assert(LanguageModel
+      .perplexityBuckets(emptyScored, "source", "doc_id", "kn_loss")
+      .count() == 0)
+    // SQ8: an empty corpus has no populated dimensions -> fit fails fast
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.sq8Fit(emptyVecs, "vec_id", "embedding", dim = 3)
+    }
+    // scoring an empty corpus under real bounds stays empty
+    val one = Seq((1L, Seq(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    val bounds = Similarity.sq8Fit(one, "vec_id", "embedding", dim = 2)
+    assert(Similarity.sq8TopK(emptyVecs, one, "vec_id", "embedding",
+      dim = 2, bounds = bounds, topK = 5).count() == 0)
+    // hashed features over an empty frame: empty projection, no error
+    assert(emptyDocs.select(
+      TextAnalysis.hashedBigramCounts(col("text"), 4): _*).count() == 0)
+  }
 }

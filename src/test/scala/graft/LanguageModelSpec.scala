@@ -322,6 +322,94 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getLong(2) == 2L)
   }
 
+  /** Brute-force stupid backoff from raw token seqs — independent of
+    * the operator's SQL shape (Brants et al. 2007 §4 recursion). */
+  private def sbModel(train: Seq[Seq[String]], n: Int, alpha: Double) = {
+    val counts: Map[Int, Map[Seq[String], Long]] = (1 to n).map { k =>
+      k -> train.flatMap(_.sliding(k).filter(_.size == k))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val nTok = train.map(_.size).sum.toLong
+    def s(g: Seq[String]): Double = {
+      val k = g.size
+      if (k == 1) counts(1).getOrElse(g, 1L).toDouble / nTok.toDouble
+      else counts(k).get(g) match {
+        case Some(c) =>
+          val ctx = counts(k).collect {
+            case (kg, kc) if kg.take(k - 1) == g.take(k - 1) => kc }.sum
+          c.toDouble / ctx.toDouble
+        case None => alpha * s(g.tail)
+      }
+    }
+    s _
+  }
+
+  test("sbNgramLogLoss: brute-force replay — seen, backed-off, OOV; short docs absent") {
+    val trainText = Seq("a b a b c", "b c a b", "c a b c a")
+    val train = trainText.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c a b"),   // seen trigrams
+      (2L, "b a c"),       // unseen trigram "b a c" -> backoff chain
+      (3L, "a z b"),       // z: OOV word -> 1/N floor through two alphas
+      (4L, "a b"),         // <3 tokens -> absent
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val s = sbModel(trainText.map(_.split(" ").toSeq), 3, 0.4)
+    val exp = Map(
+      1L -> Seq("a b c a b".split(" ").toSeq),
+      2L -> Seq("b a c".split(" ").toSeq),
+      3L -> Seq("a z b".split(" ").toSeq)
+    ).map { case (id, docs) =>
+      val lps = docs.flatMap(_.sliding(3).map(g => lnQ(s(g))))
+      id -> ((lps.size.toLong, -(lps.sum.toDouble) / lps.size))
+    }
+    val got = LanguageModel.sbNgramLogLoss(train, score, "doc_id", "text", order = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    exp.foreach { case (id, (nt, l)) =>
+      assert(got(id)._1 == nt, s"doc $id n_trans")
+      assert(math.abs(got(id)._2 - l) < 1e-9, s"doc $id loss: got ${got(id)._2} want $l")
+    }
+  }
+
+  test("sbNgramLogLoss: clean text scores lower than garbled; empty train fails fast") {
+    val clean = "the cat sat on the mat and the dog sat on the rug"
+    val train = Seq.tabulate(6)(i => (i.toLong, clean)).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "the cat sat on the rug"),
+      (2L, "rug the on mat cat dog the")).toDF("doc_id", "text")
+    val got = LanguageModel.sbNgramLogLoss(train, score, "doc_id", "text", order = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) < got(2L), s"clean ${got(1L)} !< garbled ${got(2L)}")
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.sbNgramLogLoss(
+        Seq((1L, "a b")).toDF("doc_id", "text"), score, "doc_id", "text", order = 3)
+    }
+    assert(e.getMessage.contains("no 3-grams"))
+  }
+
+  test("perplexityBuckets: exact thirds, remainder to tail, ties broken by id") {
+    // group "x": 10 docs -> head 3 / middle 3 / tail 4 (3·rn ≤ cnt rule);
+    // docs 4..6 share a loss value — rank (hence bucket) decided by id
+    val scored = (Seq.tabulate(10) { i =>
+      val loss = if (i >= 3 && i <= 5) 2.0 else (i + 1).toDouble
+      ("x", i.toLong, loss)
+    } ++ Seq(("y", 100L, 1.0), ("y", 101L, 2.0))) // cnt=2: no head (3>2), 1 mid, 1 tail
+      .toDF("source", "doc_id", "kn_loss")
+    val got = LanguageModel.perplexityBuckets(scored, "source", "doc_id", "kn_loss")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(3)).toMap
+    // group x sorted by (loss, id): ids 0(1.0) 3(2.0) 4(2.0) 5(2.0) 1(2.0)?
+    // no — id1 has loss 2.0? i=1 -> loss 2.0. Recompute: losses by id:
+    // 0->1, 1->2, 2->3, 3->2, 4->2, 5->2, 6->7, 7->8, 8->9, 9->10
+    // order: 0(1), then loss-2 ties by id: 1,3,4,5, then 2(3),6,7,8,9
+    val expX = Map(0L -> "head", 1L -> "head", 3L -> "head",
+      4L -> "middle", 5L -> "middle", 2L -> "middle",
+      6L -> "tail", 7L -> "tail", 8L -> "tail", 9L -> "tail")
+    expX.foreach { case (id, b) => assert(got(("x", id)) == b, s"doc $id") }
+    assert(got(("y", 100L)) == "middle" && got(("y", 101L)) == "tail")
+  }
+
   test("knBigramLogLoss: train without transitions fails fast; empty score is empty") {
     val noTrans = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val score = Seq((1L, "a b")).toDF("doc_id", "text")

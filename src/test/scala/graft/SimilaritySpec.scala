@@ -970,4 +970,53 @@ class SimilaritySpec extends AnyFunSuite {
         maxCandidates = 3)
     }
   }
+
+  test("sq8Fit/sq8TopK: brute-force SQ8 replay — fit, encode, ADC, rank") {
+    // brute force in exact Scala longs, independent of the SQL shape
+    def q(x: Float): Long = math.round(x.toDouble * 1e6)
+    val corpusRaw = Seq(
+      (1L, Seq(0.10f, -0.50f, 0.30f)),
+      (2L, Seq(0.90f, 0.20f, 0.30f)),   // dim 3 constant -> den = 0
+      (3L, Seq(-0.40f, 0.70f, 0.30f)),
+      (4L, Seq(0.50f, 0.00f, 0.30f)),
+      (5L, Seq(0.11f, -0.48f, 0.30f)))  // near vec 1
+    val queryRaw = (0L, Seq(0.12f, -0.49f, 0.30f)) // nearest: 5, then 1
+    val e = vecs((queryRaw +: corpusRaw): _*)
+    val corpus = e.where(col("vec_id") =!= 0)
+    val bounds = Similarity.sq8Fit(corpus, "vec_id", "embedding", dim = 3)
+    // expected bounds: per-dim min/max of quantized corpus values
+    val cq = corpusRaw.map { case (id, v) => id -> v.map(q) }
+    (0 until 3).foreach { d =>
+      assert(bounds(d)._1 == cq.map(_._2(d)).min && bounds(d)._2 == cq.map(_._2(d)).max)
+    }
+    val qv = queryRaw._2.map(q)
+    def code(x: Long, mn: Long, den: Long): Long =
+      if (den == 0L) 0L
+      else math.min(255L, math.max(0L, {
+        val t = (x - mn) * 510L + den; (t - t % (2 * den)) / (2 * den)
+      }))
+    val exp = cq.map { case (id, v) =>
+      val d2 = (0 until 3).map { d =>
+        val (mn, mx) = bounds(d); val den = mx - mn
+        val diff = 255L * (qv(d) - mn) - code(v(d), mn, den) * den
+        diff * diff
+      }.sum
+      (id, d2)
+    }.sortBy(p => (p._2, p._1))
+    val got = Similarity.sq8TopK(corpus, e.where(col("vec_id") === 0),
+        "vec_id", "embedding", dim = 3, bounds = bounds, topK = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == exp, s"got $got want $exp")
+    assert(got.head._1 == 5L, "nearest neighbor should be vec 5")
+    // ragged corpus fails the fit fast
+    intercept[IllegalArgumentException] {
+      Similarity.sq8Fit(corpus, "vec_id", "embedding", dim = 4)
+    }
+    // bounds arity enforced
+    intercept[IllegalArgumentException] {
+      Similarity.sq8TopK(corpus, e.where(col("vec_id") === 0),
+        "vec_id", "embedding", dim = 3, bounds = bounds.take(2), topK = 5)
+    }
+  }
 }

@@ -595,6 +595,54 @@ class StreamingSpec extends AnyFunSuite {
       Seq(Set(1L, 2L), Set(3L, 4L)))
   }
 
+  test("qualityScoreIngest: per-batch stateless scoring == one-shot batch scoring") {
+    import graft.operators.{FeatureScaling, TextAnalysis}
+    graft.expressions.GraftFunctions.register(spark)
+    val B = 4
+    val xs = TextAnalysis.hashedBigramCounts(col("text"), B)
+    val features = xs.map(_ -> 10.0)
+    val train = Seq((1L, "the cat sat", true), (2L, "cat the on", false),
+      (3L, "the dog sat on", true), (4L, "on the dog", false))
+      .toDF("doc_id", "text", "y")
+    val feat = train.select(Seq(col("doc_id"), col("y")) ++ xs: _*)
+    val betas = FeatureScaling.logisticFit(feat,
+      (0 until B).map(h => col(s"xh$h") -> 10.0), col("y"), iters = 2)
+    val scoreDocs = Seq((10L, "the cat sat on"), (11L, "dog the"),
+      (12L, "one"), (13L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val days = Seq(Seq((10L, "the cat sat on"), (11L, "dog the")),
+      Seq((12L, "one"), (13L, null.asInstanceOf[String])))
+      .map(_.toDF("doc_id", "text"))
+    val dir = tmpDir("graft-stream-qual")
+    days.zipWithIndex.foreach { case (df, i) =>
+      val tmp = tmpDir("graft-qual-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val dst = new java.io.File(dir, s"day$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(days.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    StreamingOps.qualityScoreIngest(stream, features, betas)(
+        p => parts.synchronized { parts += p; () })
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .start().awaitTermination()
+    assert(parts.size == 2)
+    val got = parts.reduce(_ unionByName _)
+      .select(col("doc_id"), col("prob").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val want = FeatureScaling.logisticScore(scoreDocs, features, betas)
+      .select(col("doc_id"), col("prob").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == want)
+    // short/NULL docs score at all-zero features, never NULL
+    assert(!got(12L).isNaN && got(12L) == got(13L))
+  }
+
   test("knStateIngest: 3-batch rolled KN state finalizes to the from-scratch fit, bit for bit") {
     import graft.operators.LanguageModel
     val days = Seq(

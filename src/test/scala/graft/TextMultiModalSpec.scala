@@ -41,6 +41,32 @@ class TextMultiModalSpec extends AnyFunSuite {
     assert(got == inputs.map(scalaFp))
   }
 
+  test("hashedBigramCounts: fold-mod buckets, zero rows for short/NULL docs") {
+    graft.expressions.GraftFunctions.register(spark)
+    def scalaFp(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31L + c.toLong) % 1000000007L)
+    val B = 8
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "one"),                       // <2 tokens -> all-zero counts
+      (3L, null.asInstanceOf[String]))   // NULL -> all-zero counts
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id") +:
+        TextAnalysis.hashedBigramCounts(col("text"), B): _*)
+      .collect().map(r => r.getLong(0) -> (1 to B).map(r.getLong)).toMap
+    val w = "the cat sat on the mat".split(" ")
+    val exp = w.zip(w.tail).map { case (a, b) => scalaFp(s"$a $b") % B }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    (0 until B).foreach { h =>
+      assert(got(1L)(h) == exp.getOrElse(h.toLong, 0L), s"bucket $h")
+    }
+    assert(got(1L).sum == 5L, "six tokens -> five bigrams")
+    assert(got(2L).forall(_ == 0L) && got(3L).forall(_ == 0L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashedBigramCounts(col("text"), 1)
+    }
+  }
+
   test("decodePartitioned: per-partition decode slot appends the decoded column") {
     import graft.operators.MultiModal
     val d = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
