@@ -559,6 +559,24 @@ object CurationQueries {
           "doc_id", "canon")
         .orderBy("keep_id")
     }),
+    // Unicode-identity dedup: the corpus twice — once with COMPOSED
+    // accents (a -> U+00E1), once with DECOMPOSED (a -> a + U+0301) —
+    // different byte strings per copy that only collapse back to one
+    // group per text through NFC (UAX #15, the graft_nfc native
+    // expression; every group must show n_copies = 2 with the original
+    // id winning); the oracle replays encode + nfc_normalize + dedup
+    "q_dedup_nfc" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val docs = T(s, d, "documents")
+      val both = docs.select(col("doc_id"),
+          regexp_replace(col("text"), "a", "á").as("enc"))
+        .unionByName(docs.select((col("doc_id") + 10000).as("doc_id"),
+          regexp_replace(col("text"), "a", "á").as("enc")))
+      Dedup.exactDedup(
+          both.withColumn("canon", TextAnalysis.nfcNormalize(col("enc"))),
+          "doc_id", "canon")
+        .orderBy("keep_id")
+    }),
     // logistic-regression quality classifier: 2 full-batch gradient
     // steps fit ON THE QUERY PATH (quantized sigmoid + exact decimal
     // gradient sums -> the oracle replays the unrolled fit
@@ -1766,6 +1784,14 @@ object CurationQueries {
         + " any_value(c2.b0) AS b0, any_value(c2.b1) AS b1, any_value(c2.b2) AS b2"
         + " FROM f CROSS JOIN c2 GROUP BY source ORDER BY source")
     },
+    "q_dedup_nfc" ->
+      ("WITH e AS (SELECT doc_id, replace(text, 'a', chr(225)) AS enc"
+        + " FROM documents UNION ALL"
+        + " SELECT doc_id + 10000, replace(text, 'a', 'a' || chr(769))"
+        + " FROM documents),"
+        + s" c AS (SELECT doc_id, ${TextAnalysis.nfcNormalizeSql("enc")} AS canon FROM e)"
+        + " SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM c"
+        + " GROUP BY canon ORDER BY 1"),
     "q_logreg_hash" -> {
       val B = 8
       val (ctes, s2) = hashLrFitReplay(B)

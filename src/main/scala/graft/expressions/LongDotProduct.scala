@@ -89,6 +89,7 @@ object GraftFunctions {
   val BloomAgg      = "graft_bloom_agg"
   val BloomContains = "graft_bloom_contains"
   val HhChain       = "graft_householder_chain"
+  val Nfc           = "graft_nfc"
 
   private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
     if (exprs.length != n) throw new IllegalArgumentException(
@@ -213,6 +214,11 @@ object GraftFunctions {
       arity(BloomContains, exprs, 2)
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0), exprs(1))
+    },
+    // Unicode NFC canonicalization (UAX #15) — the normalizeText
+    // companion for corpora that mix composed/decomposed encoders
+    Nfc -> { exprs =>
+      arity(Nfc, exprs, 1); NfcNormalize(exprs.head)
     })
 
   def register(spark: SparkSession): Unit =

@@ -816,13 +816,19 @@ object Similarity {
   def sq8Fit(corpus: DataFrame, idCol: String, embCol: String, dim: Int)
       : Seq[(Long, Long)] = {
     require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096] (got $dim)")
-    val rows = corpus
-      .select(posexplode(quantize(col(embCol))).as(Seq("__pos", "__x")))
+    sq8BoundsOf(corpus.select(quantize(col(embCol)).as("__v")), dim, "sq8Fit")
+  }
+
+  /** Per-dim (min, max) of a quantized array column — the shared fit
+    * core of [[sq8Fit]] / [[sq8FitResidual]]. */
+  private def sq8BoundsOf(arrs: DataFrame, dim: Int, who: String): Seq[(Long, Long)] = {
+    val rows = arrs
+      .select(posexplode(col("__v")).as(Seq("__pos", "__x")))
       .groupBy(col("__pos"))
       .agg(min(col("__x")).as("__mn"), max(col("__x")).as("__mx"))
       .collect()
     require(rows.length == dim,
-      s"sq8Fit: corpus has ${rows.length} populated dimensions, expected $dim" +
+      s"$who: corpus has ${rows.length} populated dimensions, expected $dim" +
         " (ragged or empty corpus)")
     rows.sortBy(_.getInt(0)).map(r => (r.getLong(1), r.getLong(2))).toSeq
   }
@@ -902,6 +908,164 @@ object Similarity {
       .orderBy(col("d2"), col(idCol)).limit(topK)
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col(idCol), col("rank"), col("d2"))
+  }
+
+  /** SQ8 bounds over coarse-cell RESIDUALS (x − its nearest centroid) —
+    * the training step of FAISS `IndexIVFScalarQuantizer` with
+    * `by_residual = true` (its default): the per-dim range the 8-bit
+    * codes must span is the WITHIN-cell spread, not the corpus spread,
+    * so the same 8 bits resolve finer offsets (the [[pqFitResidual]]
+    * argument applied to the scalar quantizer). Residuals live on the
+    * quantized grid already (long − long), so the fit is exact. */
+  def sq8FitResidual(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      centroids: Array[Seq[Long]]): Seq[(Long, Long)] = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096] (got $dim)")
+    require(centroids.nonEmpty, "sq8FitResidual needs >= 1 coarse centroid")
+    GraftFunctions.register(corpus.sparkSession)
+    val centLit = typedlit(centroids.toSeq.map(_.toSeq))
+    val res = prepared(corpus, idCol, embCol)
+      .withColumn("cell", nearestCellExprOn(col("q"), centroids))
+      .select(zip_with(col("q"), element_at(centLit, col("cell") + 1),
+        (a, b) => a - b).as("__v"))
+    sq8BoundsOf(res, dim, "sq8FitResidual")
+  }
+
+  /** The IVF+SQ8 index table (FAISS `IndexIVFScalarQuantizer`): every
+    * corpus vector hard-assigned its coarse cell and its RESIDUAL
+    * encoded to dim uint8 codes under the [[sq8FitResidual]] bounds —
+    * ONE codegen scan, no joins, no shuffle: (idCol, cell, codes).
+    * PERSISTED INDEX STATE (the [[ivfPqEncode]] contract): both the
+    * centroids and the bounds are required inputs, fitted once. */
+  def ivfSq8Encode(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      centroids: Array[Seq[Long]],
+      bounds: Seq[(Long, Long)]): DataFrame = {
+    require(centroids.nonEmpty, "ivfSq8Encode needs >= 1 coarse centroid")
+    require(bounds.length == dim, s"bounds must have $dim entries (got ${bounds.length})")
+    GraftFunctions.register(corpus.sparkSession)
+    val centLit = typedlit(centroids.toSeq.map(_.toSeq))
+    val minsL = typedlit(bounds.map(_._1))
+    val densL = typedlit(bounds.map(b => b._2 - b._1))
+    val base = prepared(corpus, idCol, embCol)
+      .withColumn("cell", nearestCellExprOn(col("q"), centroids))
+      .withColumn("__r", zip_with(col("q"),
+        element_at(centLit, col("cell") + 1), (a, b) => a - b))
+    val codes = transform(col("__r"), (x, i) => {
+      val mn = element_at(minsL, i + 1)
+      val den = element_at(densL, i + 1)
+      val t = (x - mn) * lit(510L) + den
+      val dd = den * lit(2L)
+      when(den === 0L, lit(0L)).otherwise(
+        least(lit(255L), greatest(lit(0L),
+          ((t - pmod(t, dd)) / dd).cast("long"))))
+    })
+    base.select(col("id").as(idCol), col("cell"), codes.as("codes"))
+  }
+
+  /** Batch-query IVF+SQ8 top-k — the [[ivfPqTopK]] pipeline with the
+    * scalar quantizer in the codes slot: queries rank their `nprobe`
+    * nearest coarse cells by the exact integer order, candidates come
+    * from the bucketed cell join against the persisted codes table, and
+    * each candidate scores by the exact-int64 SQ8 asymmetric distance
+    * at the 255× fixed point, reconstructed THROUGH the probed cell:
+    *
+    *   d2 = Σ_d (255·(q_d − c_d − mn_d) − code_d·den_d)²
+    *
+    * (x̂ = c + mn + code·den/255, so d2/255² = ||q − x̂||² exactly). The
+    * per-(query, cell) reference array is projected ONCE (an attribute,
+    * not a re-evaluated subtree — the hashedBigramBuckets lesson);
+    * scoring is a row-local zip over the codes array; per-query top-k
+    * rides the k-bounded heap aggregation, never a window sort of the
+    * candidate set. An exact BigInt overflow audit over the actual
+    * centroid/bound literals and the query set's max |q_d| (one
+    * bounded agg over the small query side) fails fast before the plan
+    * builds. Output: (qid, rank, idCol, d2); ranks dense per query,
+    * ties by id; queries probing only empty cells are absent. */
+  def ivfSq8TopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      centroids: Array[Seq[Long]],
+      bounds: Seq[(Long, Long)],
+      nprobe: Int = 2,
+      topK: Int = 10,
+      broadcastQueries: Boolean = true): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    require(topK >= 1, s"topK must be >= 1 (got $topK)")
+    require(centroids.nonEmpty, "ivfSq8TopK needs >= 1 coarse centroid")
+    require(bounds.length == dim, s"bounds must have $dim entries (got ${bounds.length})")
+    require(Set("cell", "codes").subsetOf(codes.columns.toSet) &&
+        codes.columns.contains(idCol),
+      s"codes must be an ivfSq8Encode output with ($idCol, cell, codes) — " +
+        s"got [${codes.columns.mkString(", ")}]; encode once and persist," +
+        " never per query batch")
+    GraftFunctions.register(codes.sparkSession)
+    val mins = bounds.map(_._1)
+    val dens = bounds.map(b => b._2 - b._1)
+    val cellScores = array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x * x).sum
+      struct((lit(cc) - lit(2L) * dotQ(col("q"), typedlit(c))).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    val centLit = typedlit(centroids.toSeq.map(_.toSeq))
+    val minsL = typedlit(mins)
+    val densL = typedlit(dens)
+    // per-(query, probed cell) reference: A_d = 255·(q_d − c_d − mn_d)
+    val aArr = transform(
+      zip_with(col("q"), element_at(centLit, col("cell") + 1), (a, b) => a - b),
+      (r, i) => (r - element_at(minsL, i + 1)) * lit(255L))
+    val qexp0 = prepared(queries, idCol, embCol)
+      .select(col("id").as("qid"), col("q"),
+        explode(slice(array_sort(cellScores), 1, nprobe).getField("cell"))
+          .as("cell"))
+      .select(col("qid"), col("cell"), aArr.as("__a"))
+    // exact overflow audit over the ACTUAL query×cell rows (tiny by
+    // contract): for any candidate code c ∈ [0, 255], term_d =
+    // (A_d − c·den_d)² ≤ max(A_d², (A_d − 255·den_d)²) — monotone in c,
+    // so the per-row worst sum needs no corpus join. Decimal-exact so
+    // the audit itself cannot overflow; the bound must clear BOTH int64
+    // (the candidate sum) and 2^53 (the top-k heap's double score).
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val worstTerms = aggregate(
+      transform(col("__a"), (a, i) => {
+        val ad = a.cast(dec)
+        val top = ad - (element_at(densL, i + 1) * lit(255L)).cast(dec)
+        greatest(ad * ad, top * top)
+      }),
+      lit(0).cast(dec), (acc, t) => acc + t)
+    val worstRow = qexp0.agg(max(worstTerms.cast(dec))).head()
+    val worst =
+      if (worstRow.isNullAt(0)) BigInt(0)
+      else BigInt(worstRow.getDecimal(0).toBigInteger)
+    require(worst <= BigInt(Long.MaxValue),
+      s"ivfSq8TopK: ADC distance could overflow int64 for this query set" +
+        s" (worst-case sum $worst) — reduce dim or value range")
+    val qexp = if (broadcastQueries) broadcast(qexp0) else qexp0
+    val terms = transform(col("codes"), (c, i) => {
+      val diff = element_at(col("__a"), i + 1) - c * element_at(densL, i + 1)
+      diff * diff
+    })
+    val d2 = aggregate(terms, lit(0L), (acc, t) => acc + t)
+    // rank by the exact integer WINDOW, not the TopKByScore heap: SQ8's
+    // 255×-fixed-point d2 legitimately exceeds 2^53 (the audit above
+    // allows up to int64), where the heap's double score would lose
+    // tie-exactness; candidates are already nprobe-bounded per query,
+    // so the per-query sort is candidate-list-sized, never corpus-sized
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col(idCol))
+    codes.join(qexp, "cell")
+      .select(col("qid"), col(idCol), d2.as("d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col(idCol), col("d2"))
   }
 
   /** The IVFADC index table (Jégou et al., TPAMI'11 §IV — the FAISS

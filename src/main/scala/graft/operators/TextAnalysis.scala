@@ -627,16 +627,33 @@ object TextAnalysis {
     * lowercase, collapse `\s+` to single spaces, trim. Pure codegen
     * (lower/regexp_replace/trim), zero shuffle; the regex is in the
     * Java∩RE2 subset ([[Pii]] convention) so any engine replays it.
-    * Unicode canonicalization (NFC/NFKC) is deliberately NOT included:
-    * Spark has no codegen normalizer expression and the corpus contract
-    * here is byte-oriented; add a dedicated Expression if a corpus
-    * needs it. NULL text stays NULL. */
+    * Unicode canonicalization is deliberately NOT folded in here (the
+    * corpus contract is byte-oriented); corpora that mix composed and
+    * decomposed encoders compose this with [[nfcNormalize]] (the
+    * dedicated `graft_nfc` Expression). NULL text stays NULL. */
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
   /** DuckDB twin of [[normalizeText]]. */
   def normalizeTextSql(expr: String): String =
     s"trim(regexp_replace(lower($expr), '\\s+', ' ', 'g'))"
+
+  /** Unicode NFC canonicalization (UAX #15) — the
+    * [[graft.expressions.NfcNormalize]] native expression as a Column:
+    * composed and decomposed encodings of the same abstract character
+    * (é vs e + combining acute) are different BYTE strings to every
+    * fingerprint/dedup/join key, so a corpus mixing encoders leaks
+    * duplicate identities through exact dedup; NFC collapses them to
+    * the canonical composed form. Compose with [[normalizeText]] for
+    * full identity normalization (`normalizeText(nfcNormalize(text))`).
+    * Requires [[graft.expressions.GraftFunctions.register]]; the
+    * oracle replays via DuckDB's `nfc_normalize` (same UAX #15). */
+  def nfcNormalize(text: Column): Column =
+    call_function(graft.expressions.GraftFunctions.Nfc, text)
+
+  /** DuckDB twin of [[nfcNormalize]]. */
+  def nfcNormalizeSql(expr: String): String =
+    s"nfc_normalize($expr)"
 
   /** BM25 top-k retrieval (Robertson/Okapi, the Lucene `1 + …` idf
     * variant) of the documents best matching a literal query-term set —

@@ -971,6 +971,64 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfSq8: residual fit + encode + probed ADC == Scala replay; nprobe widens recall") {
+    def q(x: Float): Long = math.round(x.toDouble * 1e6)
+    // two obvious clusters around (1,0) and (0,1)
+    val corpusRaw = Seq(
+      (10L, Seq(1.00f, 0.05f)), (11L, Seq(0.95f, 0.00f)), (12L, Seq(1.05f, 0.10f)),
+      (20L, Seq(0.00f, 1.00f)), (21L, Seq(0.05f, 0.95f)), (22L, Seq(0.10f, 1.05f)))
+    val e = vecs(((0L, Seq(0.98f, 0.02f)) +: corpusRaw): _*)
+    val corpus = e.where(col("vec_id") =!= 0)
+    // replayable coarse quantizer: first two corpus vectors
+    val cents: Array[Seq[Long]] = Array(
+      corpusRaw(0)._2.map(q).toSeq, corpusRaw(1)._2.map(q).toSeq)
+    val bounds = Similarity.sq8FitResidual(corpus, "vec_id", "embedding",
+      dim = 2, centroids = cents)
+    val codes = Similarity.ivfSq8Encode(corpus, "vec_id", "embedding",
+      dim = 2, centroids = cents, bounds = bounds)
+    // Scala replay: assignment, residual, encode, probed ADC
+    def cellOf(v: Seq[Long]): Int =
+      cents.zipWithIndex.map { case (c, i) =>
+        (c.map(x => x * x).sum - 2L * c.zip(v).map(p => p._1 * p._2).sum, i)
+      }.min._2
+    def code(x: Long, mn: Long, den: Long): Long =
+      if (den == 0L) 0L
+      else math.min(255L, math.max(0L,
+        { val t = (x - mn) * 510L + den; (t - t % (2 * den)) / (2 * den) }))
+    val qv = Seq(0.98f, 0.02f).map(q)
+    val expected = corpusRaw.map { case (id, v) =>
+      val vq = v.map(q); val cell = cellOf(vq)
+      val d2 = (0 until 2).map { d =>
+        val (mn, mx) = bounds(d); val den = mx - mn
+        val cd = code(vq(d) - cents(cell)(d), mn, den)
+        val a = 255L * (qv(d) - cents(cell)(d) - mn)
+        val diff = a - cd * den; diff * diff
+      }.sum
+      (id, cell, d2)
+    }
+    val qdf = e.where(col("vec_id") === 0)
+    // nprobe=1: only the query's own cluster's members are candidates
+    val near = Similarity.ivfSq8TopK(codes, qdf, "vec_id", "embedding",
+      dim = 2, centroids = cents, bounds = bounds, nprobe = 1, topK = 10)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    val qCell = cellOf(qv)
+    val expNear = expected.filter(_._2 == qCell).map(t => (t._1, t._3))
+      .sortBy(t => (t._2, t._1))
+    assert(near == expNear, s"nprobe=1: got $near want $expNear")
+    // nprobe=2: every corpus vector is a candidate, scored via ITS cell
+    val all = Similarity.ivfSq8TopK(codes, qdf, "vec_id", "embedding",
+      dim = 2, centroids = cents, bounds = bounds, nprobe = 2, topK = 10)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    val expAll = expected.map(t => (t._1, t._3)).sortBy(t => (t._2, t._1))
+    assert(all == expAll, s"nprobe=2: got $all want $expAll")
+    assert(near.toSet.subsetOf(all.toSet), "nprobe must be monotone")
+    // codes-table contract enforced
+    intercept[IllegalArgumentException] {
+      Similarity.ivfSq8TopK(corpus, qdf, "vec_id", "embedding",
+        dim = 2, centroids = cents, bounds = bounds)
+    }
+  }
+
   test("sq8Fit/sq8TopK: brute-force SQ8 replay — fit, encode, ADC, rank") {
     // brute force in exact Scala longs, independent of the SQL shape
     def q(x: Float): Long = math.round(x.toDouble * 1e6)

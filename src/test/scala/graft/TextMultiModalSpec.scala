@@ -41,6 +41,22 @@ class TextMultiModalSpec extends AnyFunSuite {
     assert(got == inputs.map(scalaFp))
   }
 
+  test("nfcNormalize: decomposed == composed, ASCII passthrough, NULL stays NULL") {
+    graft.expressions.GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, "café"),          // composed é
+      (2L, "café"),         // decomposed e + combining acute
+      (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.nfcNormalize(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows(1L) == rows(2L), "NFC must collapse composed/decomposed")
+    assert(rows(1L).get == "café")
+    assert(rows(3L).get == "plain ascii")
+    assert(rows(4L).isEmpty)
+  }
+
   test("hashedBigramCounts: fold-mod buckets, zero rows for short/NULL docs") {
     graft.expressions.GraftFunctions.register(spark)
     def scalaFp(s: String): Long =
