@@ -62,6 +62,20 @@ object LlmQueries {
   private val ivfSq8Cache =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Seq[Long]], Seq[(Long, Long)])]()
 
+  private def ivfSq8IndexOf(d: String, corpus: DataFrame)
+      : (Array[Seq[Long]], Seq[(Long, Long)]) =
+    ivfSq8Cache.computeIfAbsent(d, _ => {
+      val c = corpus.orderBy("vec_id").limit(16)
+        .select(Similarity.quantize(col("embedding")))
+        .collect().map(r => r.getSeq[Long](0): Seq[Long])
+      (c, Similarity.sq8FitResidual(corpus, "vec_id", "embedding",
+        dim = 64, centroids = c))
+    })
+
+  // q_ann_sq8_index_rt's write-once-per-dir persisted SQ8 index
+  private val sq8IndexDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // q_ann_ivfpq's build-once-per-dir index state: the coarse quantizer
   // (first-16-corpus-vectors, the q_ann_ivf replayable convention) and
   // the m PQ sub-codebooks — both REQUIRED inputs of ivfPqTopK, fitted
@@ -929,18 +943,29 @@ object LlmQueries {
     "q_ann_ivfsq8" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val corpus = e.where(col("vec_id") >= 5)
-      val (cents, bounds) = ivfSq8Cache.computeIfAbsent(d, _ => {
-        val c = corpus.orderBy("vec_id").limit(16)
-          .select(Similarity.quantize(col("embedding")))
-          .collect().map(r => r.getSeq[Long](0): Seq[Long])
-        (c, Similarity.sq8FitResidual(corpus, "vec_id", "embedding",
-          dim = 64, centroids = c))
-      })
+      val (cents, bounds) = ivfSq8IndexOf(d, corpus)
       val codes = Similarity.ivfSq8Encode(corpus, "vec_id", "embedding",
         dim = 64, centroids = cents, bounds = bounds)
       Similarity.ivfSq8TopK(codes, e.where(col("vec_id") < 5),
           "vec_id", "embedding", dim = 64, centroids = cents,
           bounds = bounds, nprobe = 2, topK = 10)
+        .orderBy("qid", "rank")
+    }),
+    // the SQ8 index round-trip: encode once, WRITE codes + centroids +
+    // bounds + meta to parquet, re-READ, probe through Sq8Index.topK.
+    // Oracle = q_ann_ivfsq8's replay unchanged (at-rest invisibility)
+    "q_ann_sq8_index_rt" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val corpus = e.where(col("vec_id") >= 5)
+      val dir = sq8IndexDirCache.computeIfAbsent(d, { _ =>
+        val p = s"/tmp/graft_sq8idx_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        val (cents, bounds) = ivfSq8IndexOf(d, corpus)
+        Similarity.buildSq8Index(corpus, "vec_id", "embedding",
+          dim = 64, cents, bounds).write(p)
+        p
+      })
+      Similarity.Sq8Index.read(s, dir)
+        .topK(e.where(col("vec_id") < 5), "embedding", nprobe = 2, k = 10)
         .orderBy("qid", "rank")
     }),
     // the PERSISTED index round-trip: encode once, WRITE the four index
@@ -2413,6 +2438,49 @@ object LlmQueries {
   /** The full q_ann_ivfpq IVFADC replay (fits + assignments + ADC +
     * rank), parameterized by the prepared-embeddings CTE body so
     * q_ann_recall can embed it as a subquery. */
+  /** q_ann_ivfsq8's replay — shared verbatim by q_ann_sq8_index_rt
+    * (the at-rest round trip is invisible by contract). */
+  private def ivfSq8ReplaySql(qn: String): String = {
+        val dim = 64
+        val tEx = "((r.rv[i] - bl.mns[i]) * 510 + bl.dens[i])"
+        val codeEx = (s"(CASE WHEN bl.dens[i] = 0 THEN 0"
+          + s" ELSE least(255, greatest(0, CAST(($tEx - ($tEx % (2 * bl.dens[i])))"
+          + s" / (2 * bl.dens[i]) AS BIGINT))) END)")
+        val diffEx = s"(qa.al[i] - cd.codes[i] * bl.dens[i])"
+        (s"WITH n AS $qn,"
+          + " nc AS (SELECT vec_id, q FROM n WHERE vec_id >= 5),"
+          + " qs AS (SELECT vec_id, q FROM n WHERE vec_id < 5),"
+          + " cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS cw"
+          + " FROM (SELECT vec_id, q FROM nc ORDER BY vec_id LIMIT 16)),"
+          + " casg AS (SELECT vec_id, cell FROM ("
+          + " SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id"
+          + " ORDER BY CAST(list_dot_product(c.cw, c.cw) AS BIGINT) - 2 * list_dot_product(e.q, c.cw), c.cell) AS rk"
+          + " FROM nc e CROSS JOIN cc c) WHERE rk = 1),"
+          + " qasg AS (SELECT vec_id, cell FROM ("
+          + " SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id"
+          + " ORDER BY CAST(list_dot_product(c.cw, c.cw) AS BIGINT) - 2 * list_dot_product(e.q, c.cw), c.cell) AS rk"
+          + " FROM qs e CROSS JOIN cc c) WHERE rk <= 2),"
+          + s" res AS (SELECT e.vec_id, a.cell, [e.q[i] - cc.cw[i] for i in range(1, ${dim + 1})] AS rv"
+          + " FROM nc e JOIN casg a ON a.vec_id = e.vec_id JOIN cc ON cc.cell = a.cell),"
+          + s" b AS (SELECT i, min(rv[i]) AS mn, max(rv[i]) AS mx"
+          + s" FROM res, range(1, ${dim + 1}) t(i) GROUP BY i),"
+          + " bl AS (SELECT list(mn ORDER BY i) AS mns,"
+          + " list(mx - mn ORDER BY i) AS dens FROM b),"
+          + s" cd AS (SELECT r.vec_id, r.cell, [$codeEx for i in range(1, ${dim + 1})] AS codes"
+          + " FROM res r, bl),"
+          + " qa AS (SELECT qg.vec_id AS qid, qg.cell,"
+          + s" [255 * (q.q[i] - cc.cw[i] - bl.mns[i]) for i in range(1, ${dim + 1})] AS al"
+          + " FROM qasg qg JOIN qs q ON q.vec_id = qg.vec_id"
+          + " JOIN cc ON cc.cell = qg.cell, bl),"
+          + s" sc AS (SELECT qa.qid, cd.vec_id, CAST(list_sum("
+          + s"[$diffEx * $diffEx for i in range(1, ${dim + 1})]) AS BIGINT) AS d2"
+          + " FROM qa JOIN cd ON cd.cell = qa.cell, bl),"
+          + " rk AS (SELECT qid, vec_id, d2,"
+          + " row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rank FROM sc)"
+          + " SELECT qid, rank::BIGINT AS rank, vec_id, d2 FROM rk"
+          + " WHERE rank <= 10 ORDER BY qid, rank")
+        }
+
   private def ivfPqReplaySql(qn: String, residual: Boolean = false,
       k: Int = 10, candFilter: String = ""): String = {
     val candAnd = if (candFilter.isEmpty) "" else s" AND $candFilter"
@@ -3438,46 +3506,8 @@ object LlmQueries {
       // rank<=2 assignment (the shared casg/qasg skeleton), per-dim
       // residual min/max fit, round-half-up 8-bit encode, the 255x
       // fixed-point residual ADC, per-query rank — bit for bit
-      "q_ann_ivfsq8" -> {
-        val dim = 64
-        val tEx = "((r.rv[i] - bl.mns[i]) * 510 + bl.dens[i])"
-        val codeEx = (s"(CASE WHEN bl.dens[i] = 0 THEN 0"
-          + s" ELSE least(255, greatest(0, CAST(($tEx - ($tEx % (2 * bl.dens[i])))"
-          + s" / (2 * bl.dens[i]) AS BIGINT))) END)")
-        val diffEx = s"(qa.al[i] - cd.codes[i] * bl.dens[i])"
-        (s"WITH n AS $qn,"
-          + " nc AS (SELECT vec_id, q FROM n WHERE vec_id >= 5),"
-          + " qs AS (SELECT vec_id, q FROM n WHERE vec_id < 5),"
-          + " cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS cw"
-          + " FROM (SELECT vec_id, q FROM nc ORDER BY vec_id LIMIT 16)),"
-          + " casg AS (SELECT vec_id, cell FROM ("
-          + " SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id"
-          + " ORDER BY CAST(list_dot_product(c.cw, c.cw) AS BIGINT) - 2 * list_dot_product(e.q, c.cw), c.cell) AS rk"
-          + " FROM nc e CROSS JOIN cc c) WHERE rk = 1),"
-          + " qasg AS (SELECT vec_id, cell FROM ("
-          + " SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id"
-          + " ORDER BY CAST(list_dot_product(c.cw, c.cw) AS BIGINT) - 2 * list_dot_product(e.q, c.cw), c.cell) AS rk"
-          + " FROM qs e CROSS JOIN cc c) WHERE rk <= 2),"
-          + s" res AS (SELECT e.vec_id, a.cell, [e.q[i] - cc.cw[i] for i in range(1, ${dim + 1})] AS rv"
-          + " FROM nc e JOIN casg a ON a.vec_id = e.vec_id JOIN cc ON cc.cell = a.cell),"
-          + s" b AS (SELECT i, min(rv[i]) AS mn, max(rv[i]) AS mx"
-          + s" FROM res, range(1, ${dim + 1}) t(i) GROUP BY i),"
-          + " bl AS (SELECT list(mn ORDER BY i) AS mns,"
-          + " list(mx - mn ORDER BY i) AS dens FROM b),"
-          + s" cd AS (SELECT r.vec_id, r.cell, [$codeEx for i in range(1, ${dim + 1})] AS codes"
-          + " FROM res r, bl),"
-          + " qa AS (SELECT qg.vec_id AS qid, qg.cell,"
-          + s" [255 * (q.q[i] - cc.cw[i] - bl.mns[i]) for i in range(1, ${dim + 1})] AS al"
-          + " FROM qasg qg JOIN qs q ON q.vec_id = qg.vec_id"
-          + " JOIN cc ON cc.cell = qg.cell, bl),"
-          + s" sc AS (SELECT qa.qid, cd.vec_id, CAST(list_sum("
-          + s"[$diffEx * $diffEx for i in range(1, ${dim + 1})]) AS BIGINT) AS d2"
-          + " FROM qa JOIN cd ON cd.cell = qa.cell, bl),"
-          + " rk AS (SELECT qid, vec_id, d2,"
-          + " row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rank FROM sc)"
-          + " SELECT qid, rank::BIGINT AS rank, vec_id, d2 FROM rk"
-          + " WHERE rank <= 10 ORDER BY qid, rank")
-      },
+      "q_ann_ivfsq8" -> ivfSq8ReplaySql(qn),
+      "q_ann_sq8_index_rt" -> ivfSq8ReplaySql(qn),
       // the persisted round-trip and the append loop are INVISIBLE by
       // contract: both replay the from-scratch ranking verbatim
       "q_ann_index_rt" -> ivfPqReplaySql(qn),

@@ -1068,6 +1068,66 @@ object Similarity {
       .select(col("qid"), col("rank"), col(idCol), col("d2"))
   }
 
+  /** Persisted IVF+SQ8 index — the [[AnnIndex]] convention for the
+    * scalar quantizer: `codes` (the [[ivfSq8Encode]] output; partition
+    * by `cell` at scale), `centroids`, `bounds` (dim rows of (i, mn,
+    * mx)), and `meta` (id_col, dim). Encoding is a pure per-row
+    * function of the frozen quantizers, so append ≡ re-encode on the
+    * union and delete ≡ never-present, exactly as AnnIndexSpec pins
+    * for the PQ index; re-fitting bounds/cells is the one
+    * rebuild-the-world operation. */
+  final case class Sq8Index(
+      centroids: Array[Seq[Long]],
+      bounds: Seq[(Long, Long)],
+      codes: DataFrame,
+      idCol: String,
+      dim: Int) {
+    def write(dir: String): Unit = {
+      val s = codes.sparkSession
+      import s.implicits._
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      centroids.toSeq.zipWithIndex.map { case (cw, i) => (i, cw) }
+        .toDF("cell", "cw").write.mode("overwrite").parquet(s"$dir/centroids")
+      bounds.zipWithIndex.map { case ((mn, mx), i) => (i, mn, mx) }
+        .toDF("i", "mn", "mx").write.mode("overwrite").parquet(s"$dir/bounds")
+      Seq((idCol, dim)).toDF("id_col", "dim")
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
+
+    /** Probe the index — [[ivfSq8TopK]] against the at-rest tables. */
+    def topK(queries: DataFrame, embCol: String, nprobe: Int = 2,
+        k: Int = 10): DataFrame =
+      ivfSq8TopK(codes, queries, idCol, embCol, dim, centroids, bounds,
+        nprobe = nprobe, topK = k)
+  }
+
+  object Sq8Index {
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String): Sq8Index = {
+      val meta = spark.read.parquet(s"$dir/meta").head()
+      val cents = spark.read.parquet(s"$dir/centroids").orderBy("cell")
+        .collect().map(r => r.getSeq[Long](r.fieldIndex("cw")): Seq[Long])
+      val bounds = spark.read.parquet(s"$dir/bounds").orderBy("i")
+        .collect().map(r => (r.getLong(r.fieldIndex("mn")),
+          r.getLong(r.fieldIndex("mx")))).toSeq
+      Sq8Index(cents, bounds, spark.read.parquet(s"$dir/codes"),
+        meta.getAs[String]("id_col"), meta.getAs[Int]("dim"))
+    }
+  }
+
+  /** Build an [[Sq8Index]] with FITTED quantizers (first fit cells +
+    * [[sq8FitResidual]] bounds) — one codegen encode scan; `write` the
+    * lazy codes frame before repeated probing (the at-rest path). */
+  def buildSq8Index(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      centroids: Array[Seq[Long]],
+      bounds: Seq[(Long, Long)]): Sq8Index =
+    Sq8Index(centroids, bounds,
+      ivfSq8Encode(corpus, idCol, embCol, dim, centroids, bounds),
+      idCol, dim)
+
   /** The IVFADC index table (Jégou et al., TPAMI'11 §IV — the FAISS
     * IVF+PQ composition): every corpus vector hard-assigned its coarse
     * IVF cell ([[nearestCellExprOn]] against `centroids`) and compressed

@@ -103,4 +103,30 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(got == want)
   }
+
+  test("Sq8Index: write/read round-trip preserves cells, bounds, codes, probe") {
+    val sqBounds = Similarity.sq8FitResidual(corpus, "id", "emb", dim, cents)
+    val sidx = Similarity.buildSq8Index(corpus, "id", "emb", dim, cents, sqBounds)
+    val dir = java.nio.file.Files.createTempDirectory("sq8idx").toString
+    sidx.write(dir)
+    val rt = Similarity.Sq8Index.read(spark, dir)
+    assert(rt.dim == dim && rt.idCol == "id")
+    assert(rt.centroids.toSeq == cents.toSeq)
+    assert(rt.bounds == sqBounds)
+    assert(rt.codes.collect().map(_.toString).sorted.toSeq ==
+      sidx.codes.collect().map(_.toString).sorted.toSeq)
+    def probeS(i: Similarity.Sq8Index) =
+      i.topK(queries, "emb", nprobe = 2, k = 5)
+        .collect().map(_.toString).sorted.toSeq
+    assert(probeS(rt) == probeS(sidx))
+    // append ≡ from-scratch union encode (pure per-row function of the
+    // frozen quantizers): union of encodes == encode of union
+    val extra = (50L to 59L).map(i0 => (i0, vec(i0))).toDF("id", "emb")
+    val apart = sidx.codes.unionByName(
+      Similarity.ivfSq8Encode(extra, "id", "emb", dim, cents, sqBounds))
+    val whole = Similarity.ivfSq8Encode(corpus.unionByName(extra),
+      "id", "emb", dim, cents, sqBounds)
+    assert(apart.collect().map(_.toString).sorted.toSeq ==
+      whole.collect().map(_.toString).sorted.toSeq)
+  }
 }

@@ -151,4 +151,64 @@ object PartitionInvarianceProps extends Properties("PartitionInvariance") {
       states(one) == states(eight) && winners(one) == winners(eight) &&
         hitters(one) == hitters(eight)
     }
+
+  // r12 continuation: stupid-backoff scoring (per-level count tables +
+  // broadcast totals), perplexity bucketing (rank arithmetic), and the
+  // hashed bigram bag (row-local, but its FIT consumers aggregate) must
+  // all be partition-invariant — counts are exact integers, ranks are
+  // id-tiebroken, every sum is decimal-exact.
+  private val genDocs: Gen[List[String]] = {
+    val word = Gen.oneOf("a", "b", "c", "dd", "eee")
+    Gen.nonEmptyListOf(Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" "))))
+  }
+
+  property("sb loss / ccnet buckets / hashed bigrams: 1 partition == 8 partitions") =
+    forAll(genDocs) { texts =>
+      import graft.operators.{LanguageModel, TextAnalysis}
+      graft.expressions.GraftFunctions.register(spark)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val hasTrigram = texts.zipWithIndex.exists { case (t, i) =>
+        i % 2 == 0 && t.split(" ").count(_.nonEmpty) >= 3 }
+      def sb(d: org.apache.spark.sql.DataFrame) =
+        if (!hasTrigram) Map.empty[Long, (Long, Double)]
+        else LanguageModel.sbNgramLogLoss(
+            d.where(col("doc_id") % 2 === 0),
+            d.where(col("doc_id") % 2 === 1), "doc_id", "text", order = 3)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      def buckets(d: org.apache.spark.sql.DataFrame) =
+        LanguageModel.perplexityBuckets(
+            d.select((col("doc_id") % 3).as("g"), col("doc_id"),
+              length(coalesce(col("text"), lit(""))).cast("double").as("l")),
+            "g", "doc_id", "l")
+          .collect().map(r => (r.getLong(1), r.getString(3))).toMap
+      def hashed(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id") +:
+            TextAnalysis.hashedBigramCounts(col("text"), 4): _*)
+          .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+      val one = df.coalesce(1); val eight = df.repartition(8)
+      sb(one) == sb(eight) && buckets(one) == buckets(eight) &&
+        hashed(one) == hashed(eight)
+    }
+
+  property("sq8 fit + topk: 1 partition == 8 partitions") = {
+    val genVecs: Gen[List[(Long, Seq[Float])]] =
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(1, 1000),
+        Gen.listOfN(3, Gen.choose(-100, 100).map(_ / 100.0f))))
+        .map(_.zipWithIndex.map { case ((_, v), i) => (i.toLong, v: Seq[Float]) })
+    forAll(genVecs) { vecs =>
+      import graft.operators.Similarity
+      val df = vecs.toDF("vec_id", "embedding")
+      val query = Seq((-1L, Seq(0.1f, -0.2f, 0.3f))).toDF("vec_id", "embedding")
+      def run(d: org.apache.spark.sql.DataFrame) = {
+        val bounds = Similarity.sq8Fit(d, "vec_id", "embedding", dim = 3)
+        (bounds,
+          Similarity.sq8TopK(d, query, "vec_id", "embedding", dim = 3,
+            bounds = bounds, topK = 5)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+      }
+      run(df.coalesce(1)) == run(df.repartition(8))
+    }
+  }
 }
