@@ -750,6 +750,17 @@ object CurationQueries {
         .withColumn("sb3_loss", round(col("sb3_loss"), 6))
         .orderBy("doc_id")
     }),
+    // stupid backoff at CCNet's production depth — the generic
+    // generator pinned at order 5 (four backoff levels, each level's
+    // raw count table from its own explode); q_sb_loss pins order 3
+    "q_sb5_loss" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      LanguageModel.sbNgramLogLoss(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text", order = 5)
+        .withColumn("sb5_loss", round(col("sb5_loss"), 6))
+        .orderBy("doc_id")
+    }),
     // the TRIGRAM form — two backoff levels of the Chen-Goodman
     // recursion (continuation counts built from the level above's type
     // table), the n-gram depth direction production filters ship
@@ -1868,6 +1879,12 @@ object CurationQueries {
         + LanguageModel.sbNgramLogLossSql("doc_id", "text",
             "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
             "(SELECT * FROM documents WHERE doc_id % 2 = 1)", order = 3)
+        + ") ORDER BY 1"),
+    "q_sb5_loss" ->
+      ("SELECT doc_id, n_trans, round(sb5_loss, 6) AS sb5_loss FROM ("
+        + LanguageModel.sbNgramLogLossSql("doc_id", "text",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 1)", order = 5)
         + ") ORDER BY 1"),
     "q_kn3_loss" ->
       ("SELECT doc_id, n_trans, round(kn3_loss, 6) AS kn3_loss FROM ("
