@@ -18,10 +18,11 @@ import org.apache.spark.sql.types.{DataType, StringType}
   * oracle's `nfc_normalize` does (both follow UAX #15 — NfcSpec pins
   * composed≡decomposed round trips and the oracle replay pins the whole
   * dedup), so the operation is exactly replayable, unlike locale-bearing
-  * collation tricks. Fast path: `Normalizer.isNormalized` is O(n) with no
-  * allocation and almost always true on real corpora (ASCII is trivially
-  * NFC), so the expression only pays the normalization copy on rows that
-  * need it.
+  * collation tricks. Fast path: `Normalizer.isNormalized` is O(n) and
+  * almost always true on real corpora (ASCII is trivially NFC), so
+  * already-normalized rows skip the normalization COPY — they still pay
+  * the one UTF8String→String decode (`toString` below) that the JDK
+  * Normalizer API forces.
   */
 case class NfcNormalize(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {

@@ -31,8 +31,11 @@ case class WordPieceTokenize(child: Expression, packedVocab: String)
 
   @transient private lazy val vocab: Set[String] =
     packedVocab.split(graft.operators.WordPiece.VocabSep).toSet
+  // piece lengths in CODEPOINTS — the greedy matcher's unit (the
+  // operators.WordPiece.wordpieceTokenCounts convention)
   @transient private lazy val maxTok: Int = vocab.iterator
-    .map(v => if (v.startsWith("##")) v.length - 2 else v.length).max
+    .map(v => graft.operators.Codepoints.count(
+      if (v.startsWith("##")) v.substring(2) else v)).max
 
   override protected def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[UTF8String].toString.split(" ")

@@ -34,9 +34,12 @@ import org.apache.spark.sql.functions._
   * never matches " a  b ") while the pad/separator spaces it consumes
   * are restored by the replacement " lr ".
   *
-  * BMP-ONLY ASSUMPTION: character indexing is UTF-16 code units (see
-  * the [[WordPiece]] Scaladoc for the full convention note) — run
-  * astral text through a codepoint-aware pre-tokenizer first.
+  * CODEPOINT-CORRECT (VERDICT r12 #1): every imperative loop splits
+  * words via [[Codepoints]] — surrogate pairs (emoji, astral CJK) stay
+  * one symbol, matching Spark's `substr`/`length` and the DuckDB
+  * replay's codepoint `len`/`substr` (the Column forms were already
+  * codepoint-based through UTF8String; the driver/executor loops now
+  * agree — q_bpe_learn_astral pins it end to end).
   */
 object Bpe {
 
@@ -152,7 +155,7 @@ object Bpe {
         " (prune the noise tail) or raise the bound deliberately; the merge" +
         " loop is driver-memory over this statistic by design")
     val words: Array[Array[String]] =
-      rows.map(_.getString(0).toCharArray.map(_.toString))
+      rows.map(r => Codepoints.split(r.getString(0)))
     val freqs: Array[Long] = rows.map(_.getLong(1))
     learnInMemory(words, freqs, merges)
   }
@@ -364,7 +367,7 @@ object Bpe {
   private[graft] def tokenizeWord(
       w: String, rank: collection.Map[(String, String), Array[Int]],
       pairs: IndexedSeq[(String, String)]): Array[String] = {
-    var s: Array[String] = w.toCharArray.map(_.toString)
+    var s: Array[String] = Codepoints.split(w)
     var last = -1
     var done = false
     while (!done && s.length > 1) {

@@ -34,10 +34,12 @@ import org.apache.spark.sql.functions._
   * segmentation is a row-local `mapPartitions` pass (zero shuffle)
   * with the piece-cost map as per-partition state.
   *
-  * BMP-ONLY ASSUMPTION: the substring harvest and Viterbi DP index by
-  * UTF-16 code units (see the [[WordPiece]] Scaladoc for the full
-  * convention note) — run astral text through a codepoint-aware
-  * pre-tokenizer first. */
+  * CODEPOINT-CORRECT (VERDICT r12 #1): the substring harvest, both
+  * Viterbi DPs, and every piece-length bound index by CODEPOINT via
+  * [[Codepoints]] — surrogate pairs (emoji, astral CJK) are one
+  * character, matching the DuckDB replay's codepoint `substr`/`len`
+  * (q_unigram_segment_astral pins it end to end). Same convention in
+  * [[Bpe]] and [[WordPiece]]. */
 object UnigramLm {
 
   final case class Piece(piece: String, freq: Long, cost_micro: Long)
@@ -89,21 +91,23 @@ object UnigramLm {
     rows.foreach { r =>
       val w = r.getString(0)
       val f = r.getLong(1)
+      val offs = Codepoints.offsets(w)
+      val n = offs.length - 1
       var i = 0
-      while (i < w.length) {
+      while (i < n) {
         var l = 1
-        val lim = math.min(maxPieceLen, w.length - i)
+        val lim = math.min(maxPieceLen, n - i)
         while (l <= lim) {
-          val p = w.substring(i, i + l)
+          val p = w.substring(offs(i), offs(i + l))
           cand(p) = cand.getOrElse(p, 0L) + f
           l += 1
         }
         i += 1
       }
     }
-    val chars = cand.iterator.filter(_._1.length == 1).toSeq
+    val chars = cand.iterator.filter(p => Codepoints.count(p._1) == 1).toSeq
     val multi = cand.iterator
-      .filter { case (p, f) => p.length >= 2 && f >= minFreq }.toSeq
+      .filter { case (p, f) => Codepoints.count(p) >= 2 && f >= minFreq }.toSeq
       .sortWith { case ((p1, f1), (p2, f2)) =>
         if (f1 != f2) f1 > f2 else utf8Compare(p1, p2) < 0
       }
@@ -140,7 +144,8 @@ object UnigramLm {
     val pieces = rows.map(r => Piece(r.getString(0), r.getLong(1), r.getLong(2)))
       .sortWith((a, b) => utf8Compare(a.piece, b.piece) < 0).toSeq
     val total = pieces.iterator.map(_.freq).sum
-    val maxLen = if (pieces.isEmpty) 1 else pieces.iterator.map(_.piece.length).max
+    val maxLen = if (pieces.isEmpty) 1
+      else pieces.iterator.map(p => Codepoints.count(p.piece)).max
     UlmModel(pieces, total, maxLen)
   }
 
@@ -150,7 +155,8 @@ object UnigramLm {
     * unique even when paths tie). No lattice path → (1, unkCost). */
   private[graft] def viterbiWord(w: String, costs: collection.Map[String, Long],
       maxPieceLen: Int, unkCost: Long): (Long, Long) = {
-    val n = w.length
+    val offs = Codepoints.offsets(w)
+    val n = offs.length - 1
     val bc = Array.fill(n + 1)(Long.MaxValue)
     val bn = Array.fill(n + 1)(Long.MaxValue)
     bc(0) = 0L
@@ -160,7 +166,7 @@ object UnigramLm {
       var j = math.max(0, i - maxPieceLen)
       while (j < i) {
         if (bc(j) != Long.MaxValue) {
-          costs.get(w.substring(j, i)) match {
+          costs.get(w.substring(offs(j), offs(i))) match {
             case Some(c) =>
               val nc = bc(j) + c
               val nn = bn(j) + 1L
@@ -220,7 +226,8 @@ object UnigramLm {
     val None_ = Long.MaxValue
     rows.foreach { r =>
       val w = r.getString(0)
-      val n = w.length
+      val offs = Codepoints.offsets(w)
+      val n = offs.length - 1
       val fc = Array.fill(n + 1)(None_)
       val fn = Array.fill(n + 1)(None_)
       fc(0) = 0L; fn(0) = 0L
@@ -228,7 +235,7 @@ object UnigramLm {
       while (i <= n) {
         var j = math.max(0, i - maxLen)
         while (j < i) {
-          if (fc(j) != None_) costs.get(w.substring(j, i)).foreach { c =>
+          if (fc(j) != None_) costs.get(w.substring(offs(j), offs(i))).foreach { c =>
             val nc = fc(j) + c
             val nn = fn(j) + 1L
             if (nc < fc(i) || (nc == fc(i) && nn < fn(i))) { fc(i) = nc; fn(i) = nn }
@@ -246,7 +253,7 @@ object UnigramLm {
           var k = j + 1
           val lim = math.min(n, j + maxLen)
           while (k <= lim) {
-            if (bc(k) != None_) costs.get(w.substring(j, k)).foreach { c =>
+            if (bc(k) != None_) costs.get(w.substring(offs(j), offs(k))).foreach { c =>
               val nc = bc(k) + c
               val nn = bn(k) + 1L
               if (nc < bc(j) || (nc == bc(j) && nn < bn(j))) { bc(j) = nc; bn(j) = nn }
@@ -261,7 +268,7 @@ object UnigramLm {
           val lim = math.min(n, j + maxLen)
           while (k <= lim) {
             if (fc(j) != None_ && bc(k) != None_) {
-              val p = w.substring(j, k)
+              val p = w.substring(offs(j), offs(k))
               if (!used.contains(p)) costs.get(p).foreach { c =>
                 if (fc(j) + c + bc(k) == fc(n) && fn(j) + 1L + bn(k) == fn(n))
                   used += p
@@ -273,7 +280,8 @@ object UnigramLm {
         }
       }
     }
-    val survivors = model.pieces.filter(p => p.piece.length == 1 || used(p.piece))
+    val survivors = model.pieces
+      .filter(p => Codepoints.count(p.piece) == 1 || used(p.piece))
     val total = survivors.iterator.map(_.freq).sum
     val pieces = survivors
       .map(p => Piece(p.piece, p.freq, costMicro(p.freq.toDouble / total.toDouble)))

@@ -38,15 +38,13 @@ import org.apache.spark.sql.functions._
   * continuation marker must stay unambiguous, the BERT preprocessing
   * assumption.
   *
-  * BMP-ONLY ASSUMPTION (the tokenizer family's shared convention, ADVICE
-  * r11): the learner and greedy matcher index by Java UTF-16 code units
-  * (`substring`/`length`), while the DuckDB oracles use codepoint
-  * `substr`/`len` — words containing surrogate pairs (emoji, astral CJK)
-  * would split mid-codepoint and silently diverge from the replay.
-  * Production text for this family is whitespace-split BMP tokens (the
-  * BERT basic-tokenizer precondition); run astral text through a
-  * codepoint-aware pre-tokenizer first. Same assumption in [[Bpe]] and
-  * [[UnigramLm]]. */
+  * CODEPOINT-CORRECT (VERDICT r12 #1, closing the ADVICE r11 BMP-only
+  * convention): the learner's character split and the greedy matcher's
+  * position/length arithmetic step by CODEPOINT via [[Codepoints]] —
+  * surrogate pairs (emoji, astral CJK) stay one symbol, matching the
+  * DuckDB oracles' codepoint `substr`/`len` exactly
+  * (q_wordpiece_learn_astral / q_wordpiece_tokens_astral pin it end to
+  * end). Same convention in [[Bpe]] and [[UnigramLm]]. */
 object WordPiece {
 
   final case class WpMerge(iter: Long, left_sym: String, right_sym: String,
@@ -120,9 +118,9 @@ object WordPiece {
           s" must stay unambiguous — strip it in preprocessing): ${r.getString(0)}")
     }
     val words: Array[Array[String]] = rows.map { r =>
-      val cs = r.getString(0).toCharArray
+      val cs = Codepoints.split(r.getString(0))
       cs.indices.map(i =>
-        if (i == 0) cs(i).toString else "##" + cs(i)).toArray
+        if (i == 0) cs(i) else "##" + cs(i)).toArray
     }
     val freqs: Array[Long] = rows.map(_.getLong(1))
     val base = words.flatten.distinct.sortWith(utf8Compare(_, _) < 0).toSeq
@@ -243,18 +241,21 @@ object WordPiece {
   /** Greedy longest-match-first tokenization of ONE word (BERT
     * WordPieceTokenizer): at each position take the LONGEST vocabulary
     * match (`##`-prefixed when not word-initial); any position with no
-    * match collapses the WHOLE word to `[UNK]`. */
+    * match collapses the WHOLE word to `[UNK]`. Positions and match
+    * lengths are CODEPOINTS (`maxTok` too) — the [[Codepoints]] offset
+    * array maps them back to the UTF-16 slice. */
   private[graft] def tokenizeWordWp(
       w: String, vocab: collection.Set[String], maxTok: Int): Array[String] = {
+    val offs = Codepoints.offsets(w)
+    val n = offs.length - 1
     val out = mutable.ArrayBuffer.empty[String]
     var pos = 0
-    while (pos < w.length) {
-      var len = math.min(w.length - pos, maxTok)
+    while (pos < n) {
+      var len = math.min(n - pos, maxTok)
       var hit: String = null
       while (len >= 1 && hit == null) {
-        val cand =
-          if (pos == 0) w.substring(0, len)
-          else "##" + w.substring(pos, pos + len)
+        val piece = w.substring(offs(pos), offs(pos + len))
+        val cand = if (pos == 0) piece else "##" + piece
         if (vocab.contains(cand)) hit = cand else len -= 1
       }
       if (hit == null) return Array(Unk)
@@ -305,8 +306,9 @@ object WordPiece {
       model: WpModel): DataFrame = {
     require(model.vocab.nonEmpty, "need a non-empty vocabulary")
     val vocab = model.vocab.toSet
+    // piece lengths in CODEPOINTS — the greedy matcher's unit
     val maxTok = model.vocab.iterator
-      .map(v => if (v.startsWith("##")) v.length - 2 else v.length).max
+      .map(v => Codepoints.count(if (v.startsWith("##")) v.substring(2) else v)).max
     val out = df.select(col(idCol), col(textCol).as("__text"))
     val schema = org.apache.spark.sql.types.StructType(out.schema.fields.init)
       .add("n_tokens", org.apache.spark.sql.types.LongType)

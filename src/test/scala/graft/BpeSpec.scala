@@ -220,4 +220,45 @@ class BpeSpec extends AnyFunSuite {
     val b = Bpe.bpeLearn(corpus(texts: _*).repartition(13), "text", 6)
     assert(a == b)
   }
+
+  test("codepoint-correct astral text: delta == reagg Column form; deep == chain (VERDICT r12 #1)") {
+    // surrogate-pair corpus: emoji (U+1F600, U+1F680), CJK ext B
+    // (U+20000), math alpha (U+1D6C2) — each 2 UTF-16 code units. The
+    // Column form (bpeLearn) is codepoint-based through Spark's
+    // UTF8String substr; the Scala loops (bpeLearnDelta/tokenizeWord)
+    // must land on the SAME symbols, never a lone surrogate.
+    def wellFormed(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isHighSurrogate(c)) {
+          if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1)))
+            return false
+          i += 2
+        } else if (Character.isLowSurrogate(c)) return false
+        else i += 1
+      }
+      true
+    }
+    val texts = Seq(
+      "😀x😀 x😀 𠀀ab",
+      "😀x😀 𠀀ab ab😀",
+      "x😀 𝛂𝛂 𝛂𝛂x")
+    val df = corpus(texts: _*)
+    val reagg = Bpe.bpeLearn(df, "text", merges = 12)
+    val delta = Bpe.bpeLearnDelta(df, "text", merges = 12)
+    assert(reagg.nonEmpty)
+    assert(delta == reagg,
+      s"astral divergence at ${delta.zip(reagg).indexWhere(p => p._1 != p._2)}")
+    delta.foreach { m =>
+      assert(wellFormed(m.left_sym) && wellFormed(m.right_sym),
+        s"lone surrogate in learned symbol: $m")
+    }
+    // the imperative per-word tokenizer == the codegen replace chain
+    val chain = Bpe.bpeTokenCounts(df, "doc_id", "text", delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val deep = Bpe.bpeTokenCountsDeep(df, "doc_id", "text", delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(deep == chain, "deep tokenizer diverged from chain on astral text")
+  }
 }

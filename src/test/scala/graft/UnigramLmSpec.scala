@@ -134,4 +134,42 @@ class UnigramLmSpec extends AnyFunSuite {
     val got = UnigramLm.segmentCosts(docs, "doc_id", "text", m).collect()
     assert(got.head.getLong(1) == 1L && got.head.getLong(2) == m.unkCostMicro)
   }
+
+  test("codepoint-correct astral text: harvest pieces are codepoint substrings; Viterbi steps codepoints (VERDICT r12 #1)") {
+    // 😀/𠀀 are surrogate pairs: the substring harvest must never emit a
+    // lone surrogate half, the single-char class must contain the WHOLE
+    // codepoint, and piece-length bounds count codepoints.
+    val df = (Seq.fill(5)("😀x😀") ++ Seq.fill(3)("𠀀𠀀"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val m = UnigramLm.unigramLmLearn(df, "text", maxPieceLen = 3,
+      minFreq = 2, maxMulti = 10)
+    val pieces = m.pieces.map(_.piece).toSet
+    // chars: 😀 (freq 10), x (5), 𠀀 (6); multi substrings of length 2-3
+    assert(pieces == Set("😀", "x", "𠀀", "😀x", "x😀", "😀x😀", "𠀀𠀀"))
+    m.pieces.foreach { p =>
+      // piece boundaries are codepoint boundaries — no lone surrogates
+      assert(p.piece.codePoints().toArray.forall(Character.isValidCodePoint),
+        p.piece)
+      assert(!Character.isLowSurrogate(p.piece.charAt(0))
+        && !Character.isHighSurrogate(p.piece.charAt(p.piece.length - 1)),
+        s"lone surrogate boundary: ${p.piece}")
+    }
+    // maxPieceLen counted in codepoints: 😀x😀 (3 codepoints, 6 UTF-16
+    // units) harvested; model.maxPieceLen derives back as 3
+    assert(m.maxPieceLen == 3)
+    // Viterbi decodes the whole astral word as ONE piece (min cost: the
+    // full-word piece is cheaper than any 2+-piece path since every
+    // piece cost is positive)
+    val (n, c) = UnigramLm.viterbiWord("😀x😀", m.costs, m.maxPieceLen,
+      m.unkCostMicro)
+    assert(n == 1L && c == m.costs("😀x😀"))
+    // pruning on the astral corpus keeps chars + used pieces only, all
+    // well-formed; decode is preserved
+    val pruned = UnigramLm.unigramLmPrune(df, "text", m)
+    assert(pruned.pieces.map(_.piece).toSet.subsetOf(pieces))
+    assert(Set("😀", "x", "𠀀").subsetOf(pruned.pieces.map(_.piece).toSet))
+    val (pn, _) = UnigramLm.viterbiWord("😀x😀", pruned.costs,
+      pruned.maxPieceLen, pruned.unkCostMicro)
+    assert(pn == 1L)
+  }
 }

@@ -146,4 +146,32 @@ class WordPieceSpec extends AnyFunSuite {
     val m = WordPiece.wordpieceLearn(empty, "text", merges = 5)
     assert(m.rules.isEmpty && m.baseSyms.isEmpty)
   }
+
+  test("codepoint-correct astral text: learner splits codepoints, greedy matcher steps codepoints (VERDICT r12 #1)") {
+    // 😀 (U+1F600) and 𠀀 (U+20000) are surrogate PAIRS — 2 UTF-16 code
+    // units each. Base symbols must be whole codepoints; the greedy
+    // matcher's position/length arithmetic must consume codepoints.
+    val df = (Seq.fill(4)("😀x😀") ++ Seq.fill(2)("𠀀y") ++ Seq.fill(3)("x😀"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val model = WordPiece.wordpieceLearn(df, "text", merges = 100)
+    // base symbol alphabet: exactly the word-initial + continuation
+    // CODEPOINTS of the corpus, never a lone surrogate half
+    assert(model.baseSyms.toSet ==
+      Set("😀", "x", "𠀀", "##x", "##😀", "##y"))
+    // exhaustion merges every word to one symbol; vocab holds the words
+    assert(Set("😀x😀", "𠀀y", "x😀").subsetOf(model.vocab.toSet))
+    // greedy matcher on a hand vocab: longest-codepoint match first
+    val vocab = Set[String]("😀", "##x😀", "##x", "##😀")
+    assert(WordPiece.tokenizeWordWp("😀x😀", vocab, 2).toSeq
+      == Seq("😀", "##x😀"))
+    // unseen astral char collapses the word — never a partial-surrogate match
+    assert(WordPiece.tokenizeWordWp("😀🚀", vocab, 2).toSeq
+      == Seq(WordPiece.Unk))
+    // token counts through the learned model: every trained word = 1
+    // piece after exhaustion, unseen astral word = 1 UNK
+    val docs = Seq((1L, "😀x😀 𠀀y"), (2L, "🚀🚀")).toDF("doc_id", "text")
+    val got = WordPiece.wordpieceTokenCounts(docs, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 0L), (2L, 1L, 1L)))
+  }
 }
