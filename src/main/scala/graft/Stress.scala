@@ -707,6 +707,40 @@ object Stress {
         }
       }
     }
+    // IVF coarse-quantizer recall program (VERDICT r12 #3): recall@10
+    // vs nprobe at the r12 IVFSQ8 geometry (16 cells, 8-bit residual
+    // codes), first-16 quantizer vs farthest-point-seeded + 2-Lloyd —
+    // the sweep receipt plus the seeding-quality receipt in one pass
+    if (opFilter("ivfRecall")) {
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val corpus = base.where(col("vec_id") >= 5).localCheckpoint()
+      val queries = base.where(col("vec_id") < 5).localCheckpoint()
+      val exact = Similarity.topKL2(corpus, queries, "vec_id", "embedding",
+        k = 10).persist()
+      exact.count()
+      val dim = 64
+      val first16 = corpus.orderBy("vec_id").limit(16)
+        .select(Similarity.quantize(col("embedding")))
+        .collect().map(r => r.getSeq[Long](0): Seq[Long])
+      val seeded = Similarity.kmeansFit(corpus, "vec_id", "embedding",
+        k = 16, iters = 2,
+        init = Some(Similarity.kmeansSeedFarthest(corpus, "vec_id",
+          "embedding", k = 16)))
+      for ((cname, cents) <- Seq("first16" -> first16, "seeded" -> seeded)) {
+        val bounds = Similarity.sq8FitResidual(corpus, "vec_id", "embedding",
+          dim, cents)
+        val codes = Similarity.ivfSq8Encode(corpus, "vec_id", "embedding",
+          dim, cents, bounds).localCheckpoint()
+        for (np <- Seq(1, 2, 4, 8, 16)) {
+          val approx = Similarity.ivfSq8TopK(codes, queries, "vec_id",
+            "embedding", dim, cents, bounds, nprobe = np, topK = 10)
+          val r = Similarity.recallAtK(exact, approx, "qid", "vec_id", k = 10)
+            .agg(avg(col("recall"))).head().getDouble(0)
+          println(f"[stress] ivfRecall $cname%-8s nprobe=$np%-2d recall@10 = $r%.3f")
+        }
+      }
+      exact.unpersist()
+    }
     // full-OPQ recall receipt (VERDICT r10 #2): flat PQ (one zero
     // coarse cell, m=4, k=16) at the same m·k budget with NO rotation,
     // the single reflection, and the 3-step deflation — recall@10 of

@@ -696,6 +696,57 @@ object Similarity {
     } finally { if (cache) { p.unpersist(false); () } }
   }
 
+  /** Deterministic FARTHEST-POINT seeding for the coarse quantizer
+    * (VERDICT r12 #3 — the IVF recall program): k-means++'s spread
+    * objective with the D²-sampling replaced by the exact argmax, so the
+    * fit is REPLAYABLE (the smallest-id/first-16 inits are replayable
+    * but statistically weak — BENCH_NOTES r12 measured the coarse
+    * quantizer, not code resolution, as the IVF recall ceiling):
+    *
+    *   - seed 1 = the smallest-id vector (order-free, the kmeansFit
+    *     init convention);
+    *   - seed j+1 = the vector maximizing min_{c∈seeds} ||x−c||² under
+    *     EXACT integer distances (x·x − 2x·c + c·c on the quantized
+    *     grid), ties to the smaller id — Gonzalez's farthest-first
+    *     traversal, the standard deterministic k-means++ stand-in (2×
+    *     k-center approximation).
+    *
+    * Cost: k−1 driver steps, each one TakeOrdered pass over the corpus
+    * against ≤k literal seeds. At 100 TB run it on a bounded sample
+    * (the [[ivfTrain]] trainSample convention) — seeding quality needs
+    * spread, not the full corpus. Feed the result to [[kmeansFit]] as
+    * `init` for Lloyd refinement; the q_ann_ivfsq8_pp oracle replays
+    * seeding AND refinement bit for bit. */
+  def kmeansSeedFarthest(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      cache: Boolean = true): Array[Seq[Long]] = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    GraftFunctions.register(df.sparkSession)
+    val p0 = prepared(df, idCol, embCol).select("id", "q", "nsq")
+    val p = if (cache) p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else p0
+    try {
+      val first = p.orderBy("id").limit(1).select("q")
+        .collect().map(r => r.getSeq[Long](0): Seq[Long])
+      if (first.isEmpty) return Array.empty
+      val seeds = scala.collection.mutable.ArrayBuffer[Seq[Long]](first(0))
+      while (seeds.length < k) {
+        // min over current seeds of the exact integer ||x−c||²
+        val minDist = seeds.map { c =>
+          val cc = c.map(x => x * x).sum
+          col("nsq") - lit(2L) * dotQ(col("q"), typedlit(c)) + lit(cc)
+        }.reduce(least(_, _))
+        val next = p.select(col("id"), col("q"), minDist.as("__d"))
+          .orderBy(col("__d").desc, col("id")).limit(1)
+          .select("q").collect()
+        seeds += (next(0).getSeq[Long](0): Seq[Long])
+      }
+      seeds.toArray
+    } finally { if (cache) { p.unpersist(false); () } }
+  }
+
   /** Hard cluster assignment against [[kmeansFit]] (or any quantized)
     * centroids: (idCol, cluster), one literal-centroid codegen pass —
     * the exact integer argmin of [[nearestCellExpr]]. The id column
@@ -1127,6 +1178,38 @@ object Similarity {
     Sq8Index(centroids, bounds,
       ivfSq8Encode(corpus, idCol, embCol, dim, centroids, bounds),
       idCol, dim)
+
+  /** Roll an [[Sq8Index]] forward with a batch of new vectors — the
+    * [[appendToAnnIndex]] daily-loop shape for the scalar quantizer:
+    * encode the batch against the index's FROZEN cells + bounds and
+    * append. Per-row quantizer-keyed encoding ⇒ append ≡ from-scratch
+    * encode of the union (AnnIndexSpec pins it). */
+  def appendToSq8Index(
+      index: Sq8Index,
+      batch: DataFrame,
+      embCol: String): Sq8Index =
+    index.copy(codes = index.codes.unionByName(
+      ivfSq8Encode(batch, index.idCol, embCol, index.dim,
+        index.centroids, index.bounds)))
+
+  /** Delete vectors from an [[Sq8Index]] — the [[removeFromAnnIndex]]
+    * takedown convention (VERDICT r12 #1 missing-list): one anti-join
+    * on the codes table; codes are strictly per-row state so removal is
+    * EXACT (removed-then-probed ≡ never-present, q_ann_sq8_index_delete
+    * pins it against the filtered from-scratch replay). Cells and
+    * bounds deliberately stay frozen — quantizers are fit-time state. */
+  def removeFromSq8Index(index: Sq8Index, removeIds: DataFrame): Sq8Index = {
+    val ids = removeIds.toDF(index.idCol).select(col(index.idCol)).distinct()
+    index.copy(codes = index.codes.join(ids, Seq(index.idCol), "left_anti"))
+  }
+
+  /** Rewrite-compaction for the SQ8 index — [[compactAnnIndex]]'s
+    * contract: materialize current codes at `dir`, re-read; dead rows
+    * gone from disk, lineage truncated to a scan. */
+  def compactSq8Index(index: Sq8Index, dir: String): Sq8Index = {
+    index.write(dir)
+    Sq8Index.read(index.codes.sparkSession, dir)
+  }
 
   /** The IVFADC index table (Jégou et al., TPAMI'11 §IV — the FAISS
     * IVF+PQ composition): every corpus vector hard-assigned its coarse
