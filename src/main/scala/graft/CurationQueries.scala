@@ -761,6 +761,36 @@ object CurationQueries {
         .withColumn("sb5_loss", round(col("sb5_loss"), 6))
         .orderBy("doc_id")
     }),
+    // the GROUPED SB twin (VERDICT r12 stretch #8): one independent
+    // stupid-backoff model per language — every level table, context
+    // sum, and the N total carry the group key, so the per-language
+    // fits are one hash-partitioned plan (the knBigramLogLossBy shape)
+    "q_sb_loss_by" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      LanguageModel.sbNgramLogLossBy(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "lang", "doc_id", "text",
+          order = 3)
+        .withColumn("sb3_loss", round(col("sb3_loss"), 6))
+        .orderBy("lang", "doc_id")
+    }),
+    // CCNet's per-language composition over the SB scorer: grouped
+    // stupid-backoff scores cut into per-language head/middle/tail
+    // thirds (the q_ccnet_buckets_by shape with SB replacing KN)
+    "q_ccnet_sb_by" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val scored = LanguageModel.sbNgramLogLossBy(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "lang", "doc_id", "text",
+          order = 3)
+        .withColumn("sb3_loss", round(col("sb3_loss"), 6))
+      LanguageModel.perplexityBuckets(scored, "lang", "doc_id", "sb3_loss")
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_trans").as("sum_trans"),
+          sum("doc_id").as("id_checksum"))
+        .orderBy("lang", "bucket")
+    }),
     // the TRIGRAM form — two backoff levels of the Chen-Goodman
     // recursion (continuation counts built from the level above's type
     // table), the n-gram depth direction production filters ship
@@ -837,6 +867,39 @@ object CurationQueries {
       LanguageModel.knBigramScoreWith(model,
           docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
         .withColumn("kn_loss", round(col("kn_loss"), 6))
+        .orderBy("doc_id")
+    }),
+    // ORDER-5 mergeable KN state (VERDICT r12 #4): the even-id train
+    // side arrives as three "daily" increments, each folded once into
+    // the exact (5-gram, cnt)/(unigram, cnt) state — the complete
+    // sufficient statistic at any depth because every lower tower level
+    // is a type regroup of the level above. The merged state scores
+    // through the SAME tower code as the from-scratch fit; the oracle
+    // IS q_kn5_loss's SQL verbatim (merge ≡ refit, exactly)
+    "q_kn5_state" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val states = Seq(0, 1, 2).map(i => LanguageModel.knNgramState(
+        docs.where(col("doc_id") % 2 === 0 && (col("doc_id") / 2) % 3 === i),
+        "text", order = 5))
+      LanguageModel.knNgramLogLossFromState(
+          states.reduce(LanguageModel.mergeKnNgramStates),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .withColumn("kn5_loss", round(col("kn5_loss"), 6))
+        .orderBy("doc_id")
+    }),
+    // order-5 mergeable STUPID-BACKOFF state: SB's fit is raw count
+    // tables only (one per level, each from its own explode — levels
+    // are not marginals of the top), so the same daily fold applies per
+    // level; oracle = q_sb5_loss's SQL verbatim
+    "q_sb5_state" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val states = Seq(0, 1, 2).map(i => LanguageModel.sbNgramState(
+        docs.where(col("doc_id") % 2 === 0 && (col("doc_id") / 2) % 3 === i),
+        "text", order = 5))
+      LanguageModel.sbNgramLogLossFromState(
+          states.reduce(LanguageModel.mergeSbNgramStates),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .withColumn("sb5_loss", round(col("sb5_loss"), 6))
         .orderBy("doc_id")
     }),
     // held-out interpolated-Kneser-Ney scoring — the CCNet deployment
@@ -1880,6 +1943,24 @@ object CurationQueries {
             "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
             "(SELECT * FROM documents WHERE doc_id % 2 = 1)", order = 3)
         + ") ORDER BY 1"),
+    "q_sb_loss_by" ->
+      ("SELECT lang, doc_id, n_trans, round(sb3_loss, 6) AS sb3_loss FROM ("
+        + LanguageModel.sbNgramLogLossBySql("lang", "doc_id", "text",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 1)", order = 3)
+        + ") ORDER BY 1, 2"),
+    "q_ccnet_sb_by" ->
+      ("WITH sc AS (" + LanguageModel.sbNgramLogLossBySql("lang", "doc_id", "text",
+          "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+          "(SELECT * FROM documents WHERE doc_id % 2 = 1)", order = 3)
+        + "), r AS (SELECT lang, doc_id, n_trans, round(sb3_loss, 6) AS l,"
+        + " row_number() OVER (PARTITION BY lang ORDER BY round(sb3_loss, 6), doc_id) AS rn,"
+        + " count(*) OVER (PARTITION BY lang) AS cnt FROM sc)"
+        + " SELECT lang, CASE WHEN rn * 3 <= cnt THEN 'head'"
+        + " WHEN rn * 3 <= cnt * 2 THEN 'middle' ELSE 'tail' END AS bucket,"
+        + " count(*)::BIGINT AS n_docs, sum(n_trans)::BIGINT AS sum_trans,"
+        + " sum(doc_id)::BIGINT AS id_checksum"
+        + " FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_sb5_loss" ->
       ("SELECT doc_id, n_trans, round(sb5_loss, 6) AS sb5_loss FROM ("
         + LanguageModel.sbNgramLogLossSql("doc_id", "text",
@@ -1895,6 +1976,19 @@ object CurationQueries {
     "q_kn5_loss" ->
       ("SELECT doc_id, n_trans, round(kn5_loss, 6) AS kn5_loss FROM ("
         + LanguageModel.knNgramLogLossSql("doc_id", "text",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 1)", order = 5)
+        + ") ORDER BY 1"),
+    // merged-daily-state ≡ from-scratch: the from-scratch rows' SQL verbatim
+    "q_kn5_state" ->
+      ("SELECT doc_id, n_trans, round(kn5_loss, 6) AS kn5_loss FROM ("
+        + LanguageModel.knNgramLogLossSql("doc_id", "text",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 1)", order = 5)
+        + ") ORDER BY 1"),
+    "q_sb5_state" ->
+      ("SELECT doc_id, n_trans, round(sb5_loss, 6) AS sb5_loss FROM ("
+        + LanguageModel.sbNgramLogLossSql("doc_id", "text",
             "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
             "(SELECT * FROM documents WHERE doc_id % 2 = 1)", order = 5)
         + ") ORDER BY 1"),

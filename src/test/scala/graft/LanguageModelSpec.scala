@@ -313,6 +313,119 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no bigrams"))
   }
 
+  test("order-N KN state: merged daily states == from-scratch knNgramLogLoss; merge order invisible; at-rest round trip (VERDICT r12 #4)") {
+    val days = Seq(
+      Seq((10L, "a b a b c d e"), (11L, "b c a b d c a")),
+      Seq((20L, "c a d b e a c b"), (21L, "a b c c a d e b a")),
+      Seq((30L, "d a b e c a b d"), (31L, "e b a c d a b c e"))).map(_.toDF("doc_id", "text"))
+    val score = Seq((1L, "a b c a d e b"), (2L, "a e z b c a d"),
+      (3L, "z d a b c e a b")).toDF("doc_id", "text")
+    val all = days.reduce(_ unionByName _)
+    val direct = LanguageModel.knNgramLogLoss(all, score, "doc_id", "text",
+        order = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val states = days.map(d => LanguageModel.knNgramState(d, "text", order = 4))
+    val m1 = LanguageModel.mergeKnNgramStates(
+      LanguageModel.mergeKnNgramStates(states(0), states(1)), states(2))
+    val m2 = LanguageModel.mergeKnNgramStates(states(0),
+      LanguageModel.mergeKnNgramStates(states(2), states(1)))
+    for ((m, tag) <- Seq(m1 -> "left-fold", m2 -> "right-fold")) {
+      val got = LanguageModel.knNgramLogLossFromState(m, score, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == direct, s"$tag merged state != from-scratch order-4 fit")
+    }
+    // at-rest round trip: write day-1+2, read (order from meta), roll day 3
+    val dir = java.nio.file.Files.createTempDirectory("graft-kn4state").toString
+    LanguageModel.writeKnNgramState(
+      LanguageModel.mergeKnNgramStates(states(0), states(1)), dir)
+    val rolled = LanguageModel.mergeKnNgramStates(
+      LanguageModel.readKnNgramState(spark, dir), states(2))
+    assert(rolled.order == 4)
+    val got = LanguageModel.knNgramLogLossFromState(rolled, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == direct, "at-rest rolled order-4 state != from-scratch fit")
+    // mismatched orders refuse to merge; empty state fails fast
+    intercept[IllegalArgumentException] {
+      LanguageModel.mergeKnNgramStates(states(0),
+        LanguageModel.knNgramState(days(0), "text", order = 3))
+    }
+    intercept[IllegalArgumentException] {
+      LanguageModel.knNgramLogLossFromState(
+        LanguageModel.knNgramState(
+          Seq((1L, "a b")).toDF("doc_id", "text"), "text", order = 4),
+        score, "doc_id", "text")
+    }
+  }
+
+  test("SB state: merged daily states == from-scratch sbNgramLogLoss; merge order invisible; at-rest round trip (VERDICT r12 #4)") {
+    val days = Seq(
+      Seq((10L, "a b a b c"), (11L, "b c a b")),
+      Seq((20L, "c a d b e"), (21L, "a b c c a")),
+      Seq((30L, "d a b e"), (31L, "e b a c d"))).map(_.toDF("doc_id", "text"))
+    val score = Seq((1L, "a b c a"), (2L, "a e z b"), (3L, "z d a b c"))
+      .toDF("doc_id", "text")
+    val all = days.reduce(_ unionByName _)
+    val direct = LanguageModel.sbNgramLogLoss(all, score, "doc_id", "text",
+        order = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val states = days.map(d => LanguageModel.sbNgramState(d, "text", order = 3))
+    val m1 = LanguageModel.mergeSbNgramStates(
+      LanguageModel.mergeSbNgramStates(states(0), states(1)), states(2))
+    val m2 = LanguageModel.mergeSbNgramStates(states(0),
+      LanguageModel.mergeSbNgramStates(states(2), states(1)))
+    for ((m, tag) <- Seq(m1 -> "left-fold", m2 -> "right-fold")) {
+      val got = LanguageModel.sbNgramLogLossFromState(m, score, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == direct, s"$tag merged SB state != from-scratch fit")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-sb3state").toString
+    LanguageModel.writeSbNgramState(
+      LanguageModel.mergeSbNgramStates(states(0), states(1)), dir)
+    val rolled = LanguageModel.mergeSbNgramStates(
+      LanguageModel.readSbNgramState(spark, dir), states(2))
+    assert(rolled.order == 3)
+    val got = LanguageModel.sbNgramLogLossFromState(rolled, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == direct, "at-rest rolled SB state != from-scratch fit")
+  }
+
+  test("sbNgramLogLossBy: per-group == independent ungrouped runs; tokenless/NULL groups drop; backoff-only group scores (VERDICT r12 stretch #8)") {
+    val train = Seq(
+      ("en", 10L, "a b a b c"), ("en", 11L, "b c a b"),
+      ("fr", 20L, "x y x z"), ("fr", 21L, "y x y"),
+      // de: train doc too short for ANY trigram — SB still models the
+      // group through backoff (unlike KN, absence of n-grams ≠ no model)
+      ("de", 30L, "p q"),
+      (null.asInstanceOf[String], 40L, "a b c d")).toDF("lang", "doc_id", "text")
+    val score = Seq(
+      ("en", 1L, "a b c a"), ("fr", 2L, "x y z x"), ("de", 3L, "p q p"),
+      ("zz", 4L, "a b c"), // no train tokens -> absent
+      (null.asInstanceOf[String], 5L, "a b c")).toDF("lang", "doc_id", "text")
+    val got = LanguageModel.sbNgramLogLossBy(train, score, "lang", "doc_id",
+        "text", order = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet.map(_._1) == Set("en", "fr", "de"),
+      s"zz (no train tokens) and NULL groups must be absent: ${got.keySet}")
+    // each group == the ungrouped scorer run on that group alone
+    for (g <- Seq("en", "fr")) {
+      val want = LanguageModel.sbNgramLogLoss(
+        train.where(col("lang") === g), score.where(col("lang") === g),
+        "doc_id", "text", order = 3)
+        .collect().map(r => (g, r.getLong(0)) ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got.filter(_._1._1 == g) == want, s"group $g diverged")
+    }
+    // de: no trigram table at all, and the score bigram (q,p) is unseen
+    // — the transition backs off twice to the unigram level:
+    // S = alpha^2 * c1(p)/N with N=2, c1=1
+    val (nDe, lossDe) = got(("de", 3L))
+    assert(nDe == 1L)
+    val sExp = 0.4 * 0.4 * (1.0 / 2.0)
+    val lnq = BigDecimal(math.log(sExp)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(math.abs(lossDe - (-lnq.toDouble)) < 1e-12, s"de loss $lossDe")
+  }
+
   test("knBigramLogLossBy: train frame needs only (group, text) — no score-side id column") {
     val train = Seq(("en", "a b a b c"), ("en", "b c a b"))
       .toDF("lang", "text")

@@ -11,6 +11,7 @@ only — the real gate is driver-side.
 """
 import json
 import math
+import os
 import sys
 from pathlib import Path
 
@@ -51,10 +52,12 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
+    results = {}
     for name, sql in sorted(oracle.items()):
         spark_path = Path(out_dir) / name
         if not spark_path.exists():
             print(f"FAIL {name}: no spark output")
+            results[name] = {"pass": False, "reason": "no spark output"}
             n_fail += 1
             continue
         try:
@@ -62,15 +65,18 @@ def main(sf_dir, out_dir):
             want = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            results[name] = {"pass": False, "reason": str(e).split("\n")[0][:200]}
             n_fail += 1
             continue
         got, want = norm(got), norm(want)
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            results[name] = {"pass": False, "reason": "column mismatch"}
             n_fail += 1
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            results[name] = {"pass": False, "reason": f"rows {len(got)} != {len(want)}"}
             n_fail += 1
             continue
         max_diff, bad = 0.0, 0
@@ -85,11 +91,21 @@ def main(sf_dir, out_dir):
                         first_bad = (i, c, got.at[i, c], want.at[i, c])
         if bad == 0:
             print(f"PASS {name} ({len(got)} rows)")
+            results[name] = {"pass": True, "rows": len(got)}
             n_pass += 1
         else:
             print(f"FAIL {name}: {bad} bad cells, max_diff={max_diff:.3e}, first={first_bad}")
+            results[name] = {"pass": False, "reason": f"{bad} bad cells, max_diff={max_diff:.3e}"}
             n_fail += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
+    # the committable gate artifact (VERDICT r12 #7): the driver's
+    # CORRECTNESS capture has arrived empty twice, so this local replica
+    # writes its own per-query record for the judge to confirm cheaply.
+    report = Path(os.environ.get("CORRECTNESS_LOCAL", "CORRECTNESS_local.json"))
+    report.write_text(json.dumps(
+        {"sf_dir": str(sf_dir), "n_pass": n_pass, "n_fail": n_fail,
+         "queries": results}, indent=0, sort_keys=True) + "\n")
+    print(f"wrote {report}")
     return 1 if n_fail else 0
 
 
