@@ -869,6 +869,31 @@ object CurationQueries {
         .withColumn("kn_loss", round(col("kn_loss"), 6))
         .orderBy("doc_id")
     }),
+    // STREAMING order-5 KN-state maintenance: the even-id train side
+    // arrives as one-file-per-trigger micro-batches folded through
+    // knNgramStateIngest (each batch → its bounded count-state, merged
+    // by union+regroup); the FINAL state scores the odd half and
+    // hash-matches the from-scratch q_kn5_loss oracle — batch
+    // boundaries are invisible by integer-sum associativity
+    "q_stream_kn5_state" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val dir = LlmQueries.stageDays(d, "kn5st", Seq(
+        docs.where(col("doc_id") % 2 === 0 && (col("doc_id") / 2) % 2 === 0),
+        docs.where(col("doc_id") % 2 === 0 && (col("doc_id") / 2) % 2 === 1)))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val states = scala.collection.mutable.ArrayBuffer
+        .empty[LanguageModel.KnNgramState]
+      LlmQueries.runForeachBatchReplay(
+        graft.streaming.StreamingOps.knNgramStateIngest(stream,
+          LanguageModel.knNgramState(docs.limit(0), "text", order = 5), "text")(
+          st => states.synchronized { states += st; () }),
+        "graft_stream_kn5_state")
+      LanguageModel.knNgramLogLossFromState(states.synchronized(states.last),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .withColumn("kn5_loss", round(col("kn5_loss"), 6))
+        .orderBy("doc_id")
+    }),
     // ORDER-5 mergeable KN state (VERDICT r12 #4): the even-id train
     // side arrives as three "daily" increments, each folded once into
     // the exact (5-gram, cnt)/(unigram, cnt) state — the complete
@@ -1980,6 +2005,12 @@ object CurationQueries {
             "(SELECT * FROM documents WHERE doc_id % 2 = 1)", order = 5)
         + ") ORDER BY 1"),
     // merged-daily-state ≡ from-scratch: the from-scratch rows' SQL verbatim
+    "q_stream_kn5_state" ->
+      ("SELECT doc_id, n_trans, round(kn5_loss, 6) AS kn5_loss FROM ("
+        + LanguageModel.knNgramLogLossSql("doc_id", "text",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 1)", order = 5)
+        + ") ORDER BY 1"),
     "q_kn5_state" ->
       ("SELECT doc_id, n_trans, round(kn5_loss, 6) AS kn5_loss FROM ("
         + LanguageModel.knNgramLogLossSql("doc_id", "text",

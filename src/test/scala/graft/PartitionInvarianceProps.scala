@@ -192,6 +192,42 @@ object PartitionInvarianceProps extends Properties("PartitionInvariance") {
         hashed(one) == hashed(eight)
     }
 
+  // r13: the grouped SB scorer and both order-N merged-state paths —
+  // every table is an exact integer count, every join keyed, so the
+  // result cannot depend on physical partitioning OR on which side of a
+  // state split a document landed
+  property("grouped SB / order-N merged states: 1 partition == 8 partitions == split states") =
+    forAll(genDocs) { texts =>
+      import graft.operators.LanguageModel
+      val df = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, if (i % 3 == 0) "en" else "fr", t) }
+        .toDF("doc_id", "lang", "text")
+      def sbBy(d: org.apache.spark.sql.DataFrame) =
+        LanguageModel.sbNgramLogLossBy(
+            d.where(col("doc_id") % 2 === 0),
+            d.where(col("doc_id") % 2 === 1), "lang", "doc_id", "text",
+            order = 2)
+          .collect().map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getDouble(3)))).toMap
+      val hasBigram = texts.zipWithIndex.exists { case (t, i) =>
+        i % 2 == 0 && t.split(" ").count(_.nonEmpty) >= 2 }
+      def knState(d: org.apache.spark.sql.DataFrame) =
+        if (!hasBigram) Map.empty[Long, (Long, Double)]
+        else {
+          val train = d.where(col("doc_id") % 2 === 0)
+          val merged = LanguageModel.mergeKnNgramStates(
+            LanguageModel.knNgramState(
+              train.where(col("doc_id") % 4 === 0), "text", order = 2),
+            LanguageModel.knNgramState(
+              train.where(col("doc_id") % 4 === 2), "text", order = 2))
+          LanguageModel.knNgramLogLossFromState(merged,
+              d.where(col("doc_id") % 2 === 1), "doc_id", "text")
+            .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        }
+      val one = df.coalesce(1); val eight = df.repartition(8)
+      sbBy(one) == sbBy(eight) && knState(one) == knState(eight)
+    }
+
   property("sq8 fit + topk: 1 partition == 8 partitions") = {
     val genVecs: Gen[List[(Long, Seq[Float])]] =
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(1, 1000),

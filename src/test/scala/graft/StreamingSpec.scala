@@ -692,6 +692,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(mid == midWant, "mid-stream state must equal the fit on arrived days")
   }
 
+  test("knNgramStateIngest + sbNgramStateIngest: order-N rolled states finalize to the from-scratch fits (VERDICT r12 #4)") {
+    import graft.operators.LanguageModel
+    val days = Seq(
+      Seq((10L, "a b a b c d"), (11L, "b c a b d")),
+      Seq((20L, "c a d b e a"), (21L, "a b c c a d")),
+      Seq((30L, "d a b e c"), (31L, "e b a c d a")))
+      .map(_.toDF("doc_id", "text"))
+    val dir = tmpDir("graft-stream-knN")
+    days.zipWithIndex.foreach { case (df, i) =>
+      val tmp = tmpDir("graft-knN-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val dst = new java.io.File(dir, s"day$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val score = Seq((1L, "a b c a d"), (2L, "a e z b c"), (3L, "z d a b e"))
+      .toDF("doc_id", "text")
+    val all = days.reduce(_ unionByName _)
+
+    def streamOf() = spark.readStream.schema(days.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    // KN at order 3
+    val knStates = scala.collection.mutable.ArrayBuffer.empty[LanguageModel.KnNgramState]
+    StreamingOps.knNgramStateIngest(streamOf(),
+        LanguageModel.knNgramState(days.head.limit(0), "text", order = 3), "text")(
+        st => knStates.synchronized { knStates += st; () })
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .start().awaitTermination()
+    assert(knStates.size == 3)
+    val knGot = LanguageModel.knNgramLogLossFromState(
+        knStates.synchronized(knStates.last), score, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val knWant = LanguageModel.knNgramLogLoss(all, score, "doc_id", "text",
+        order = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(knGot == knWant, "rolled order-3 KN state != from-scratch fit")
+    // SB at order 3
+    val sbStates = scala.collection.mutable.ArrayBuffer.empty[LanguageModel.SbNgramState]
+    StreamingOps.sbNgramStateIngest(streamOf(),
+        LanguageModel.sbNgramState(days.head.limit(0), "text", order = 3), "text")(
+        st => sbStates.synchronized { sbStates += st; () })
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .start().awaitTermination()
+    assert(sbStates.size == 3)
+    val sbGot = LanguageModel.sbNgramLogLossFromState(
+        sbStates.synchronized(sbStates.last), score, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sbWant = LanguageModel.sbNgramLogLoss(all, score, "doc_id", "text",
+        order = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sbGot == sbWant, "rolled order-3 SB state != from-scratch fit")
+  }
+
   test("quantileStateIngest: 3-batch rolled histogram finalizes to the direct quantile, bit for bit") {
     import graft.operators.{AggState, Quantiles}
     // three "days" with ties across batches and a NaN/NULL to drop;
