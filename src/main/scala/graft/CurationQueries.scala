@@ -869,6 +869,40 @@ object CurationQueries {
         .withColumn("kn_loss", round(col("kn_loss"), 6))
         .orderBy("doc_id")
     }),
+    // the GROUPED order-5 KN (r13, completing the per-group matrix):
+    // CCNet's actual deployment — one independent 5-gram Chen-Goodman
+    // tower per language, every level table and the (B,T,V) scalars
+    // carrying the group key; one hash-partitioned plan, no driver loop
+    // NO outer round(…, 6) here (unlike the older kn rows): the raw
+    // -(Σlp)/n double is IEEE-bit-identical across engines (Σlp is an
+    // exact decimal on both sides), while re-ROUNDING that double hits
+    // engine-specific half-boundary behavior — this row's sf0.001 data
+    // actually lands on such a boundary (4.1515165 → 4.151517 Spark vs
+    // 4.151516 DuckDB), so the raw double is the MORE exact contract
+    "q_kn5_loss_by" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      LanguageModel.knNgramLogLossBy(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "lang", "doc_id", "text",
+          order = 5)
+        .orderBy("lang", "doc_id")
+    }),
+    // the full CCNet composition at production depth: per-language
+    // 5-gram KN scores cut into per-language head/middle/tail thirds
+    // (ranking on the RAW double — the q_kn5_loss_by boundary note)
+    "q_ccnet_kn5_by" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val scored = LanguageModel.knNgramLogLossBy(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "lang", "doc_id", "text",
+          order = 5)
+      LanguageModel.perplexityBuckets(scored, "lang", "doc_id", "kn5_loss")
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_trans").as("sum_trans"),
+          sum("doc_id").as("id_checksum"))
+        .orderBy("lang", "bucket")
+    }),
     // STREAMING order-5 KN-state maintenance: the even-id train side
     // arrives as one-file-per-trigger micro-batches folded through
     // knNgramStateIngest (each batch → its bounded count-state, merged
@@ -2004,6 +2038,22 @@ object CurationQueries {
             "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
             "(SELECT * FROM documents WHERE doc_id % 2 = 1)", order = 5)
         + ") ORDER BY 1"),
+    "q_kn5_loss_by" ->
+      (LanguageModel.knNgramLogLossBySql("lang", "doc_id", "text",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)", order = 5)),
+    "q_ccnet_kn5_by" ->
+      ("WITH sc AS (" + LanguageModel.knNgramLogLossBySql("lang", "doc_id", "text",
+          "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+          "(SELECT * FROM documents WHERE doc_id % 2 = 1)", order = 5)
+        + "), r AS (SELECT lang, doc_id, n_trans,"
+        + " row_number() OVER (PARTITION BY lang ORDER BY kn5_loss, doc_id) AS rn,"
+        + " count(*) OVER (PARTITION BY lang) AS cnt FROM sc)"
+        + " SELECT lang, CASE WHEN rn * 3 <= cnt THEN 'head'"
+        + " WHEN rn * 3 <= cnt * 2 THEN 'middle' ELSE 'tail' END AS bucket,"
+        + " count(*)::BIGINT AS n_docs, sum(n_trans)::BIGINT AS sum_trans,"
+        + " sum(doc_id)::BIGINT AS id_checksum"
+        + " FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
     // merged-daily-state ≡ from-scratch: the from-scratch rows' SQL verbatim
     "q_stream_kn5_state" ->
       ("SELECT doc_id, n_trans, round(kn5_loss, 6) AS kn5_loss FROM ("

@@ -1167,6 +1167,30 @@ object LlmQueries {
           e.where(col("vec_id") < 5), "embedding", nprobe = 2, topK = 10)
         .orderBy("qid", "rank")
     }),
+    // STREAMING SQ8-index ingestion (r13 — the q_stream_ann shape for
+    // the scalar quantizer, completing the Sq8Index lifecycle): day-1
+    // codes seed the directory, micro-batches append batch-only code
+    // rows through the frozen cells + bounds; probing the drained
+    // directory hash-matches the from-scratch q_ann_ivfsq8 replay
+    "q_stream_sq8" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val corpus = e.where(col("vec_id") >= 5)
+      val (cents, bounds) = ivfSq8IndexOf(d, corpus)
+      val dir = seededRunDir(d, "sq8idx-stream")(t =>
+        Similarity.buildSq8Index(corpus.where(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", dim = 64, cents, bounds).write(t))
+      val days = stageDays(d, "sq8", Seq(
+        corpus.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0),
+        corpus.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 1)))
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(days)
+      runForeachBatchReplay(
+        StreamingOps.sq8IngestAppend(stream, dir, "embedding"),
+        "graft_stream_sq8")
+      Similarity.Sq8Index.read(s, dir)
+        .topK(e.where(col("vec_id") < 5), "embedding", nprobe = 2, k = 10)
+        .orderBy("qid", "rank")
+    }),
     // the FAISS-default RESIDUAL variant: PQ encodes x − c(x) with
     // pqFitResidual codebooks (same coarse cells, same m·k budget) and
     // the ADC reference point is q − c(probed cell); the oracle replay
@@ -3709,6 +3733,8 @@ object LlmQueries {
       "q_ann_ivfsq8" -> ivfSq8ReplaySql(qn),
       "q_ann_sq8_index_rt" -> ivfSq8ReplaySql(qn),
       "q_ann_ivfsq8_pp" -> ivfSq8ReplaySql(qn, ccCtes = seededCellsCtes(16)),
+      // the drained stream == the from-scratch encode (frozen quantizers)
+      "q_stream_sq8" -> ivfSq8ReplaySql(qn),
       "q_ann_sq8_index_delete" ->
         ivfSq8ReplaySql(qn, candFilter = "cd.vec_id % 7 <> 0"),
       // the persisted round-trip and the append loop are INVISIBLE by

@@ -657,6 +657,159 @@ object LanguageModel {
       + " FROM sc GROUP BY 1 ORDER BY 1")
   }
 
+  /** Grouped twin of [[knNgramLogLoss]] (r13, completing the grouped
+    * matrix: bigram KN ([[knBigramLogLossBy]]) and order-N SB
+    * ([[sbNgramLogLossBy]]) both had per-group forms; CCNet's actual
+    * deployment is a per-language 5-gram KN): one independent
+    * Chen-Goodman tower PER GROUP, every level's count/type table and
+    * the (B, T, V) scalars carrying the group key — one
+    * hash-partitioned plan, no driver loop. Score docs whose group has
+    * no train n-grams are ABSENT (no model — the inner join on the
+    * per-group totals), as are <order-token/NULL docs and NULL-group
+    * rows. Output (groupCol, idCol, n_trans, kn{order}_loss). */
+  def knNgramLogLossBy(
+      train: DataFrame,
+      score: DataFrame,
+      groupCol: String,
+      idCol: String,
+      textCol: String,
+      order: Int,
+      d: Double = 0.75): DataFrame = {
+    require(order >= 2, s"knNgramLogLossBy needs order >= 2 (got $order)")
+    require(d > 0 && d < 1, s"discount d must be in (0,1) (got $d)")
+    val n = order
+    val tr = transitionsNBy(train, groupCol, textCol, textCol, n)
+    var cks = Map.empty[Int, DataFrame]
+    var lks = Map.empty[Int, DataFrame]
+    cks += n -> tr
+      .groupBy(col("__g").as(s"__cg$n") +:
+        (1 to n).map(j => col(s"__g$j").as(s"__c${n}k$j")): _*)
+      .agg(count(lit(1)).as(s"__cnt$n"))
+    for (k <- n to 2 by -1) {
+      lks += k -> cks(k)
+        .groupBy(col(s"__cg$k").as(s"__lg$k") +:
+          (1 until k).map(j => col(s"__c${k}k$j").as(s"__l${k}k$j")): _*)
+        .agg(sum(col(s"__cnt$k")).as(s"__ctx$k"), count(lit(1)).as(s"__t$k"))
+      if (k > 2)
+        cks += (k - 1) -> cks(k)
+          .groupBy(col(s"__cg$k").as(s"__cg${k - 1}") +:
+            (2 to k).map(j =>
+              col(s"__c${k}k$j").as(s"__c${k - 1}k${j - 1}")): _*)
+          .agg(count(lit(1)).as(s"__cnt${k - 1}"))
+    }
+    val c1 = cks(2).groupBy(col("__cg2").as("__cg1"),
+        col("__c2k2").as("__c1k1"))
+      .agg(count(lit(1)).as("__cnt1"))
+    val bt = cks(2).groupBy(col("__cg2").as("__tg"))
+      .agg(count(lit(1)).as("__b"), count_distinct(col("__c2k2")).as("__t"))
+    val vc = train.select(col(groupCol).as("__vg"),
+        explode(tokens(col(textCol))).as("__uni"))
+      .where(col("__vg").isNotNull)
+      .groupBy(col("__vg"))
+      .agg((count_distinct(col("__uni")) + lit(1L)).as("__vv"))
+    val totals = bt.join(vc, col("__tg") === col("__vg"))
+
+    val sc = transitionsNBy(score, groupCol, idCol, textCol, n)
+    var joined = sc
+      // groups without a train model drop here (inner join on totals)
+      .join(totals, col("__g") === col("__tg"))
+    for (k <- n to 2 by -1) {
+      joined = joined
+        .join(cks(k), (col("__g") === col(s"__cg$k")) +: (1 to k).map(j =>
+          col(s"__g${n - k + j}") === col(s"__c${k}k$j")) reduce (_ && _), "left")
+        .join(lks(k), (col("__g") === col(s"__lg$k")) +: (1 until k).map(j =>
+          col(s"__g${n - k + j}") === col(s"__l${k}k$j")) reduce (_ && _), "left")
+    }
+    joined = joined
+      .join(c1, col("__g") === col("__cg1")
+        && col(s"__g$n") === col("__c1k1"), "left")
+    var p = (greatest(coalesce(col("__cnt1"), lit(0L)).cast("double") - lit(d),
+      lit(0.0)) + lit(d) * col("__t").cast("double") / col("__vv").cast("double")) /
+      col("__b").cast("double")
+    // the knNgramLogLoss linear-tree backoff, token for token
+    for (k <- 2 to n) {
+      val ctxNull = col(s"__ctx$k").isNull
+      val a = when(ctxNull, lit(0.0)).otherwise(
+        greatest(coalesce(col(s"__cnt$k"), lit(0L)).cast("double") - lit(d),
+          lit(0.0)))
+      val b = when(ctxNull, lit(1.0)).otherwise(
+        lit(d) * col(s"__t$k").cast("double"))
+      val c = when(ctxNull, lit(1.0)).otherwise(col(s"__ctx$k").cast("double"))
+      p = (a + b * p) / c
+    }
+    joined
+      .select(col("__g"), col("__id"), lnQ(p).as("__lp"))
+      .groupBy(col("__g").as(groupCol), col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_trans"), sum(col("__lp")).as("__s"))
+      .withColumn(s"kn${n}_loss",
+        -(col("__s").cast("double")) / col("n_trans").cast("double"))
+      .drop("__s")
+  }
+
+  /** DuckDB twin of [[knNgramLogLossBy]] — [[knNgramLogLossSql]] with
+    * the group key threaded through every table. */
+  def knNgramLogLossBySql(groupExpr: String, idExpr: String, textExpr: String,
+      trainFrom: String, scoreFrom: String, order: Int,
+      d: Double = 0.75): String = {
+    require(order >= 2, s"knNgramLogLossBySql needs order >= 2 (got $order)")
+    val n = order
+    def gramSelect = (1 to n).map(j =>
+      s"unnest([w[i+${j - 1}] for i in range(1, len(w) - ${n - 2})]) AS g$j")
+      .mkString(", ")
+    val levelCtes = (n to 2 by -1).flatMap { k =>
+      val ck =
+        if (k == n)
+          (s"c$n AS (SELECT g, " + (1 to n).map(j => s"g$j AS k$j").mkString(", ")
+            + s", count(*)::BIGINT AS cnt FROM trt GROUP BY "
+            + (1 to n + 1).mkString(", ") + ")")
+        else
+          (s"c$k AS (SELECT g, " + (2 to k + 1).map(j => s"k$j AS k${j - 1}")
+            .mkString(", ") + s", count(*)::BIGINT AS cnt FROM c${k + 1}"
+            + " GROUP BY " + (1 to k + 1).mkString(", ") + ")")
+      val lk = (s"l$k AS (SELECT g, " + (1 until k).map(j => s"k$j").mkString(", ")
+        + s", sum(cnt)::BIGINT AS ctx, count(*)::BIGINT AS t FROM c$k GROUP BY "
+        + (1 to k).mkString(", ") + ")")
+      Seq(ck, lk)
+    }
+    val c1 = ("c1 AS (SELECT g, k2 AS k1, count(*)::BIGINT AS cnt FROM c2"
+      + " GROUP BY 1, 2)")
+    val tot = ("tot AS (SELECT b.g, b.b, b.t, v.v FROM"
+      + " (SELECT g, count(*)::BIGINT AS b, count(DISTINCT k2)::BIGINT AS t"
+      + " FROM c2 GROUP BY 1) b JOIN"
+      + " (SELECT g, (count(DISTINCT u) + 1)::BIGINT AS v FROM"
+      + " (SELECT g, unnest(w) AS u FROM trd) GROUP BY 1) v ON b.g = v.g)")
+    val joins = (n to 2 by -1).map { k =>
+      val onC = (s"sct.g = c$k.g AND "
+        + (1 to k).map(j => s"sct.g${n - k + j} = c$k.k$j").mkString(" AND "))
+      val onL = (s"sct.g = l$k.g AND "
+        + (1 until k).map(j => s"sct.g${n - k + j} = l$k.k$j").mkString(" AND "))
+      s" LEFT JOIN c$k ON $onC LEFT JOIN l$k ON $onL"
+    }.mkString("") + (s" LEFT JOIN c1 ON sct.g = c1.g AND sct.g$n = c1.k1"
+      + " JOIN tot ON sct.g = tot.g")
+    var p = (s"(greatest(coalesce(c1.cnt, 0)::DOUBLE - $d, 0.0)"
+      + s" + $d * tot.t::DOUBLE / tot.v::DOUBLE) / tot.b::DOUBLE")
+    for (k <- 2 to n)
+      p = (s"((CASE WHEN l$k.ctx IS NULL THEN 0.0"
+        + s" ELSE greatest(coalesce(c$k.cnt, 0)::DOUBLE - $d, 0.0) END"
+        + s" + CASE WHEN l$k.ctx IS NULL THEN 1.0"
+        + s" ELSE $d * l$k.t::DOUBLE END * ($p))"
+        + s" / CASE WHEN l$k.ctx IS NULL THEN 1.0 ELSE l$k.ctx::DOUBLE END)")
+    (s"WITH trd AS (SELECT $groupExpr AS g, string_split($textExpr, ' ') AS w"
+      + s" FROM $trainFrom WHERE $textExpr IS NOT NULL AND $groupExpr IS NOT NULL),"
+      + s" trt AS (SELECT g, $gramSelect FROM trd WHERE len(w) >= $n),"
+      + levelCtes.mkString(" ", ", ", ",")
+      + s" $c1, $tot,"
+      + s" scd AS (SELECT $groupExpr AS g, $idExpr AS id,"
+      + s" string_split($textExpr, ' ') AS w"
+      + s" FROM $scoreFrom WHERE $textExpr IS NOT NULL AND $groupExpr IS NOT NULL),"
+      + s" sct AS (SELECT g, id, $gramSelect FROM scd WHERE len(w) >= $n),"
+      + s" pr AS (SELECT sct.g, sct.id, $p AS p FROM sct$joins),"
+      + " sc AS (SELECT g, id, round(ln(p), 6)::DECIMAL(18,6) AS lp FROM pr)"
+      + s" SELECT g AS $groupExpr, id AS $idExpr, count(*)::BIGINT AS n_trans,"
+      + s" -(sum(lp)::DOUBLE) / count(*)::DOUBLE AS kn${n}_loss"
+      + " FROM sc GROUP BY 1, 2 ORDER BY 1, 2")
+  }
+
   /** MERGEABLE ORDER-N KN model state (VERDICT r12 #4, generalizing
     * [[KnBigramState]]): the ONLY corpus-sized derivations in
     * [[knNgramLogLoss]] are the level-n raw gram counts and the unigram

@@ -361,6 +361,26 @@ object StreamingOps {
     }
   }
 
+  /** [[annIngestAppend]] for the SQ8 index (r13, completing the Sq8Index
+    * lifecycle next to delete + compaction): each micro-batch encodes
+    * against the directory's FROZEN cells + bounds and parquet-APPENDs
+    * only its own code rows. Seed `dir` with Sq8Index.write; probe any
+    * time via Sq8Index.read — encoding is per-row and quantizer-keyed,
+    * so the drained directory hash-matches the from-scratch encode at
+    * any batch boundary (q_stream_sq8 shares the q_ann_ivfsq8 oracle). */
+  def sq8IngestAppend(
+      stream: DataFrame,
+      dir: String,
+      embCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val idx = graft.operators.Similarity.Sq8Index.read(stream.sparkSession, dir)
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.ivfSq8Encode(batch.toDF(), idx.idCol, embCol,
+            idx.dim, idx.centroids, idx.bounds)
+          .write.mode("append").parquet(s"$dir/codes")
+    }
+  }
+
   /** [[dedupNearIngest]]'s AT-REST form, completing the append-sink
     * family ([[postingsIngestAppend]]/[[annIngestAppend]]): the index
     * lives in a [[graft.operators.Dedup.NearDupIndex]] directory; each

@@ -118,10 +118,15 @@ class DriverContractSpec extends AnyFunSuite {
     // followed by a real FROM would otherwise capture the keyword);
     // the IS DISTINCT FROM phrase still trips it, so oracles use
     // "x IS NULL OR x <> y" instead (q_scd2's run-collapse predicate)
-    val ident = """(?i)\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)\b""".r
+    // schema-qualified `main.X` is how a shadow CTE named X reaches the
+    // base table (the astral-corpus rows): DuckDB registers the gate
+    // views in the default `main` schema, so capture the qualified name
+    // and strip the prefix before the whitelist check
+    val ident = """(?i)\b(?:FROM|JOIN)\s+((?:main\.)?[a-z_][a-z0-9_]*)\b""".r
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       // subquery openers (FROM/JOIN followed by a paren) are not captured
-      val refs = ident.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val refs = ident.findAllMatchIn(sql)
+        .map(_.group(1).toLowerCase.stripPrefix("main.")).toSet
       // CTE names, with or without an explicit column list or the
       // MATERIALIZED keyword: "x AS (", "x(c1, c2) AS (",
       // "x AS MATERIALIZED (" (q_mmr's unrolled rounds need

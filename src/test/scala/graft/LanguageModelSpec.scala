@@ -389,6 +389,42 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(got == direct, "at-rest rolled SB state != from-scratch fit")
   }
 
+  test("knNgramLogLossBy: per-group == independent ungrouped runs at order 3; modelless/NULL groups drop; order 2 == grouped bigram form") {
+    val train = Seq(
+      ("en", 10L, "a b a b c d"), ("en", 11L, "b c a b d"),
+      ("fr", 20L, "x y x z y"), ("fr", 21L, "y x y z"),
+      ("de", 30L, "p q"), // no trigram -> no order-3 model for de
+      (null.asInstanceOf[String], 40L, "a b c d")).toDF("lang", "doc_id", "text")
+    val score = Seq(
+      ("en", 1L, "a b c a d"), ("fr", 2L, "x y z x y"), ("de", 3L, "p q p"),
+      ("zz", 4L, "a b c"),
+      (null.asInstanceOf[String], 5L, "a b c")).toDF("lang", "doc_id", "text")
+    val got = LanguageModel.knNgramLogLossBy(train, score, "lang", "doc_id",
+        "text", order = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet.map(_._1) == Set("en", "fr"),
+      s"de (no trigrams), zz (no train), NULL must be absent: ${got.keySet}")
+    for (g <- Seq("en", "fr")) {
+      val want = LanguageModel.knNgramLogLoss(
+        train.where(col("lang") === g), score.where(col("lang") === g),
+        "doc_id", "text", order = 3)
+        .collect().map(r => (g, r.getLong(0)) ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got.filter(_._1._1 == g) == want, s"group $g diverged")
+    }
+    // order 2 == the dedicated grouped-bigram form, row for row
+    val o2 = LanguageModel.knNgramLogLossBy(train, score, "lang", "doc_id",
+        "text", order = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val bi = LanguageModel.knBigramLogLossBy(train, score, "lang", "doc_id",
+        "text")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(o2 == bi, "order-2 grouped tower != grouped bigram form")
+  }
+
   test("sbNgramLogLossBy: per-group == independent ungrouped runs; tokenless/NULL groups drop; backoff-only group scores (VERDICT r12 stretch #8)") {
     val train = Seq(
       ("en", 10L, "a b a b c"), ("en", 11L, "b c a b"),
