@@ -48,15 +48,28 @@ case class BpeDeepTokenize(child: Expression, packedRules: String)
   @transient private lazy val ranks: Map[(String, String), Array[Int]] =
     graft.operators.Bpe.rankMap(pairs)
 
+  // per-executor memo: tokenization is a pure function of (word, rules)
+  // and corpora are Zipfian, so most word OCCURRENCES are repeats of a
+  // small distinct set — the merge loop runs once per distinct word
+  // (bounded; insertion stops at the cap — r13 receipt: the
+  // dup_spans_bpe_deep bench row 4.37 s → see BENCH_NOTES)
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+
   override protected def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[UTF8String].toString.split(" ")
     val out = Array.newBuilder[Any]
     var i = 0
     while (i < words.length) {
       if (words(i).nonEmpty) {
-        val toks = graft.operators.Bpe.tokenizeWord(words(i), ranks, pairs)
+        var toks = memo.get(words(i))
+        if (toks == null) {
+          toks = graft.operators.Bpe.tokenizeWord(words(i), ranks, pairs)
+            .map(UTF8String.fromString)
+          if (memo.size < graft.operators.Bpe.MemoCap) memo.put(words(i), toks)
+        }
         var j = 0
-        while (j < toks.length) { out += UTF8String.fromString(toks(j)); j += 1 }
+        while (j < toks.length) { out += toks(j); j += 1 }
       }
       i += 1
     }

@@ -37,15 +37,25 @@ case class WordPieceTokenize(child: Expression, packedVocab: String)
     .map(v => graft.operators.Codepoints.count(
       if (v.startsWith("##")) v.substring(2) else v)).max
 
+  // per-executor distinct-word memo — the [[BpeDeepTokenize]] Zipfian
+  // rationale (greedy match is pure in (word, vocab))
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+
   override protected def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[UTF8String].toString.split(" ")
     val out = Array.newBuilder[Any]
     var i = 0
     while (i < words.length) {
       if (words(i).nonEmpty) {
-        val toks = graft.operators.WordPiece.tokenizeWordWp(words(i), vocab, maxTok)
+        var toks = memo.get(words(i))
+        if (toks == null) {
+          toks = graft.operators.WordPiece.tokenizeWordWp(words(i), vocab, maxTok)
+            .map(UTF8String.fromString)
+          if (memo.size < graft.operators.Bpe.MemoCap) memo.put(words(i), toks)
+        }
         var j = 0
-        while (j < toks.length) { out += UTF8String.fromString(toks(j)); j += 1 }
+        while (j < toks.length) { out += toks(j); j += 1 }
       }
       i += 1
     }

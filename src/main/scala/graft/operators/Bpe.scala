@@ -50,6 +50,14 @@ object Bpe {
     * chain (one codegen'd `replace` per rule). */
   val MaxMerges = 512
 
+  /** Distinct-word memo cap for the per-executor tokenization caches
+    * (BpeDeepTokenize / WordPieceTokenize / the mapPartitions counters):
+    * tokenization is pure in (word, model) and corpora are Zipfian, so
+    * memoizing the head of the distribution removes most merge-loop /
+    * DP work; past the cap new words tokenize uncached (correctness
+    * unaffected). 64k entries ≈ a few MB per executor. */
+  val MemoCap = 1 << 16
+
   /** Max iterations of the delta-maintained [[bpeLearnDelta]] trainer —
     * the production range (a real tokenizer trains 32-64k merges); the
     * loop runs in driver memory over the bounded vocab statistic, so
@@ -425,13 +433,24 @@ object Bpe {
     val schema = org.apache.spark.sql.types.StructType(out.schema.fields.init)
       .add("n_tokens", org.apache.spark.sql.types.LongType)
     out.mapPartitions { rows =>
+      // per-partition distinct-word memo (the MemoCap Zipfian rationale);
+      // boxed java.lang.Long so an absent key is a REAL null, not an
+      // unboxed 0 (the scala.Long interop trap)
+      val memo = new java.util.HashMap[String, java.lang.Long]()
       rows.map { r =>
         val t = r.getString(1)
         // NULL text -> NULL count, the bpeTokenCounts/size(NULL) contract
         val n: Any =
           if (t == null) null
-          else t.split(" ").iterator.filter(_.nonEmpty)
-            .map(w => tokenizeWord(w, ranks, pairs).length.toLong).sum
+          else t.split(" ").iterator.filter(_.nonEmpty).map { w =>
+            val hit = memo.get(w)
+            if (hit != null) hit.longValue()
+            else {
+              val c = tokenizeWord(w, ranks, pairs).length.toLong
+              if (memo.size < MemoCap) memo.put(w, java.lang.Long.valueOf(c))
+              c
+            }
+          }.sum
         org.apache.spark.sql.Row(r.get(0), n)
       }
     }(org.apache.spark.sql.Encoders.row(schema))

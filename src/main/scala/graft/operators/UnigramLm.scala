@@ -305,6 +305,9 @@ object UnigramLm {
       .add("n_tokens", org.apache.spark.sql.types.LongType)
       .add("cost_micro", org.apache.spark.sql.types.LongType)
     out.mapPartitions { rows =>
+      // per-partition distinct-word memo ([[Bpe.MemoCap]] rationale):
+      // the Viterbi DP runs once per distinct word
+      val memo = new java.util.HashMap[String, (Long, Long)]()
       rows.map { r =>
         val t = r.getString(1)
         if (t == null) org.apache.spark.sql.Row(r.get(0), null, null)
@@ -312,9 +315,13 @@ object UnigramLm {
           var n = 0L
           var c = 0L
           t.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
-            val (wn, wc) = viterbiWord(w, costs, maxLen, unk)
-            n += wn
-            c += wc
+            var hit = memo.get(w)
+            if (hit == null) {
+              hit = viterbiWord(w, costs, maxLen, unk)
+              if (memo.size < Bpe.MemoCap) memo.put(w, hit)
+            }
+            n += hit._1
+            c += hit._2
           }
           org.apache.spark.sql.Row(r.get(0), n, c)
         }

@@ -314,6 +314,10 @@ object WordPiece {
       .add("n_tokens", org.apache.spark.sql.types.LongType)
       .add("n_unk", org.apache.spark.sql.types.LongType)
     out.mapPartitions { rows =>
+      // per-partition distinct-word memo ([[Bpe.MemoCap]] rationale):
+      // (n_tokens, is_unk) packed as n*2 + unk — greedy match runs once
+      // per distinct word; boxed values so absence is a real null
+      val memo = new java.util.HashMap[String, java.lang.Long]()
       rows.map { r =>
         val t = r.getString(1)
         if (t == null) org.apache.spark.sql.Row(r.get(0), null, null)
@@ -321,9 +325,18 @@ object WordPiece {
           var n = 0L
           var u = 0L
           t.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
-            val toks = tokenizeWordWp(w, vocab, maxTok)
-            n += toks.length
-            if (toks.length == 1 && toks(0) == Unk) u += 1L
+            val hit = memo.get(w)
+            val packed =
+              if (hit != null) hit.longValue()
+              else {
+                val toks = tokenizeWordWp(w, vocab, maxTok)
+                val p = toks.length.toLong * 2 +
+                  (if (toks.length == 1 && toks(0) == Unk) 1L else 0L)
+                if (memo.size < Bpe.MemoCap) memo.put(w, java.lang.Long.valueOf(p))
+                p
+              }
+            n += packed / 2
+            u += packed % 2
           }
           org.apache.spark.sql.Row(r.get(0), n, u)
         }
