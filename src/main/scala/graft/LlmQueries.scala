@@ -1008,6 +1008,23 @@ object LlmQueries {
     // ADC tables + the rank bit for bit.
     "q_ann_ivfpq" -> ((s, d) =>
       ivfPqApprox(s, d).orderBy("qid", "rank")),
+    // the SEEDED coarse quantizer on the IVF+PQ path (the
+    // q_ann_ivfsq8_pp twin — VERDICT r12 #3 named both families):
+    // farthest-point seeds + 2 Lloyd rounds for the cells, the same
+    // non-residual PQ sub-codebooks (cell-independent), oracle replays
+    // seeding + refinement + the 4 sub-fits + ADC + rank bit for bit
+    "q_ann_ivfpq_pp" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val corpus = e.where(col("vec_id") >= 5)
+      val (cents, _) = ivfSq8PpIndexOf(d, corpus)
+      val (_, books) = ivfPqIndexOf(d, corpus)
+      val codes = Similarity.ivfPqEncode(corpus, "vec_id", "embedding",
+        dim = 64, m = 4, centroids = cents, codebooks = books)
+      Similarity.ivfPqTopK(codes, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", dim = 64, m = 4,
+          centroids = cents, codebooks = books, nprobe = 2, topK = 10)
+        .orderBy("qid", "rank")
+    }),
     // IVF + SQ8 (FAISS IndexIVFScalarQuantizer, by_residual default):
     // coarse cells prune candidates, 8-bit scalar codes on the
     // RESIDUALS score them — the third point of the quantizer design
@@ -2706,8 +2723,13 @@ object LlmQueries {
         }
 
   private def ivfPqReplaySql(qn: String, residual: Boolean = false,
-      k: Int = 10, candFilter: String = ""): String = {
+      k: Int = 10, candFilter: String = "", ccCtes: String = ""): String = {
     val candAnd = if (candFilter.isEmpty) "" else s" AND $candFilter"
+    // coarse cells: first-16 by default; q_ann_ivfpq_pp passes the
+    // seeded-fit chain (the ivfSq8ReplaySql ccCtes convention)
+    val ccDef = if (ccCtes.nonEmpty) ccCtes
+      else ("cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS cw"
+        + " FROM (SELECT vec_id, q FROM nc ORDER BY vec_id LIMIT 16))")
 
         val m = 4; val sub = 16
         val fitSrc = if (residual) "ncr" else "nc"
@@ -2742,8 +2764,7 @@ object LlmQueries {
         (s"WITH n AS ${qn},"
           + " nc AS (SELECT vec_id, q FROM n WHERE vec_id >= 5),"
           + " qs AS (SELECT vec_id, q FROM n WHERE vec_id < 5),"
-          + " cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS cw"
-          + " FROM (SELECT vec_id, q FROM nc ORDER BY vec_id LIMIT 16)),"
+          + s" $ccDef,"
           + " casg AS (SELECT vec_id, cell FROM ("
           + " SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id"
           + " ORDER BY CAST(list_dot_product(c.cw, c.cw) AS BIGINT) - 2 * list_dot_product(e.q, c.cw), c.cell) AS rk"
@@ -3726,6 +3747,7 @@ object LlmQueries {
       // ADC tables as exact BIGINT ||q_i − c||²; candidates share a
       // cell; score = 4 table lookups; rank per query by (adc, id).
       "q_ann_ivfpq" -> ivfPqReplaySql(qn),
+      "q_ann_ivfpq_pp" -> ivfPqReplaySql(qn, ccCtes = seededCellsCtes(16)),
       // IVF+SQ8 replay: first-16 coarse cells, corpus rank-1 / query
       // rank<=2 assignment (the shared casg/qasg skeleton), per-dim
       // residual min/max fit, round-half-up 8-bit encode, the 255x
