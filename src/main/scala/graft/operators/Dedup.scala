@@ -366,9 +366,35 @@ object Dedup {
     dedupIncrementalNearManaged(index, batch, idCol, textCol, threshold,
       cache, broadcastBatch)._1
 
+  /** The batch's sketch (shingle table, banded-bucket table), both
+    * localCheckpointed — for callers that PROBE and APPEND the same
+    * batch (the ingestion sinks): the sketch is computed once, the
+    * probe reuses it via [[dedupIncrementalNearManaged]]'s `preSketch`,
+    * and the checkpointed frames are exactly the delta rows a
+    * [[NearDupIndex]] append stores (schemas match the index tables).
+    * NULL-content rows contribute nothing, as everywhere in the
+    * family. */
+  def batchSketchCheckpointed(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      bands: Int,
+      rows: Int): (DataFrame, DataFrame) = {
+    val sh = shingleTable(batch.where(col(textCol).isNotNull),
+      idCol, textCol, n).localCheckpoint()
+    (sh, bandedBuckets(sh, bands, rows).localCheckpoint())
+  }
+
   /** [[dedupIncrementalNear]] plus the release handle for the batch
     * sketch's persisted intermediates — same cache-lifecycle contract as
-    * the other `*Managed` variants. */
+    * the other `*Managed` variants. `preSketch` (r13 optimization): the
+    * batch's (shingle table, banded buckets) when the caller has already
+    * materialized them ([[batchSketchCheckpointed]]) — the probe then
+    * computes NO sketch of its own (the ingestion sinks were paying the
+    * batch sketch twice: once to probe, once to append); the caller owns
+    * the pre-sketch lifecycle and the tables MUST be the sketch of
+    * `batch.where(textCol isNotNull)` at the index's (n, bands, rows). */
   def dedupIncrementalNearManaged(
       index: NearDupIndex,
       batch: DataFrame,
@@ -376,7 +402,8 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.5,
       cache: Boolean = true,
-      broadcastBatch: Boolean = false): (DataFrame, () => Unit) = {
+      broadcastBatch: Boolean = false,
+      preSketch: Option[(DataFrame, DataFrame)] = None): (DataFrame, () => Unit) = {
     require(!batch.columns.contains("__dup_id"),
       "dedupIncrementalNear reserves column name __dup_id; rename it in the input")
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -386,8 +413,12 @@ object Dedup {
         d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       } else d
     val b = batch.where(col(textCol).isNotNull)
-    val shB = maybeCache(shingleTable(b, idCol, textCol, index.n))
-    val bB = maybeCache(bandedBuckets(shB, index.bands, index.rows))
+    val (shB, bB) = preSketch match {
+      case Some((sh0, b0)) => (sh0, b0)
+      case None =>
+        val sh1 = maybeCache(shingleTable(b, idCol, textCol, index.n))
+        (sh1, maybeCache(bandedBuckets(sh1, index.bands, index.rows)))
+    }
     val (shP, bP) = if (broadcastBatch) (broadcast(shB), broadcast(bB)) else (shB, bB)
     val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
       size(array_union(col("sa.sh"), col("sb.sh")))
