@@ -40,6 +40,41 @@ object Profile {
         val fn = SparkEntry.queries(name)
         time(s"$name warmup")(fn(spark, dir).count())
         (1 to 3).foreach(i => time(s"$name rep$i")(fn(spark, dir).count()))
+      case "corr" =>
+        val li = spark.read.parquet(s"$d/lineitem.parquet")
+          .withColumn("valn", when(col("l_tax") === 0.0, lit(Double.NaN))
+            .otherwise(col("l_quantity")))
+        println(s"[profile] lineitem rows = ${li.count()}")
+        time("scan count only")(li.selectExpr("count(l_extendedprice)").collect())
+        val cols = Seq("valn", "l_extendedprice", "l_discount")
+        (1 to 3).foreach { i =>
+          time(s"corrMatrixBy decimal rep$i") {
+            graft.operators.FeatureScaling.corrMatrixBy(
+              li, Seq("l_returnflag"), cols).count()
+          }
+        }
+        // timing-only variant: identical shape, double sums (inexact)
+        (1 to 3).foreach { i =>
+          time(s"corr double-sums rep$i") {
+            val pairs = for { a <- cols.indices; b <- (a+1) until cols.size } yield (a,b)
+            val aggs = pairs.flatMap { case (a, b) =>
+              val x0 = when(!isnan(col(cols(a))), col(cols(a)))
+              val y0 = when(!isnan(col(cols(b))), col(cols(b)))
+              val xn = when(y0.isNotNull, x0); val yn = when(x0.isNotNull, y0)
+              Seq(count(xn).as(s"n_${a}_$b"), sum(xn).as(s"sx_${a}_$b"),
+                sum(yn).as(s"sy_${a}_$b"), sum(xn*yn).as(s"sxy_${a}_$b"),
+                sum(xn*xn).as(s"sxx_${a}_$b"), sum(yn*yn).as(s"syy_${a}_$b"))
+            }
+            li.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*).count()
+          }
+        }
+        (1 to 2).foreach { i =>
+          time(s"spearman rep$i") {
+            graft.operators.FeatureScaling.corrMatrixSpearmanBy(
+              li.drop("valn"), Seq("l_returnflag"),
+              Seq("l_quantity", "l_extendedprice", "l_discount")).count()
+          }
+        }
       case other => sys.error(s"unknown profile mode: $other")
     }
     spark.stop()

@@ -223,12 +223,21 @@ object FeatureScaling {
       .map(c => graft.functions.NanOps.isValid(col(c), df.schema(c).dataType))
       .reduce(_ && _)
     val base = df.where(valid).select((by ++ cols).map(col): _*)
+    // ONE window per column (r13 optimization): the ordered window's
+    // default RANGE frame (unbounded preceding → current row) makes
+    // count(*) over it the count of rows with value <= current INCLUDING
+    // ties — i.e. the tie run's LAST rank — so the tie-sharing average
+    // rank is (rank + count)/2 on the same window spec. The old form's
+    // separate tie window (partitionBy(by :+ c)) forced a second sort
+    // per column (6 WindowExec sorts for k=3; now 3). Bit-identical:
+    // rank r and count c = r + ties − 1 are exact small integers, and
+    // (r + c)/2 = r + (ties−1)/2 lands on the same exact half-integer
+    // double the two-window form produced.
     val ranked = cols.foldLeft(base) { (acc, c) =>
       val w = Window.partitionBy(by.map(col): _*).orderBy(col(c))
-      val tie = Window.partitionBy(by.map(col) :+ col(c): _*)
       acc.withColumn(s"__rk_$c",
-        rank().over(w).cast(DoubleType) +
-          (count(lit(1)).over(tie).cast(DoubleType) - lit(1.0)) / lit(2.0))
+        (rank().over(w).cast(DoubleType) +
+          count(lit(1)).over(w).cast(DoubleType)) / lit(2.0))
     }
     corrMatrixBy(
       ranked.select(by.map(col) ++ cols.map(c => col(s"__rk_$c").as(c)): _*),
