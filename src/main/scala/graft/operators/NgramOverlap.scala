@@ -266,7 +266,14 @@ object NgramOverlap {
     require(windowTokens >= 2, s"windowTokens must be >= 2 (got $windowTokens)")
     require(minCount >= 2, s"minCount must be >= 2 (got $minCount)")
     requireNoSpanClash("duplicateSpans", idCol, textCol)
+    // persist the window table (r13): it feeds BOTH the frequency
+    // aggregate and the probe side of the join, and the two consumers
+    // shuffle different payloads (agg partials vs raw window rows), so
+    // exchange reuse cannot dedupe them — un-persisted, the tokenizer +
+    // posexplode subtree runs twice (the dominant cost when the
+    // tokenizer slot holds a learned deep tokenizer)
     val wins = windowTable(df, idCol, textCol, windowTokens, tokenizer)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = wins.groupBy("__f1", "__f2", "__f3").agg(count(lit(1)).as("__nocc"))
     val dup = wins
       .join(freq.where(col("__nocc") >= minCount), Seq("__f1", "__f2", "__f3"))
