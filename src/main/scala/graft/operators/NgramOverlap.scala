@@ -212,6 +212,10 @@ object NgramOverlap {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     // fused pair: one char pass computes both folds (bit-identical to the
     // standalone fp/fp2 expressions — TextMultiModalSpec pin)
+    // persisted for the same reason as duplicateSpans' window table
+    // (r13): the gram table feeds the frequency aggregate AND the
+    // join-back, different shuffle payloads, no exchange reuse —
+    // un-persisted the shingle explode + fingerprinting ran twice
     val g = df
       .select(col(idCol).as("id"),
         explode(Dedup.shinglesFast(tokenizer(col(textCol)), n)).as("g"))
@@ -220,6 +224,7 @@ object NgramOverlap {
       .select(col("id"),
         element_at(col("__fs"), 1).as("__f1"),
         element_at(col("__fs"), 2).as("__f2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-doc grams are distinct, so count(*) = number of docs with the gram
     val freq = g.groupBy("__f1", "__f2").agg(count(lit(1)).as("__ndocs"))
     g.join(freq, Seq("__f1", "__f2"))
