@@ -40,6 +40,43 @@ object Profile {
         val fn = SparkEntry.queries(name)
         time(s"$name warmup")(fn(spark, dir).count())
         (1 to 3).foreach(i => time(s"$name rep$i")(fn(spark, dir).count()))
+      case "streamfixed" =>
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        def replay(name: String, f: DataFrame => DataFrame): Unit = {
+          val raw = spark.readStream.schema(docs.schema)
+            .parquet(s"$d/{documents.parquet}")
+            .withColumn("__ts",
+              lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+          val ckpt = java.nio.file.Files.createTempDirectory(
+            java.nio.file.Paths.get("/dev/shm"), "graft-probe")
+          val q = f(raw).writeStream.queryName(name).format("memory")
+            .outputMode("append").trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt.toString).start()
+          q.awaitTermination()
+          spark.table(name).count()
+          spark.catalog.dropTempView(name)
+        }
+        (1 to 3).foreach { i =>
+          time(s"stateless passthrough rep$i")(
+            replay(s"probe_pt_$i", df => df.select("doc_id", "text")))
+          time(s"dedupExact stateful rep$i")(
+            replay(s"probe_dd_$i", df =>
+              graft.streaming.StreamingOps.dedupExact(df, "text", "__ts", "0 seconds")))
+        }
+      case "corrplan" =>
+        val fn = SparkEntry.queries("q_corr_matrix")
+        (1 to 3).foreach { i =>
+          val df = fn(spark, d)
+          time(s"plan only rep$i")(df.queryExecution.executedPlan)
+          time(s"execute rep$i")(df.count())
+        }
+        val fn2 = SparkEntry.queries("q_spearman")
+        (1 to 3).foreach { i =>
+          val df = fn2(spark, d)
+          time(s"spearman plan only rep$i")(df.queryExecution.executedPlan)
+          time(s"spearman execute rep$i")(df.count())
+        }
       case "corr" =>
         val li = spark.read.parquet(s"$d/lineitem.parquet")
           .withColumn("valn", when(col("l_tax") === 0.0, lit(Double.NaN))
@@ -73,6 +110,39 @@ object Profile {
             graft.operators.FeatureScaling.corrMatrixSpearmanBy(
               li.drop("valn"), Seq("l_returnflag"),
               Seq("l_quantity", "l_extendedprice", "l_discount")).count()
+          }
+        }
+        // honest timing (guide §1.4): collect() the 9-row result so the
+        // optimizer cannot prune the aggregate expressions (count() did)
+        val cols2 = Seq("valn", "l_extendedprice", "l_discount")
+        (1 to 3).foreach { i =>
+          time(s"decimal agg COLLECT rep$i") {
+            graft.operators.FeatureScaling.corrMatrixBy(
+              li, Seq("l_returnflag"), cols2).collect()
+          }
+          time(s"double agg COLLECT rep$i") {
+            val pairs = for { a <- cols2.indices; b <- (a+1) until cols2.size } yield (a,b)
+            val aggs = pairs.flatMap { case (a, b) =>
+              val x0 = when(!isnan(col(cols2(a))), col(cols2(a)))
+              val y0 = when(!isnan(col(cols2(b))), col(cols2(b)))
+              val xn = when(y0.isNotNull, x0); val yn = when(x0.isNotNull, y0)
+              Seq(count(xn).as(s"n_${a}_$b"), sum(xn).as(s"sx_${a}_$b"),
+                sum(yn).as(s"sy_${a}_$b"), sum(xn*yn).as(s"sxy_${a}_$b"),
+                sum(xn*xn).as(s"sxx_${a}_$b"), sum(yn*yn).as(s"syy_${a}_$b"))
+            }
+            li.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*).collect()
+          }
+          time(s"long-scaled agg COLLECT rep$i") {
+            val pairs = for { a <- cols2.indices; b <- (a+1) until cols2.size } yield (a,b)
+            def sc(c: String) = when(!isnan(col(c)), (col(c) * 100.0)).cast("long")
+            val aggs = pairs.flatMap { case (a, b) =>
+              val x0 = sc(cols2(a)); val y0 = sc(cols2(b))
+              val xn = when(y0.isNotNull, x0); val yn = when(x0.isNotNull, y0)
+              Seq(count(xn).as(s"n_${a}_$b"), sum(xn).as(s"sx_${a}_$b"),
+                sum(yn).as(s"sy_${a}_$b"), sum(xn*yn).as(s"sxy_${a}_$b"),
+                sum(xn*xn).as(s"sxx_${a}_$b"), sum(yn*yn).as(s"syy_${a}_$b"))
+            }
+            li.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*).collect()
           }
         }
       case other => sys.error(s"unknown profile mode: $other")
