@@ -208,14 +208,21 @@ object NgramOverlap {
     */
   def duplicateGramStats(
       df: DataFrame, idCol: String, textCol: String, n: Int = 5,
-      tokenizer: Column => Column = identity): DataFrame = {
+      tokenizer: Column => Column = identity): DataFrame =
+    duplicateGramStatsManaged(df, idCol, textCol, n, tokenizer)._1
+
+  /** [[duplicateGramStats]] plus a release handle for the persisted gram
+    * table — the `*Managed` cache-lifecycle convention. The gram table
+    * feeds the frequency aggregate AND the join-back with different
+    * shuffle payloads, so exchange reuse cannot dedupe them —
+    * un-persisted (pre-r13), the shingle explode + fingerprinting ran
+    * twice per query. */
+  def duplicateGramStatsManaged(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 5,
+      tokenizer: Column => Column = identity): (DataFrame, () => Unit) = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     // fused pair: one char pass computes both folds (bit-identical to the
     // standalone fp/fp2 expressions — TextMultiModalSpec pin)
-    // persisted for the same reason as duplicateSpans' window table
-    // (r13): the gram table feeds the frequency aggregate AND the
-    // join-back, different shuffle payloads, no exchange reuse —
-    // un-persisted the shingle explode + fingerprinting ran twice
     val g = df
       .select(col(idCol).as("id"),
         explode(Dedup.shinglesFast(tokenizer(col(textCol)), n)).as("g"))
@@ -227,10 +234,11 @@ object NgramOverlap {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-doc grams are distinct, so count(*) = number of docs with the gram
     val freq = g.groupBy("__f1", "__f2").agg(count(lit(1)).as("__ndocs"))
-    g.join(freq, Seq("__f1", "__f2"))
+    val out = g.join(freq, Seq("__f1", "__f2"))
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("__ndocs") > 1, 1)).as("n_dup_grams"))
+    (out, () => { g.unpersist(false); () })
   }
 
   /** ExactSubstr-style duplicated-SPAN detection ("Deduplicating Training
@@ -267,23 +275,35 @@ object NgramOverlap {
       textCol: String,
       windowTokens: Int = 8,
       minCount: Long = 2,
-      tokenizer: Column => Column = identity): DataFrame = {
+      tokenizer: Column => Column = identity): DataFrame =
+    duplicateSpansManaged(df, idCol, textCol, windowTokens, minCount,
+      tokenizer)._1
+
+  /** [[duplicateSpans]] plus a release handle for the persisted window
+    * table — the `*Managed` cache-lifecycle convention. The window table
+    * feeds BOTH the frequency aggregate and the probe side of the dup
+    * join, and the two consumers shuffle different payloads (agg
+    * partials vs raw window rows), so exchange reuse cannot dedupe them:
+    * un-persisted (pre-r13), the tokenizer + posexplode subtree ran
+    * twice — the dominant cost when the tokenizer slot holds a learned
+    * deep tokenizer (q_dup_spans_bpe_deep 3.7 s → 1.7 s at sf0.1). */
+  def duplicateSpansManaged(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8,
+      minCount: Long = 2,
+      tokenizer: Column => Column = identity): (DataFrame, () => Unit) = {
     require(windowTokens >= 2, s"windowTokens must be >= 2 (got $windowTokens)")
     require(minCount >= 2, s"minCount must be >= 2 (got $minCount)")
     requireNoSpanClash("duplicateSpans", idCol, textCol)
-    // persist the window table (r13): it feeds BOTH the frequency
-    // aggregate and the probe side of the join, and the two consumers
-    // shuffle different payloads (agg partials vs raw window rows), so
-    // exchange reuse cannot dedupe them — un-persisted, the tokenizer +
-    // posexplode subtree runs twice (the dominant cost when the
-    // tokenizer slot holds a learned deep tokenizer)
     val wins = windowTable(df, idCol, textCol, windowTokens, tokenizer)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = wins.groupBy("__f1", "__f2", "__f3").agg(count(lit(1)).as("__nocc"))
     val dup = wins
       .join(freq.where(col("__nocc") >= minCount), Seq("__f1", "__f2", "__f3"))
       .select(col("id"), col("__pos"))
-    mergeIslands(dup, idCol, windowTokens)
+    (mergeIslands(dup, idCol, windowTokens), () => { wins.unpersist(false); () })
   }
 
   private val SpanReserved = Seq("__pos", "__g", "__f1", "__f2", "__f3", "__nocc",
