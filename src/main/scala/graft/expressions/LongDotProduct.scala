@@ -90,6 +90,8 @@ object GraftFunctions {
   val BloomContains = "graft_bloom_contains"
   val HhChain       = "graft_householder_chain"
   val Nfc           = "graft_nfc"
+  val Unscaled      = "graft_unscaled"
+  val Sum128        = "graft_sum128"
 
   private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
     if (exprs.length != n) throw new IllegalArgumentException(
@@ -219,6 +221,24 @@ object GraftFunctions {
     // companion for corpora that mix composed/decomposed encoders
     Nfc -> { exprs =>
       arity(Nfc, exprs, 1); NfcNormalize(exprs.head)
+    },
+    // unscaled long of a compact decimal(<=18, s) — Catalyst's own
+    // UnscaledValue, surfaced so the exact-decimal power sums can ride
+    // the long-limb aggregate below
+    Unscaled -> { exprs =>
+      arity(Unscaled, exprs, 1)
+      org.apache.spark.sql.catalyst.expressions.UnscaledValue(exprs.head)
+    },
+    // exact Σ x·y of two unscaled-decimal longs in a 128-bit limb
+    // buffer, finalized to double once per group — bit-identical to
+    // sum(dx*dy).cast(double) on the decimal forms (SumProduct128):
+    // (x, y, product-scale literal)
+    Sum128 -> { exprs =>
+      arity(Sum128, exprs, 3)
+      if (!exprs(2).foldable) throw new IllegalArgumentException(
+        s"$Sum128's third argument (product scale) must be a literal")
+      SumProduct128(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
     })
 
   def register(spark: SparkSession): Unit =

@@ -13,6 +13,18 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object FeatureScaling {
 
+  /** Unscaled long of a compact decimal — the bridge onto the limb
+    * aggregate (r14 power-sum codegen fix). */
+  private def unscaled(d: Column): Column =
+    call_function(graft.expressions.GraftFunctions.Unscaled, d)
+
+  /** Exact Σ x·y of two unscaled-decimal longs, finalized to double —
+    * bit-identical to `sum(dx * dy).cast(DoubleType)` on the decimal
+    * forms it replaces ([[graft.expressions.SumProduct128]]); `scale`
+    * is the PRODUCT's decimal scale. */
+  private def sum128(x: Column, y: Column, scale: Int): Column =
+    call_function(graft.expressions.GraftFunctions.Sum128, x, y, lit(scale))
+
   /** Quantile winsorization: clips `valueCol` into
     * [quantile(pLo), quantile(pHi)], appended as `as`. The bounds come
     * from the memory-safe exact quantile ([[Quantiles.exactQuantileSelect]]
@@ -96,11 +108,15 @@ object FeatureScaling {
     * marginal variance is 0 (constant column) or n_pairs <= ddof; the
     * variance clamp guards the sqrt like the registry's std.
     *
-    * Exactness: all five power sums (sx, sy, sxy, sxx, syy) ride
-    * decimal(18,s) arithmetic — exact and order-independent — with ONE
-    * IEEE finalize, replayed identically by the oracle. One hash
-    * aggregation (map-side combined): the same two-phase topology as
-    * every reduction in the engine. */
+    * Exactness: all five power sums (sx, sy, sxy, sxx, syy) are the
+    * exact decimal(18,s) sums — order-independent — with ONE IEEE
+    * finalize, replayed identically by the oracle. Since r14 they ride
+    * [[graft.expressions.SumProduct128]]: the decimals' unscaled longs
+    * accumulate in a codegen'd 128-bit limb buffer with the identical
+    * BigDecimal finalize (bit-for-bit the old `sum(decimal)` values,
+    * pinned in SumProduct128Spec) instead of promoting every row
+    * through BigDecimal. One hash aggregation (map-side combined): the
+    * same two-phase topology as every reduction in the engine. */
   def covCorrBy(
       df: DataFrame,
       by: Seq[String],
@@ -110,6 +126,7 @@ object FeatureScaling {
       ddof: Int = 1): DataFrame = {
     require(by.nonEmpty, "covCorrBy needs at least one grouping column")
     require(ddof >= 0, s"ddof must be >= 0 (got $ddof)")
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val xn0 = graft.functions.NanOps.nanToNull(col(xCol), df.schema(xCol).dataType)
     val yn0 = graft.functions.NanOps.nanToNull(col(yCol), df.schema(yCol).dataType)
     // pairwise deletion: both-or-neither
@@ -117,13 +134,19 @@ object FeatureScaling {
     val yn = when(xn0.isNotNull, yn0)
     val dx = xn.cast(DecimalType(18, exactScale))
     val dy = yn.cast(DecimalType(18, exactScale))
-    val agg = df.groupBy(by.map(col): _*).agg(
-      count(xn).as("n_pairs"),
-      sum(dx).cast(DoubleType).as("__sx"),
-      sum(dy).cast(DoubleType).as("__sy"),
-      sum(dx * dy).cast(DoubleType).as("__sxy"),
-      sum(dx * dx).cast(DoubleType).as("__sxx"),
-      sum(dy * dy).cast(DoubleType).as("__syy"))
+    // project the unscaled longs once (codegen'd casts), aggregate on
+    // bare attributes
+    val proj = df.select(by.map(col) ++ Seq(
+      xn.as("__xn"),
+      unscaled(dx).as("__lx"),
+      unscaled(dy).as("__ly")): _*)
+    val agg = proj.groupBy(by.map(col): _*).agg(
+      count(col("__xn")).as("n_pairs"),
+      sum128(col("__lx"), lit(1L), exactScale).as("__sx"),
+      sum128(col("__ly"), lit(1L), exactScale).as("__sy"),
+      sum128(col("__lx"), col("__ly"), 2 * exactScale).as("__sxy"),
+      sum128(col("__lx"), col("__lx"), 2 * exactScale).as("__sxx"),
+      sum128(col("__ly"), col("__ly"), 2 * exactScale).as("__syy"))
     val n = col("n_pairs").cast(DoubleType)
     def centered(sq: Column, s: Column): Column = sq - s * s / n
     val denom = n - lit(ddof.toDouble)
@@ -161,27 +184,36 @@ object FeatureScaling {
     require(by.nonEmpty, "corrMatrixBy needs at least one grouping column")
     require(cols.size >= 2, "corrMatrixBy needs at least two value columns")
     require(ddof >= 0, s"ddof must be >= 0 (got $ddof)")
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val pairs = for {
       i <- cols.indices
       j <- (i + 1) until cols.size
     } yield (i, j)
     def nn(c: String) =
       graft.functions.NanOps.nanToNull(col(c), df.schema(c).dataType)
-    val aggExprs = pairs.flatMap { case (i, j) =>
+    // one projection computes every pair's masked raw + unscaled longs
+    // (codegen'd casts), then the limb sums aggregate bare attributes —
+    // the covCorrBy r14 shape, k(k−1)/2 wide
+    val projCols = pairs.flatMap { case (i, j) =>
       val (x0, y0) = (nn(cols(i)), nn(cols(j)))
       val xn = when(y0.isNotNull, x0)
       val yn = when(x0.isNotNull, y0)
       val dx = xn.cast(DecimalType(18, exactScale))
       val dy = yn.cast(DecimalType(18, exactScale))
       val p = s"__${i}_$j"
-      Seq(count(xn).as(s"n$p"),
-        sum(dx).cast(DoubleType).as(s"sx$p"),
-        sum(dy).cast(DoubleType).as(s"sy$p"),
-        sum(dx * dy).cast(DoubleType).as(s"sxy$p"),
-        sum(dx * dx).cast(DoubleType).as(s"sxx$p"),
-        sum(dy * dy).cast(DoubleType).as(s"syy$p"))
+      Seq(xn.as(s"xn$p"), unscaled(dx).as(s"lx$p"), unscaled(dy).as(s"ly$p"))
     }
-    val agg = df.groupBy(by.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+    val aggExprs = pairs.flatMap { case (i, j) =>
+      val p = s"__${i}_$j"
+      Seq(count(col(s"xn$p")).as(s"n$p"),
+        sum128(col(s"lx$p"), lit(1L), exactScale).as(s"sx$p"),
+        sum128(col(s"ly$p"), lit(1L), exactScale).as(s"sy$p"),
+        sum128(col(s"lx$p"), col(s"ly$p"), 2 * exactScale).as(s"sxy$p"),
+        sum128(col(s"lx$p"), col(s"lx$p"), 2 * exactScale).as(s"sxx$p"),
+        sum128(col(s"ly$p"), col(s"ly$p"), 2 * exactScale).as(s"syy$p"))
+    }
+    val agg = df.select(by.map(col) ++ projCols: _*)
+      .groupBy(by.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
     val rows = pairs.map { case (i, j) =>
       val p = s"__${i}_$j"
       val n = col(s"n$p").cast(DoubleType)
@@ -269,19 +301,26 @@ object FeatureScaling {
       yCol: String,
       exactScale: Int = 2): DataFrame = {
     require(by.nonEmpty, "linregBy needs at least one grouping column")
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val xn0 = graft.functions.NanOps.nanToNull(col(xCol), df.schema(xCol).dataType)
     val yn0 = graft.functions.NanOps.nanToNull(col(yCol), df.schema(yCol).dataType)
     val xn = when(yn0.isNotNull, xn0)
     val yn = when(xn0.isNotNull, yn0)
     val dx = xn.cast(DecimalType(18, exactScale))
     val dy = yn.cast(DecimalType(18, exactScale))
-    val agg = df.groupBy(by.map(col): _*).agg(
-      count(xn).as("n_pairs"),
-      sum(dx).cast(DoubleType).as("__sx"),
-      sum(dy).cast(DoubleType).as("__sy"),
-      sum(dx * dy).cast(DoubleType).as("__sxy"),
-      sum(dx * dx).cast(DoubleType).as("__sxx"),
-      sum(dy * dy).cast(DoubleType).as("__syy"))
+    // the covCorrBy r14 limb-sum shape (bit-identical, no per-row
+    // BigDecimal)
+    val proj = df.select(by.map(col) ++ Seq(
+      xn.as("__xn"),
+      unscaled(dx).as("__lx"),
+      unscaled(dy).as("__ly")): _*)
+    val agg = proj.groupBy(by.map(col): _*).agg(
+      count(col("__xn")).as("n_pairs"),
+      sum128(col("__lx"), lit(1L), exactScale).as("__sx"),
+      sum128(col("__ly"), lit(1L), exactScale).as("__sy"),
+      sum128(col("__lx"), col("__ly"), 2 * exactScale).as("__sxy"),
+      sum128(col("__lx"), col("__lx"), 2 * exactScale).as("__sxx"),
+      sum128(col("__ly"), col("__ly"), 2 * exactScale).as("__syy"))
     val n = col("n_pairs").cast(DoubleType)
     val sxyC = col("__sxy") - col("__sx") * col("__sy") / n
     val sxxC = greatest(col("__sxx") - col("__sx") * col("__sx") / n, lit(0.0))
@@ -415,15 +454,22 @@ object FeatureScaling {
     val p0 = df.select(cols: _*).where(keep)
     val p = if (cache) p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else p0
     try {
+      graft.expressions.GraftFunctions.register(df.sparkSession)
       val betas = Array.fill(d + 1)(0.0)
       val divs = features.map(_._2)
       var it = 0
       while (it < iters) {
         val sQ = sigmoidQ(logit(betas, divs,
           (0 until d).map(j => col(s"__x$j"))))
-        val r = col("__y").cast(DecimalType(18, 6)) - sQ
-        val gradCols = sum(r).as("__g0") +: (0 until d).map(j =>
-          sum(r * col(s"__x$j").cast(DecimalType(18, 0))).as(s"__g${j + 1}"))
+        // r14 limb-sum shape: the residual r = y − σq is an exact
+        // multiple of 1e-6 (y ∈ {0,1} as 1e6·y; σq is decimal(18,6)),
+        // so its unscaled long rides SumProduct128 against the raw
+        // integer features — the identical exact gradient sums without
+        // the decimal(37,6) per-row BigDecimal products
+        val lr6 = col("__y") * lit(1000000L) - unscaled(sQ)
+        val gradCols = sum128(lr6, lit(1L), 6).as("__g0") +:
+          (0 until d).map(j =>
+            sum128(lr6, col(s"__x$j"), 6).as(s"__g${j + 1}"))
         val row = p.agg(count(lit(1)).as("__n"), gradCols: _*).head()
         val n = row.getLong(0).toDouble
         // no valid rows: nothing to fit — keep the zero model rather
@@ -431,10 +477,10 @@ object FeatureScaling {
         if (n == 0) it = iters
         else {
           betas(0) = betas(0) +
-            lr * (Option(row.getDecimal(1)).fold(0.0)(_.doubleValue()) / n)
+            lr * ((if (row.isNullAt(1)) 0.0 else row.getDouble(1)) / n)
           var j = 1
           while (j <= d) {
-            val g = Option(row.getDecimal(j + 1)).fold(0.0)(_.doubleValue())
+            val g = if (row.isNullAt(j + 1)) 0.0 else row.getDouble(j + 1)
             betas(j) = betas(j) + lr * ((g / divs(j - 1)) / n)
             j += 1
           }
