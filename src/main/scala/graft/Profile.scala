@@ -19,7 +19,18 @@ object Profile {
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("stream_curation")
-    val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // one positional convention per mode (ADVICE r13): `query` takes
+    // (mode, queryName[, dataDir]); every other mode (mode[, dataDir]).
+    // Validate up front instead of surfacing a missing name as an
+    // ArrayIndexOutOfBoundsException.
+    if (mode == "query" && args.length < 2) {
+      System.err.println("usage: Profile query <queryName> [dataDir]")
+      sys.exit(2)
+    }
+    val DefaultDir = "/root/testdata/sf0.1"
+    val d =
+      if (mode == "query") { if (args.length > 2) args(2) else DefaultDir }
+      else if (args.length > 1) args(1) else DefaultDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,8 +47,12 @@ object Profile {
       case "stream_curation" => profileStreamCuration(spark, d)
       case "query" =>
         // time any declared query end-to-end, 3 reps after one warmup
-        val name = args(1); val dir = if (args.length > 2) args(2) else d
-        val fn = SparkEntry.queries(name)
+        val name = args(1); val dir = d
+        val fn = SparkEntry.queries.getOrElse(name, {
+          System.err.println(s"unknown query '$name' — names are the" +
+            " SparkEntry.queries keys (q_...)")
+          sys.exit(2)
+        })
         time(s"$name warmup")(fn(spark, dir).count())
         (1 to 3).foreach(i => time(s"$name rep$i")(fn(spark, dir).count()))
       case "streamfixed" =>

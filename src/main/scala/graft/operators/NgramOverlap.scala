@@ -206,6 +206,12 @@ object NgramOverlap {
     * pair -> per-doc count. Three shuffles, all of 16-byte keys + counts;
     * document text never moves.
     */
+  /** CACHE-LIFECYCLE NOTE (ADVICE r13): this convenience form persists
+    * the corpus-scale fingerprint table into the SESSION cache and
+    * discards the release handle — the entry lives until
+    * `clearCache()`/unpersist. Long-lived library sessions should call
+    * [[duplicateGramStatsManaged]] and release after the consuming
+    * action. */
   def duplicateGramStats(
       df: DataFrame, idCol: String, textCol: String, n: Int = 5,
       tokenizer: Column => Column = identity): DataFrame =
@@ -269,6 +275,12 @@ object NgramOverlap {
     * combined; span merging is one scan-shaped window by id. No suffix
     * array, no sort of the corpus, no driver state.
     */
+  /** CACHE-LIFECYCLE NOTE (ADVICE r13): this convenience form persists
+    * the corpus-scale window table into the SESSION cache and discards
+    * the release handle — the entry lives until
+    * `clearCache()`/unpersist. Long-lived library sessions should call
+    * [[duplicateSpansManaged]] (or [[removeDuplicateSpansManaged]] for
+    * the applier) and release after the consuming action. */
   def duplicateSpans(
       df: DataFrame,
       idCol: String,
@@ -458,7 +470,13 @@ object NgramOverlap {
     * With a non-identity `tokenizer` ([[retokenize]]), the cleaned text
     * is the single-space join of the SURVIVING tokenizer tokens — the
     * raw text's original spacing is not reconstructible once tokenized
-    * (the usual contract for tokenized dedup pipelines). */
+    * (the usual contract for tokenized dedup pipelines).
+    *
+    * CACHE-LIFECYCLE NOTE (ADVICE r13): this convenience form leaves
+    * the window-table persist in the session cache (the
+    * [[duplicateSpans]] note); long-lived sessions should use
+    * [[removeDuplicateSpansManaged]] and release after the consuming
+    * action. */
   def removeDuplicateSpans(
       df: DataFrame,
       idCol: String,
@@ -467,11 +485,29 @@ object NgramOverlap {
       minCount: Long = 2,
       as: String = "clean_text",
       tokenizer: Column => Column = identity): DataFrame = {
+    removeDuplicateSpansManaged(df, idCol, textCol, windowTokens,
+      minCount, as, tokenizer)._1
+  }
+
+  /** [[removeDuplicateSpans]] plus the window-table release handle
+    * (r14, ADVICE r13: the applier previously called the leaking plain
+    * form internally, so even Managed-aware callers could not release).
+    * Call the handle after the consuming action — the result's plan
+    * reads the persisted window table through the spans join, so
+    * releasing early recomputes it (correct, just slower). */
+  def removeDuplicateSpansManaged(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8,
+      minCount: Long = 2,
+      as: String = "clean_text",
+      tokenizer: Column => Column = identity): (DataFrame, () => Unit) = {
     require(!df.columns.contains(as),
       s"removeDuplicateSpans output column `$as` collides with input")
-    cutSpans(df, idCol, textCol,
-      duplicateSpans(df, idCol, textCol, windowTokens, minCount, tokenizer),
-      as, tokenizer)
+    val (spans, release) = duplicateSpansManaged(df, idCol, textCol,
+      windowTokens, minCount, tokenizer)
+    (cutSpans(df, idCol, textCol, spans, as, tokenizer), release)
   }
 
   /** Shared back half of the removal forms: cut every (idCol, span_start,

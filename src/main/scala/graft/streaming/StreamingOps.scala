@@ -396,7 +396,14 @@ object StreamingOps {
     * state is never rewritten. `emit` receives each batch's survivors;
     * across-batch semantics are the [[dedupNearIngest]] arrival-order
     * rule (StreamingSpec pins the sink against the sequential daily
-    * loop, directory state included). */
+    * loop, directory state included).
+    *
+    * Id contract (ADVICE r13): `idCol` must be UNIQUE per batch (the
+    * usual document id — the [[graft.operators.NgramOverlap
+    * .removeDuplicateSpans]] contract). The survivor sketch delta is
+    * the id-restriction of the full-batch sketch; two same-id rows with
+    * different text would append the dropped row's sketch rows under
+    * the surviving id. */
   def dedupNearIngestAppend(
       stream: DataFrame,
       dir: String,
@@ -413,10 +420,15 @@ object StreamingOps {
     // handle is exactly the directory's contents at all times: what is
     // appended to parquet is the SAME materialized delta unioned in.
     var idx: Dedup.NearDupIndex = null
+    var batches = 0L
     stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        if (idx == null) idx = Dedup.NearDupIndex.read(spark, dir)
+        batches += 1
+        // periodic handle compaction (see HandleCompactEvery): directory
+        // == handle at every batch boundary, so the re-read is identical
+        if (idx == null || batches % HandleCompactEvery == 0)
+          idx = Dedup.NearDupIndex.read(spark, dir)
         // sketch the batch ONCE (r13): the probe reuses it via preSketch,
         // and the survivor delta is its semi-join restriction — sketch
         // rows are per-document, so filtering by survivor id is
@@ -434,6 +446,10 @@ object StreamingOps {
         idx = idx.copy(buckets = idx.buckets.unionByName(addB),
           shingles = idx.shingles.unionByName(addS))
         emit(surv)
+        // the full-batch sketches are dead now: their appended deltas
+        // are independently checkpointed restrictions (ADVICE r13)
+        dropCheckpoint(shAll)
+        dropCheckpoint(bAll)
     }
   }
 
@@ -561,10 +577,14 @@ object StreamingOps {
     // is batch-sized).
     var canon: DataFrame = null
     var idx: Dedup.NearDupIndex = null
+    var batches = 0L
     stream.writeStream.foreachBatch {
       (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = b.sparkSession
-        if (idx == null) {
+        batches += 1
+        // periodic handle compaction (see HandleCompactEvery): directory
+        // == handle at every batch boundary, so the re-read is identical
+        if (idx == null || batches % HandleCompactEvery == 0) {
           idx = Dedup.NearDupIndex.read(spark, dir)
           canon = spark.read.parquet(s"$dir/canon")
         }
@@ -609,6 +629,9 @@ object StreamingOps {
         // 6: the curated corpus IS the directory
         appendDelta(deconB, s"$dir/decon")
         emit(deconB)
+        // surv is dead now (deconB is an independent checkpoint and the
+        // only emitted/unioned frame downstream of it — ADVICE r13)
+        dropCheckpoint(surv)
     }
   }
 
@@ -627,6 +650,31 @@ object StreamingOps {
     * tasks, so a production-scale batch never funnels through one
     * writer. Frames with UNKNOWN stats (defaultSizeInBytes) also take
     * the rebalance path — the safe side at scale. */
+  /** Drop a DEAD localCheckpoint's blocks (ADVICE r13): a checkpointed
+    * batch frame pins block-manager memory until its RDD is GC'd, so a
+    * long-running stream accumulates every batch's dead intermediates.
+    * Called at end of batch on frames no live handle references (the
+    * full-batch sketches whose appended deltas are independently
+    * checkpointed restrictions; never on frames unioned into a snapshot
+    * handle or handed to `emit`). */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
+  /** Re-read the at-rest directory into the snapshot handles every N
+    * batches (ADVICE r13): the per-batch `unionByName` grows the
+    * handle's logical plan (and pins every batch delta's checkpoint
+    * blocks) without bound in a long-running stream; since every delta
+    * is parquet-APPENDed before it is unioned in, the directory equals
+    * the handle at every batch boundary, so a periodic re-read is a
+    * pure compaction — same rows, O(1) plan depth, old delta blocks
+    * become GC-able. 64 keeps the amortized listing cost negligible
+    * (bench replays run 2–3 batches and never hit it). */
+  private[graft] val HandleCompactEvery = 64
+
   private[graft] def appendDelta(df: DataFrame, path: String): Unit = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val advisory = df.sparkSession.sessionState.conf.getConf(
